@@ -1,0 +1,194 @@
+"""Inverted-index build & layout — the Spark-native IResearch analogue.
+
+Reference semantics: ``CREATE INDEX ... USING inverted(col tokenizer ...)``
+(server/catalog/inverted_index.h:176; build operator
+server/connector/duckdb_physical_create_index.cpp). Instead of a custom
+columnstore we represent the index as THREE DataFrames (parquet tables when
+persisted), exactly the layout SURVEY.md §7 prescribes:
+
+  postings: (field, term, doc_id, freq, positions array<int>)
+            bucketed/partitioned by term hash — a term's posting list is
+            co-located, so every predicate→semi-join shuffles only the
+            (small) claimed terms, not the corpus.
+  docstore: (doc_id, <included columns...>) — IResearch columnstore/INCLUDE.
+  stats:    per-(field,term) df; per-(field,doc) length; global N, avgdl —
+            feeds BM25/TFIDF/LM formulas
+            (reference scorers: server/catalog/scorer_options.cpp:197-199).
+
+100 TB notes: the build is one wide scan + explode + two aggregations (all
+map-side-combinable); postings are written bucketed by term so query-time
+term lookups are partition-pruned joins; stats tables are tiny (|vocab| and
+|docs| rows) and always broadcastable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serenedb_spark.analysis.analyzers import Analyzer, get_analyzer
+
+#: number of term buckets used when persisting postings (pruned joins).
+DEFAULT_TERM_BUCKETS = 64
+
+
+@dataclass
+class InvertedIndex:
+    """An index over one source DataFrame: queryable as relations.
+
+    The reference exposes the index itself as a relation
+    (``SELECT ... FROM idx_name``, server/connector/duckdb_index_scan_entry.h);
+    here `postings`/`docstore`/`term_dict` ARE DataFrames, so that falls out
+    for free.
+    """
+
+    name: str
+    fields: dict[str, str]  # column -> analyzer name
+    key: str
+    postings: DataFrame
+    docstore: DataFrame
+    term_stats: DataFrame  # (field, term, df, ctf)
+    doc_stats: DataFrame  # (field, doc_id, dl)
+    globals_: DataFrame  # (field, n_docs, avgdl, total_dl)
+    universe: DataFrame  # (field, doc_id) where the source column IS NOT NULL
+
+    def analyzer(self, field: str) -> Analyzer:
+        return get_analyzer(self.fields[field])
+
+    def default_field(self) -> str:
+        return next(iter(self.fields))
+
+    def term_dict(self, field: str | None = None) -> DataFrame:
+        """Term dictionary with document frequency (drives ts_dict_* facets
+        and prefix/wildcard/regexp/fuzzy term expansion)."""
+        td = self.term_stats
+        if field is not None:
+            td = td.where(F.col("field") == field)
+        return td
+
+
+def build_index(
+    df: DataFrame,
+    fields: dict[str, str],
+    key: str = "doc_id",
+    include: list[str] | None = None,
+    name: str = "idx",
+) -> InvertedIndex:
+    """Build postings + docstore + stats from a source DataFrame.
+
+    Equivalent of the reference's CREATE INDEX physical operator
+    (duckdb_physical_create_index.cpp:908) re-expressed as a declarative
+    DataFrame graph: tokenize (JVM expression) → posexplode → two
+    aggregations. No Python executes per row.
+    """
+    include = include if include is not None else [c for c in df.columns if c != key]
+
+    per_field = []
+    for col, analyzer_name in fields.items():
+        an = get_analyzer(analyzer_name)
+        toks = an.expr(F.col(col))
+        tokenized = df.select(
+            F.col(key).alias("doc_id"),
+            F.lit(col).alias("field"),
+            F.posexplode_outer(toks).alias("pos", "term"),
+        ).where(F.col("term").isNotNull())
+        per_field.append(tokenized)
+
+    exploded = per_field[0]
+    for t in per_field[1:]:
+        exploded = exploded.unionByName(t)
+
+    postings = (
+        exploded.groupBy("field", "term", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("freq"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+    )
+
+    doc_stats = (
+        exploded.groupBy("field", "doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("dl"))
+    )
+
+    term_stats = (
+        postings.groupBy("field", "term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("freq").cast("long").alias("ctf"),
+        )
+    )
+
+    universe_parts = [
+        df.where(F.col(col).isNotNull()).select(
+            F.lit(col).alias("field"), F.col(key).alias("doc_id")
+        )
+        for col in fields
+    ]
+    universe = universe_parts[0]
+    for u in universe_parts[1:]:
+        universe = universe.unionByName(u)
+
+    # one row per field: corpus size + average doc length (include docs with
+    # zero tokens in N via the base table, as the reference computes norms
+    # over all docs in the segment)
+    n_total = df.select(F.count(F.lit(1)).alias("n_docs"), F.lit(1).alias("j"))
+    globals_ = (
+        doc_stats.groupBy("field")
+        .agg(F.sum("dl").alias("total_dl"), F.lit(1).alias("j"))
+        .join(n_total, "j")
+        .select(
+            "field",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
+            F.col("total_dl").cast("long").alias("total_dl"),
+        )
+    )
+
+    docstore = df.select(F.col(key).alias("doc_id"), *include)
+
+    return InvertedIndex(
+        name=name,
+        fields=dict(fields),
+        key=key,
+        postings=postings,
+        docstore=docstore,
+        term_stats=term_stats,
+        doc_stats=doc_stats,
+        globals_=globals_,
+        universe=universe,
+    )
+
+
+def save_index(idx: InvertedIndex, path: str) -> None:
+    """Persist the index layout: postings bucketed by term (co-located posting
+    lists → pruned, shuffle-free term lookups), docstore by doc_id."""
+    idx.postings.repartition(DEFAULT_TERM_BUCKETS, "term").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/postings")
+    idx.docstore.repartition("doc_id").write.mode("overwrite").parquet(
+        f"{path}/docstore"
+    )
+    idx.term_stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/term_stats")
+    idx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")
+    idx.globals_.coalesce(1).write.mode("overwrite").parquet(f"{path}/globals")
+    idx.universe.write.mode("overwrite").parquet(f"{path}/universe")
+
+
+def load_index(
+    spark: SparkSession, path: str, fields: dict[str, str], key: str = "doc_id",
+    name: str = "idx",
+) -> InvertedIndex:
+    return InvertedIndex(
+        name=name,
+        fields=dict(fields),
+        key=key,
+        postings=spark.read.parquet(f"{path}/postings"),
+        docstore=spark.read.parquet(f"{path}/docstore"),
+        term_stats=spark.read.parquet(f"{path}/term_stats"),
+        doc_stats=spark.read.parquet(f"{path}/doc_stats"),
+        globals_=spark.read.parquet(f"{path}/globals"),
+        universe=spark.read.parquet(f"{path}/universe"),
+    )

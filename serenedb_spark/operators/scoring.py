@@ -1,0 +1,100 @@
+"""Relevance scorers — BM25 / TFIDF / LM-Dirichlet over postings + stats.
+
+Reference scorer list: ``BM25(oid[,k1,b]) TFIDF lm_jm lm_dirichlet
+indri_dirichlet dfi raw_boost raw_tf raw_dl``
+(server/catalog/scorer_options.cpp:197-199; irs impls
+libs/iresearch/include/iresearch/search/{bm25,tfidf,lm_dirichlet}.cpp).
+
+Formulas (documented; the DuckDB oracle in plans/oracle.py mirrors them
+symbol-for-symbol so scores hash-match):
+
+  BM25(k1, b):      idf = ln(1 + (N - df + 0.5)/(df + 0.5))
+                    tfn = freq*(k1+1) / (freq + k1*(1 - b + b*dl/avgdl))
+                    contribution = boost * idf * tfn
+  TFIDF:            contribution = boost * sqrt(freq) * (1 + ln(N/(df+1)))
+  LM-Dirichlet(mu): contribution = boost *
+                    max(0, ln(1 + freq/(mu * ctf/total_dl)) + ln(mu/(dl+mu))/|q|)
+                    — Zhai & Lafferty smoothing; the per-doc length penalty
+                    ln(mu/(dl+mu)) is folded per term (|q| = #query terms)
+                    to keep the contribution shape uniform.
+  raw_tf:           contribution = boost * freq
+  raw_dl:           dl
+
+Everything is computed with built-in column expressions: postings join
+(small, term-pruned) × broadcast stats. No Python per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from serenedb_spark.operators.indexing import InvertedIndex
+
+
+def _scored_base(idx: InvertedIndex, field: str, score_terms: DataFrame) -> DataFrame:
+    """(doc_id, term, freq, dl, df, ctf, n_docs, avgdl, total_dl, boost) for
+    each (matched doc × query term) pair."""
+    P = idx.postings.where(F.col("field") == field)
+    matched = P.join(F.broadcast(score_terms), "term")
+    ts = idx.term_stats.where(F.col("field") == field).select("term", "df", "ctf")
+    ds = idx.doc_stats.where(F.col("field") == field).select("doc_id", "dl")
+    g = idx.globals_.where(F.col("field") == field).select(
+        "n_docs", "avgdl", "total_dl"
+    )
+    return (
+        matched.join(F.broadcast(ts), "term")
+        .join(ds, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+
+
+def _bm25_contrib(k1: float, b: float) -> Column:
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("freq") * F.lit(k1 + 1.0)) / (
+        F.col("freq")
+        + F.lit(k1)
+        * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return F.col("boost") * idf * tfn
+
+
+def _tfidf_contrib() -> Column:
+    idf = F.lit(1.0) + F.log(F.col("n_docs") / (F.col("df") + F.lit(1.0)))
+    return F.col("boost") * F.sqrt(F.col("freq")) * idf
+
+
+def _lm_dirichlet_contrib(mu: float, n_query_terms: Column) -> Column:
+    p_c = F.col("ctf") / F.col("total_dl")
+    per_term = F.log(F.lit(1.0) + F.col("freq") / (F.lit(mu) * p_c))
+    dl_penalty = F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))) / n_query_terms
+    return F.col("boost") * F.greatest(per_term + dl_penalty, F.lit(0.0))
+
+
+def score(
+    idx: InvertedIndex,
+    field: str,
+    score_terms: DataFrame,
+    scorer: str = "bm25",
+    **params,
+) -> DataFrame:
+    """Return (doc_id, score) for every doc containing ≥1 query term."""
+    base = _scored_base(idx, field, score_terms)
+    if scorer == "bm25":
+        contrib = _bm25_contrib(params.get("k1", 1.2), params.get("b", 0.75))
+    elif scorer == "tfidf":
+        contrib = _tfidf_contrib()
+    elif scorer == "lm_dirichlet":
+        # number of query terms is a driver-side scalar (tiny DF)
+        n_terms = score_terms.count()
+        contrib = _lm_dirichlet_contrib(
+            params.get("mu", 2000.0), F.lit(float(n_terms))
+        )
+    elif scorer == "raw_tf":
+        contrib = F.col("boost") * F.col("freq")
+    else:
+        raise ValueError(f"unknown scorer {scorer!r}")
+    return base.groupBy("doc_id").agg(F.sum(contrib).alias("score"))

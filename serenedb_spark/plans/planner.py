@@ -1,0 +1,287 @@
+"""TSQUERY → DataFrame-plan compiler (the IRESEARCH_SCAN analogue).
+
+Reference flow: predicates are claimed at plan time and compiled to an
+irs::Filter executed per segment, producing doc ids that are then
+materialized from the columnstore (server/connector/duckdb_table_function.cpp
+:1178-1226, search_filter_builder.cpp). Here the same claim produces a
+DataFrame graph: term-filtered postings scans → set algebra on doc_id →
+late-materialization join back to the docstore.
+
+Scale discipline (100 TB):
+  * every leaf starts from postings filtered by literal term predicates —
+    these push down to the parquet scan (PushedFilters) and prune term
+    buckets; the corpus is never scanned.
+  * term-dictionary expansions (prefix/wildcard/regexp/fuzzy/range) filter
+    the tiny term_stats table and BROADCAST the matched term list into the
+    postings join.
+  * doc-id set algebra uses semi/anti joins on doc_id, which AQE converts to
+    broadcast joins when one side is small (the common case: selective
+    predicates).
+  * NULL soundness: `col @@ q` is NULL for NULL col under SQL 3VL, so NOT
+    excludes those docs. We carry a per-field `universe` of non-null docs and
+    compute NOT as anti-join against it (reference soundness note:
+    search_filter_builder.hpp:43-56).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serenedb_spark.operators.indexing import InvertedIndex
+from serenedb_spark.plans import tsquery as q
+
+
+@dataclass
+class CompiledQuery:
+    """doc_ids: distinct matching doc ids; score_terms: (term, boost) pairs —
+    literal or term-dict-expanded — feeding the scorer."""
+
+    doc_ids: DataFrame
+    score_terms: DataFrame  # columns: term STRING, boost DOUBLE
+
+
+def _postings(idx: InvertedIndex, field: str) -> DataFrame:
+    return idx.postings.where(F.col("field") == field)
+
+
+def _terms_df(idx: InvertedIndex, terms: list[str]) -> DataFrame:
+    spark = idx.postings.sparkSession
+    return spark.createDataFrame([(t,) for t in terms], "term string")
+
+
+def _empty_terms(idx: InvertedIndex) -> DataFrame:
+    spark = idx.postings.sparkSession
+    return spark.createDataFrame([], "term string, boost double")
+
+
+def _expand(idx: InvertedIndex, field: str, node: q.TSQuery) -> DataFrame:
+    """Term-dictionary expansion for multi-term leaves → DataFrame[term]."""
+    td = idx.term_dict(field)
+    if isinstance(node, q.Prefix):
+        return td.where(F.col("term").startswith(node.prefix)).select("term")
+    if isinstance(node, q.Wildcard):
+        return td.where(F.col("term").like(node.pattern)).select("term")
+    if isinstance(node, q.Regexp):
+        return td.where(
+            F.col("term").rlike(f"^(?:{node.pattern})$")
+        ).select("term")
+    if isinstance(node, q.Fuzzy):
+        # prune by |len(term) - len(w)| <= d before the edit-distance check —
+        # the poor man's Levenshtein automaton (SURVEY §7 hard part (c))
+        w, d = node.term, node.distance
+        cand = td.where(
+            (F.length("term") >= len(w) - d) & (F.length("term") <= len(w) + d)
+        ).where(F.levenshtein(F.col("term"), F.lit(w)) <= d)
+        return cand.orderBy("term").limit(node.max_terms).select("term")
+    if isinstance(node, q.Between):
+        c = F.lit(True)
+        if node.lo is not None:
+            c = c & (
+                F.col("term") >= node.lo
+                if node.lo_inclusive
+                else F.col("term") > node.lo
+            )
+        if node.hi is not None:
+            c = c & (
+                F.col("term") <= node.hi
+                if node.hi_inclusive
+                else F.col("term") < node.hi
+            )
+        return td.where(c).select("term")
+    raise TypeError(f"not an expansion leaf: {node!r}")
+
+
+def compile_query(
+    idx: InvertedIndex, field: str, node: q.TSQuery, boost: float = 1.0
+) -> CompiledQuery:
+    """Recursively compile an AST node to (doc_ids, score_terms)."""
+    P = _postings(idx, field)
+
+    if isinstance(node, q.Term):
+        docs = P.where(F.col("term") == node.term).select("doc_id")
+        terms = _terms_df(idx, [node.term]).withColumn("boost", F.lit(boost))
+        return CompiledQuery(docs, terms)
+
+    if isinstance(node, q.AnyOf):
+        terms = list(dict.fromkeys(node.terms))
+        docs = (
+            P.where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("m"))
+            .where(F.col("m") >= node.min_match)
+            .select("doc_id")
+        )
+        tdf = _terms_df(idx, terms).withColumn("boost", F.lit(boost))
+        return CompiledQuery(docs, tdf)
+
+    if isinstance(node, q.AllOf):
+        terms = list(dict.fromkeys(node.terms))
+        docs = (
+            P.where(F.col("term").isin(terms))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("m"))
+            .where(F.col("m") >= len(terms))
+            .select("doc_id")
+        )
+        tdf = _terms_df(idx, terms).withColumn("boost", F.lit(boost))
+        return CompiledQuery(docs, tdf)
+
+    if isinstance(node, q.Phrase):
+        docs = _compile_phrase(idx, field, node)
+        tdf = _terms_df(idx, list(dict.fromkeys(node.words))).withColumn(
+            "boost", F.lit(boost)
+        )
+        return CompiledQuery(docs, tdf)
+
+    if isinstance(node, (q.Prefix, q.Wildcard, q.Regexp, q.Fuzzy, q.Between)):
+        terms = _expand(idx, field, node)
+        docs = (
+            P.join(F.broadcast(terms), "term", "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        tdf = terms.withColumn("boost", F.lit(boost))
+        return CompiledQuery(docs, tdf)
+
+    if isinstance(node, q.NgramSim):
+        an = idx.analyzer(field)
+        grams = list(dict.fromkeys(an.tokens(node.text)))
+        need = math.ceil(node.threshold * len(grams))
+        docs = (
+            P.where(F.col("term").isin(grams))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("m"))
+            .where(F.col("m") >= need)
+            .select("doc_id")
+        )
+        tdf = _terms_df(idx, grams).withColumn("boost", F.lit(boost))
+        return CompiledQuery(docs, tdf)
+
+    if isinstance(node, q.And):
+        parts = [compile_query(idx, field, p, boost) for p in node.parts]
+        docs = parts[0].doc_ids
+        for p in parts[1:]:
+            docs = docs.join(p.doc_ids, "doc_id", "left_semi")
+        return CompiledQuery(docs.distinct(), _union_terms(idx, parts))
+
+    if isinstance(node, q.Or):
+        parts = [compile_query(idx, field, p, boost) for p in node.parts]
+        docs = parts[0].doc_ids
+        for p in parts[1:]:
+            docs = docs.unionByName(p.doc_ids)
+        return CompiledQuery(docs.distinct(), _union_terms(idx, parts))
+
+    if isinstance(node, q.Not):
+        inner = compile_query(idx, field, node.part, boost)
+        universe = idx.universe.where(F.col("field") == field).select("doc_id")
+        docs = universe.join(inner.doc_ids, "doc_id", "left_anti")
+        # negative clauses do not contribute to relevance (Lucene/reference)
+        return CompiledQuery(docs, _empty_terms(idx))
+
+    if isinstance(node, q.Boost):
+        return compile_query(idx, field, node.part, boost * node.factor)
+
+    if isinstance(node, q.Compound):
+        must = [compile_query(idx, field, p, boost) for p in node.must]
+        must_not = [compile_query(idx, field, p, boost) for p in node.must_not]
+        should = [compile_query(idx, field, p, boost) for p in node.should]
+
+        if must:
+            docs = must[0].doc_ids
+            for p in must[1:]:
+                docs = docs.join(p.doc_ids, "doc_id", "left_semi")
+        elif should:
+            docs = None
+        else:
+            docs = idx.universe.where(F.col("field") == field).select("doc_id")
+
+        msm = node.min_should_match
+        if should and (docs is None or msm > 0):
+            eff_msm = max(msm, 1) if docs is None else msm
+            marked = [
+                p.doc_ids.distinct().withColumn("part", F.lit(i))
+                for i, p in enumerate(should)
+            ]
+            u = marked[0]
+            for m in marked[1:]:
+                u = u.unionByName(m)
+            satisfied = (
+                u.groupBy("doc_id")
+                .agg(F.count_distinct("part").alias("m"))
+                .where(F.col("m") >= eff_msm)
+                .select("doc_id")
+            )
+            docs = (
+                satisfied
+                if docs is None
+                else docs.join(satisfied, "doc_id", "left_semi")
+            )
+
+        for p in must_not:
+            docs = docs.join(p.doc_ids, "doc_id", "left_anti")
+
+        return CompiledQuery(
+            docs.distinct(), _union_terms(idx, must + should)
+        )
+
+    raise TypeError(f"unsupported TSQuery node: {node!r}")
+
+
+def _union_terms(idx: InvertedIndex, parts: list[CompiledQuery]) -> DataFrame:
+    """Merge score-term sets; duplicate terms keep their max boost (the
+    reference unifies duplicate scorer calls, iresearch_plan.cpp:819)."""
+    dfs = [p.score_terms for p in parts]
+    if not dfs:
+        return _empty_terms(idx)
+    u = dfs[0]
+    for d in dfs[1:]:
+        u = u.unionByName(d)
+    return u.groupBy("term").agg(F.max("boost").alias("boost"))
+
+
+def _compile_phrase(idx: InvertedIndex, field: str, ph: q.Phrase) -> DataFrame:
+    """Positions-correct phrase/slop matching (SURVEY §7 hard part (a)).
+
+    One postings row per phrase word (positions pre-sorted at build), joined
+    on doc_id; the slop windows are verified with a JVM-side fold over the
+    positions arrays — filter/exists higher-order functions, no Python UDF:
+
+        valid_0 = positions(w0)
+        valid_i = [p ∈ positions(wi) | ∃ q ∈ valid_{i-1}: lo_i ≤ p-q ≤ hi_i]
+        match  ⇔ valid_{n-1} ≠ ∅
+
+    Matches reference semantics in ts_phrase.cpp + slop_phrase.hpp (ordered,
+    per-gap [min,max] windows).
+    """
+    P = _postings(idx, field)
+    words = ph.words
+    if len(words) == 1:
+        return P.where(F.col("term") == words[0]).select("doc_id")
+
+    joined = None
+    for i, w in enumerate(words):
+        part = (
+            P.where(F.col("term") == w)
+            .select("doc_id", F.col("positions").alias(f"pos{i}"))
+        )
+        joined = part if joined is None else joined.join(part, "doc_id")
+
+    def _gap_pred(prev, lo, hi):
+        def pred(p):
+            return F.exists(
+                prev, lambda v: (p - v >= F.lit(lo)) & (p - v <= F.lit(hi))
+            )
+
+        return pred
+
+    valid = F.col("pos0")
+    for i in range(1, len(words)):
+        lo, hi = ph.gaps[i - 1]
+        valid = F.filter(F.col(f"pos{i}"), _gap_pred(valid, lo, hi))
+
+    return joined.where(F.size(valid) > 0).select("doc_id")

@@ -1,0 +1,139 @@
+"""SereneSession — the engine facade (PG-wire/ES-REST analogue is a Python
+API; SURVEY §3 lifecycle mapping).
+
+Usage:
+    ss = SereneSession(spark)
+    ss.load_dir("/root/testdata/sf0.01")          # registers temp views
+    idx = ss.create_index("documents", {"text": "simple"}, key="doc_id")
+    hits = ss.search(idx, Phrase(["plot", "twist"]), scorer="bm25", limit=5)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serenedb_spark.operators.indexing import InvertedIndex, build_index
+from serenedb_spark.operators.scoring import score as _score
+from serenedb_spark.plans import tsquery as tsq
+from serenedb_spark.plans.planner import compile_query
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def get_spark(app: str = "serenedb-spark", cpus: int | None = None) -> SparkSession:
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # testdata parquet carries TIMESTAMP(NANOS); Spark has no ns type —
+        # read as long and convert to µs at load (documented precision rule,
+        # SURVEY §1.2 / §7(f))
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .getOrCreate()
+    )
+
+
+#: ns-timestamp columns in the driver testdata (read as long nanos, see above)
+NS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+    "events": ("ts",),
+}
+
+
+class SereneSession:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._tables: dict[str, DataFrame] = {}
+        self._indexes: dict[str, InvertedIndex] = {}
+
+    # ---- catalog ---------------------------------------------------------
+    def load_dir(self, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+        for t in tables:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.exists(path):
+                df = self.spark.read.parquet(path)
+                for c in NS_TS_COLUMNS.get(t, ()):
+                    if dict(df.dtypes).get(c) == "bigint":
+                        df = df.withColumn(
+                            c,
+                            F.timestamp_micros(
+                                (F.col(c) / F.lit(1000)).cast("long")
+                            ),
+                        )
+                self._tables[t] = df
+                df.createOrReplaceTempView(t)
+
+    def table(self, name: str) -> DataFrame:
+        return self._tables[name]
+
+    def sql(self, q: str) -> DataFrame:
+        return self.spark.sql(q)
+
+    # ---- indexing --------------------------------------------------------
+    def create_index(
+        self,
+        table: str | DataFrame,
+        fields: dict[str, str],
+        key: str = "doc_id",
+        include: list[str] | None = None,
+        name: str | None = None,
+    ) -> InvertedIndex:
+        df = self.table(table) if isinstance(table, str) else table
+        name = name or (table if isinstance(table, str) else "idx")
+        idx = build_index(df, fields, key=key, include=include, name=name)
+        self._indexes[name] = idx
+        return idx
+
+    # ---- search ----------------------------------------------------------
+    def match(
+        self, idx: InvertedIndex, query: tsq.TSQuery, field: str | None = None
+    ) -> DataFrame:
+        """doc ids matching `field @@ query` (unscored)."""
+        field = field or idx.default_field()
+        return compile_query(idx, field, query).doc_ids
+
+    def search(
+        self,
+        idx: InvertedIndex,
+        query: tsq.TSQuery,
+        field: str | None = None,
+        scorer: str | None = "bm25",
+        limit: int | None = None,
+        select: list[str] | None = None,
+        round_score: int | None = 4,
+        **scorer_params,
+    ) -> DataFrame:
+        """Late materialization: doc-id set → (optional) score → docstore join
+        → top-k. Mirrors IRESEARCH_SCAN + scorer claim + top-k pushdown
+        (reference iresearch_plan.cpp:466-533, 927-1014)."""
+        field = field or idx.default_field()
+        compiled = compile_query(idx, field, query)
+        docs = compiled.doc_ids
+
+        cols = select if select is not None else idx.docstore.columns
+        out = idx.docstore.join(docs, "doc_id", "left_semi").select(*cols)
+
+        if scorer is not None:
+            s = _score(idx, field, compiled.score_terms, scorer, **scorer_params)
+            sc = F.col("score")
+            if round_score is not None:
+                sc = F.round(sc, round_score)
+            out = out.join(s, "doc_id", "left").select(
+                *cols, F.coalesce(sc, F.lit(0.0)).alias("score")
+            )
+            out = out.orderBy(F.col("score").desc(), F.col("doc_id"))
+        if limit is not None:
+            out = out.limit(limit)
+        return out
