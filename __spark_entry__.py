@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+All query definitions live in ``serenedb_spark.queries`` — a single
+registry of (spark_fn, duckdb_oracle) pairs covering the SURVEY.md §2
+operator inventory: relational (TPC-H-ish, windows, rollup, setops,
+subqueries), full-text search (the TSQUERY family over the inverted-index
+postings plan), scoring (BM25/TFIDF), facets, dedup (exact/MinHash-LSH/
+Jaccard/SimHash), text analysis (token count/quality/langid/fingerprint),
+and vector search (exact kNN/radius/IVF/hybrid).
 """
 
 from __future__ import annotations
@@ -13,26 +15,40 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from serenedb_spark import queries as _Q
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: BM25 top-k full-text search
+    over the documents table through the inverted-index DataFrame plan
+    (the reference's demo0 shape: match → score → late materialization)."""
+    from pyspark.sql import functions as F
+
+    from serenedb_spark.operators.scoring import score
+    from serenedb_spark.plans import tsquery as q
+    from serenedb_spark.plans.planner import compile_query
+
+    sf_dir = "/root/testdata/sf0.001"
+    idx = _Q.doc_index(spark, sf_dir)
+    node = q.to_tsquery("spark & (data | batch) & !slow")
+    compiled = compile_query(idx, "text", node)
+    s = score(idx, "text", compiled.score_terms, "bm25")
+    return (
+        idx.docstore.join(compiled.doc_ids, "doc_id", "left_semi")
+        .join(s, "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source",
+            F.substring("text", 1, 80).alias("snippet"),
+            F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(10)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _Q.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _Q.oracle_sql()

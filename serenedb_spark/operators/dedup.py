@@ -1,0 +1,270 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not part of the reference's own surface (BASELINE.json north star adds
+them): exact dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard pairs,
+embedding-cosine near-dup.
+
+Determinism discipline: every hash is md5-based and every sampling decision
+is derived from data (no RNG), so each operator has an exact DuckDB-SQL
+oracle — near-dup *candidate generation* is checkable by the correctness
+gate, not just eyeballed.
+
+Scale notes: all operators are groupBy/join shaped — map-side combinable
+aggregations on content keys (exact), band keys (MinHash LSH), or hamming
+prefixes (SimHash). Pair output is restricted to within-bucket pairs, which
+is what makes LSH linear-ish instead of O(n²).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from serenedb_spark.analysis.analyzers import get_analyzer
+
+
+# ---- exact dedup ----------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-hash groupBy: keep the smallest id per identical text; emit
+    (keep_id, dup_id) for every removed duplicate."""
+    h = F.md5(F.col(text_col))
+    g = (
+        df.select(F.col(id_col), h.alias("h"))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") > 1)
+    )
+    return g.select(
+        "keep_id", F.explode("ids").alias("dup_id")
+    ).where(F.col("dup_id") != F.col("keep_id"))
+
+
+def exact_dedup_keep(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The surviving rows (min id per content hash) — the 'dedup the corpus'
+    operator itself."""
+    h = F.md5(F.col(text_col))
+    keep = (
+        df.select(F.col(id_col), h.alias("h"))
+        .groupBy("h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+# ---- MinHash + LSH --------------------------------------------------------
+
+def minhash_signature(
+    toks: Column, num_hashes: int = 8
+) -> Column:
+    """array<string> of per-seed min md5(seed || ':' || token).
+
+    md5-as-permutation: lexicographic min over hex digests is a uniform
+    min-hash; identical across Spark and DuckDB.
+
+    NB: the per-seed lambda must stay single-argument — a two-parameter
+    lambda is interpreted by F.transform as (element, index)."""
+
+    def _seed_min(i: int):
+        prefix = F.lit(f"{i}:")
+        return F.array_min(
+            F.transform(toks, lambda t: F.md5(F.concat(prefix, t)))
+        )
+
+    return F.array(*[_seed_min(i) for i in range(num_hashes)])
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<string> of band keys: md5 of the concatenated band slice."""
+    keys = [
+        F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows)))
+        for b in range(bands)
+    ]
+    return F.array(*keys)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: str = "shingle3",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) sharing ≥1 LSH band.
+
+    shingle → minhash → band → self-join per band bucket. The self-join is
+    per-band-key, so the shuffle is on band keys (uniform md5 → no skew) and
+    pairs explode only inside buckets."""
+    rows = num_hashes // bands
+    an = get_analyzer(shingle)
+    toks = F.array_distinct(an.expr(F.col(text_col)))
+    base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).where(
+        F.size("toks") > 0
+    )
+    sig = minhash_signature(F.col("toks"), num_hashes)
+    # band index is folded into the key so different bands never collide
+    banded = base.select(
+        "id",
+        F.posexplode(minhash_bands(sig, bands, rows)).alias("band_no", "band"),
+    ).select(
+        "id", F.concat_ws("#", F.col("band_no"), F.col("band")).alias("band")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def duckdb_minhash_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle: str = "shingle3",
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> str:
+    """Oracle SQL mirroring minhash_lsh_pairs symbol-for-symbol."""
+    rows = num_hashes // bands
+    an = get_analyzer(shingle)
+    toks = f"list_distinct({an.duckdb(text_col)})"
+    sig_items = ", ".join(
+        f"list_min(list_transform(toks, t -> md5('{i}:' || t)))"
+        for i in range(num_hashes)
+    )
+    band_items = ", ".join(
+        f"concat({b}, '#', md5(array_to_string(sig[{b * rows + 1}:{(b + 1) * rows}], '|')))"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {toks} AS toks FROM {table}),
+sigs AS (SELECT id, [{sig_items}] AS sig FROM base WHERE len(toks) > 0),
+banded AS (SELECT id, unnest([{band_items}]) AS band FROM sigs)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+"""
+
+
+# ---- n-gram / shingle Jaccard --------------------------------------------
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "shingle3",
+    threshold: float = 0.5,
+    candidate_pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Exact Jaccard over distinct analyzer tokens for candidate pairs
+    (all-pairs-within-LSH-buckets by default — never all-pairs-global)."""
+    if candidate_pairs is None:
+        candidate_pairs = minhash_lsh_pairs(
+            df, text_col, id_col, shingle=analyzer
+        )
+    an = get_analyzer(analyzer)
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(an.expr(F.col(text_col))).alias("toks"),
+    )
+    a = toks.alias("ta")
+    b = toks.alias("tb")
+    joined = (
+        candidate_pairs.join(a, F.col("id_a") == F.col("ta.id"))
+        .join(b, F.col("id_b") == F.col("tb.id"))
+    )
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.array_union(F.col("ta.toks"), F.col("tb.toks")))
+    jac = inter.cast("double") / union
+    return joined.select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    ).where(F.col("jaccard") >= threshold)
+
+
+# ---- SimHash --------------------------------------------------------------
+
+def simhash(toks: Column, bits: int = 32) -> Column:
+    """Per-doc SimHash over distinct tokens: bit i of md5-derived token hash
+    votes ±1; the sign of each bit-sum forms the fingerprint (BIGINT).
+
+    Token hash = first 8 hex chars of md5 → uint32 (same in DuckDB via
+    hex cast), so the fingerprint is engine-portable."""
+    h = F.transform(
+        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
+    )
+    def _bit_votes(i: int):
+        # keep the merge lambda strictly binary (acc, x) — F.aggregate
+        # misparses extra parameters
+        mask = F.lit(1 << i)
+        return F.aggregate(
+            h,
+            F.lit(0),
+            lambda a, x: a + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    acc = F.lit(0).cast("long")
+    for i in range(bits):
+        acc = acc + F.when(_bit_votes(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return acc
+
+
+def simhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    bits: int = 32,
+) -> DataFrame:
+    """(id, simhash) fingerprints; near-dups = small hamming distance,
+    bucketed by fingerprint bytes for candidate generation at scale."""
+    an = get_analyzer(analyzer)
+    toks = F.array_distinct(an.expr(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        simhash(toks, bits).alias("simhash"),
+    )
+
+
+# ---- embedding near-dup ---------------------------------------------------
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    bucket_col: str | None = None,
+) -> DataFrame:
+    """Pairs with cosine similarity ≥ threshold. With bucket_col (e.g. an IVF
+    centroid_id), the self-join runs within buckets — the scale path; without
+    it, a full self-join (only for small/test data)."""
+    from serenedb_spark.functions import vector as V
+
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    if bucket_col:
+        cols.append(F.col(bucket_col).alias("bk"))
+    base = df.select(*cols)
+    a, b = base.alias("a"), base.alias("b")
+    cond = F.col("a.id") < F.col("b.id")
+    if bucket_col:
+        cond = cond & (F.col("a.bk") == F.col("b.bk"))
+    sim = V.cosine_similarity(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(sim, 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

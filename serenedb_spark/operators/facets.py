@@ -1,0 +1,92 @@
+"""Term-dictionary aggregates (facets) — the ts_dict_* family.
+
+Reference: `ts_dict_agg, ts_dict_raw_agg, ts_dict_count, ts_dict_freq,
+ts_dict_score, ts_dict_min, ts_dict_max` answered from the term dictionary
+without touching rows (server/connector/functions/search.h:105-112, planner
+server/connector/optimizer/ts_dict_plan.cpp). In the postings design facets
+ARE the term dictionary: a groupBy on the postings/term_stats table — free
+(SURVEY §2.6).
+
+`ts_dict_filtered` covers the reference's "facets under a WHERE" form
+(ts_dict_* FROM idx WHERE pred): postings semi-joined to the predicate's
+doc-id set, then the same groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serenedb_spark.operators.indexing import InvertedIndex
+
+
+def ts_dict(idx: InvertedIndex, field: str | None = None) -> DataFrame:
+    """(term, doc_count, total_freq) straight from term stats —
+    ts_dict_agg/ts_dict_count/ts_dict_freq in one relation."""
+    field = field or idx.default_field()
+    return (
+        idx.term_stats.where(F.col("field") == field)
+        .select(
+            "term",
+            F.col("df").alias("doc_count"),
+            F.col("ctf").alias("total_freq"),
+        )
+    )
+
+
+def ts_dict_top(
+    idx: InvertedIndex, n: int = 10, field: str | None = None,
+    by: str = "doc_count",
+) -> DataFrame:
+    """Top-N facet values (per-partition top-N then merge — no global sort)."""
+    return ts_dict(idx, field).orderBy(
+        F.col(by).desc(), F.col("term")
+    ).limit(n)
+
+
+def ts_dict_minmax(idx: InvertedIndex, field: str | None = None) -> DataFrame:
+    """ts_dict_min / ts_dict_max — lexicographic term bounds."""
+    field = field or idx.default_field()
+    return (
+        idx.term_stats.where(F.col("field") == field)
+        .agg(
+            F.min("term").alias("term_min"),
+            F.max("term").alias("term_max"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )
+
+
+def ts_dict_filtered(
+    idx: InvertedIndex, doc_ids: DataFrame, field: str | None = None
+) -> DataFrame:
+    """Facets restricted to a matched doc set (the reference's single-
+    predicate WHERE form): postings ⋉ doc_ids → groupBy term."""
+    field = field or idx.default_field()
+    return (
+        idx.postings.where(F.col("field") == field)
+        .join(doc_ids, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("freq").alias("total_freq"),
+        )
+    )
+
+
+def duckdb_ts_dict_sql(
+    table: str, column: str, analyzer_duckdb_toks: str,
+    where: str | None = None, top_n: int | None = None, by: str = "doc_count",
+) -> str:
+    """Oracle: tokenize → unnest → groupBy, optionally filtered/top-N."""
+    w = f"WHERE {where}" if where else ""
+    order_limit = (
+        f" ORDER BY {by} DESC, term LIMIT {top_n}" if top_n is not None else ""
+    )
+    return f"""
+WITH base AS (SELECT *, {analyzer_duckdb_toks} AS toks FROM {table}),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base {w}),
+p AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY 1, 2)
+SELECT term, count(*) AS doc_count, sum(freq) AS total_freq
+FROM p GROUP BY term{order_limit}
+"""

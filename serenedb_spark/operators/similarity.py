@@ -1,0 +1,165 @@
+"""Similarity search: exact top-k / radius, and IVF ANN for the scale path.
+
+Reference surface: ANN scan claims (`ORDER BY emb <=> $v LIMIT k` →
+IRESEARCH_ANN_SCAN, radius → ANN_RANGE_SCAN;
+server/connector/optimizer/iresearch_plan.cpp:927-1014) over an `ivf(...)`
+opclass index (server/catalog/index.h:39-40, faiss-backed posting lists).
+
+Spark-first design:
+  * exact top-k: distance expression (JVM-side, functions/vector.py) +
+    ORDER BY/LIMIT — Catalyst executes it as TakeOrderedAndProject, i.e.
+    per-partition top-k then merge: no global sort, no shuffle of the corpus.
+  * radius: plain filter on the distance expression (predicate evaluated
+    in-scan, full pushdown).
+  * IVF: KMeans centroids (tiny, broadcast); vectors stored with a
+    centroid_id column (partition/bucket by centroid_id at scale). Query =
+    rank nprobe nearest centroids driver-side (centroids are small by
+    construction), scan only those partitions, exact re-rank. This is the
+    same probe shape as the reference's IVF posting lists — centroid_id
+    plays the posting-list key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from serenedb_spark.functions import vector as V
+
+
+def knn_exact(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Brute-force top-k: TakeOrderedAndProject over a distance expression."""
+    dist = V.DISTANCES[metric](F.col(vec_col), V.lit_vector(query_vec))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        df.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def radius_search(
+    df: DataFrame,
+    vec_col: str,
+    query_vec,
+    radius: float,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """`WHERE dist < r` — the ANN range scan, exact."""
+    dist = V.DISTANCES[metric](F.col(vec_col), V.lit_vector(query_vec))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return df.select(id_col, dist.alias("distance")).where(
+        F.col("distance") < radius
+    )
+
+
+# ---- IVF ------------------------------------------------------------------
+
+class IVFIndex:
+    """IVF 'index': assigned vectors + a small centroid table.
+
+    At 100 TB the `assigned` table is written partitioned by centroid_id so
+    a query touches only nprobe partitions (partition pruning on the IN
+    filter); centroids stay a driver-side list (nlist ≤ a few thousand).
+    """
+
+    def __init__(self, assigned: DataFrame, centroids: list[list[float]],
+                 vec_col: str, id_col: str, metric: str):
+        self.assigned = assigned  # (id_col, vec_col, centroid_id)
+        self.centroids = centroids
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.metric = metric
+
+
+def ivf_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    metric: str = "cosine",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> IVFIndex:
+    """KMeans (MLlib, fixed seed) → centroid assignment column."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feat = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("__features"),
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__features")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(
+        id_col, vec_col, F.col(model.getPredictionCol()).alias("centroid_id")
+    )
+    centroids = [c.tolist() for c in model.clusterCenters()]
+    return IVFIndex(assigned, centroids, vec_col, id_col, metric)
+
+
+def ivf_search(
+    idx: IVFIndex,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """nprobe nearest centroids (driver-side argsort of a tiny list) →
+    partition-pruned scan → exact re-rank top-k."""
+    import math
+
+    def _dist(c):
+        if idx.metric == "cosine":
+            dot = sum(a * b for a, b in zip(c, query_vec))
+            na = math.sqrt(sum(a * a for a in c))
+            nb = math.sqrt(sum(b * b for b in query_vec))
+            return 1.0 - dot / (na * nb) if na and nb else 1.0
+        if idx.metric in ("l2", "l2_sqr"):
+            return sum((a - b) ** 2 for a, b in zip(c, query_vec))
+        if idx.metric == "ip":
+            return -sum(a * b for a, b in zip(c, query_vec))
+        raise ValueError(idx.metric)
+
+    order = sorted(range(len(idx.centroids)), key=lambda i: (_dist(idx.centroids[i]), i))
+    probes = order[:nprobe]
+
+    cand = idx.assigned.where(F.col("centroid_id").isin(probes))
+    return knn_exact(
+        cand, idx.vec_col, query_vec, k=k, metric=idx.metric,
+        id_col=idx.id_col, round_to=round_to,
+    )
+
+
+def hybrid_search(
+    docs_with_vec: DataFrame,
+    match_ids: DataFrame,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "doc_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """FTS filter ∧ ANN order (reference demo4 Q3 hybrid shape): semi-join
+    the text-match doc ids, then exact top-k by vector distance."""
+    filtered = docs_with_vec.join(match_ids, id_col, "left_semi")
+    return knn_exact(
+        filtered, vec_col, query_vec, k=k, metric=metric,
+        id_col=id_col, round_to=round_to,
+    )

@@ -1,0 +1,699 @@
+"""The engine's query registry — every SURVEY.md §2 operator as a named
+(spark_fn, duckdb_oracle) pair.
+
+This single registry feeds three consumers:
+  * ``__spark_entry__.py`` — the driver's correctness gate (queries() /
+    oracle_sql());
+  * ``tests/test_differential.py`` — the same pairs run at sf0.001 in CI,
+    reproducing the reference's index-scan ≡ full-scan differential oracle
+    (reference tests/fuzz/null_semantics_fuzz.py:4-8);
+  * ``bench.py`` — the headline subset timed at sf0.1.
+
+Dialect discipline: relational queries are stated ONCE in the shared
+ANSI subset that Spark SQL and DuckDB both parse — same text, zero
+alias-mismatch risk. Search/dedup/vector operators run the engine
+(DataFrame plans over postings) on the Spark side and a generated naive
+full-scan SQL on the DuckDB side — that asymmetry IS the test.
+
+All outputs avoid raw timestamps (cast to DATE) and round floats, so
+value-hash comparison is engine-portable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serenedb_spark.operators.indexing import InvertedIndex, build_index
+from serenedb_spark.operators import dedup as DD
+from serenedb_spark.operators import facets as FC
+from serenedb_spark.operators import similarity as SIM
+from serenedb_spark.operators import textstats as TS
+from serenedb_spark.operators.scoring import score as _score
+from serenedb_spark.plans import oracle as O
+from serenedb_spark.plans import tsquery as q
+from serenedb_spark.plans.planner import compile_query
+from serenedb_spark.functions import vector as V
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+#: columns stored as TIMESTAMP(NANOS) in the driver parquet — Spark reads
+#: them as long (legacy.parquet.nanosAsLong) and we convert to µs.
+_NS_COLS = {"events": ("ts",)}
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # DuckDB SQL, or None → driver's rows-only check
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def _register(name: str, fn, oracle: str | None) -> None:
+    assert name not in REGISTRY, f"duplicate query name {name}"
+    REGISTRY[name] = QueryDef(name, fn, oracle)
+
+
+# --------------------------------------------------------------------------
+# table loading (shared by every query fn)
+# --------------------------------------------------------------------------
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read the driver parquet tables and register them as temp views."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    out: dict[str, DataFrame] = {}
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        for c in _NS_COLS.get(t, ()):
+            if dict(df.dtypes).get(c) == "bigint":
+                df = df.withColumn(
+                    c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
+                )
+        df.createOrReplaceTempView(t)
+        out[t] = df
+    return out
+
+
+# one inverted index per (session, sf_dir), stats/postings persisted so the
+# per-query cost is a cached-plan lookup, not a rebuild (bench reuses this)
+_IDX_CACHE: dict[tuple[int, str], InvertedIndex] = {}
+
+
+def doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    key = (id(spark), sf_dir)
+    if key not in _IDX_CACHE:
+        docs = load_tables(spark, sf_dir)["documents"]
+        idx = build_index(docs, {"text": "simple"}, key="doc_id", name="documents")
+        for part in (idx.postings, idx.docstore, idx.term_stats,
+                     idx.doc_stats, idx.globals_, idx.universe):
+            part.persist()
+        _IDX_CACHE[key] = idx
+    return _IDX_CACHE[key]
+
+
+# --------------------------------------------------------------------------
+# 1. relational surface (SURVEY §2.5-2.10) — shared SQL text
+# --------------------------------------------------------------------------
+
+def _sql(name: str, sql: str, duck_sql: str | None = None) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _s=sql) -> DataFrame:
+        load_tables(spark, sf_dir)
+        return spark.sql(_s)
+
+    _register(name, fn, duck_sql if duck_sql is not None else sql)
+
+
+_sql("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+  CAST(round(avg(CAST(l_quantity AS DECIMAL(12,2))) + 0.000000001, 4) AS DOUBLE) AS avg_qty,
+  CAST(round(avg(CAST(l_extendedprice AS DECIMAL(12,2))) + 0.000000001, 4) AS DOUBLE) AS avg_price,
+  CAST(round(avg(CAST(l_discount AS DECIMAL(4,2))) + 0.000000001, 4) AS DOUBLE) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+
+_sql("tpch_q3", """
+SELECT o_orderkey,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < DATE '1999-03-15'
+  AND l_shipdate > DATE '1999-03-15'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+
+_sql("tpch_q5_region_revenue", """
+SELECT n_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN lineitem ON l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""")
+
+_sql("tpch_q6", """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+
+_sql("top_customers", """
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  count(DISTINCT o_orderkey) AS n_orders
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+
+_sql("exists_semi_join", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity > 45
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+
+_sql("anti_join", """
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+""")
+
+_sql("window_rank", """
+SELECT c_mktsegment, o_orderkey, o_totalprice
+FROM (
+  SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+    row_number() OVER (
+      PARTITION BY c_mktsegment
+      ORDER BY o_totalprice DESC, o_orderkey
+    ) AS rn
+  FROM orders JOIN customer ON c_custkey = o_custkey
+) t
+WHERE rn <= 3
+ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey
+""")
+
+_sql("window_running_sum", """
+SELECT o_custkey, o_orderkey,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS running_total,
+  lag(o_orderkey) OVER (
+    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+  ) AS prev_orderkey
+FROM orders
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+""")
+
+_sql("rollup_agg", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  count(*) AS n, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY returnflag, linestatus
+""")
+
+_sql("setop_intersect", """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderdate < DATE '1997-01-01'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1999-01-01'
+ORDER BY custkey
+""")
+
+_sql("correlated_subquery", """
+SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders o
+WHERE o_totalprice > (
+  SELECT 1.8 * avg(CAST(o2.o_totalprice AS DECIMAL(12,2))) FROM orders o2
+  WHERE o2.o_custkey = o.o_custkey
+)
+ORDER BY o_orderkey
+""")
+
+_sql("events_daily", """
+SELECT CAST(ts AS DATE) AS day, event_type,
+  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+  CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value,
+  CAST(round(avg(CAST(value AS DECIMAL(10,2))) + 0.000000001, 4) AS DOUBLE) AS avg_value
+FROM events
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY day, event_type
+""")
+
+_sql("events_filter_agg", """
+SELECT event_type,
+  count(*) AS n,
+  count(*) FILTER (WHERE value > 50) AS n_high,
+  round(min(value), 4) AS min_value,
+  round(max(value), 4) AS max_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""")
+
+_sql("events_pivot", """
+SELECT CAST(ts AS DATE) AS day,
+  count(*) FILTER (WHERE event_type = 'click') AS click,
+  count(*) FILTER (WHERE event_type = 'view') AS view,
+  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+  count(*) FILTER (WHERE event_type = 'error') AS error
+FROM events
+GROUP BY CAST(ts AS DATE)
+ORDER BY day
+""")
+
+_sql("string_funcs", """
+SELECT p_partkey,
+  upper(p_brand) AS brand_upper,
+  lower(p_type) AS type_lower,
+  substr(p_name, 1, 8) AS name_prefix,
+  length(p_name) AS name_len,
+  concat(p_brand, ':', p_type) AS brand_type,
+  replace(p_name, ' ', '_') AS name_snake
+FROM part
+WHERE p_type LIKE '%ECO%' AND p_size BETWEEN 10 AND 40
+ORDER BY p_partkey
+LIMIT 100
+""")
+
+_sql("case_agg_join", """
+SELECT n_name,
+  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+FROM nation
+JOIN customer ON c_nationkey = n_nationkey
+JOIN orders ON o_custkey = c_custkey
+GROUP BY n_name
+ORDER BY n_name
+""")
+
+# sessionization (30-min inactivity gap): same text modulo the epoch
+# function (Spark unix_timestamp vs DuckDB epoch)
+def _sessionize_sql(epoch: str) -> str:
+    return f"""
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM (
+  SELECT user_id,
+    CASE WHEN {epoch} - lag({epoch}) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) > 1800 OR lag(ts) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+    ) IS NULL THEN 1 ELSE 0 END AS new_session
+  FROM events
+) t
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+_sql("events_sessionize", _sessionize_sql("unix_timestamp(ts)"),
+     _sessionize_sql("epoch(ts)::BIGINT"))
+
+_sql(
+    "events_json_extract",
+    """
+SELECT CAST(get_json_object(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(get_json_object(props, '$.k') AS BIGINT) % 10
+ORDER BY k_mod
+""",
+    """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+  count(*) AS n, CAST(sum(CAST(value AS DECIMAL(10,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+ORDER BY k_mod
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# 2. full-text search (SURVEY §2.3) — engine vs naive-scan oracle
+# --------------------------------------------------------------------------
+
+_DOC_TABLE, _DOC_COL, _DOC_AN = "documents", "text", "simple"
+
+
+def _fts_match(name: str, node: q.TSQuery) -> None:
+    """Unscored predicate: doc ids matching `text @@ node`."""
+
+    def fn(spark: SparkSession, sf_dir: str, _n=node) -> DataFrame:
+        idx = doc_index(spark, sf_dir)
+        return compile_query(idx, _DOC_COL, _n).doc_ids.orderBy("doc_id")
+
+    _register(name, fn, O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, node,
+                                    order="doc_id"))
+
+
+def _fts_scored(name: str, node: q.TSQuery, scorer: str = "bm25",
+                k: int = 20) -> None:
+    """Scored search: (doc_id, score) top-k, mirrors SereneSession.search."""
+
+    def fn(spark: SparkSession, sf_dir: str, _n=node, _s=scorer, _k=k) -> DataFrame:
+        idx = doc_index(spark, sf_dir)
+        compiled = compile_query(idx, _DOC_COL, _n)
+        s = _score(idx, _DOC_COL, compiled.score_terms, _s)
+        out = (
+            compiled.doc_ids.join(s, "doc_id", "left")
+            .select("doc_id",
+                    F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
+            .limit(_k)
+        )
+        return out
+
+    _register(name, fn, O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, node,
+                                     scorer=scorer, k=k))
+
+
+_fts_match("fts_term", q.Term("spark"))
+_fts_match("fts_phrase", q.Phrase(["hash", "join"]))
+_fts_match("fts_phrase_slop", q.Phrase(["sort", "merge"], slop=2))
+_fts_match("fts_phrase_gaps",
+           q.Phrase(["table", "scan", "filter"], gaps=[(1, 2), (1, 5)]))
+_fts_match("fts_prefix", q.Prefix("wind"))
+_fts_match("fts_wildcard", q.Wildcard("%ow"))
+_fts_match("fts_regexp", q.Regexp("s(park|can|low)"))
+_fts_match("fts_fuzzy", q.Fuzzy("sprk", 1))
+_fts_match("fts_between", q.Between("query", "table"))
+_fts_match("fts_any_min2", q.AnyOf(["spark", "stream", "batch"], min_match=2))
+_fts_match("fts_all", q.AllOf(["spark", "data", "join"]))
+_fts_match("fts_bool",
+           (q.Term("spark") & (q.Term("stream") | q.Term("batch")))
+           & ~q.Term("slow"))
+_fts_match("fts_compound", q.Compound(
+    must=[q.Term("data")], must_not=[q.Term("dup")],
+    should=[q.Term("spark"), q.Term("stream"), q.Phrase(["hash", "join"])],
+    min_should_match=2,
+))
+_fts_match("fts_tsquery_parse",
+           q.to_tsquery("spark & (data | batch) & !slow"))
+_fts_match("fts_ngram_sim_term", q.NgramSim("sparkle", 0.5))
+
+_fts_scored("fts_bm25_topk", q.AnyOf(["spark", "stream", "window"]), "bm25", 20)
+_fts_scored("fts_bm25_boost",
+            q.Term("spark").boost(2.0) | q.Term("batch"), "bm25", 20)
+_fts_scored("fts_tfidf_topk", q.AllOf(["data", "join"]), "tfidf", 15)
+
+
+# facets: term dictionary aggregates (ts_dict_*)
+def _fts_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+
+
+_register(
+    "fts_dict_facets", _fts_facets,
+    FC.duckdb_ts_dict_sql(
+        _DOC_TABLE, _DOC_COL,
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')",
+    ) + " ORDER BY term",
+)
+
+
+def _fts_facets_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    docs = compile_query(idx, _DOC_COL, q.Term("dup")).doc_ids
+    return FC.ts_dict_filtered(idx, docs, _DOC_COL).orderBy("term")
+
+
+_register(
+    "fts_dict_filtered", _fts_facets_filtered,
+    """
+WITH base AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents),
+m AS (SELECT doc_id, toks FROM base WHERE toks IS NOT NULL AND list_contains(toks, 'dup')),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM m),
+p AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY 1, 2)
+SELECT term, count(*) AS doc_count, sum(freq) AS total_freq
+FROM p GROUP BY term ORDER BY term
+""",
+)
+
+
+# --------------------------------------------------------------------------
+# 3. dedup + text analysis (training-data pipeline operators)
+# --------------------------------------------------------------------------
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.exact_dedup_keep(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+
+
+_register("dedup_exact_keep", _dedup_exact, """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+ORDER BY doc_id
+""")
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.minhash_lsh_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+_register(
+    "dedup_minhash_pairs", _dedup_minhash,
+    DD.duckdb_minhash_pairs_sql("documents", "text", "doc_id")
+    + " ORDER BY id_a, id_b",
+)
+
+
+def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).orderBy("id_a", "id_b")
+
+
+_register(
+    "dedup_jaccard_pairs", _dedup_jaccard,
+    f"""
+WITH pairs AS ({DD.duckdb_minhash_pairs_sql("documents", "text", "doc_id")}),
+toks AS (SELECT doc_id AS id,
+    list_distinct(list_transform(
+      range(1, greatest(len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) - 2, 0) + 1),
+      i -> array_to_string(list_slice(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> ''), i, i + 2), ' ')
+    )) AS toks
+  FROM documents)
+SELECT id_a, id_b,
+  round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+FROM pairs JOIN toks a ON a.id = id_a JOIN toks b ON b.id = id_b
+WHERE round(len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(a.toks || b.toks)), 6) >= 0.8
+ORDER BY id_a, id_b
+""",
+)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.simhash_dedup(docs, "text", "doc_id", bits=16).orderBy("doc_id")
+
+
+_register("dedup_simhash", _dedup_simhash, """
+WITH base AS (SELECT doc_id,
+    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS toks
+  FROM documents),
+h AS (SELECT doc_id,
+    -- uint32 from the first 8 md5 hex chars, digit-by-digit (DuckDB has no
+    -- conv(); mirrors Spark's conv(substr(md5,1,8),16,10))
+    list_transform(toks, t -> list_sum(list_transform(range(0, 8),
+      j -> (strpos('0123456789abcdef', substr(md5(t), j + 1, 1)) - 1)
+           * (1::BIGINT << (4 * (7 - j)))))) AS hs
+  FROM base)
+SELECT doc_id,
+  list_sum(list_transform(range(0, 16), i ->
+    CASE WHEN list_sum(list_transform(hs, x ->
+      CASE WHEN (x // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+    THEN (1::BIGINT << i) ELSE 0 END))::BIGINT AS simhash
+FROM h ORDER BY doc_id
+""")
+
+
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TS.token_count(docs, "text", "simple", "doc_id").orderBy("doc_id")
+
+
+_register("text_token_count", _text_tokens, """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS n_tokens
+FROM documents ORDER BY doc_id
+""")
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TS.quality_score(docs, "text", "doc_id").orderBy("doc_id")
+
+
+_register("text_quality", _text_quality,
+          TS.duckdb_quality_sql("documents", "text", "doc_id") + " ORDER BY doc_id")
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TS.lang_id(docs, "text", "doc_id").orderBy("doc_id")
+
+
+_register("text_lang_id", _text_langid,
+          TS.duckdb_lang_id_sql("documents", "text", "doc_id") + " ORDER BY doc_id")
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TS.fingerprint(docs, "text", "doc_id").orderBy("doc_id")
+
+
+_register("text_fingerprint", _text_fingerprint,
+          TS.duckdb_fingerprint_sql("documents", "text", "doc_id") + " ORDER BY doc_id")
+
+
+# --------------------------------------------------------------------------
+# 4. vector search (SURVEY §2.4)
+# --------------------------------------------------------------------------
+
+#: deterministic 64-dim query vector (exact decimal floats, same literal in
+#: both engines)
+QUERY_VEC = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _vec_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.knn_exact(emb, "embedding", QUERY_VEC, k=10, metric="cosine")
+
+
+_register("vec_knn_cosine", _vec_knn, f"""
+SELECT vec_id,
+  round({V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS distance
+FROM embeddings ORDER BY distance, vec_id LIMIT 10
+""")
+
+
+def _vec_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.radius_search(
+        emb, "embedding", QUERY_VEC, radius=0.95, metric="cosine"
+    ).orderBy("vec_id")
+
+
+_register("vec_radius_cosine", _vec_radius, f"""
+SELECT vec_id,
+  round({V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS distance
+FROM embeddings
+WHERE round({V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) < 0.95
+ORDER BY vec_id
+""")
+
+
+def _vec_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.knn_exact(emb, "embedding", QUERY_VEC, k=10, metric="l2")
+
+
+_register("vec_knn_l2", _vec_knn_l2, f"""
+SELECT vec_id,
+  round({V.duckdb_l2("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS distance
+FROM embeddings ORDER BY distance, vec_id LIMIT 10
+""")
+
+
+def _vec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    qv = V.lit_vector(QUERY_VEC)
+    e = F.col("embedding")
+    return (
+        emb.where(F.col("vec_id") < 50)
+        .select(
+            "vec_id",
+            F.round(V.inner_product(e, qv), 6).alias("ip"),
+            F.round(V.l1_distance(e, qv), 6).alias("l1"),
+            F.round(V.l2_norm(e), 6).alias("norm"),
+            F.round(V.cosine_similarity(e, qv), 6).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_register("vec_functions", _vec_funcs, f"""
+SELECT vec_id,
+  round({V.duckdb_inner_product("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS ip,
+  round({V.duckdb_l1("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS l1,
+  round({V.duckdb_l2_norm("embedding")}, 6) AS norm,
+  round({V.duckdb_inner_product("embedding", V.duckdb_lit_vector(QUERY_VEC))}
+    / ({V.duckdb_l2_norm("embedding")} * {V.duckdb_l2_norm(V.duckdb_lit_vector(QUERY_VEC))}), 6) AS cos_sim
+FROM embeddings WHERE vec_id < 50 ORDER BY vec_id
+""")
+
+
+def _vec_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: rows-only check (approximate — no exact SQL oracle), but at
+    nprobe=nlist it degenerates to exact search, so assert that shape."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    ivf = SIM.ivf_build(emb, "embedding", "vec_id", nlist=8, metric="cosine")
+    return SIM.ivf_search(ivf, QUERY_VEC, k=10, nprobe=8)
+
+
+_register("vec_ivf_full_probe", _vec_ivf, f"""
+SELECT vec_id,
+  round({V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS distance
+FROM embeddings ORDER BY distance, vec_id LIMIT 10
+""")
+
+
+def _vec_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid text+vector (reference demo4 Q3): docs matching a term, ranked
+    by embedding distance (doc_id ↔ vec_id share the id space)."""
+    tabs = load_tables(spark, sf_dir)
+    idx = doc_index(spark, sf_dir)
+    ids = compile_query(idx, _DOC_COL, q.Term("spark")).doc_ids
+    emb = tabs["embeddings"].withColumnRenamed("vec_id", "doc_id")
+    return SIM.hybrid_search(emb, ids, "embedding", QUERY_VEC, k=10,
+                             id_col="doc_id").withColumnRenamed("doc_id", "vec_id")
+
+
+_register("vec_hybrid_search", _vec_hybrid, f"""
+WITH m AS ({O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("spark"))})
+SELECT vec_id,
+  round({V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS distance
+FROM embeddings JOIN m ON m.doc_id = embeddings.vec_id
+ORDER BY distance, vec_id LIMIT 10
+""")
+
+
+# --------------------------------------------------------------------------
+# driver contract adapters
+# --------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: d.fn for name, d in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: d.oracle for name, d in REGISTRY.items() if d.oracle is not None}
