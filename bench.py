@@ -1,0 +1,114 @@
+"""Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Methodology mirrors the reference's harnesses (BASELINE.md): the inverted
+index is built once up front (the reference's CREATE INDEX precedes its
+query timings too) and reported as the separate "index_build" entry, not
+folded into per-query latencies.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: headline queries: one per operator family (SURVEY §2 coverage), weighted
+#: toward the scans/joins/aggs that dominate at scale.
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5_region_revenue",
+    "tpch_q6",
+    "top_customers",
+    "window_rank",
+    "rollup_agg",
+    "events_daily",
+    "events_sessionize",
+    "events_json_extract",
+    "fts_term",
+    "fts_phrase",
+    "fts_bool",
+    "fts_bm25_topk",
+    "fts_dict_facets",
+    "dedup_exact_keep",
+    "dedup_minhash_pairs",
+    "text_quality",
+    "text_lang_id",
+    "vec_knn_cosine",
+    "vec_hybrid_search",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    from serenedb_spark import queries as Q
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("serenedb-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM (codegen/JIT) + parquet footers once, outside per-query
+    # timings — the Spark analogue of connection/catalog setup
+    tabs = Q.load_tables(spark, SF_DIR)
+    tabs["lineitem"].groupBy("l_returnflag").count().collect()
+    tabs["events"].groupBy("event_type").count().collect()
+
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    idx = Q.doc_index(spark, SF_DIR)
+    idx.postings.count()  # materialize the persisted postings
+    idx.term_stats.count()
+    idx.doc_stats.count()
+    timings["index_build"] = round(time.perf_counter() - t0, 4)
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    total = 0.0
+    for name in HEADLINE:
+        fn = Q.REGISTRY[name].fn
+        best, nrows = None, 0
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            rows = fn(spark, SF_DIR).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            nrows = len(rows)
+        timings[name] = round(best, 4)
+        total += best
+        print(f"# {name}: {best:.3f}s ({nrows} rows)", file=sys.stderr)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -67,9 +67,22 @@ def _register(name: str, fn, oracle: str | None) -> None:
 # table loading (shared by every query fn)
 # --------------------------------------------------------------------------
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Read the driver parquet tables and register them as temp views."""
+    """Read the driver parquet tables and register them as temp views.
+
+    Loaded (and repartitioned, see below) tables are persisted once per
+    (session, sf_dir) — the second query on a table reads the in-memory
+    columnar cache instead of re-scanning + re-shuffling."""
     import os
+
+    ck = (id(spark), sf_dir)
+    if ck in _TABLE_CACHE:
+        for t, df in _TABLE_CACHE[ck].items():
+            df.createOrReplaceTempView(t)
+        return _TABLE_CACHE[ck]
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     out: dict[str, DataFrame] = {}
@@ -83,8 +96,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
                 df = df.withColumn(
                     c, F.timestamp_micros((F.col(c) / F.lit(1000)).cast("long"))
                 )
+        # The driver testdata is one single-row-group file per table → Spark
+        # gets exactly 1 scan partition and every downstream operator runs on
+        # one core. Real 100 TB tables arrive as many files/row-groups; to
+        # make local runs exercise the parallel plan, spread small scans to
+        # the session's parallelism (a few-MB shuffle, once per plan).
+        par = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < par:
+            df = df.repartition(par)
+        df = df.persist()
         df.createOrReplaceTempView(t)
         out[t] = df
+    _TABLE_CACHE[ck] = out
     return out
 
 
