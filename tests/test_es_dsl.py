@@ -1,0 +1,91 @@
+"""ES query-DSL translation: each DSL clause must produce the same AST a
+direct construction would, and es_search must equal the equivalent direct
+plan (the translation is a pure function into the already-tested core)."""
+
+from __future__ import annotations
+
+import pytest
+
+from serenedb_spark.analysis.analyzers import get_analyzer
+from serenedb_spark.plans import tsquery as q
+from serenedb_spark.plans.es_dsl import es_search, es_terms_agg, parse_query
+
+AN = get_analyzer("simple")
+
+CASES = [
+    ({"match": {"text": "spark data"}}, "text", q.AnyOf(["spark", "data"])),
+    ({"match": {"text": {"query": "spark data", "operator": "and"}}},
+     "text", q.AllOf(["spark", "data"])),
+    ({"match": {"text": {"query": "a b c", "minimum_should_match": 2}}},
+     "text", q.AnyOf(["a", "b", "c"], min_match=2)),
+    ({"match_phrase": {"text": "hash join"}}, "text",
+     q.Phrase(["hash", "join"])),
+    ({"match_phrase": {"text": {"query": "sort merge", "slop": 2}}}, "text",
+     q.Phrase(["sort", "merge"], slop=2)),
+    ({"term": {"text": {"value": "spark"}}}, "text", q.Term("spark")),
+    ({"terms": {"text": ["spark", "batch"]}}, "text",
+     q.AnyOf(["spark", "batch"])),
+    ({"prefix": {"text": {"value": "wind"}}}, "text", q.Prefix("wind")),
+    ({"wildcard": {"text": {"value": "w*w"}}}, "text", q.Wildcard("w%w")),
+    ({"regexp": {"text": {"value": "s(park|low)"}}}, "text",
+     q.Regexp("s(park|low)")),
+    ({"fuzzy": {"text": {"value": "sprk", "fuzziness": 1}}}, "text",
+     q.Fuzzy("sprk", 1)),
+    ({"range": {"text": {"gte": "query", "lte": "table"}}}, "text",
+     q.Between("query", "table")),
+    ({"range": {"text": {"gt": "query"}}}, "text",
+     q.Between("query", None, lo_inclusive=False)),
+    ({"bool": {
+        "must": [{"term": {"text": "data"}}],
+        "must_not": [{"term": {"text": "dup"}}],
+        "should": [{"term": {"text": "spark"}}, {"term": {"text": "stream"}}],
+        "minimum_should_match": 1,
+    }}, "text", q.Compound(
+        must=[q.Term("data")], must_not=[q.Term("dup")],
+        should=[q.Term("spark"), q.Term("stream")], min_should_match=1)),
+]
+
+
+@pytest.mark.parametrize("dsl,field,want", CASES)
+def test_parse(dsl, field, want):
+    got_field, got = parse_query(dsl, AN)
+    assert got_field == field
+    assert got == want
+
+
+def test_es_search_equals_direct_plan(spark):
+    from serenedb_spark import queries as Q
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.planner import compile_query
+    from pyspark.sql import functions as F
+    from tests.conftest import SF_DIR
+
+    idx = Q.doc_index(spark, SF_DIR)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "should": [{"term": {"text": "stream"}}],
+    }}, "size": 15}
+    got = es_search(idx, body).collect()
+
+    node = q.Compound(must=[q.AnyOf(["spark"])], should=[q.Term("stream")])
+    compiled = compile_query(idx, "text", node)
+    s = _score(idx, "text", compiled.score_terms, "bm25")
+    want = (
+        compiled.doc_ids.join(s, "doc_id", "left")
+        .select("doc_id",
+                F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+        .limit(15)
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_es_terms_agg(spark):
+    from serenedb_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    idx = Q.doc_index(spark, SF_DIR)
+    rows = es_terms_agg(idx, "text", size=5).collect()
+    assert len(rows) == 5
+    assert rows[0].doc_count >= rows[-1].doc_count
