@@ -40,6 +40,18 @@ ENGLISH_STOPWORDS = (
 _NON_ALNUM = "[^a-z0-9]+"
 
 
+def _seq(lo: int, hi: Column) -> Column:
+    """1-based index range lo..hi as a Column, EMPTY when hi < lo.
+
+    (Plain ``F.sequence(lit(lo), hi)`` is a trap: Spark generates a
+    DESCENDING sequence when hi < lo — sequence(1, 0) == [1, 0] — which
+    silently produces garbage tokens for short inputs.)"""
+    return F.filter(
+        F.sequence(F.lit(lo), F.greatest(hi, F.lit(lo))),
+        lambda i: i <= hi,
+    )
+
+
 @dataclass(frozen=True)
 class Analyzer:
     """One named tokenizer pipeline (reference: server/catalog/tokenizer.h:48)."""
@@ -122,9 +134,10 @@ def _ngram(n: int):
 
     def expr(col: Column) -> Column:
         s = F.lower(col)
-        # sequence of start offsets 1..len-n+1 (1-based substr), JVM-side
-        idx = F.sequence(F.lit(1), F.greatest(F.length(s) - F.lit(n - 1), F.lit(0)))
-        return F.transform(idx, lambda i: s.substr(i, F.lit(n)))
+        # start offsets 1..len-n+1 (1-based substr), JVM-side
+        return F.transform(
+            _seq(1, F.length(s) - F.lit(n - 1)), lambda i: s.substr(i, F.lit(n))
+        )
 
     def py(s: str) -> list[str]:
         s = s.lower()
@@ -144,11 +157,9 @@ def _shingle(k: int):
 
     def expr(col: Column) -> Column:
         toks = _simple_expr(col)
-        idx = F.sequence(
-            F.lit(1), F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
-        )
         return F.transform(
-            idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+            _seq(1, F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
 
     def py(s: str) -> list[str]:
@@ -186,6 +197,100 @@ def analyzers() -> dict[str, Analyzer]:
     return dict(_REGISTRY)
 
 
+def _delimiter(delim: str):
+    """Split on a literal delimiter (reference `delimiter` template,
+    create_tsdictionary.cpp:364). Empty tokens are kept out, case kept."""
+    import re as _re
+
+    def expr(col: Column) -> Column:
+        return F.filter(
+            F.split(col, _re.escape(delim)), lambda t: t != F.lit("")
+        )
+
+    def py(s: str) -> list[str]:
+        return [t for t in s.split(delim) if t]
+
+    def duck(e: str) -> str:
+        d = delim.replace("'", "''")
+        return f"list_filter(string_split({e}, '{d}'), t -> t <> '')"
+
+    return expr, py, duck
+
+
+def _pattern(pat: str):
+    """Split on a regex (reference `pattern`/`multi_delimiter` templates,
+    create_tsdictionary.cpp:381-401). Pattern must be in the
+    Java-regex ∩ RE2 common dialect."""
+    import re as _re
+
+    rx = _re.compile(pat)
+
+    def expr(col: Column) -> Column:
+        return F.filter(F.split(col, pat), lambda t: t != F.lit(""))
+
+    def py(s: str) -> list[str]:
+        return [t for t in rx.split(s) if t]
+
+    def duck(e: str) -> str:
+        p = pat.replace("'", "''")
+        return f"list_filter(regexp_split_to_array({e}, '{p}'), t -> t <> '')"
+
+    return expr, py, duck
+
+
+def _path_hierarchy(sep: str = "/"):
+    """Prefix-path tokens: /a/b/c → [/a, /a/b, /a/b/c] (reference
+    `path_hierarchy` template, create_tsdictionary.cpp:420)."""
+
+    def py(s: str) -> list[str]:
+        parts = [p for p in s.split(sep) if p]
+        return [sep + sep.join(parts[: i + 1]) for i in range(len(parts))]
+
+    def expr(col: Column) -> Column:
+        parts = F.filter(F.split(col, sep), lambda t: t != F.lit(""))
+        return F.transform(
+            _seq(1, F.size(parts)),
+            lambda i: F.concat(F.lit(sep), F.array_join(F.slice(parts, 1, i), sep)),
+        )
+
+    def duck(e: str) -> str:
+        return (
+            f"list_transform(range(1, greatest(len(list_filter(string_split({e}, '{sep}'), t -> t <> '')), 0) + 1),"
+            f" i -> '{sep}' || array_to_string(list_filter(string_split({e}, '{sep}'), t -> t <> '')[1:i], '{sep}'))"
+        )
+
+    return expr, py, duck
+
+
+def _edge_ngram(min_n: int, max_n: int):
+    """Edge n-grams of the lowercased string: prefixes of length
+    min_n..max_n (the reference ngram template's preserve-prefix mode,
+    tokenizer_options.h mingram/maxgram)."""
+
+    def expr(col: Column) -> Column:
+        s = F.lower(col)
+        out = F.transform(
+            _seq(min_n, F.least(F.length(s), F.lit(max_n))),
+            lambda n: s.substr(F.lit(1), n),
+        )
+        # least() skips NULLs, so guard explicitly: NULL in → NULL out
+        return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(out)
+
+    def py(s: str) -> list[str]:
+        s = s.lower()
+        return [s[:n] for n in range(min_n, min(len(s), max_n) + 1)]
+
+    def duck(e: str) -> str:
+        lo = f"lower({e})"
+        return (
+            f"list_filter(list_transform(range({min_n},"
+            f" greatest(least(length({lo}), {max_n}), {min_n - 1}) + 1),"
+            f" n -> substr({lo}, 1, n)), t -> length(t) >= {min_n})"
+        )
+
+    return expr, py, duck
+
+
 register(Analyzer("keyword", _keyword_expr, _keyword_py, _keyword_duckdb,
                   features=("frequency",)))
 register(Analyzer("simple", _simple_expr, _simple_py, _simple_duckdb))
@@ -196,3 +301,11 @@ for _n in (2, 3, 4):
 for _k in (2, 3, 5):
     _e, _p, _d = _shingle(_k)
     register(Analyzer(f"shingle{_k}", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _delimiter(",")
+register(Analyzer("delimiter_comma", _e, _p, _d, features=("frequency", "position")))
+_e, _p, _d = _pattern("[,;|]+")
+register(Analyzer("multi_delimiter", _e, _p, _d, features=("frequency", "position")))
+_e, _p, _d = _path_hierarchy("/")
+register(Analyzer("path_hierarchy", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _edge_ngram(2, 6)
+register(Analyzer("edge_ngram", _e, _p, _d, features=("frequency",)))

@@ -1,0 +1,128 @@
+"""Match offsets + highlighting — the OFFSETS / ts_highlight surface.
+
+Reference: ``ts_offsets(col[, limit])`` emits byte ranges of every match
+in the indexed column (server/connector/functions/ts_offsets.cpp:403,
+demo3/demo.sql:150-156); ``ts_highlight`` assembles snippets from those
+offsets (ts_highlight.cpp:734).
+
+Spark-first: offsets are recomputed on the MATCHED docs only (late
+materialization — the candidate set comes from the postings plan, so this
+scan-side work touches k docs, not the corpus) with pure JVM expressions:
+a character-index sequence filtered by a boundary-checked substring
+match. No Python per row, and the identical construction exists in DuckDB
+SQL for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def term_offsets_col(text: Column, term: str) -> Column:
+    """1-based char offsets of whole-token occurrences of `term`:
+    positions i where lower(substr(text,i,len)) = term and both neighbours
+    are non-alphanumeric (token boundaries)."""
+    n = len(term)
+    lo = F.lower(text)
+    alnum = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+    def _is_alnum(ch: Column) -> Column:
+        return F.instr(F.lit(alnum), ch) > 0
+
+    # guarded 1..len-n+1 range (sequence(1, 0) would be DESCENDING [1, 0])
+    hi = F.length(lo) - F.lit(n - 1)
+    idx = F.filter(F.sequence(F.lit(1), F.greatest(hi, F.lit(1))), lambda i: i <= hi)
+    return F.filter(
+        idx,
+        lambda i: (lo.substr(i, F.lit(n)) == F.lit(term))
+        & (~_is_alnum(lo.substr(i - 1, F.lit(1))) | (i == 1))
+        & (~_is_alnum(lo.substr(i + F.lit(n), F.lit(1)))
+           | (i + F.lit(n) > F.length(lo))),
+    )
+
+
+def ts_offsets(
+    matched_docs: DataFrame, text_col: str, term: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per match: (doc_id, start, len). Flat schema so results are
+    engine-portable; docs with zero occurrences emit nothing (can happen
+    when the match came from another clause of a boolean query)."""
+    offs = term_offsets_col(F.col(text_col), term)
+    return (
+        matched_docs.select(F.col(id_col), F.explode(offs).alias("start"))
+        .withColumn("len", F.lit(len(term)))
+    )
+
+
+def duckdb_ts_offsets_sql(
+    table_expr: str, text_col: str, term: str, id_col: str = "doc_id"
+) -> str:
+    """Oracle mirroring term_offsets_col: same index-filter construction."""
+    t = term.replace("'", "''")
+    n = len(term)
+    lo = f"lower({text_col})"
+    alnum = "abcdefghijklmnopqrstuvwxyz0123456789"
+    return f"""
+SELECT {id_col}, unnest(list_filter(
+  range(1, greatest(length({lo}) - {n - 1}, 0) + 1),
+  i -> substr({lo}, i, {n}) = '{t}'
+    AND (strpos('{alnum}', substr({lo}, i - 1, 1)) = 0 OR i = 1)
+    AND (strpos('{alnum}', substr({lo}, i + {n}, 1)) = 0
+         OR i + {n} > length({lo}))
+)) AS start, {n} AS len
+FROM {table_expr}
+"""
+
+
+def ts_highlight(
+    matched_docs: DataFrame,
+    text_col: str,
+    term: str,
+    id_col: str = "doc_id",
+    tag_open: str = "<b>",
+    tag_close: str = "</b>",
+    window: int = 40,
+) -> DataFrame:
+    """Snippet around the FIRST whole-token match: ±window chars with the
+    match wrapped in tags (ICU sentence-break snippeting reduced to a fixed
+    char window — documented deviation from ts_highlight.cpp)."""
+    offs = term_offsets_col(F.col(text_col), term)
+    first = F.get(offs, 0)  # NULL (not an error) when there is no match
+    n = len(term)
+    start = F.greatest(first - F.lit(window), F.lit(1))
+    pre = F.col(text_col).substr(start, first - start)
+    hit = F.col(text_col).substr(first, F.lit(n))
+    post = F.col(text_col).substr(first + F.lit(n), F.lit(window))
+    snippet = F.concat(pre, F.lit(tag_open), hit, F.lit(tag_close), post)
+    return (
+        matched_docs.select(F.col(id_col), first.alias("first"), snippet.alias("snippet"))
+        .where(F.col("first").isNotNull())
+        .select(id_col, "snippet")
+    )
+
+
+def duckdb_ts_highlight_sql(
+    table_expr: str, text_col: str, term: str, id_col: str = "doc_id",
+    tag_open: str = "<b>", tag_close: str = "</b>", window: int = 40,
+) -> str:
+    t = term.replace("'", "''")
+    n = len(term)
+    lo = f"lower({text_col})"
+    alnum = "abcdefghijklmnopqrstuvwxyz0123456789"
+    offs = f"""list_filter(
+  range(1, greatest(length({lo}) - {n - 1}, 0) + 1),
+  i -> substr({lo}, i, {n}) = '{t}'
+    AND (strpos('{alnum}', substr({lo}, i - 1, 1)) = 0 OR i = 1)
+    AND (strpos('{alnum}', substr({lo}, i + {n}, 1)) = 0
+         OR i + {n} > length({lo})))"""
+    return f"""
+SELECT {id_col},
+  concat(
+    substr({text_col}, greatest(f - {window}, 1), f - greatest(f - {window}, 1)),
+    '{tag_open}', substr({text_col}, f, {n}), '{tag_close}',
+    substr({text_col}, f + {n}, {window})
+  ) AS snippet
+FROM (SELECT {id_col}, {text_col}, {offs}[1] AS f FROM {table_expr})
+WHERE f IS NOT NULL
+"""

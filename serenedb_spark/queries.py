@@ -356,6 +356,127 @@ ORDER BY user_id
 _sql("events_sessionize", _sessionize_sql("unix_timestamp(ts)"),
      _sessionize_sql("epoch(ts)::BIGINT"))
 
+_sql("full_outer_join", """
+SELECT c_custkey, c_name, n_orders
+FROM customer
+FULL JOIN (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+) o ON o_custkey = c_custkey
+ORDER BY c_custkey
+""")
+
+_sql("grouping_sets", """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+  coalesce(l_linestatus, 'ALL') AS linestatus,
+  count(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY returnflag, linestatus
+""")
+
+_sql("cube_agg", """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  count(*) AS n,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""")
+
+# TABLESAMPLE is nondeterministic across engines — the portable idiom is a
+# hash-derived deterministic sample (the same trick works at 100 TB)
+_DET_SAMPLE = """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+FROM orders
+WHERE substr(md5(CAST(o_orderkey AS {str_t})), 1, 1) = '0'
+ORDER BY o_orderkey
+"""
+_sql("deterministic_sample", _DET_SAMPLE.format(str_t="STRING"),
+     _DET_SAMPLE.format(str_t="VARCHAR"))
+
+_sql("setop_except", """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+ORDER BY custkey
+""")
+
+_sql("scalar_subquery_cte", """
+WITH seg_avg AS (
+  SELECT c_mktsegment, avg(CAST(c_acctbal AS DECIMAL(12,2))) AS seg_bal
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_custkey, c.c_mktsegment,
+  CAST(round(c.c_acctbal - s.seg_bal, 2) AS DOUBLE) AS bal_delta
+FROM customer c JOIN seg_avg s ON s.c_mktsegment = c.c_mktsegment
+WHERE c.c_acctbal > (SELECT max(seg_bal) FROM seg_avg)
+ORDER BY c.c_custkey
+""")
+
+_sql("scalar_battery", """
+SELECT p_partkey,
+  abs(p_size - 25) AS abs_diff,
+  CAST(ceil(p_retailprice / 100) AS BIGINT) AS price_bucket_ceil,
+  CAST(floor(p_retailprice / 100) AS BIGINT) AS price_bucket_floor,
+  CAST(round(power(p_size, 2), 1) AS DOUBLE) AS size_sq,
+  p_size % 7 AS size_mod,
+  greatest(p_size, 20) AS size_hi,
+  least(p_size, 20) AS size_lo,
+  CAST(round(sqrt(p_size), 4) AS DOUBLE) AS size_sqrt,
+  CAST(round(ln(p_retailprice), 4) AS DOUBLE) AS price_ln
+FROM part
+ORDER BY p_partkey
+LIMIT 200
+""")
+
+# LATERAL/explode: per-dialect text (Spark LATERAL VIEW vs DuckDB unnest)
+_sql(
+    "lateral_explode_tokens",
+    """
+SELECT tok, count(*) AS n
+FROM documents
+LATERAL VIEW explode(split(lower(text), '[^a-z0-9]+')) x AS tok
+WHERE tok <> '' AND doc_id < 100
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+    """
+SELECT tok, count(*) AS n
+FROM (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS tok
+  FROM documents WHERE doc_id < 100
+)
+GROUP BY tok
+ORDER BY n DESC, tok
+LIMIT 20
+""",
+)
+
+# UNPIVOT: Spark stack() vs DuckDB UNPIVOT
+_sql(
+    "unpivot_part_measures",
+    """
+SELECT p_partkey, measure, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT p_partkey, stack(2, 'size', CAST(p_size AS DOUBLE),
+                             'retailprice', p_retailprice) AS (measure, val)
+  FROM part WHERE p_partkey < 50
+)
+ORDER BY p_partkey, measure
+""",
+    """
+SELECT p_partkey, measure, CAST(val AS DOUBLE) AS val
+FROM (
+  SELECT p_partkey, CAST(p_size AS DOUBLE) AS size, p_retailprice AS retailprice
+  FROM part WHERE p_partkey < 50
+) UNPIVOT (val FOR measure IN (size, retailprice))
+ORDER BY p_partkey, measure
+""",
+)
+
 _sql(
     "events_json_extract",
     """
@@ -445,6 +566,50 @@ _fts_scored("fts_tfidf_topk", q.AllOf(["data", "join"]), "tfidf", 15)
 _fts_scored("fts_lm_dirichlet_topk",
             q.AnyOf(["vector", "stream", "batch"]), "lm_dirichlet", 15)
 _fts_scored("fts_raw_tf", q.Term("merge"), "raw_tf", 15)
+
+
+# offsets + highlight over the matched set (late materialization:
+# candidate ids from the postings plan, offsets recomputed on k docs only)
+def _fts_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.functions.highlight import ts_offsets
+
+    idx = doc_index(spark, sf_dir)
+    ids = compile_query(idx, _DOC_COL, q.Term("spark")).doc_ids
+    matched = idx.docstore.join(ids, "doc_id", "left_semi").select("doc_id", "text")
+    return ts_offsets(matched, "text", "spark").orderBy("doc_id", "start")
+
+
+def _fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.functions.highlight import ts_highlight
+
+    idx = doc_index(spark, sf_dir)
+    ids = compile_query(idx, _DOC_COL, q.Term("window")).doc_ids
+    matched = idx.docstore.join(ids, "doc_id", "left_semi").select("doc_id", "text")
+    return ts_highlight(matched, "text", "window").orderBy("doc_id")
+
+
+def _register_highlight_entries() -> None:
+    from serenedb_spark.functions.highlight import (
+        duckdb_ts_highlight_sql, duckdb_ts_offsets_sql,
+    )
+
+    m_spark = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("spark"),
+                          select="doc_id, text")
+    _register(
+        "fts_offsets", _fts_offsets,
+        duckdb_ts_offsets_sql(f"({m_spark}) m", "text", "spark")
+        + " ORDER BY doc_id, start",
+    )
+    m_win = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("window"),
+                        select="doc_id, text")
+    _register(
+        "fts_highlight", _fts_highlight,
+        duckdb_ts_highlight_sql(f"({m_win}) m", "text", "window")
+        + " ORDER BY doc_id",
+    )
+
+
+_register_highlight_entries()
 
 
 # ES query DSL: translated to the same AST → same planner and oracle
