@@ -792,6 +792,94 @@ _register("text_fingerprint", _text_fingerprint,
 
 
 # --------------------------------------------------------------------------
+# 3b. multimodal columns (binary payload + mapInPandas decode stubs)
+# --------------------------------------------------------------------------
+
+#: DuckDB uint32 from 8 hex chars of `h` starting at 1-based `pos`
+def _duck_hex_u32(h: str, pos: int) -> str:
+    return (
+        f"list_sum(list_transform(range(0, 8), j ->"
+        f" (strpos('0123456789abcdef', substr({h}, {pos} + j, 1)) - 1)"
+        f" * (1::BIGINT << (4 * (7 - j)))))"
+    )
+
+
+_DUCK_MEDIA_TYPE = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"
+)
+
+
+def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators.multimodal import decode_media, docs_as_media
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return decode_media(docs_as_media(docs)).orderBy("doc_id")
+
+
+_register("mm_decode_meta", _mm_decode, f"""
+WITH m AS (SELECT doc_id, md5(text) AS h, {_DUCK_MEDIA_TYPE} AS media_type,
+                  octet_length(encode(text)) AS n_bytes
+           FROM documents),
+u AS (SELECT *, {_duck_hex_u32('h', 1)} AS a, {_duck_hex_u32('h', 9)} AS b,
+             {_duck_hex_u32('h', 17)} AS c FROM m)
+SELECT doc_id, media_type, n_bytes,
+  CASE media_type WHEN 'image' THEN 64 + a % 1857
+                  WHEN 'video' THEN 64 + a % 1857 ELSE 0 END AS width,
+  CASE media_type WHEN 'image' THEN 64 + b % 1017
+                  WHEN 'video' THEN 64 + b % 1017 ELSE 0 END AS height,
+  CASE media_type WHEN 'image' THEN 1 + c % 4
+                  WHEN 'audio' THEN 1 + a % 2 ELSE 3 END AS channels,
+  CASE media_type WHEN 'audio' THEN 500 + b % 600000
+                  WHEN 'video' THEN 1000 + c % 7200000 ELSE 0 END AS duration_ms,
+  h AS checksum
+FROM u ORDER BY doc_id
+""")
+
+
+def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators.multimodal import docs_as_media, frame_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    return frame_sample(docs_as_media(docs)).orderBy("doc_id", "frame_no")
+
+
+_register("mm_frame_sample", _mm_frames, f"""
+WITH m AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 2),
+u AS (SELECT doc_id, {_duck_hex_u32('h', 17)} AS c FROM m),
+d AS (SELECT doc_id, 1000 + c % 7200000 AS duration_ms FROM u),
+n AS (SELECT doc_id,
+        CAST(least(duration_ms // 60000 + 1, 8) AS BIGINT) AS n_frames FROM d)
+SELECT doc_id, unnest(range(0, n_frames))::INT AS frame_no,
+       unnest(range(0, n_frames))::BIGINT * 60000 AS frame_ts_ms
+FROM n ORDER BY doc_id, frame_no
+""")
+
+
+def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators.multimodal import docs_as_media, extract_features
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    feats = extract_features(docs_as_media(docs.where(F.col("doc_id") < 100)))
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("i", "v")
+    ).select("doc_id", "i", F.round(F.col("v").cast("double"), 4).alias("v")).orderBy("doc_id", "i")
+
+
+_register("mm_features", _mm_features, f"""
+WITH m AS (SELECT doc_id, md5(text) AS h0 FROM documents WHERE doc_id < 100),
+c AS (SELECT doc_id, h0, md5(h0) AS h1, md5(md5(h0)) AS h2,
+             md5(md5(md5(h0))) AS h3 FROM m),
+v AS (SELECT doc_id, [
+  {', '.join(_duck_hex_u32(f'h{r}', p) for r in range(4) for p in (1, 9, 17, 25))}
+ ] AS ints FROM c)
+SELECT doc_id, CAST(i - 1 AS INT) AS i,
+  round(CAST(ints[i] % 10000 AS DOUBLE) / 10000.0, 4) AS v
+FROM (SELECT doc_id, unnest(range(1, 17)) AS i, ints FROM v)
+ORDER BY doc_id, i
+""")
+
+
+# --------------------------------------------------------------------------
 # 4. vector search (SURVEY §2.4)
 # --------------------------------------------------------------------------
 

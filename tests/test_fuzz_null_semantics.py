@@ -1,0 +1,120 @@
+"""Differential fuzz: random TSQuery ASTs over a corpus WITH NULL and empty
+documents — the index plan (postings semi/anti joins) must equal the naive
+full-scan oracle under SQL 3-valued logic.
+
+This reproduces the reference's null_semantics_fuzz
+(tests/fuzz/null_semantics_fuzz.py:1-15: "random predicates over nullable
+indexed columns asserting index scan ≡ base-table scan") with hypothesis
+generating the AST instead of SQL strings.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from serenedb_spark.operators.indexing import build_index
+from serenedb_spark.plans import tsquery as q
+from serenedb_spark.plans.oracle import match_sql
+from serenedb_spark.plans.planner import compile_query
+from tests.conftest import SF_DIR
+
+VOCAB = ["spark", "data", "join", "hash", "slow", "dup", "zzz_absent", "the"]
+
+terms = st.sampled_from(VOCAB)
+leaves = st.one_of(
+    terms.map(q.Term),
+    st.lists(terms, min_size=1, max_size=3, unique=True).map(
+        lambda ts: q.AnyOf(ts, min_match=1)
+    ),
+    st.lists(terms, min_size=2, max_size=3, unique=True).map(
+        lambda ts: q.AnyOf(ts, min_match=2)
+    ),
+    st.lists(terms, min_size=1, max_size=2, unique=True).map(q.AllOf),
+    st.tuples(terms, terms).map(lambda p: q.Phrase(list(p))),
+    st.tuples(terms, terms, st.integers(0, 3)).map(
+        lambda p: q.Phrase([p[0], p[1]], slop=p[2])
+    ),
+    st.sampled_from(["sp", "da", "jo", "zz"]).map(q.Prefix),
+    st.sampled_from(["%ar%", "d_ta", "%ow"]).map(q.Wildcard),
+    st.sampled_from(["sprk", "joon", "dta"]).map(lambda w: q.Fuzzy(w, 1)),
+    st.tuples(terms, terms).map(
+        lambda p: q.Between(min(p), max(p))
+    ),
+)
+
+
+def nodes(depth: int):
+    if depth == 0:
+        return leaves
+    sub = nodes(depth - 1)
+    return st.one_of(
+        leaves,
+        st.lists(sub, min_size=2, max_size=3).map(q.And),
+        st.lists(sub, min_size=2, max_size=3).map(q.Or),
+        sub.map(q.Not),
+        st.tuples(st.lists(sub, max_size=2), st.lists(sub, max_size=1),
+                  st.lists(sub, max_size=2), st.integers(0, 2)).map(
+            lambda t: q.Compound(must=t[0], must_not=t[1], should=t[2],
+                                 min_should_match=t[3])
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    extra = spark.createDataFrame(
+        [(900001, None), (900002, ""), (900003, "   "), (900004, "spark"),
+         (900005, "zzz_absent spark zzz_absent")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(extra)
+    idx = build_index(docs, {"text": "simple"}, key="doc_id")
+    for part in (idx.postings, idx.universe, idx.term_stats):
+        part.persist()
+    con = duckdb.connect()
+    con.register("documents", docs.toPandas())
+    return idx, con
+
+
+@settings(max_examples=40, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(node=nodes(2))
+def test_planner_matches_oracle(corpus, node):
+    idx, con = corpus
+    got = {r.doc_id for r in compile_query(idx, "text", node).doc_ids.collect()}
+    want = {
+        r[0] for r in con.sql(match_sql("documents", "text", "simple", node)).fetchall()
+    }
+    assert got == want, f"AST: {node!r}\nspark-only: {got - want}\nduck-only: {want - got}"
+
+
+def test_empty_and_whitespace_docs_never_match_terms(corpus):
+    idx, _ = corpus
+    got = {r.doc_id for r in compile_query(idx, "text", q.Term("spark")).doc_ids.collect()}
+    assert 900002 not in got and 900003 not in got and 900001 not in got
+    assert 900004 in got
+
+
+def test_not_includes_empty_docs_with_tokens_universe(corpus):
+    """NOT semantics: empty-string docs produce zero tokens → they are NOT
+    in the per-field universe (col non-null but no tokens: the reference
+    indexes them as docs with no terms; our universe is non-null based, so
+    they ARE included). Pin the chosen semantics here and in the oracle."""
+    idx, con = corpus
+    got = {r.doc_id for r in compile_query(idx, "text", ~q.Term("spark")).doc_ids.collect()}
+    want = {
+        r[0] for r in con.sql(
+            match_sql("documents", "text", "simple", ~q.Term("spark"))
+        ).fetchall()
+    }
+    assert got == want
+    assert 900002 in got  # empty string: non-null, no tokens → matches NOT
+    assert 900001 not in got  # NULL: 3VL → never matches
