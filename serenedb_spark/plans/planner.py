@@ -96,6 +96,22 @@ def _expand(idx: InvertedIndex, field: str, node: q.TSQuery) -> DataFrame:
     raise TypeError(f"not an expansion leaf: {node!r}")
 
 
+def is_pure_disjunction(node: q.TSQuery) -> bool:
+    """True when `docs containing ≥1 positive query term` ≡ the match set —
+    then a scored search can reuse the scoring relation's key set and skip
+    the separate match branch entirely (the reference's scorer-reuse
+    rewrite, iresearch_plan.cpp:819 ReuseExistingScoreColumn)."""
+    if isinstance(node, q.Term):
+        return True
+    if isinstance(node, q.AnyOf):
+        return node.min_match <= 1
+    if isinstance(node, q.Or):
+        return all(is_pure_disjunction(p) for p in node.parts)
+    if isinstance(node, q.Boost):
+        return is_pure_disjunction(node.part)
+    return False
+
+
 def compile_query(
     idx: InvertedIndex, field: str, node: q.TSQuery, boost: float = 1.0
 ) -> CompiledQuery:
@@ -109,13 +125,20 @@ def compile_query(
 
     if isinstance(node, q.AnyOf):
         terms = list(dict.fromkeys(node.terms))
-        docs = (
-            P.where(F.col("term").isin(terms))
-            .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("m"))
-            .where(F.col("m") >= node.min_match)
-            .select("doc_id")
-        )
+        if node.min_match <= 1:
+            # pure disjunction: distinct is one exchange; the
+            # count-distinct aggregate would be two
+            docs = (
+                P.where(F.col("term").isin(terms)).select("doc_id").distinct()
+            )
+        else:
+            docs = (
+                P.where(F.col("term").isin(terms))
+                .groupBy("doc_id")
+                .agg(F.count_distinct("term").alias("m"))
+                .where(F.col("m") >= node.min_match)
+                .select("doc_id")
+            )
         tdf = _terms_df(idx, terms).withColumn("boost", F.lit(boost))
         return CompiledQuery(docs, tdf)
 

@@ -519,11 +519,18 @@ def _fts_scored(name: str, node: q.TSQuery, scorer: str = "bm25",
     """Scored search: (doc_id, score) top-k, mirrors SereneSession.search."""
 
     def fn(spark: SparkSession, sf_dir: str, _n=node, _s=scorer, _k=k) -> DataFrame:
+        from serenedb_spark.plans.planner import is_pure_disjunction
+
         idx = doc_index(spark, sf_dir)
         compiled = compile_query(idx, _DOC_COL, _n)
         s = _score(idx, _DOC_COL, compiled.score_terms, _s)
+        if is_pure_disjunction(_n):
+            # scorer-reuse: the score relation's keys ARE the match set
+            matched = s
+        else:
+            matched = compiled.doc_ids.join(s, "doc_id", "left")
         out = (
-            compiled.doc_ids.join(s, "doc_id", "left")
+            matched
             .select("doc_id",
                     F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id"))

@@ -118,15 +118,25 @@ class SereneSession:
         """Late materialization: doc-id set → (optional) score → docstore join
         → top-k. Mirrors IRESEARCH_SCAN + scorer claim + top-k pushdown
         (reference iresearch_plan.cpp:466-533, 927-1014)."""
+        from serenedb_spark.plans.planner import is_pure_disjunction
+
         field = field or idx.default_field()
         compiled = compile_query(idx, field, query)
         docs = compiled.doc_ids
 
+        s = None
+        if scorer is not None:
+            s = _score(idx, field, compiled.score_terms, scorer, **scorer_params)
+            if is_pure_disjunction(query):
+                # scorer-reuse rewrite (iresearch_plan.cpp:819): the score
+                # relation's keys are exactly the match set — drop the
+                # separate match branch
+                docs = s.select("doc_id")
+
         cols = select if select is not None else idx.docstore.columns
         out = idx.docstore.join(docs, "doc_id", "left_semi").select(*cols)
 
-        if scorer is not None:
-            s = _score(idx, field, compiled.score_terms, scorer, **scorer_params)
+        if s is not None:
             sc = F.col("score")
             if round_score is not None:
                 sc = F.round(sc, round_score)
