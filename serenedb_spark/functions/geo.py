@@ -1,0 +1,129 @@
+"""Geo predicates: cell-prefiltered distance/containment checks.
+
+Reference: S2-cell prefilter + exact geometry check inside the index scan
+(`ST_Intersects, ST_Contains, ST_Distance_Between, ST_Distance_Centroid`
+— server/connector/functions/search.h:119-125, geo_filter_builder.cpp,
+libs/geo/; geopoint analyzer = S2 cell terms).
+
+Spark-first: S2 is replaced by a flat lat/lon GRID CELL scheme (cell id =
+floor(lat/size), floor(lon/size)) — the same two-phase shape: a cheap
+cell-membership prefilter that prunes the scan (pushes down to parquet /
+partition pruning when data is partitioned by cell), then the exact
+haversine / polygon check on survivors. The differential oracle runs the
+exact check WITHOUT the prefilter, proving the prefilter lossless.
+
+All arithmetic is double + trig builtins available in both engines, so
+every operator here is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+EARTH_RADIUS_M = 6371000.0
+
+
+def haversine_m(lat1: Column, lon1: Column, lat2: Column, lon2: Column) -> Column:
+    """Great-circle distance in meters (spherical earth, R=6371km)."""
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) * F.sin(dlon)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def duckdb_haversine_m(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    return (
+        f"2.0 * {EARTH_RADIUS_M} * asin(sqrt("
+        f"sin(radians({lat2} - {lat1}) / 2) * sin(radians({lat2} - {lat1}) / 2)"
+        f" + cos(radians({lat1})) * cos(radians({lat2}))"
+        f" * sin(radians({lon2} - {lon1}) / 2) * sin(radians({lon2} - {lon1}) / 2)))"
+    )
+
+
+def cell_id(lat: Column, lon: Column, cell_deg: float) -> Column:
+    """Grid cell key 'row:col' — plays the S2 cell term."""
+    return F.concat_ws(
+        ":",
+        F.floor(lat / F.lit(cell_deg)).cast("long"),
+        F.floor(lon / F.lit(cell_deg)).cast("long"),
+    )
+
+
+def covering_cells(lat: float, lon: float, radius_m: float, cell_deg: float) -> list[str]:
+    """Driver-side covering of a radius query: all cells intersecting the
+    bounding box (the S2 covering; small list, broadcast into the filter)."""
+    dlat = math.degrees(radius_m / EARTH_RADIUS_M)
+    dlon = math.degrees(
+        radius_m / (EARTH_RADIUS_M * max(math.cos(math.radians(lat)), 1e-9))
+    )
+    r0 = math.floor((lat - dlat) / cell_deg)
+    r1 = math.floor((lat + dlat) / cell_deg)
+    c0 = math.floor((lon - dlon) / cell_deg)
+    c1 = math.floor((lon + dlon) / cell_deg)
+    return [f"{r}:{c}" for r in range(int(r0), int(r1) + 1)
+            for c in range(int(c0), int(c1) + 1)]
+
+
+def radius_search(
+    points: DataFrame,
+    lat: float,
+    lon: float,
+    radius_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "point_id",
+    cell_deg: float = 1.0,
+    round_to: int = 1,
+) -> DataFrame:
+    """ST_Distance_Between(p, q) < r as prefilter + exact check: the cell
+    IN-list prunes partitions/files, haversine confirms. Returns
+    (id, dist_m)."""
+    cells = covering_cells(lat, lon, radius_m, cell_deg)
+    dist = haversine_m(
+        F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon)
+    )
+    return (
+        points.where(cell_id(F.col(lat_col), F.col(lon_col), cell_deg).isin(cells))
+        .select(F.col(id_col), F.round(dist, round_to).alias("dist_m"))
+        .where(F.col("dist_m") < radius_m)
+    )
+
+
+def bbox_contains(
+    points: DataFrame,
+    lat_min: float, lat_max: float, lon_min: float, lon_max: float,
+    lat_col: str = "lat", lon_col: str = "lon", id_col: str = "point_id",
+) -> DataFrame:
+    """ST_Contains(box, p) — rectangle containment (exact, pushdown-able:
+    four range predicates reach the parquet scan)."""
+    return points.where(
+        (F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
+        & (F.col(lon_col) >= lon_min) & (F.col(lon_col) <= lon_max)
+    ).select(id_col, lat_col, lon_col)
+
+
+def synth_points(df: DataFrame, key_col: str, id_alias: str = "point_id") -> DataFrame:
+    """Deterministic pseudo-coordinates from an integer key (testdata has no
+    geo columns): lat ∈ [-60, 60), lon ∈ [-180, 180) via modular hashing —
+    same arithmetic is stated in the DuckDB oracle."""
+    k = F.col(key_col).cast("long")
+    lat = ((k * 37 % 1200) - 600) / F.lit(10.0)
+    lon = ((k * 73 % 3600) - 1800) / F.lit(10.0)
+    return df.select(
+        k.alias(id_alias), lat.alias("lat"), lon.alias("lon")
+    )
+
+
+def duckdb_synth_points(table: str, key_col: str, id_alias: str = "point_id") -> str:
+    return (
+        f"SELECT CAST({key_col} AS BIGINT) AS {id_alias},"
+        f" (({key_col} * 37 % 1200) - 600) / 10.0 AS lat,"
+        f" (({key_col} * 73 % 3600) - 1800) / 10.0 AS lon FROM {table}"
+    )

@@ -146,6 +146,94 @@ def ivf_search(
     )
 
 
+# ---- SQ8 scalar quantization ---------------------------------------------
+
+class SQ8:
+    """Per-dimension min/max scalar quantization to uint8 codes — the
+    reference's `quant=sq8` IVF option (server/catalog/index.cpp:300-460,
+    faiss SQ8). Train stats are tiny (2×dim floats) and live driver-side;
+    encode/decode are pure column arithmetic (portable to the oracle).
+
+    code_i  = floor(255 * (v_i - min_i) / (max_i - min_i) + 0.5), clamped
+    v̂_i     = min_i + code_i * (max_i - min_i) / 255
+    """
+
+    def __init__(self, mins: list[float], maxs: list[float]):
+        self.mins = mins
+        self.maxs = maxs
+
+    @classmethod
+    def train(cls, df: DataFrame, vec_col: str = "embedding") -> "SQ8":
+        dim = len(df.select(vec_col).first()[0])
+        aggs = []
+        for i in range(dim):
+            e = F.element_at(F.col(vec_col), i + 1).cast("double")
+            aggs += [F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}")]
+        row = df.agg(*aggs).first()
+        return cls([row[f"mn{i}"] for i in range(dim)],
+                   [row[f"mx{i}"] for i in range(dim)])
+
+    def _scale(self, i: int) -> float:
+        span = self.maxs[i] - self.mins[i]
+        return span if span != 0 else 1.0
+
+    def encode_col(self, vec: Column) -> Column:
+        codes = [
+            F.greatest(F.least(F.floor(
+                F.lit(255.0) * (F.element_at(vec, i + 1).cast("double")
+                                - F.lit(self.mins[i])) / F.lit(self._scale(i))
+                + F.lit(0.5)
+            ), F.lit(255.0)), F.lit(0.0)).cast("int")
+            for i in range(len(self.mins))
+        ]
+        return F.array(*codes)
+
+    def decode_col(self, codes: Column) -> Column:
+        vals = [
+            (F.lit(self.mins[i])
+             + F.element_at(codes, i + 1).cast("double")
+             * F.lit(self._scale(i)) / F.lit(255.0))
+            for i in range(len(self.mins))
+        ]
+        return F.array(*vals)
+
+    def duckdb_decode(self, vec_sql: str) -> str:
+        """Encode+decode in one SQL expression (mirrors encode_col →
+        decode_col symbol-for-symbol)."""
+        parts = []
+        for i in range(len(self.mins)):
+            mn, sc = repr(self.mins[i]), repr(self._scale(i))
+            code = (
+                f"greatest(least(floor(255.0 * ({vec_sql}[{i + 1}]::DOUBLE"
+                f" - {mn}) / {sc} + 0.5), 255.0), 0.0)"
+            )
+            parts.append(f"{mn} + {code} * {sc} / 255.0")
+        return "[" + ", ".join(parts) + "]"
+
+
+def sq8_knn(
+    df: DataFrame,
+    sq: SQ8,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Quantized kNN: distances over decoded SQ8 vectors (what an SQ8 IVF
+    scan computes before optional exact re-rank)."""
+    decoded = sq.decode_col(sq.encode_col(F.col(vec_col)))
+    dist = V.DISTANCES[metric](decoded, V.lit_vector(query_vec))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        df.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def hybrid_search(
     docs_with_vec: DataFrame,
     match_ids: DataFrame,

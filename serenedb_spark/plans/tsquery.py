@@ -187,6 +187,66 @@ class Compound(TSQuery):
         object.__setattr__(self, "min_should_match", min_should_match)
 
 
+def plainto_tsquery(s: str, analyzer_name: str = "simple") -> TSQuery:
+    """PG plainto_tsquery: analyze the text, AND all tokens
+    (reference ts_to_tsquery.cpp family, search.h:75-80)."""
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    toks = get_analyzer(analyzer_name).tokens(s)
+    if not toks:
+        raise ValueError(f"no tokens in {s!r}")
+    return AllOf(toks) if len(toks) > 1 else Term(toks[0])
+
+
+def phraseto_tsquery(s: str, analyzer_name: str = "simple") -> TSQuery:
+    """PG phraseto_tsquery: analyze the text, match as adjacent phrase."""
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    toks = get_analyzer(analyzer_name).tokens(s)
+    if not toks:
+        raise ValueError(f"no tokens in {s!r}")
+    return Phrase(toks) if len(toks) > 1 else Term(toks[0])
+
+
+def websearch_to_tsquery(s: str, analyzer_name: str = "simple") -> TSQuery:
+    """PG websearch_to_tsquery: bare words AND-ed, "quoted phrases",
+    -exclusions, literal OR between groups."""
+    import re as _re
+
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    an = get_analyzer(analyzer_name)
+    tokens = _re.findall(r'-?"[^"]*"|\S+', s)
+    groups: list[list[TSQuery]] = [[]]
+    for t in tokens:
+        if t == "OR":
+            groups.append([])
+            continue
+        neg = t.startswith("-")
+        if neg:
+            t = t[1:]
+        if t.startswith('"') and t.endswith('"'):
+            toks = an.tokens(t[1:-1])
+            if not toks:
+                continue
+            node = Phrase(toks) if len(toks) > 1 else Term(toks[0])
+        else:
+            toks = an.tokens(t)
+            if not toks:
+                continue
+            node = AllOf(toks) if len(toks) > 1 else Term(toks[0])
+        groups[-1].append(~node if neg else node)
+
+    parts = []
+    for g in groups:
+        if not g:
+            continue
+        parts.append(g[0] if len(g) == 1 else And(g))
+    if not parts:
+        raise ValueError(f"no positive terms in {s!r}")
+    return parts[0] if len(parts) == 1 else Or(parts)
+
+
 def to_tsquery(s: str) -> TSQuery:
     """Tiny query-string parser (reference to_tsquery family,
     ts_to_tsquery.cpp): `a & b | !c`, `'quoted phrase'`, `pre:*`, parens.

@@ -564,6 +564,10 @@ _fts_match("fts_compound", q.Compound(
 ))
 _fts_match("fts_tsquery_parse",
            q.to_tsquery("spark & (data | batch) & !slow"))
+_fts_match("fts_plainto", q.plainto_tsquery("spark data join"))
+_fts_match("fts_phraseto", q.phraseto_tsquery("table scan"))
+_fts_match("fts_websearch",
+           q.websearch_to_tsquery('spark -dup "hash join" OR stream'))
 _fts_match("fts_ngram_sim_term", q.NgramSim("sparkle", 0.5))
 
 _fts_scored("fts_bm25_topk", q.AnyOf(["spark", "stream", "window"]), "bm25", 20)
@@ -978,6 +982,55 @@ FROM embeddings ORDER BY distance, vec_id LIMIT 10
 """)
 
 
+#: SQ8 train stats must be identical constants in both plans — train once
+#: per sf_dir on the driver and embed as literals
+_SQ8_CACHE: dict[str, object] = {}
+
+
+def _sq8_for(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _SQ8_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _SQ8_CACHE[sf_dir] = SIM.SQ8.train(emb, "embedding")
+    return _SQ8_CACHE[sf_dir]
+
+
+def _vec_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    sq = _sq8_for(spark, sf_dir)
+    return SIM.sq8_knn(emb, sq, "embedding", QUERY_VEC, k=10, metric="cosine")
+
+
+# The SQ8 oracle computes the train stats (per-dim min/max) IN SQL so the
+# same string is valid at every scale factor; the Spark side trains the
+# identical stats from the same table, so the decoded vectors agree exactly.
+_SQ8_ORACLE = f"""
+WITH dims AS (
+  SELECT i, min(e::DOUBLE) AS mn, max(e::DOUBLE) AS mx
+  FROM (SELECT unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY i
+),
+stats AS (
+  SELECT list(mn ORDER BY i) AS mins,
+         list(CASE WHEN mx - mn = 0 THEN 1.0 ELSE mx - mn END ORDER BY i) AS scales
+  FROM dims
+),
+decoded AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding) + 1), i ->
+      mins[i] + greatest(least(floor(255.0 * (embedding[i]::DOUBLE - mins[i])
+        / scales[i] + 0.5), 255.0), 0.0) * scales[i] / 255.0) AS d
+  FROM embeddings, stats
+)
+SELECT vec_id,
+  round({V.duckdb_cosine_distance("d", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS distance
+FROM decoded ORDER BY distance, vec_id LIMIT 10
+"""
+
+
+_register("vec_sq8_knn", _vec_sq8_knn, _SQ8_ORACLE)
+
+
 def _vec_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid text+vector (reference demo4 Q3): docs matching a term, ranked
     by embedding distance (doc_id ↔ vec_id share the id space)."""
@@ -996,6 +1049,67 @@ SELECT vec_id,
 FROM embeddings JOIN m ON m.doc_id = embeddings.vec_id
 ORDER BY distance, vec_id LIMIT 10
 """)
+
+
+# --------------------------------------------------------------------------
+# 5. geo predicates (cell prefilter + exact haversine; SURVEY §2.3 geo row)
+# --------------------------------------------------------------------------
+
+_GEO_Q = (37.5, 11.5, 400_000.0)  # query point + radius (m)
+
+
+def _geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.functions import geo as G
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    lat, lon, r = _GEO_Q
+    return G.radius_search(pts, lat, lon, r).orderBy("point_id")
+
+
+def _geo_oracle() -> str:
+    from serenedb_spark.functions import geo as G
+
+    lat, lon, r = _GEO_Q
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id"
+    )
+    dist = G.duckdb_haversine_m("lat", "lon", str(lat), str(lon))
+    # the oracle runs the exact check with NO cell prefilter — equality
+    # proves the covering lossless
+    return f"""
+SELECT point_id, round({dist}, 1) AS dist_m
+FROM ({pts})
+WHERE round({dist}, 1) < {r}
+ORDER BY point_id
+"""
+
+
+_register("geo_radius_search", _geo_radius, _geo_oracle())
+
+
+def _geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.functions import geo as G
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    return G.bbox_contains(pts, 10.0, 30.0, -50.0, 0.0).orderBy("point_id")
+
+
+def _geo_bbox_oracle() -> str:
+    from serenedb_spark.functions import geo as G
+
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id"
+    )
+    return f"""
+SELECT point_id, lat, lon FROM ({pts})
+WHERE lat >= 10.0 AND lat <= 30.0 AND lon >= -50.0 AND lon <= 0.0
+ORDER BY point_id
+"""
+
+
+_register("geo_bbox_contains", _geo_bbox, _geo_bbox_oracle())
 
 
 # --------------------------------------------------------------------------
