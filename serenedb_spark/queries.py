@@ -477,6 +477,46 @@ ORDER BY p_partkey, measure
 """,
 )
 
+# QUALIFY: DuckDB native; Spark via the dialect shim (plans/dialect.py)
+_QUALIFY_SQL = """
+SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS price
+FROM orders JOIN customer ON c_custkey = o_custkey
+QUALIFY row_number() OVER (
+  PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey
+) <= 2
+ORDER BY c_mktsegment, price DESC, o_orderkey
+"""
+
+
+def _qualify_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans.dialect import sql_compat
+
+    load_tables(spark, sf_dir)
+    return sql_compat(spark, _QUALIFY_SQL)
+
+
+_register("qualify_topn", _qualify_fn, _QUALIFY_SQL)
+
+# PIVOT statement: Spark SQL PIVOT vs DuckDB PIVOT (dialects differ)
+_sql(
+    "pivot_statement",
+    """
+SELECT * FROM (
+  SELECT o_orderpriority, o_orderstatus FROM orders
+) PIVOT (count(*) FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS p))
+ORDER BY o_orderpriority
+""",
+    """
+SELECT o_orderpriority,
+  count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+  count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+  count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+
 _sql(
     "events_json_extract",
     """
