@@ -116,11 +116,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 _IDX_CACHE: dict[tuple[int, str], InvertedIndex] = {}
 
 
-def doc_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
-    key = (id(spark), sf_dir)
+def doc_index(spark: SparkSession, sf_dir: str,
+              analyzer: str = "simple") -> InvertedIndex:
+    key = (id(spark), sf_dir, analyzer)
     if key not in _IDX_CACHE:
         docs = load_tables(spark, sf_dir)["documents"]
-        idx = build_index(docs, {"text": "simple"}, key="doc_id", name="documents")
+        idx = build_index(docs, {"text": analyzer}, key="doc_id",
+                          name="documents")
         for part in (idx.postings, idx.docstore, idx.term_stats,
                      idx.doc_stats, idx.globals_, idx.universe):
             part.persist()
@@ -202,6 +204,66 @@ JOIN lineitem ON l_orderkey = o_orderkey
 GROUP BY c_custkey, c_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
+""")
+
+_sql("tpch_q12_priority_buckets", """
+SELECT l_linestatus,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""")
+
+_sql("tpch_q14_promo_share", """
+SELECT CAST(round(
+    100.00 * sum(CASE WHEN p_type = 'PROMO'
+      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      ELSE 0 END)
+    / sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))),
+  4) AS DOUBLE) AS promo_revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+""")
+
+_sql("tpch_q16_part_supplier_counts", """
+SELECT p_brand, p_type, p_size,
+  count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (5, 10, 15, 20, 25)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 40
+""")
+
+_sql("tpch_q18_large_orders", """
+SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY c_custkey, o_orderkey, o_orderdate
+HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 30
+""")
+
+_sql("tpch_q7_nation_flows", """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  extract(year FROM o_orderdate) AS l_year,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2') AND cn.n_name IN ('NATION_1', 'NATION_2')
+GROUP BY sn.n_name, cn.n_name, extract(year FROM o_orderdate)
+ORDER BY supp_nation, cust_nation, l_year
 """)
 
 _sql("exists_semi_join", """
@@ -617,6 +679,24 @@ _fts_scored("fts_tfidf_topk", q.AllOf(["data", "join"]), "tfidf", 15)
 _fts_scored("fts_lm_dirichlet_topk",
             q.AnyOf(["vector", "stream", "batch"]), "lm_dirichlet", 15)
 _fts_scored("fts_raw_tf", q.Term("merge"), "raw_tf", 15)
+
+
+# substring/code search over an ngram3 index (reference demo6 scheme)
+def _fts_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators.code_search import substring_search
+
+    idx = doc_index(spark, sf_dir, analyzer="ngram3")
+    return substring_search(idx, "text", "ark ba").orderBy("doc_id")
+
+
+def _register_substring() -> None:
+    from serenedb_spark.operators.code_search import duckdb_substring_sql
+
+    _register("fts_substring_search", _fts_substring,
+              duckdb_substring_sql(_DOC_TABLE, _DOC_COL, "ark ba"))
+
+
+_register_substring()
 
 
 # offsets + highlight over the matched set (late materialization:
