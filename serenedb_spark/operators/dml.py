@@ -1,0 +1,89 @@
+"""Relational DML as DataFrame transforms — INSERT ON CONFLICT / MERGE
+INTO / UPDATE FROM / DELETE on managed tables.
+
+Reference: DuckDB-inherited DML surface proven by serenedb's tests
+(any/pg/simple/{basic_dml,insert_conflict,update_pk}.test,
+site_docs/sql/statements/merge_into/). Spark has no in-place update for
+plain parquet tables; the engine's shape is the Delta-style REWRITE: each
+DML op is a pure function old_state → new_state, committed by writing the
+result (partition-scoped at scale — only partitions containing touched
+keys rewrite).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key: str,
+    when_matched_update: dict[str, Column] | None = None,
+    when_not_matched_insert: bool = True,
+    when_matched_delete: Column | None = None,
+) -> DataFrame:
+    """MERGE INTO target USING source ON target.key = source.key.
+
+    * matched + delete-condition → row dropped
+    * matched → columns replaced per `when_matched_update` (default: all
+      source columns win)
+    * not matched → source row inserted (if enabled)
+
+    Returns the new table state (same schema as target).
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    joined = t.join(s, F.col(f"t.{key}") == F.col(f"s.{key}"), "full_outer")
+
+    has_t = F.col(f"t.{key}").isNotNull()
+    has_s = F.col(f"s.{key}").isNotNull()
+
+    out_cols = []
+    for c in target.columns:
+        src = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+        if when_matched_update is not None and c in when_matched_update:
+            upd = when_matched_update[c]
+        elif when_matched_update is None:
+            upd = src
+        else:
+            upd = F.col(f"t.{c}")
+        val = (
+            F.when(has_t & has_s, upd)
+            .when(has_t, F.col(f"t.{c}"))
+            .otherwise(src if when_not_matched_insert else F.lit(None))
+        )
+        out_cols.append(val.alias(c))
+
+    keep = F.lit(True)
+    if when_matched_delete is not None:
+        keep = ~(has_t & has_s & when_matched_delete)
+    if not when_not_matched_insert:
+        keep = keep & (has_t | ~has_s)
+
+    return joined.where(keep).select(*out_cols)
+
+
+def upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """INSERT ... ON CONFLICT DO UPDATE (insert_conflict.test): source rows
+    replace same-key target rows, new keys append."""
+    return merge_into(target, source, key)
+
+
+def update_where(
+    target: DataFrame, cond: Column, assignments: dict[str, Column]
+) -> DataFrame:
+    """UPDATE target SET col=expr WHERE cond."""
+    cols = [
+        F.when(cond, assignments[c]).otherwise(F.col(c)).alias(c)
+        if c in assignments else F.col(c)
+        for c in target.columns
+    ]
+    return target.select(*cols)
+
+
+def delete_where(target: DataFrame, cond: Column) -> DataFrame:
+    """DELETE FROM target WHERE cond (NULL-safe: NULL cond keeps the row,
+    matching SQL DELETE's 3VL)."""
+    return target.where(~F.coalesce(cond, F.lit(False)))

@@ -598,6 +598,56 @@ ORDER BY k_mod
 )
 
 
+# MERGE INTO: upsert new + changed suppliers into the supplier table, show
+# the resulting state (the Delta-style rewrite as a pure transform)
+def _merge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators.dml import merge_into
+
+    sup = load_tables(spark, sf_dir)["supplier"]
+    source = sup.where(F.col("s_suppkey") <= 5).select(
+        "s_suppkey",
+        F.concat(F.lit("UPDATED_"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+        (F.col("s_acctbal") + 1000).alias("s_acctbal"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(900001, "NEW_SUPP_1", 0, 123.45), (900002, "NEW_SUPP_2", 1, 678.9)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        )
+    )
+    merged = merge_into(sup, source, "s_suppkey",
+                        when_matched_delete=F.col("s.s_nationkey") == 24)
+    return merged.select(
+        "s_suppkey", "s_name", "s_nationkey",
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    ).orderBy("s_suppkey")
+
+
+_register("dml_merge_into", _merge_demo, """
+WITH source AS (
+  SELECT s_suppkey, 'UPDATED_' || s_name AS s_name, s_nationkey,
+         s_acctbal + 1000 AS s_acctbal
+  FROM supplier WHERE s_suppkey <= 5
+  UNION ALL
+  SELECT * FROM (VALUES (900001, 'NEW_SUPP_1', 0, 123.45),
+                        (900002, 'NEW_SUPP_2', 1, 678.9))
+    v(s_suppkey, s_name, s_nationkey, s_acctbal)
+)
+SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal, 2) AS s_acctbal
+FROM (
+  SELECT coalesce(s.s_suppkey, t.s_suppkey) AS s_suppkey,
+         coalesce(s.s_name, t.s_name) AS s_name,
+         coalesce(s.s_nationkey, t.s_nationkey) AS s_nationkey,
+         coalesce(s.s_acctbal, t.s_acctbal) AS s_acctbal,
+         (t.s_suppkey IS NOT NULL AND s.s_suppkey IS NOT NULL
+          AND s.s_nationkey = 24) AS drop_row
+  FROM supplier t FULL JOIN source s ON t.s_suppkey = s.s_suppkey
+)
+WHERE NOT drop_row
+ORDER BY s_suppkey
+""")
+
+
 # --------------------------------------------------------------------------
 # 2. full-text search (SURVEY §2.3) — engine vs naive-scan oracle
 # --------------------------------------------------------------------------
@@ -1149,6 +1199,25 @@ FROM decoded ORDER BY distance, vec_id LIMIT 10
 
 
 _register("vec_sq8_knn", _vec_sq8_knn, _SQ8_ORACLE)
+
+
+def _vec_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return DD.embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+_register("embedding_dup_pairs", _vec_dup_pairs, f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round({V.duckdb_inner_product("a.embedding", "b.embedding")}
+    / ({V.duckdb_l2_norm("a.embedding")} * {V.duckdb_l2_norm("b.embedding")}), 6)
+  AS cosine_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({V.duckdb_inner_product("a.embedding", "b.embedding")}
+    / ({V.duckdb_l2_norm("a.embedding")} * {V.duckdb_l2_norm("b.embedding")}), 6) >= 0.9
+ORDER BY id_a, id_b
+""")
 
 
 def _vec_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,92 @@
+"""Vector-operator semantics beyond the oracle gate: IVF recall vs exact,
+radius ≡ filter, SQ8 error bounds, ai_embed determinism, ES bulk ingest
+round-trip into a searchable table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serenedb_spark import queries as Q
+from serenedb_spark.operators import similarity as SIM
+from tests.conftest import SF_DIR
+
+QV = Q.QUERY_VEC
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").persist()
+
+
+def test_ivf_recall(spark, emb):
+    exact = [r.vec_id for r in SIM.knn_exact(emb, "embedding", QV, k=10).collect()]
+    ivf = SIM.ivf_build(emb, "embedding", "vec_id", nlist=8, metric="cosine")
+    # probing half the lists must recover most of the exact top-10
+    got = [r.vec_id for r in SIM.ivf_search(ivf, QV, k=10, nprobe=4).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    assert recall >= 0.5, f"nprobe=4 recall {recall}"
+    # probing all lists IS exact search
+    full = [r.vec_id for r in SIM.ivf_search(ivf, QV, k=10, nprobe=8).collect()]
+    assert full == exact
+
+
+def test_radius_equals_filter(spark, emb):
+    r = SIM.radius_search(emb, "embedding", QV, radius=0.9, metric="cosine")
+    ids = {x.vec_id for x in r.collect()}
+    d = SIM.knn_exact(emb, "embedding", QV, k=10_000).where(F.col("distance") < 0.9)
+    assert ids == {x.vec_id for x in d.collect()}
+
+
+def test_sq8_error_bounded(spark, emb):
+    sq = SIM.SQ8.train(emb, "embedding")
+    from serenedb_spark.functions import vector as V
+
+    decoded = sq.decode_col(sq.encode_col(F.col("embedding")))
+    err = emb.select(
+        F.max(V.l2_distance(decoded, F.col("embedding"))).alias("e")
+    ).first().e
+    # max reconstruction error ≤ (span/510) * sqrt(dim) by construction
+    dim = len(sq.mins)
+    bound = max(
+        (mx - mn) for mn, mx in zip(sq.mins, sq.maxs)
+    ) / 510.0 * (dim ** 0.5) * 1.01
+    assert err <= bound, (err, bound)
+
+
+def test_ai_embed_deterministic(spark):
+    from serenedb_spark.functions.embedding import DIM, embed_table
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world"), (3, None)],
+        "id long, text string",
+    )
+    rows = {r.id: r.embedding for r in embed_table(df).collect()}
+    assert rows[1] == rows[2]
+    assert len(rows[1]) == DIM and all(0 <= v < 1 for v in rows[1])
+    assert len(rows[3]) == DIM  # NULL text embeds as empty string
+
+
+def test_es_bulk_ingest_searchable(spark):
+    from serenedb_spark.operators.maintenance import SearchTable
+    from serenedb_spark.plans import tsquery as q
+    from serenedb_spark.plans.planner import compile_query
+    from serenedb_spark.sources.es_bulk import es_bulk, project_source
+
+    payload = "\n".join([
+        '{"index": {"_index": "docs", "_id": "1"}}',
+        '{"text": "spark streaming joins", "n": 1}',
+        '{"index": {"_index": "docs", "_id": "2"}}',
+        '{"text": "batch analytics", "n": 2}',
+    ])
+    bulk = es_bulk(spark, payload)
+    typed = project_source(bulk, "text string, n int").select(
+        F.col("_id").alias("doc_id"), "text"
+    )
+    st = SearchTable(typed.limit(0), {"text": "simple"}, key="doc_id")
+    st.insert(typed)
+    hits = {
+        r.doc_id
+        for r in compile_query(st.index(), "text", q.Term("spark")).doc_ids.collect()
+    }
+    assert hits == {"1"}
