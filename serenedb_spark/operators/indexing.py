@@ -162,14 +162,38 @@ def build_index(
     )
 
 
-def save_index(idx: InvertedIndex, path: str) -> None:
-    """Persist the index layout: postings bucketed by term (co-located posting
-    lists → pruned, shuffle-free term lookups), docstore by doc_id."""
-    idx.postings.repartition(DEFAULT_TERM_BUCKETS, "term").write.mode(
-        "overwrite"
-    ).parquet(f"{path}/postings")
-    idx.docstore.repartition("doc_id").write.mode("overwrite").parquet(
-        f"{path}/docstore"
+def term_bucket(term, n_buckets: int = DEFAULT_TERM_BUCKETS):
+    """Deterministic term → bucket id (crc32-based, reproducible from
+    Python for query-time pruning)."""
+    return F.abs(F.crc32(term.cast("string"))) % n_buckets
+
+
+def py_term_bucket(term: str, n_buckets: int = DEFAULT_TERM_BUCKETS) -> int:
+    import zlib
+
+    return abs(zlib.crc32(term.encode())) % n_buckets
+
+
+def save_index(idx: InvertedIndex, path: str,
+               n_buckets: int = DEFAULT_TERM_BUCKETS) -> None:
+    """Persist the index layout with PARTITION PRUNING on term buckets:
+    postings land under ``postings/bucket=<crc32(term)%N>/``, so a query
+    for k terms reads at most k of N directories — the 100 TB discipline:
+    the corpus-wide posting store is never scanned, only the claimed
+    buckets (reference: per-term posting lists in IResearch segments).
+    Docstore is doc_id-sorted for min/max skipping on the late-
+    materialization join."""
+    (
+        idx.postings.withColumn("bucket", term_bucket(F.col("term"), n_buckets))
+        .repartition("bucket")
+        .write.mode("overwrite").partitionBy("bucket")
+        .parquet(f"{path}/postings")
+    )
+    (
+        idx.docstore.repartition(max(idx.docstore.sparkSession.sparkContext
+                                     .defaultParallelism, 1), "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").parquet(f"{path}/docstore")
     )
     idx.term_stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/term_stats")
     idx.doc_stats.write.mode("overwrite").parquet(f"{path}/doc_stats")

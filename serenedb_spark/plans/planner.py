@@ -49,6 +49,20 @@ def _postings(idx: InvertedIndex, field: str) -> DataFrame:
     return idx.postings.where(F.col("field") == field)
 
 
+def _postings_for_terms(idx: InvertedIndex, field: str, terms: list[str]) -> DataFrame:
+    """Term-filtered postings; when the index was saved with term buckets
+    (save_index partitionBy), add the bucket predicate so the scan touches
+    at most |terms| of N partition directories (partition pruning — the
+    100 TB path)."""
+    P = _postings(idx, field).where(F.col("term").isin(terms))
+    if "bucket" in idx.postings.columns:
+        from serenedb_spark.operators.indexing import py_term_bucket
+
+        buckets = sorted({py_term_bucket(t) for t in terms})
+        P = P.where(F.col("bucket").isin(buckets))
+    return P
+
+
 def _terms_df(idx: InvertedIndex, terms: list[str]) -> DataFrame:
     spark = idx.postings.sparkSession
     return spark.createDataFrame([(t,) for t in terms], "term string")
@@ -119,7 +133,7 @@ def compile_query(
     P = _postings(idx, field)
 
     if isinstance(node, q.Term):
-        docs = P.where(F.col("term") == node.term).select("doc_id")
+        docs = _postings_for_terms(idx, field, [node.term]).select("doc_id")
         terms = _terms_df(idx, [node.term]).withColumn("boost", F.lit(boost))
         return CompiledQuery(docs, terms)
 
@@ -129,11 +143,12 @@ def compile_query(
             # pure disjunction: distinct is one exchange; the
             # count-distinct aggregate would be two
             docs = (
-                P.where(F.col("term").isin(terms)).select("doc_id").distinct()
+                _postings_for_terms(idx, field, terms)
+                .select("doc_id").distinct()
             )
         else:
             docs = (
-                P.where(F.col("term").isin(terms))
+                _postings_for_terms(idx, field, terms)
                 .groupBy("doc_id")
                 .agg(F.count_distinct("term").alias("m"))
                 .where(F.col("m") >= node.min_match)
@@ -145,7 +160,7 @@ def compile_query(
     if isinstance(node, q.AllOf):
         terms = list(dict.fromkeys(node.terms))
         docs = (
-            P.where(F.col("term").isin(terms))
+            _postings_for_terms(idx, field, terms)
             .groupBy("doc_id")
             .agg(F.count_distinct("term").alias("m"))
             .where(F.col("m") >= len(terms))
@@ -176,7 +191,7 @@ def compile_query(
         grams = list(dict.fromkeys(an.tokens(node.text)))
         need = math.ceil(node.threshold * len(grams))
         docs = (
-            P.where(F.col("term").isin(grams))
+            _postings_for_terms(idx, field, grams)
             .groupBy("doc_id")
             .agg(F.count_distinct("term").alias("m"))
             .where(F.col("m") >= need)
@@ -284,12 +299,12 @@ def _compile_phrase(idx: InvertedIndex, field: str, ph: q.Phrase) -> DataFrame:
     P = _postings(idx, field)
     words = ph.words
     if len(words) == 1:
-        return P.where(F.col("term") == words[0]).select("doc_id")
+        return _postings_for_terms(idx, field, [words[0]]).select("doc_id")
 
     joined = None
     for i, w in enumerate(words):
         part = (
-            P.where(F.col("term") == w)
+            _postings_for_terms(idx, field, [w])
             .select("doc_id", F.col("positions").alias(f"pos{i}"))
         )
         joined = part if joined is None else joined.join(part, "doc_id")

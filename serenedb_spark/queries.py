@@ -833,6 +833,23 @@ _register(
 )
 
 
+def _fts_facets_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    return FC.ts_dict_minmax(idx, _DOC_COL)
+
+
+_register("fts_dict_minmax", _fts_facets_minmax, """
+WITH tok AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '')) AS term
+  FROM documents
+),
+td AS (SELECT term FROM tok GROUP BY term)
+SELECT min(term) AS term_min, max(term) AS term_max, count(*) AS n_terms
+FROM td
+""")
+
+
 def _fts_facets_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     docs = compile_query(idx, _DOC_COL, q.Term("dup")).doc_ids

@@ -147,3 +147,55 @@ class SereneSession:
         if limit is not None:
             out = out.limit(limit)
         return out
+
+    # ---- the wider operator surface (one facade, reference §3 lifecycle) --
+    def es_search(self, idx: InvertedIndex, body: dict, **kw) -> DataFrame:
+        """ES query-DSL search (the /{index}/_search route)."""
+        from serenedb_spark.plans.es_dsl import es_search as _es
+
+        return _es(idx, body, **kw)
+
+    def facets(self, idx: InvertedIndex, field: str | None = None,
+               top_n: int | None = None) -> DataFrame:
+        """ts_dict_* term-dictionary aggregates."""
+        from serenedb_spark.operators import facets as FC
+
+        if top_n is not None:
+            return FC.ts_dict_top(idx, top_n, field)
+        return FC.ts_dict(idx, field)
+
+    def knn(self, table: str | DataFrame, vec_col: str, query_vec,
+            k: int = 10, metric: str = "cosine", id_col: str = "vec_id") -> DataFrame:
+        from serenedb_spark.operators.similarity import knn_exact
+
+        df = self.table(table) if isinstance(table, str) else table
+        return knn_exact(df, vec_col, query_vec, k=k, metric=metric,
+                         id_col=id_col)
+
+    def dedup(self, table: str | DataFrame, method: str = "exact",
+              text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
+        from serenedb_spark.operators import dedup as DD
+
+        df = self.table(table) if isinstance(table, str) else table
+        if method == "exact":
+            return DD.exact_dedup_keep(df, text_col, id_col)
+        if method == "minhash":
+            return DD.minhash_lsh_pairs(df, text_col, id_col, **kw)
+        if method == "jaccard":
+            return DD.jaccard_pairs(df, text_col, id_col, **kw)
+        if method == "simhash":
+            return DD.simhash_dedup(df, text_col, id_col, **kw)
+        raise ValueError(f"unknown dedup method {method!r}")
+
+    def search_table(self, table: str | DataFrame, fields: dict[str, str],
+                     key: str = "doc_id"):
+        """A DML-capable indexed table (the `storage='search'` engine)."""
+        from serenedb_spark.operators.maintenance import SearchTable
+
+        df = self.table(table) if isinstance(table, str) else table
+        return SearchTable(df, fields, key=key)
+
+    def describe(self, table: str | DataFrame) -> DataFrame:
+        """SUMMARIZE/DESCRIBE analogue."""
+        df = self.table(table) if isinstance(table, str) else table
+        return df.summary()
