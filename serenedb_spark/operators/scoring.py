@@ -74,6 +74,28 @@ def _lm_dirichlet_contrib(mu: float, n_query_terms: Column) -> Column:
     return F.col("boost") * F.greatest(per_term + dl_penalty, F.lit(0.0))
 
 
+def _lm_jm_contrib(lam: float) -> Column:
+    """Jelinek-Mercer smoothing (reference lm_jm scorer,
+    libs/iresearch/search/lm_jelinek_mercer): per-term
+    ln(1 + ((1-λ)·tf/dl) / (λ·ctf/total_dl))."""
+    p_d = F.col("freq") / F.col("dl")
+    p_c = F.col("ctf") / F.col("total_dl")
+    return F.col("boost") * F.log(
+        F.lit(1.0) + (F.lit(1.0 - lam) * p_d) / (F.lit(lam) * p_c)
+    )
+
+
+def _dfi_contrib() -> Column:
+    """Divergence From Independence (reference dfi scorer): expected freq
+    e = ctf·dl/total_dl; contribution ln(1 + (tf − e)/sqrt(e)) when tf > e,
+    else 0 (standardized DFI, chi-squared normalization)."""
+    e = F.col("ctf") * F.col("dl") / F.col("total_dl")
+    dev = (F.col("freq") - e) / F.sqrt(e)
+    return F.col("boost") * F.when(
+        F.col("freq") > e, F.log(F.lit(1.0) + dev)
+    ).otherwise(F.lit(0.0))
+
+
 def score(
     idx: InvertedIndex,
     field: str,
@@ -93,6 +115,10 @@ def score(
         contrib = _lm_dirichlet_contrib(
             params.get("mu", 2000.0), F.lit(float(n_terms))
         )
+    elif scorer == "lm_jm":
+        contrib = _lm_jm_contrib(params.get("lam", 0.3))
+    elif scorer == "dfi":
+        contrib = _dfi_contrib()
     elif scorer == "raw_tf":
         contrib = F.col("boost") * F.col("freq")
     else:

@@ -250,6 +250,15 @@ _SCORE_EXPRS = {
         "greatest(ln(1.0 + p.freq / ({mu} * (s.ctf / g.total_dl)))"
         " + ln({mu} / (d.dl + {mu})) / (SELECT count(*) FROM qterms), 0.0)"
     ),
+    "lm_jm": (
+        "ln(1.0 + ((1.0 - {lam}) * (p.freq / d.dl))"
+        " / ({lam} * (s.ctf / g.total_dl)))"
+    ),
+    "dfi": (
+        "CASE WHEN p.freq > s.ctf * d.dl / g.total_dl THEN"
+        " ln(1.0 + (p.freq - s.ctf * d.dl / g.total_dl)"
+        " / sqrt(s.ctf * d.dl / g.total_dl)) ELSE 0.0 END"
+    ),
 }
 
 
@@ -289,6 +298,7 @@ def scored_sql(
     k1: float = 1.2,
     b: float = 0.75,
     mu: float = 2000.0,
+    lam: float = 0.3,
 ) -> str:
     """Full DuckDB query mirroring SereneSession.search(): matched docs +
     rounded score, ordered by (score desc, key), optional LIMIT."""
@@ -301,7 +311,7 @@ def scored_sql(
     )
     qterms = _qterms_sql(node, an)
     score_expr = _SCORE_EXPRS[scorer].format(
-        k1=k1, b=b, k1_plus_1=k1 + 1.0, mu=mu
+        k1=k1, b=b, k1_plus_1=k1 + 1.0, mu=mu, lam=lam
     )
     limit = f" LIMIT {k}" if k is not None else ""
     return f"""

@@ -729,6 +729,8 @@ _fts_scored("fts_tfidf_topk", q.AllOf(["data", "join"]), "tfidf", 15)
 _fts_scored("fts_lm_dirichlet_topk",
             q.AnyOf(["vector", "stream", "batch"]), "lm_dirichlet", 15)
 _fts_scored("fts_raw_tf", q.Term("merge"), "raw_tf", 15)
+_fts_scored("fts_lm_jm_topk", q.AnyOf(["table", "scan"]), "lm_jm", 15)
+_fts_scored("fts_dfi_topk", q.AnyOf(["group", "query"]), "dfi", 15)
 
 
 # substring/code search over an ngram3 index (reference demo6 scheme)
