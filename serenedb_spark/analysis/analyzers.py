@@ -309,3 +309,72 @@ _e, _p, _d = _path_hierarchy("/")
 register(Analyzer("path_hierarchy", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _edge_ngram(2, 6)
 register(Analyzer("edge_ngram", _e, _p, _d, features=("frequency",)))
+
+
+def make_synonyms(name: str, mapping: dict[str, tuple[str, ...]],
+                  base: str = "simple") -> Analyzer:
+    """Synonym expansion over a base tokenizer (reference solr_synonyms /
+    wordnet_synonyms templates, create_tsdictionary.cpp:561-578): each
+    token expands to itself + its synonyms, in mapping order."""
+    b = get_analyzer(base)
+    items = sorted(mapping.items())
+
+    def expr(col: Column) -> Column:
+        toks = b.expr(col)
+        out = F.transform(toks, lambda t: F.array(t))
+        for w, syns in items:
+            add = F.array(*[F.lit(s) for s in syns])
+            out = F.zip_with(
+                out, toks,
+                lambda acc, t: F.when(t == F.lit(w), F.concat(acc, add))
+                .otherwise(acc),
+            )
+        return F.flatten(out)
+
+    def py(s: str) -> list[str]:
+        out = []
+        for t in b.tokens(s):
+            out.append(t)
+            out.extend(mapping.get(t, ()))
+        return out
+
+    def duck(e: str) -> str:
+        inner = b.duckdb(e)
+        cell = "[t]"
+        for w, syns in items:
+            lits = ", ".join("'" + s.replace("'", "''") + "'" for s in syns)
+            cell = f"CASE WHEN t = '{w}' THEN {cell} || [{lits}] ELSE {cell} END"
+        return f"flatten(list_transform({inner}, t -> {cell}))"
+
+    return register(Analyzer(name, expr, py, duck, features=("frequency",)))
+
+
+def make_union(name: str, parts: tuple[str, ...]) -> Analyzer:
+    """`union` template (create_tsdictionary.cpp:697): run several
+    analyzers, concatenate their token streams."""
+    ans = [get_analyzer(p) for p in parts]
+
+    def expr(col: Column) -> Column:
+        out = ans[0].expr(col)
+        for a in ans[1:]:
+            out = F.concat(out, a.expr(col))
+        return out
+
+    def py(s: str) -> list[str]:
+        out = []
+        for a in ans:
+            out.extend(a.tokens(s))
+        return out
+
+    def duck(e: str) -> str:
+        return " || ".join(a.duckdb(e) for a in ans)
+
+    return register(Analyzer(name, expr, py, duck, features=("frequency",)))
+
+
+# a worked example mirroring the reference's synonym demo shape
+make_synonyms("synonyms_demo", {
+    "fast": ("quick", "rapid"),
+    "big": ("large",),
+})
+make_union("union_demo", ("simple", "ngram3"))

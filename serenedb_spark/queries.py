@@ -733,6 +733,17 @@ _fts_scored("fts_lm_jm_topk", q.AnyOf(["table", "scan"]), "lm_jm", 15)
 _fts_scored("fts_dfi_topk", q.AnyOf(["group", "query"]), "dfi", 15)
 
 
+# synonym-expanded index: querying 'quick' must hit docs saying 'fast'
+def _fts_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir, analyzer="synonyms_demo")
+    return compile_query(idx, _DOC_COL, q.Term("quick")).doc_ids.orderBy("doc_id")
+
+
+_register("fts_synonyms", _fts_synonyms,
+          O.match_sql(_DOC_TABLE, _DOC_COL, "synonyms_demo", q.Term("quick"),
+                      order="doc_id"))
+
+
 # substring/code search over an ngram3 index (reference demo6 scheme)
 def _fts_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serenedb_spark.operators.code_search import substring_search
