@@ -44,7 +44,13 @@ HEADLINE = [
     "text_quality",
     "text_lang_id",
     "vec_knn_cosine",
+    "vec_sq8_knn",
     "vec_hybrid_search",
+    "geo_radius_search",
+    "qualify_topn",
+    "dml_merge_into",
+    "mm_decode_meta",
+    "fts_substring_search",
 ]
 
 

@@ -119,8 +119,21 @@ def score(
         contrib = _lm_jm_contrib(params.get("lam", 0.3))
     elif scorer == "dfi":
         contrib = _dfi_contrib()
+    elif scorer == "indri_dirichlet":
+        # Indri's variant: log of the smoothed probability itself
+        # (no reference-length normalization), always negative
+        mu = params.get("mu", 2000.0)
+        p_c = F.col("ctf") / F.col("total_dl")
+        contrib = F.col("boost") * F.log(
+            (F.col("freq") + F.lit(mu) * p_c) / (F.col("dl") + F.lit(mu))
+        )
     elif scorer == "raw_tf":
         contrib = F.col("boost") * F.col("freq")
+    elif scorer == "raw_dl":
+        contrib = F.col("dl").cast("double")
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
-    return base.groupBy("doc_id").agg(F.sum(contrib).alias("score"))
+    # raw_dl is a per-doc property, not a per-term contribution: max == the
+    # value; every other scorer sums term contributions
+    agg = F.max(contrib) if scorer == "raw_dl" else F.sum(contrib)
+    return base.groupBy("doc_id").agg(agg.alias("score"))

@@ -164,14 +164,18 @@ class SQ8:
 
     @classmethod
     def train(cls, df: DataFrame, vec_col: str = "embedding") -> "SQ8":
-        dim = len(df.select(vec_col).first()[0])
-        aggs = []
-        for i in range(dim):
-            e = F.element_at(F.col(vec_col), i + 1).cast("double")
-            aggs += [F.min(e).alias(f"mn{i}"), F.max(e).alias(f"mx{i}")]
-        row = df.agg(*aggs).first()
-        return cls([row[f"mn{i}"] for i in range(dim)],
-                   [row[f"mx{i}"] for i in range(dim)])
+        # posexplode → per-dimension min/max: one small aggregation plan
+        # (a per-dim expression list would be 2×dim aggregates and blow up
+        # codegen compile time)
+        rows = (
+            df.select(F.posexplode(F.col(vec_col)).alias("i", "v"))
+            .groupBy("i")
+            .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                 F.max(F.col("v").cast("double")).alias("mx"))
+            .orderBy("i")
+            .collect()
+        )
+        return cls([r.mn for r in rows], [r.mx for r in rows])
 
     def _scale(self, i: int) -> float:
         span = self.maxs[i] - self.mins[i]
@@ -196,6 +200,24 @@ class SQ8:
             for i in range(len(self.mins))
         ]
         return F.array(*vals)
+
+    def requantize_col(self, vec: Column) -> Column:
+        """encode+decode fused as three zip_with HOFs — a constant-size
+        expression tree regardless of dim (the per-element form compiles
+        2×dim codegen branches and dominates query time)."""
+        mins = F.array(*[F.lit(float(m)) for m in self.mins])
+        scales = F.array(*[F.lit(float(self._scale(i)))
+                           for i in range(len(self.mins))])
+        shifted = F.zip_with(vec, mins, lambda v, mn: v.cast("double") - mn)
+        coded_scaled = F.zip_with(
+            shifted, scales,
+            lambda d, sc: F.greatest(
+                F.least(F.floor(F.lit(255.0) * d / sc + F.lit(0.5)),
+                        F.lit(255.0)),
+                F.lit(0.0),
+            ) * sc / F.lit(255.0),
+        )
+        return F.zip_with(coded_scaled, mins, lambda c, mn: mn + c)
 
     def duckdb_decode(self, vec_sql: str) -> str:
         """Encode+decode in one SQL expression (mirrors encode_col →
@@ -223,7 +245,7 @@ def sq8_knn(
 ) -> DataFrame:
     """Quantized kNN: distances over decoded SQ8 vectors (what an SQ8 IVF
     scan computes before optional exact re-rank)."""
-    decoded = sq.decode_col(sq.encode_col(F.col(vec_col)))
+    decoded = sq.requantize_col(F.col(vec_col))
     dist = V.DISTANCES[metric](decoded, V.lit_vector(query_vec))
     if round_to is not None:
         dist = F.round(dist, round_to)

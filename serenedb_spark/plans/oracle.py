@@ -259,6 +259,10 @@ _SCORE_EXPRS = {
         " ln(1.0 + (p.freq - s.ctf * d.dl / g.total_dl)"
         " / sqrt(s.ctf * d.dl / g.total_dl)) ELSE 0.0 END"
     ),
+    "indri_dirichlet": (
+        "ln((p.freq + {mu} * (s.ctf / g.total_dl)) / (d.dl + {mu}))"
+    ),
+    "raw_dl": "d.dl",
 }
 
 
@@ -313,6 +317,7 @@ def scored_sql(
     score_expr = _SCORE_EXPRS[scorer].format(
         k1=k1, b=b, k1_plus_1=k1 + 1.0, mu=mu, lam=lam
     )
+    agg_fn = "max" if scorer == "raw_dl" else "sum"
     limit = f" LIMIT {k}" if k is not None else ""
     return f"""
 WITH base AS (SELECT *, {toks_expr} AS toks FROM {table}),
@@ -327,7 +332,7 @@ g AS (SELECT count(*) AS n_docs,
 qterms AS ({qterms}),
 matched AS (SELECT {key} AS doc_id FROM base WHERE toks IS NOT NULL AND ({frag})),
 contrib AS (
-  SELECT p.doc_id, sum(({score_expr}) * q.boost) AS raw_score
+  SELECT p.doc_id, {agg_fn}(({score_expr}) * q.boost) AS raw_score
   FROM postings p
   JOIN qterms q USING (term)
   JOIN tstats s USING (term)

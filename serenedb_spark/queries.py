@@ -731,6 +731,8 @@ _fts_scored("fts_lm_dirichlet_topk",
 _fts_scored("fts_raw_tf", q.Term("merge"), "raw_tf", 15)
 _fts_scored("fts_lm_jm_topk", q.AnyOf(["table", "scan"]), "lm_jm", 15)
 _fts_scored("fts_dfi_topk", q.AnyOf(["group", "query"]), "dfi", 15)
+_fts_scored("fts_indri_topk", q.AnyOf(["row", "line"]), "indri_dirichlet", 15)
+_fts_scored("fts_raw_dl", q.Term("key"), "raw_dl", 15)
 
 
 # synonym-expanded index: querying 'quick' must hit docs saying 'fast'
