@@ -129,7 +129,13 @@ def is_pure_disjunction(node: q.TSQuery) -> bool:
 def compile_query(
     idx: InvertedIndex, field: str, node: q.TSQuery, boost: float = 1.0
 ) -> CompiledQuery:
-    """Recursively compile an AST node to (doc_ids, score_terms)."""
+    """Recursively compile an AST node to (doc_ids, score_terms). The AST
+    is simplified first (plans/optimizer.py — the reference's
+    filter_optimizer pass); the rewrite is idempotent so recursive calls
+    are free."""
+    from serenedb_spark.plans.optimizer import optimize
+
+    node = optimize(node)
     P = _postings(idx, field)
 
     if isinstance(node, q.Term):
