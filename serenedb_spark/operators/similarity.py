@@ -256,6 +256,46 @@ def sq8_knn(
     )
 
 
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 60,
+    limit: int | None = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked lists (the standard hybrid
+    text+vector combiner): score = Σ 1/(k + rank_i); docs missing from a
+    list contribute 0. Inputs must carry a ``rank`` column (1-based).
+
+    Scale shape: both inputs are already top-N (small); the fusion is a
+    broadcast-sized full-outer join + sort."""
+    a = ranked_a.select(F.col(id_col), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col), F.col("rank").alias("rank_b"))
+    fused = (
+        a.join(b, id_col, "full_outer")
+        .select(
+            id_col,
+            F.round(
+                F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+                + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+                6,
+            ).alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    )
+    return fused.limit(limit) if limit is not None else fused
+
+
+def ranked(df: DataFrame, order_col: str, id_col: str = "doc_id",
+           ascending: bool = True) -> DataFrame:
+    """Attach a deterministic 1-based ``rank`` ((order_col, id) ordering)."""
+    from pyspark.sql import Window
+
+    oc = F.col(order_col) if ascending else F.col(order_col).desc()
+    w = Window.orderBy(oc, F.col(id_col))
+    return df.withColumn("rank", F.row_number().over(w))
+
+
 def hybrid_search(
     docs_with_vec: DataFrame,
     match_ids: DataFrame,

@@ -157,6 +157,57 @@ def es_search(
     )
 
 
+_METRIC_AGGS = {
+    "min": F.min, "max": F.max, "avg": F.avg, "sum": F.sum,
+    "value_count": F.count,
+    "cardinality": F.count_distinct,
+}
+
+
+def es_aggs(df: DataFrame, aggs: dict[str, Any]) -> DataFrame:
+    """ES `aggs` body over a typed DataFrame (dsl.cpp:518-556 surface):
+    one bucket agg (`terms` or `date_histogram`) with optional nested
+    metric sub-aggs, or top-level metric aggs. Returns one row per bucket
+    (or one row for pure metrics), columns named by the agg names."""
+    (name, spec), = aggs.items()
+    (kind, body) = next(iter(spec.items() if "aggs" not in spec else
+                             ((k, v) for k, v in spec.items() if k != "aggs")))
+
+    def _metrics(sub: dict[str, Any]) -> list:
+        out = []
+        for sub_name, sub_spec in sub.items():
+            (mk, mb), = sub_spec.items()
+            out.append(_METRIC_AGGS[mk](mb["field"]).alias(sub_name))
+        return out
+
+    if kind == "terms":
+        field = body["field"]
+        size = int(body.get("size", 10))
+        metrics = _metrics(spec.get("aggs", {}))
+        return (
+            df.groupBy(F.col(field).alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy(F.col("doc_count").desc(), F.col("key"))
+            .limit(size)
+        )
+
+    if kind == "date_histogram":
+        field = body["field"]
+        interval = body.get("calendar_interval", body.get("interval", "day"))
+        unit = {"1d": "day", "1h": "hour", "1M": "month"}.get(interval, interval)
+        metrics = _metrics(spec.get("aggs", {}))
+        return (
+            df.groupBy(F.date_trunc(unit, F.col(field)).alias("key"))
+            .agg(F.count(F.lit(1)).alias("doc_count"), *metrics)
+            .orderBy("key")
+        )
+
+    if kind in _METRIC_AGGS:
+        return df.agg(_METRIC_AGGS[kind](body["field"]).alias(name))
+
+    raise ValueError(f"unsupported ES aggregation kind {kind!r}")
+
+
 def es_terms_agg(idx: InvertedIndex, field: str, size: int = 10) -> DataFrame:
     """ES `terms` aggregation — the dsl.cpp:518 translation target: facets
     straight from the term dictionary (doc_count ordering, term tiebreak)."""

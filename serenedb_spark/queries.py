@@ -1004,6 +1004,26 @@ _register("text_fingerprint", _text_fingerprint,
           TS.duckdb_fingerprint_sql("documents", "text", "doc_id") + " ORDER BY doc_id")
 
 
+# the end-to-end training-data cleaning pipeline (all stages composed)
+def _pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators.pipeline import CleanConfig, clean_corpus
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    cfg = CleanConfig(languages=("en", "de"))
+    return clean_corpus(docs, cfg).select("doc_id").orderBy("doc_id")
+
+
+def _register_pipeline() -> None:
+    from serenedb_spark.operators.pipeline import CleanConfig, duckdb_clean_corpus_sql
+
+    cfg = CleanConfig(languages=("en", "de"))
+    _register("pipeline_clean_corpus", _pipeline_clean,
+              duckdb_clean_corpus_sql("documents", cfg))
+
+
+_register_pipeline()
+
+
 # --------------------------------------------------------------------------
 # 3b. multimodal columns (binary payload + mapInPandas decode stubs)
 # --------------------------------------------------------------------------
@@ -1270,6 +1290,51 @@ SELECT vec_id,
 FROM embeddings JOIN m ON m.doc_id = embeddings.vec_id
 ORDER BY distance, vec_id LIMIT 10
 """)
+
+
+def _vec_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF hybrid: BM25 top-50 text ranking fused with cosine top-50
+    vector ranking (doc_id ↔ vec_id share the id space)."""
+    tabs = load_tables(spark, sf_dir)
+    idx = doc_index(spark, sf_dir)
+    node = q.AnyOf(["spark", "stream"])
+    compiled = compile_query(idx, _DOC_COL, node)
+    s = _score(idx, _DOC_COL, compiled.score_terms, "bm25")
+    text_ranked = SIM.ranked(
+        s.select("doc_id", F.round("score", 6).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id").limit(50),
+        "score", ascending=False,
+    )
+    emb = tabs["embeddings"].withColumnRenamed("vec_id", "doc_id")
+    vec_ranked = SIM.ranked(
+        SIM.knn_exact(emb, "embedding", QUERY_VEC, k=50, id_col="doc_id"),
+        "distance", id_col="doc_id", ascending=True,
+    )
+    return SIM.rrf_fuse(text_ranked, vec_ranked, limit=15)
+
+
+def _rrf_oracle() -> str:
+    text_sql = O.scored_sql(
+        _DOC_TABLE, _DOC_COL, _DOC_AN, q.AnyOf(["spark", "stream"]),
+        scorer="bm25", k=50, round_to=6,
+    )
+    dist = V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))
+    return f"""
+WITH t AS ({text_sql}),
+tr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_a FROM t),
+v AS (SELECT vec_id AS doc_id, round({dist}, 6) AS distance
+      FROM embeddings ORDER BY distance, doc_id LIMIT 50),
+vr AS (SELECT doc_id, row_number() OVER (ORDER BY distance, doc_id) AS rank_b FROM v)
+SELECT doc_id,
+  round(coalesce(1.0 / (60 + rank_a), 0.0)
+      + coalesce(1.0 / (60 + rank_b), 0.0), 6) AS rrf_score
+FROM tr FULL JOIN vr USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT 15
+"""
+
+
+_register("vec_rrf_hybrid", _vec_rrf, _rrf_oracle())
 
 
 # --------------------------------------------------------------------------

@@ -81,6 +81,39 @@ def test_es_search_equals_direct_plan(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_es_aggs_terms_and_histogram(spark):
+    from pyspark.sql import functions as F
+
+    from serenedb_spark.plans.es_dsl import es_aggs
+    from tests.conftest import SF_DIR
+
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    )
+    got = es_aggs(ev, {"by_type": {
+        "terms": {"field": "event_type", "size": 10},
+        "aggs": {"total_value": {"sum": {"field": "value"}},
+                 "users": {"cardinality": {"field": "user_id"}}},
+    }}).collect()
+    want = {
+        r.event_type: (r.n, round(r.s, 4), r.u)
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"),
+            F.count_distinct("user_id").alias("u"),
+        ).collect()
+    }
+    assert {r.key: (r.doc_count, round(r.total_value, 4), r.users)
+            for r in got} == want
+
+    hist = es_aggs(ev, {"daily": {
+        "date_histogram": {"field": "ts", "calendar_interval": "day"},
+    }}).collect()
+    n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
+    assert len(hist) == n_days
+    assert sum(r.doc_count for r in hist) == ev.count()
+
+
 def test_es_terms_agg(spark):
     from serenedb_spark import queries as Q
     from tests.conftest import SF_DIR
