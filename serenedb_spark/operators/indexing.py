@@ -200,15 +200,49 @@ def save_index(idx: InvertedIndex, path: str,
     idx.globals_.coalesce(1).write.mode("overwrite").parquet(f"{path}/globals")
     idx.universe.write.mode("overwrite").parquet(f"{path}/universe")
 
+    # the catalog entry: schema + analyzers + layout version + a snapshot
+    # tick (reference: manifest plays server/catalog persistence +
+    # tick_domain snapshot id)
+    import json
+    import os
+    import time
+
+    manifest = {
+        "name": idx.name,
+        "fields": idx.fields,
+        "key": idx.key,
+        "n_buckets": n_buckets,
+        "layout_version": 1,
+        "tick": int(time.time() * 1000),
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2)
+
 
 def load_index(
-    spark: SparkSession, path: str, fields: dict[str, str], key: str = "doc_id",
-    name: str = "idx",
+    spark: SparkSession, path: str, fields: dict[str, str] | None = None,
+    key: str | None = None, name: str | None = None,
 ) -> InvertedIndex:
+    """Open a saved index. fields/key default from the manifest written by
+    save_index (the catalog entry, SURVEY §7 layout: manifest.json holds
+    schema + analyzers + tick)."""
+    import json
+    import os
+
+    mpath = f"{path}/manifest.json"
+    if os.path.exists(mpath):
+        with open(mpath) as f:
+            m = json.load(f)
+        fields = fields if fields is not None else m["fields"]
+        key = key if key is not None else m["key"]
+        name = name if name is not None else m["name"]
+    if fields is None:
+        raise ValueError(f"no manifest at {mpath}: pass fields= explicitly")
     return InvertedIndex(
-        name=name,
+        name=name or "idx",
         fields=dict(fields),
-        key=key,
+        key=key or "doc_id",
         postings=spark.read.parquet(f"{path}/postings"),
         docstore=spark.read.parquet(f"{path}/docstore"),
         term_stats=spark.read.parquet(f"{path}/term_stats"),
