@@ -146,6 +146,40 @@ def ivf_search(
     )
 
 
+def ivf_save(idx: IVFIndex, path: str) -> None:
+    """Persist the IVF layout partitioned by centroid_id — a probe query
+    reads exactly nprobe of nlist partition directories (partition pruning,
+    the vector twin of the term-bucket postings layout). Centroids go to
+    the manifest (tiny, driver-side)."""
+    import json
+    import os
+
+    (
+        idx.assigned.repartition("centroid_id")
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(f"{path}/assigned")
+    )
+    os.makedirs(path, exist_ok=True)
+    with open(f"{path}/manifest.json", "w") as f:
+        json.dump({
+            "centroids": idx.centroids,
+            "vec_col": idx.vec_col,
+            "id_col": idx.id_col,
+            "metric": idx.metric,
+        }, f)
+
+
+def ivf_load(spark, path: str) -> IVFIndex:
+    import json
+
+    with open(f"{path}/manifest.json") as f:
+        m = json.load(f)
+    return IVFIndex(
+        spark.read.parquet(f"{path}/assigned"),
+        m["centroids"], m["vec_col"], m["id_col"], m["metric"],
+    )
+
+
 # ---- SQ8 scalar quantization ---------------------------------------------
 
 class SQ8:
