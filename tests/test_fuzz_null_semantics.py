@@ -96,6 +96,48 @@ def test_planner_matches_oracle(corpus, node):
     assert got == want, f"AST: {node!r}\nspark-only: {got - want}\nduck-only: {want - got}"
 
 
+scored_nodes = st.one_of(
+    st.lists(terms, min_size=1, max_size=3, unique=True).map(
+        lambda ts: q.AnyOf(ts)
+    ),
+    st.lists(terms, min_size=1, max_size=2, unique=True).map(q.AllOf),
+    st.tuples(terms, terms).map(lambda p: q.Term(p[0]) | q.Term(p[1])),
+    st.tuples(terms, st.floats(0.5, 3.0)).map(
+        lambda p: q.Term(p[0]).boost(round(p[1], 2))
+    ),
+)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(node=scored_nodes, scorer=st.sampled_from(["bm25", "tfidf", "lm_jm"]))
+def test_scores_match_oracle(corpus, node, scorer):
+    """Scored search parity: (doc_id, rounded score) top-20 equal between
+    the postings plan and the naive-scan oracle under random queries."""
+    from pyspark.sql import functions as F
+
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.oracle import scored_sql
+
+    idx, con = corpus
+    compiled = compile_query(idx, "text", node)
+    s = _score(idx, "text", compiled.score_terms, scorer)
+    got = [
+        (r.doc_id, r.score)
+        for r in compiled.doc_ids.join(s, "doc_id", "left")
+        .select("doc_id",
+                F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id").limit(20).collect()
+    ]
+    want = [
+        (r[0], float(r[1]))
+        for r in con.sql(
+            scored_sql("documents", "text", "simple", node, scorer=scorer, k=20)
+        ).fetchall()
+    ]
+    assert got == want, f"AST: {node!r} scorer={scorer}"
+
+
 def test_empty_and_whitespace_docs_never_match_terms(corpus):
     idx, _ = corpus
     got = {r.doc_id for r in compile_query(idx, "text", q.Term("spark")).doc_ids.collect()}
