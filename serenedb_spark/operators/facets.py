@@ -74,6 +74,41 @@ def ts_dict_filtered(
     )
 
 
+def ts_dict_score(
+    idx: InvertedIndex, doc_ids: DataFrame, field: str | None = None,
+    k1: float = 1.2, b: float = 0.75,
+) -> DataFrame:
+    """ts_dict_score: facet values ranked by their total BM25 contribution
+    over the matched doc set (reference search.h:105-112) — 'which terms
+    explain this result set'. Postings ⋉ docs × broadcast stats → groupBy
+    term."""
+    field = field or idx.default_field()
+    P = idx.postings.where(F.col("field") == field).join(
+        doc_ids, "doc_id", "left_semi"
+    )
+    ts = idx.term_stats.where(F.col("field") == field).select("term", "df")
+    ds = idx.doc_stats.where(F.col("field") == field).select("doc_id", "dl")
+    g = idx.globals_.where(F.col("field") == field).select("n_docs", "avgdl")
+    base = (
+        P.join(F.broadcast(ts), "term")
+        .join(ds, "doc_id")
+        .crossJoin(F.broadcast(g))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("freq") * F.lit(k1 + 1.0)) / (
+        F.col("freq")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        base.groupBy("term")
+        .agg(F.round(F.sum(idf * tfn), 4).alias("score"),
+             F.count(F.lit(1)).alias("doc_count"))
+    )
+
+
 def duckdb_ts_dict_sql(
     table: str, column: str, analyzer_duckdb_toks: str,
     where: str | None = None, top_n: int | None = None, by: str = "doc_count",

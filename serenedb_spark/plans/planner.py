@@ -302,15 +302,27 @@ def _compile_phrase(idx: InvertedIndex, field: str, ph: q.Phrase) -> DataFrame:
     Matches reference semantics in ts_phrase.cpp + slop_phrase.hpp (ordered,
     per-gap [min,max] windows).
     """
-    P = _postings(idx, field)
     words = ph.words
     if len(words) == 1:
         return _postings_for_terms(idx, field, [words[0]]).select("doc_id")
 
+    # conjunction leads (reference §4.2: smallest posting list drives the
+    # join): order the doc_id join chain by ascending document frequency,
+    # looked up from the tiny term_stats table; a word missing from the
+    # dictionary (df=0) leads and short-circuits to empty immediately.
+    # The positions-validation fold below still runs in phrase order.
+    dfs = {
+        r.term: r.df
+        for r in idx.term_dict(field)
+        .where(F.col("term").isin(list(set(words))))
+        .select("term", "df").collect()
+    }
+    join_order = sorted(range(len(words)), key=lambda i: (dfs.get(words[i], 0), i))
+
     joined = None
-    for i, w in enumerate(words):
+    for i in join_order:
         part = (
-            _postings_for_terms(idx, field, [w])
+            _postings_for_terms(idx, field, [words[i]])
             .select("doc_id", F.col("positions").alias(f"pos{i}"))
         )
         joined = part if joined is None else joined.join(part, "doc_id")

@@ -848,6 +848,40 @@ _register(
 )
 
 
+def _fts_facets_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)
+    docs = compile_query(idx, _DOC_COL, q.Term("dup")).doc_ids
+    return FC.ts_dict_score(idx, docs, _DOC_COL).orderBy("term")
+
+
+_register("fts_dict_score", _fts_facets_score, """
+WITH base AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents),
+m AS (SELECT doc_id FROM base WHERE toks IS NOT NULL AND list_contains(toks, 'dup')),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+p AS (SELECT doc_id, term, count(*)::INT AS freq FROM tok GROUP BY 1, 2),
+ts AS (SELECT term, count(*) AS df FROM p GROUP BY 1),
+ds AS (SELECT doc_id, len(toks) AS dl FROM base WHERE toks IS NOT NULL),
+g AS (SELECT count(*) AS n_docs,
+             (SELECT coalesce(sum(len(toks)), 0) FROM base)::DOUBLE / count(*) AS avgdl
+      FROM base)
+SELECT term,
+  round(sum(
+    ln(1.0 + (g.n_docs - ts.df + 0.5) / (ts.df + 0.5))
+    * (p.freq * 2.2) / (p.freq + 1.2 * (0.25 + 0.75 * ds.dl / g.avgdl))
+  ), 4) AS score,
+  count(*) AS doc_count
+FROM p
+JOIN m USING (doc_id)
+JOIN ts USING (term)
+JOIN ds USING (doc_id)
+CROSS JOIN g
+GROUP BY term
+ORDER BY term
+""")
+
+
 def _fts_facets_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     return FC.ts_dict_minmax(idx, _DOC_COL)
