@@ -1,0 +1,151 @@
+"""Thin ES-compatible REST shim over the engine API.
+
+Reference: the ES surface routes HTTP to DSL translation to the SQL
+engine (server/network/http/es/handlers.cpp:123-196,635; router.cpp).
+Here the same routes call the library directly — stdlib http.server, no
+extra dependencies, suitable for demos and driver-side tools (NOT a
+production server; the engine itself is the library API).
+
+Routes:
+  POST/GET /{index}/_search   — query DSL → es_search (hits + scores)
+  GET      /{index}/_count    — match query → count
+  POST     /_bulk             — bulk ingest into the index's SearchTable
+  GET      /{index}/_mapping  — indexed fields + analyzers
+  POST     /{index}/_refresh  — rebuild the snapshot index
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import functions as F
+
+
+class EsShim:
+    """Holds the engine objects the handlers need; one shim = one 'node'."""
+
+    def __init__(self, spark):
+        self.spark = spark
+        self.tables: dict[str, object] = {}   # index name -> SearchTable
+        self._snapshots: dict[str, object] = {}  # index name -> InvertedIndex
+
+    def create_index(self, name: str, source, fields: dict[str, str],
+                     key: str = "doc_id") -> None:
+        from serenedb_spark.operators.maintenance import SearchTable
+
+        self.tables[name] = SearchTable(source, fields, key=key, name=name)
+        self._snapshots.pop(name, None)
+
+    def _index(self, name: str):
+        if name not in self._snapshots:
+            self._snapshots[name] = self.tables[name].index()
+        return self._snapshots[name]
+
+    # ---- route implementations ------------------------------------------
+    def search(self, index: str, body: dict) -> dict:
+        from serenedb_spark.plans.es_dsl import es_search
+
+        idx = self._index(index)
+        rows = es_search(idx, body).collect()
+        return {
+            "took": 0,
+            "hits": {
+                "total": {"value": len(rows), "relation": "eq"},
+                "hits": [
+                    {"_index": index, "_id": str(r.doc_id),
+                     "_score": float(r.score)}
+                    for r in rows
+                ],
+            },
+        }
+
+    def count(self, index: str, body: dict) -> dict:
+        from serenedb_spark.plans.es_dsl import parse_query
+        from serenedb_spark.plans.planner import compile_query
+
+        idx = self._index(index)
+        query = (body or {}).get("query", {"match_all": {}})
+        if query == {"match_all": {}}:
+            n = idx.docstore.count()
+        else:
+            field, node = parse_query(query, idx.analyzer(idx.default_field()))
+            n = compile_query(idx, field or idx.default_field(), node).doc_ids.count()
+        return {"count": n}
+
+    def bulk(self, payload: str, default_index: str | None = None) -> dict:
+        from serenedb_spark.sources.es_bulk import es_bulk, project_source
+
+        df = es_bulk(self.spark, payload, default_index)
+        n = 0
+        # NB: r.index would resolve to Row's list-method, not the column
+        for index in [r["index"] for r in df.select("index").distinct().collect()]:
+            st = self.tables[index]
+            sub = df.where((F.col("index") == index) & F.col("_source").isNotNull())
+            typed = project_source(sub, "text string").select(
+                F.col("_id").alias(st.key), "text"
+            )
+            st.insert(typed)
+            self._snapshots.pop(index, None)
+            n += sub.count()
+        return {"errors": False, "items": n}
+
+    def mapping(self, index: str) -> dict:
+        st = self.tables[index]
+        return {index: {"mappings": {"properties": {
+            col: {"type": "text", "analyzer": an} for col, an in st.fields.items()
+        }}}}
+
+    def refresh(self, index: str) -> dict:
+        self._snapshots.pop(index, None)
+        self._index(index)
+        return {"_shards": {"total": 1, "successful": 1, "failed": 0}}
+
+
+def serve(shim: EsShim, port: int = 0):
+    """Start the HTTP server on a daemon thread; returns (server, port)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _body(self) -> str:
+            n = int(self.headers.get("Content-Length") or 0)
+            return self.rfile.read(n).decode() if n else ""
+
+        def _route(self):
+            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            body = self._body()
+            try:
+                if parts == ["_bulk"]:
+                    return self._reply(shim.bulk(body))
+                if len(parts) == 2:
+                    index, verb = parts
+                    payload = json.loads(body) if body else {}
+                    if verb == "_search":
+                        return self._reply(shim.search(index, payload))
+                    if verb == "_count":
+                        return self._reply(shim.count(index, payload))
+                    if verb == "_mapping":
+                        return self._reply(shim.mapping(index))
+                    if verb == "_refresh":
+                        return self._reply(shim.refresh(index))
+                return self._reply({"error": "no handler", "path": self.path}, 404)
+            except Exception as e:  # noqa: BLE001 — ES returns errors as JSON
+                return self._reply({"error": str(e)}, 400)
+
+        do_GET = do_POST = do_PUT = _route
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    return srv, srv.server_address[1]
