@@ -266,6 +266,47 @@ GROUP BY sn.n_name, cn.n_name, extract(year FROM o_orderdate)
 ORDER BY supp_nation, cust_nation, l_year
 """)
 
+_sql("tpch_q2_min_cost_supplier", """
+SELECT s_suppkey, s_name, p_partkey,
+  round(l_extendedprice / l_quantity + 0.000000001, 4) AS unit_cost
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN part ON p_partkey = l_partkey
+WHERE p_size = 15
+  AND l_extendedprice / l_quantity = (
+    SELECT min(l2.l_extendedprice / l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+ORDER BY s_suppkey, p_partkey
+""")
+
+_sql("tpch_q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""")
+
+_sql("tpch_q20_nested_in", """
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+    AND l_shipdate >= DATE '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 100
+)
+ORDER BY s_suppkey
+""")
+
 _sql("exists_semi_join", """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
