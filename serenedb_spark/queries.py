@@ -776,6 +776,54 @@ _fts_scored("fts_indri_topk", q.AnyOf(["row", "line"]), "indri_dirichlet", 15)
 _fts_scored("fts_raw_dl", q.Term("key"), "raw_dl", 15)
 
 
+# partial index (CREATE INDEX ... WHERE pred): index only english docs;
+# a query over the partial index answers the conjunctive query
+# `text @@ q AND lang='en'` (the claim is valid because the query implies
+# the partial predicate — reference InvertedIndexData.predicate,
+# server/catalog/persistence/inverted_index.h:80-96)
+def _fts_partial_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    key = (id(spark), sf_dir, "__partial_en")
+    if key not in _IDX_CACHE:
+        idx = build_index(docs.where(F.col("lang") == "en"),
+                          {"text": "simple"}, key="doc_id", name="docs_en")
+        idx.postings.persist(); idx.universe.persist()
+        _IDX_CACHE[key] = idx
+    idx = _IDX_CACHE[key]
+    return compile_query(idx, _DOC_COL, q.AllOf(["spark", "data"])).doc_ids.orderBy("doc_id")
+
+
+_register("fts_partial_index", _fts_partial_index, """
+WITH base AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents WHERE lang = 'en')
+SELECT doc_id FROM base
+WHERE toks IS NOT NULL AND list_has_all(toks, ['spark', 'data'])
+ORDER BY doc_id
+""")
+
+
+# covered (INCLUDE) columns: the docstore materializes included columns
+# without touching the base table — reference INCLUDE / `included` opclass
+def _fts_covered_include(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir)  # docstore includes lang/source/n_chars
+    ids = compile_query(idx, _DOC_COL, q.Phrase(["table", "scan"])).doc_ids
+    return (
+        idx.docstore.join(ids, "doc_id", "left_semi")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _register_covered() -> None:
+    m = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Phrase(["table", "scan"]),
+                    select="doc_id, lang, source, n_chars", order="doc_id")
+    _register("fts_covered_include", _fts_covered_include, m)
+
+
+_register_covered()
+
+
 # synonym-expanded index: querying 'quick' must hit docs saying 'fast'
 def _fts_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="synonyms_demo")
