@@ -307,6 +307,154 @@ WHERE s_suppkey IN (
 ORDER BY s_suppkey
 """)
 
+_sql("tpch_q4_order_priority", """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""")
+
+_sql("tpch_q8_market_share", """
+SELECT o_year,
+  CAST(round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume) + 0.000000001, 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT extract(year FROM o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+    sn.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation cn ON cn.n_nationkey = c_nationkey
+  JOIN region ON r_regionkey = cn.n_regionkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""")
+
+# q9 adapted: no partsupp table in the corpus — supply cost proxied as
+# 10% of p_retailprice per unit (profit shape is what's under test)
+_sql("tpch_q9_profit", """
+SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, extract(year FROM o_orderdate) AS o_year,
+    CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+        * CAST(0.1 AS DECIMAL(2,1)) AS amount
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE p_name LIKE '%a%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""")
+
+_sql("tpch_q10_returned_items", """
+SELECT c_custkey, c_name,
+  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+  CAST(round(c_acctbal + 0.000000001, 2) AS DOUBLE) AS c_acctbal, n_name
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON n_nationkey = c_nationkey
+WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""")
+
+_sql("tpch_q13_customer_distribution", """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON o_custkey = c_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""")
+
+# q17 restated with an aggregate join and integral arithmetic
+# (l_quantity values are integral doubles) so the 0.2*avg threshold
+# compares exactly in both engines: qty < avg/5  ⇔  qty*5*cnt < sum
+_sql("tpch_q17_small_quantity", """
+WITH part_avg AS (
+  SELECT l_partkey AS pa_partkey, sum(l_quantity) AS pa_sum, count(*) AS pa_cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))) / 7.0
+             + 0.000000001, 4) AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN part_avg ON pa_partkey = l_partkey
+WHERE p_brand = 'Brand#2' AND l_quantity * 5 * pa_cnt < pa_sum
+""")
+
+_sql("tpch_q19_disjunctive", """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""")
+
+# q21 adapted: no l_commitdate/l_receiptdate — "late" means shipping more
+# than 60 days after the order date; the multi-exists correlation shape is
+# what's under test (sole late supplier on a multi-supplier order)
+_sql("tpch_q21_waiting_supplier", """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""")
+
+# q22 adapted: no c_phone — country buckets are nation keys; the
+# above-average-balance scalar subquery + NOT EXISTS shape is preserved
+_sql("tpch_q22_global_sales_opportunity", """
+SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  AND CAST(c_acctbal AS DECIMAL(12,2)) > (
+    SELECT avg(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+    WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+ORDER BY cntrycode
+""")
+
 _sql("exists_semi_join", """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
