@@ -129,6 +129,10 @@ def score(
         )
     elif scorer == "raw_tf":
         contrib = F.col("boost") * F.col("freq")
+    elif scorer == "raw_boost":
+        # reference raw/boost scorer: frequency-independent — each matched
+        # query term contributes its boost once
+        contrib = F.col("boost").cast("double")
     elif scorer == "raw_dl":
         contrib = F.col("dl").cast("double")
     else:

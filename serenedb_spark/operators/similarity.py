@@ -290,6 +290,220 @@ def sq8_knn(
     )
 
 
+# ---- PQ product quantization ---------------------------------------------
+
+class PQ:
+    """Product quantization — the reference's `quant=pq` IVF option
+    (server/catalog/index.cpp:300-460, faiss PQ).
+
+    The vector is split into ``m`` subspaces of ``dim/m`` dims; each
+    subvector is coded as the id of its nearest sub-centroid.  Query-time
+    distance is ADC (asymmetric distance computation): a tiny
+    ``m × ksub`` lookup table of query→centroid distances, summed by code.
+
+    Scale shape: codebooks are ``m·ksub·(dim/m)`` doubles — driver-side /
+    broadcast.  ``encode_col`` is pure column arithmetic executed once at
+    index-build time (codes stored alongside doc ids, 8 bits per
+    subspace); a query touches only the codes column + the LUT, never the
+    raw vectors (reads shrink dim·4 bytes → m bytes per row).
+    """
+
+    def __init__(self, codebooks: list[list[list[float]]]):
+        self.codebooks = codebooks  # m × ksub × ds
+        self.m = len(codebooks)
+        self.ksub = len(codebooks[0])
+        self.ds = len(codebooks[0][0])
+
+    @classmethod
+    def from_seed_rows(cls, seed_vectors: list[list[float]], m: int) -> "PQ":
+        """Deterministic sampled codebook (k-means init without Lloyd
+        iterations): sub-centroid j of subspace s = subvector s of seed j.
+        Fully reproducible in SQL — the differential-oracle path."""
+        dim = len(seed_vectors[0])
+        ds = dim // m
+        return cls([
+            [[float(v[s * ds + i]) for i in range(ds)] for v in seed_vectors]
+            for s in range(m)
+        ])
+
+    @classmethod
+    def train(cls, df: DataFrame, vec_col: str, m: int, ksub: int = 16,
+              seed: int = 42, max_iter: int = 20) -> "PQ":
+        """Quality path: per-subspace MLlib KMeans codebooks."""
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        dim = len(df.select(vec_col).first()[0])
+        ds = dim // m
+        books = []
+        for s in range(m):
+            feat = df.select(
+                array_to_vector(
+                    F.transform(
+                        F.slice(F.col(vec_col), s * ds + 1, ds),
+                        lambda x: x.cast("double"),
+                    )
+                ).alias("__sub")
+            )
+            km = KMeans(k=ksub, seed=seed + s, maxIter=max_iter,
+                        featuresCol="__sub")
+            books.append([c.tolist() for c in km.fit(feat).clusterCenters()])
+        return cls(books)
+
+    def _sub_dist(self, vec: Column, s: int, centroid: list[float]) -> Column:
+        sub = F.transform(
+            F.slice(vec, s * self.ds + 1, self.ds), lambda x: x.cast("double")
+        )
+        return F.aggregate(
+            F.zip_with(sub, F.array(*[F.lit(c) for c in centroid]),
+                       lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def encode_col(self, vec: Column) -> Column:
+        """array<int> of m 1-based codes (first-minimum tie-break — matches
+        the oracle's min-j-at-min-distance)."""
+        codes = []
+        for s in range(self.m):
+            dists = F.array(*[
+                self._sub_dist(vec, s, self.codebooks[s][j])
+                for j in range(self.ksub)
+            ])
+            codes.append(F.array_position(dists, F.array_min(dists)))
+        return F.array(*[c.cast("int") for c in codes])
+
+    def adc_lut(self, query_vec) -> list[list[float]]:
+        """m × ksub squared-L2 from the query subvector to each centroid
+        (sequential fold, mirroring _sub_dist / the SQL oracle)."""
+        lut = []
+        for s in range(self.m):
+            row = []
+            for j in range(self.ksub):
+                acc = 0.0
+                for i in range(self.ds):
+                    d = float(query_vec[s * self.ds + i]) - self.codebooks[s][j][i]
+                    acc = acc + d * d
+                row.append(acc)
+            lut.append(row)
+        return lut
+
+    def adc_dist_col(self, codes: Column, query_vec) -> Column:
+        lut = self.adc_lut(query_vec)
+        lut_col = F.array(*[
+            F.array(*[F.lit(v) for v in row]) for row in lut
+        ])
+        return F.aggregate(
+            F.zip_with(codes, lut_col, lambda c, row: F.element_at(row, c)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+
+def pq_adc_knn(
+    df: DataFrame,
+    pq: PQ,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """PQ top-k: encode (index-build step at scale) + ADC LUT sum."""
+    codes = pq.encode_col(F.col(vec_col))
+    dist = pq.adc_dist_col(codes, query_vec)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        df.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_rerank_knn(
+    df: DataFrame,
+    pq: PQ,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    rerank_factor: int = 10,
+    metric: str = "l2_sqr",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """PQ with exact re-rank — the reference's `SET sdb_rerank_factor`
+    pattern (server/connector/duckdb_table_function.h:88-124): ADC selects
+    k·rerank_factor candidates from codes alone, then exact distances on
+    just those rows produce the final top-k.  At scale the expensive exact
+    pass reads `k·factor` raw vectors instead of the corpus."""
+    cand = pq_adc_knn(df, pq, vec_col, query_vec, k=k * rerank_factor,
+                      id_col=id_col, round_to=None).select(id_col)
+    return knn_exact(df.join(cand, id_col, "left_semi"), vec_col, query_vec,
+                     k=k, metric=metric, id_col=id_col, round_to=round_to)
+
+
+# ---- binary (sign) quantization ------------------------------------------
+
+class BinaryQuant:
+    """1-bit-per-dimension sign quantization — the binary-code family the
+    reference exposes as `quant=rabitq` (server/catalog/index.cpp:300-460).
+    This is the uncorrected core: bit_i = v_i > mid_i with mid the per-dim
+    midrange; query distance = Hamming.  (RaBitQ proper adds a random
+    rotation and a scalar correction factor — documented deviation; the
+    storage/bandwidth shape, 32× smaller than float32, is what matters at
+    scale.)  Midrange (not mean) keeps training order-independent, hence
+    bit-identical across engines."""
+
+    def __init__(self, mids: list[float]):
+        self.mids = mids
+
+    @classmethod
+    def train(cls, df: DataFrame, vec_col: str = "embedding") -> "BinaryQuant":
+        rows = (
+            df.select(F.posexplode(F.col(vec_col)).alias("i", "v"))
+            .groupBy("i")
+            .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                 F.max(F.col("v").cast("double")).alias("mx"))
+            .orderBy("i")
+            .collect()
+        )
+        return cls([(r.mn + r.mx) / 2.0 for r in rows])
+
+    def bits_col(self, vec: Column) -> Column:
+        mids = F.array(*[F.lit(m) for m in self.mids])
+        return F.zip_with(
+            vec, mids,
+            lambda v, mid: F.when(v.cast("double") > mid, F.lit(1)).otherwise(F.lit(0)),
+        )
+
+    def query_bits(self, query_vec) -> list[int]:
+        return [1 if float(q) > m else 0 for q, m in zip(query_vec, self.mids)]
+
+
+def binary_hamming_knn(
+    df: DataFrame,
+    bq: BinaryQuant,
+    vec_col: str,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Binary-quantized top-k by Hamming distance (integer — exact parity)."""
+    qb = F.array(*[F.lit(b) for b in bq.query_bits(query_vec)])
+    hamming = F.aggregate(
+        F.zip_with(bq.bits_col(F.col(vec_col)), qb,
+                   lambda a, b: F.when(a != b, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        df.select(id_col, hamming.alias("hamming"))
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def rrf_fuse(
     ranked_a: DataFrame,
     ranked_b: DataFrame,

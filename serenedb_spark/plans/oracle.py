@@ -263,6 +263,9 @@ _SCORE_EXPRS = {
         "ln((p.freq + {mu} * (s.ctf / g.total_dl)) / (d.dl + {mu}))"
     ),
     "raw_dl": "d.dl",
+    # frequency-independent: contribution is the boost alone (×q.boost in
+    # the contrib select supplies it)
+    "raw_boost": "1.0",
 }
 
 

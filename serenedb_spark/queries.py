@@ -922,6 +922,8 @@ _fts_scored("fts_lm_jm_topk", q.AnyOf(["table", "scan"]), "lm_jm", 15)
 _fts_scored("fts_dfi_topk", q.AnyOf(["group", "query"]), "dfi", 15)
 _fts_scored("fts_indri_topk", q.AnyOf(["row", "line"]), "indri_dirichlet", 15)
 _fts_scored("fts_raw_dl", q.Term("key"), "raw_dl", 15)
+_fts_scored("fts_raw_boost",
+            q.Term("spark").boost(1.5) | q.Term("vector"), "raw_boost", 15)
 
 
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
@@ -1522,6 +1524,125 @@ FROM decoded ORDER BY distance, vec_id LIMIT 10
 
 
 _register("vec_sq8_knn", _vec_sq8_knn, _SQ8_ORACLE)
+
+
+#: PQ parity path: deterministic sampled codebook (the first ksub vectors
+#: by vec_id are the seeds — k-means init, zero Lloyd iterations) so the
+#: oracle can rebuild the identical codebook in SQL at any scale factor.
+_PQ_M, _PQ_KSUB, _PQ_DS = 8, 8, 8  # 64-dim embeddings → 8 subspaces of 8
+_PQ_CACHE: dict[str, object] = {}
+
+
+def _pq_for(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _PQ_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        seeds = [
+            [float(x) for x in r.embedding]
+            for r in emb.orderBy("vec_id").limit(_PQ_KSUB).collect()
+        ]
+        _PQ_CACHE[sf_dir] = SIM.PQ.from_seed_rows(seeds, _PQ_M)
+    return _PQ_CACHE[sf_dir]
+
+
+def _vec_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.pq_adc_knn(emb, _pq_for(spark, sf_dir), "embedding",
+                          QUERY_VEC, k=10)
+
+
+# The oracle rebuilds the sampled codebook in SQL (seeds CTE), assigns each
+# subvector to its nearest sub-centroid (min-j tie-break = Spark's
+# array_position-of-min), and sums the per-subspace query distances in
+# subspace order (list_reduce over list(... ORDER BY m) ≡ the Spark
+# sequential fold).
+_PQ_ORACLE = f"""
+WITH q AS (SELECT {V.duckdb_lit_vector(QUERY_VEC)} AS qv),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) AS j, embedding AS sv
+  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {_PQ_KSUB})
+),
+ms AS (SELECT unnest(range(1, {_PQ_M} + 1)) AS m),
+sub AS (
+  SELECT d.vec_id, ms.m, s.j,
+    list_reduce(list_transform(range(1, {_PQ_DS} + 1), i ->
+      (d.embedding[(ms.m - 1) * {_PQ_DS} + i]::DOUBLE - s.sv[(ms.m - 1) * {_PQ_DS} + i]::DOUBLE)
+      * (d.embedding[(ms.m - 1) * {_PQ_DS} + i]::DOUBLE - s.sv[(ms.m - 1) * {_PQ_DS} + i]::DOUBLE)),
+      (x, y) -> x + y) AS dd,
+    list_reduce(list_transform(range(1, {_PQ_DS} + 1), i ->
+      (q.qv[(ms.m - 1) * {_PQ_DS} + i] - s.sv[(ms.m - 1) * {_PQ_DS} + i]::DOUBLE)
+      * (q.qv[(ms.m - 1) * {_PQ_DS} + i] - s.sv[(ms.m - 1) * {_PQ_DS} + i]::DOUBLE)),
+      (x, y) -> x + y) AS qd
+  FROM embeddings d CROSS JOIN ms CROSS JOIN seeds s CROSS JOIN q
+),
+mins AS (SELECT vec_id, m, min(dd) AS mind FROM sub GROUP BY vec_id, m),
+code AS (
+  SELECT sub.vec_id, sub.m, min(sub.j) AS cj
+  FROM sub JOIN mins ON mins.vec_id = sub.vec_id AND mins.m = sub.m
+    AND sub.dd = mins.mind
+  GROUP BY sub.vec_id, sub.m
+),
+adc AS (
+  SELECT code.vec_id,
+    list_reduce(list(sub.qd ORDER BY sub.m), (x, y) -> x + y) AS dist
+  FROM code JOIN sub ON sub.vec_id = code.vec_id AND sub.m = code.m
+    AND sub.j = code.cj
+  GROUP BY code.vec_id
+)
+SELECT vec_id, round(dist, 6) AS distance
+FROM adc ORDER BY distance, vec_id LIMIT 10
+"""
+
+
+_register("vec_pq_adc_knn", _vec_pq_adc, _PQ_ORACLE)
+
+
+#: binary (sign) quantization: per-dim midrange threshold is min/max-only —
+#: order-independent, so Spark training and the SQL oracle agree exactly
+_BQ_CACHE: dict[str, object] = {}
+
+
+def _bq_for(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _BQ_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _BQ_CACHE[sf_dir] = SIM.BinaryQuant.train(emb, "embedding")
+    return _BQ_CACHE[sf_dir]
+
+
+def _vec_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return SIM.binary_hamming_knn(emb, _bq_for(spark, sf_dir), "embedding",
+                                  QUERY_VEC, k=10)
+
+
+_BQ_ORACLE = f"""
+WITH q AS (SELECT {V.duckdb_lit_vector(QUERY_VEC)} AS qv),
+dims AS (
+  SELECT i, (min(e::DOUBLE) + max(e::DOUBLE)) / 2.0 AS mid
+  FROM (SELECT unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY i
+),
+stats AS (SELECT list(mid ORDER BY i) AS mids FROM dims),
+qb AS (
+  SELECT list_transform(range(1, len(qv) + 1),
+           i -> CASE WHEN qv[i] > mids[i] THEN 1 ELSE 0 END) AS qbits
+  FROM q, stats
+),
+bits AS (
+  SELECT vec_id,
+    list_transform(range(1, len(embedding) + 1),
+      i -> CASE WHEN embedding[i]::DOUBLE > mids[i] THEN 1 ELSE 0 END) AS b
+  FROM embeddings, stats
+)
+SELECT vec_id,
+  list_reduce(list_transform(range(1, len(b) + 1),
+    i -> CASE WHEN b[i] <> qbits[i] THEN 1 ELSE 0 END),
+    (x, y) -> x + y)::INT AS hamming
+FROM bits, qb ORDER BY hamming, vec_id LIMIT 10
+"""
+
+
+_register("vec_binary_quant_knn", _vec_binary_quant, _BQ_ORACLE)
 
 
 def _vec_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -90,3 +90,39 @@ def test_es_bulk_ingest_searchable(spark):
         for r in compile_query(st.index(), "text", q.Term("spark")).doc_ids.collect()
     }
     assert hits == {"1"}
+
+
+def test_pq_trained_recall(spark):
+    """MLlib-trained PQ (the quality path): ADC top-10 must recover most of
+    the exact cosine top-10 — and the sampled-codebook parity path must
+    agree with its own oracle shape (codes in [1, ksub])."""
+    from serenedb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    pq = SIM.PQ.train(emb, "embedding", m=16, ksub=16, seed=7)
+    assert pq.m == 16 and pq.ksub == 16 and pq.ds == 4
+
+    # uniform-random 64-dim data concentrates pairwise distances, so raw
+    # ADC ordering is noisy — the production shape is ADC candidates +
+    # exact re-rank (the reference's sdb_rerank_factor)
+    approx = SIM.pq_rerank_knn(emb, pq, "embedding", [0.5] * 64, k=10,
+                               rerank_factor=10)
+    exact = SIM.knn_exact(emb, "embedding", [0.5] * 64, k=10, metric="l2_sqr")
+    a = {r.vec_id for r in approx.collect()}
+    e = {r.vec_id for r in exact.collect()}
+    assert len(a & e) >= 7, (a, e)
+
+    codes = emb.select(pq.encode_col(F.col("embedding")).alias("c")).first().c
+    assert len(codes) == 16 and all(1 <= c <= 16 for c in codes)
+
+
+def test_binary_quant_bits_roundtrip(spark):
+    from serenedb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bq = SIM.BinaryQuant.train(emb, "embedding")
+    assert len(bq.mids) == 64
+    top = SIM.binary_hamming_knn(emb, bq, "embedding", [0.5] * 64, k=5).collect()
+    assert len(top) == 5
+    assert all(0 <= r.hamming <= 64 for r in top)
+    assert top == sorted(top, key=lambda r: (r.hamming, r.vec_id))
