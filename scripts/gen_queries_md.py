@@ -7,7 +7,8 @@ FAMILIES = [
         "exists_semi_join", "anti_join", "full_outer_join", "correlated_subquery",
         "setop_intersect", "setop_except", "scalar_subquery_cte", "top_customers")),
     ("Windows / grouping / QUALIFY / PIVOT", lambda n: n in (
-        "window_rank", "window_running_sum", "rollup_agg", "grouping_sets",
+        "window_rank", "window_running_sum", "window_battery",
+        "ordered_set_aggs", "rollup_agg", "grouping_sets",
         "cube_agg", "qualify_topn", "pivot_statement", "unpivot_part_measures",
         "lateral_explode_tokens", "deterministic_sample", "case_agg_join",
         "string_funcs", "scalar_battery")),

@@ -109,6 +109,71 @@ def bbox_contains(
     ).select(id_col, lat_col, lon_col)
 
 
+def circle_intersects(
+    points: DataFrame,
+    lat: float,
+    lon: float,
+    query_radius_m: float,
+    radius_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "point_id",
+    max_radius_m: float = 300_000.0,
+    cell_deg: float = 1.0,
+    round_to: int = 1,
+) -> DataFrame:
+    """ST_Intersects between per-row circles and a query circle: two
+    circles intersect iff centre distance ≤ r_row + r_query.  Prefilter =
+    covering cells of the query circle GROWN by the maximum row radius
+    (the reference's S2 covering of the dilated region); exact haversine
+    check on survivors.  Returns (id, dist_m, radius_m)."""
+    cells = covering_cells(lat, lon, query_radius_m + max_radius_m, cell_deg)
+    dist = F.round(
+        haversine_m(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon)),
+        round_to,
+    )
+    return (
+        points.where(cell_id(F.col(lat_col), F.col(lon_col), cell_deg).isin(cells))
+        .select(F.col(id_col), dist.alias("dist_m"),
+                F.col(radius_col).alias("radius_m"))
+        .where(F.col("dist_m") <= F.col("radius_m") + F.lit(query_radius_m))
+    )
+
+
+def polygon_centroid(vertices: list[tuple[float, float]]) -> tuple[float, float]:
+    """Vertex centroid of a polygon (ST_Distance_Centroid's target point;
+    the reference uses the S2 shape centroid — vertex mean documented as
+    the flat-grid analogue).  Driver-side: the polygon is a query literal."""
+    n = float(len(vertices))
+    lat = 0.0
+    lon = 0.0
+    for vlat, vlon in vertices:
+        lat = lat + vlat
+        lon = lon + vlon
+    return lat / n, lon / n
+
+
+def distance_centroid(
+    points: DataFrame,
+    vertices: list[tuple[float, float]],
+    k: int = 20,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "point_id",
+    round_to: int = 1,
+) -> DataFrame:
+    """ST_Distance_Centroid(geom, p): distance from each point to the
+    polygon's centroid, nearest-k (TakeOrderedAndProject — no shuffle of
+    the corpus)."""
+    clat, clon = polygon_centroid(vertices)
+    dist = haversine_m(F.col(lat_col), F.col(lon_col), F.lit(clat), F.lit(clon))
+    return (
+        points.select(F.col(id_col), F.round(dist, round_to).alias("dist_m"))
+        .orderBy("dist_m", id_col)
+        .limit(k)
+    )
+
+
 def synth_points(df: DataFrame, key_col: str, id_alias: str = "point_id") -> DataFrame:
     """Deterministic pseudo-coordinates from an integer key (testdata has no
     geo columns): lat ∈ [-60, 60), lon ∈ [-180, 180) via modular hashing —

@@ -573,6 +573,46 @@ ORDER BY p_partkey
 LIMIT 100
 """)
 
+_sql("window_battery", """
+SELECT o_orderkey, o_orderpriority,
+  dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS drank,
+  CAST(round(percent_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) + 0.000000001, 6) AS DOUBLE) AS prank,
+  CAST(round(cume_dist() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) + 0.000000001, 6) AS DOUBLE) AS cdist,
+  ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS quartile,
+  lead(o_orderkey, 1, -1) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS next_key,
+  lag(o_orderkey, 2) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS prev2_key,
+  first_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS first_key,
+  last_value(o_orderkey) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+  nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_key
+FROM orders
+WHERE o_orderkey <= 3000
+ORDER BY o_orderpriority, drank, o_orderkey
+""")
+
+# ordered-set aggregates: listagg WITHIN GROUP is Spark-4 syntax, DuckDB
+# spells it string_agg(... ORDER BY ...) — two texts, same semantics
+_sql("ordered_set_aggs", """
+SELECT l_returnflag,
+  listagg(DISTINCT l_linestatus, ',') WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+  CAST(round(percentile(l_quantity, 0.5) + 0.000000001, 4) AS DOUBLE) AS median_qty,
+  CAST(round(percentile(l_quantity, 0.9) + 0.000000001, 4) AS DOUBLE) AS p90_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""", duck_sql="""
+SELECT l_returnflag,
+  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+  CAST(round(quantile_cont(l_quantity, 0.5) + 0.000000001, 4) AS DOUBLE) AS median_qty,
+  CAST(round(quantile_cont(l_quantity, 0.9) + 0.000000001, 4) AS DOUBLE) AS p90_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
+
 _sql("case_agg_join", """
 SELECT n_name,
   sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
@@ -1788,6 +1828,114 @@ ORDER BY point_id
 
 
 _register("geo_bbox_contains", _geo_bbox, _geo_bbox_oracle())
+
+
+#: per-point circle radius (m) derived from the id — deterministic in SQL
+_GEO_RADIUS_EXPR = "(point_id % 5) * 50000 + 10000"
+
+
+def _geo_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.functions import geo as G
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    pts = pts.withColumn(
+        "radius_m",
+        ((F.col("point_id") % 5) * 50000 + 10000).cast("double"),
+    )
+    lat, lon, r = _GEO_Q
+    return G.circle_intersects(
+        pts, lat, lon, r, "radius_m", max_radius_m=260_000.0
+    ).orderBy("point_id")
+
+
+def _geo_intersects_oracle() -> str:
+    from serenedb_spark.functions import geo as G
+
+    lat, lon, r = _GEO_Q
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id"
+    )
+    dist = G.duckdb_haversine_m("lat", "lon", str(lat), str(lon))
+    return f"""
+SELECT point_id, round({dist}, 1) AS dist_m,
+  ({_GEO_RADIUS_EXPR})::DOUBLE AS radius_m
+FROM ({pts})
+WHERE round({dist}, 1) <= ({_GEO_RADIUS_EXPR})::DOUBLE + {r}
+ORDER BY point_id
+"""
+
+
+_register("geo_circle_intersects", _geo_intersects, _geo_intersects_oracle())
+
+
+_GEO_POLYGON = [(35.0, 8.0), (40.0, 12.0), (38.0, 16.0), (33.0, 13.0)]
+
+
+def _geo_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.functions import geo as G
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    return G.distance_centroid(pts, _GEO_POLYGON, k=20)
+
+
+def _geo_centroid_oracle() -> str:
+    from serenedb_spark.functions import geo as G
+
+    clat, clon = G.polygon_centroid(_GEO_POLYGON)
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id"
+    )
+    dist = G.duckdb_haversine_m("lat", "lon", repr(clat), repr(clon))
+    return f"""
+SELECT point_id, round({dist}, 1) AS dist_m
+FROM ({pts}) ORDER BY dist_m, point_id LIMIT 20
+"""
+
+
+_register("geo_distance_centroid", _geo_centroid, _geo_centroid_oracle())
+
+
+# ES date_histogram aggregation with nested metric sub-aggs (dsl.cpp:518-556)
+def _es_date_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans.es_dsl import es_aggs
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = es_aggs(ev, {"per_day": {
+        "date_histogram": {"field": "ts", "calendar_interval": "1d"},
+        "aggs": {"users": {"cardinality": {"field": "user_id"}},
+                 "vmax": {"max": {"field": "value"}}},
+    }})
+    return out.select(
+        F.col("key").cast("date").alias("day"), "doc_count", "users",
+        F.round("vmax", 4).alias("vmax"),
+    ).orderBy("day")
+
+
+_register("es_date_histogram", _es_date_hist, """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day, count(*) AS doc_count,
+  count(DISTINCT user_id) AS users, round(max(value), 4) AS vmax
+FROM events GROUP BY 1 ORDER BY day
+""")
+
+
+# ES terms facet straight from the term dictionary (no row scan)
+def _es_terms_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans.es_dsl import es_terms_agg
+
+    idx = doc_index(spark, sf_dir)
+    return es_terms_agg(idx, _DOC_COL, size=15)
+
+
+_register("es_terms_facet", _es_terms_facet, """
+WITH base AS (SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t <> '') AS toks
+  FROM documents),
+tok AS (SELECT DISTINCT doc_id, unnest(toks) AS term FROM base WHERE toks IS NOT NULL)
+SELECT term, count(*) AS doc_count FROM tok
+GROUP BY term ORDER BY doc_count DESC, term LIMIT 15
+""")
 
 
 # --------------------------------------------------------------------------
