@@ -97,7 +97,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle: str = "shingle3",
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) sharing ≥1 LSH band.
@@ -133,7 +133,7 @@ def duckdb_minhash_pairs_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle: str = "shingle3",
-    num_hashes: int = 8,
+    num_hashes: int = 16,
     bands: int = 4,
 ) -> str:
     """Oracle SQL mirroring minhash_lsh_pairs symbol-for-symbol."""
@@ -237,6 +237,119 @@ def simhash_dedup(
 
 
 # ---- embedding near-dup ---------------------------------------------------
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bands: int = 8,
+) -> DataFrame:
+    """Scale path for embedding near-dup: sign-LSH bucketing + exact cosine
+    on within-bucket candidates only — never an all-pairs cartesian.
+
+    Hyperplane family = per-dimension midrange thresholds (order-independent
+    min/max stats, so the identical buckets are reproducible in the SQL
+    oracle).  bit_i = v_i > mid_i; the dim bits are sliced into ``bands``
+    band keys; ids sharing ≥1 band key are candidates; exact cosine ≥
+    threshold filters them.  Same banded-equi-join shape as MinHash LSH:
+    shuffle on band keys, pairs explode only inside buckets.  At higher
+    corpus scale, raise `bands`' bit width by projecting extra hyperplanes
+    instead of slicing thinner."""
+    from serenedb_spark.functions import vector as V
+
+    # per-dim midranges — tiny aggregate, computed once per call
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min(F.col("v").cast("double")).alias("mn"),
+             F.max(F.col("v").cast("double")).alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mids = [(r.mn + r.mx) / 2.0 for r in rows]
+    dim = len(mids)
+    rows_per_band = dim // bands
+    mids_col = F.array(*[F.lit(m) for m in mids])
+    bits = F.zip_with(
+        F.col(vec_col), mids_col,
+        lambda v, mid: F.when(v.cast("double") > mid, F.lit(1)).otherwise(F.lit(0)),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+                     bits.alias("bits"))
+    band_keys = F.array(*[
+        F.concat_ws("", F.lit(f"{b}#"),
+                    F.concat_ws("", F.slice(F.col("bits"),
+                                            b * rows_per_band + 1,
+                                            rows_per_band)))
+        for b in range(bands)
+    ])
+    banded = base.select("id", F.explode(band_keys).alias("band"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    sim = V.cosine_similarity(F.col("va"), F.col("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def duckdb_embedding_lsh_pairs_sql(
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    bands: int = 8,
+    dim: int = 64,
+) -> str:
+    """Oracle mirroring embedding_lsh_pairs symbol-for-symbol (midrange
+    hyperplanes recomputed in SQL, so the text is valid at any sf)."""
+    from serenedb_spark.functions import vector as V
+
+    rows_per_band = dim // bands
+    band_items = ", ".join(
+        f"concat({b}, '#', array_to_string("
+        f"bits[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], ''))"
+        for b in range(bands)
+    )
+    ip = V.duckdb_inner_product("a.v", "b.v")
+    na = V.duckdb_l2_norm("a.v")
+    nb = V.duckdb_l2_norm("b.v")
+    return f"""
+WITH dims AS (
+  SELECT i, (min(e::DOUBLE) + max(e::DOUBLE)) / 2.0 AS mid
+  FROM (SELECT unnest({vec_col}) AS e,
+               generate_subscripts({vec_col}, 1) AS i FROM {table})
+  GROUP BY i
+),
+stats AS (SELECT list(mid ORDER BY i) AS mids FROM dims),
+base AS (
+  SELECT {id_col} AS id, {vec_col} AS v,
+    list_transform(range(1, len({vec_col}) + 1),
+      i -> CASE WHEN {vec_col}[i]::DOUBLE > mids[i] THEN 1 ELSE 0 END) AS bits
+  FROM {table}, stats
+),
+banded AS (SELECT id, unnest([{band_items}]) AS band FROM base),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+)
+SELECT id_a, id_b,
+  round({ip} / ({na} * {nb}), 6) AS cosine_sim
+FROM cand
+JOIN base a ON a.id = id_a
+JOIN base b ON b.id = id_b
+WHERE round({ip} / ({na} * {nb}), 6) >= {threshold}
+"""
+
 
 def embedding_dup_pairs(
     df: DataFrame,

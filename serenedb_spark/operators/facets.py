@@ -122,6 +122,6 @@ def duckdb_ts_dict_sql(
 WITH base AS (SELECT *, {analyzer_duckdb_toks} AS toks FROM {table}),
 tok AS (SELECT doc_id, unnest(toks) AS term FROM base {w}),
 p AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY 1, 2)
-SELECT term, count(*) AS doc_count, sum(freq) AS total_freq
+SELECT term, count(*) AS doc_count, CAST(sum(freq) AS BIGINT) AS total_freq
 FROM p GROUP BY term{order_limit}
 """

@@ -235,6 +235,18 @@ class SQ8:
         ]
         return F.array(*vals)
 
+    def decode_codes_col(self, codes: Column) -> Column:
+        """Reconstruct v̂ from stored codes with two zip_with HOFs — the
+        query-time path over a persisted codes column (constant-size
+        expression tree regardless of dim)."""
+        mins = F.array(*[F.lit(float(m)) for m in self.mins])
+        scales = F.array(*[F.lit(float(self._scale(i)))
+                           for i in range(len(self.mins))])
+        scaled = F.zip_with(
+            codes, scales, lambda c, sc: c.cast("double") * sc / F.lit(255.0)
+        )
+        return F.zip_with(scaled, mins, lambda s, mn: mn + s)
+
     def requantize_col(self, vec: Column) -> Column:
         """encode+decode fused as three zip_with HOFs — a constant-size
         expression tree regardless of dim (the per-element form compiles
@@ -267,6 +279,38 @@ class SQ8:
         return "[" + ", ".join(parts) + "]"
 
 
+def sq8_encode(
+    df: DataFrame, sq: SQ8, vec_col: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Index-build step: persistable (id, codes uint8-as-int) relation.
+    At scale this is written once next to the IVF layout; queries read the
+    codes column (dim bytes/row), never the raw vectors."""
+    return df.select(F.col(id_col), sq.encode_col(F.col(vec_col)).alias("codes"))
+
+
+def sq8_codes_knn(
+    codes_df: DataFrame,
+    sq: SQ8,
+    query_vec,
+    k: int = 10,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Quantized kNN over PRE-ENCODED codes: decode is constant-size column
+    arithmetic (3 zip_with HOFs); the corpus-wide encode happened once at
+    index build, not per query."""
+    decoded = sq.decode_codes_col(F.col("codes"))
+    dist = V.DISTANCES[metric](decoded, V.lit_vector(query_vec))
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        codes_df.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def sq8_knn(
     df: DataFrame,
     sq: SQ8,
@@ -277,8 +321,8 @@ def sq8_knn(
     id_col: str = "vec_id",
     round_to: int | None = 6,
 ) -> DataFrame:
-    """Quantized kNN: distances over decoded SQ8 vectors (what an SQ8 IVF
-    scan computes before optional exact re-rank)."""
+    """Quantized kNN straight off raw vectors (one-shot / no prebuilt codes:
+    encodes the corpus in-query — prefer sq8_encode + sq8_codes_knn)."""
     decoded = sq.requantize_col(F.col(vec_col))
     dist = V.DISTANCES[metric](decoded, V.lit_vector(query_vec))
     if round_to is not None:
@@ -400,6 +444,34 @@ class PQ:
         )
 
 
+def pq_encode(
+    df: DataFrame, pq: PQ, vec_col: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Index-build step: (id, codes array<int>, m bytes/row). Persist once;
+    ADC queries read codes + a broadcast LUT, never the raw vectors."""
+    return df.select(F.col(id_col), pq.encode_col(F.col(vec_col)).alias("codes"))
+
+
+def pq_codes_adc_knn(
+    codes_df: DataFrame,
+    pq: PQ,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """ADC top-k over PRE-ENCODED codes: per-query work is an m-element LUT
+    lookup-sum per row — the reads shrink from dim·4 bytes to m bytes."""
+    dist = pq.adc_dist_col(F.col("codes"), query_vec)
+    if round_to is not None:
+        dist = F.round(dist, round_to)
+    return (
+        codes_df.select(id_col, dist.alias("distance"))
+        .orderBy(F.col("distance"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def pq_adc_knn(
     df: DataFrame,
     pq: PQ,
@@ -409,7 +481,8 @@ def pq_adc_knn(
     id_col: str = "vec_id",
     round_to: int | None = 6,
 ) -> DataFrame:
-    """PQ top-k: encode (index-build step at scale) + ADC LUT sum."""
+    """PQ top-k off raw vectors (one-shot; prefer pq_encode +
+    pq_codes_adc_knn so the corpus-wide encode happens at build time)."""
     codes = pq.encode_col(F.col(vec_col))
     dist = pq.adc_dist_col(codes, query_vec)
     if round_to is not None:
@@ -481,6 +554,38 @@ class BinaryQuant:
         return [1 if float(q) > m else 0 for q, m in zip(query_vec, self.mids)]
 
 
+def binary_encode(
+    df: DataFrame, bq: BinaryQuant, vec_col: str, id_col: str = "vec_id"
+) -> DataFrame:
+    """Index-build step: (id, bits array<int>) — 32× smaller than float32
+    at scale (persisted as packed bits; kept as an int array here for
+    engine-portable exactness)."""
+    return df.select(F.col(id_col), bq.bits_col(F.col(vec_col)).alias("bits"))
+
+
+def binary_bits_knn(
+    bits_df: DataFrame,
+    bq: BinaryQuant,
+    query_vec,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Hamming top-k over PRE-ENCODED bits — per-query cost is a bit
+    comparison fold, no corpus-wide quantization."""
+    qb = F.array(*[F.lit(b) for b in bq.query_bits(query_vec)])
+    hamming = F.aggregate(
+        F.zip_with(F.col("bits"), qb,
+                   lambda a, b: F.when(a != b, F.lit(1)).otherwise(F.lit(0))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        bits_df.select(id_col, hamming.alias("hamming"))
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(k)
+    )
+
+
 def binary_hamming_knn(
     df: DataFrame,
     bq: BinaryQuant,
@@ -489,7 +594,8 @@ def binary_hamming_knn(
     k: int = 10,
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Binary-quantized top-k by Hamming distance (integer — exact parity)."""
+    """Binary-quantized top-k by Hamming distance (integer — exact parity;
+    one-shot path, prefer binary_encode + binary_bits_knn)."""
     qb = F.array(*[F.lit(b) for b in bq.query_bits(query_vec)])
     hamming = F.aggregate(
         F.zip_with(bq.bits_col(F.col(vec_col)), qb,

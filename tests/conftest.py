@@ -49,6 +49,20 @@ def duck():
     con.close()
 
 
+def load_events(spark):
+    """Read the events table, converting an int64-ns `ts` to TIMESTAMP only
+    when the parquet actually carries nanos-as-long (driver testdata has
+    shipped both layouts — mirror of queries.load_tables's guard)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return ev
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by all values — the driver's
     order-insensitive compare."""

@@ -85,12 +85,9 @@ def test_es_aggs_terms_and_histogram(spark):
     from pyspark.sql import functions as F
 
     from serenedb_spark.plans.es_dsl import es_aggs
-    from tests.conftest import SF_DIR
+    from tests.conftest import load_events
 
-    ev = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    ev = load_events(spark)
     got = es_aggs(ev, {"by_type": {
         "terms": {"field": "event_type", "size": 10},
         "aggs": {"total_value": {"sum": {"field": "value"}},

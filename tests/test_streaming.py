@@ -60,10 +60,9 @@ def test_stream_refresh_matches_batch(spark, tmpdir):
 
 
 def test_windowed_counts_batch_equivalence(spark):
-    events = (
-        spark.read.parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
-    )
+    from tests.conftest import load_events
+
+    events = load_events(spark)
     agg = windowed_event_counts(events).orderBy("window_start", "event_type")
     rows = agg.collect()
     naive = (
