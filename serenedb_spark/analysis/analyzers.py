@@ -111,21 +111,102 @@ def _keyword_duckdb(e: str) -> str:
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in ENGLISH_STOPWORDS) + "]"
 
 
-def _text_expr(col: Column) -> Column:
+def _nostem_text_expr(col: Column) -> Column:
     stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
     return F.filter(_simple_expr(col), lambda t: ~F.array_contains(stop, t))
 
 
-def _text_py(s: str) -> list[str]:
+def _nostem_text_py(s: str) -> list[str]:
     stop = set(ENGLISH_STOPWORDS)
     return [t for t in _simple_py(s) if t not in stop]
 
 
-def _text_duckdb(e: str) -> str:
+def _nostem_text_duckdb(e: str) -> str:
     return (
         f"list_filter({_simple_duckdb(e)},"
         f" t -> NOT list_contains({_STOP_SQL}, t))"
     )
+
+
+# ---- stemming -------------------------------------------------------------
+# The reference's `text` template stems by default (snowball via ICU,
+# create_tsdictionary.cpp:261). A full snowball stemmer is not expressible
+# as portable SQL; we implement the Harman S-stemmer (1991) — the
+# plural-conflation subset (ies→y, es→e, s→∅ with the standard exclusion
+# suffixes) — identically in all three representations. Documented
+# deviation: derivational suffixes (-ing, -ation, …) are not stripped.
+
+def _sstem_token_col(t: Column) -> Column:
+    return (
+        F.when(
+            t.endswith("ies") & ~(t.endswith("eies") | t.endswith("aies")),
+            F.concat(F.substring(t, F.lit(1), F.length(t) - F.lit(3)),
+                     F.lit("y")),
+        )
+        .when(
+            t.endswith("es")
+            & ~(t.endswith("aes") | t.endswith("ees") | t.endswith("oes")),
+            F.substring(t, F.lit(1), F.length(t) - F.lit(1)),
+        )
+        .when(
+            t.endswith("s") & ~(t.endswith("us") | t.endswith("ss")),
+            F.substring(t, F.lit(1), F.length(t) - F.lit(1)),
+        )
+        .otherwise(t)
+    )
+
+
+def _sstem_token_py(t: str) -> str:
+    if t.endswith("ies") and not (t.endswith("eies") or t.endswith("aies")):
+        return t[:-3] + "y"
+    if t.endswith("es") and not (
+        t.endswith("aes") or t.endswith("ees") or t.endswith("oes")
+    ):
+        return t[:-1]
+    if t.endswith("s") and not (t.endswith("us") or t.endswith("ss")):
+        return t[:-1]
+    return t
+
+
+def _sstem_token_duck(t: str) -> str:
+    return (
+        f"CASE WHEN {t} LIKE '%ies' AND {t} NOT LIKE '%eies'"
+        f" AND {t} NOT LIKE '%aies'"
+        f" THEN substr({t}, 1, length({t}) - 3) || 'y'"
+        f" WHEN {t} LIKE '%es' AND {t} NOT LIKE '%aes'"
+        f" AND {t} NOT LIKE '%ees' AND {t} NOT LIKE '%oes'"
+        f" THEN substr({t}, 1, length({t}) - 1)"
+        f" WHEN {t} LIKE '%s' AND {t} NOT LIKE '%us' AND {t} NOT LIKE '%ss'"
+        f" THEN substr({t}, 1, length({t}) - 1)"
+        f" ELSE {t} END"
+    )
+
+
+def _text_expr(col: Column) -> Column:
+    return F.transform(_nostem_text_expr(col), _sstem_token_col)
+
+
+def _text_py(s: str) -> list[str]:
+    return [_sstem_token_py(t) for t in _nostem_text_py(s)]
+
+
+def _text_duckdb(e: str) -> str:
+    return (
+        f"list_transform({_nostem_text_duckdb(e)},"
+        f" t -> {_sstem_token_duck('t')})"
+    )
+
+
+def _stem_expr(col: Column) -> Column:
+    return F.transform(_simple_expr(col), _sstem_token_col)
+
+
+def _stem_py(s: str) -> list[str]:
+    return [_sstem_token_py(t) for t in _simple_py(s)]
+
+
+def _stem_duckdb(e: str) -> str:
+    return f"list_transform({_simple_duckdb(e)}, t -> {_sstem_token_duck('t')})"
 
 
 def _ngram(n: int):
@@ -291,10 +372,172 @@ def _edge_ngram(min_n: int, max_n: int):
     return expr, py, duck
 
 
+def _segmentation():
+    """UAX#29-flavored word segmentation (reference `segmentation` template,
+    create_tsdictionary.cpp:477): split on whitespace, trim edge
+    punctuation, keep interior marks ("don't", "a.b" stay one token),
+    lowercase.  Approximation of ICU BreakIterator — the MidLetter /
+    MidNumLet keep-together behavior is the part we reproduce; full
+    locale-aware breaks are a documented deviation (pyicu not available)."""
+    trim = "^[^a-z0-9]+|[^a-z0-9]+$"
+
+    def expr(col: Column) -> Column:
+        raw = F.split(F.lower(col), r"\s+")
+        return F.filter(
+            F.transform(raw, lambda t: F.regexp_replace(t, trim, "")),
+            lambda t: t != F.lit(""),
+        )
+
+    def py(s: str) -> list[str]:
+        out = []
+        for t in re.split(r"\s+", s.lower()):
+            t = re.sub(trim, "", t)
+            if t:
+                out.append(t)
+        return out
+
+    def duck(e: str) -> str:
+        return (
+            f"list_filter(list_transform("
+            f"regexp_split_to_array(lower({e}), '\\s+'),"
+            f" t -> regexp_replace(t, '{trim}', '', 'g')), t -> t <> '')"
+        )
+
+    return expr, py, duck
+
+
+def _minhash(num_hashes: int, base: str = "simple"):
+    """`minhash` template (create_tsdictionary.cpp:758): the token stream
+    becomes its MinHash signature — num_hashes tokens, each the
+    lexicographic min of md5(seed || ':' || token) over distinct base
+    tokens (md5-as-permutation, same trick as operators/dedup.py)."""
+
+    def expr(col: Column) -> Column:
+        toks = F.array_distinct(get_analyzer(base).expr(col))
+
+        def _seed_min(prefix: str) -> Column:
+            # NB: keep the transform lambda single-argument — a 2-arg
+            # lambda is interpreted by F.transform as (element, index)
+            return F.array_min(
+                F.transform(toks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
+            )
+
+        mins = [_seed_min(f"{i}:") for i in range(num_hashes)]
+        empty = F.array_remove(F.array(F.lit("")), "")
+        return (
+            F.when(col.isNull(), F.lit(None).cast("array<string>"))
+            .when(F.size(toks) > 0, F.array(*mins))
+            .otherwise(empty)
+        )
+
+    def py(s: str) -> list[str]:
+        import hashlib
+
+        toks = sorted(set(get_analyzer(base).tokens(s)))
+        if not toks:
+            return []
+        return [
+            min(hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in toks)
+            for i in range(num_hashes)
+        ]
+
+    def duck(e: str) -> str:
+        inner = f"list_distinct({get_analyzer(base).duckdb(e)})"
+        mins = ", ".join(
+            f"list_min(list_transform({inner}, t -> md5('{i}:' || t)))"
+            for i in range(num_hashes)
+        )
+        return (
+            f"CASE WHEN {e} IS NULL THEN NULL"
+            f" WHEN len({inner}) > 0 THEN [{mins}]"
+            f" ELSE list_filter([''], x -> x <> '') END"
+        )
+
+    return expr, py, duck
+
+
+def _wildcard_grams(n: int = 3):
+    """`wildcard` template (create_tsdictionary.cpp:771): boundary-marked
+    character n-grams of the whole value ('$spark$' → $sp, spa, …, rk$) —
+    the gram prefilter that accelerates ts_like over an index (Lucene-style
+    wildcard-over-ngrams)."""
+    mark = "$"
+
+    def expr(col: Column) -> Column:
+        s = F.concat(F.lit(mark), F.lower(col), F.lit(mark))
+        return F.transform(
+            _seq(1, F.length(s) - F.lit(n - 1)), lambda i: s.substr(i, F.lit(n))
+        )
+
+    def py(s: str) -> list[str]:
+        s = mark + s.lower() + mark
+        return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+    def duck(e: str) -> str:
+        s = f"('{mark}' || lower({e}) || '{mark}')"
+        return (
+            f"list_transform(range(1, greatest(length({s}) - {n - 1}, 0) + 1),"
+            f" i -> substr({s}, i, {n}))"
+        )
+
+    return expr, py, duck
+
+
+def make_pipeline(name: str, base: str, filters: tuple[str, ...]) -> "Analyzer":
+    """`pipeline` template (create_tsdictionary.cpp:665): one tokenizer
+    followed by token-level filter stages, applied in order. Supported
+    stages: 'stopwords' (english list), 'stem' (S-stemmer)."""
+    b = get_analyzer(base)
+
+    def expr(col: Column) -> Column:
+        out = b.expr(col)
+        for f_ in filters:
+            if f_ == "stopwords":
+                stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
+                out = F.filter(out, lambda t: ~F.array_contains(stop, t))
+            elif f_ == "stem":
+                out = F.transform(out, _sstem_token_col)
+            else:
+                raise KeyError(f"unknown pipeline stage {f_!r}")
+        return out
+
+    def py(s: str) -> list[str]:
+        out = b.tokens(s)
+        for f_ in filters:
+            if f_ == "stopwords":
+                stop = set(ENGLISH_STOPWORDS)
+                out = [t for t in out if t not in stop]
+            elif f_ == "stem":
+                out = [_sstem_token_py(t) for t in out]
+        return out
+
+    def duck(e: str) -> str:
+        out = b.duckdb(e)
+        for f_ in filters:
+            if f_ == "stopwords":
+                out = f"list_filter({out}, t -> NOT list_contains({_STOP_SQL}, t))"
+            elif f_ == "stem":
+                out = f"list_transform({out}, t -> {_sstem_token_duck('t')})"
+        return out
+
+    return register(Analyzer(name, expr, py, duck))
+
+
 register(Analyzer("keyword", _keyword_expr, _keyword_py, _keyword_duckdb,
                   features=("frequency",)))
 register(Analyzer("simple", _simple_expr, _simple_py, _simple_duckdb))
+# `text` stems by default like the reference (create_tsdictionary.cpp:261);
+# the unstemmed variant stays available as text_nostem
 register(Analyzer("text", _text_expr, _text_py, _text_duckdb))
+register(Analyzer("text_nostem", _nostem_text_expr, _nostem_text_py,
+                  _nostem_text_duckdb))
+register(Analyzer("stem", _stem_expr, _stem_py, _stem_duckdb))
+_e, _p, _d = _segmentation()
+register(Analyzer("segmentation", _e, _p, _d))
+_e, _p, _d = _minhash(4)
+register(Analyzer("minhash4", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _wildcard_grams(3)
+register(Analyzer("wildcard", _e, _p, _d, features=("frequency",)))
 for _n in (2, 3, 4):
     _e, _p, _d = _ngram(_n)
     register(Analyzer(f"ngram{_n}", _e, _p, _d, features=("frequency",)))
@@ -378,3 +621,4 @@ make_synonyms("synonyms_demo", {
     "big": ("large",),
 })
 make_union("union_demo", ("simple", "ngram3"))
+make_pipeline("pipeline_demo", "segmentation", ("stopwords", "stem"))

@@ -45,6 +45,9 @@ def match_fragment(node: q.TSQuery, toks: str = "toks") -> str:
     if isinstance(node, q.Phrase):
         return _phrase_fragment(node, toks)
 
+    if isinstance(node, q.PhraseSeq):
+        return _phrase_seq_fragment(node, toks)
+
     if isinstance(node, q.Prefix):
         return (
             f"len(list_filter({toks}, t -> t LIKE {_sq(node.prefix + '%')}))"
@@ -152,6 +155,59 @@ def _phrase_fragment(ph: q.Phrase, toks: str) -> str:
     return f"len({valid}) > 0"
 
 
+def _seq_part_token_pred(part: q.TSQuery, t: str) -> str:
+    """Boolean SQL over one token expression `t` — the per-position member
+    test for a heterogeneous phrase part (mirrors planner._seq_part_positions
+    candidate-term semantics)."""
+    if isinstance(part, q.Term):
+        return f"{t} = {_sq(part.term)}"
+    if isinstance(part, q.AnyOf):
+        terms = ", ".join(_sq(x) for x in dict.fromkeys(part.terms))
+        return f"list_contains([{terms}], {t})"
+    if isinstance(part, q.Prefix):
+        return f"{t} LIKE {_sq(part.prefix + '%')}"
+    if isinstance(part, q.Wildcard):
+        return f"{t} LIKE {_sq(part.pattern)}"
+    if isinstance(part, q.Regexp):
+        return f"regexp_full_match({t}, {_sq(part.pattern)})"
+    if isinstance(part, q.Fuzzy):
+        w, d = part.term, part.distance
+        return (
+            f"(abs(length({t}) - {len(w)}) <= {d}"
+            f" AND levenshtein({t}, {_sq(w)}) <= {d})"
+        )
+    if isinstance(part, q.Between):
+        conds = []
+        if part.lo is not None:
+            conds.append(f"{t} {'>=' if part.lo_inclusive else '>'} {_sq(part.lo)}")
+        if part.hi is not None:
+            conds.append(f"{t} {'<=' if part.hi_inclusive else '<'} {_sq(part.hi)}")
+        return "(" + (" AND ".join(conds) or "TRUE") + ")"
+    raise TypeError(f"unsupported phrase-sequence part: {part!r}")
+
+
+def _phrase_seq_fragment(ph: q.PhraseSeq, toks: str) -> str:
+    """Same positional slop fold as _phrase_fragment, with each word
+    membership generalized to the part's token predicate."""
+
+    def positions(part: q.TSQuery) -> str:
+        pred = _seq_part_token_pred(part, f"{toks}[i]")
+        return f"list_filter(range(1, len({toks}) + 1), i -> {pred})"
+
+    parts = ph.parts
+    if len(parts) == 1:
+        return f"len({positions(parts[0])}) > 0"
+    valid = positions(parts[0])
+    for i in range(1, len(parts)):
+        lo, hi = ph.gaps[i - 1]
+        valid = (
+            f"list_filter({positions(parts[i])},"
+            f" p -> len(list_filter({valid},"
+            f" v -> p - v BETWEEN {lo} AND {hi})) > 0)"
+        )
+    return f"len({valid}) > 0"
+
+
 def _collect_score_terms(node: q.TSQuery, analyzer: Analyzer, boost: float = 1.0):
     """(kind, payload, boost) triples for positive leaves — mirrors
     planner score_terms. kind ∈ {'terms','prefix','wildcard','regexp',
@@ -162,6 +218,11 @@ def _collect_score_terms(node: q.TSQuery, analyzer: Analyzer, boost: float = 1.0
         return [("terms", list(dict.fromkeys(node.terms)), boost)]
     if isinstance(node, q.Phrase):
         return [("terms", list(dict.fromkeys(node.words)), boost)]
+    if isinstance(node, q.PhraseSeq):
+        out = []
+        for p in node.parts:
+            out += _collect_score_terms(p, analyzer, boost)
+        return out
     if isinstance(node, q.NgramSim):
         return [("terms", list(dict.fromkeys(analyzer.tokens(node.text))), boost)]
     if isinstance(node, q.Prefix):

@@ -182,6 +182,13 @@ def compile_query(
         )
         return CompiledQuery(docs, tdf)
 
+    if isinstance(node, q.PhraseSeq):
+        docs = _compile_phrase_seq(idx, field, node)
+        tdf = _phrase_seq_terms(idx, field, node).withColumn(
+            "boost", F.lit(boost)
+        )
+        return CompiledQuery(docs, tdf)
+
     if isinstance(node, (q.Prefix, q.Wildcard, q.Regexp, q.Fuzzy, q.Between)):
         terms = _expand(idx, field, node)
         docs = (
@@ -341,3 +348,83 @@ def _compile_phrase(idx: InvertedIndex, field: str, ph: q.Phrase) -> DataFrame:
         valid = F.filter(F.col(f"pos{i}"), _gap_pred(valid, lo, hi))
 
     return joined.where(F.size(valid) > 0).select("doc_id")
+
+
+#: leaves allowed as phrase-sequence parts (reference search.h:37-39)
+_SEQ_PART_TYPES = (q.Term, q.AnyOf, q.Prefix, q.Wildcard, q.Regexp,
+                   q.Fuzzy, q.Between)
+
+
+def _seq_part_positions(idx: InvertedIndex, field: str,
+                        part: q.TSQuery, i: int) -> DataFrame:
+    """(doc_id, pos{i}) — per-doc sorted union of positions over the part's
+    candidate term set. Literal parts stay a term-IN postings filter;
+    expansion parts broadcast the term-dict match into the postings join
+    (same shape as the non-positional expansion leaves)."""
+    if isinstance(part, q.Term):
+        P = _postings_for_terms(idx, field, [part.term])
+        return P.select("doc_id", F.col("positions").alias(f"pos{i}"))
+    if isinstance(part, q.AnyOf):
+        # any-of as a phrase part: position set = union over its terms
+        # (min_match is meaningless inside a positional part; enforced =1)
+        P = _postings_for_terms(idx, field, list(dict.fromkeys(part.terms)))
+    elif isinstance(part, _SEQ_PART_TYPES):
+        terms = _expand(idx, field, part)
+        P = _postings(idx, field).join(F.broadcast(terms), "term", "left_semi")
+    else:
+        raise TypeError(f"unsupported phrase-sequence part: {part!r}")
+    return (
+        P.groupBy("doc_id")
+        .agg(F.sort_array(F.flatten(F.collect_list("positions")))
+             .alias(f"pos{i}"))
+    )
+
+
+def _compile_phrase_seq(idx: InvertedIndex, field: str,
+                        ph: q.PhraseSeq) -> DataFrame:
+    """Positions-correct heterogeneous phrase (`##` chains): identical slop
+    fold to _compile_phrase, but each position's candidate set comes from a
+    term-set leaf instead of one literal word (reference stitches
+    term/prefix/fuzzy/any/between parts into one irs phrase filter,
+    search.h:87; demo3:181-205)."""
+    parts = ph.parts
+    if len(parts) == 1:
+        return _seq_part_positions(idx, field, parts[0], 0).select("doc_id")
+
+    joined = None
+    for i, part in enumerate(parts):
+        rel = _seq_part_positions(idx, field, part, i)
+        joined = rel if joined is None else joined.join(rel, "doc_id")
+
+    def _gap_pred(prev, lo, hi):
+        def pred(p):
+            return F.exists(
+                prev, lambda v: (p - v >= F.lit(lo)) & (p - v <= F.lit(hi))
+            )
+
+        return pred
+
+    valid = F.col("pos0")
+    for i in range(1, len(parts)):
+        lo, hi = ph.gaps[i - 1]
+        valid = F.filter(F.col(f"pos{i}"), _gap_pred(valid, lo, hi))
+
+    return joined.where(F.size(valid) > 0).select("doc_id")
+
+
+def _phrase_seq_terms(idx: InvertedIndex, field: str,
+                      ph: q.PhraseSeq) -> DataFrame:
+    """Union of every part's candidate terms — the score-term relation."""
+    literal: list[str] = []
+    expanded: list[DataFrame] = []
+    for part in ph.parts:
+        if isinstance(part, q.Term):
+            literal.append(part.term)
+        elif isinstance(part, q.AnyOf):
+            literal.extend(part.terms)
+        else:
+            expanded.append(_expand(idx, field, part))
+    out = _terms_df(idx, list(dict.fromkeys(literal)))
+    for e in expanded:
+        out = out.unionByName(e)
+    return out.distinct()

@@ -85,6 +85,41 @@ class Phrase(TSQuery):
 
 
 @dataclass(frozen=True)
+class PhraseSeq(TSQuery):
+    """`##` phrase-sequence of HETEROGENEOUS parts (reference
+    search.h:37-39,87; examples/demo3/demo.sql:181-205): each position of
+    the phrase is itself a term-set leaf — Term, AnyOf, Prefix, Wildcard,
+    Regexp, Fuzzy or Between — stitched with per-gap slop windows like
+    Phrase.  A part matches at position p when ANY of its candidate terms
+    occurs at p.
+
+    ``gaps[i] = (lo, hi)`` constrains ``pos(part[i+1]) - pos(part[i])``;
+    ``slop(n)`` sugar = every gap (1, 1+n), the reference's ``::slop(N)``
+    modifier.  Plain strings are accepted as Term sugar.
+    """
+
+    parts: tuple[TSQuery, ...]
+    gaps: tuple[tuple[int, int], ...] = ()
+
+    def __init__(self, parts, gaps=None, slop: int = 0):
+        norm = tuple(Term(p) if isinstance(p, str) else p for p in parts)
+        object.__setattr__(self, "parts", norm)
+        if gaps is None:
+            gaps = tuple((1, 1 + slop) for _ in range(len(norm) - 1))
+        object.__setattr__(self, "gaps", tuple(tuple(g) for g in gaps))
+        assert len(self.gaps) == max(len(self.parts) - 1, 0)
+
+    def with_slop(self, n: int) -> "PhraseSeq":
+        """`::slop(N)` — widen every gap to (1, 1+n)."""
+        return PhraseSeq(self.parts, slop=n)
+
+
+def seq(*parts, gaps=None, slop: int = 0) -> PhraseSeq:
+    """Sugar for the `##` operator: seq('hash', Prefix('jo')) etc."""
+    return PhraseSeq(parts, gaps=gaps, slop=slop)
+
+
+@dataclass(frozen=True)
 class Prefix(TSQuery):
     """ts_starts_with(p) (reference ts_prefix.cpp / prefix_filter.hpp)."""
 

@@ -949,6 +949,14 @@ _fts_match("fts_phraseto", q.phraseto_tsquery("table scan"))
 _fts_match("fts_websearch",
            q.websearch_to_tsquery('spark -dup "hash join" OR stream'))
 _fts_match("fts_ngram_sim_term", q.NgramSim("sparkle", 0.5))
+# heterogeneous ## phrase chain (reference search.h:37-39,87;
+# examples/demo3/demo.sql:181-205): literal ## prefix ## fuzzy with slop
+_fts_match("fts_phrase_mixed",
+           q.PhraseSeq([q.Term("hash"), q.Prefix("jo")], slop=1))
+_fts_match("fts_phrase_mixed_parts", q.PhraseSeq(
+    [q.AnyOf(["table", "index"]), q.Fuzzy("sca", 1)],
+    gaps=[(1, 3)],
+))
 
 _fts_scored("fts_bm25_topk", q.AnyOf(["spark", "stream", "window"]), "bm25", 20)
 _fts_scored("fts_bm25_boost",
@@ -1011,6 +1019,39 @@ def _register_covered() -> None:
 
 
 _register_covered()
+
+
+# stemmed index (reference `text` template stems by default,
+# create_tsdictionary.cpp:261): Term('join') must hit docs saying 'joins'
+def _fts_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir, analyzer="text")
+    return compile_query(idx, _DOC_COL, q.Term("join")).doc_ids.orderBy("doc_id")
+
+
+_register("fts_stemmed_term", _fts_stemmed,
+          O.match_sql(_DOC_TABLE, _DOC_COL, "text", q.Term("join"),
+                      order="doc_id"))
+
+
+# minhash analyzer (create_tsdictionary.cpp:758): the index's term
+# dictionary IS the corpus signature table — facet it
+def _fts_minhash_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir, analyzer="minhash4")
+    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+
+
+def _register_minhash_dict() -> None:
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    _register(
+        "fts_minhash_sig_facets", _fts_minhash_dict,
+        FC.duckdb_ts_dict_sql(
+            _DOC_TABLE, _DOC_COL, get_analyzer("minhash4").duckdb(_DOC_COL)
+        ) + " ORDER BY term",
+    )
+
+
+_register_minhash_dict()
 
 
 # synonym-expanded index: querying 'quick' must hit docs saying 'fast'
