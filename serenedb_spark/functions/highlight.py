@@ -83,17 +83,42 @@ def ts_highlight(
     tag_open: str = "<b>",
     tag_close: str = "</b>",
     window: int = 40,
+    boundary: str = "word",
 ) -> DataFrame:
     """Snippet around the FIRST whole-token match: ±window chars with the
-    match wrapped in tags (ICU sentence-break snippeting reduced to a fixed
-    char window — documented deviation from ts_highlight.cpp)."""
+    match wrapped in tags.
+
+    ``boundary='word'`` (default) snaps the window edges to whitespace so
+    the snippet never cuts mid-word — the portable core of the reference's
+    ICU break-iterator snippeting (ts_highlight.cpp uses ICU word/sentence
+    breaks; locale-aware sentence rules are a documented deviation).
+    ``boundary='char'`` keeps the raw fixed window."""
     offs = term_offsets_col(F.col(text_col), term)
     first = F.get(offs, 0)  # NULL (not an error) when there is no match
     n = len(term)
+    text = F.col(text_col)
     start = F.greatest(first - F.lit(window), F.lit(1))
-    pre = F.col(text_col).substr(start, first - start)
-    hit = F.col(text_col).substr(first, F.lit(n))
-    post = F.col(text_col).substr(first + F.lit(n), F.lit(window))
+    pre_raw = text.substr(start, first - start)
+    end_at_len = (first + F.lit(n - 1 + window)) >= F.length(text)
+    post_raw = text.substr(first + F.lit(n), F.lit(window))
+    if boundary == "word":
+        # drop the leading partial word unless the window starts at char 1,
+        # and the trailing partial word unless it ends at the text's end
+        r = F.instr(pre_raw, " ")
+        pre = (
+            F.when(start == 1, pre_raw)
+            .when(r > 0, pre_raw.substr(r + 1, F.length(pre_raw)))
+            .otherwise(F.lit(""))
+        )
+        k = F.instr(F.reverse(post_raw), " ")
+        post = (
+            F.when(end_at_len, post_raw)
+            .when(k > 0, post_raw.substr(F.lit(1), F.length(post_raw) - k))
+            .otherwise(F.lit(""))
+        )
+    else:
+        pre, post = pre_raw, post_raw
+    hit = text.substr(first, F.lit(n))
     snippet = F.concat(pre, F.lit(tag_open), hit, F.lit(tag_close), post)
     return (
         matched_docs.select(F.col(id_col), first.alias("first"), snippet.alias("snippet"))
@@ -105,7 +130,9 @@ def ts_highlight(
 def duckdb_ts_highlight_sql(
     table_expr: str, text_col: str, term: str, id_col: str = "doc_id",
     tag_open: str = "<b>", tag_close: str = "</b>", window: int = 40,
+    boundary: str = "word",
 ) -> str:
+    """Oracle mirroring ts_highlight (same word-boundary snapping)."""
     t = term.replace("'", "''")
     n = len(term)
     lo = f"lower({text_col})"
@@ -116,13 +143,31 @@ def duckdb_ts_highlight_sql(
     AND (strpos('{alnum}', substr({lo}, i - 1, 1)) = 0 OR i = 1)
     AND (strpos('{alnum}', substr({lo}, i + {n}, 1)) = 0
          OR i + {n} > length({lo})))"""
+    pre_raw = f"substr({text_col}, greatest(f - {window}, 1), f - greatest(f - {window}, 1))"
+    post_raw = f"substr({text_col}, f + {n}, {window})"
+    if boundary == "word":
+        pre = (
+            f"CASE WHEN greatest(f - {window}, 1) = 1 THEN pre_raw"
+            f" WHEN strpos(pre_raw, ' ') > 0"
+            f" THEN substr(pre_raw, strpos(pre_raw, ' ') + 1, length(pre_raw))"
+            f" ELSE '' END"
+        )
+        post = (
+            f"CASE WHEN f + {n - 1 + window} >= length({text_col}) THEN post_raw"
+            f" WHEN strpos(reverse(post_raw), ' ') > 0"
+            f" THEN substr(post_raw, 1,"
+            f" length(post_raw) - strpos(reverse(post_raw), ' '))"
+            f" ELSE '' END"
+        )
+    else:
+        pre, post = "pre_raw", "post_raw"
     return f"""
 SELECT {id_col},
-  concat(
-    substr({text_col}, greatest(f - {window}, 1), f - greatest(f - {window}, 1)),
-    '{tag_open}', substr({text_col}, f, {n}), '{tag_close}',
-    substr({text_col}, f + {n}, {window})
-  ) AS snippet
-FROM (SELECT {id_col}, {text_col}, {offs}[1] AS f FROM {table_expr})
+  concat({pre}, '{tag_open}', substr({text_col}, f, {n}), '{tag_close}', {post})
+    AS snippet
+FROM (
+  SELECT {id_col}, {text_col}, f, {pre_raw} AS pre_raw, {post_raw} AS post_raw
+  FROM (SELECT {id_col}, {text_col}, {offs}[1] AS f FROM {table_expr})
+)
 WHERE f IS NOT NULL
 """

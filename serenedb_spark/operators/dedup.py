@@ -236,6 +236,99 @@ def simhash_dedup(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance — the scale path on top
+    of simhash_dedup's fingerprints.
+
+    Pigeonhole bucketing: split the ``bits``-bit fingerprint into ``bands``
+    equal slices; any pair with hamming ≤ bands-1 shares at least one
+    identical slice, so the candidate join is a banded equi-join (shuffle on
+    small band keys, never all-pairs).  Exact hamming = bit_count(xor) on
+    candidates only.  Requires max_hamming < bands for losslessness —
+    asserted."""
+    assert bits % bands == 0 and max_hamming < bands
+    width = bits // bands
+    mask = (1 << width) - 1
+    an = get_analyzer(analyzer)
+    toks = F.array_distinct(an.expr(F.col(text_col)))
+    # empty/NULL token sets are excluded: an empty vote vector would get a
+    # degenerate all-ones fingerprint and pair with every other empty doc
+    fp = (
+        df.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("id", simhash(F.col("toks"), bits).alias("fp"))
+    )
+    band_keys = F.array(*[
+        F.concat_ws("#", F.lit(b),
+                    F.shiftrightunsigned(F.col("fp"), b * width)
+                    .bitwiseAND(F.lit(mask)))
+        for b in range(bands)
+    ])
+    banded = fp.select("id", "fp", F.explode(band_keys).alias("band"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    return (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def duckdb_simhash_expr(bits: int = 16) -> str:
+    """DuckDB fragment computing the ``bits``-wide SimHash fingerprint from
+    a token-hash list column ``hs`` (mirrors simhash() symbol-for-symbol)."""
+    return f"""
+list_sum(list_transform(range(0, {bits}), i ->
+    CASE WHEN list_sum(list_transform(hs, x ->
+      CASE WHEN (x // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END)) >= 0
+    THEN (1::BIGINT << i) ELSE 0 END))::BIGINT
+""".strip()
+
+
+def duckdb_simhash_pairs_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """Oracle mirroring simhash_pairs (banded join + bit_count hamming)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_items = ", ".join(
+        f"concat({b}, '#', (fp >> {b * width}) & {mask})" for b in range(bands)
+    )
+    return f"""
+WITH base AS (SELECT {id_col} AS id,
+    list_distinct(list_filter(regexp_split_to_array(lower({text_col}), '[^a-z0-9]+'), t -> t <> '')) AS toks
+  FROM {table}),
+h AS (SELECT id,
+    list_transform(toks, t -> list_sum(list_transform(range(0, 8),
+      j -> (strpos('0123456789abcdef', substr(md5(t), j + 1, 1)) - 1)
+           * (1::BIGINT << (4 * (7 - j)))))) AS hs
+  FROM base),
+fps AS (SELECT id, {duckdb_simhash_expr(bits)} AS fp FROM h
+        WHERE len(hs) > 0),
+banded AS (SELECT id, fp, unnest([{band_items}]) AS band FROM fps)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+  bit_count(xor(a.fp, b.fp)) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
 # ---- embedding near-dup ---------------------------------------------------
 
 def embedding_lsh_pairs(

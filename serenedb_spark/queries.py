@@ -1318,6 +1318,18 @@ FROM h ORDER BY doc_id
 """)
 
 
+def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return DD.simhash_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+
+
+_register(
+    "dedup_simhash_pairs", _dedup_simhash_pairs,
+    DD.duckdb_simhash_pairs_sql("documents", "text", "doc_id")
+    + " ORDER BY id_a, id_b",
+)
+
+
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return TS.token_count(docs, "text", "simple", "doc_id").orderBy("doc_id")

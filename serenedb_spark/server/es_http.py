@@ -7,11 +7,22 @@ extra dependencies, suitable for demos and driver-side tools (NOT a
 production server; the engine itself is the library API).
 
 Routes:
-  POST/GET /{index}/_search   — query DSL → es_search (hits + scores)
+  POST/GET /{index}/_search   — query DSL → es_search (hits + scores);
+                                ?scroll=… starts a keyset cursor
+  POST     /_search/scroll    — continue a scroll cursor
   GET      /{index}/_count    — match query → count
   POST     /_bulk             — bulk ingest into the index's SearchTable
+  GET      /{index}/_doc/{id} — single-doc fetch
+  POST     /{index}/_mget     — multi-doc fetch by ids
   GET      /{index}/_mapping  — indexed fields + analyzers
+  GET      /_cat/indices      — per-index doc counts (JSON form)
+  GET      /{index}/_stats    — doc-count stats envelope
   POST     /{index}/_refresh  — rebuild the snapshot index
+
+Scroll follows the reference's design: a keyset cursor on _id, not a
+snapshot buffer (handlers.cpp:625-644,881) — each page re-runs the match
+with `doc_id > last_id ORDER BY doc_id LIMIT size`, so state per cursor is
+one id, which is what survives at 100 TB (no server-side result caching).
 """
 
 from __future__ import annotations
@@ -97,6 +108,103 @@ class EsShim:
             col: {"type": "text", "analyzer": an} for col, an in st.fields.items()
         }}}}
 
+    def get_doc(self, index: str, doc_id: str) -> dict:
+        """GET /{index}/_doc/{id} (reference handlers.cpp:165)."""
+        idx = self._index(index)
+        key = self.tables[index].key
+        rows = idx.docstore.where(F.col(key) == int(doc_id)).limit(1).collect()
+        if not rows:
+            return {"_index": index, "_id": doc_id, "found": False}
+        src = rows[0].asDict()
+        return {"_index": index, "_id": doc_id, "found": True, "_source": src}
+
+    def mget(self, index: str, body: dict) -> dict:
+        """POST /{index}/_mget (reference handlers.cpp:1201): one semi-join
+        on the id set — a single scan regardless of id count."""
+        ids = body.get("ids") or [d["_id"] for d in body.get("docs", ())]
+        ids = [int(i) for i in ids]
+        idx = self._index(index)
+        key = self.tables[index].key
+        found = {
+            r[key]: r.asDict()
+            for r in idx.docstore.where(F.col(key).isin(ids)).collect()
+        }
+        return {"docs": [
+            {"_index": index, "_id": str(i), "found": i in found,
+             **({"_source": found[i]} if i in found else {})}
+            for i in ids
+        ]}
+
+    def cat_indices(self) -> list[dict]:
+        """GET /_cat/indices?format=json (reference handlers.cpp:1105)."""
+        return [
+            {"index": name, "status": "open", "health": "green",
+             "docs.count": str(self._index(name).docstore.count())}
+            for name in sorted(self.tables)
+        ]
+
+    def stats(self, index: str | None = None) -> dict:
+        """GET /{index}/_stats (reference handlers.cpp:1187)."""
+        names = [index] if index else sorted(self.tables)
+        per = {}
+        for name in names:
+            idx = self._index(name)
+            n = idx.docstore.count()
+            terms = idx.term_stats.count()
+            per[name] = {"primaries": {
+                "docs": {"count": n, "deleted": 0},
+                "search": {"terms": terms},
+            }}
+        total = sum(p["primaries"]["docs"]["count"] for p in per.values())
+        return {"_all": {"primaries": {"docs": {"count": total}}},
+                "indices": per}
+
+    # ---- scroll (keyset cursor on _id) -----------------------------------
+
+    def search_scroll(self, index: str, body: dict) -> dict:
+        """Start a scroll: first page + cursor token."""
+        import uuid
+
+        if not hasattr(self, "_scroll_state"):
+            self._scroll_state = {}
+        size = int(body.get("size", 10))
+        sid = uuid.uuid4().hex
+        state = {"index": index, "body": dict(body), "last_id": None,
+                 "size": size}
+        self._scroll_state[sid] = state
+        return self._scroll_page(sid)
+
+    def scroll(self, body: dict) -> dict:
+        sid = body["scroll_id"]
+        return self._scroll_page(sid)
+
+    def _scroll_page(self, sid: str) -> dict:
+        from serenedb_spark.plans.es_dsl import parse_query
+        from serenedb_spark.plans.planner import compile_query
+
+        st = self._scroll_state[sid]
+        idx = self._index(st["index"])
+        query = st["body"].get("query", {"match_all": {}})
+        if query == {"match_all": {}}:
+            ids = idx.docstore.select(F.col(self.tables[st["index"]].key)
+                                      .alias("doc_id"))
+        else:
+            field, node = parse_query(query, idx.analyzer(idx.default_field()))
+            ids = compile_query(
+                idx, field or idx.default_field(), node
+            ).doc_ids
+        if st["last_id"] is not None:
+            ids = ids.where(F.col("doc_id") > st["last_id"])
+        rows = ids.orderBy("doc_id").limit(st["size"]).collect()
+        if rows:
+            st["last_id"] = rows[-1].doc_id
+        return {
+            "_scroll_id": sid,
+            "hits": {"hits": [
+                {"_index": st["index"], "_id": str(r.doc_id)} for r in rows
+            ]},
+        }
+
     def refresh(self, index: str) -> dict:
         self._snapshots.pop(index, None)
         self._index(index)
@@ -120,18 +228,35 @@ def serve(shim: EsShim, port: int = 0):
             return self.rfile.read(n).decode() if n else ""
 
         def _route(self):
-            parts = [p for p in self.path.split("?")[0].split("/") if p]
+            path, _, qs = self.path.partition("?")
+            params = dict(
+                p.split("=", 1) if "=" in p else (p, "")
+                for p in qs.split("&") if p
+            )
+            parts = [p for p in path.split("/") if p]
             body = self._body()
             try:
                 if parts == ["_bulk"]:
                     return self._reply(shim.bulk(body))
+                if parts == ["_search", "scroll"]:
+                    return self._reply(shim.scroll(json.loads(body)))
+                if parts == ["_cat", "indices"]:
+                    return self._reply(shim.cat_indices())
+                if len(parts) == 3 and parts[1] == "_doc":
+                    return self._reply(shim.get_doc(parts[0], parts[2]))
                 if len(parts) == 2:
                     index, verb = parts
                     payload = json.loads(body) if body else {}
+                    if verb == "_search" and "scroll" in params:
+                        return self._reply(shim.search_scroll(index, payload))
                     if verb == "_search":
                         return self._reply(shim.search(index, payload))
                     if verb == "_count":
                         return self._reply(shim.count(index, payload))
+                    if verb == "_mget":
+                        return self._reply(shim.mget(index, payload))
+                    if verb == "_stats":
+                        return self._reply(shim.stats(index))
                     if verb == "_mapping":
                         return self._reply(shim.mapping(index))
                     if verb == "_refresh":

@@ -54,6 +54,46 @@ def test_mapping_route(es):
     assert m["docs"]["mappings"]["properties"]["text"]["analyzer"] == "simple"
 
 
+def test_doc_and_mget_routes(es):
+    with urllib.request.urlopen(f"{es}/docs/_doc/1", timeout=60) as r:
+        d = json.loads(r.read())
+    assert d["found"] is True and d["_source"]["doc_id"] == 1
+    out = _post(f"{es}/docs/_mget", {"ids": [1, 2, 99999999]})
+    assert [x["found"] for x in out["docs"]] == [True, True, False]
+    assert out["docs"][0]["_source"]["doc_id"] == 1
+
+
+def test_scroll_route(es):
+    page1 = _post(f"{es}/docs/_search?scroll=1m", {
+        "query": {"term": {"text": "spark"}}, "size": 7,
+    })
+    sid = page1["_scroll_id"]
+    ids1 = [int(h["_id"]) for h in page1["hits"]["hits"]]
+    assert len(ids1) == 7 and ids1 == sorted(ids1)
+    seen = list(ids1)
+    while True:
+        page = _post(f"{es}/_search/scroll", {"scroll_id": sid})
+        ids = [int(h["_id"]) for h in page["hits"]["hits"]]
+        if not ids:
+            break
+        assert ids[0] > seen[-1]  # keyset cursor strictly advances
+        seen += ids
+    total = _post(f"{es}/docs/_count",
+                  {"query": {"term": {"text": "spark"}}})["count"]
+    assert len(seen) == total == len(set(seen))
+
+
+def test_cat_and_stats_routes(es):
+    with urllib.request.urlopen(f"{es}/_cat/indices?format=json", timeout=60) as r:
+        cat = json.loads(r.read())
+    assert any(row["index"] == "docs" for row in cat)
+    with urllib.request.urlopen(f"{es}/docs/_stats", timeout=60) as r:
+        st = json.loads(r.read())
+    n = st["indices"]["docs"]["primaries"]["docs"]["count"]
+    assert n == int(next(r_ for r_ in cat if r_["index"] == "docs")["docs.count"])
+    assert st["_all"]["primaries"]["docs"]["count"] >= n
+
+
 def test_bulk_then_refresh_then_search(es):
     before = _post(f"{es}/docs/_count",
                    {"query": {"term": {"text": "zzztoken"}}})["count"]
