@@ -257,6 +257,60 @@ def _shingle(k: int):
     return expr, py, duck
 
 
+def _sparse_ngram(n: int):
+    """`sparse_ngram` template (create_tsdictionary.cpp:465; demo6's
+    GitHub-code-search scheme): of all character n-grams, keep only those
+    whose md5 is a STRICT local minimum among both immediate neighbors.
+
+    Superstring invariance is the load-bearing property: an interior gram's
+    neighbors are the same in every occurrence of the string, so a gram
+    selected inside a query is guaranteed selected (hence indexed) in every
+    document containing the query — the covering query mode stays lossless
+    while the postings shrink to ~1/3 of all grams. (The reference uses a
+    monotonic-stack selection with the same invariant; local-min is the
+    portable formulation.)"""
+
+    def _grams_expr(col: Column) -> Column:
+        s = F.lower(col)
+        return F.transform(
+            _seq(1, F.length(s) - F.lit(n - 1)), lambda i: s.substr(i, F.lit(n))
+        )
+
+    def expr(col: Column) -> Column:
+        g = _grams_expr(col)
+        sel = F.filter(
+            _seq(2, F.size(g) - F.lit(1)),
+            lambda j: (F.md5(F.element_at(g, j)) < F.md5(F.element_at(g, j - 1)))
+            & (F.md5(F.element_at(g, j)) < F.md5(F.element_at(g, j + 1))),
+        )
+        return F.transform(sel, lambda j: F.element_at(g, j))
+
+    def py(s: str) -> list[str]:
+        import hashlib
+
+        s = s.lower()
+        grams = [s[i : i + n] for i in range(len(s) - n + 1)]
+        h = [hashlib.md5(g.encode()).hexdigest() for g in grams]
+        return [
+            grams[j]
+            for j in range(1, len(grams) - 1)
+            if h[j] < h[j - 1] and h[j] < h[j + 1]
+        ]
+
+    def duck(e: str) -> str:
+        g = (
+            f"list_transform(range(1, greatest(length(lower({e})) - {n - 1}, 0) + 1),"
+            f" i -> substr(lower({e}), i, {n}))"
+        )
+        return (
+            f"list_transform(list_filter(range(2, greatest(len({g}) - 1, 1) + 1),"
+            f" j -> md5({g}[j]) < md5({g}[j - 1])"
+            f" AND md5({g}[j]) < md5({g}[j + 1])), j -> {g}[j])"
+        )
+
+    return expr, py, duck
+
+
 _REGISTRY: dict[str, Analyzer] = {}
 
 
@@ -541,6 +595,8 @@ register(Analyzer("wildcard", _e, _p, _d, features=("frequency",)))
 for _n in (2, 3, 4):
     _e, _p, _d = _ngram(_n)
     register(Analyzer(f"ngram{_n}", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _sparse_ngram(3)
+register(Analyzer("sparse_ngram3", _e, _p, _d, features=("frequency",)))
 for _k in (2, 3, 5):
     _e, _p, _d = _shingle(_k)
     register(Analyzer(f"shingle{_k}", _e, _p, _d, features=("frequency",)))

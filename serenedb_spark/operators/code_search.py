@@ -10,9 +10,15 @@ semi-joins, term-pruned parquet scans); the exact ``contains`` check runs
 only on the candidates (late materialization). The differential oracle is
 the naive LIKE scan — equality proves the cover lossless.
 
-(The reference's sparse_ngram selects a subset of grams via a monotonic
-stack to shrink the index; we index all grams — denser index, same query
-semantics. Documented deviation.)"""
+Two index layouts:
+  * ``substring_search`` — all grams indexed (ngram3), needle covered by
+    every gram.
+  * ``sparse_substring_search`` — the reference's sparse scheme
+    (`sparse_ngram` create_tsdictionary.cpp:465, demo6): only local-min
+    grams are indexed (~1/3 density), and the needle requires its
+    interior-selected grams.  Superstring invariance of the selection
+    keeps the cover lossless (see analyzers._sparse_ngram); a needle with
+    no selected gram falls back to the exact scan."""
 
 from __future__ import annotations
 
@@ -51,6 +57,34 @@ def substring_search(
     return docs.where(
         F.instr(F.lower(F.col(field)), needle.lower()) > 0
     ).select("doc_id")
+
+
+def sparse_substring_search(
+    idx: InvertedIndex,
+    field: str,
+    needle: str,
+    analyzer: str = "sparse_ngram3",
+) -> DataFrame:
+    """Substring search over a SPARSE ngram index: candidates must contain
+    every interior-selected gram of the needle (AllOf over ~len/3 postings
+    terms), then the exact ``contains`` residual runs on candidates only.
+    Falls back to the exact docstore scan when the needle selects nothing
+    (short/degenerate needles) — still exact, just unaccelerated."""
+    an = get_analyzer(analyzer)
+    grams = list(dict.fromkeys(an.tokens(needle)))
+    exact = F.instr(F.lower(F.col(field)), needle.lower()) > 0
+    if not grams:
+        return idx.docstore.where(exact).select("doc_id")
+    P = idx.postings.where(F.col("field") == field)
+    cand = (
+        P.where(F.col("term").isin(grams))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("m"))
+        .where(F.col("m") >= len(grams))
+        .select("doc_id")
+    )
+    docs = idx.docstore.join(cand, "doc_id", "left_semi")
+    return docs.where(exact).select("doc_id")
 
 
 def duckdb_substring_sql(table: str, column: str, needle: str) -> str:

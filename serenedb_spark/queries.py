@@ -1065,12 +1065,14 @@ _register("fts_synonyms", _fts_synonyms,
                       order="doc_id"))
 
 
-# substring/code search over an ngram3 index (reference demo6 scheme)
+# substring/code search over a SPARSE ngram index (reference demo6 scheme:
+# ~1/3 postings density vs all-grams, lossless cover — see
+# analyzers._sparse_ngram for the invariant)
 def _fts_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from serenedb_spark.operators.code_search import substring_search
+    from serenedb_spark.operators.code_search import sparse_substring_search
 
-    idx = doc_index(spark, sf_dir, analyzer="ngram3")
-    return substring_search(idx, "text", "ark ba").orderBy("doc_id")
+    idx = doc_index(spark, sf_dir, analyzer="sparse_ngram3")
+    return sparse_substring_search(idx, "text", "ark ba").orderBy("doc_id")
 
 
 def _register_substring() -> None:
