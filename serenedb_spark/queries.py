@@ -573,6 +573,48 @@ ORDER BY p_partkey
 LIMIT 100
 """)
 
+# PG-compat string extras (reference server/connector/functions/string.cpp;
+# Spark side uses functions/pg_strings.py helpers, DuckDB side reproduces
+# the exact semantics — initcap/get_bit have no DuckDB builtin)
+def _pg_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.functions import pg_strings as PS
+
+    part = load_tables(spark, sf_dir)["part"]
+    return (
+        part.where(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            PS.initcap(F.lower(F.col("p_type"))).alias("type_title"),
+            PS.quote_ident(F.col("p_brand")).alias("brand_ident"),
+            PS.quote_literal(F.col("p_name")).alias("name_lit"),
+            PS.octet_length(F.col("p_name")).alias("n_bytes"),
+            PS.to_hex(F.col("p_partkey")).alias("hex_key"),
+            PS.encode_base64(F.col("p_name").cast("binary")).alias("name_b64"),
+            F.size(PS.string_to_array(F.col("p_type"), " ")).alias("n_words"),
+            F.size(PS.split_by_non_alpha(F.col("p_name"))).alias("n_alpha_words"),
+            PS.bit_length(F.col("p_brand")).alias("brand_bits"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_register("pg_string_battery", _pg_string_battery, """
+SELECT p_partkey,
+  array_to_string(list_transform(string_split(lower(p_type), ' '),
+    w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS type_title,
+  '"' || replace(p_brand, '"', '""') || '"' AS brand_ident,
+  '''' || replace(p_name, '''', '''''') || '''' AS name_lit,
+  octet_length(encode(p_name)) AS n_bytes,
+  lower(to_hex(p_partkey)) AS hex_key,
+  base64(encode(p_name)) AS name_b64,
+  len(string_split(p_type, ' ')) AS n_words,
+  len(list_filter(regexp_split_to_array(p_name, '[^A-Za-z]+'), t -> t <> ''))
+    AS n_alpha_words,
+  bit_length(p_brand) AS brand_bits
+FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+""")
+
+
 _sql("window_battery", """
 SELECT o_orderkey, o_orderpriority,
   dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS drank,
