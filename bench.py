@@ -87,20 +87,31 @@ def main() -> None:
     idx.doc_stats.count()
     timings["index_build"] = round(time.perf_counter() - t0, 4)
 
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # the substring query runs over the sparse-ngram index — build it up
+    # front too (CREATE INDEX precedes query timings, same methodology)
+    t0 = time.perf_counter()
+    sidx = Q.doc_index(spark, SF_DIR, analyzer="sparse_ngram3")
+    sidx.postings.count()
+    timings["index_build_sparse"] = round(time.perf_counter() - t0, 4)
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     total = 0.0
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name].fn
-        best, nrows = None, 0
+        best, worst, nrows = None, 0.0, 0
         for _ in range(runs):
             t0 = time.perf_counter()
             rows = fn(spark, SF_DIR).collect()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
+            worst = max(worst, dt)
             nrows = len(rows)
         timings[name] = round(best, 4)
+        spread[name] = round(worst - best, 4)
         total += best
-        print(f"# {name}: {best:.3f}s ({nrows} rows)", file=sys.stderr)
+        print(f"# {name}: {best:.3f}s (+{worst - best:.3f}s spread,"
+              f" {nrows} rows)", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -112,6 +123,8 @@ def main() -> None:
         "value": round(total, 4),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "runs": runs,
         "sf": sf_val,
     }))
 

@@ -11,7 +11,7 @@ FAMILIES = [
         "ordered_set_aggs", "rollup_agg", "grouping_sets",
         "cube_agg", "qualify_topn", "pivot_statement", "unpivot_part_measures",
         "lateral_explode_tokens", "deterministic_sample", "case_agg_join",
-        "string_funcs", "scalar_battery")),
+        "string_funcs", "scalar_battery", "pg_string_battery")),
     ("Events (time series / JSON)", lambda n: n.startswith("events_")),
     ("DML", lambda n: n.startswith("dml_")),
     ("Full-text search predicates", lambda n: n.startswith("fts_") and not any(

@@ -108,9 +108,13 @@ def build_index(
         )
     )
 
+    # derive dl from postings (Σ freq), not from a second pass over the
+    # exploded tokens: when postings are persisted/saved, doc_stats reuses
+    # them instead of re-tokenizing the corpus — at 100 TB that's one wide
+    # scan instead of two
     doc_stats = (
-        exploded.groupBy("field", "doc_id")
-        .agg(F.count(F.lit(1)).cast("int").alias("dl"))
+        postings.groupBy("field", "doc_id")
+        .agg(F.sum("freq").cast("int").alias("dl"))
     )
 
     term_stats = (
