@@ -96,6 +96,24 @@ def parse_query(dsl: dict[str, Any], analyzer: Analyzer) -> tuple[str | None, q.
             hi_inclusive="lte" in spec or hi is None,
         )
 
+    if kind == "query_string":
+        # Lucene-ish query strings route through the websearch parser
+        # (reference dsl.cpp maps query_string onto the same SQL rewrite)
+        text = body["query"] if isinstance(body, dict) else body
+        field = body.get("default_field") if isinstance(body, dict) else None
+        return field, q.websearch_to_tsquery(str(text))
+
+    if kind == "match_phrase_prefix":
+        (field, spec), = body.items()
+        text = spec["query"] if isinstance(spec, dict) else spec
+        toks = analyzer.tokens(str(text))
+        if not toks:
+            raise ValueError(f"analyzed to no tokens: {text!r}")
+        if len(toks) == 1:
+            return field, q.Prefix(toks[0])
+        parts = [q.Term(t) for t in toks[:-1]] + [q.Prefix(toks[-1])]
+        return field, q.PhraseSeq(parts)
+
     if kind == "bool":
         field = None
 

@@ -35,6 +35,11 @@ CASES = [
      q.Between("query", "table")),
     ({"range": {"text": {"gt": "query"}}}, "text",
      q.Between("query", None, lo_inclusive=False)),
+    ({"query_string": {"query": 'spark -dup "hash join"'}}, None,
+     q.websearch_to_tsquery('spark -dup "hash join"')),
+    ({"match_phrase_prefix": {"text": "hash jo"}}, "text",
+     q.PhraseSeq([q.Term("hash"), q.Prefix("jo")])),
+    ({"match_phrase_prefix": {"text": "wind"}}, "text", q.Prefix("wind")),
     ({"bool": {
         "must": [{"term": {"text": "data"}}],
         "must_not": [{"term": {"text": "dup"}}],

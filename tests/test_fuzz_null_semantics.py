@@ -43,6 +43,14 @@ leaves = st.one_of(
     st.tuples(terms, terms).map(
         lambda p: q.Between(min(p), max(p))
     ),
+    # heterogeneous ## chains: literal/prefix/any parts with random slop
+    st.tuples(terms, st.sampled_from(["sp", "da", "jo", "zz"]),
+              st.integers(0, 2)).map(
+        lambda p: q.PhraseSeq([q.Term(p[0]), q.Prefix(p[1])], slop=p[2])
+    ),
+    st.tuples(st.lists(terms, min_size=1, max_size=2, unique=True), terms).map(
+        lambda p: q.PhraseSeq([q.AnyOf(p[0]), q.Term(p[1])])
+    ),
 )
 
 
