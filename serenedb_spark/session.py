@@ -57,6 +57,7 @@ class SereneSession:
         self.spark = spark
         self._tables: dict[str, DataFrame] = {}
         self._indexes: dict[str, InvertedIndex] = {}
+        self._row_policies: dict[str, object] = {}
 
     # ---- catalog ---------------------------------------------------------
     def load_dir(self, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
@@ -76,10 +77,27 @@ class SereneSession:
                 df.createOrReplaceTempView(t)
 
     def table(self, name: str) -> DataFrame:
-        return self._tables[name]
+        df = self._tables[name]
+        pred = self._row_policies.get(name)
+        return df.where(pred) if pred is not None else df
 
     def sql(self, q: str) -> DataFrame:
         return self.spark.sql(q)
+
+    # ---- row-level security (reference optimizer/rbac.cpp: access
+    # predicates injected at plan time, before anything else sees the rows)
+    def set_row_policy(self, table: str, predicate) -> None:
+        """Attach a row filter to a table: every subsequent `table()` access
+        (and the temp view, so `sql()` too) sees only qualifying rows.
+        `predicate` is a Column or a SQL string."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        self._row_policies[table] = pred
+        # re-register the view so spark.sql() paths get the filter as well
+        self._tables[table].where(pred).createOrReplaceTempView(table)
+
+    def drop_row_policy(self, table: str) -> None:
+        self._row_policies.pop(table, None)
+        self._tables[table].createOrReplaceTempView(table)
 
     # ---- indexing --------------------------------------------------------
     def create_index(
