@@ -237,10 +237,14 @@ def _shingle(k: int):
     """Word k-shingles over simple tokens — the MinHash/near-dup unit."""
 
     def expr(col: Column) -> Column:
-        toks = _simple_expr(col)
-        return F.transform(
-            _seq(1, F.size(toks) - F.lit(k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        # bind toks once — slicing a raw expression inside the lambda
+        # re-tokenizes per shingle (O(len²), see _bind)
+        return _bind(
+            _simple_expr(col),
+            lambda toks: F.transform(
+                _seq(1, F.size(toks) - F.lit(k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            ),
         )
 
     def py(s: str) -> list[str]:
@@ -255,6 +259,16 @@ def _shingle(k: int):
         )
 
     return expr, py, duck
+
+
+def _bind(val: Column, fn) -> Column:
+    """Evaluate `val` ONCE and pass it into `fn` as a materialized lambda
+    variable. Spark HOF lambdas materialize their arguments, while plain
+    expression references are re-evaluated at every use site (no CSE
+    across lambda boundaries) — so `element_at(x, j)` on a bound variable
+    is O(1), but on a raw transform() expression it re-runs the whole
+    array construction per access."""
+    return F.element_at(F.transform(F.array(val), fn), 1)
 
 
 def _sparse_ngram(n: int):
@@ -277,13 +291,22 @@ def _sparse_ngram(n: int):
         )
 
     def expr(col: Column) -> Column:
-        g = _grams_expr(col)
-        sel = F.filter(
-            _seq(2, F.size(g) - F.lit(1)),
-            lambda j: (F.md5(F.element_at(g, j)) < F.md5(F.element_at(g, j - 1)))
-            & (F.md5(F.element_at(g, j)) < F.md5(F.element_at(g, j + 1))),
-        )
-        return F.transform(sel, lambda j: F.element_at(g, j))
+        # grams and hashes are _bind-ed so each is computed exactly once
+        # per row; element_at on the bound variables is then O(1) (indexing
+        # a raw transform() expression instead re-evaluates the whole array
+        # per access — an O(len²) trap that stalls at corpus scale)
+        def with_g(g):
+            def with_h(h):
+                sel = F.filter(
+                    _seq(2, F.size(g) - F.lit(1)),
+                    lambda j: (F.element_at(h, j) < F.element_at(h, j - 1))
+                    & (F.element_at(h, j) < F.element_at(h, j + 1)),
+                )
+                return F.transform(sel, lambda j: F.element_at(g, j))
+
+            return _bind(F.transform(g, F.md5), with_h)
+
+        return _bind(_grams_expr(col), with_g)
 
     def py(s: str) -> list[str]:
         import hashlib
@@ -467,21 +490,20 @@ def _minhash(num_hashes: int, base: str = "simple"):
     tokens (md5-as-permutation, same trick as operators/dedup.py)."""
 
     def expr(col: Column) -> Column:
-        toks = F.array_distinct(get_analyzer(base).expr(col))
+        def with_toks(toks):
+            def _seed_min(prefix: str) -> Column:
+                # NB: keep the transform lambda single-argument — a 2-arg
+                # lambda is interpreted by F.transform as (element, index)
+                return F.array_min(
+                    F.transform(toks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
+                )
 
-        def _seed_min(prefix: str) -> Column:
-            # NB: keep the transform lambda single-argument — a 2-arg
-            # lambda is interpreted by F.transform as (element, index)
-            return F.array_min(
-                F.transform(toks, lambda t: F.md5(F.concat(F.lit(prefix), t)))
-            )
+            mins = [_seed_min(f"{i}:") for i in range(num_hashes)]
+            empty = F.array_remove(F.array(F.lit("")), "")
+            return F.when(F.size(toks) > 0, F.array(*mins)).otherwise(empty)
 
-        mins = [_seed_min(f"{i}:") for i in range(num_hashes)]
-        empty = F.array_remove(F.array(F.lit("")), "")
-        return (
-            F.when(col.isNull(), F.lit(None).cast("array<string>"))
-            .when(F.size(toks) > 0, F.array(*mins))
-            .otherwise(empty)
+        return F.when(col.isNull(), F.lit(None).cast("array<string>")).otherwise(
+            _bind(F.array_distinct(get_analyzer(base).expr(col)), with_toks)
         )
 
     def py(s: str) -> list[str]:

@@ -71,16 +71,24 @@ def minhash_signature(
     md5-as-permutation: lexicographic min over hex digests is a uniform
     min-hash; identical across Spark and DuckDB.
 
+    The token array is _bind-ed so it's computed ONCE per row — a raw
+    expression referenced from num_hashes lambdas is re-evaluated
+    num_hashes times (shingle arrays are themselves O(len) to build).
+
     NB: the per-seed lambda must stay single-argument — a two-parameter
     lambda is interpreted by F.transform as (element, index)."""
+    from serenedb_spark.analysis.analyzers import _bind
 
-    def _seed_min(i: int):
-        prefix = F.lit(f"{i}:")
-        return F.array_min(
-            F.transform(toks, lambda t: F.md5(F.concat(prefix, t)))
-        )
+    def with_toks(tk: Column) -> Column:
+        def _seed_min(i: int):
+            prefix = F.lit(f"{i}:")
+            return F.array_min(
+                F.transform(tk, lambda t: F.md5(F.concat(prefix, t)))
+            )
 
-    return F.array(*[_seed_min(i) for i in range(num_hashes)])
+        return F.array(*[_seed_min(i) for i in range(num_hashes)])
+
+    return _bind(toks, with_toks)
 
 
 def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
@@ -199,24 +207,35 @@ def simhash(toks: Column, bits: int = 32) -> Column:
     votes ±1; the sign of each bit-sum forms the fingerprint (BIGINT).
 
     Token hash = first 8 hex chars of md5 → uint32 (same in DuckDB via
-    hex cast), so the fingerprint is engine-portable."""
-    h = F.transform(
-        toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long")
-    )
-    def _bit_votes(i: int):
-        # keep the merge lambda strictly binary (acc, x) — F.aggregate
-        # misparses extra parameters
-        mask = F.lit(1 << i)
-        return F.aggregate(
-            h,
-            F.lit(0),
-            lambda a, x: a + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
-        )
+    hex cast), so the fingerprint is engine-portable. The token-hash array
+    is _bind-ed: referenced from `bits` aggregate lambdas, a raw expression
+    would re-tokenize + re-hash the document once per bit."""
+    from serenedb_spark.analysis.analyzers import _bind
 
-    acc = F.lit(0).cast("long")
-    for i in range(bits):
-        acc = acc + F.when(_bit_votes(i) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-    return acc
+    def with_hashes(h: Column) -> Column:
+        def _bit_votes(i: int):
+            # keep the merge lambda strictly binary (acc, x) — F.aggregate
+            # misparses extra parameters
+            mask = F.lit(1 << i)
+            return F.aggregate(
+                h,
+                F.lit(0),
+                lambda a, x: a + F.when(x.bitwiseAND(mask) != 0, 1).otherwise(-1),
+            )
+
+        acc = F.lit(0).cast("long")
+        for i in range(bits):
+            acc = acc + F.when(_bit_votes(i) >= 0,
+                               F.lit(1 << i)).otherwise(F.lit(0))
+        return acc
+
+    return _bind(
+        F.transform(
+            toks,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+        ),
+        with_hashes,
+    )
 
 
 def simhash_dedup(
@@ -241,7 +260,7 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     analyzer: str = "simple",
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> DataFrame:
@@ -300,7 +319,7 @@ def duckdb_simhash_pairs_sql(
     table: str,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     max_hamming: int = 3,
 ) -> str:
