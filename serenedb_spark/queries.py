@@ -573,6 +573,47 @@ ORDER BY p_partkey
 LIMIT 100
 """)
 
+# sessionization via the BUILT-IN session_window gap aggregation — the
+# same expression runs incrementally on a watermarked stream (§2.12);
+# the oracle states identical semantics with lag arithmetic
+def _events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.streaming.sessionize import session_window_counts
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return session_window_counts(ev)
+
+
+def _register_session_window() -> None:
+    from serenedb_spark.streaming.sessionize import SESSIONIZE_ORACLE_SQL
+
+    _register("events_session_window", _events_session_window,
+              SESSIONIZE_ORACLE_SQL)
+
+
+_register_session_window()
+
+
+# approx aggregates (reference demo6:66-78 approx_quantile /
+# approx_count_distinct + per-index HLL). Approximate results can't
+# value-hash against an oracle — registered WITHOUT one, taking the
+# driver's rows-only check; exactness-bounds tests live in pytest.
+def _approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT l_returnflag,
+          approx_count_distinct(l_orderkey) AS approx_orders,
+          CAST(round(percentile_approx(l_quantity, 0.5), 2) AS DOUBLE)
+            AS approx_median_qty,
+          count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """)
+
+
+_register("approx_aggregates", _approx_aggs, None)
+
+
 # PG-compat string extras (reference server/connector/functions/string.cpp;
 # Spark side uses functions/pg_strings.py helpers, DuckDB side reproduces
 # the exact semantics — initcap/get_bit have no DuckDB builtin)
