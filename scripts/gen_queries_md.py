@@ -12,7 +12,8 @@ FAMILIES = [
         "cube_agg", "qualify_topn", "pivot_statement", "unpivot_part_measures",
         "lateral_explode_tokens", "deterministic_sample", "case_agg_join",
         "string_funcs", "scalar_battery", "pg_string_battery")),
-    ("Events (time series / JSON)", lambda n: n.startswith("events_")),
+    ("Events (time series / JSON / sessionization)",
+     lambda n: n.startswith("events_") or n == "approx_aggregates"),
     ("DML", lambda n: n.startswith("dml_")),
     ("Full-text search predicates", lambda n: n.startswith("fts_") and not any(
         k in n for k in ("bm25", "tfidf", "lm_", "dfi", "indri", "raw_",

@@ -334,6 +334,38 @@ def _sparse_ngram(n: int):
     return expr, py, duck
 
 
+#: explicit accent-fold map (latin-1/latin-ext subset) — pinned so the
+#: Spark translate(), Python str.translate and DuckDB translate() agree
+#: exactly (the reference's `norm` template folds via ICU; this map is the
+#: portable core, documented deviation beyond it)
+_ACCENTS_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçšžāēīōū"
+_ACCENTS_TO = "aaaaaaeeeeiiiiooooouuuuyyncszaeiou"
+
+
+def _norm():
+    """`norm`(alizing) template (create_tsdictionary.cpp:351): lowercase +
+    accent fold, then the simple split — 'café' and 'cafe' index to the
+    same term."""
+    tr = str.maketrans(_ACCENTS_FROM, _ACCENTS_TO)
+
+    def expr(col: Column) -> Column:
+        folded = F.translate(F.lower(col), _ACCENTS_FROM, _ACCENTS_TO)
+        return F.filter(F.split(folded, _NON_ALNUM), lambda t: t != F.lit(""))
+
+    def py(s: str) -> list[str]:
+        folded = s.lower().translate(tr)
+        return [t for t in re.split(_NON_ALNUM, folded) if t]
+
+    def duck(e: str) -> str:
+        folded = f"translate(lower({e}), '{_ACCENTS_FROM}', '{_ACCENTS_TO}')"
+        return (
+            f"list_filter(regexp_split_to_array({folded}, '{_NON_ALNUM}'),"
+            " t -> t <> '')"
+        )
+
+    return expr, py, duck
+
+
 _REGISTRY: dict[str, Analyzer] = {}
 
 
@@ -608,6 +640,8 @@ register(Analyzer("text", _text_expr, _text_py, _text_duckdb))
 register(Analyzer("text_nostem", _nostem_text_expr, _nostem_text_py,
                   _nostem_text_duckdb))
 register(Analyzer("stem", _stem_expr, _stem_py, _stem_duckdb))
+_e, _p, _d = _norm()
+register(Analyzer("norm", _e, _p, _d))
 _e, _p, _d = _segmentation()
 register(Analyzer("segmentation", _e, _p, _d))
 _e, _p, _d = _minhash(4)

@@ -180,6 +180,79 @@ def ivf_load(spark, path: str) -> IVFIndex:
     )
 
 
+def ivf_sq8_build(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 16,
+    metric: str = "cosine",
+    seed: int = 42,
+) -> tuple["IVFIndex", "SQ8"]:
+    """The reference's `ivf(quant=sq8)` opclass composed: KMeans centroid
+    assignment + per-dim SQ8 codes stored TOGETHER, so a probe reads
+    nprobe partitions of uint8 codes (dim bytes/row) and never the raw
+    vectors. Returns (ivf index whose `assigned` carries a codes column,
+    the SQ8 train stats)."""
+    sq = SQ8.train(df, vec_col)
+    ivf = ivf_build(df, vec_col, id_col, nlist=nlist, metric=metric, seed=seed)
+    assigned = ivf.assigned.withColumn("codes", sq.encode_col(F.col(vec_col)))
+    ivf.assigned = assigned
+    return ivf, sq
+
+
+def ivf_sq8_search(
+    idx: "IVFIndex",
+    sq: "SQ8",
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank_factor: int | None = None,
+    round_to: int | None = 6,
+) -> DataFrame:
+    """Probe nprobe centroid partitions, rank by distance over DECODED SQ8
+    codes; with rerank_factor, the quantized pass selects k·factor
+    candidates and exact distances on raw vectors produce the final top-k
+    (`SET sdb_rerank_factor`)."""
+    import math
+
+    def _dist(c):
+        if idx.metric == "cosine":
+            dot = sum(a * b for a, b in zip(c, query_vec))
+            na = math.sqrt(sum(a * a for a in c))
+            nb = math.sqrt(sum(b * b for b in query_vec))
+            return 1.0 - dot / (na * nb) if na and nb else 1.0
+        if idx.metric in ("l2", "l2_sqr"):
+            return sum((a - b) ** 2 for a, b in zip(c, query_vec))
+        if idx.metric == "ip":
+            return -sum(a * b for a, b in zip(c, query_vec))
+        raise ValueError(idx.metric)
+
+    order = sorted(range(len(idx.centroids)),
+                   key=lambda i: (_dist(idx.centroids[i]), i))
+    cand = idx.assigned.where(F.col("centroid_id").isin(order[:nprobe]))
+
+    decoded = sq.decode_codes_col(F.col("codes"))
+    qdist = V.DISTANCES[idx.metric](decoded, V.lit_vector(query_vec))
+    if rerank_factor is None:
+        d = F.round(qdist, round_to) if round_to is not None else qdist
+        return (
+            cand.select(idx.id_col, d.alias("distance"))
+            .orderBy(F.col("distance"), F.col(idx.id_col))
+            .limit(k)
+        )
+    short = (
+        cand.select(idx.id_col, qdist.alias("qd"))
+        .orderBy(F.col("qd"), F.col(idx.id_col))
+        .limit(k * rerank_factor)
+        .select(idx.id_col)
+    )
+    return knn_exact(
+        idx.assigned.join(short, idx.id_col, "left_semi"),
+        idx.vec_col, query_vec, k=k, metric=idx.metric,
+        id_col=idx.id_col, round_to=round_to,
+    )
+
+
 # ---- SQ8 scalar quantization ---------------------------------------------
 
 class SQ8:

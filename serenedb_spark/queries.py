@@ -1722,6 +1722,25 @@ FROM decoded ORDER BY distance, vec_id LIMIT 10
 _register("vec_sq8_knn", _vec_sq8_knn, _SQ8_ORACLE)
 
 
+#: IVF×SQ8 composed (the reference's `ivf(quant=sq8)` opclass): codes live
+#: inside the centroid-partitioned layout; at nprobe=nlist the probe
+#: degenerates to exact SQ8 search, so the SQ8 oracle checks it exactly
+_IVFSQ_CACHE: dict[str, object] = {}
+
+
+def _vec_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _IVFSQ_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        ivf, sq = SIM.ivf_sq8_build(emb, "embedding", "vec_id", nlist=8)
+        ivf.assigned.persist()
+        _IVFSQ_CACHE[sf_dir] = (ivf, sq)
+    ivf, sq = _IVFSQ_CACHE[sf_dir]
+    return SIM.ivf_sq8_search(ivf, sq, QUERY_VEC, k=10, nprobe=8)
+
+
+_register("vec_ivf_sq8_knn", _vec_ivf_sq8, _SQ8_ORACLE)
+
+
 #: PQ parity path: deterministic sampled codebook (the first ksub vectors
 #: by vec_id are the seeds — k-means init, zero Lloyd iterations) so the
 #: oracle can rebuild the identical codebook in SQL at any scale factor.
