@@ -109,3 +109,130 @@ class SearchTable:
         merged.count()  # materialize now — the 'segment write'
         self._ops = [("seg", merged)]
         return self
+
+
+class DiskSearchTable:
+    """Durable segmented search table — the on-disk twin of SearchTable.
+
+    Each DML batch persists a parquet segment under ``path/segments/``;
+    visibility is pinned by ``manifest.json``, rewritten ATOMICALLY
+    (tmp + rename) after the segment data is fully written. A crash
+    between the two leaves the previous manifest — readers see the old
+    snapshot, never a torn one. Reopening from path replays the manifest:
+    that's the reference's WAL recovery collapsed onto the filesystem
+    (search_db_wal.cpp + wal_recovery.cpp; tick_domain ordering).
+
+    At 100 TB each segment is just parquet: appends never rewrite old
+    data, ``compact()`` is the only rewriting job, and ``vacuum()``
+    removes segment directories no manifest references (the reference's
+    cleanup task)."""
+
+    def __init__(self, spark, path: str, fields: dict[str, str],
+                 key: str, name: str, tick: int,
+                 ops: list[tuple[int, str, str]]):
+        self._spark = spark
+        self.path = path
+        self.fields = dict(fields)
+        self.key = key
+        self.name = name
+        self._tick = tick
+        self._ops = list(ops)  # (tick, "seg"|"del", relpath)
+
+    # ---- lifecycle -------------------------------------------------------
+    @classmethod
+    def create(cls, source: DataFrame, path: str, fields: dict[str, str],
+               key: str = "doc_id", name: str = "search_table"
+               ) -> "DiskSearchTable":
+        import os
+
+        os.makedirs(f"{path}/segments", exist_ok=True)
+        st = cls(source.sparkSession, path, fields, key, name, 0, [])
+        st._append("seg", source)
+        return st
+
+    @classmethod
+    def open(cls, spark, path: str) -> "DiskSearchTable":
+        """Recovery: the manifest IS the committed state."""
+        import json
+
+        with open(f"{path}/manifest.json") as f:
+            m = json.load(f)
+        return cls(spark, path, m["fields"], m["key"], m["name"],
+                   m["tick"], [tuple(op) for op in m["ops"]])
+
+    def _write_manifest(self) -> None:
+        import json
+        import os
+
+        tmp = f"{self.path}/manifest.json.tmp"
+        with open(tmp, "w") as f:
+            json.dump({
+                "fields": self.fields, "key": self.key, "name": self.name,
+                "tick": self._tick, "ops": self._ops,
+                "layout_version": 1,
+            }, f, indent=2)
+        os.replace(tmp, f"{self.path}/manifest.json")  # the commit point
+
+    def _append(self, kind: str, df: DataFrame) -> int:
+        self._tick += 1
+        rel = f"segments/{kind}_{self._tick:08d}"
+        out = df if kind == "seg" else df.select(self.key).distinct()
+        out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        self._ops.append((self._tick, kind, rel))
+        self._write_manifest()  # data durable BEFORE visibility flips
+        return self._tick
+
+    # ---- DML -------------------------------------------------------------
+    def insert(self, rows: DataFrame) -> int:
+        return self._append("seg", rows)
+
+    def delete(self, doc_ids: DataFrame) -> int:
+        return self._append("del", doc_ids)
+
+    def update(self, rows: DataFrame) -> int:
+        self._append("del", rows.select(self.key))
+        return self._append("seg", rows)
+
+    # ---- reads -----------------------------------------------------------
+    def current(self) -> DataFrame:
+        out = None
+        for _tick, kind, rel in self._ops:
+            df = self._spark.read.parquet(f"{self.path}/{rel}")
+            if kind == "seg":
+                out = df if out is None else out.join(
+                    df.select(self.key), self.key, "left_anti"
+                ).unionByName(df)
+            else:
+                out = out.join(df, self.key, "left_anti")
+        if out is None:
+            raise ValueError("empty table: no segments")
+        return out
+
+    def index(self) -> InvertedIndex:
+        return build_index(self.current(), self.fields, key=self.key,
+                           name=self.name)
+
+    # ---- maintenance -----------------------------------------------------
+    def compact(self) -> "DiskSearchTable":
+        """Materialize the visible state into ONE segment and atomically
+        repoint the manifest at it (old segments stay until vacuum)."""
+        merged = self.current()
+        self._tick += 1
+        rel = f"segments/seg_{self._tick:08d}"
+        merged.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        self._ops = [(self._tick, "seg", rel)]
+        self._write_manifest()
+        return self
+
+    def vacuum(self) -> int:
+        """Delete segment directories the manifest no longer references."""
+        import os
+        import shutil
+
+        live = {rel.split("/", 1)[1] for _t, _k, rel in self._ops}
+        removed = 0
+        for d in os.listdir(f"{self.path}/segments"):
+            if d not in live:
+                shutil.rmtree(f"{self.path}/segments/{d}")
+                removed += 1
+        return removed

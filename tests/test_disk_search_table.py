@@ -1,0 +1,77 @@
+"""Durable segmented search table: DML visibility in tick order, recovery
+by reopening the manifest, compaction equivalence, and vacuum of
+unreferenced segments (reference WAL + recovery + compaction loops,
+server/search/search_db_wal.cpp, task.h:32-43)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from serenedb_spark.operators.maintenance import DiskSearchTable
+from serenedb_spark.plans import tsquery as q
+from serenedb_spark.plans.planner import compile_query
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text").limit(100)
+    )
+
+
+def _match_ids(st, term):
+    return {
+        r.doc_id
+        for r in compile_query(st.index(), "text", q.Term(term)).doc_ids.collect()
+    }
+
+
+def test_dml_visibility_and_recovery(spark, docs, tmp_path):
+    path = str(tmp_path / "dst")
+    st = DiskSearchTable.create(docs, path, {"text": "simple"}, key="doc_id")
+
+    st.insert(spark.createDataFrame(
+        [(900001, "zzzdurable token"), (900002, "zzzdurable again")],
+        "doc_id long, text string",
+    ))
+    assert _match_ids(st, "zzzdurable") == {900001, 900002}
+
+    st.delete(spark.createDataFrame([(900001,)], "doc_id long"))
+    assert _match_ids(st, "zzzdurable") == {900002}
+
+    st.update(spark.createDataFrame(
+        [(900002, "replaced entirely")], "doc_id long, text string"
+    ))
+    assert _match_ids(st, "zzzdurable") == set()
+    assert _match_ids(st, "replaced") == {900002}
+
+    # recovery: a fresh handle sees the identical committed state
+    st2 = DiskSearchTable.open(spark, path)
+    assert _match_ids(st2, "replaced") == {900002}
+    assert st2.current().count() == st.current().count()
+
+
+def test_compact_and_vacuum(spark, docs, tmp_path):
+    path = str(tmp_path / "dst2")
+    st = DiskSearchTable.create(docs, path, {"text": "simple"}, key="doc_id")
+    st.insert(spark.createDataFrame(
+        [(900010, "compactme now")], "doc_id long, text string"))
+    st.delete(spark.createDataFrame([(1,)], "doc_id long"))
+
+    before = {r.doc_id for r in st.current().select("doc_id").collect()}
+    n_dirs_before = len(os.listdir(f"{path}/segments"))
+    st.compact()
+    after = {r.doc_id for r in st.current().select("doc_id").collect()}
+    assert after == before
+    assert len(st._ops) == 1
+
+    removed = st.vacuum()
+    assert removed == n_dirs_before  # every pre-compact segment is dead
+    # reopening the compacted table still works
+    st3 = DiskSearchTable.open(spark, path)
+    assert {r.doc_id for r in st3.current().select("doc_id").collect()} == before
