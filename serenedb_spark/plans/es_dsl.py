@@ -151,28 +151,34 @@ def es_search(
     field = default_field or idx.default_field()
     query = body.get("query", {"match_all": {}})
     size = int(body.get("size", 10))
+    offset = int(body.get("from", 0))
 
     if query == {"match_all": {}}:
         docs = idx.universe.where(F.col("field") == field).select("doc_id")
-        return (
-            docs.withColumn("score", F.lit(1.0))
-            .orderBy("doc_id")
-            .limit(size)
+        out = docs.withColumn("score", F.lit(1.0)).orderBy("doc_id")
+    else:
+        f, node = parse_query(query, idx.analyzer(field))
+        field = f or field
+        compiled = compile_query(idx, field, node)
+        s = _score(idx, field, compiled.score_terms, scorer)
+        out = (
+            compiled.doc_ids.join(s, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4)
+                .alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("doc_id"))
         )
-
-    f, node = parse_query(query, idx.analyzer(field))
-    field = f or field
-    compiled = compile_query(idx, field, node)
-    s = _score(idx, field, compiled.score_terms, scorer)
-    return (
-        compiled.doc_ids.join(s, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col("doc_id"))
-        .limit(size)
-    )
+    if offset:
+        # ES from/size pagination: offset+limit then client-side drop of
+        # the first `offset` — Spark has no OFFSET pushdown on sorted
+        # limits, and from+size stays tiny by ES convention (deep paging
+        # belongs to the scroll cursor, which is keyset-based)
+        w = out.limit(offset + size)
+        rows = w.collect()[offset:]
+        return out.sparkSession.createDataFrame(rows, out.schema)
+    return out.limit(size)
 
 
 _METRIC_AGGS = {

@@ -124,3 +124,15 @@ def test_es_terms_agg(spark):
     rows = es_terms_agg(idx, "text", size=5).collect()
     assert len(rows) == 5
     assert rows[0].doc_count >= rows[-1].doc_count
+
+
+def test_es_search_from_size_pagination(spark):
+    from serenedb_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    idx = Q.doc_index(spark, SF_DIR)
+    body = {"query": {"match": {"text": "spark"}}}
+    all_ids = [r.doc_id for r in es_search(idx, {**body, "size": 10}).collect()]
+    page2 = [r.doc_id for r in
+             es_search(idx, {**body, "from": 5, "size": 5}).collect()]
+    assert page2 == all_ids[5:10]
