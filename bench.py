@@ -80,6 +80,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    # tiny warm-up build (64 docs): compiles the identical codegen stages so
+    # index_build measures the build, not one-time JVM JIT. Profiled r5: the
+    # cold first build pays ~3× steady-state purely on codegen/JIT.
+    from serenedb_spark.operators.indexing import build_index as _bi
+    _w = _bi(tabs["documents"].limit(64), {"text": "simple"}, key="doc_id")
+    _w.postings.count(); _w.term_stats.count(); _w.doc_stats.count()
+
     t0 = time.perf_counter()
     idx = Q.doc_index(spark, SF_DIR)
     idx.postings.count()  # materialize the persisted postings
@@ -99,6 +106,11 @@ def main() -> None:
     spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name].fn
+        # one untimed warm-up: whole-stage-codegen compile + JVM JIT +
+        # Python-worker spin-up (mapInPandas) land here, not in the spread.
+        # Profiled r5: the first minhash run pays ~60× its steady-state
+        # latency purely on JIT of the generated code.
+        fn(spark, SF_DIR).collect()
         best, worst, nrows = None, 0.0, 0
         for _ in range(runs):
             t0 = time.perf_counter()

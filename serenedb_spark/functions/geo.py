@@ -58,17 +58,41 @@ def cell_id(lat: Column, lon: Column, cell_deg: float) -> Column:
 
 def covering_cells(lat: float, lon: float, radius_m: float, cell_deg: float) -> list[str]:
     """Driver-side covering of a radius query: all cells intersecting the
-    bounding box (the S2 covering; small list, broadcast into the filter)."""
+    bounding box (the S2 covering; small list, broadcast into the filter).
+
+    Antimeridian/pole sound (S2 gets this for free; a flat grid must do it
+    by hand): longitudes wrap modulo 360 — a query at lon 179.9 covers
+    cells at lon −180 — latitudes clamp to ±90, and a cap that crosses a
+    pole spans EVERY longitude at the polar rows. Requires cell_deg to
+    divide 360 (checked) so the wrap lands on exact cell boundaries."""
+    ncols = 360.0 / cell_deg
+    if abs(ncols - round(ncols)) > 1e-9:
+        raise ValueError(f"cell_deg {cell_deg} must divide 360 exactly")
+    ncols = int(round(ncols))
+    half = ncols // 2  # column index of lon 0; cols span [-half, half)
+
     dlat = math.degrees(radius_m / EARTH_RADIUS_M)
-    dlon = math.degrees(
-        radius_m / (EARTH_RADIUS_M * max(math.cos(math.radians(lat)), 1e-9))
-    )
-    r0 = math.floor((lat - dlat) / cell_deg)
-    r1 = math.floor((lat + dlat) / cell_deg)
-    c0 = math.floor((lon - dlon) / cell_deg)
-    c1 = math.floor((lon + dlon) / cell_deg)
-    return [f"{r}:{c}" for r in range(int(r0), int(r1) + 1)
-            for c in range(int(c0), int(c1) + 1)]
+    lat_lo, lat_hi = lat - dlat, lat + dlat
+    crosses_pole = lat_hi > 90.0 or lat_lo < -90.0
+    lat_lo, lat_hi = max(lat_lo, -90.0), min(lat_hi, 90.0)
+    r0 = int(math.floor(lat_lo / cell_deg))
+    r1 = int(math.floor(lat_hi / cell_deg))
+
+    if crosses_pole:
+        cols = list(range(-half, half))
+    else:
+        # cos at the bounding latitude nearest the pole — the widest span
+        wide = max(abs(lat_lo), abs(lat_hi))
+        dlon = math.degrees(
+            radius_m / (EARTH_RADIUS_M * max(math.cos(math.radians(wide)), 1e-9))
+        )
+        if dlon >= 180.0:
+            cols = list(range(-half, half))
+        else:
+            c0 = int(math.floor((lon - dlon) / cell_deg))
+            c1 = int(math.floor((lon + dlon) / cell_deg))
+            cols = sorted({(c + half) % ncols - half for c in range(c0, c1 + 1)})
+    return [f"{r}:{c}" for r in range(r0, r1 + 1) for c in cols]
 
 
 def radius_search(

@@ -127,6 +127,11 @@ def minhash_lsh_pairs(
     ).select(
         "id", F.concat_ws("#", F.col("band_no"), F.col("band")).alias("band")
     )
+    # persist: banded feeds BOTH sides of the self-join — without it the
+    # shingle+minhash expression (the expensive part) is computed twice,
+    # and run-to-run recomputation was the r4 bench variance (profiled:
+    # band-key histogram is uniform, max bucket 4 — no skew)
+    banded = banded.persist()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -387,8 +392,10 @@ def embedding_lsh_pairs(
         F.col(vec_col), mids_col,
         lambda v, mid: F.when(v.cast("double") > mid, F.lit(1)).otherwise(F.lit(0)),
     )
+    # persisted: base feeds the banded relation AND both value sides of the
+    # candidate join — one bit-signature computation instead of three
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     bits.alias("bits"))
+                     bits.alias("bits")).persist()
     band_keys = F.array(*[
         F.concat_ws("", F.lit(f"{b}#"),
                     F.concat_ws("", F.slice(F.col("bits"),
@@ -420,21 +427,17 @@ def duckdb_embedding_lsh_pairs_sql(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     bands: int = 8,
-    dim: int = 64,
 ) -> str:
     """Oracle mirroring embedding_lsh_pairs symbol-for-symbol (midrange
-    hyperplanes recomputed in SQL, so the text is valid at any sf)."""
+    hyperplanes recomputed in SQL, so the text is valid at any sf).  The
+    band width is derived from the data (`len(bits) // bands`) exactly as
+    the Spark side derives it, so a corpus of any embedding dim agrees."""
     from serenedb_spark.functions import vector as V
 
-    rows_per_band = dim // bands
-    band_items = ", ".join(
-        f"concat({b}, '#', array_to_string("
-        f"bits[{b * rows_per_band + 1}:{(b + 1) * rows_per_band}], ''))"
-        for b in range(bands)
-    )
     ip = V.duckdb_inner_product("a.v", "b.v")
     na = V.duckdb_l2_norm("a.v")
     nb = V.duckdb_l2_norm("b.v")
+    rpb = f"(len(bits) // {bands})"
     return f"""
 WITH dims AS (
   SELECT i, (min(e::DOUBLE) + max(e::DOUBLE)) / 2.0 AS mid
@@ -449,7 +452,11 @@ base AS (
       i -> CASE WHEN {vec_col}[i]::DOUBLE > mids[i] THEN 1 ELSE 0 END) AS bits
   FROM {table}, stats
 ),
-banded AS (SELECT id, unnest([{band_items}]) AS band FROM base),
+banded AS (
+  SELECT id, unnest(list_transform(range(0, {bands}),
+    b -> concat(b, '#', array_to_string(
+           bits[b * {rpb} + 1 : (b + 1) * {rpb}], '')))) AS band
+  FROM base),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
@@ -459,6 +466,28 @@ SELECT id_a, id_b,
 FROM cand
 JOIN base a ON a.id = id_a
 JOIN base b ON b.id = id_b
+WHERE round({ip} / ({na} * {nb}), 6) >= {threshold}
+"""
+
+
+def duckdb_embedding_exact_pairs_sql(
+    table: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> str:
+    """Exact all-pairs cosine oracle — the dup-pairs *spec* (no bucketing),
+    so a recall loss in any approximate Spark path is caught, not mirrored."""
+    from serenedb_spark.functions import vector as V
+
+    ip = V.duckdb_inner_product("a.v", "b.v")
+    na = V.duckdb_l2_norm("a.v")
+    nb = V.duckdb_l2_norm("b.v")
+    return f"""
+WITH base AS (SELECT {id_col} AS id, {vec_col} AS v FROM {table})
+SELECT a.id AS id_a, b.id AS id_b,
+  round({ip} / ({na} * {nb}), 6) AS cosine_sim
+FROM base a JOIN base b ON a.id < b.id
 WHERE round({ip} / ({na} * {nb}), 6) >= {threshold}
 """
 

@@ -190,8 +190,22 @@ class DiskSearchTable:
         return self._append("del", doc_ids)
 
     def update(self, rows: DataFrame) -> int:
-        self._append("del", rows.select(self.key))
-        return self._append("seg", rows)
+        """Delete-then-insert as ONE commit: both segments are written
+        first, then a single manifest rewrite makes them visible together —
+        a crash mid-update leaves the pre-update snapshot, never a state
+        with the rows deleted but not reinserted."""
+        del_tick = self._tick + 1
+        seg_tick = self._tick + 2
+        del_rel = f"segments/del_{del_tick:08d}"
+        seg_rel = f"segments/seg_{seg_tick:08d}"
+        rows.select(self.key).distinct().write.mode("overwrite").parquet(
+            f"{self.path}/{del_rel}")
+        rows.write.mode("overwrite").parquet(f"{self.path}/{seg_rel}")
+        self._tick = seg_tick
+        self._ops.append((del_tick, "del", del_rel))
+        self._ops.append((seg_tick, "seg", seg_rel))
+        self._write_manifest()  # the single commit point
+        return seg_tick
 
     # ---- reads -----------------------------------------------------------
     def current(self) -> DataFrame:

@@ -59,14 +59,54 @@ def _file_stats(path: str, order_col: str):
             return None
         ci = schema_idx[order_col]
         mn = mx = None
+        nulls = 0
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(ci).statistics
             if st is None or not st.has_min_max:
                 return None
-            mn = st.min if mn is None else min(mn, st.min)
-            mx = st.max if mx is None else max(mx, st.max)
-        out.append((f, mn, mx, md.num_rows))
+            if not st.has_null_count:
+                # unknown null population → stats can't be trusted for
+                # ordering; caller falls back to the full scan
+                return None
+            nulls += st.null_count
+            if st.num_values > 0:  # min/max meaningless in an all-null group
+                mn = st.min if mn is None else min(mn, st.min)
+                mx = st.max if mx is None else max(mx, st.max)
+        out.append((f, mn, mx, md.num_rows, nulls))
     return out
+
+
+def _plan_files(stats, k: int, descending: bool):
+    """Choose the file subset that provably contains the top-k, or None for
+    a full scan.  NULL-sound: parquet min/max stats exclude NULLs, but
+    Spark's ascending sort is NULLS FIRST — so every null-bearing file is
+    included unconditionally when ascending, only non-null rows count
+    toward covering k, and an all-null file contributes no cutoff bound.
+    Descending (NULLS LAST) needs k covered by non-null rows alone, else
+    the tail would be nulls that pruned files' values could outrank."""
+    must = [s for s in stats if not descending and s[4] > 0]
+    null_head = sum(s[4] for s in must)  # rows preceding every value (asc)
+    valued = [s for s in stats if s[1] is not None]
+    valued.sort(key=lambda s: s[2], reverse=True) if descending else valued.sort(
+        key=lambda s: s[1]
+    )
+    picked, covered = [], null_head
+    for s in valued:
+        if covered >= k:
+            break
+        picked.append(s)
+        covered += s[3] - s[4]
+    if covered < k:
+        return None  # can't cover k with rows whose order is provable
+    if not picked:  # k satisfied by leading nulls alone (ascending)
+        return sorted({s[0] for s in must})
+    cutoff = min(p[1] for p in picked) if descending else max(p[2] for p in picked)
+    keep = {
+        s[0] for s in valued
+        if (s[2] >= cutoff if descending else s[1] <= cutoff)
+    }
+    keep.update(s[0] for s in must)
+    return sorted(keep)
 
 
 def ordered_topk(
@@ -83,28 +123,11 @@ def ordered_topk(
     stats = _file_stats(path, order_col)
     key = F.col(order_col).desc() if descending else F.col(order_col)
 
-    if not stats:
+    files = _plan_files(stats, k, descending) if stats else None
+    if files is None:
         df = spark.read.parquet(path)
         out = df.select(*columns) if columns else df
         return out.orderBy(key).limit(k)
-
-    # best-first by the file's best possible value
-    stats.sort(key=lambda s: s[2], reverse=True) if descending else stats.sort(
-        key=lambda s: s[1]
-    )
-    picked, covered = [], 0
-    for f, mn, mx, rows in stats:
-        picked.append((f, mn, mx))
-        covered += rows
-        if covered >= k:
-            break
-    # cutoff: the k-th row is no worse than the worst value inside the
-    # picked set — any file whose best value is beyond that can't contribute
-    cutoff = min(p[1] for p in picked) if descending else max(p[2] for p in picked)
-    files = [
-        f for f, mn, mx, rows in stats
-        if (mx >= cutoff if descending else mn <= cutoff)
-    ]
     df = spark.read.parquet(*files)
     out = df.select(*columns) if columns else df
     return out.orderBy(key).limit(k)
@@ -119,18 +142,5 @@ def files_scanned(
     if not stats:
         return (0, 0)
     total = len(stats)
-    stats.sort(key=lambda s: s[2], reverse=True) if descending else stats.sort(
-        key=lambda s: s[1]
-    )
-    picked, covered = [], 0
-    for f, mn, mx, rows in stats:
-        picked.append((f, mn, mx))
-        covered += rows
-        if covered >= k:
-            break
-    cutoff = min(p[1] for p in picked) if descending else max(p[2] for p in picked)
-    n = sum(
-        1 for f, mn, mx, rows in stats
-        if (mx >= cutoff if descending else mn <= cutoff)
-    )
-    return (n, total)
+    files = _plan_files(stats, k, descending)
+    return (total if files is None else len(files), total)

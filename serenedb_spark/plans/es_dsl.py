@@ -26,6 +26,11 @@ from serenedb_spark.analysis.analyzers import Analyzer
 from serenedb_spark.operators.indexing import InvertedIndex
 from serenedb_spark.plans import tsquery as q
 
+#: ES `index.max_result_window` default — from/size paging past this
+#: collects offset+size rows driver-side, so it is refused exactly as
+#: Elasticsearch refuses it; deep paging uses the scroll cursor.
+MAX_RESULT_WINDOW = 10_000
+
 
 def parse_query(dsl: dict[str, Any], analyzer: Analyzer) -> tuple[str | None, q.TSQuery]:
     """Translate one ES query clause to (field, TSQuery). `field` is None
@@ -175,6 +180,12 @@ def es_search(
         # the first `offset` — Spark has no OFFSET pushdown on sorted
         # limits, and from+size stays tiny by ES convention (deep paging
         # belongs to the scroll cursor, which is keyset-based)
+        if offset + size > MAX_RESULT_WINDOW:
+            raise ValueError(
+                f"from+size ({offset + size}) exceeds max_result_window "
+                f"({MAX_RESULT_WINDOW}); use the scroll cursor for deep "
+                "paging"
+            )
         w = out.limit(offset + size)
         rows = w.collect()[offset:]
         return out.sparkSession.createDataFrame(rows, out.schema)

@@ -102,7 +102,10 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # make local runs exercise the parallel plan, spread small scans to
         # the session's parallelism (a few-MB shuffle, once per plan).
         par = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < par:
+        # file-count heuristic instead of df.rdd.getNumPartitions(): touching
+        # .rdd materializes the RDD lineage just to count partitions (VERDICT
+        # r4). The testdata is 1 file/table; real many-file tables skip this.
+        if len(df.inputFiles()) < par:
             df = df.repartition(par)
         df = df.persist()
         df.createOrReplaceTempView(t)
@@ -1865,19 +1868,42 @@ _register("vec_binary_quant_knn", _vec_binary_quant, _BQ_ORACLE)
 
 
 def _vec_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs via sign-LSH buckets + exact cosine on candidates —
-    the 100 TB shape (banded equi-join, no cartesian); the oracle mirrors
-    the identical bucketing so the gate checks it exactly."""
+    """Near-dup pairs, exact semantics: all pairs with cosine ≥ threshold.
+    At test scale the full self-join is fine; at 100 TB the same operator
+    takes a bucket_col (IVF centroid) to bound the join.  The oracle is
+    exact all-pairs SQL — the *spec* — so any recall loss is caught, not
+    mirrored.  Threshold 0.4 is calibrated to the synthetic fixture (max
+    pairwise cosine ≈ 0.51) so the gate sees a non-empty result."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    return DD.embedding_lsh_pairs(
-        emb, "embedding", "vec_id", threshold=0.9
+    return DD.embedding_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.4
     ).orderBy("id_a", "id_b")
 
 
 _register(
     "embedding_dup_pairs", _vec_dup_pairs,
+    DD.duckdb_embedding_exact_pairs_sql("embeddings", "embedding", "vec_id",
+                                        threshold=0.4)
+    + " ORDER BY id_a, id_b",
+)
+
+
+def _vec_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE near-dup pairs via sign-LSH buckets + exact cosine on
+    within-bucket candidates — the 100 TB shape (banded equi-join, never a
+    cartesian).  Recall < 1 by design: a qualifying pair differing in all
+    band signatures is dropped.  The oracle mirrors the identical bucketing
+    (parity check, not a spec check — embedding_dup_pairs is the spec)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return DD.embedding_lsh_pairs(
+        emb, "embedding", "vec_id", threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+_register(
+    "embedding_dup_pairs_lsh", _vec_dup_pairs_lsh,
     DD.duckdb_embedding_lsh_pairs_sql("embeddings", "embedding", "vec_id",
-                                      threshold=0.9)
+                                      threshold=0.4)
     + " ORDER BY id_a, id_b",
 )
 
@@ -1982,6 +2008,40 @@ ORDER BY point_id
 
 
 _register("geo_radius_search", _geo_radius, _geo_oracle())
+
+
+_GEO_Q_AM = (55.0, 179.9, 400_000.0)  # radius crossing the antimeridian
+
+
+def _geo_radius_am(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius query centered at lon 179.9: the cell covering must wrap
+    modulo 360 or points just west of −180 are silently dropped (VERDICT
+    r4 #6; reference gets this from S2, libs/geo/)."""
+    from serenedb_spark.functions import geo as G
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    lat, lon, r = _GEO_Q_AM
+    return G.radius_search(pts, lat, lon, r).orderBy("point_id")
+
+
+def _geo_oracle_am() -> str:
+    from serenedb_spark.functions import geo as G
+
+    lat, lon, r = _GEO_Q_AM
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id"
+    )
+    dist = G.duckdb_haversine_m("lat", "lon", str(lat), str(lon))
+    return f"""
+SELECT point_id, round({dist}, 1) AS dist_m
+FROM ({pts})
+WHERE round({dist}, 1) < {r}
+ORDER BY point_id
+"""
+
+
+_register("geo_radius_antimeridian", _geo_radius_am, _geo_oracle_am())
 
 
 def _geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2121,44 +2181,44 @@ GROUP BY term ORDER BY doc_count DESC, term LIMIT 15
 # --------------------------------------------------------------------------
 
 #: The driver's correctness gate samples the FIRST 50 registered queries.
-#: Rounds 1-3 recorded the relational half green (47/50, CORRECTNESS_r01-03);
-#: this window now leads with the search/vector/dedup/geo/multimodal/ES
-#: surface — never driver-verified before — plus the three relational
-#: queries whose hash mismatches were just fixed, so the fixes get a green
-#: row. The families left out rotate into the window next round. Every
-#: query, windowed or not, still runs in tests/test_differential.py.
+#: Rotation record (per-round window leads, see git history for each):
+#:   r1-r3: relational families (tpch_*, window/setop/dml) — green in
+#:          CORRECTNESS_r01-r03.
+#:   r4:    search/vector/dedup/geo/multimodal/ES surface — 50/50 green in
+#:          CORRECTNESS_r04.
+#:   r5 (this window): the 30 queries that have never had a driver row
+#:          (scorer variants, tsquery parsers, ## phrase chains,
+#:          stemmed/synonym analyzers, dict-facet variants, simhash pairs,
+#:          ivf×sq8) + 20 rotating sentinels sampled across every
+#:          previously-green family so regressions there stay visible to
+#:          the external gate.
+#: Every query, windowed or not, still runs in tests/test_differential.py
+#: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
-    # vector search (§2.4): exact, radius, IVF, SQ8/PQ/binary quantized,
-    # hybrid + RRF fusion, near-dup pairs, distance-function battery
-    "vec_knn_cosine", "vec_radius_cosine", "vec_knn_l2", "vec_functions",
-    "vec_ivf_full_probe", "vec_sq8_knn", "vec_pq_adc_knn",
-    "vec_binary_quant_knn", "embedding_dup_pairs", "vec_hybrid_search",
-    "vec_rrf_hybrid",
-    # dedup (training-data pipeline)
-    "dedup_exact_keep", "dedup_minhash_pairs", "dedup_jaccard_pairs",
-    "dedup_simhash",
-    # text analysis + the composed cleaning pipeline
-    "text_token_count", "text_quality", "text_lang_id", "text_fingerprint",
-    "pipeline_clean_corpus",
-    # multimodal columns (mapInPandas plumbing)
-    "mm_decode_meta", "mm_frame_sample", "mm_features",
-    # geo predicates
-    "geo_radius_search", "geo_bbox_contains", "geo_circle_intersects",
-    "geo_distance_centroid",
-    # ES aggregations + query DSL
-    "es_date_histogram", "es_terms_facet", "es_dsl_search",
-    # FTS predicate family (§2.3): one per distinct expansion machinery
-    "fts_term", "fts_phrase", "fts_phrase_gaps", "fts_prefix",
-    "fts_wildcard", "fts_regexp", "fts_fuzzy", "fts_any_min2",
-    "fts_websearch",  # (Compound machinery is covered via es_dsl_search)
-    # scorers (BM25 / TFIDF / LM-Dirichlet formulas)
-    "fts_bm25_topk", "fts_tfidf_topk", "fts_lm_dirichlet_topk",
-    # index features: partial index, covered INCLUDE, highlight, facets,
-    # ngram3 substring search
-    "fts_partial_index", "fts_covered_include", "fts_highlight",
-    "fts_dict_facets", "fts_substring_search",
-    # relational hash-mismatch fixes (BIGINT casts / INTERVAL gap compare)
-    "tpch_q12_priority_buckets", "case_agg_join", "events_sessionize",
+    # --- the 30 never-driver-verified queries -----------------------------
+    # streaming + approx + PG strings
+    "events_session_window", "approx_aggregates", "pg_string_battery",
+    # FTS predicates not yet sampled: slop/between/all/bool/compound,
+    # the three tsquery parsers, ngram similarity, heterogeneous ## chains
+    "fts_phrase_slop", "fts_between", "fts_all", "fts_bool", "fts_compound",
+    "fts_tsquery_parse", "fts_plainto", "fts_phraseto", "fts_ngram_sim_term",
+    "fts_phrase_mixed", "fts_phrase_mixed_parts",
+    # scorer variants (boost, raw tf/dl/boost, LM-JM, DFI, Indri)
+    "fts_bm25_boost", "fts_raw_tf", "fts_lm_jm_topk", "fts_dfi_topk",
+    "fts_indri_topk", "fts_raw_dl", "fts_raw_boost",
+    # analyzer-driven rows: stemming, synonyms, minhash signatures
+    "fts_stemmed_term", "fts_minhash_sig_facets", "fts_synonyms",
+    # offsets + ts_dict facet variants
+    "fts_offsets", "fts_dict_score", "fts_dict_minmax", "fts_dict_filtered",
+    # dedup + quantized-vector stragglers
+    "dedup_simhash_pairs", "vec_ivf_sq8_knn",
+    # --- 20 rotating sentinels (one per previously-green family) ----------
+    "tpch_q1", "tpch_q6", "tpch_q5_region_revenue", "top_customers",
+    "window_rank", "grouping_sets", "dml_merge_into", "events_sessionize",
+    "vec_knn_cosine", "vec_sq8_knn", "embedding_dup_pairs",
+    "dedup_exact_keep", "dedup_minhash_pairs", "text_quality",
+    "mm_decode_meta", "geo_radius_search", "es_dsl_search",
+    "fts_term", "fts_bm25_topk", "fts_substring_search",
 ]
 
 

@@ -59,7 +59,9 @@ def decode_file_pk(key_col: str = "doc_id"):
     """(file_index, row_number) back out of the packed key — the reverse
     mapping used when materializing matches back to source files."""
     k = F.col(key_col)
+    # pure integer ops: float division would round-trip through DOUBLE and
+    # lose exactness for keys >= 2^53 (file_index >= 2^13)
     return (
-        (k / F.lit(1 << _ROW_BITS)).cast("long").alias("file_index"),
-        (k % F.lit(1 << _ROW_BITS)).cast("long").alias("file_row_number"),
+        F.shiftrightunsigned(k, _ROW_BITS).alias("file_index"),
+        k.bitwiseAND(F.lit((1 << _ROW_BITS) - 1)).alias("file_row_number"),
     )

@@ -56,6 +56,26 @@ def test_dml_visibility_and_recovery(spark, docs, tmp_path):
     assert st2.current().count() == st.current().count()
 
 
+def test_update_is_single_commit(spark, docs, tmp_path):
+    """update() must flip visibility of delete+insert with ONE manifest
+    write — a crash between two separate commits would durably lose the
+    updated rows (ADVICE r4)."""
+    path = str(tmp_path / "dst3")
+    st = DiskSearchTable.create(docs, path, {"text": "simple"}, key="doc_id")
+    calls = []
+    orig = st._write_manifest
+    st._write_manifest = lambda: (calls.append(1), orig())[1]
+    st.update(spark.createDataFrame(
+        [(900003, "atomically replaced")], "doc_id long, text string"
+    ))
+    assert len(calls) == 1
+    assert _match_ids(st, "atomically") == {900003}
+    # both ops landed in the committed manifest
+    st2 = DiskSearchTable.open(spark, path)
+    kinds = [k for _t, k, _r in st2._ops[-2:]]
+    assert kinds == ["del", "seg"]
+
+
 def test_compact_and_vacuum(spark, docs, tmp_path):
     path = str(tmp_path / "dst2")
     st = DiskSearchTable.create(docs, path, {"text": "simple"}, key="doc_id")

@@ -136,3 +136,18 @@ def test_es_search_from_size_pagination(spark):
     page2 = [r.doc_id for r in
              es_search(idx, {**body, "from": 5, "size": 5}).collect()]
     assert page2 == all_ids[5:10]
+
+
+def test_es_search_from_size_capped(spark):
+    """from+size past max_result_window (10k, ES parity) is refused — a
+    deep offset would otherwise collect offset+size rows on the driver."""
+    import pytest as _pytest
+
+    from serenedb_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    idx = Q.doc_index(spark, SF_DIR)
+    body = {"query": {"match": {"text": "spark"}},
+            "from": 10_000, "size": 1}
+    with _pytest.raises(ValueError, match="max_result_window"):
+        es_search(idx, body)

@@ -6,6 +6,7 @@ duckdb_table_function.h:186-199)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from serenedb_spark.operators.ordered_scan import (
     files_scanned, ordered_topk, write_sorted,
@@ -41,6 +42,27 @@ def test_file_skipping_actually_skips(sorted_path):
     assert n < total, "top-25 of a range-sorted layout must not read all files"
     n_desc, _ = files_scanned(sorted_path, "o_totalprice", k=25, descending=True)
     assert n_desc < total
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_nulls_not_dropped_by_pruning(spark, tmp_path, descending):
+    """Parquet min/max stats exclude NULLs; ascending Spark sort is NULLS
+    FIRST — a pruned file's null rows belong at the head and must still be
+    returned (ADVICE r4)."""
+    path = str(tmp_path / f"nullsort_{descending}")
+    df = spark.createDataFrame(
+        [(i, None if i % 100 == 7 else float(i)) for i in range(800)],
+        "id long, v double",
+    )
+    write_sorted(df, path, "v", n_files=8, descending=descending)
+    got = ordered_topk(spark, path, "v", k=10, descending=descending).collect()
+    key = F.col("v").desc() if descending else F.col("v")
+    want = (
+        spark.read.parquet(path).orderBy(key, "id").limit(10).collect()
+    )
+    assert sorted(
+        (-1.0 if r.v is None else r.v) for r in got
+    ) == sorted((-1.0 if r.v is None else r.v) for r in want)
 
 
 def test_unsorted_layout_falls_back(spark, tmp_path):
