@@ -122,6 +122,10 @@ def build_index(
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
             F.sum("freq").cast("long").alias("ctf"),
+            # per-term max within-doc frequency: the max-score/WAND bound
+            # (reference search/max_score_iterator.hpp keeps the same
+            # per-posting-list maximum to skip non-competitive docs)
+            F.max("freq").cast("int").alias("max_freq"),
         )
     )
 
@@ -141,13 +145,15 @@ def build_index(
     n_total = df.select(F.count(F.lit(1)).alias("n_docs"), F.lit(1).alias("j"))
     globals_ = (
         doc_stats.groupBy("field")
-        .agg(F.sum("dl").alias("total_dl"), F.lit(1).alias("j"))
+        .agg(F.sum("dl").alias("total_dl"), F.min("dl").alias("mindl"),
+             F.lit(1).alias("j"))
         .join(n_total, "j")
         .select(
             "field",
             F.col("n_docs").cast("long").alias("n_docs"),
             (F.col("total_dl") / F.col("n_docs")).alias("avgdl"),
             F.col("total_dl").cast("long").alias("total_dl"),
+            F.col("mindl").cast("long").alias("min_dl"),
         )
     )
 

@@ -101,10 +101,15 @@ def score(
     field: str,
     score_terms: DataFrame,
     scorer: str = "bm25",
+    doc_filter: DataFrame | None = None,
     **params,
 ) -> DataFrame:
-    """Return (doc_id, score) for every doc containing ≥1 query term."""
+    """Return (doc_id, score) for every doc containing ≥1 query term.
+    With doc_filter (a doc_id relation), scoring is restricted to those
+    docs — the max-score candidate path."""
     base = _scored_base(idx, field, score_terms)
+    if doc_filter is not None:
+        base = base.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
     if scorer == "bm25":
         contrib = _bm25_contrib(params.get("k1", 1.2), params.get("b", 0.75))
     elif scorer == "tfidf":
@@ -141,3 +146,135 @@ def score(
     # value; every other scorer sums term contributions
     agg = F.max(contrib) if scorer == "raw_dl" else F.sum(contrib)
     return base.groupBy("doc_id").agg(agg.alias("score"))
+
+
+# ---- max-score / WAND top-k pruning ---------------------------------------
+# Reference: libs/iresearch search/max_score_iterator.hpp + top_k_heap.hpp —
+# streaming evaluation keeps a score floor θ (current k-th best) and skips
+# postings whose optimistic bound can't reach it. Batch re-expression:
+#   phase A: fully score only the docs matching the term with the LARGEST
+#            upper bound; the k-th best of those full scores is θ.
+#   phase B: terms are sorted by upper bound ascending; the longest prefix
+#            with ΣUB < θ is "non-essential" — a doc matching ONLY those
+#            can score at most ΣUB < θ, strictly below k already-seen docs,
+#            so the candidate set is docs matching ≥1 ESSENTIAL term, and
+#            only their postings are re-read (bucket-pruned on disk).
+# Exact, not approximate: pruning uses strict bounds with a margin wider
+# than the output rounding quantum, so the rounded (score, doc_id) ordering
+# is bit-identical to the unpruned plan.
+
+def _term_upper_bound(scorer: str, st: dict, g, n_terms: int,
+                      params: dict) -> float | None:
+    """Max possible contribution of one term to any doc's score, from
+    per-term stats (df, ctf, max_freq) + field globals (min_dl maximizes
+    the length-normalized part). None = scorer has no usable bound."""
+    import math
+
+    boost = st["boost"]
+    if scorer == "bm25":
+        k1, b = params.get("k1", 1.2), params.get("b", 0.75)
+        idf = math.log(1.0 + (g.n_docs - st["df"] + 0.5) / (st["df"] + 0.5))
+        tfn = (st["max_freq"] * (k1 + 1.0)) / (
+            st["max_freq"] + k1 * (1.0 - b + b * g.min_dl / g.avgdl)
+        )
+        return boost * idf * tfn
+    if scorer == "tfidf":
+        idf = 1.0 + math.log(g.n_docs / (st["df"] + 1.0))
+        return boost * math.sqrt(st["max_freq"]) * idf
+    if scorer == "lm_dirichlet":
+        mu = params.get("mu", 2000.0)
+        p_c = st["ctf"] / g.total_dl
+        per_term = math.log(1.0 + st["max_freq"] / (mu * p_c))
+        penalty = math.log(mu / (g.min_dl + mu)) / n_terms
+        return boost * max(per_term + penalty, 0.0)
+    return None
+
+
+def scored_topk(
+    idx: InvertedIndex,
+    field: str,
+    score_terms: DataFrame,
+    k: int,
+    scorer: str = "bm25",
+    round_to: int = 4,
+    info: dict | None = None,
+    **params,
+) -> DataFrame:
+    """Exact (doc_id, score) top-k over a pure disjunction with max-score
+    pruning. Falls back to full scoring when the scorer has no bound, the
+    expansion is degenerate (1 term) or too wide to bound driver-side.
+    `info`, when passed, receives {pruned_terms, total_terms, theta} — the
+    observability hook tests assert on (like ordered_scan.files_scanned)."""
+    qt = score_terms.collect()  # tiny: the query's expanded term list
+    full = lambda: (  # noqa: E731 — the unpruned plan, used by fallbacks
+        score(idx, field, score_terms, scorer, **params)
+        .select("doc_id", F.round(F.col("score"), round_to).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id").limit(k)
+    )
+    if len(qt) < 2 or len(qt) > 64:
+        return full()
+    g_rows = idx.globals_.where(F.col("field") == field).collect()
+    if not g_rows or "min_dl" not in g_rows[0].asDict():
+        return full()
+    g = g_rows[0]
+    terms = [r["term"] for r in qt]
+    boosts = {r["term"]: r["boost"] for r in qt}
+    st_rows = (
+        idx.term_stats.where((F.col("field") == field)
+                             & F.col("term").isin(terms)).collect()
+    )
+    ubs = {}
+    for r in st_rows:
+        d = r.asDict()
+        if d.get("max_freq") is None:
+            return full()  # index predates the max_freq stat
+        d["boost"] = boosts[d["term"]]
+        ub = _term_upper_bound(scorer, d, g, len(qt), params)
+        if ub is None:
+            return full()
+        ubs[d["term"]] = ub
+    if not ubs:
+        return full()
+
+    spark = score_terms.sparkSession
+    # phase A — θ from fully scoring the best single term's doc set
+    t_star = max(ubs, key=ubs.get)
+    cand_a = (
+        idx.postings.where((F.col("field") == field)
+                           & (F.col("term") == t_star))
+        .select("doc_id")
+    )
+    top_a = (
+        score(idx, field, score_terms, scorer, doc_filter=cand_a, **params)
+        .orderBy(F.col("score").desc(), "doc_id").limit(k).collect()
+    )
+    if len(top_a) < k:
+        return full()  # not enough seen docs to establish a floor
+    # margin: strictly wider than the 10^-round_to rounding quantum, so a
+    # pruned doc can never round into a tie with the k-th kept doc
+    theta = top_a[-1]["score"] - 10.0 ** (-round_to + 1)
+
+    # phase B — essential terms: drop the longest ascending-UB prefix with
+    # cumulative bound < θ
+    by_ub = sorted(ubs, key=ubs.get)
+    cum, cut = 0.0, 0
+    for i, t in enumerate(by_ub):
+        if cum + ubs[t] >= theta:
+            break
+        cum += ubs[t]
+        cut = i + 1
+    essential = by_ub[cut:]
+    if info is not None:
+        info.update(pruned_terms=cut, total_terms=len(by_ub), theta=theta)
+    if not essential or len(essential) == len(by_ub):
+        return full()  # nothing pruned — skip the extra join
+    cand = (
+        idx.postings.where((F.col("field") == field)
+                           & F.col("term").isin(essential))
+        .select("doc_id").distinct()
+    )
+    return (
+        score(idx, field, score_terms, scorer, doc_filter=cand, **params)
+        .select("doc_id", F.round(F.col("score"), round_to).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id").limit(k)
+    )

@@ -985,16 +985,18 @@ def _fts_scored(name: str, node: q.TSQuery, scorer: str = "bm25",
     """Scored search: (doc_id, score) top-k, mirrors SereneSession.search."""
 
     def fn(spark: SparkSession, sf_dir: str, _n=node, _s=scorer, _k=k) -> DataFrame:
+        from serenedb_spark.operators.scoring import scored_topk
         from serenedb_spark.plans.planner import is_pure_disjunction
 
         idx = doc_index(spark, sf_dir)
         compiled = compile_query(idx, _DOC_COL, _n)
-        s = _score(idx, _DOC_COL, compiled.score_terms, _s)
         if is_pure_disjunction(_n):
-            # scorer-reuse: the score relation's keys ARE the match set
-            matched = s
-        else:
-            matched = compiled.doc_ids.join(s, "doc_id", "left")
+            # scorer-reuse (the score relation's keys ARE the match set)
+            # + max-score/WAND pruning: only docs matching an essential
+            # term are scored once the k-th-best floor is known
+            return scored_topk(idx, _DOC_COL, compiled.score_terms, _k, _s)
+        s = _score(idx, _DOC_COL, compiled.score_terms, _s)
+        matched = compiled.doc_ids.join(s, "doc_id", "left")
         out = (
             matched
             .select("doc_id",

@@ -1,0 +1,72 @@
+"""Max-score/WAND top-k pruning: the pruned plan must return the identical
+rounded (score desc, doc_id) top-k as full scoring, and actually prune
+terms when the floor allows it (reference
+libs/iresearch search/max_score_iterator.hpp, top_k_heap.hpp)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from serenedb_spark.operators.scoring import score, scored_topk
+from serenedb_spark.plans.planner import compile_query
+from serenedb_spark.plans import tsquery as q
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def idx(spark):
+    from serenedb_spark import queries as Q
+
+    return Q.doc_index(spark, SF_DIR)
+
+
+QUERIES = [
+    ("bm25", q.AnyOf(["spark", "stream", "window"]), 20),
+    ("bm25", q.Term("spark").boost(2.0) | q.Term("batch"), 10),
+    ("tfidf", q.AnyOf(["data", "join", "scan"]), 15),
+    ("lm_dirichlet", q.AnyOf(["merge", "sort", "hash", "query"]), 10),
+]
+
+
+@pytest.mark.parametrize("scorer,node,k", QUERIES)
+def test_pruned_equals_full(spark, idx, scorer, node, k):
+    compiled = compile_query(idx, "text", node)
+    pruned = scored_topk(idx, "text", compiled.score_terms, k, scorer)
+    want = (
+        score(idx, "text", compiled.score_terms, scorer)
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id").limit(k)
+    )
+    assert [tuple(r) for r in pruned.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+
+def test_pruning_actually_prunes(spark, idx):
+    """A rare high-idf term plus common low-impact terms: once θ comes from
+    the rare term's docs, the common terms' bounds fall below the floor."""
+    # pick the highest-df (lowest-impact) and a low-df (high-impact) term
+    ts = (
+        idx.term_stats.where(F.col("field") == "text")
+        .orderBy(F.col("df").desc()).limit(1).collect()
+    )
+    common = ts[0]["term"]
+    rare_rows = (
+        idx.term_stats.where((F.col("field") == "text") & (F.col("df") >= 5))
+        .orderBy("df").limit(1).collect()
+    )
+    rare = rare_rows[0]["term"]
+    node = q.Term(rare).boost(50.0) | q.Term(common)
+    compiled = compile_query(idx, "text", node)
+    info: dict = {}
+    out = scored_topk(idx, "text", compiled.score_terms, 5, "bm25", info=info)
+    out.collect()
+    assert info.get("total_terms") == 2
+    assert info.get("pruned_terms", 0) >= 1, info
+
+
+def test_fallback_single_term(spark, idx):
+    compiled = compile_query(idx, "text", q.Term("spark"))
+    got = scored_topk(idx, "text", compiled.score_terms, 5, "bm25").collect()
+    assert len(got) == 5
