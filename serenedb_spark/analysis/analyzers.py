@@ -366,6 +366,38 @@ def _norm():
     return expr, py, duck
 
 
+def _collation():
+    """`collation` template (create_tsdictionary.cpp:342): the value as ONE
+    token whose byte order IS the locale order. The reference emits full
+    ICU sort keys; the portable subset here is a three-level key —
+    primary  = lowercase + accent fold (case and accents ignored),
+    secondary = lowercase (accents break primary ties),
+    tertiary  = the original (case breaks the rest) —
+    joined with \\x01 so binary string comparison applies the levels in
+    ICU's order. Locale-specific tailoring (phonebook ö→oe etc.) is a
+    documented deviation."""
+    tr = str.maketrans(_ACCENTS_FROM, _ACCENTS_TO)
+    sep = "\x01"
+
+    def expr(col: Column) -> Column:
+        primary = F.translate(F.lower(col), _ACCENTS_FROM, _ACCENTS_TO)
+        key = F.concat_ws(sep, primary, F.lower(col), col)
+        return F.when(col.isNull(), F.lit(None).cast("array<string>")) \
+            .otherwise(F.array(key))
+
+    def py(s: str) -> list[str]:
+        return [sep.join((s.lower().translate(tr), s.lower(), s))]
+
+    def duck(e: str) -> str:
+        primary = f"translate(lower({e}), '{_ACCENTS_FROM}', '{_ACCENTS_TO}')"
+        return (
+            f"CASE WHEN {e} IS NULL THEN NULL ELSE "
+            f"[concat_ws(chr(1), {primary}, lower({e}), {e})] END"
+        )
+
+    return expr, py, duck
+
+
 _REGISTRY: dict[str, Analyzer] = {}
 
 
@@ -642,6 +674,8 @@ register(Analyzer("text_nostem", _nostem_text_expr, _nostem_text_py,
 register(Analyzer("stem", _stem_expr, _stem_py, _stem_duckdb))
 _e, _p, _d = _norm()
 register(Analyzer("norm", _e, _p, _d))
+_e, _p, _d = _collation()
+register(Analyzer("collation", _e, _p, _d, features=()))
 _e, _p, _d = _segmentation()
 register(Analyzer("segmentation", _e, _p, _d))
 _e, _p, _d = _minhash(4)

@@ -1153,6 +1153,55 @@ _register("fts_synonyms", _fts_synonyms,
                       order="doc_id"))
 
 
+#: accented word battery for the collation analyzer (literal VALUES —
+#: identical in both engines; mixes case, accents and plain forms so all
+#: three key levels are exercised)
+_COLLATION_WORDS = (
+    "café", "cafe", "Cafe", "CAFE", "Äpfel", "apfel", "Apfel", "Zebra",
+    "zèbre", "école", "ecole", "Ecole", "résumé", "resume", "naïve",
+    "naive", "señor", "senor", "über", "uber",
+)
+
+
+def _fts_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-aware ordering via the `collation` analyzer's sort keys
+    (reference collation template, create_tsdictionary.cpp:342): distinct
+    doc sources + an accented battery, ordered by the three-level key —
+    café/cafe/Cafe group by primary strength, then accents, then case."""
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    an = get_analyzer("collation")
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = docs.select(F.col("source").alias("word")).distinct().unionByName(
+        spark.createDataFrame([(w,) for w in _COLLATION_WORDS], "word string")
+    )
+    key = an.expr(F.col("word"))[0]
+    return (
+        words.select("word", key.alias("ckey"))
+        .orderBy("ckey")
+        .select("word")
+    )
+
+
+def _fts_collation_oracle() -> str:
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    an = get_analyzer("collation")
+    vals = ", ".join(f"('{w}')" for w in _COLLATION_WORDS)
+    key = an.duckdb("word")
+    return f"""
+WITH w AS (
+  SELECT DISTINCT source AS word FROM documents
+  UNION ALL SELECT word FROM (VALUES {vals}) t(word)
+)
+SELECT word FROM (SELECT word, {key}[1] AS ckey FROM w)
+ORDER BY ckey
+"""
+
+
+_register("fts_collation", _fts_collation, _fts_collation_oracle())
+
+
 # substring/code search over a SPARSE ngram index (reference demo6 scheme:
 # ~1/3 postings density vs all-grams, lossless cover — see
 # analyzers._sparse_ngram for the invariant)
@@ -2214,10 +2263,12 @@ _GATE_WINDOW = [
     "fts_offsets", "fts_dict_score", "fts_dict_minmax", "fts_dict_filtered",
     # dedup + quantized-vector stragglers
     "dedup_simhash_pairs", "vec_ivf_sq8_knn",
-    # --- 20 rotating sentinels (one per previously-green family) ----------
-    "tpch_q1", "tpch_q6", "tpch_q5_region_revenue", "top_customers",
+    # --- 2 new-this-round queries (first driver row) ----------------------
+    "fts_collation", "geo_radius_antimeridian",
+    # --- 18 rotating sentinels (one per previously-green family) ----------
+    "tpch_q1", "tpch_q5_region_revenue", "top_customers",
     "window_rank", "grouping_sets", "dml_merge_into", "events_sessionize",
-    "vec_knn_cosine", "vec_sq8_knn", "embedding_dup_pairs",
+    "vec_knn_cosine", "embedding_dup_pairs",
     "dedup_exact_keep", "dedup_minhash_pairs", "text_quality",
     "mm_decode_meta", "geo_radius_search", "es_dsl_search",
     "fts_term", "fts_bm25_topk", "fts_substring_search",
