@@ -91,12 +91,40 @@ def ts_highlight(
     ``boundary='word'`` (default) snaps the window edges to whitespace so
     the snippet never cuts mid-word — the portable core of the reference's
     ICU break-iterator snippeting (ts_highlight.cpp uses ICU word/sentence
-    breaks; locale-aware sentence rules are a documented deviation).
+    breaks). ``boundary='sentence'`` returns the full sentence containing
+    the match, using the portable UAX#29 core: a sentence ends at [.!?]
+    whose successor is whitespace or end-of-text (locale tailoring and
+    abbreviation suppression are the documented deviation from ICU).
     ``boundary='char'`` keeps the raw fixed window."""
     offs = term_offsets_col(F.col(text_col), term)
     first = F.get(offs, 0)  # NULL (not an error) when there is no match
     n = len(term)
     text = F.col(text_col)
+    if boundary == "sentence":
+        ln = F.length(text)
+        idx = F.filter(F.sequence(F.lit(1), F.greatest(ln, F.lit(1))),
+                       lambda i: i <= ln)
+        breaks = F.filter(
+            idx,
+            lambda i: (F.instr(F.lit(".!?"), text.substr(i, F.lit(1))) > 0)
+            & ((text.substr(i + F.lit(1), F.lit(1)) == F.lit(" ")) | (i == ln)),
+        )
+        s0 = F.coalesce(
+            F.array_max(F.filter(breaks, lambda p: p < first)), F.lit(0)
+        ) + F.lit(1)
+        e0 = F.coalesce(
+            F.array_min(F.filter(breaks, lambda p: p >= first + F.lit(n))), ln
+        )
+        pre = F.ltrim(text.substr(s0, first - s0))
+        hit = text.substr(first, F.lit(n))
+        post = text.substr(first + F.lit(n), e0 - first - F.lit(n) + F.lit(1))
+        snippet = F.concat(pre, F.lit(tag_open), hit, F.lit(tag_close), post)
+        return (
+            matched_docs.select(F.col(id_col), first.alias("first"),
+                                snippet.alias("snippet"))
+            .where(F.col("first").isNotNull())
+            .select(id_col, "snippet")
+        )
     start = F.greatest(first - F.lit(window), F.lit(1))
     pre_raw = text.substr(start, first - start)
     end_at_len = (first + F.lit(n - 1 + window)) >= F.length(text)
@@ -143,6 +171,29 @@ def duckdb_ts_highlight_sql(
     AND (strpos('{alnum}', substr({lo}, i - 1, 1)) = 0 OR i = 1)
     AND (strpos('{alnum}', substr({lo}, i + {n}, 1)) = 0
          OR i + {n} > length({lo})))"""
+    if boundary == "sentence":
+        tc = text_col
+        breaks = (
+            f"list_filter(range(1, length({tc}) + 1),"
+            f" i -> strpos('.!?', substr({tc}, i, 1)) > 0"
+            f" AND (substr({tc}, i + 1, 1) = ' ' OR i = length({tc})))"
+        )
+        return f"""
+SELECT {id_col},
+  concat(
+    ltrim(substr({tc}, s0, f - s0)),
+    '{tag_open}', substr({tc}, f, {n}), '{tag_close}',
+    substr({tc}, f + {n}, e0 - f - {n} + 1)
+  ) AS snippet
+FROM (
+  SELECT {id_col}, {tc}, f,
+    coalesce(list_max(list_filter(bk, p -> p < f)), 0) + 1 AS s0,
+    coalesce(list_min(list_filter(bk, p -> p >= f + {n})), length({tc})) AS e0
+  FROM (SELECT {id_col}, {tc}, {offs}[1] AS f, {breaks} AS bk
+        FROM {table_expr})
+)
+WHERE f IS NOT NULL
+"""
     pre_raw = f"substr({text_col}, greatest(f - {window}, 1), f - greatest(f - {window}, 1))"
     post_raw = f"substr({text_col}, f + {n}, {window})"
     if boundary == "word":

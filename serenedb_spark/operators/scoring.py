@@ -152,8 +152,10 @@ def score(
 # Reference: libs/iresearch search/max_score_iterator.hpp + top_k_heap.hpp —
 # streaming evaluation keeps a score floor θ (current k-th best) and skips
 # postings whose optimistic bound can't reach it. Batch re-expression:
-#   phase A: fully score only the docs matching the term with the LARGEST
-#            upper bound; the k-th best of those full scores is θ.
+#   phase A: the k-th best SINGLE-TERM contribution of the term with the
+#            LARGEST upper bound is a conservative floor θ (each such doc's
+#            full score is at least its contribution) — one small job over
+#            one posting list, never full scoring.
 #   phase B: terms are sorted by upper bound ascending; the longest prefix
 #            with ΣUB < θ is "non-essential" — a doc matching ONLY those
 #            can score at most ΣUB < θ, strictly below k already-seen docs,
@@ -236,20 +238,26 @@ def scored_topk(
     if not ubs:
         return full()
 
-    spark = score_terms.sparkSession
-    # phase A — θ from fully scoring the best single term's doc set
+    # cheap gate: pruning is only possible when the weakest term's bound
+    # can fall under a floor that is at most max_ub + (second-term slack);
+    # with near-equal bounds (the common AnyOf case) nothing can prune, so
+    # skip the floor job entirely
+    ub_sorted = sorted(ubs.values())
+    if ub_sorted[0] >= ub_sorted[-1] * 0.9:
+        return full()
+
+    # phase A — a LOWER bound on the true k-th best score, from ONE term's
+    # single-term contributions (each such doc's full score is ≥ its t*
+    # contribution, so the k-th contribution is a valid, conservative
+    # floor). One small job over t*'s postings — never full scoring.
     t_star = max(ubs, key=ubs.get)
-    cand_a = (
-        idx.postings.where((F.col("field") == field)
-                           & (F.col("term") == t_star))
-        .select("doc_id")
-    )
+    single = score_terms.where(F.col("term") == t_star)
     top_a = (
-        score(idx, field, score_terms, scorer, doc_filter=cand_a, **params)
+        score(idx, field, single, scorer, **params)
         .orderBy(F.col("score").desc(), "doc_id").limit(k).collect()
     )
     if len(top_a) < k:
-        return full()  # not enough seen docs to establish a floor
+        return full()  # not enough floor docs — no pruning possible
     # margin: strictly wider than the 10^-round_to rounding quantum, so a
     # pruned doc can never round into a tie with the k-th kept doc
     theta = top_a[-1]["score"] - 10.0 ** (-round_to + 1)

@@ -1261,6 +1261,43 @@ def _register_highlight_entries() -> None:
         duckdb_ts_highlight_sql(f"({m_win}) m", "text", "window")
         + " ORDER BY doc_id",
     )
+    # sentence-boundary snippets: the fixture text has no punctuation, so
+    # sentence structure is derived deterministically (120-char chunks
+    # joined by '. '/'! ') identically in both engines, then the snippet is
+    # the full derived sentence containing the match
+    sent_sql = (
+        f"SELECT doc_id, concat(substr(text, 1, 120), '. ',"
+        f" substr(text, 121, 120), '! ', substr(text, 241, 120)) AS text"
+        f" FROM ({m_win}) m0"
+    )
+    _register(
+        "fts_highlight_sentence", _fts_highlight_sentence,
+        duckdb_ts_highlight_sql(f"({sent_sql}) m", "text", "window",
+                                boundary="sentence")
+        + " ORDER BY doc_id, snippet",
+    )
+
+
+def _fts_highlight_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ts_highlight boundary='sentence' (reference ts_highlight.cpp ICU
+    sentence breaks; portable UAX#29 core — [.!?] + space/end)."""
+    from serenedb_spark.functions.highlight import ts_highlight
+
+    idx = doc_index(spark, sf_dir)
+    ids = compile_query(idx, _DOC_COL, q.Term("window")).doc_ids
+    matched = (
+        idx.docstore.join(ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 120), F.lit(". "),
+                F.substring("text", 121, 120), F.lit("! "),
+                F.substring("text", 241, 120),
+            ).alias("text"),
+        )
+    )
+    return ts_highlight(matched, "text", "window",
+                        boundary="sentence").orderBy("doc_id", "snippet")
 
 
 _register_highlight_entries()

@@ -9,7 +9,22 @@ Spark mapping is direct: `spark.read.<fmt>` / `df.write.<fmt>` — this
 module just fixes the engine's conventions (schema-preserving JSON via
 explicit schema, deterministic single-file output for COPY TO parity,
 format registry with availability gating for formats whose jars may be
-absent, e.g. Avro)."""
+absent, e.g. Avro).
+
+Jar gating (exact coordinates for this distribution — Spark 4.1.2 /
+Scala 2.13; this container has no network or local copies, so the gate
+stays closed here):
+  * Avro:    org.apache.spark:spark-avro_2.13:4.1.2
+             (`--packages` or drop into $SPARK_HOME/jars; the bundled
+             avro-1.12.1 core jars are Spark internals, NOT the source)
+  * Iceberg: org.apache.iceberg:iceberg-spark-runtime-4.0_2.13 (latest
+             release for the Spark 4 line) plus
+             spark.sql.extensions=org.apache.iceberg.spark.extensions
+             .IcebergSparkSessionExtensions and a catalog conf
+             (spark.sql.catalog.<name>=org.apache.iceberg.spark
+             .SparkCatalog).
+With either jar present, format_available() opens the gate and
+read_table/write_table work unchanged — no code path is stubbed."""
 
 from __future__ import annotations
 
