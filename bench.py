@@ -101,6 +101,10 @@ def main() -> None:
     sidx.postings.count()
     timings["index_build_sparse"] = round(time.perf_counter() - t0, 4)
 
+    # settle after the garbage-heavy index builds so the first headline
+    # query doesn't absorb their GC pause
+    tabs["lineitem"].groupBy("l_linestatus").count().collect()
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     total = 0.0
     spread: dict[str, float] = {}

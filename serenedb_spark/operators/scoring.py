@@ -165,6 +165,30 @@ def score(
 # than the output rounding quantum, so the rounded (score, doc_id) ordering
 # is bit-identical to the unpruned plan.
 
+#: per-(index, field) cache of the collected stats rows used for bounds —
+#: index stats are immutable once built (DML produces new InvertedIndex
+#: objects), so the driver pays the tiny collects once, not per query
+_STATS_CACHE: dict[tuple[int, str], tuple[object, object, dict]] = {}
+
+
+def _bound_stats(idx: InvertedIndex, field: str, terms: list[str]):
+    """(globals_row | None, {term: stats_dict}) with incremental caching."""
+    ck = (id(idx), field)
+    if ck not in _STATS_CACHE:
+        g_rows = idx.globals_.where(F.col("field") == field).collect()
+        _STATS_CACHE[ck] = (idx, g_rows[0] if g_rows else None, {})
+    _idx_ref, g, known = _STATS_CACHE[ck]
+    missing = [t for t in terms if t not in known]
+    if missing and g is not None:
+        for r in idx.term_stats.where(
+            (F.col("field") == field) & F.col("term").isin(missing)
+        ).collect():
+            known[r["term"]] = r.asDict()
+        for t in missing:  # absent from the index: no postings
+            known.setdefault(t, None)
+    return g, known
+
+
 def _term_upper_bound(scorer: str, st: dict, g, n_terms: int,
                       params: dict) -> float | None:
     """Max possible contribution of one term to any doc's score, from
@@ -215,27 +239,24 @@ def scored_topk(
     )
     if len(qt) < 2 or len(qt) > 64:
         return full()
-    g_rows = idx.globals_.where(F.col("field") == field).collect()
-    if not g_rows or "min_dl" not in g_rows[0].asDict():
-        return full()
-    g = g_rows[0]
     terms = [r["term"] for r in qt]
     boosts = {r["term"]: r["boost"] for r in qt}
-    st_rows = (
-        idx.term_stats.where((F.col("field") == field)
-                             & F.col("term").isin(terms)).collect()
-    )
+    g, known = _bound_stats(idx, field, terms)
+    if g is None or "min_dl" not in g.asDict():
+        return full()
     ubs = {}
-    for r in st_rows:
-        d = r.asDict()
+    for t in terms:
+        d = known.get(t)
+        if d is None:
+            continue  # term absent from the index — contributes nothing
         if d.get("max_freq") is None:
             return full()  # index predates the max_freq stat
-        d["boost"] = boosts[d["term"]]
-        ub = _term_upper_bound(scorer, d, g, len(qt), params)
+        ub = _term_upper_bound(scorer, {**d, "boost": boosts[t]}, g,
+                               len(qt), params)
         if ub is None:
             return full()
-        ubs[d["term"]] = ub
-    if not ubs:
+        ubs[t] = ub
+    if len(ubs) < 2:
         return full()
 
     # cheap gate: pruning is only possible when the weakest term's bound
