@@ -130,3 +130,100 @@ def normalize_nfc(col: Column) -> Column:
     handful of latin-1 combining sequences we can express portably; full
     ICU normalization is a documented deviation."""
     return col  # NFC of ASCII text is the identity; see docstring
+
+
+def set_byte(col: Column, i: int, value: int) -> Column:
+    """PG set_byte(bytea, n, v): rebuild the binary with byte n replaced
+    (prefix ++ byte ++ suffix — Spark has no in-place byte write)."""
+    v = value & 0xFF
+    return F.concat(
+        F.substring(col, 1, i),
+        F.unhex(F.lit(f"{v:02x}")),
+        F.substring(col, i + 2, 0x7FFFFFF0),
+    )
+
+
+def set_bit(col: Column, i: int, value: int) -> Column:
+    """PG set_bit(bytea, n, v): LSB-first within each byte."""
+    byte_i = i // 8
+    mask_set = 1 << (i % 8)
+    old = get_byte(col, byte_i)
+    new = (
+        old.bitwiseOR(F.lit(mask_set)) if value
+        else old.bitwiseAND(F.lit(0xFF ^ mask_set))
+    )
+    hexed = F.lpad(F.lower(F.hex(new)), 2, "0")
+    return F.concat(
+        F.substring(col, 1, byte_i),
+        F.unhex(hexed),
+        F.substring(col, byte_i + 2, 0x7FFFFFF0),
+    )
+
+
+def to_oct(col: Column) -> Column:
+    """PG to_oct: integer → octal text."""
+    return F.conv(col.cast("string"), 10, 8)
+
+
+def to_bin(col: Column) -> Column:
+    """Integer → binary text (PG to_bin, DuckDB bin)."""
+    return F.conv(col.cast("string"), 10, 2)
+
+
+def regexp_match(col: Column, pattern: str) -> Column:
+    """PG regexp_match(text, re): array of captured groups for the FIRST
+    match (the whole match when the pattern has no groups), NULL when no
+    match."""
+    import re as _re
+
+    n_groups = _re.compile(pattern).groups
+    if n_groups == 0:
+        hit = F.regexp_extract(col, f"({pattern})", 1)
+        arr = F.array(hit)
+    else:
+        arr = F.array(*[
+            F.regexp_extract(col, pattern, g + 1) for g in range(n_groups)
+        ])
+    return F.when(col.rlike(pattern), arr)
+
+
+def regexp_instr(col: Column, pattern: str) -> Column:
+    """PG/Oracle regexp_instr: 1-based position of the first match, 0 when
+    absent."""
+    return F.regexp_instr(col, F.lit(pattern))
+
+
+def convert_from(col: Column, encoding: str = "UTF-8") -> Column:
+    """PG convert_from(bytea, enc) — binary → text in the given charset."""
+    return F.decode(col, encoding)
+
+
+def convert_to(col: Column, encoding: str = "UTF-8") -> Column:
+    """PG convert_to(text, enc) — text → binary in the given charset."""
+    return F.encode(col, encoding)
+
+
+def similar_to_escape(pattern: str, escape: str = "\\") -> str:
+    """PG similar_to_escape: SQL SIMILAR TO pattern → POSIX regex string
+    (driver-side; % → .*, _ → ., SQL regex metachars pass through,
+    escaped chars are literal)."""
+    import re as _re
+
+    out, i = [], 0
+    passthrough = set("|*+?()[]{}")
+    while i < len(pattern):
+        c = pattern[i]
+        if c == escape and i + 1 < len(pattern):
+            out.append(_re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        elif c in passthrough:
+            out.append(c)
+        else:
+            out.append(_re.escape(c))
+        i += 1
+    return "".join(out)

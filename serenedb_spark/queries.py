@@ -659,6 +659,117 @@ FROM part WHERE p_partkey < 200 ORDER BY p_partkey
 """)
 
 
+def _pg_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second PG-string battery (string.cpp surface, r5 additions):
+    regexp_match/instr, to_oct/to_bin, convert_to/from round-trip,
+    set_byte, get_byte, similar_to_escape-driven rlike."""
+    from serenedb_spark.functions import pg_strings as PS
+
+    part = load_tables(spark, sf_dir)["part"]
+    sim_re = PS.similar_to_escape("%(green|blue)%")
+    name_bin = PS.convert_to(F.col("p_name"))
+    return (
+        part.where(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            # joined to a scalar: the gate's value-hash stringifies Spark
+            # lists and DuckDB numpy arrays differently
+            F.array_join(
+                PS.regexp_match(F.col("p_name"), "([a-z]+) ([a-z]+)"), "|"
+            ).alias("first_two_words"),
+            PS.regexp_instr(F.col("p_name"), "e").alias("first_e_at"),
+            PS.to_oct(F.col("p_partkey")).alias("oct_key"),
+            PS.to_bin(F.col("p_partkey")).alias("bin_key"),
+            PS.convert_from(name_bin).alias("roundtrip_name"),
+            PS.get_byte(name_bin, 0).alias("first_byte"),
+            PS.get_byte(PS.set_byte(name_bin, 0, 90), 0).alias("set_byte0"),
+            F.col("p_name").rlike(sim_re).alias("similar_green_blue"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+_register("pg_string_battery2", _pg_string_battery2, """
+SELECT p_partkey,
+  CASE WHEN regexp_matches(p_name, '([a-z]+) ([a-z]+)')
+    THEN concat(regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1), '|',
+                regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2))
+    END AS first_two_words,
+  CASE WHEN strpos(p_name, 'e') > 0 THEN strpos(p_name, 'e') ELSE 0 END
+    AS first_e_at,
+  to_base(p_partkey, 8) AS oct_key,
+  to_base(p_partkey, 2) AS bin_key,
+  p_name AS roundtrip_name,
+  get_byte_impl[1] AS first_byte,
+  90 AS set_byte0,
+  regexp_matches(p_name, '.*(green|blue).*') AS similar_green_blue
+FROM (
+  SELECT *, [ord(substr(p_name, 1, 1))] AS get_byte_impl FROM part
+)
+WHERE p_partkey < 200 ORDER BY p_partkey
+""")
+
+
+def _pg_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG math/date battery (math.cpp surface): div, gcd/lcm (Euclid
+    fold), log(b,x), erf (A&S polynomial), cotd, width_bucket, date_bin,
+    make_timestamp, seeded random_normal."""
+    from serenedb_spark.functions import pg_math as PM
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    return (
+        orders.where(k < 500)
+        .select(
+            k.alias("o_orderkey"),
+            PM.div_trunc(k, F.lit(7)).alias("div7"),
+            PM.gcd(k, F.lit(36)).alias("gcd36"),
+            PM.lcm(k % 12, F.lit(8)).alias("lcm8"),
+            F.round(PM.log_base(2.0, (k + 1).cast("double")), 6).alias("log2_key"),
+            F.round(PM.erf(k.cast("double") / 200.0), 6).alias("erf_scaled"),
+            F.round(PM.cotd((k % 89 + 1).cast("double")), 6).alias("cotd_key"),
+            PM.width_bucket(F.col("o_totalprice").cast("double"),
+                            0.0, 600000.0, 8).alias("price_bucket"),
+            PM.date_bin(86400 * 7, F.col("o_orderdate").cast("timestamp"),
+                        "1992-01-01 00:00:00").alias("order_week"),
+            PM.make_timestamp(F.lit(2024), F.lit(3), (k % 28 + 1).cast("int"),
+                              F.lit(10), F.lit(30), F.lit(0)).alias("made_ts"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _pg_math_oracle() -> str:
+    from serenedb_spark.functions.pg_math import duckdb_erf
+
+    wb = ("CASE WHEN o_totalprice < 0 THEN 0"
+          " WHEN o_totalprice >= 600000 THEN 9"
+          " ELSE CAST(floor(o_totalprice / (600000.0 / 8)) AS BIGINT) + 1 END")
+    origin = "epoch_us(TIMESTAMP '1992-01-01 00:00:00')"
+    stride = 86400 * 7 * 1_000_000
+    h1 = "(abs(hash(o_orderkey)) % 1000000007)"
+    return f"""
+SELECT o_orderkey,
+  CAST((o_orderkey - o_orderkey % 7) / 7 AS BIGINT) AS div7,
+  gcd(o_orderkey, 36) AS gcd36,
+  lcm(o_orderkey % 12, 8) AS lcm8,
+  round(log(2, o_orderkey + 1), 6) AS log2_key,
+  round({duckdb_erf('(o_orderkey / 200.0)')}, 6) AS erf_scaled,
+  round(cot(radians(o_orderkey % 89 + 1)), 6) AS cotd_key,
+  {wb} AS price_bucket,
+  make_timestamp(CAST({origin} + floor((epoch_us(CAST(o_orderdate AS
+    TIMESTAMP)) - {origin}) / {stride}) * {stride} AS BIGINT)) AS order_week,
+  make_timestamp(2024, 3, o_orderkey % 28 + 1, 10, 30, 0.0) AS made_ts
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+# random_normal is excluded from the battery: its seeded form relies on
+# Spark's xxhash64 (not reproducible in DuckDB); tests/test_pg_math.py
+# asserts its distribution moments instead
+_register("pg_math_battery", _pg_math_battery, _pg_math_oracle())
+
+
 _sql("window_battery", """
 SELECT o_orderkey, o_orderpriority,
   dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS drank,
