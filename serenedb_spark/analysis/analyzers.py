@@ -398,6 +398,100 @@ def _collation():
     return expr, py, duck
 
 
+def _classification(num_classes: int = 8, top_k: int = 1):
+    """`classification` template (create_tsdictionary.cpp:535): emit the
+    model's top-k class labels for the whole input. The reference loads a
+    fastText supervised model; that lib is absent here, so the DEFAULT
+    model is a deterministic md5 hash-classifier — 'lbl<h % C>' from the
+    top_k leading hex groups of md5(lower(text)) — which keeps the
+    analyzer's plumbing (index build, facets, oracles) fully checkable in
+    all three representations. A real model plugs in executor-side via
+    functions/embedding-style registration at the call site (pandas_udf
+    over the same signature); documented deviation: no trained weights."""
+
+    def expr(col: Column) -> Column:
+        h = F.md5(F.lower(col))
+        labels = [
+            F.concat(
+                F.lit("lbl"),
+                (F.conv(F.substring(h, 1 + 4 * i, 4), 16, 10).cast("long")
+                 % num_classes).cast("string"),
+            )
+            for i in range(top_k)
+        ]
+        return F.when(col.isNull(), F.lit(None).cast("array<string>")) \
+            .otherwise(F.array(*labels))
+
+    def py(s: str) -> list[str]:
+        import hashlib
+
+        h = hashlib.md5(s.lower().encode()).hexdigest()
+        return [
+            f"lbl{int(h[4 * i:4 * i + 4], 16) % num_classes}"
+            for i in range(top_k)
+        ]
+
+    def duck(e: str) -> str:
+        # hex→int without a DuckDB builtin: positional digit fold
+        def hex4(off: int) -> str:
+            h = f"md5(lower({e}))"
+            digits = [
+                f"(strpos('0123456789abcdef', substr({h}, {off + j}, 1)) - 1)"
+                f" * {16 ** (3 - j)}"
+                for j in range(4)
+            ]
+            return "(" + " + ".join(digits) + ")"
+
+        items = ", ".join(
+            f"'lbl' || ({hex4(1 + 4 * i)} % {num_classes})"
+            for i in range(top_k)
+        )
+        return f"CASE WHEN {e} IS NULL THEN NULL ELSE [{items}] END"
+
+    return expr, py, duck
+
+
+def _nearest_neighbors(k: int = 2):
+    """`nearest_neighbors` template (create_tsdictionary.cpp:549): expand
+    each word to its k nearest terms in an embedding model (reference:
+    fastText). Deterministic stand-in: neighbor_i(w) = 'nn' ||
+    substr(md5(i:w), 1, 6) — the expansion SHAPE (k terms per word,
+    flattened, query/index symmetric) is what the engine exercises; real
+    vectors are a documented deviation."""
+
+    def expr(col: Column) -> Column:
+        toks = _simple_expr(col)
+        return F.flatten(F.transform(
+            toks,
+            lambda t: F.array(*[
+                F.concat(F.lit("nn"),
+                         F.substring(F.md5(F.concat_ws(":", F.lit(str(i)), t)),
+                                     1, 6))
+                for i in range(k)
+            ]),
+        ))
+
+    def py(s: str) -> list[str]:
+        import hashlib
+
+        out = []
+        for t in _simple_py(s):
+            for i in range(k):
+                h = hashlib.md5(f"{i}:{t}".encode()).hexdigest()
+                out.append("nn" + h[:6])
+        return out
+
+    def duck(e: str) -> str:
+        inner = ", ".join(
+            f"'nn' || substr(md5('{i}:' || t), 1, 6)" for i in range(k)
+        )
+        return (
+            f"flatten(list_transform({_simple_duckdb(e)}, t -> [{inner}]))"
+        )
+
+    return expr, py, duck
+
+
 _REGISTRY: dict[str, Analyzer] = {}
 
 
@@ -676,6 +770,12 @@ _e, _p, _d = _norm()
 register(Analyzer("norm", _e, _p, _d))
 _e, _p, _d = _collation()
 register(Analyzer("collation", _e, _p, _d, features=()))
+_e, _p, _d = _classification()
+register(Analyzer("classification", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _classification(num_classes=8, top_k=2)
+register(Analyzer("classification_top2", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _nearest_neighbors()
+register(Analyzer("nearest_neighbors", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _segmentation()
 register(Analyzer("segmentation", _e, _p, _d))
 _e, _p, _d = _minhash(4)

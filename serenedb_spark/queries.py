@@ -1253,6 +1253,46 @@ def _register_minhash_dict() -> None:
 _register_minhash_dict()
 
 
+# classification analyzer (create_tsdictionary.cpp:535; deterministic
+# hash-classifier stand-in for fastText — analyzers._classification):
+# the index's term dictionary is the corpus label distribution
+def _fts_classification_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir, analyzer="classification")
+    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+
+
+def _fts_nn_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nearest_neighbors analyzer (create_tsdictionary.cpp:549): querying
+    one synthetic neighbor term must hit every doc containing the source
+    word — the query side expands with the same analyzer."""
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    idx = doc_index(spark, sf_dir, analyzer="nearest_neighbors")
+    nn_term = get_analyzer("nearest_neighbors").tokens("spark")[0]
+    return compile_query(idx, _DOC_COL, q.Term(nn_term)).doc_ids.orderBy("doc_id")
+
+
+def _register_model_analyzer_entries() -> None:
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    _register(
+        "fts_classification_facets", _fts_classification_facets,
+        FC.duckdb_ts_dict_sql(
+            _DOC_TABLE, _DOC_COL,
+            get_analyzer("classification").duckdb(_DOC_COL)
+        ) + " ORDER BY term",
+    )
+    nn_term = get_analyzer("nearest_neighbors").tokens("spark")[0]
+    _register(
+        "fts_nn_expansion", _fts_nn_expansion,
+        O.match_sql(_DOC_TABLE, _DOC_COL, "nearest_neighbors",
+                    q.Term(nn_term), order="doc_id"),
+    )
+
+
+_register_model_analyzer_entries()
+
+
 # synonym-expanded index: querying 'quick' must hit docs saying 'fast'
 def _fts_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="synonyms_demo")

@@ -217,3 +217,27 @@ class SereneSession:
         """SUMMARIZE/DESCRIBE analogue."""
         df = self.table(table) if isinstance(table, str) else table
         return df.summary()
+
+    # ---- sequences (reference sequence.cpp; see operators/sequences) ----
+    @property
+    def sequences(self):
+        from serenedb_spark.operators.sequences import SequenceCatalog
+
+        if not hasattr(self, "_sequences"):
+            self._sequences = SequenceCatalog()
+        return self._sequences
+
+    def create_sequence(self, name: str, **kw) -> None:
+        self.sequences.create(name, **kw)
+
+    def nextval(self, name: str) -> int:
+        return self.sequences.nextval(name)
+
+    def currval(self, name: str) -> int:
+        return self.sequences.currval(name)
+
+    def lastval(self) -> int:
+        return self.sequences.lastval()
+
+    def setval(self, name: str, value: int, is_called: bool = True) -> int:
+        return self.sequences.setval(name, value, is_called)
