@@ -492,6 +492,77 @@ def _nearest_neighbors(k: int = 2):
     return expr, py, duck
 
 
+#: geopoint cell levels (degrees). The reference's geopoint analyzer emits
+#: S2 cells at several levels so queries match coverings at any scale
+#: (create_tsdictionary.cpp:613, libs/geo/); the flat-grid analogue emits
+#: one term per level: "g<deg>:<row>:<col>".
+_GEO_LEVELS = (4.0, 1.0, 0.25)
+
+
+def _geopoint(levels: tuple[float, ...] = _GEO_LEVELS):
+    """`geopoint` template: a "lat,lon" string → grid-cell terms at each
+    level. Query side = covering cells → term disjunction → postings —
+    the identical two-phase shape as functions/geo.radius_search but
+    through the INVERTED INDEX (the reference's scheme), so geo predicates
+    compose with text predicates in one boolean query."""
+
+    def expr(col: Column) -> Column:
+        parts = F.split(col, ",")
+        lat = F.try_element_at(parts, F.lit(1)).try_cast("double")
+        lon = F.try_element_at(parts, F.lit(2)).try_cast("double")
+        toks = [
+            F.concat_ws(":", F.lit(f"g{d}"),
+                        F.floor(lat / F.lit(d)).cast("long"),
+                        F.floor(lon / F.lit(d)).cast("long"))
+            for d in levels
+        ]
+        return (
+            F.when(col.isNull(), F.lit(None).cast("array<string>"))
+            .when(lat.isNull() | lon.isNull(),
+                  F.array().cast("array<string>"))  # not a point: no terms
+            .otherwise(F.array(*toks))
+        )
+
+    def py(s: str) -> list[str]:
+        import math
+
+        parts = s.split(",")
+        try:
+            la, lo = float(parts[0]), float(parts[1])
+        except (ValueError, IndexError):
+            return []
+        return [
+            f"g{d}:{math.floor(la / d)}:{math.floor(lo / d)}"
+            for d in levels
+        ]
+
+    def duck(e: str) -> str:
+        la = f"TRY_CAST(string_split({e}, ',')[1] AS DOUBLE)"
+        lo = f"TRY_CAST(string_split({e}, ',')[2] AS DOUBLE)"
+        items = ", ".join(
+            f"concat('g{d}', ':', CAST(floor({la} / {d}) AS BIGINT),"
+            f" ':', CAST(floor({lo} / {d}) AS BIGINT))"
+            for d in levels
+        )
+        return (
+            f"CASE WHEN {e} IS NULL THEN NULL"
+            f" WHEN {la} IS NULL OR {lo} IS NULL THEN []"
+            f" ELSE [{items}] END"
+        )
+
+    return expr, py, duck
+
+
+def geopoint_cover_terms(lat: float, lon: float, radius_m: float,
+                         level: float = 1.0) -> list[str]:
+    """Query-side covering: the cell terms a radius query must OR together
+    (level must be one of the analyzer's levels)."""
+    from serenedb_spark.functions.geo import covering_cells
+
+    return [f"g{level}:{cell}"
+            for cell in covering_cells(lat, lon, radius_m, level)]
+
+
 _REGISTRY: dict[str, Analyzer] = {}
 
 
@@ -776,6 +847,8 @@ _e, _p, _d = _classification(num_classes=8, top_k=2)
 register(Analyzer("classification_top2", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _nearest_neighbors()
 register(Analyzer("nearest_neighbors", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _geopoint()
+register(Analyzer("geopoint", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _segmentation()
 register(Analyzer("segmentation", _e, _p, _d))
 _e, _p, _d = _minhash(4)

@@ -216,3 +216,37 @@ def duckdb_synth_points(table: str, key_col: str, id_alias: str = "point_id") ->
         f" (({key_col} * 37 % 1200) - 600) / 10.0 AS lat,"
         f" (({key_col} * 73 % 3600) - 1800) / 10.0 AS lon FROM {table}"
     )
+
+
+def indexed_radius_search(
+    idx,
+    geo_field: str,
+    lat: float,
+    lon: float,
+    radius_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "point_id",
+    level: float = 1.0,
+    round_to: int = 1,
+) -> DataFrame:
+    """ST_Distance_Between through the INVERTED INDEX (the reference's
+    geopoint scheme, geo_filter_builder.cpp: S2 covering → cell-term
+    disjunction → posting lists → exact check). `idx` is built with the
+    `geopoint` analyzer on a "lat,lon" column; the covering becomes an
+    AnyOf over cell terms at one analyzer level, the postings give doc
+    ids, the docstore late-materializes lat/lon for the exact haversine.
+    Composes with any other ts query (the win over the scan-side
+    prefilter in radius_search)."""
+    from serenedb_spark.analysis.analyzers import geopoint_cover_terms
+    from serenedb_spark.plans import tsquery as q
+    from serenedb_spark.plans.planner import compile_query
+
+    terms = geopoint_cover_terms(lat, lon, radius_m, level)
+    ids = compile_query(idx, geo_field, q.AnyOf(terms)).doc_ids
+    pts = idx.docstore.join(ids, "doc_id", "left_semi")
+    dist = haversine_m(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
+    return (
+        pts.select(F.col(id_col), F.round(dist, round_to).alias("dist_m"))
+        .where(F.col("dist_m") < radius_m)
+    )

@@ -2283,6 +2283,44 @@ ORDER BY point_id
 _register("geo_radius_antimeridian", _geo_radius_am, _geo_oracle_am())
 
 
+_GEO_IDX_CACHE: dict = {}
+
+
+def _geo_indexed_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search through the inverted index: geopoint analyzer cell
+    terms → covering-term disjunction → postings → exact haversine on the
+    late-materialized docstore (reference geopoint/S2 scheme,
+    geo_filter_builder.cpp). Oracle = exact scan, proving the term-level
+    covering lossless."""
+    from serenedb_spark.functions import geo as G
+    from serenedb_spark.operators.indexing import build_index
+
+    ck = (id(spark), sf_dir)
+    if ck not in _GEO_IDX_CACHE:
+        ev = load_tables(spark, sf_dir)["events"]
+        pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+        geo_df = pts.select(
+            F.col("point_id").alias("doc_id"),
+            F.concat_ws(",", "lat", "lon").alias("geo"),
+            "lat", "lon",
+        )
+        idx = build_index(geo_df, {"geo": "geopoint"}, key="doc_id",
+                          name="geo_idx")
+        idx.postings.persist()
+        idx.docstore.persist()
+        _GEO_IDX_CACHE[ck] = idx
+    idx = _GEO_IDX_CACHE[ck]
+    lat, lon, r = _GEO_Q
+    return (
+        G.indexed_radius_search(idx, "geo", lat, lon, r, id_col="doc_id")
+        .select(F.col("doc_id").alias("point_id"), "dist_m")
+        .orderBy("point_id")
+    )
+
+
+_register("geo_indexed_radius", _geo_indexed_radius, _geo_oracle())
+
+
 def _geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serenedb_spark.functions import geo as G
 
