@@ -11,17 +11,21 @@ FAMILIES = [
         "ordered_set_aggs", "rollup_agg", "grouping_sets",
         "cube_agg", "qualify_topn", "pivot_statement", "unpivot_part_measures",
         "lateral_explode_tokens", "deterministic_sample", "case_agg_join",
-        "string_funcs", "scalar_battery", "pg_string_battery")),
+        "string_funcs", "scalar_battery", "pg_string_battery",
+        "pg_string_battery2", "pg_math_battery")),
     ("Events (time series / JSON / sessionization)",
      lambda n: n.startswith("events_") or n == "approx_aggregates"),
     ("DML", lambda n: n.startswith("dml_")),
     ("Full-text search predicates", lambda n: n.startswith("fts_") and not any(
         k in n for k in ("bm25", "tfidf", "lm_", "dfi", "indri", "raw_",
-                          "dict", "offsets", "highlight", "substring", "synonyms"))),
+                          "dict", "offsets", "highlight", "substring", "synonyms",
+                          "collation", "classification", "nn_", "minhash"))),
     ("Relevance scoring", lambda n: any(k in n for k in (
         "bm25", "tfidf", "lm_", "dfi", "indri", "raw_"))),
     ("Facets / offsets / highlight / analyzers", lambda n: any(
-        k in n for k in ("dict", "offsets", "highlight", "substring", "synonyms"))),
+        k in n for k in ("dict", "offsets", "highlight", "substring",
+                         "synonyms", "collation", "classification", "nn_",
+                         "minhash"))),
     ("ES DSL", lambda n: n.startswith("es_")),
     ("Dedup / text analysis / pipeline", lambda n: n.startswith(("dedup_", "text_", "pipeline_"))),
     ("Vector / hybrid", lambda n: n.startswith(("vec_", "embedding_"))),
