@@ -79,7 +79,9 @@ class SereneSession:
     def table(self, name: str) -> DataFrame:
         df = self._tables[name]
         pred = self._row_policies.get(name)
-        return df.where(pred) if pred is not None else df
+        if pred is not None:
+            df = df.where(pred)
+        return self._apply_masks(name, df)
 
     def sql(self, q: str) -> DataFrame:
         return self.spark.sql(q)
@@ -93,11 +95,53 @@ class SereneSession:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         self._row_policies[table] = pred
         # re-register the view so spark.sql() paths get the filter as well
-        self._tables[table].where(pred).createOrReplaceTempView(table)
+        self._reregister(table)
 
     def drop_row_policy(self, table: str) -> None:
         self._row_policies.pop(table, None)
-        self._tables[table].createOrReplaceTempView(table)
+        self._reregister(table)
+
+    # ---- column masking (reference rbac.cpp column privileges: columns a
+    # role can't read are rewritten to masked expressions at plan time)
+    def set_column_mask(self, table: str, column: str, mask) -> None:
+        """Replace `column` with a mask expression on every access path
+        (`table()` and the temp view). `mask` is a Column, a SQL string,
+        or None for a NULL mask. Composes with a row policy on the same
+        table — the policy filters FIRST (over unmasked values, like the
+        reference applies access predicates before projection), then the
+        mask rewrites the projection."""
+        if mask is None:
+            mask_col = F.lit(None)
+        elif isinstance(mask, str):
+            mask_col = F.expr(mask)
+        else:
+            mask_col = mask
+        if not hasattr(self, "_col_masks"):
+            self._col_masks: dict[str, dict] = {}
+        self._col_masks.setdefault(table, {})[column] = mask_col
+        self._reregister(table)
+
+    def drop_column_mask(self, table: str, column: str | None = None) -> None:
+        masks = getattr(self, "_col_masks", {})
+        if table in masks:
+            if column is None:
+                masks.pop(table)
+            else:
+                masks[table].pop(column, None)
+        self._reregister(table)
+
+    def _apply_masks(self, table: str, df: DataFrame) -> DataFrame:
+        for c, m in getattr(self, "_col_masks", {}).get(table, {}).items():
+            typ = dict(df.dtypes).get(c)
+            df = df.withColumn(c, m.cast(typ) if typ else m)
+        return df
+
+    def _reregister(self, table: str) -> None:
+        df = self._tables[table]
+        pred = self._row_policies.get(table)
+        if pred is not None:
+            df = df.where(pred)
+        self._apply_masks(table, df).createOrReplaceTempView(table)
 
     # ---- indexing --------------------------------------------------------
     def create_index(

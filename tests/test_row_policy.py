@@ -57,3 +57,39 @@ def test_policy_pushes_down(ss):
         assert "o_orderstatus" in plan  # filter reached the physical plan
     finally:
         ss.drop_row_policy("orders")
+
+
+def test_column_mask_both_paths(ss):
+    """Column masking (reference rbac.cpp column privileges): the masked
+    expression replaces the column on table() and sql(); dropping the
+    mask restores the raw values; composes with a row policy."""
+    raw = ss._tables["orders"].select("o_orderstatus").first().o_orderstatus
+    ss.set_column_mask("orders", "o_orderstatus", "'***'")
+    try:
+        assert ss.table("orders").select("o_orderstatus").first().o_orderstatus == "***"
+        got = ss.sql("SELECT o_orderstatus FROM orders LIMIT 1").first().o_orderstatus
+        assert got == "***"
+        # typed mask: numeric column rounded to bucket
+        ss.set_column_mask("orders", "o_totalprice",
+                           F.floor(F.col("o_totalprice") / 1000) * 1000)
+        p = ss.table("orders").select("o_totalprice").first().o_totalprice
+        assert p % 1000 == 0
+    finally:
+        ss.drop_column_mask("orders")
+    assert ss.table("orders").select("o_orderstatus").first().o_orderstatus == raw
+
+
+def test_column_mask_composes_with_row_policy(ss):
+    ss.set_row_policy("orders", "o_orderkey < 100")
+    ss.set_column_mask("orders", "o_orderstatus", None)
+    try:
+        rows = ss.table("orders").select("o_orderkey", "o_orderstatus").collect()
+        assert all(r.o_orderstatus is None for r in rows)
+        assert all(r.o_orderkey < 100 for r in rows)
+        n_sql = ss.sql(
+            "SELECT count(*) AS n FROM orders WHERE o_orderstatus IS NULL"
+        ).first().n
+        assert n_sql == len(rows)
+    finally:
+        ss.drop_column_mask("orders")
+        ss.drop_row_policy("orders")
