@@ -55,6 +55,44 @@ def ts_offsets(
     )
 
 
+def ts_offsets_multi(
+    matched_docs: DataFrame, text_col: str, terms: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """OFFSETS for every query term at once: (doc_id, term, start, len) —
+    the reference's ts_offsets emits per-term ranges for the whole match
+    set (ts_offsets.cpp:403). One pass per term over the k matched docs,
+    unioned; still late-materialized (never the corpus)."""
+    parts = []
+    for t in terms:
+        offs = term_offsets_col(F.col(text_col), t)
+        parts.append(
+            matched_docs.select(
+                F.col(id_col), F.lit(t).alias("term"),
+                F.explode(offs).alias("start"),
+            ).withColumn("len", F.lit(len(t)))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def duckdb_ts_offsets_multi_sql(
+    table_expr: str, text_col: str, terms: list[str], id_col: str = "doc_id",
+) -> str:
+    """Oracle mirroring ts_offsets_multi (UNION ALL of per-term offset
+    queries)."""
+    parts = [
+        "SELECT {id}, '{t}' AS term, start, len FROM ({q}) q{i}".format(
+            id=id_col, t=t.replace("'", "''"),
+            q=duckdb_ts_offsets_sql(table_expr, text_col, t, id_col), i=i,
+        )
+        for i, t in enumerate(terms)
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
 def duckdb_ts_offsets_sql(
     table_expr: str, text_col: str, term: str, id_col: str = "doc_id"
 ) -> str:

@@ -1384,6 +1384,21 @@ def _fts_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts_offsets(matched, "text", "spark").orderBy("doc_id", "start")
 
 
+def _fts_offsets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFSETS for every term of a disjunction (reference ts_offsets.cpp
+    emits all matched terms' ranges): docs matching any of the terms, one
+    (term, start, len) row per occurrence."""
+    from serenedb_spark.functions.highlight import ts_offsets_multi
+
+    idx = doc_index(spark, sf_dir)
+    terms = ["hash", "join"]
+    ids = compile_query(idx, _DOC_COL, q.AnyOf(terms)).doc_ids
+    matched = idx.docstore.join(ids, "doc_id", "left_semi").select(
+        "doc_id", "text")
+    return ts_offsets_multi(matched, "text", terms).orderBy(
+        "doc_id", "term", "start")
+
+
 def _fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serenedb_spark.functions.highlight import ts_highlight
 
@@ -1395,7 +1410,8 @@ def _fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _register_highlight_entries() -> None:
     from serenedb_spark.functions.highlight import (
-        duckdb_ts_highlight_sql, duckdb_ts_offsets_sql,
+        duckdb_ts_highlight_sql, duckdb_ts_offsets_multi_sql,
+        duckdb_ts_offsets_sql,
     )
 
     m_spark = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("spark"),
@@ -1404,6 +1420,15 @@ def _register_highlight_entries() -> None:
         "fts_offsets", _fts_offsets,
         duckdb_ts_offsets_sql(f"({m_spark}) m", "text", "spark")
         + " ORDER BY doc_id, start",
+    )
+    m_any = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN,
+                        q.AnyOf(["hash", "join"]), select="doc_id, text")
+    _register(
+        "fts_offsets_multi", _fts_offsets_multi,
+        "SELECT * FROM (\n"
+        + duckdb_ts_offsets_multi_sql(f"({m_any}) m", "text",
+                                      ["hash", "join"])
+        + "\n) ORDER BY doc_id, term, start",
     )
     m_win = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("window"),
                         select="doc_id, text")

@@ -210,6 +210,33 @@ class EsShim:
         self._index(index)
         return {"_shards": {"total": 1, "successful": 1, "failed": 0}}
 
+    def analyze(self, index: str | None, body: dict) -> dict:
+        """POST /{index}/_analyze and /_analyze (ES analyze API): run a
+        named analyzer on the given text driver-side (the pure-Python
+        representation — the same tokens the index-side expression emits,
+        by the 3-way consistency invariant). Without an explicit
+        `analyzer`, an index-scoped call uses the index's analyzer for
+        `field` (default field order), a global call uses `simple`."""
+        from serenedb_spark.analysis.analyzers import get_analyzer
+
+        name = body.get("analyzer")
+        if name is None and index is not None:
+            fields = self.tables[index].fields
+            field = body.get("field") or next(iter(fields))
+            name = fields.get(field, "simple")
+        an = get_analyzer(name or "simple")
+        texts = body.get("text", "")
+        texts = texts if isinstance(texts, list) else [texts]
+        tokens, pos = [], 0
+        for t in texts:
+            for tok in an.tokens(t):
+                tokens.append({
+                    "token": tok, "position": pos, "type": "word",
+                })
+                pos += 1
+            pos += 100  # ES position_increment_gap between array items
+        return {"tokens": tokens}
+
 
 def serve(shim: EsShim, port: int = 0):
     """Start the HTTP server on a daemon thread; returns (server, port)."""
@@ -242,6 +269,10 @@ def serve(shim: EsShim, port: int = 0):
                     return self._reply(shim.scroll(json.loads(body)))
                 if parts == ["_cat", "indices"]:
                     return self._reply(shim.cat_indices())
+                if parts == ["_analyze"]:
+                    return self._reply(
+                        shim.analyze(None, json.loads(body) if body else {})
+                    )
                 if len(parts) == 3 and parts[1] == "_doc":
                     return self._reply(shim.get_doc(parts[0], parts[2]))
                 if len(parts) == 2:
@@ -261,6 +292,8 @@ def serve(shim: EsShim, port: int = 0):
                         return self._reply(shim.mapping(index))
                     if verb == "_refresh":
                         return self._reply(shim.refresh(index))
+                    if verb == "_analyze":
+                        return self._reply(shim.analyze(index, payload))
                 return self._reply({"error": "no handler", "path": self.path}, 404)
             except Exception as e:  # noqa: BLE001 — ES returns errors as JSON
                 return self._reply({"error": str(e)}, 400)

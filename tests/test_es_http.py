@@ -108,3 +108,23 @@ def test_bulk_then_refresh_then_search(es):
     after = _post(f"{es}/docs/_count",
                   {"query": {"term": {"text": "zzztoken"}}})["count"]
     assert after == 1
+
+
+def test_analyze_routes(es):
+    """ES _analyze API: explicit analyzer, index-scoped default analyzer,
+    multi-text position gap (real ES uses position_increment_gap)."""
+    out = _post(f"{es}/_analyze",
+                {"analyzer": "simple", "text": "Hash-JOIN wins"})
+    assert [t["token"] for t in out["tokens"]] == ["hash", "join", "wins"]
+    assert [t["position"] for t in out["tokens"]] == [0, 1, 2]
+    # index-scoped: falls back to the index's analyzer for the field
+    out2 = _post(f"{es}/docs/_analyze", {"text": "Table SCAN"})
+    assert [t["token"] for t in out2["tokens"]] == ["table", "scan"]
+    # array input gets a position gap
+    out3 = _post(f"{es}/_analyze",
+                 {"analyzer": "simple", "text": ["a b", "c"]})
+    positions = [t["position"] for t in out3["tokens"]]
+    assert positions[0] == 0 and positions[-1] > 100
+    # stemming analyzer reachable by name
+    out4 = _post(f"{es}/_analyze", {"analyzer": "text", "text": "tables"})
+    assert [t["token"] for t in out4["tokens"]] == ["table"]

@@ -66,6 +66,44 @@ def test_pruning_actually_prunes(spark, idx):
     assert info.get("pruned_terms", 0) >= 1, info
 
 
+def test_pruned_equals_full_randomized(spark, idx):
+    """Seeded sweep: random term samples from the live dictionary with
+    random boosts across all bounded scorers — the pruned plan must equal
+    full scoring every time (any divergence = an unsound bound)."""
+    import random
+
+    rng = random.Random(20260814)
+    vocab = [
+        r["term"] for r in
+        idx.term_stats.where(F.col("field") == "text")
+        .orderBy(F.col("df").desc()).limit(400).collect()
+    ]
+    for trial in range(8):
+        n_terms = rng.randint(2, 5)
+        terms = rng.sample(vocab, n_terms)
+        node = None
+        for t in terms:
+            part = q.Term(t)
+            if rng.random() < 0.5:
+                part = part.boost(rng.choice([0.5, 2.0, 10.0, 50.0]))
+            node = part if node is None else (node | part)
+        scorer = rng.choice(["bm25", "tfidf", "lm_dirichlet"])
+        k = rng.choice([5, 10, 25])
+        compiled = compile_query(idx, "text", node)
+        pruned = [
+            tuple(r) for r in
+            scored_topk(idx, "text", compiled.score_terms, k, scorer)
+            .collect()
+        ]
+        want = [
+            tuple(r) for r in
+            score(idx, "text", compiled.score_terms, scorer)
+            .select("doc_id", F.round("score", 4).alias("score"))
+            .orderBy(F.col("score").desc(), "doc_id").limit(k).collect()
+        ]
+        assert pruned == want, (trial, terms, scorer, k)
+
+
 def test_fallback_single_term(spark, idx):
     compiled = compile_query(idx, "text", q.Term("spark"))
     got = scored_topk(idx, "text", compiled.score_terms, 5, "bm25").collect()
