@@ -151,14 +151,34 @@ class DiskSearchTable:
         return st
 
     @classmethod
-    def open(cls, spark, path: str) -> "DiskSearchTable":
-        """Recovery: the manifest IS the committed state."""
+    def open(cls, spark, path: str, tick: int | None = None
+             ) -> "DiskSearchTable":
+        """Recovery: the manifest IS the committed state. With ``tick``,
+        open a TIME-TRAVEL snapshot: only ops with tick ≤ N are replayed
+        (the reference's tick_domain snapshot reads — every committed
+        tick remains a consistent readable state until vacuum). A
+        snapshot handle is read-only by convention; writing through it
+        would fork history, so DML raises."""
         import json
 
         with open(f"{path}/manifest.json") as f:
             m = json.load(f)
-        return cls(spark, path, m["fields"], m["key"], m["name"],
-                   m["tick"], [tuple(op) for op in m["ops"]])
+        ops = [tuple(op) for op in m["ops"]]
+        if tick is None:
+            return cls(spark, path, m["fields"], m["key"], m["name"],
+                       m["tick"], ops)
+        ops = [op for op in ops if op[0] <= tick]
+        inst = cls(spark, path, m["fields"], m["key"], m["name"],
+                   tick, ops)
+        inst._snapshot = True
+        return inst
+
+    def _forbid_snapshot_writes(self) -> None:
+        if getattr(self, "_snapshot", False):
+            raise ValueError(
+                "time-travel snapshot is read-only (writing would fork "
+                "history); open() without tick for the live table"
+            )
 
     def _write_manifest(self) -> None:
         import json
@@ -174,6 +194,7 @@ class DiskSearchTable:
         os.replace(tmp, f"{self.path}/manifest.json")  # the commit point
 
     def _append(self, kind: str, df: DataFrame) -> int:
+        self._forbid_snapshot_writes()
         self._tick += 1
         rel = f"segments/{kind}_{self._tick:08d}"
         out = df if kind == "seg" else df.select(self.key).distinct()
@@ -194,6 +215,7 @@ class DiskSearchTable:
         first, then a single manifest rewrite makes them visible together —
         a crash mid-update leaves the pre-update snapshot, never a state
         with the rows deleted but not reinserted."""
+        self._forbid_snapshot_writes()
         del_tick = self._tick + 1
         seg_tick = self._tick + 2
         del_rel = f"segments/del_{del_tick:08d}"

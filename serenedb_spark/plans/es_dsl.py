@@ -141,6 +141,48 @@ def parse_query(dsl: dict[str, Any], analyzer: Analyzer) -> tuple[str | None, q.
     raise ValueError(f"unsupported ES query kind: {kind!r}")
 
 
+def _multi_match(idx: InvertedIndex, spec: dict[str, Any],
+                 scorer: str) -> DataFrame:
+    """ES multi_match: the query text is analyzed PER FIELD with that
+    field's analyzer (so a keyword field sees one token, a text field
+    many), scored per field, then combined — `best_fields` (default)
+    takes the max per-field score (ES dis_max with tie_breaker 0),
+    `most_fields` sums them. Fields with zero analyzed tokens or zero
+    matches contribute nothing."""
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.planner import compile_query
+
+    fields = spec["fields"]
+    text = str(spec["query"])
+    mtype = spec.get("type", "best_fields")
+    per_field = []
+    for f in fields:
+        toks = idx.analyzer(f).tokens(text)
+        if not toks:
+            continue
+        compiled = compile_query(idx, f, q.AnyOf(toks))
+        per_field.append(
+            _score(idx, f, compiled.score_terms, scorer)
+            .select("doc_id", F.col("score").alias(f"s_{len(per_field)}"))
+        )
+    if not per_field:
+        raise ValueError(f"multi_match analyzed to no tokens: {text!r}")
+    out = per_field[0]
+    for p in per_field[1:]:
+        out = out.join(p, "doc_id", "full_outer")
+    score_cols = [F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+                  for i in range(len(per_field))]
+    if mtype == "most_fields":
+        combined = sum(score_cols[1:], score_cols[0])
+    else:  # best_fields
+        combined = F.greatest(*score_cols) if len(score_cols) > 1 \
+            else score_cols[0]
+    return (
+        out.select("doc_id", F.round(combined, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
 def es_search(
     idx: InvertedIndex,
     body: dict[str, Any],
@@ -161,6 +203,8 @@ def es_search(
     if query == {"match_all": {}}:
         docs = idx.universe.where(F.col("field") == field).select("doc_id")
         out = docs.withColumn("score", F.lit(1.0)).orderBy("doc_id")
+    elif next(iter(query)) == "multi_match":
+        out = _multi_match(idx, query["multi_match"], scorer)
     else:
         f, node = parse_query(query, idx.analyzer(field))
         field = f or field

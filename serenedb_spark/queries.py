@@ -1479,6 +1479,54 @@ def _fts_highlight_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register_highlight_entries()
 
 
+# ES multi_match over a TWO-FIELD index (text + source, each with its own
+# analyzer): per-field analysis, per-field scoring, best_fields combine
+_MULTI_IDX_CACHE: dict = {}
+
+
+def _doc_index_multi(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    ck = (id(spark), sf_dir)
+    if ck not in _MULTI_IDX_CACHE:
+        docs = load_tables(spark, sf_dir)["documents"]
+        idx = build_index(docs, {"text": "simple", "source": "simple"},
+                          key="doc_id", name="documents_multi")
+        for part in (idx.postings, idx.term_stats, idx.doc_stats,
+                     idx.globals_, idx.docstore):
+            part.persist()
+        _MULTI_IDX_CACHE[ck] = idx
+    return _MULTI_IDX_CACHE[ck]
+
+
+def _es_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans.es_dsl import es_search
+
+    idx = _doc_index_multi(spark, sf_dir)
+    body = {"query": {"multi_match": {
+        "query": "spark src3", "fields": ["text", "source"],
+        "type": "best_fields",
+    }}, "size": 25}
+    return es_search(idx, body)
+
+
+def _es_multi_match_oracle() -> str:
+    node = q.AnyOf(["spark", "src3"])
+    t_sql = O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, node,
+                         scorer="bm25", k=None, round_to=10)
+    s_sql = O.scored_sql(_DOC_TABLE, "source", _DOC_AN, node,
+                         scorer="bm25", k=None, round_to=10)
+    return f"""
+WITH t AS ({t_sql}), s AS ({s_sql})
+SELECT doc_id,
+  round(greatest(coalesce(t.score, 0.0), coalesce(s.score, 0.0)), 4)
+    AS score
+FROM t FULL JOIN s USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+
+_register("es_multi_match", _es_multi_match, _es_multi_match_oracle())
+
+
 # ES query DSL: translated to the same AST → same planner and oracle
 _ES_BODY = {"query": {"bool": {
     "must": [{"match": {"text": "data"}}],

@@ -76,6 +76,31 @@ def test_update_is_single_commit(spark, docs, tmp_path):
     assert kinds == ["del", "seg"]
 
 
+def test_time_travel_snapshot(spark, docs, tmp_path):
+    """open(path, tick=N) replays only ops with tick <= N — every
+    committed tick stays a readable consistent snapshot until vacuum
+    (reference tick_domain); snapshots are read-only."""
+    path = str(tmp_path / "dst_tt")
+    st = DiskSearchTable.create(docs, path, {"text": "simple"}, key="doc_id")
+    t1 = st.insert(spark.createDataFrame(
+        [(910001, "zzztravel alpha")], "doc_id long, text string"))
+    t2 = st.delete(spark.createDataFrame([(910001,)], "doc_id long"))
+    assert _match_ids(st, "zzztravel") == set()
+
+    snap = DiskSearchTable.open(spark, path, tick=t1)
+    assert _match_ids(snap, "zzztravel") == {910001}, \
+        "pre-delete snapshot must still see the row"
+    snap0 = DiskSearchTable.open(spark, path, tick=t2)
+    assert _match_ids(snap0, "zzztravel") == set()
+
+    with pytest.raises(ValueError, match="read-only"):
+        snap.insert(spark.createDataFrame(
+            [(910002, "nope")], "doc_id long, text string"))
+    with pytest.raises(ValueError, match="read-only"):
+        snap.update(spark.createDataFrame(
+            [(910001, "nope")], "doc_id long, text string"))
+
+
 def test_compact_and_vacuum(spark, docs, tmp_path):
     path = str(tmp_path / "dst2")
     st = DiskSearchTable.create(docs, path, {"text": "simple"}, key="doc_id")
