@@ -262,6 +262,86 @@ class SereneSession:
         df = self.table(table) if isinstance(table, str) else table
         return df.summary()
 
+    # ---- ALTER TABLE surgery (reference ddl/alter_*.test: add/rename/
+    # drop column, set default, struct-field surgery). A library engine
+    # alters the CATALOG RELATION (the registered DataFrame + temp view);
+    # persisting the altered shape is an explicit save — the same split
+    # as a lakehouse metadata-only ALTER followed by a rewrite.
+    def alter_add_column(self, table: str, name: str, expr,
+                         default=None) -> None:
+        """ADD COLUMN name AS expr (a Column or SQL string); `default`
+        instead of `expr` adds a constant column (SET DEFAULT shape)."""
+        if expr is None:
+            col = F.lit(default)
+        elif isinstance(expr, str):
+            col = F.expr(expr)
+        else:
+            col = expr
+        self._tables[table] = self._tables[table].withColumn(name, col)
+        self._reregister(table)
+
+    def alter_rename_column(self, table: str, old: str, new: str) -> None:
+        self._tables[table] = self._tables[table].withColumnRenamed(old, new)
+        self._reregister(table)
+
+    def alter_drop_column(self, table: str, name: str) -> None:
+        self._tables[table] = self._tables[table].drop(name)
+        self._reregister(table)
+
+    def alter_set_not_null(self, table: str, name: str) -> None:
+        """SET NOT NULL: validates now (errors if any NULL present) and
+        installs a row policy-style guarantee by filtering is unsound —
+        the reference REJECTS the alter when data violates it; so do we."""
+        n = self._tables[table].where(F.col(name).isNull()).limit(1).count()
+        if n:
+            raise ValueError(
+                f"column {name!r} of {table!r} contains NULLs; "
+                "SET NOT NULL rejected"
+            )
+        meta = getattr(self, "_not_null", {})
+        meta.setdefault(table, set()).add(name)
+        self._not_null = meta
+
+    def alter_struct_field(self, table: str, column: str, field: str,
+                           expr) -> None:
+        """Struct-field surgery: replace/add one field inside a struct
+        column (reference alter_struct_*.test) via withField."""
+        col = F.expr(expr) if isinstance(expr, str) else expr
+        self._tables[table] = self._tables[table].withColumn(
+            column, F.col(column).withField(field, col)
+        )
+        self._reregister(table)
+
+    def alter_drop_struct_field(self, table: str, column: str,
+                                field: str) -> None:
+        self._tables[table] = self._tables[table].withColumn(
+            column, F.col(column).dropFields(field)
+        )
+        self._reregister(table)
+
+    # ---- macros (reference CREATE MACRO, catalog/function.h:30-33:
+    # DuckDB scalar AND table macros; Spark 4 SQL UDFs map them directly)
+    def create_macro(self, name: str, params: str, body: str,
+                     returns: str = "DOUBLE") -> None:
+        """CREATE MACRO name(params) AS body — a SQL-bodied scalar
+        function usable from sql() and DataFrame selectExpr."""
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+            f"RETURNS {returns} RETURN {body}"
+        )
+
+    def create_table_macro(self, name: str, params: str, schema: str,
+                           body: str) -> None:
+        """CREATE MACRO name(params) AS TABLE body — a SQL table function
+        (DuckDB table macro analogue)."""
+        self.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
+            f"RETURNS TABLE ({schema}) RETURN {body}"
+        )
+
+    def drop_macro(self, name: str) -> None:
+        self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+
     # ---- sequences (reference sequence.cpp; see operators/sequences) ----
     @property
     def sequences(self):

@@ -93,3 +93,25 @@ def test_approx_aggregates(spark):
     p50 = ev.select(F.percentile_approx("value", 0.5)).first()[0]
     lo, hi = ev.select(F.min("value"), F.max("value")).first()
     assert lo <= p50 <= hi
+
+
+def test_macro_catalog_facade(spark):
+    """Session-level CREATE MACRO parity (DuckDB scalar + table macros,
+    function.cpp:78-96) via Spark 4 SQL UDFs."""
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    ss.create_macro("net_price", "p DOUBLE, d DOUBLE", "p * (1 - d)")
+    assert ss.sql("SELECT net_price(10.0, 0.1) AS v").first().v == 9.0
+
+    ss.create_table_macro(
+        "int_range", "n INT", "x INT",
+        "SELECT explode(sequence(1, n))",
+    )
+    got = [r.x for r in ss.sql("SELECT * FROM int_range(4)").collect()]
+    assert got == [1, 2, 3, 4]
+
+    ss.drop_macro("net_price")
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        ss.sql("SELECT net_price(1.0, 0.5)").collect()
