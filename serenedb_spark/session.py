@@ -77,6 +77,7 @@ class SereneSession:
                 df.createOrReplaceTempView(t)
 
     def table(self, name: str) -> DataFrame:
+        self._check_privilege(name, "SELECT")
         df = self._tables[name]
         pred = self._row_policies.get(name)
         if pred is not None:
@@ -261,6 +262,44 @@ class SereneSession:
         """SUMMARIZE/DESCRIBE analogue."""
         df = self.table(table) if isinstance(table, str) else table
         return df.summary()
+
+    # ---- GRANT/REVOKE (reference rbac.cpp + pg GRANT grammar): a
+    # principal model enforced at the catalog boundary. Privileges are
+    # per (principal, table); `current_user` scopes enforcement; row
+    # policies and column masks can be attached per principal so
+    # different users see different slices of the same relation.
+    def grant(self, principal: str, table: str,
+              privilege: str = "SELECT") -> None:
+        g = getattr(self, "_grants", None)
+        if g is None:
+            g = self._grants = {}
+        g.setdefault(principal, {}).setdefault(table, set()).add(
+            privilege.upper())
+
+    def revoke(self, principal: str, table: str,
+               privilege: str = "SELECT") -> None:
+        getattr(self, "_grants", {}).get(principal, {}).get(
+            table, set()).discard(privilege.upper())
+
+    def set_user(self, principal: str | None) -> None:
+        """None = superuser (no enforcement — the default, so existing
+        single-user flows are unchanged)."""
+        self._current_user = principal
+
+    @property
+    def current_user(self) -> str | None:
+        return getattr(self, "_current_user", None)
+
+    def _check_privilege(self, table: str, privilege: str) -> None:
+        u = self.current_user
+        if u is None:
+            return
+        has = getattr(self, "_grants", {}).get(u, {}).get(table, set())
+        if privilege.upper() not in has:
+            raise PermissionError(
+                f"permission denied for table {table}: {u!r} lacks "
+                f"{privilege.upper()}"
+            )
 
     # ---- ALTER TABLE surgery (reference ddl/alter_*.test: add/rename/
     # drop column, set default, struct-field surgery). A library engine

@@ -93,3 +93,20 @@ def test_column_mask_composes_with_row_policy(ss):
     finally:
         ss.drop_column_mask("orders")
         ss.drop_row_policy("orders")
+
+
+def test_grant_revoke_enforcement(ss):
+    """GRANT/REVOKE at the catalog boundary (reference rbac.cpp): a
+    scoped user needs SELECT; superuser (None) is unenforced."""
+    ss.set_user("analyst")
+    try:
+        with pytest.raises(PermissionError, match="analyst"):
+            ss.table("orders")
+        ss.grant("analyst", "orders")
+        assert ss.table("orders").count() > 0
+        ss.revoke("analyst", "orders")
+        with pytest.raises(PermissionError):
+            ss.table("orders")
+    finally:
+        ss.set_user(None)
+    assert ss.table("orders").count() > 0
