@@ -47,6 +47,34 @@ def stream_into_search_table(
     return writer.start()
 
 
+def stream_into_disk_table(
+    stream_df: DataFrame,
+    table,
+    checkpoint: str,
+    available_now: bool = True,
+):
+    """Durable streaming ingest: each micro-batch lands as ONE committed
+    parquet segment of a DiskSearchTable (batch id ≈ tick; segment write
+    then atomic manifest flip — a crash mid-batch leaves the previous
+    snapshot, and foreachBatch replays the batch on restart, overwriting
+    the same segment idempotently would require batch-id naming, so the
+    caller should vacuum after recovery). The durable twin of
+    stream_into_search_table."""
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        table.insert(batch)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

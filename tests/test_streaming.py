@@ -159,3 +159,38 @@ def test_stateful_sessionizer_stream(spark, tmpdir):
             for s, e, k in sessions + ([tail] if tail else [])
         }
     assert closed_want and closed_want <= got <= all_want
+
+
+def test_stream_into_disk_table_durable(spark, tmpdir):
+    """Durable streaming ingest: micro-batches land as committed parquet
+    segments; a FRESH handle opened from the path (recovery) sees the
+    full streamed corpus."""
+    from serenedb_spark.operators.maintenance import DiskSearchTable
+    from serenedb_spark.streaming.refresh import stream_into_disk_table
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = f"{tmpdir}/din"
+    docs.repartition(3).write.parquet(src)
+
+    dst = DiskSearchTable.create(
+        docs.limit(0), f"{tmpdir}/dtab", {"text": "simple"}, key="doc_id"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    qy = stream_into_disk_table(stream, dst, f"{tmpdir}/dckpt")
+    qy.awaitTermination(120)
+
+    st2 = DiskSearchTable.open(spark, f"{tmpdir}/dtab")
+    assert st2.current().count() == docs.count()
+    got = {
+        r.doc_id
+        for r in compile_query(st2.index(), "text",
+                               q.Term("spark")).doc_ids.collect()
+    }
+    assert len(got) > 0
