@@ -67,3 +67,35 @@ def test_geo_composes_with_term_query(spark):
         idx, "geo", 37.5, 11.5, 400_000.0, id_col="doc_id"
     ).count()
     assert n_cover >= exact, "covering is a superset of the exact result"
+
+
+def test_saved_geo_index_prunes_buckets(spark, tmp_path):
+    """A persisted geopoint index gets the same term-bucket partition
+    pruning as text: a covering-cell disjunction touches only the
+    claimed bucket directories."""
+    import contextlib
+    import io
+
+    from serenedb_spark.operators.indexing import (
+        load_index, py_term_bucket, save_index,
+    )
+
+    idx, _ = _geo_index(spark)
+    d = str(tmp_path / "geoidx")
+    save_index(idx, d)
+    disk = load_index(spark, d, {"geo": "geopoint"})
+    terms = geopoint_cover_terms(37.5, 11.5, 150_000.0, 1.0)
+    plan = compile_query(disk, "geo", q.AnyOf(terms)).doc_ids
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        plan.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt
+    # at least one claimed bucket id appears in the partition filter
+    assert any(str(py_term_bucket(t)) in txt for t in terms), txt[:2000]
+    # and results through the disk layout equal the in-memory index
+    a = {r.doc_id for r in compile_query(idx, "geo",
+                                         q.AnyOf(terms)).doc_ids.collect()}
+    b = {r.doc_id for r in compile_query(disk, "geo",
+                                         q.AnyOf(terms)).doc_ids.collect()}
+    assert a == b and len(a) > 0
