@@ -141,6 +141,95 @@ def parse_query(dsl: dict[str, Any], analyzer: Analyzer) -> tuple[str | None, q.
     raise ValueError(f"unsupported ES query kind: {kind!r}")
 
 
+def _aslist(v) -> list:
+    return [] if v is None else ([v] if isinstance(v, dict) else list(v))
+
+
+def _peek_field(dsl: dict[str, Any]) -> str | None:
+    """The field a leaf clause targets, without parsing it (needed to pick
+    the right analyzer BEFORE parse_query)."""
+    (kind, body), = dsl.items()
+    if kind in ("bool", "multi_match"):
+        return None
+    if kind == "query_string":
+        return body.get("default_field") if isinstance(body, dict) else None
+    if isinstance(body, dict):
+        return next(iter(body))
+    return None
+
+
+def _bool_clause_fields(body: dict[str, Any], default_field: str) -> set:
+    fields = set()
+    for sec in ("must", "filter", "must_not", "should"):
+        for c in _aslist(body.get(sec)):
+            (k, _), = c.items()
+            if k == "bool":
+                fields |= _bool_clause_fields(c["bool"], default_field)
+            else:
+                fields.add(_peek_field(c) or default_field)
+    return fields
+
+
+def _bool_multi_field(idx: InvertedIndex, body: dict[str, Any],
+                      default_field: str, scorer: str) -> DataFrame:
+    """Cross-field `bool`: each clause compiles against ITS OWN field
+    (single-field bool folds into one Compound AST instead). ES scoring
+    semantics: `must` and matched `should` clauses contribute score,
+    `filter` and `must_not` do not."""
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.planner import compile_query
+
+    def compiled(c: dict) -> tuple[str, Any]:
+        f = _peek_field(c) or default_field
+        f2, node = parse_query(c, idx.analyzer(f))
+        f = f2 or f
+        return f, compile_query(idx, f, node)
+
+    musts = [compiled(c) for c in _aslist(body.get("must"))]
+    filters = [compiled(c) for c in _aslist(body.get("filter"))]
+    nots = [compiled(c) for c in _aslist(body.get("must_not"))]
+    shoulds = [compiled(c) for c in _aslist(body.get("should"))]
+    msm = int(body.get("minimum_should_match",
+                       0 if (musts or filters) else 1))
+
+    docs = None
+    for _, c in musts + filters:
+        docs = c.doc_ids if docs is None else docs.join(
+            c.doc_ids, "doc_id", "left_semi")
+    if shoulds and msm > 0:
+        marked = [
+            c.doc_ids.select("doc_id").withColumn("i", F.lit(i))
+            for i, (_, c) in enumerate(shoulds)
+        ]
+        u = marked[0]
+        for m in marked[1:]:
+            u = u.unionByName(m)
+        cnt = (
+            u.groupBy("doc_id")
+            .agg(F.count_distinct("i").alias("m"))
+            .where(F.col("m") >= msm).select("doc_id")
+        )
+        docs = cnt if docs is None else docs.join(cnt, "doc_id", "left_semi")
+    if docs is None:
+        raise ValueError("bool query with no positive clause")
+    for _, c in nots:
+        docs = docs.join(c.doc_ids, "doc_id", "left_anti")
+
+    scored = musts + shoulds
+    out = docs.select("doc_id")
+    cols = []
+    for i, (f, c) in enumerate(scored):
+        s = _score(idx, f, c.score_terms, scorer).select(
+            "doc_id", F.col("score").alias(f"c{i}"))
+        out = out.join(s, "doc_id", "left")
+        cols.append(F.coalesce(F.col(f"c{i}"), F.lit(0.0)))
+    total = sum(cols[1:], cols[0]) if cols else F.lit(0.0)
+    return (
+        out.select("doc_id", F.round(total, 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
 def _multi_match(idx: InvertedIndex, spec: dict[str, Any],
                  scorer: str) -> DataFrame:
     """ES multi_match: the query text is analyzed PER FIELD with that
@@ -205,6 +294,9 @@ def es_search(
         out = docs.withColumn("score", F.lit(1.0)).orderBy("doc_id")
     elif next(iter(query)) == "multi_match":
         out = _multi_match(idx, query["multi_match"], scorer)
+    elif (next(iter(query)) == "bool"
+          and len(_bool_clause_fields(query["bool"], field)) > 1):
+        out = _bool_multi_field(idx, query["bool"], field, scorer)
     else:
         f, node = parse_query(query, idx.analyzer(field))
         field = f or field

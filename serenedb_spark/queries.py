@@ -1527,6 +1527,37 @@ ORDER BY score DESC, doc_id LIMIT 25
 _register("es_multi_match", _es_multi_match, _es_multi_match_oracle())
 
 
+def _es_bool_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field bool (ES semantics): must match on `text` (scores),
+    filter term on `source` (restricts, does NOT score) — each clause
+    compiled against its own field's postings."""
+    from serenedb_spark.plans.es_dsl import es_search
+
+    idx = _doc_index_multi(spark, sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"term": {"source": "src3"}}],
+    }}, "size": 25}
+    return es_search(idx, body)
+
+
+def _es_bool_cross_field_oracle() -> str:
+    t_sql = O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("spark"),
+                         scorer="bm25", k=None, round_to=10)
+    m_src = O.match_sql(_DOC_TABLE, "source", _DOC_AN, q.Term("src3"),
+                        select="doc_id")
+    return f"""
+WITH t AS ({t_sql}), s AS ({m_src})
+SELECT t.doc_id, round(t.score, 4) AS score
+FROM t JOIN s USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 25
+"""
+
+
+_register("es_bool_cross_field", _es_bool_cross_field,
+          _es_bool_cross_field_oracle())
+
+
 # ES query DSL: translated to the same AST → same planner and oracle
 _ES_BODY = {"query": {"bool": {
     "must": [{"match": {"text": "data"}}],
