@@ -2593,14 +2593,16 @@ _GATE_WINDOW = [
     "fts_offsets", "fts_dict_score", "fts_dict_minmax", "fts_dict_filtered",
     # dedup + quantized-vector stragglers
     "dedup_simhash_pairs", "vec_ivf_sq8_knn",
-    # --- 9 new-this-round queries (first driver row) ----------------------
+    # --- 12 new-this-round queries (first driver row) ---------------------
+    # (geo and ES families keep representation through these new rows)
     "fts_collation", "geo_radius_antimeridian", "embedding_dup_pairs_lsh",
     "pg_string_battery2", "pg_math_battery", "fts_highlight_sentence",
     "geo_indexed_radius", "fts_classification_facets", "fts_nn_expansion",
-    # --- 11 rotating sentinels (one per previously-green family) ----------
+    "fts_offsets_multi", "es_multi_match", "es_bool_cross_field",
+    # --- 8 rotating sentinels (one per previously-green family) -----------
     "tpch_q1", "window_rank", "dml_merge_into", "events_sessionize",
     "vec_knn_cosine", "embedding_dup_pairs", "dedup_minhash_pairs",
-    "text_quality", "es_dsl_search", "geo_radius_search", "fts_bm25_topk",
+    "fts_bm25_topk",
 ]
 
 
