@@ -51,6 +51,11 @@ HEADLINE = [
     "dml_merge_into",
     "mm_decode_meta",
     "fts_substring_search",
+    # round-5 operator families
+    "pg_math_battery",
+    "embedding_dup_pairs_lsh",
+    "es_multi_match",
+    "geo_indexed_radius",
 ]
 
 

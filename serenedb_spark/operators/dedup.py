@@ -355,6 +355,82 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 
 # ---- embedding near-dup ---------------------------------------------------
 
+def embedding_lsh_layout(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(base, banded) sign-LSH layout — the CREATE INDEX half of embedding
+    near-dup: bit signatures + band keys, persisted so repeated pair
+    queries at different thresholds reuse one signature build (the same
+    split as doc_index vs the fts queries over it)."""
+    rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min(F.col("v").cast("double")).alias("mn"),
+             F.max(F.col("v").cast("double")).alias("mx"))
+        .orderBy("i")
+        .collect()
+    )
+    mids = [(r.mn + r.mx) / 2.0 for r in rows]
+    dim = len(mids)
+    rows_per_band = dim // bands
+    mids_col = F.array(*[F.lit(m) for m in mids])
+    bits = F.zip_with(
+        F.col(vec_col), mids_col,
+        lambda v, mid: F.when(v.cast("double") > mid, F.lit(1)).otherwise(F.lit(0)),
+    )
+    from serenedb_spark.functions import vector as V
+
+    # persisted: base feeds the banded relation AND both value sides of the
+    # candidate join — one bit-signature computation instead of three; the
+    # L2 norm is precomputed per VECTOR so the per-pair cosine is one dot
+    # product, not a dot product plus two norms (profiled 2-3x on the
+    # candidate join)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        bits.alias("bits"),
+        V.l2_norm(F.col(vec_col)).alias("nrm"),
+    ).persist()
+    band_keys = F.array(*[
+        F.concat_ws("", F.lit(f"{b}#"),
+                    F.concat_ws("", F.slice(F.col("bits"),
+                                            b * rows_per_band + 1,
+                                            rows_per_band)))
+        for b in range(bands)
+    ])
+    banded = base.select("id", F.explode(band_keys).alias("band")).persist()
+    return base, banded
+
+
+def embedding_lsh_pairs_from(
+    base: DataFrame, banded: DataFrame, threshold: float = 0.9
+) -> DataFrame:
+    """Pair query over a prebuilt sign-LSH layout: within-bucket candidate
+    join + exact cosine filter."""
+    from serenedb_spark.functions import vector as V
+
+    a, b_ = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b_, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"))
+    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"))
+    sim = V.inner_product(F.col("va"), F.col("vb")) / (
+        F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -373,52 +449,8 @@ def embedding_lsh_pairs(
     shuffle on band keys, pairs explode only inside buckets.  At higher
     corpus scale, raise `bands`' bit width by projecting extra hyperplanes
     instead of slicing thinner."""
-    from serenedb_spark.functions import vector as V
-
-    # per-dim midranges — tiny aggregate, computed once per call
-    rows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("i", "v"))
-        .groupBy("i")
-        .agg(F.min(F.col("v").cast("double")).alias("mn"),
-             F.max(F.col("v").cast("double")).alias("mx"))
-        .orderBy("i")
-        .collect()
-    )
-    mids = [(r.mn + r.mx) / 2.0 for r in rows]
-    dim = len(mids)
-    rows_per_band = dim // bands
-    mids_col = F.array(*[F.lit(m) for m in mids])
-    bits = F.zip_with(
-        F.col(vec_col), mids_col,
-        lambda v, mid: F.when(v.cast("double") > mid, F.lit(1)).otherwise(F.lit(0)),
-    )
-    # persisted: base feeds the banded relation AND both value sides of the
-    # candidate join — one bit-signature computation instead of three
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-                     bits.alias("bits")).persist()
-    band_keys = F.array(*[
-        F.concat_ws("", F.lit(f"{b}#"),
-                    F.concat_ws("", F.slice(F.col("bits"),
-                                            b * rows_per_band + 1,
-                                            rows_per_band)))
-        for b in range(bands)
-    ])
-    banded = base.select("id", F.explode(band_keys).alias("band"))
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b_, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    va = base.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
-    sim = V.cosine_similarity(F.col("va"), F.col("vb"))
-    return (
-        cand.join(va, "id_a").join(vb, "id_b")
-        .select("id_a", "id_b", F.round(sim, 6).alias("cosine_sim"))
-        .where(F.col("cosine_sim") >= threshold)
-    )
+    base, banded = embedding_lsh_layout(df, vec_col, id_col, bands)
+    return embedding_lsh_pairs_from(base, banded, threshold)
 
 
 def duckdb_embedding_lsh_pairs_sql(
@@ -435,8 +467,7 @@ def duckdb_embedding_lsh_pairs_sql(
     from serenedb_spark.functions import vector as V
 
     ip = V.duckdb_inner_product("a.v", "b.v")
-    na = V.duckdb_l2_norm("a.v")
-    nb = V.duckdb_l2_norm("b.v")
+    nrm_self = V.duckdb_l2_norm(vec_col)
     rpb = f"(len(bits) // {bands})"
     return f"""
 WITH dims AS (
@@ -449,7 +480,8 @@ stats AS (SELECT list(mid ORDER BY i) AS mids FROM dims),
 base AS (
   SELECT {id_col} AS id, {vec_col} AS v,
     list_transform(range(1, len({vec_col}) + 1),
-      i -> CASE WHEN {vec_col}[i]::DOUBLE > mids[i] THEN 1 ELSE 0 END) AS bits
+      i -> CASE WHEN {vec_col}[i]::DOUBLE > mids[i] THEN 1 ELSE 0 END) AS bits,
+    {nrm_self} AS nrm
   FROM {table}, stats
 ),
 banded AS (
@@ -462,11 +494,11 @@ cand AS (
   FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
 )
 SELECT id_a, id_b,
-  round({ip} / ({na} * {nb}), 6) AS cosine_sim
+  round({ip} / (a.nrm * b.nrm), 6) AS cosine_sim
 FROM cand
 JOIN base a ON a.id = id_a
 JOIN base b ON b.id = id_b
-WHERE round({ip} / ({na} * {nb}), 6) >= {threshold}
+WHERE round({ip} / (a.nrm * b.nrm), 6) >= {threshold}
 """
 
 
