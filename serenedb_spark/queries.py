@@ -617,6 +617,64 @@ def _approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("approx_aggregates", _approx_aggs, None)
 
 
+def _approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-gated approx-aggregate check: approximate values can't
+    hash-match across engines, but BOUNDS can — each engine computes ITS
+    OWN approx and exact side-by-side and emits (metric, within_tol);
+    matching TRUE rows prove both engines' sketches honor the stated
+    error (reference approx_quantile demo6:66-78)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    agg = ev.agg(
+        F.count_distinct("user_id").alias("exact_n"),
+        F.approx_count_distinct("user_id").alias("approx_n"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+    )
+    return agg.select(
+        F.array(
+            F.struct(
+                F.lit("count_distinct_rel_err_lt_5pct").alias("metric"),
+                (F.abs(F.col("approx_n") - F.col("exact_n"))
+                 / F.col("exact_n") < 0.05).alias("ok"),
+            ),
+            F.struct(
+                F.lit("p50_within_minmax").alias("metric"),
+                ((F.col("approx_p50") >= F.col("lo"))
+                 & (F.col("approx_p50") <= F.col("hi"))).alias("ok"),
+            ),
+            F.struct(
+                F.lit("p50_rel_err_lt_10pct").alias("metric"),
+                (F.abs(F.col("approx_p50") - F.col("exact_p50"))
+                 / F.abs(F.col("exact_p50")) < 0.10).alias("ok"),
+            ),
+        ).alias("checks")
+    ).select(F.explode("checks").alias("c")).select(
+        F.col("c.metric").alias("metric"), F.col("c.ok").alias("ok")
+    ).orderBy("metric")
+
+
+_register("approx_agg_bounds", _approx_bounds, """
+WITH s AS (
+  SELECT count(DISTINCT user_id) AS exact_n,
+         approx_count_distinct(user_id) AS approx_n,
+         quantile_cont(value, 0.5) AS exact_p50,
+         approx_quantile(value, 0.5) AS approx_p50,
+         min(value) AS lo, max(value) AS hi
+  FROM events
+)
+SELECT metric, ok FROM (
+  SELECT 'count_distinct_rel_err_lt_5pct' AS metric,
+         abs(approx_n - exact_n) / exact_n < 0.05 AS ok FROM s
+  UNION ALL
+  SELECT 'p50_within_minmax', approx_p50 BETWEEN lo AND hi FROM s
+  UNION ALL
+  SELECT 'p50_rel_err_lt_10pct',
+         abs(approx_p50 - exact_p50) / abs(exact_p50) < 0.10 FROM s
+) ORDER BY metric
+""")
+
+
 # PG-compat string extras (reference server/connector/functions/string.cpp;
 # Spark side uses functions/pg_strings.py helpers, DuckDB side reproduces
 # the exact semantics — initcap/get_bit have no DuckDB builtin)
@@ -2610,10 +2668,11 @@ _GATE_WINDOW = [
     "pg_string_battery2", "pg_math_battery", "fts_highlight_sentence",
     "geo_indexed_radius", "fts_classification_facets", "fts_nn_expansion",
     "fts_offsets_multi", "es_multi_match", "es_bool_cross_field",
-    # --- 8 rotating sentinels (one per previously-green family) -----------
+    "approx_agg_bounds",
+    # --- 7 rotating sentinels (one per previously-green family; the
+    # vector family is represented by vec_ivf_sq8_knn above) --------------
     "tpch_q1", "window_rank", "dml_merge_into", "events_sessionize",
-    "vec_knn_cosine", "embedding_dup_pairs", "dedup_minhash_pairs",
-    "fts_bm25_topk",
+    "embedding_dup_pairs", "dedup_minhash_pairs", "fts_bm25_topk",
 ]
 
 
