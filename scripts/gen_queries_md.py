@@ -14,7 +14,7 @@ FAMILIES = [
         "string_funcs", "scalar_battery", "pg_string_battery",
         "pg_string_battery2", "pg_math_battery")),
     ("Events (time series / JSON / sessionization)",
-     lambda n: n.startswith("events_") or n == "approx_aggregates"),
+     lambda n: n.startswith("events_") or n.startswith("approx_")),
     ("DML", lambda n: n.startswith("dml_")),
     ("Full-text search predicates", lambda n: n.startswith("fts_") and not any(
         k in n for k in ("bm25", "tfidf", "lm_", "dfi", "indri", "raw_",
