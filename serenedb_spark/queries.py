@@ -1226,6 +1226,12 @@ _fts_scored("fts_lm_jm_topk", q.AnyOf(["table", "scan"]), "lm_jm", 15)
 _fts_scored("fts_dfi_topk", q.AnyOf(["group", "query"]), "dfi", 15)
 _fts_scored("fts_indri_topk", q.AnyOf(["row", "line"]), "indri_dirichlet", 15)
 _fts_scored("fts_raw_dl", q.Term("key"), "raw_dl", 15)
+# demo1/demo2 Q2 shape verbatim: (('plot' ## 'twist') ^ 3) || 'surprise
+# ending' — a BOOSTED adjacent phrase OR'd with a second phrase, scored
+# (reference examples/demo1/demo.sql:47-55)
+_fts_scored("fts_boosted_phrase_or",
+            (q.PhraseSeq([q.Term("hash"), q.Term("join")]).boost(3.0)
+             | q.Phrase(["table", "scan"])), "bm25", 15)
 _fts_scored("fts_raw_boost",
             q.Term("spark").boost(1.5) | q.Term("vector"), "raw_boost", 15)
 
