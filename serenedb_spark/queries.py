@@ -1591,6 +1591,72 @@ ORDER BY score DESC, doc_id LIMIT 25
 _register("es_multi_match", _es_multi_match, _es_multi_match_oracle())
 
 
+_COMPOSITE_IDX_CACHE: dict = {}
+
+
+def _composite_idx(spark: SparkSession, sf_dir: str) -> InvertedIndex:
+    """Demo3 §7 index shape: the SAME text column indexed twice — once
+    word-wise (`text`, simple) and once as character trigrams
+    (`text_ngram`, ngram3) — so regex/fuzzy and ngram-similarity claims
+    resolve against their own postings (reference demo3/demo.sql:169-177:
+    `text @@ ... AND text_ngram @@ ts_ngram(...)`)."""
+    ck = (id(spark), sf_dir)
+    if ck not in _COMPOSITE_IDX_CACHE:
+        docs = load_tables(spark, sf_dir)["documents"]
+        two = docs.withColumn("text_ngram", F.col("text"))
+        idx = build_index(two, {"text": "simple", "text_ngram": "ngram3"},
+                          key="doc_id", name="documents_composite")
+        for part in (idx.postings, idx.term_stats, idx.doc_stats,
+                     idx.globals_, idx.docstore):
+            part.persist()
+        _COMPOSITE_IDX_CACHE[ck] = idx
+    return _COMPOSITE_IDX_CACHE[ck]
+
+
+def _fts_composite_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Demo3 §7 composite verbatim: (regex && fuzzy) on the word field,
+    ngram-similarity on the trigram field, an attribute filter, ranked by
+    BM25 over the word-field match terms."""
+    idx = _composite_idx(spark, sf_dir)
+    text_node = q.Regexp("s(park|can|low)") & q.Fuzzy("sprk", 1)
+    c_text = compile_query(idx, "text", text_node)
+    c_ngram = compile_query(idx, "text_ngram", q.NgramSim("sparkle", 0.5))
+    matched = (
+        c_text.doc_ids
+        .join(c_ngram.doc_ids, "doc_id", "left_semi")
+        .join(idx.docstore.where(F.col("lang") == "en").select("doc_id"),
+              "doc_id", "left_semi")
+    )
+    s = _score(idx, "text", c_text.score_terms, "bm25")
+    return (
+        matched.join(s, "doc_id", "left")
+        .select("doc_id",
+                F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4)
+                .alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+
+
+def _fts_composite_oracle() -> str:
+    text_node = q.Regexp("s(park|can|low)") & q.Fuzzy("sprk", 1)
+    sc = O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, text_node,
+                      scorer="bm25", k=None, round_to=10)
+    ng = O.match_sql(_DOC_TABLE, _DOC_COL, "ngram3",
+                     q.NgramSim("sparkle", 0.5), select="doc_id")
+    return f"""
+WITH sc AS ({sc}), ng AS ({ng}),
+flt AS (SELECT doc_id FROM documents WHERE lang = 'en')
+SELECT sc.doc_id, round(sc.score, 4) AS score
+FROM sc JOIN ng USING (doc_id) JOIN flt USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+_register("fts_composite_cross_field", _fts_composite_cross_field,
+          _fts_composite_oracle())
+
+
 def _es_bool_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-field bool (ES semantics): must match on `text` (scores),
     filter term on `source` (restricts, does NOT score) — each clause
