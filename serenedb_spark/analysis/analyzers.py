@@ -553,6 +553,68 @@ def _geopoint(levels: tuple[float, ...] = _GEO_LEVELS):
     return expr, py, duck
 
 
+def _geojson(levels: tuple[float, ...] = _GEO_LEVELS):
+    """`geojson` template (create_tsdictionary.cpp:652): a GeoJSON Point
+    string → the same grid-cell terms as `geopoint`. GeoJSON coordinate
+    order is [lon, lat]. Non-Point geometries and unparseable input emit
+    no terms (polygon coverings are a documented deviation — the
+    reference covers full geometries via S2)."""
+
+    def expr(col: Column) -> Column:
+        typ = F.get_json_object(col, "$.type")
+        lon = F.get_json_object(col, "$.coordinates[0]").try_cast("double")
+        lat = F.get_json_object(col, "$.coordinates[1]").try_cast("double")
+        toks = [
+            F.concat_ws(":", F.lit(f"g{d}"),
+                        F.floor(lat / F.lit(d)).cast("long"),
+                        F.floor(lon / F.lit(d)).cast("long"))
+            for d in levels
+        ]
+        return (
+            F.when(col.isNull(), F.lit(None).cast("array<string>"))
+            .when((typ != "Point") | typ.isNull()
+                  | lat.isNull() | lon.isNull(),
+                  F.array().cast("array<string>"))
+            .otherwise(F.array(*toks))
+        )
+
+    def py(s: str) -> list[str]:
+        import json
+        import math
+
+        try:
+            obj = json.loads(s)
+            if not isinstance(obj, dict) or obj.get("type") != "Point":
+                return []
+            lon, lat = float(obj["coordinates"][0]), \
+                float(obj["coordinates"][1])
+        except (ValueError, KeyError, IndexError, TypeError):
+            return []
+        return [
+            f"g{d}:{math.floor(lat / d)}:{math.floor(lon / d)}"
+            for d in levels
+        ]
+
+    def duck(e: str) -> str:
+        typ = f"json_extract_string({e}, '$.type')"
+        lon = f"TRY_CAST(json_extract({e}, '$.coordinates[0]') AS DOUBLE)"
+        lat = f"TRY_CAST(json_extract({e}, '$.coordinates[1]') AS DOUBLE)"
+        items = ", ".join(
+            f"concat('g{d}', ':', CAST(floor({lat} / {d}) AS BIGINT),"
+            f" ':', CAST(floor({lon} / {d}) AS BIGINT))"
+            for d in levels
+        )
+        return (
+            f"CASE WHEN {e} IS NULL THEN NULL"
+            f" WHEN NOT json_valid({e}) THEN []"  # duckdb json_* throws
+            f" WHEN {typ} IS DISTINCT FROM 'Point'"
+            f" OR {lat} IS NULL OR {lon} IS NULL THEN []"
+            f" ELSE [{items}] END"
+        )
+
+    return expr, py, duck
+
+
 def geopoint_cover_terms(lat: float, lon: float, radius_m: float,
                          level: float = 1.0) -> list[str]:
     """Query-side covering: the cell terms a radius query must OR together
@@ -849,6 +911,8 @@ _e, _p, _d = _nearest_neighbors()
 register(Analyzer("nearest_neighbors", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _geopoint()
 register(Analyzer("geopoint", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _geojson()
+register(Analyzer("geojson", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _segmentation()
 register(Analyzer("segmentation", _e, _p, _d))
 _e, _p, _d = _minhash(4)

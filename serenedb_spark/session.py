@@ -263,6 +263,52 @@ class SereneSession:
         df = self.table(table) if isinstance(table, str) else table
         return df.summary()
 
+    # ---- pg_catalog shim (reference ships full pg_catalog for psql;
+    # the library-engine subset is INTROSPECTION: what tables/columns/
+    # indexes exist, in PG's shapes, as queryable views)
+    def install_pg_catalog(self) -> None:
+        """Register pg_tables / pg_attribute / pg_indexes temp views over
+        the session catalog (PG column spellings, so existing
+        introspection SQL ports verbatim)."""
+        from serenedb_spark.functions.pg_system import format_type
+
+        tabs = [(t,) for t in sorted(self._tables)]
+        self.spark.createDataFrame(
+            tabs or [("",)], "tablename string"
+        ).where(F.col("tablename") != "").selectExpr(
+            "'public' AS schemaname", "tablename",
+        ).createOrReplaceTempView("pg_tables")
+
+        attrs = []
+        for t, df in self._tables.items():
+            for i, (c, typ) in enumerate(df.dtypes, start=1):
+                attrs.append((t, c, i, format_type(typ)))
+        self.spark.createDataFrame(
+            attrs or [("", "", 0, "")],
+            "attrelid string, attname string, attnum int, atttypid string",
+        ).where(F.col("attrelid") != "").createOrReplaceTempView(
+            "pg_attribute")
+
+        idxs = [
+            (name, idx.fields.get(next(iter(idx.fields))),
+             ",".join(idx.fields))
+            for name, idx in self._indexes.items()
+        ]
+        self.spark.createDataFrame(
+            idxs or [("", "", "")],
+            "indexname string, analyzer string, indexed_fields string",
+        ).where(F.col("indexname") != "").selectExpr(
+            "'public' AS schemaname", "indexname", "analyzer",
+            "indexed_fields",
+        ).createOrReplaceTempView("pg_indexes")
+
+    def has_table_privilege(self, principal: str, table: str,
+                            privilege: str = "SELECT") -> bool:
+        """PG has_table_privilege over the session GRANT state."""
+        grants = getattr(self, "_grants", {})
+        return privilege.upper() in grants.get(principal, {}).get(
+            table, set())
+
     # ---- GRANT/REVOKE (reference rbac.cpp + pg GRANT grammar): a
     # principal model enforced at the catalog boundary. Privileges are
     # per (principal, table); `current_user` scopes enforcement; row

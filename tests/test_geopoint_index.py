@@ -27,6 +27,18 @@ def test_geopoint_tokens():
     assert an.tokens("not a point") == []
 
 
+def test_geojson_tokens():
+    """GeoJSON [lon, lat] order maps to the SAME cell terms as the
+    equivalent 'lat,lon' geopoint string — the two templates are
+    interchangeable at query time."""
+    gj = get_analyzer("geojson")
+    gp = get_analyzer("geopoint")
+    assert gj.tokens('{"type": "Point", "coordinates": [11.5, 37.5]}') == \
+        gp.tokens("37.5,11.5")
+    assert gj.tokens('{"type": "Polygon", "coordinates": []}') == []
+    assert gj.tokens("not json at all") == []
+
+
 def _geo_index(spark):
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     pts = synth_points(ev.select("event_id").distinct(), "event_id")
