@@ -654,6 +654,74 @@ def _approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("metric")
 
 
+def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py): must produce the
+    IDENTICAL result as a plain GROUP BY — the oracle is the unsalted
+    aggregate, proving salting is a pure physical rewrite."""
+    from serenedb_spark.operators.skew import salted_aggregate
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = salted_aggregate(
+        ev, ["event_type"],
+        {"n_events": F.count(F.lit(1)),
+         "sum_value": F.sum(F.col("value").cast("decimal(18,4)")),
+         "max_value": F.max(F.col("value").cast("double"))},
+        salt=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
+        F.round("max_value", 6).alias("max_value"),
+    ).orderBy("event_type")
+
+
+_register("skew_salted_agg", _skew_salted_agg, """
+SELECT event_type,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS sum_value,
+  round(max(CAST(value AS DOUBLE)), 6) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+""")
+
+
+_ORDERED_SCAN_CACHE: dict = {}
+
+
+def _ordered_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covered ordered scan (operators/ordered_scan.py): orders written
+    range-sorted by price, top-50 answered from footer-pruned files. The
+    oracle is the plain ORDER BY LIMIT — file skipping must never change
+    the answer. Output is the price column only (key ties at the cutoff
+    would make row identity nondeterministic in BOTH engines)."""
+    import tempfile
+
+    from serenedb_spark.operators.ordered_scan import (
+        ordered_topk, write_sorted,
+    )
+
+    ck = (id(spark), sf_dir)
+    if ck not in _ORDERED_SCAN_CACHE:
+        path = tempfile.mkdtemp(prefix="serene_oscan_") + "/orders_by_price"
+        write_sorted(load_tables(spark, sf_dir)["orders"], path,
+                     "o_totalprice", n_files=8)
+        _ORDERED_SCAN_CACHE[ck] = path
+    path = _ORDERED_SCAN_CACHE[ck]
+    return (
+        ordered_topk(spark, path, "o_totalprice", k=50,
+                     columns=["o_totalprice"])
+        .select(F.round(F.col("o_totalprice").cast("double"), 2)
+                .alias("price"))
+        .orderBy("price")
+    )
+
+
+_register("ordered_topk_scan", _ordered_topk_scan, """
+SELECT round(CAST(o_totalprice AS DOUBLE), 2) AS price
+FROM orders ORDER BY o_totalprice LIMIT 50
+""")
+
+
 _register("approx_agg_bounds", _approx_bounds, """
 WITH s AS (
   SELECT count(DISTINCT user_id) AS exact_n,
