@@ -31,6 +31,8 @@ FAMILIES = [
     ("Vector / hybrid", lambda n: n.startswith(("vec_", "embedding_"))),
     ("Multimodal", lambda n: n.startswith("mm_")),
     ("Geo", lambda n: n.startswith("geo_")),
+    ("Physical-rewrite equivalence (skew, ordered scan)",
+     lambda n: n.startswith(("skew_", "ordered_"))),
 ]
 
 
