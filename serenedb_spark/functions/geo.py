@@ -218,6 +218,49 @@ def duckdb_synth_points(table: str, key_col: str, id_alias: str = "point_id") ->
     )
 
 
+def _shortest_double(col: Column) -> Column:
+    """Double → shortest-form text: '30.0' renders as '30' (the WKT writer
+    contract the reference fixed in geometry_wkt.test — integer coords
+    must round-trip without corruption)."""
+    s = col.cast("double").cast("string")
+    return F.regexp_replace(s, r"\.0$", "")
+
+
+def wkt_point(x: Column, y: Column) -> Column:
+    """ST_AsText(point): 'POINT (x y)' with shortest-form doubles."""
+    return F.concat(F.lit("POINT ("), _shortest_double(x), F.lit(" "),
+                    _shortest_double(y), F.lit(")"))
+
+
+def wkt_point_x(col: Column) -> Column:
+    """First coordinate of a WKT POINT string (NULL when not a POINT)."""
+    v = F.regexp_extract(col, r"(?i)^\s*POINT\s*\(\s*(-?[0-9.]+)\s", 1)
+    return F.when(v == "", F.lit(None)).otherwise(v).cast("double")
+
+
+def wkt_point_y(col: Column) -> Column:
+    v = F.regexp_extract(
+        col, r"(?i)^\s*POINT\s*\(\s*-?[0-9.]+\s+(-?[0-9.]+)\s*\)", 1)
+    return F.when(v == "", F.lit(None)).otherwise(v).cast("double")
+
+
+def duckdb_wkt_point(x: str, y: str) -> str:
+    sd = "regexp_replace(CAST(CAST({v} AS DOUBLE) AS VARCHAR), '\\.0$', '')"
+    return ("concat('POINT (', " + sd.format(v=x) + ", ' ', "
+            + sd.format(v=y) + ", ')')")
+
+
+def duckdb_wkt_point_x(e: str) -> str:
+    return (f"TRY_CAST(nullif(regexp_extract({e},"
+            f" '^\\s*POINT\\s*\\(\\s*(-?[0-9.]+)\\s', 1), '') AS DOUBLE)")
+
+
+def duckdb_wkt_point_y(e: str) -> str:
+    return (f"TRY_CAST(nullif(regexp_extract({e},"
+            f" '^\\s*POINT\\s*\\(\\s*-?[0-9.]+\\s+(-?[0-9.]+)\\s*\\)', 1),"
+            f" '') AS DOUBLE)")
+
+
 def indexed_radius_search(
     idx,
     geo_field: str,

@@ -71,6 +71,49 @@ def upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
     return merge_into(target, source, key)
 
 
+def insert_rows(
+    target: DataFrame,
+    rows: DataFrame,
+    key: str,
+    on_conflict: str = "error",
+) -> DataFrame:
+    """INSERT with PK-conflict handling (insert_conflict.test semantics):
+
+      * ``"error"``   — plain INSERT: raises on any duplicate key, either
+        against the target or WITHIN the inserted batch (the reference
+        rejects both), and nothing is applied (all-or-nothing).
+      * ``"nothing"`` — ON CONFLICT DO NOTHING: conflicting rows skipped.
+      * ``"replace"`` — INSERT OR REPLACE: upsert.
+    """
+    if on_conflict == "replace":
+        return upsert(target, rows, key)
+    if on_conflict == "nothing":
+        fresh = rows.join(target.select(key), key, "left_anti") \
+            .dropDuplicates([key])
+        return target.unionByName(fresh)
+    if on_conflict != "error":
+        raise ValueError(f"unknown on_conflict mode {on_conflict!r}")
+    dup_batch = (
+        rows.groupBy(key).count().where(F.col("count") > 1)
+        .select(key).limit(1).collect()
+    )
+    if dup_batch:
+        raise ValueError(
+            f"duplicate key {key}={dup_batch[0][0]!r} within the inserted "
+            "batch violates the primary key constraint"
+        )
+    clash = (
+        rows.join(target.select(key), key, "left_semi")
+        .select(key).limit(1).collect()
+    )
+    if clash:
+        raise ValueError(
+            f"duplicate key {key}={clash[0][0]!r} violates the primary "
+            "key constraint"
+        )
+    return target.unionByName(rows)
+
+
 def update_where(
     target: DataFrame, cond: Column, assignments: dict[str, Column]
 ) -> DataFrame:

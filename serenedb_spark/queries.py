@@ -1199,6 +1199,51 @@ ORDER BY s_suppkey
 """)
 
 
+def _insert_conflict_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT conflict handling (reference insert_conflict.test): ON
+    CONFLICT DO NOTHING skips clashing keys, INSERT OR REPLACE upserts
+    them; the plain-INSERT error path is pytest-asserted (an error can't
+    be a gate row)."""
+    from serenedb_spark.operators.dml import insert_rows
+
+    sup = load_tables(spark, sf_dir)["supplier"]
+    base = sup.select("s_suppkey",
+                      F.round(F.col("s_acctbal").cast("double"), 2)
+                      .alias("bal"))
+    k1 = base.agg(F.min("s_suppkey")).first()[0]
+    ins1 = spark.createDataFrame(
+        [(k1, 111.11), (910001, 222.22)], "s_suppkey long, bal double")
+    after1 = insert_rows(base, ins1, "s_suppkey", on_conflict="nothing")
+    ins2 = spark.createDataFrame(
+        [(k1, 333.33), (910002, 444.44)], "s_suppkey long, bal double")
+    after2 = insert_rows(after1, ins2, "s_suppkey", on_conflict="replace")
+    return after2.orderBy("s_suppkey")
+
+
+_register("dml_insert_conflict", _insert_conflict_demo, """
+WITH base AS (
+  SELECT s_suppkey, round(CAST(s_acctbal AS DOUBLE), 2) AS bal
+  FROM supplier
+),
+k AS (SELECT min(s_suppkey) AS k1 FROM base),
+ins1 AS (SELECT k1 AS s_suppkey, 111.11 AS bal FROM k
+         UNION ALL SELECT 910001, 222.22),
+after1 AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM ins1 WHERE s_suppkey NOT IN (SELECT s_suppkey FROM base)
+),
+ins2 AS (SELECT k1 AS s_suppkey, 333.33 AS bal FROM k
+         UNION ALL SELECT 910002, 444.44),
+after2 AS (
+  SELECT coalesce(i.s_suppkey, a.s_suppkey) AS s_suppkey,
+         coalesce(i.bal, a.bal) AS bal
+  FROM after1 a FULL JOIN ins2 i ON a.s_suppkey = i.s_suppkey
+)
+SELECT s_suppkey, bal FROM after2 ORDER BY s_suppkey
+""")
+
+
 # --------------------------------------------------------------------------
 # 2. full-text search (SURVEY §2.3) — engine vs naive-scan oracle
 # --------------------------------------------------------------------------
@@ -2632,6 +2677,41 @@ def _geo_indexed_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("geo_indexed_radius", _geo_indexed_radius, _geo_oracle())
+
+
+def _geo_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT writer/reader round-trip (reference geometry_wkt.test: integer
+    coordinates must render shortest-form and parse back exactly):
+    synth points → 'POINT (lon lat)' → parsed coordinates."""
+    from serenedb_spark.functions import geo as G
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    wkt = G.wkt_point(F.col("lon"), F.col("lat"))
+    out = pts.select("point_id", wkt.alias("wkt"))
+    return out.select(
+        "point_id", "wkt",
+        F.round(G.wkt_point_x(F.col("wkt")), 6).alias("x"),
+        F.round(G.wkt_point_y(F.col("wkt")), 6).alias("y"),
+    ).orderBy("point_id")
+
+
+def _geo_wkt_oracle() -> str:
+    from serenedb_spark.functions import geo as G
+
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id")
+    wkt = G.duckdb_wkt_point("lon", "lat")
+    return f"""
+WITH p AS ({pts}), w AS (SELECT point_id, {wkt} AS wkt FROM p)
+SELECT point_id, wkt,
+  round({G.duckdb_wkt_point_x('wkt')}, 6) AS x,
+  round({G.duckdb_wkt_point_y('wkt')}, 6) AS y
+FROM w ORDER BY point_id
+"""
+
+
+_register("geo_wkt_roundtrip", _geo_wkt_roundtrip, _geo_wkt_oracle())
 
 
 def _geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
