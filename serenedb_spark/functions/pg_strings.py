@@ -203,6 +203,43 @@ def convert_to(col: Column, encoding: str = "UTF-8") -> Column:
     return F.encode(col, encoding)
 
 
+#: html_escape/html_unescape (reference inet.test — duckdb-inet extension
+#: extras): the 5 XML entities, escape order &-first / unescape &-last so
+#: round-trips are exact
+_HTML_ENTITIES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                  ('"', "&quot;"), ("'", "&#39;")]
+
+
+def html_escape(col: Column) -> Column:
+    out = col
+    for raw, ent in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(raw), F.lit(ent))
+    return out
+
+
+def html_unescape(col: Column) -> Column:
+    out = col
+    for raw, ent in reversed(_HTML_ENTITIES):
+        out = F.replace(out, F.lit(ent), F.lit(raw))
+    return out
+
+
+def duckdb_html_escape(e: str) -> str:
+    out = e
+    for raw, ent in _HTML_ENTITIES:
+        out = f"replace({out}, '{raw.replace(chr(39), chr(39) * 2)}', " \
+              f"'{ent}')"
+    return out
+
+
+def duckdb_html_unescape(e: str) -> str:
+    out = e
+    for raw, ent in reversed(_HTML_ENTITIES):
+        out = f"replace({out}, '{ent}', " \
+              f"'{raw.replace(chr(39), chr(39) * 2)}')"
+    return out
+
+
 def similar_to_escape(pattern: str, escape: str = "\\") -> str:
     """PG similar_to_escape: SQL SIMILAR TO pattern → POSIX regex string
     (driver-side; % → .*, _ → ., SQL regex metachars pass through,

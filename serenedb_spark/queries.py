@@ -896,6 +896,118 @@ FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
 _register("pg_math_battery", _pg_math_battery, _pg_math_oracle())
 
 
+def _temporal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal type/function battery (reference
+    simple/temporal/temporal_types_functions.test): date_part family,
+    date_trunc, make_date, date_diff, interval arithmetic, epoch
+    round-trip — over the orders dates."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    d = F.col("o_orderdate").cast("date")
+    ts = F.col("o_orderdate").cast("timestamp")
+    return (
+        orders.where(F.col("o_orderkey") < 300)
+        .select(
+            "o_orderkey",
+            d.cast("string").alias("d"),
+            F.year(d).alias("y"),
+            F.dayofyear(d).alias("doy"),
+            F.quarter(d).alias("q"),
+            F.dayofweek(d).alias("dow"),
+            F.date_trunc("month", d).cast("date").cast("string")
+            .alias("mon"),
+            F.date_add(d, 1).cast("string").alias("next_day"),
+            F.datediff(d, F.make_date(F.lit(1992), F.lit(1), F.lit(1)))
+            .alias("days_since_92"),
+            F.last_day(d).cast("string").alias("eom"),
+            (F.unix_date(d).cast("long") * 86400).alias("epoch_s"),
+            (ts + F.expr("INTERVAL 90 MINUTES")).cast("string")
+            .alias("plus90m"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_register("temporal_battery", _temporal_battery, """
+SELECT o_orderkey,
+  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+  date_part('year', CAST(o_orderdate AS DATE)) AS y,
+  date_part('doy', CAST(o_orderdate AS DATE)) AS doy,
+  date_part('quarter', CAST(o_orderdate AS DATE)) AS q,
+  date_part('dow', CAST(o_orderdate AS DATE)) + 1 AS dow,
+  CAST(CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+       AS VARCHAR) AS mon,
+  CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 DAY AS DATE) AS VARCHAR)
+    AS next_day,
+  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+    AS days_since_92,
+  CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS eom,
+  CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP)) AS BIGINT)
+    AS epoch_s,
+  CAST(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 90 MINUTE AS VARCHAR)
+    AS plus90m
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+
+
+def _inet_html_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INET (IPv4 CIDR) + html_escape battery (reference inet.test):
+    netmask keeps the /masklen suffix (the documented SereneDB
+    divergence from PG), network/broadcast/host/masklen arithmetic, and
+    the html escape round-trip — over deterministic synthesized CIDRs."""
+    from serenedb_spark.functions import inet as IN
+    from serenedb_spark.functions import pg_strings as PS
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    cidr = F.concat_ws(
+        "", F.lit("10."), (k % 256).cast("string"), F.lit("."),
+        (F.floor(k / 256) % 256).cast("long").cast("string"), F.lit("."),
+        (k % 254 + 1).cast("string"), F.lit("/"),
+        (k % 25 + 8).cast("string"),
+    )
+    html = F.concat(F.lit('<a href="x">&'), k.cast("string"), F.lit("</a>"))
+    return (
+        orders.where(k < 300)
+        .select(
+            "o_orderkey", cidr.alias("cidr"),
+            IN.host(cidr).alias("host"),
+            IN.masklen(cidr).alias("mlen"),
+            IN.netmask(cidr).alias("mask"),
+            IN.network(cidr).alias("net"),
+            IN.broadcast_addr(cidr).alias("bcast"),
+            PS.html_escape(html).alias("esc"),
+            PS.html_unescape(PS.html_escape(html)).alias("roundtrip"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _inet_html_oracle() -> str:
+    from serenedb_spark.functions import inet as IN
+    from serenedb_spark.functions import pg_strings as PS
+
+    cidr = ("concat('10.', o_orderkey % 256, '.', "
+            "CAST(floor(o_orderkey / 256) AS BIGINT) % 256, '.', "
+            "o_orderkey % 254 + 1, '/', o_orderkey % 25 + 8)")
+    html = """concat('<a href="x">&', o_orderkey, '</a>')"""
+    return f"""
+SELECT o_orderkey, cidr,
+  {IN.duckdb_host('cidr')} AS host,
+  {IN.duckdb_masklen('cidr')} AS mlen,
+  {IN.duckdb_netmask('cidr')} AS mask,
+  {IN.duckdb_network('cidr')} AS net,
+  {IN.duckdb_broadcast('cidr')} AS bcast,
+  {PS.duckdb_html_escape('html')} AS esc,
+  {PS.duckdb_html_unescape(PS.duckdb_html_escape('html'))} AS roundtrip
+FROM (SELECT o_orderkey, {cidr} AS cidr, {html} AS html
+      FROM orders WHERE o_orderkey < 300)
+ORDER BY o_orderkey
+"""
+
+
+_register("inet_html_battery", _inet_html_battery, _inet_html_oracle())
+
+
 _sql("window_battery", """
 SELECT o_orderkey, o_orderpriority,
   dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS drank,
