@@ -94,19 +94,76 @@ class EsShim:
         for index in [r["index"] for r in df.select("index").distinct().collect()]:
             st = self.tables[index]
             sub = df.where((F.col("index") == index) & F.col("_source").isNotNull())
-            typed = project_source(sub, "text string").select(
-                F.col("_id").alias(st.key), "text"
-            )
+            if getattr(st, "es_types", None) is not None:
+                # mapping-created index: shred _source into the full typed
+                # schema (every non-key column)
+                ddl = ", ".join(
+                    f"{c} {t}" for c, t in st._empty.dtypes if c != st.key
+                )
+                typed = project_source(sub, ddl).select(
+                    F.col("_id").alias(st.key),
+                    *[c for c, _t in st._empty.dtypes if c != st.key],
+                )
+            else:
+                typed = project_source(sub, "text string").select(
+                    F.col("_id").alias(st.key), "text"
+                )
             st.insert(typed)
             self._snapshots.pop(index, None)
             n += sub.count()
         return {"errors": False, "items": n}
 
+    #: ES mapping type → (spark ddl type, analyzer | None)
+    _ES_TYPES = {
+        "text": ("string", "simple"),
+        "keyword": ("string", "keyword"),
+        "integer": ("int", None),
+        "long": ("long", None),
+        "short": ("smallint", None),
+        "double": ("double", None),
+        "float": ("float", None),
+        "boolean": ("boolean", None),
+        "date": ("date", None),
+    }
+
+    def create_index_from_mapping(self, name: str, body: dict) -> dict:
+        """PUT /{index} with a mappings body (reference
+        es/index_functions.test es_create_index): typed columns from the
+        properties map — `text` properties are inverted-indexed, `keyword`
+        gets the identity analyzer; properties normalize alphabetically
+        like ES. Creates an EMPTY searchable table; _bulk fills it."""
+        from serenedb_spark.operators.maintenance import SearchTable
+
+        if name in self.tables:
+            raise ValueError(f"index [{name}] already exists")
+        props = (body or {}).get("mappings", {}).get("properties", {})
+        cols, fields, es_types = ["_id string"], {}, {}
+        for col in sorted(props):
+            es_t = props[col].get("type", "text")
+            if es_t not in self._ES_TYPES:
+                raise ValueError(f"unsupported mapping type {es_t!r}")
+            ddl, an = self._ES_TYPES[es_t]
+            cols.append(f"{col} {ddl}")
+            es_types[col] = es_t
+            if an is not None:
+                fields[col] = an
+        empty = self.spark.createDataFrame([], ", ".join(cols))
+        st = SearchTable(empty, fields or {"_id": "keyword"}, key="_id",
+                         name=name)
+        st.es_types = es_types
+        self.tables[name] = st
+        self._snapshots.pop(name, None)
+        return {"acknowledged": True, "index": name}
+
     def mapping(self, index: str) -> dict:
         st = self.tables[index]
-        return {index: {"mappings": {"properties": {
-            col: {"type": "text", "analyzer": an} for col, an in st.fields.items()
-        }}}}
+        es_types = getattr(st, "es_types", None)
+        if es_types is not None:  # mapping-created: ES-normalized types
+            props = {c: {"type": t} for c, t in sorted(es_types.items())}
+        else:
+            props = {col: {"type": "text", "analyzer": an}
+                     for col, an in st.fields.items()}
+        return {index: {"mappings": {"properties": props}}}
 
     def get_doc(self, index: str, doc_id: str) -> dict:
         """GET /{index}/_doc/{id} (reference handlers.cpp:165)."""
@@ -275,6 +332,11 @@ def serve(shim: EsShim, port: int = 0):
                     )
                 if len(parts) == 3 and parts[1] == "_doc":
                     return self._reply(shim.get_doc(parts[0], parts[2]))
+                if len(parts) == 1 and self.command == "PUT":
+                    # ES create-index API: PUT /{index} {mappings: ...}
+                    return self._reply(shim.create_index_from_mapping(
+                        parts[0], json.loads(body) if body else {}
+                    ))
                 if len(parts) == 2:
                     index, verb = parts
                     payload = json.loads(body) if body else {}

@@ -128,3 +128,49 @@ def test_analyze_routes(es):
     # stemming analyzer reachable by name
     out4 = _post(f"{es}/_analyze", {"analyzer": "text", "text": "tables"})
     assert [t["token"] for t in out4["tokens"]] == ["table"]
+
+
+def test_put_index_with_mappings_lifecycle(es):
+    """ES create-index API (reference es/index_functions.test): typed
+    columns from the mappings body, ES-normalized mapping round-trip,
+    bulk into the typed schema, term search on the text property."""
+    import urllib.error
+
+    body = {"mappings": {"properties": {
+        "title": {"type": "text"}, "author": {"type": "keyword"},
+        "year": {"type": "integer"}, "rating": {"type": "double"},
+        "in_print": {"type": "boolean"},
+    }}}
+    req = urllib.request.Request(
+        f"{es}/slt_books", data=json.dumps(body).encode(), method="PUT",
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        out = json.loads(r.read())
+    assert out["acknowledged"] is True
+
+    # duplicate create → error
+    req2 = urllib.request.Request(
+        f"{es}/slt_books", data=b"{}", method="PUT",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError):
+        urllib.request.urlopen(req2, timeout=60)
+
+    # mapping round-trip: properties alphabetical, original ES types
+    with urllib.request.urlopen(f"{es}/slt_books/_mapping", timeout=60) as r:
+        m = json.loads(r.read())
+    props = m["slt_books"]["mappings"]["properties"]
+    assert list(props) == sorted(props)
+    assert props["author"] == {"type": "keyword"}
+    assert props["year"] == {"type": "integer"}
+
+    # bulk into the typed schema, then search the text property
+    payload = "\n".join([
+        '{"index": {"_index": "slt_books", "_id": "1"}}',
+        '{"title": "The Pelican Brief", "author": "jane", "year": 2001,'
+        ' "rating": 4.5, "in_print": true}',
+    ])
+    assert _post(f"{es}/_bulk", raw=payload)["errors"] is False
+    _post(f"{es}/slt_books/_refresh")
+    hits = _post(f"{es}/slt_books/_search",
+                 {"query": {"match": {"title": "pelican"}}, "size": 5})
+    assert len(hits["hits"]["hits"]) == 1
