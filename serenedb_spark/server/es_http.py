@@ -165,11 +165,55 @@ class EsShim:
                      for col, an in st.fields.items()}
         return {index: {"mappings": {"properties": props}}}
 
+    def put_doc(self, index: str, doc_id: str | None, body: dict) -> dict:
+        """PUT/POST /{index}/_doc[/{id}] (reference es_doc write path):
+        upsert one document; without an id a deterministic 20-char id is
+        generated (ES generates 20-char base64 ids; ours derives from the
+        content hash so tests are reproducible)."""
+        import hashlib
+
+        st = self.tables[index]
+        if doc_id is None:
+            doc_id = hashlib.md5(
+                json.dumps(body, sort_keys=True).encode()
+            ).hexdigest()[:20]
+        existed = bool(
+            st.current().where(F.col(st.key) == doc_id).limit(1).collect()
+        ) if getattr(st, "es_types", None) is not None else False
+        if getattr(st, "es_types", None) is not None:
+            ddl = ", ".join(
+                f"{c} {t}" for c, t in st._empty.dtypes if c != st.key)
+            src = self.spark.createDataFrame(
+                [(doc_id, json.dumps(body))], "_id string, _source string")
+            row = src.select(
+                F.col("_id").alias(st.key),
+                F.from_json("_source", ddl).alias("j"),
+            ).select(st.key, "j.*")
+        else:
+            row = self.spark.createDataFrame(
+                [(int(doc_id), str(body.get("text", "")))],
+                f"{st.key} long, text string")
+        st.update(row)
+        self._snapshots.pop(index, None)
+        return {"_index": index, "_id": doc_id,
+                "result": "updated" if existed else "created"}
+
+    def delete_doc(self, index: str, doc_id: str) -> dict:
+        st = self.tables[index]
+        key_t = dict(st._empty.dtypes).get(st.key, "string")
+        val = doc_id if key_t == "string" else int(doc_id)
+        st.delete(self.spark.createDataFrame([(val,)], f"{st.key} {key_t}"))
+        self._snapshots.pop(index, None)
+        return {"_index": index, "_id": doc_id, "result": "deleted"}
+
     def get_doc(self, index: str, doc_id: str) -> dict:
         """GET /{index}/_doc/{id} (reference handlers.cpp:165)."""
         idx = self._index(index)
-        key = self.tables[index].key
-        rows = idx.docstore.where(F.col(key) == int(doc_id)).limit(1).collect()
+        st = self.tables[index]
+        key = st.key
+        key_t = dict(st._empty.dtypes).get(key, "bigint")
+        val = doc_id if key_t == "string" else int(doc_id)
+        rows = idx.docstore.where(F.col(key) == val).limit(1).collect()
         if not rows:
             return {"_index": index, "_id": doc_id, "found": False}
         src = rows[0].asDict()
@@ -331,7 +375,18 @@ def serve(shim: EsShim, port: int = 0):
                         shim.analyze(None, json.loads(body) if body else {})
                     )
                 if len(parts) == 3 and parts[1] == "_doc":
+                    if self.command in ("PUT", "POST"):
+                        return self._reply(shim.put_doc(
+                            parts[0], parts[2],
+                            json.loads(body) if body else {}))
+                    if self.command == "DELETE":
+                        return self._reply(shim.delete_doc(parts[0],
+                                                           parts[2]))
                     return self._reply(shim.get_doc(parts[0], parts[2]))
+                if len(parts) == 2 and parts[1] == "_doc" \
+                        and self.command == "POST":
+                    return self._reply(shim.put_doc(
+                        parts[0], None, json.loads(body) if body else {}))
                 if len(parts) == 1 and self.command == "PUT":
                     # ES create-index API: PUT /{index} {mappings: ...}
                     return self._reply(shim.create_index_from_mapping(
@@ -360,7 +415,7 @@ def serve(shim: EsShim, port: int = 0):
             except Exception as e:  # noqa: BLE001 — ES returns errors as JSON
                 return self._reply({"error": str(e)}, 400)
 
-        do_GET = do_POST = do_PUT = _route
+        do_GET = do_POST = do_PUT = do_DELETE = _route
 
         def log_message(self, *a):  # quiet
             pass

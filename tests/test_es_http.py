@@ -174,3 +174,53 @@ def test_put_index_with_mappings_lifecycle(es):
     hits = _post(f"{es}/slt_books/_search",
                  {"query": {"match": {"title": "pelican"}}, "size": 5})
     assert len(hits["hits"]["hits"]) == 1
+
+
+def test_single_doc_write_path(es):
+    """PUT/POST/DELETE /{index}/_doc (reference es/write_path.test): typed
+    upsert with created/updated results, auto-generated 20-char ids,
+    delete, visibility after refresh."""
+    body = {"mappings": {"properties": {
+        "title": {"type": "text"}, "n": {"type": "long"},
+        "flag": {"type": "boolean"},
+    }}}
+    req = urllib.request.Request(
+        f"{es}/slt_wp", data=json.dumps(body).encode(), method="PUT",
+        headers={"Content-Type": "application/json"})
+    urllib.request.urlopen(req, timeout=60).read()
+
+    def put(doc_id, doc):
+        r = urllib.request.Request(
+            f"{es}/slt_wp/_doc/{doc_id}", data=json.dumps(doc).encode(),
+            method="PUT", headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(r, timeout=60) as resp:
+            return json.loads(resp.read())
+
+    out = put("a", {"title": "hello world", "n": 7, "flag": True})
+    assert out["result"] == "created"
+    out2 = put("a", {"title": "hello again", "n": 8, "flag": False})
+    assert out2["result"] == "updated"
+
+    # auto-generated id: 20 chars
+    r = urllib.request.Request(
+        f"{es}/slt_wp/_doc",
+        data=json.dumps({"title": "lazy dog", "n": 1}).encode(),
+        method="POST", headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(r, timeout=60) as resp:
+        auto = json.loads(resp.read())
+    assert len(auto["_id"]) == 20
+
+    _post(f"{es}/slt_wp/_refresh")
+    assert _post(f"{es}/slt_wp/_count",
+                 {"query": {"match": {"title": "hello"}}})["count"] == 1
+    with urllib.request.urlopen(f"{es}/slt_wp/_doc/a", timeout=60) as resp:
+        doc = json.loads(resp.read())
+    assert doc["found"] and doc["_source"]["n"] == 8
+
+    # delete and confirm gone
+    rd = urllib.request.Request(f"{es}/slt_wp/_doc/a", method="DELETE")
+    with urllib.request.urlopen(rd, timeout=60) as resp:
+        assert json.loads(resp.read())["result"] == "deleted"
+    _post(f"{es}/slt_wp/_refresh")
+    with urllib.request.urlopen(f"{es}/slt_wp/_doc/a", timeout=60) as resp:
+        assert json.loads(resp.read())["found"] is False
