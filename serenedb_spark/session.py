@@ -365,6 +365,29 @@ class SereneSession:
         self._tables[table] = self._tables[table].withColumn(name, col)
         self._reregister(table)
 
+    def alter_add_column_serial(self, table: str, name: str,
+                                sequence: str) -> None:
+        """ADD COLUMN with a SEQUENCE DEFAULT (reference
+        alter_add_column_sequence_default.test): every existing row gets
+        the next value from the named sequence — one block reservation,
+        distributed assignment (operators/sequences.assign)."""
+        self._tables[table] = self.sequences.assign(
+            self._tables[table], sequence, name)
+        self._reregister(table)
+
+    def comment_on(self, obj: str, comment: str | None) -> None:
+        """COMMENT ON (reference ddl/comment.test); None removes it."""
+        c = getattr(self, "_comments", None)
+        if c is None:
+            c = self._comments = {}
+        if comment is None:
+            c.pop(obj, None)
+        else:
+            c[obj] = comment
+
+    def get_comment(self, obj: str) -> str | None:
+        return getattr(self, "_comments", {}).get(obj)
+
     def alter_rename_column(self, table: str, old: str, new: str) -> None:
         self._tables[table] = self._tables[table].withColumnRenamed(old, new)
         self._reregister(table)

@@ -60,3 +60,23 @@ def test_struct_field_surgery(ss):
     assert ss.table("orders").select("meta").first().meta.extra == 5
     ss.alter_drop_struct_field("orders", "meta", "tag")
     assert "tag" not in ss.table("orders").select("meta.*").columns
+
+
+def test_add_column_serial_default(ss):
+    """ADD COLUMN with a sequence default: unique gap-free ids across the
+    existing rows (reference alter_add_column_sequence_default.test)."""
+    ss.create_sequence("row_seq", start=100)
+    n = ss.table("orders").count()
+    ss.alter_add_column_serial("orders", "rid", "row_seq")
+    vals = sorted(r.rid for r in ss.table("orders").select("rid").collect())
+    assert vals == list(range(100, 100 + n))
+    assert ss.nextval("row_seq") == 100 + n
+
+
+def test_comment_on(ss):
+    ss.comment_on("orders", "the orders fact table")
+    ss.comment_on("orders.o_totalprice", "gross price")
+    assert ss.get_comment("orders") == "the orders fact table"
+    assert ss.get_comment("orders.o_totalprice") == "gross price"
+    ss.comment_on("orders", None)
+    assert ss.get_comment("orders") is None
