@@ -427,6 +427,98 @@ class SereneSession:
         )
         self._reregister(table)
 
+    # ---- catalog DML with constraint enforcement (reference
+    # add_column_constraints.test / alter_add_primary_key.test /
+    # drop_cascade_check_constraints.test): the session holds the mutable
+    # table state; INSERT/UPDATE/DELETE validate PK, CHECK and NOT NULL
+    # before the new state becomes visible (all-or-nothing, like the
+    # reference's transactional DML)
+    def set_primary_key(self, table: str, column: str) -> None:
+        """ALTER TABLE ADD PRIMARY KEY: validates existing uniqueness
+        first (rejects like the reference when data violates it)."""
+        dup = (
+            self._tables[table].groupBy(column).count()
+            .where(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                f"cannot add primary key: duplicate {column}="
+                f"{dup[0][0]!r} in {table}"
+            )
+        pk = getattr(self, "_pks", None)
+        if pk is None:
+            pk = self._pks = {}
+        pk[table] = column
+
+    def add_check(self, table: str, name: str, predicate) -> None:
+        """ALTER TABLE ADD CONSTRAINT ... CHECK: validates existing rows
+        (rejects on violation), then enforces on every future insert."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        bad = (
+            self._tables[table]
+            .where(~F.coalesce(pred, F.lit(False))).limit(1).collect()
+        )
+        if bad:
+            raise ValueError(
+                f"check constraint {name!r} violated by existing rows"
+            )
+        checks = getattr(self, "_checks", None)
+        if checks is None:
+            checks = self._checks = {}
+        checks.setdefault(table, {})[name] = pred
+
+    def drop_check(self, table: str, name: str) -> None:
+        getattr(self, "_checks", {}).get(table, {}).pop(name, None)
+
+    def _validate_rows(self, table: str, rows: DataFrame) -> None:
+        for col in getattr(self, "_not_null", {}).get(table, ()):
+            if rows.where(F.col(col).isNull()).limit(1).collect():
+                raise ValueError(
+                    f"NULL in NOT NULL column {col!r} of {table!r}")
+        for name, pred in getattr(self, "_checks", {}).get(
+                table, {}).items():
+            if rows.where(~F.coalesce(pred, F.lit(False))) \
+                    .limit(1).collect():
+                raise ValueError(
+                    f"new rows violate check constraint {name!r}")
+
+    def insert(self, table: str, rows: DataFrame,
+               on_conflict: str = "error") -> None:
+        """INSERT with full constraint enforcement; nothing is applied on
+        any violation."""
+        from serenedb_spark.operators.dml import insert_rows
+
+        self._check_privilege(table, "INSERT")
+        self._validate_rows(table, rows)
+        pk = getattr(self, "_pks", {}).get(table)
+        if pk is not None:
+            new_state = insert_rows(self._tables[table], rows, pk,
+                                    on_conflict=on_conflict)
+        else:
+            new_state = self._tables[table].unionByName(rows)
+        self._tables[table] = new_state
+        self._reregister(table)
+
+    def update(self, table: str, cond, assignments: dict) -> None:
+        from serenedb_spark.operators.dml import update_where
+
+        self._check_privilege(table, "UPDATE")
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        asg = {k: (F.expr(v) if isinstance(v, str) else v)
+               for k, v in assignments.items()}
+        new_state = update_where(self._tables[table], c, asg)
+        self._validate_rows(table, new_state.where(c))
+        self._tables[table] = new_state
+        self._reregister(table)
+
+    def delete(self, table: str, cond) -> None:
+        from serenedb_spark.operators.dml import delete_where
+
+        self._check_privilege(table, "DELETE")
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        self._tables[table] = delete_where(self._tables[table], c)
+        self._reregister(table)
+
     # ---- macros (reference CREATE MACRO, catalog/function.h:30-33:
     # DuckDB scalar AND table macros; Spark 4 SQL UDFs map them directly)
     def create_macro(self, name: str, params: str, body: str,
