@@ -1008,6 +1008,62 @@ ORDER BY o_orderkey
 _register("inet_html_battery", _inet_html_battery, _inet_html_oracle())
 
 
+def _complex_types_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT/MAP/LIST function battery (reference ddl/map.test,
+    struct_field_ddl.test + DuckDB's nested-type surface): construction,
+    field/key access, array slice/sort/reverse/contains/position — scalar
+    outputs only (the gate's value-hash stringifies nested values
+    differently across engines)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    arr = F.array((k % 7).cast("long"), (k % 5).cast("long"),
+                  (k % 3).cast("long"))
+    mp = F.create_map(F.lit("a"), (k % 10).cast("long"),
+                      F.lit("b"), (k % 20).cast("long"))
+    st = F.struct(k.alias("id"), (k % 4).cast("long").alias("bucket"))
+    return (
+        orders.where(k < 300)
+        .select(
+            "o_orderkey",
+            st.getField("bucket").alias("s_bucket"),
+            mp.getItem("a").alias("m_a"),
+            mp.getItem("b").alias("m_b"),
+            F.array_join(F.map_keys(mp), ",").alias("m_keys"),
+            F.array_join(F.sort_array(arr), ",").alias("arr_sorted"),
+            F.array_join(F.reverse(arr), ",").alias("arr_rev"),
+            F.array_join(F.slice(arr, 1, 2), ",").alias("arr_slice"),
+            F.array_contains(arr, F.lit(2)).alias("has_two"),
+            F.array_position(arr, (k % 5).cast("long")).cast("long")
+            .alias("pos_mod5"),
+            F.size(F.array_distinct(arr)).alias("n_distinct"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_register("complex_types_battery", _complex_types_battery, """
+SELECT o_orderkey,
+  {'id': o_orderkey, 'bucket': o_orderkey % 4}.bucket AS s_bucket,
+  map(['a','b'], [o_orderkey % 10, o_orderkey % 20])['a'][1] AS m_a,
+  map(['a','b'], [o_orderkey % 10, o_orderkey % 20])['b'][1] AS m_b,
+  array_to_string(map_keys(map(['a','b'],
+    [o_orderkey % 10, o_orderkey % 20])), ',') AS m_keys,
+  array_to_string(list_sort([o_orderkey % 7, o_orderkey % 5,
+    o_orderkey % 3]), ',') AS arr_sorted,
+  array_to_string(list_reverse([o_orderkey % 7, o_orderkey % 5,
+    o_orderkey % 3]), ',') AS arr_rev,
+  array_to_string([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3][1:2],
+    ',') AS arr_slice,
+  list_contains([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3], 2)
+    AS has_two,
+  CAST(coalesce(list_position([o_orderkey % 7, o_orderkey % 5,
+    o_orderkey % 3], o_orderkey % 5), 0) AS BIGINT) AS pos_mod5,
+  len(list_distinct([o_orderkey % 7, o_orderkey % 5, o_orderkey % 3]))
+    AS n_distinct
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+""")
+
+
 _sql("window_battery", """
 SELECT o_orderkey, o_orderpriority,
   dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS drank,
