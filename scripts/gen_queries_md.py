@@ -34,6 +34,8 @@ FAMILIES = [
     ("Geo", lambda n: n.startswith("geo_")),
     ("Physical-rewrite equivalence (skew, ordered scan)",
      lambda n: n.startswith(("skew_", "ordered_"))),
+    ("Cookbook recipes (site_docs/cookbook/search parity)",
+     lambda n: n.startswith("cookbook_")),
 ]
 
 

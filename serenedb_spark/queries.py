@@ -3015,6 +3015,224 @@ GROUP BY term ORDER BY doc_count DESC, term LIMIT 15
 
 
 # --------------------------------------------------------------------------
+# cookbook recipes (reference site_docs/cookbook/search/*.test) — the
+# end-user query shapes a reference user runs today, composed from the
+# engine's own relations (operators/cookbook.py)
+# --------------------------------------------------------------------------
+
+_SIMPLE_TOKS = ("list_filter(regexp_split_to_array(lower(text), "
+                "'[^a-z0-9]+'), t -> t <> '')")
+
+
+def _source_index(spark: SparkSession, sf_dir: str):
+    """Keyword-analyzer index over documents.source — the autocomplete
+    corpus (cookbook autocomplete.test indexes whole search phrases)."""
+    key = (id(spark), sf_dir, "__kw_source")
+    if key not in _IDX_CACHE:
+        docs = load_tables(spark, sf_dir)["documents"]
+        idx = build_index(docs, {"source": "keyword"}, key="doc_id",
+                          name="doc_source_kw")
+        idx.term_stats.persist()
+        _IDX_CACHE[key] = idx
+    return _IDX_CACHE[key]
+
+
+def _cb_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators import cookbook as CB
+
+    return CB.autocomplete(_source_index(spark, sf_dir), "src1",
+                           field="source")
+
+
+_register("cookbook_autocomplete", _cb_autocomplete, """
+SELECT source AS suggestion, count(*) AS searches
+FROM documents WHERE source LIKE 'src1%'
+GROUP BY source ORDER BY searches DESC, suggestion
+""")
+
+
+def _cb_spell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators import cookbook as CB
+
+    return CB.spell_suggest(doc_index(spark, sf_dir), "streem", max_dist=2)
+
+
+_register("cookbook_spell_correction", _cb_spell, f"""
+WITH tok AS (SELECT doc_id, unnest({_SIMPLE_TOKS}) AS term FROM documents),
+td AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1)
+SELECT term AS suggestion,
+  round(1.0 - levenshtein(term, 'streem') / 6.0, 4) AS similarity,
+  df AS searches
+FROM td
+WHERE levenshtein(term, 'streem') <= 2
+ORDER BY similarity DESC, searches DESC, suggestion
+""")
+
+
+def _cb_significant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators import cookbook as CB
+
+    idx = doc_index(spark, sf_dir)
+    fg = compile_query(idx, _DOC_COL, q.Term("spark")).doc_ids
+    return CB.significant_terms(idx, fg, min_fg_docs=2, limit=15)
+
+
+_register("cookbook_significant_terms", _cb_significant, f"""
+WITH base AS (SELECT doc_id, {_SIMPLE_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+p AS (SELECT DISTINCT doc_id, term FROM tok),
+fgd AS (SELECT doc_id FROM base
+        WHERE toks IS NOT NULL AND list_contains(toks, 'spark')),
+fg AS (SELECT term, count(*) AS fg_docs FROM p
+       WHERE doc_id IN (SELECT doc_id FROM fgd) GROUP BY 1),
+bg AS (SELECT term, count(*) AS bg_docs FROM p GROUP BY 1),
+t AS (SELECT (SELECT count(*) FROM fgd) AS fg_total,
+             (SELECT count(*) FROM documents) AS bg_total)
+SELECT fg.term, fg.fg_docs, bg.bg_docs,
+  round(fg.fg_docs - bg.bg_docs * t.fg_total / CAST(t.bg_total AS DOUBLE), 2)
+    AS lift
+FROM fg JOIN bg USING (term) CROSS JOIN t
+WHERE fg.fg_docs >= 2
+ORDER BY lift DESC, fg.term LIMIT 15
+""")
+
+
+def _cb_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators import cookbook as CB
+
+    return CB.more_like_this(doc_index(spark, sf_dir), 7, n_terms=5, k=10)
+
+
+_register("cookbook_more_like_this", _cb_mlt, f"""
+WITH tok AS (SELECT doc_id, unnest({_SIMPLE_TOKS}) AS term FROM documents),
+p AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY 1, 2),
+qt AS (SELECT term FROM p WHERE doc_id = 7 ORDER BY freq DESC, term LIMIT 5)
+SELECT p.doc_id, count(DISTINCT p.term) AS overlap
+FROM p JOIN qt USING (term)
+WHERE p.doc_id <> 7
+GROUP BY p.doc_id ORDER BY overlap DESC, doc_id LIMIT 10
+""")
+
+
+def _cb_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators import cookbook as CB
+
+    alerts = spark.createDataFrame(
+        [(1, ["spark", "stream"]), (2, ["hash", "join"]),
+         (3, ["quantum", "flux"]), (4, ["dup"]), (5, ["window", "group"])],
+        "query_id int, terms array<string>")
+    return (CB.percolate(doc_index(spark, sf_dir), alerts)
+            .orderBy("doc_id", "query_id"))
+
+
+_register("cookbook_percolate", _cb_percolate, f"""
+WITH alerts AS (
+  SELECT * FROM (VALUES
+    (1, ['spark', 'stream']), (2, ['hash', 'join']),
+    (3, ['quantum', 'flux']), (4, ['dup']), (5, ['window', 'group'])
+  ) v(query_id, terms)),
+tok AS (SELECT DISTINCT doc_id, unnest({_SIMPLE_TOKS}) AS term
+        FROM documents),
+aq AS (SELECT query_id, len(terms) AS n_req, unnest(terms) AS term
+       FROM alerts)
+SELECT t.doc_id, aq.query_id
+FROM tok t JOIN aq USING (term)
+GROUP BY t.doc_id, aq.query_id, aq.n_req
+HAVING count(DISTINCT t.term) = aq.n_req
+ORDER BY doc_id, query_id
+""")
+
+
+_PINNED = [42, 7, 300]
+
+
+def _cb_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators import cookbook as CB
+
+    idx = doc_index(spark, sf_dir)
+    compiled = compile_query(idx, _DOC_COL, q.Term("spark"))
+    s = _score(idx, _DOC_COL, compiled.score_terms, "bm25")
+    scored = compiled.doc_ids.join(s, "doc_id", "left").select(
+        "doc_id",
+        F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4).alias("score"))
+    return CB.pinned_order(scored, _PINNED).limit(20)
+
+
+_register("cookbook_pinned_results", _cb_pinned, f"""
+WITH s AS ({O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("spark"),
+                         scorer="bm25", k=None)})
+SELECT doc_id, score FROM s
+ORDER BY nullif(list_position([{", ".join(str(p) for p in _PINNED)}],
+                              doc_id), 0) ASC NULLS LAST,
+         score DESC, doc_id
+LIMIT 20
+""")
+
+
+def _cb_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.operators import cookbook as CB
+
+    idx = doc_index(spark, sf_dir)
+    compiled = compile_query(idx, _DOC_COL, q.Term("data"))
+    s = _score(idx, _DOC_COL, compiled.score_terms, "bm25")
+    scored = (compiled.doc_ids.join(s, "doc_id", "left")
+              .join(idx.docstore.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", "lang",
+                      F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4)
+                       .alias("score")))
+    return (CB.collapse_top_n(scored, "lang", n=2)
+            .select("lang", "doc_id", "score", "rn")
+            .orderBy("lang", "rn"))
+
+
+_register("cookbook_collapse_by_lang", _cb_collapse, f"""
+WITH s AS ({O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("data"),
+                         scorer="bm25", k=None)}),
+j AS (SELECT d.lang, s.doc_id, s.score,
+        ROW_NUMBER() OVER (PARTITION BY d.lang
+                           ORDER BY s.score DESC, s.doc_id) AS rn
+      FROM s JOIN documents d USING (doc_id))
+SELECT lang, doc_id, score, CAST(rn AS BIGINT) AS rn
+FROM j WHERE rn <= 2 ORDER BY lang, rn
+""")
+
+
+def _cb_recency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relevance × popularity-saturation re-ranking (cookbook
+    recency-and-decay.test example_003: BM25 * pop/(pop+K)); n_chars plays
+    the stored popularity signal."""
+    idx = doc_index(spark, sf_dir)
+    node = q.AnyOf(["spark", "stream"])
+    compiled = compile_query(idx, _DOC_COL, node)
+    s = _score(idx, _DOC_COL, compiled.score_terms, "bm25")
+    return (
+        compiled.doc_ids.join(s, "doc_id", "left")
+        .join(idx.docstore.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.round(F.coalesce(F.col("score"), F.lit(0.0)), 4)
+                * (F.col("n_chars") / (F.col("n_chars") + F.lit(1000.0))),
+                4,
+            ).alias("rank_score"),
+        )
+        .orderBy(F.col("rank_score").desc(), F.col("doc_id"))
+        .limit(15)
+    )
+
+
+_register("cookbook_recency_decay", _cb_recency, f"""
+WITH s AS ({O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN,
+                         q.AnyOf(["spark", "stream"]),
+                         scorer="bm25", k=None)})
+SELECT s.doc_id,
+  round(s.score * (d.n_chars / (d.n_chars + 1000.0)), 4) AS rank_score
+FROM s JOIN documents d USING (doc_id)
+ORDER BY rank_score DESC, s.doc_id LIMIT 15
+""")
+
+
+# --------------------------------------------------------------------------
 # driver contract adapters
 # --------------------------------------------------------------------------
 
@@ -3067,7 +3285,9 @@ _GATE_WINDOW = [
 # this round): fts_boosted_phrase_or, fts_composite_cross_field,
 # skew_salted_agg, ordered_topk_scan, dml_insert_conflict,
 # geo_wkt_roundtrip, temporal_battery, inet_html_battery,
-# es_bool_cross_field → (in window), approx_agg_bounds → (in window).
+# es_bool_cross_field → (in window), approx_agg_bounds → (in window),
+# complex_types_battery, and the eight cookbook_* recipes
+# (site_docs/cookbook/search parity).
 
 
 def _apply_gate_window() -> None:
