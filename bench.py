@@ -120,6 +120,12 @@ def main() -> None:
         # Profiled r5: the first minhash run pays ~60× its steady-state
         # latency purely on JIT of the generated code.
         fn(spark, SF_DIR).collect()
+        # drain accumulated garbage from the warm-up + prior queries so a
+        # stop-the-world pause doesn't land inside a timed run — profiled
+        # r5: embedding_dup_pairs_lsh is 1.9 s ± 0.2 in isolation but
+        # showed a 12 s one-off worst inside the shared bench JVM (GC, not
+        # plan variance)
+        spark._jvm.System.gc()
         best, worst, nrows = None, 0.0, 0
         for _ in range(runs):
             t0 = time.perf_counter()
