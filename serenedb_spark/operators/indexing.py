@@ -75,6 +75,7 @@ def build_index(
     key: str = "doc_id",
     include: list[str] | None = None,
     name: str = "idx",
+    exprs: dict[str, "F.Column"] | None = None,
 ) -> InvertedIndex:
     """Build postings + docstore + stats from a source DataFrame.
 
@@ -82,13 +83,23 @@ def build_index(
     (duckdb_physical_create_index.cpp:908) re-expressed as a declarative
     DataFrame graph: tokenize (JVM expression) → posexplode → two
     aggregations. No Python executes per row.
+
+    ``exprs`` maps a field name to an arbitrary Column expression — the
+    reference's indexed-expression keys (CREATE INDEX ... ((lower(name)),
+    (doc['price']::INTEGER)); server/catalog/persistence/inverted_index.h
+    expression keys, site_docs/cookbook/search/computed-values.test). A
+    field named in ``exprs`` is tokenized from that expression instead of
+    a physical column; it still gets its own postings/stats/universe rows,
+    so every predicate and scorer composes with it unchanged.
     """
     include = include if include is not None else [c for c in df.columns if c != key]
+    exprs = exprs or {}
 
     per_field = []
     for col, analyzer_name in fields.items():
         an = get_analyzer(analyzer_name)
-        toks = an.expr(F.col(col))
+        src = exprs[col] if col in exprs else F.col(col)
+        toks = an.expr(src)
         tokenized = df.select(
             F.col(key).alias("doc_id"),
             F.lit(col).alias("field"),
@@ -130,9 +141,8 @@ def build_index(
     )
 
     universe_parts = [
-        df.where(F.col(col).isNotNull()).select(
-            F.lit(col).alias("field"), F.col(key).alias("doc_id")
-        )
+        df.where((exprs[col] if col in exprs else F.col(col)).isNotNull())
+        .select(F.lit(col).alias("field"), F.col(key).alias("doc_id"))
         for col in fields
     ]
     universe = universe_parts[0]

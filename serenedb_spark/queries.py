@@ -3233,6 +3233,101 @@ ORDER BY rank_score DESC, s.doc_id LIMIT 15
 
 
 # --------------------------------------------------------------------------
+# indexed expression keys (reference inverted_index.h expression keys;
+# cookbook computed-values.test / json-search.test) + order-preserving
+# key encoding for numeric range claims (key_encoding.h)
+# --------------------------------------------------------------------------
+
+def _expr_index(spark: SparkSession, sf_dir: str):
+    """One index with three expression fields over documents:
+    - who       = lower(lang || ' ' || source), simple  (computed text)
+    - chars_tax = encode_int(n_chars*110//100), keyword (computed numeric,
+                  memcmp-ordered key so range claims work in the dictionary)
+    - jlang     = get_json_object(to_json(...), '$.lang'), keyword
+                  (JSON-path key: the doc is ENCODED to JSON and the field
+                  re-extracted — the json-search.test VARIANT plumbing)
+    """
+    from serenedb_spark.functions import key_encoding as K
+
+    key = (id(spark), sf_dir, "__expr_idx")
+    if key not in _IDX_CACHE:
+        docs = load_tables(spark, sf_dir)["documents"]
+        doc_json = F.to_json(F.struct("lang", "source", "n_chars"))
+        idx = build_index(
+            docs, {"who": "simple", "chars_tax": "keyword",
+                   "jlang": "keyword", "jsrc": "keyword"},
+            key="doc_id", name="documents_expr",
+            exprs={
+                "who": F.lower(F.concat_ws(" ", "lang", "source")),
+                "chars_tax": K.encode_int(
+                    F.floor(F.col("n_chars") * 110 / 100).cast("long")),
+                "jlang": F.get_json_object(doc_json, "$.lang"),
+                "jsrc": F.get_json_object(doc_json, "$.source"),
+            },
+        )
+        for part in (idx.postings, idx.term_stats, idx.docstore):
+            part.persist()
+        _IDX_CACHE[key] = idx
+    return _IDX_CACHE[key]
+
+
+def _fts_expr_concat_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # computed-values.test example_005: (first || ' ' || last) @@ 'Jane Doe'
+    idx = _expr_index(spark, sf_dir)
+    return (compile_query(idx, "who", q.Phrase(["en", "src3"]))
+            .doc_ids.orderBy("doc_id"))
+
+
+_register("fts_expr_concat_phrase", _fts_expr_concat_phrase, """
+SELECT doc_id FROM documents
+WHERE lower(lang) = 'en' AND lower(source) = 'src3'
+ORDER BY doc_id
+""")
+
+
+def _fts_expr_computed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # computed-values.test example_002/003: price_with_tax @@ ts_le(...) —
+    # a numeric range claim answered from the term dictionary because the
+    # indexed key is the order-preserving encoding
+    from serenedb_spark.functions import key_encoding as K
+
+    idx = _expr_index(spark, sf_dir)
+    node = q.Between(K.py_encode_int(110), K.py_encode_int(220))
+    docs = compile_query(idx, "chars_tax", node).doc_ids
+    return (
+        docs.join(idx.docstore.select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id",
+                F.floor(F.col("n_chars") * 110 / 100).cast("long")
+                 .alias("chars_tax"))
+        .orderBy("doc_id")
+    )
+
+
+_register("fts_expr_computed_range", _fts_expr_computed_range, """
+SELECT doc_id, (n_chars * 110) // 100 AS chars_tax
+FROM documents
+WHERE (n_chars * 110) // 100 BETWEEN 110 AND 220
+ORDER BY doc_id
+""")
+
+
+def _fts_json_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # json-search.test example_002-shape conjunction over two JSON-path
+    # expression keys
+    idx = _expr_index(spark, sf_dir)
+    a = compile_query(idx, "jlang", q.Term("fr")).doc_ids
+    b = compile_query(idx, "jsrc", q.Term("src5")).doc_ids
+    return a.join(b, "doc_id", "left_semi").orderBy("doc_id")
+
+
+_register("fts_json_field_search", _fts_json_field_search, """
+SELECT doc_id FROM documents
+WHERE lang = 'fr' AND source = 'src5'
+ORDER BY doc_id
+""")
+
+
+# --------------------------------------------------------------------------
 # driver contract adapters
 # --------------------------------------------------------------------------
 
@@ -3286,8 +3381,10 @@ _GATE_WINDOW = [
 # skew_salted_agg, ordered_topk_scan, dml_insert_conflict,
 # geo_wkt_roundtrip, temporal_battery, inet_html_battery,
 # es_bool_cross_field → (in window), approx_agg_bounds → (in window),
-# complex_types_battery, and the eight cookbook_* recipes
-# (site_docs/cookbook/search parity).
+# complex_types_battery, the eight cookbook_* recipes
+# (site_docs/cookbook/search parity), and the three indexed-expression
+# queries (fts_expr_concat_phrase, fts_expr_computed_range,
+# fts_json_field_search).
 
 
 def _apply_gate_window() -> None:
