@@ -1,0 +1,109 @@
+"""AS-OF join — match each left row to the nearest right row at-or-before
+(or at-or-after) its time, per key.
+
+Reference: DuckDB's ASOF JOIN, which the reference inherits through its
+embedded engine and documents as a first-class recipe
+(tests/sqllogic/sdb/pg/site_docs/cookbook/sql_features/asof_join.test).
+
+Spark-first design — NOT a join at all: tag both inputs, union them, and
+run one `last(payload, ignorenulls=True)` window over (key, time). That is
+a single shuffle on the `by` key followed by a linear scan per partition —
+the shape that survives 100 TB event streams, where an inequality join
+would either BNLJ (quadratic) or need range-bucketing gymnastics. Skewed
+keys degrade to a single partition's sort, not a cross product.
+
+Tie semantics match DuckDB: ``backward`` takes the LARGEST right time <=
+left time (inclusive), ``forward`` the SMALLEST right time >= left time.
+Right rows carrying identical (by, time) should be pre-aggregated by the
+caller (DuckDB's ASOF picks an arbitrary one — we refuse to be
+nondeterministic by construction instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str] | None = None,
+    direction: str = "backward",
+    tolerance: Column | None = None,
+    how: str = "left",
+    suffix: str = "_r",
+) -> DataFrame:
+    """For every left row, attach the right row whose ``on`` value is the
+    closest at-or-before it (``backward``) / at-or-after it (``forward``),
+    within the same ``by`` key.
+
+    - ``on``: time/order column name present in both inputs (numeric,
+      date, or timestamp — both sides must agree).
+    - ``tolerance``: max allowed |left.on - right.on| as a Column literal
+      in the column's native difference unit (for timestamps: an interval
+      via F.expr("INTERVAL ..."), or seconds if numeric). Matches outside
+      it become NULL (left join) / are dropped (inner).
+    - right's non-``by``, non-``on`` columns come back suffixed; its ``on``
+      comes back as ``on + suffix``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
+    by = by or []
+
+    val_cols = [c for c in right.columns if c not in (*by, on)]
+    payload = F.struct(
+        F.col(on).alias(f"{on}{suffix}"),
+        *[F.col(c).alias(f"{c}{suffix}") for c in val_cols],
+    )
+    ptype = right.select(payload.alias("p")).schema["p"].dataType
+    lcols = [c for c in left.columns if c not in by]
+    lstruct = F.struct(*[F.col(c) for c in lcols])
+    ltype = left.select(lstruct.alias("l")).schema["l"].dataType
+
+    unioned = left.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        lstruct.alias("__l"),
+        F.lit(None).cast(ptype).alias("__p"),
+    ).unionByName(right.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(ltype).alias("__l"),
+        payload.alias("__p"),
+    ))
+
+    # backward: ascending time, right-before-left at equal time, so the
+    # running last(right payload) at a left row is the largest right time
+    # <= its own (inclusive). forward is the mirror image.
+    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    w = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy(t_ord, F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn(
+        "__m", F.last("__p", ignorenulls=True).over(w)
+    ).where(F.col("__is_left") == 1)
+
+    if tolerance is not None:
+        lo, hi = (F.col(f"__m.{on}{suffix}"), F.col("__t"))
+        if direction == "forward":
+            lo, hi = hi, lo
+        matched = matched.withColumn(
+            "__m", F.when(hi - lo <= tolerance, F.col("__m")))
+    if how == "inner":
+        matched = matched.where(F.col("__m").isNotNull())
+
+    return matched.select(
+        *by,
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__m.{f}").alias(f)
+          for f in [f"{on}{suffix}", *[f"{c}{suffix}" for c in val_cols]]],
+    )

@@ -3233,6 +3233,52 @@ ORDER BY rank_score DESC, s.doc_id LIMIT 15
 
 
 # --------------------------------------------------------------------------
+# ASOF JOIN (cookbook sql_features/asof_join.test; DuckDB-native oracle)
+# --------------------------------------------------------------------------
+
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's latest at-or-before view —
+    the canonical trades⟕quotes asof. The right side is pre-aggregated per
+    (user, ts) so both engines are deterministic under tied timestamps."""
+    from serenedb_spark.operators.temporal_join import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts",
+                         F.round("value", 4).alias("amount")))
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.round(F.max("value"), 4).alias("score")))
+    out = asof_join(purchases, views, on="ts", by=["user_id"])
+    return out.select(
+        "event_id", "user_id",
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                / F.lit(1000000)).cast("long").alias("t"),
+        "amount",
+        F.floor(F.unix_micros(F.col("ts_r").cast("timestamp_ltz"))
+                / F.lit(1000000)).cast("long").alias("matched_t"),
+        F.col("score_r").alias("score"),
+    ).orderBy("event_id")
+
+
+_register("events_asof_join", _events_asof, """
+WITH l AS (
+  SELECT event_id, user_id, ts, round(value, 4) AS amount
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, round(max(value), 4) AS score
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT l.event_id, l.user_id,
+  CAST(floor(epoch(l.ts)) AS BIGINT) AS t, l.amount,
+  CAST(floor(epoch(r.ts)) AS BIGINT) AS matched_t, r.score
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+ORDER BY event_id
+""")
+
+
+# --------------------------------------------------------------------------
 # indexed expression keys (reference inverted_index.h expression keys;
 # cookbook computed-values.test / json-search.test) + order-preserving
 # key encoding for numeric range claims (key_encoding.h)
@@ -3384,7 +3430,8 @@ _GATE_WINDOW = [
 # complex_types_battery, the eight cookbook_* recipes
 # (site_docs/cookbook/search parity), and the three indexed-expression
 # queries (fts_expr_concat_phrase, fts_expr_computed_range,
-# fts_json_field_search).
+# fts_json_field_search), and events_asof_join (ASOF JOIN vs DuckDB's
+# native ASOF as oracle).
 
 
 def _apply_gate_window() -> None:
