@@ -3278,6 +3278,47 @@ ORDER BY event_id
 """)
 
 
+def _orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders bucketized into 60-day promo windows — interval containment
+    as a bucket EQUI-join (operators/temporal_join.py range_join), not a
+    BNLJ; aggregated per window."""
+    from serenedb_spark.operators.temporal_join import range_join
+
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od"),
+        "o_totalprice")
+    promos = spark.range(24).select(
+        F.col("id").cast("int").alias("promo_id"),
+        F.date_add(F.lit("1995-01-01").cast("date"),
+                   (F.col("id") * 90).cast("int")).alias("start_d"),
+        F.date_add(F.lit("1995-01-01").cast("date"),
+                   (F.col("id") * 90 + 59).cast("int")).alias("end_d"),
+    )
+    return (
+        range_join(orders, promos, "od", "start_d", "end_d")
+        .groupBy("promo_id")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+              .cast("double").alias("total"))
+        .orderBy("promo_id")
+    )
+
+
+_register("orders_range_join", _orders_range_join, """
+WITH promos AS (
+  SELECT CAST(i AS INT) AS promo_id,
+         (DATE '1995-01-01' + CAST(i * 90 AS INT)) AS start_d,
+         (DATE '1995-01-01' + CAST(i * 90 + 59 AS INT)) AS end_d
+  FROM range(24) t(i)
+)
+SELECT promo_id, count(*) AS n_orders,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+FROM orders JOIN promos
+  ON CAST(o_orderdate AS DATE) BETWEEN start_d AND end_d
+GROUP BY promo_id ORDER BY promo_id
+""")
+
+
 # --------------------------------------------------------------------------
 # indexed expression keys (reference inverted_index.h expression keys;
 # cookbook computed-values.test / json-search.test) + order-preserving
@@ -3431,7 +3472,7 @@ _GATE_WINDOW = [
 # (site_docs/cookbook/search parity), and the three indexed-expression
 # queries (fts_expr_concat_phrase, fts_expr_computed_range,
 # fts_json_field_search), and events_asof_join (ASOF JOIN vs DuckDB's
-# native ASOF as oracle).
+# native ASOF as oracle), orders_range_join (bucketized interval join).
 
 
 def _apply_gate_window() -> None:
