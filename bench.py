@@ -56,6 +56,9 @@ HEADLINE = [
     "embedding_dup_pairs_lsh",
     "es_multi_match",
     "geo_indexed_radius",
+    "events_asof_join",
+    "orders_range_join",
+    "cookbook_percolate",
 ]
 
 

@@ -205,6 +205,38 @@ def percolate(
     return hits
 
 
+def percolate_stream(
+    docs: DataFrame,
+    alerts: DataFrame,
+    text_col: str,
+    analyzer: str = "simple",
+    query_id: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Stateless percolate for ingestion time: classify each incoming doc
+    against the stored queries with a broadcast alert set and a pure
+    `forall` expression — no index, no shuffle, no state, so the SAME plan
+    runs on a batch DataFrame or inside readStream→writeStream (alert
+    notification on a live document feed). Complements ``percolate``,
+    which is the postings-join shape for re-classifying a large static
+    corpus."""
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    an = get_analyzer(analyzer)
+    tagged = docs.withColumn("__toks", an.expr(F.col(text_col)))
+    joined = tagged.join(
+        F.broadcast(alerts.select(F.col(query_id).alias("query_id"),
+                                  F.col(terms_col).alias("__terms"))))
+    hit = F.forall(
+        F.col("__terms"),
+        lambda t: F.array_contains(F.col("__toks"), t),
+    )
+    return (
+        joined.where(F.col("__toks").isNotNull() & hit)
+        .drop("__toks", "__terms")
+    )
+
+
 def pinned_position(doc_id: Column, pinned: list) -> Column:
     """Sort key for curated-first ordering (pinned-results.test
     example_003: ``array_position(ARRAY[...], id) NULLS LAST``). Spark's

@@ -75,6 +75,46 @@ def test_percolate_conjunction(spark):
     assert got == {(1, 1), (2, 1), (1, 2), (1, 4)}
 
 
+def test_percolate_stream_equals_postings_percolate(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    alerts = spark.createDataFrame(
+        [(1, ["spark", "stream"]), (2, ["dup"]), (3, ["quantum", "flux"])],
+        "query_id int, terms array<string>")
+    idx = build_index(docs, {"text": "simple"}, key="doc_id")
+    via_index = {(r.doc_id, r.query_id)
+                 for r in CB.percolate(idx, alerts).collect()}
+    via_expr = {(r.doc_id, r.query_id)
+                for r in CB.percolate_stream(docs, alerts, "text").collect()}
+    assert via_expr == via_index and via_expr
+
+
+def test_percolate_stream_on_live_stream(spark, tmp_path):
+    # the same plan must run under Structured Streaming (stateless — no
+    # watermark/output-mode constraints)
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    src = str(tmp_path / "in")
+    docs.repartition(3).write.parquet(src)
+    alerts = spark.createDataFrame(
+        [(1, ["spark", "stream"]), (2, ["dup"])],
+        "query_id int, terms array<string>")
+
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = CB.percolate_stream(stream, alerts, "text").select(
+        "doc_id", "query_id")
+    qy = (out.writeStream.format("memory").queryName("percolated")
+          .trigger(availableNow=True)
+          .option("checkpointLocation", str(tmp_path / "ckpt")).start())
+    qy.awaitTermination(120)
+
+    got = {(r.doc_id, r.query_id)
+           for r in spark.sql("SELECT * FROM percolated").collect()}
+    want = {(r.doc_id, r.query_id)
+            for r in CB.percolate_stream(docs, alerts, "text").collect()}
+    assert got == want and got
+
+
 def test_pinned_order_curated_first(spark):
     scored = spark.createDataFrame(
         [(1, 5.0), (2, 4.0), (3, 3.0), (4, 2.0)], "doc_id int, score double")
