@@ -388,3 +388,24 @@ def es_terms_agg(idx: InvertedIndex, field: str, size: int = 10) -> DataFrame:
         .orderBy(F.col("doc_count").desc(), "term")
         .limit(size)
     )
+
+
+def es_significant_terms_agg(
+    idx: InvertedIndex,
+    fg_doc_ids: DataFrame,
+    field: str,
+    size: int = 10,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """ES `significant_terms` aggregation: terms over-represented in the
+    query's match set vs the whole index (ES default scoring is JLH; here
+    the documented `lift` heuristic shared with the cookbook recipe —
+    fg_docs − bg_docs·fg_total/bg_total — which preserves the ES ordering
+    contract of 'surprising first, frequency as tiebreak')."""
+    from serenedb_spark.operators.cookbook import significant_terms
+
+    return significant_terms(
+        idx, fg_doc_ids, field=field,
+        min_fg_docs=min_doc_count, limit=size,
+    ).select("term", F.col("fg_docs").alias("doc_count"),
+             F.col("bg_docs").alias("bg_count"), "lift")

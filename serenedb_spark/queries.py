@@ -3097,6 +3097,35 @@ ORDER BY lift DESC, fg.term LIMIT 15
 """)
 
 
+def _es_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ES significant_terms aggregation over the match set of 'spark'
+    from serenedb_spark.plans.es_dsl import es_significant_terms_agg
+
+    idx = doc_index(spark, sf_dir)
+    fg = compile_query(idx, _DOC_COL, q.Term("spark")).doc_ids
+    return es_significant_terms_agg(idx, fg, _DOC_COL, size=15)
+
+
+_register("es_significant_terms", _es_significant_terms, f"""
+WITH base AS (SELECT doc_id, {_SIMPLE_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+p AS (SELECT DISTINCT doc_id, term FROM tok),
+fgd AS (SELECT doc_id FROM base
+        WHERE toks IS NOT NULL AND list_contains(toks, 'spark')),
+fg AS (SELECT term, count(*) AS fg_docs FROM p
+       WHERE doc_id IN (SELECT doc_id FROM fgd) GROUP BY 1),
+bg AS (SELECT term, count(*) AS bg_docs FROM p GROUP BY 1),
+t AS (SELECT (SELECT count(*) FROM fgd) AS fg_total,
+             (SELECT count(*) FROM documents) AS bg_total)
+SELECT fg.term, fg.fg_docs AS doc_count, bg.bg_docs AS bg_count,
+  round(fg.fg_docs - bg.bg_docs * t.fg_total / CAST(t.bg_total AS DOUBLE), 2)
+    AS lift
+FROM fg JOIN bg USING (term) CROSS JOIN t
+WHERE fg.fg_docs >= 2
+ORDER BY lift DESC, fg.term LIMIT 15
+""")
+
+
 def _cb_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serenedb_spark.operators import cookbook as CB
 
