@@ -3172,6 +3172,45 @@ ORDER BY doc_id, query_id
 """)
 
 
+def _cb_tag_cloud(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tag-cloud.test example_002: every term with docs + total mentions,
+    # straight off the pre-aggregated dictionary
+    idx = doc_index(spark, sf_dir)
+    return (FC.ts_dict(idx, _DOC_COL)
+            .select("term", F.col("doc_count").alias("docs"),
+                    F.col("total_freq").alias("mentions"))
+            .orderBy(F.col("mentions").desc(), "term")
+            .limit(25))
+
+
+_register("cookbook_tag_cloud", _cb_tag_cloud, f"""
+WITH tok AS (SELECT doc_id, unnest({_SIMPLE_TOKS}) AS term FROM documents),
+p AS (SELECT doc_id, term, count(*) AS freq FROM tok GROUP BY 1, 2)
+SELECT term, count(*) AS docs, CAST(sum(freq) AS BIGINT) AS mentions
+FROM p GROUP BY term
+ORDER BY mentions DESC, term LIMIT 25
+""")
+
+
+def _cb_result_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # result-cardinality.test example_002 (exact columns; the approximate
+    # twin is gated separately in approx_aggregates/approx_agg_bounds)
+    idx = doc_index(spark, sf_dir)
+    hits = compile_query(idx, _DOC_COL, q.Term("spark")).doc_ids
+    return (
+        hits.join(idx.docstore.select("doc_id", "lang"), "doc_id")
+        .agg(F.count(F.lit(1)).alias("hits"),
+             F.count_distinct("lang").alias("langs"))
+    )
+
+
+_register("cookbook_result_cardinality", _cb_result_cardinality, f"""
+WITH base AS (SELECT doc_id, lang, {_SIMPLE_TOKS} AS toks FROM documents)
+SELECT count(*) AS hits, count(DISTINCT lang) AS langs
+FROM base WHERE toks IS NOT NULL AND list_contains(toks, 'spark')
+""")
+
+
 _PINNED = [42, 7, 300]
 
 
