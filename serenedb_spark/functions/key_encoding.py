@@ -16,7 +16,8 @@ Scheme per type (all produce ASCII strings, composable by concat):
   order == signed numeric order.
 - date: days-since-epoch through the int64 path.
 - timestamp: epoch micros through the int64 path.
-- string: NUL escaped as NUL+0xFF, terminated by NUL+NUL, so in a
+- string: NUL escaped as NUL+0x01 (the reference's kNullEsc,
+  key_encoding.cpp), terminated by NUL+NUL, so in a
   composite key a prefix orders before its extensions and no field can
   bleed into the next.
 - double with a fixed decimal scale: scaled to int64 (exact for the
@@ -38,7 +39,7 @@ from pyspark.sql import functions as F
 _SIGN_BIT = -9223372036854775808  # 1 << 63 as signed int64
 
 _NUL = "\x00"
-_ESC = "\x00\xff"
+_ESC = "\x00\x01"  # kNullEsc, byte-compatible with key_encoding.cpp
 _TERM = "\x00\x00"
 
 

@@ -184,13 +184,18 @@ def percolate(
     100 TB corpus): alerts explode to (query_id, term, n_req) — tiny,
     broadcast — postings join on term, then one groupBy(doc_id, query_id)
     checking the conjunction count. No cartesian anywhere.
+
+    Duplicate terms in a stored query are collapsed (matching is by
+    DISTINCT term, so n_req must count distinct terms too). A query with
+    an EMPTY terms array matches nothing — same convention as
+    ``percolate_stream``, which filters empty queries out explicitly.
     """
     field = field or idx.default_field()
     q = (
         alerts.select(
             F.col(query_id).alias("query_id"),
-            F.size(F.col(terms_col)).alias("n_req"),
-            F.explode(F.col(terms_col)).alias("term"),
+            F.size(F.array_distinct(F.col(terms_col))).alias("n_req"),
+            F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
         )
     )
     hits = (
@@ -219,14 +224,20 @@ def percolate_stream(
     runs on a batch DataFrame or inside readStream→writeStream (alert
     notification on a live document feed). Complements ``percolate``,
     which is the postings-join shape for re-classifying a large static
-    corpus."""
+    corpus.
+
+    Empty-terms queries match nothing (a bare `forall` over an empty
+    array is vacuously true — filtered out here so both percolate shapes
+    agree on the edge case)."""
     from serenedb_spark.analysis.analyzers import get_analyzer
 
     an = get_analyzer(analyzer)
     tagged = docs.withColumn("__toks", an.expr(F.col(text_col)))
     joined = tagged.join(
-        F.broadcast(alerts.select(F.col(query_id).alias("query_id"),
-                                  F.col(terms_col).alias("__terms"))))
+        F.broadcast(
+            alerts.select(F.col(query_id).alias("query_id"),
+                          F.col(terms_col).alias("__terms"))
+            .where(F.size("__terms") > 0)))
     hit = F.forall(
         F.col("__terms"),
         lambda t: F.array_contains(F.col("__toks"), t),

@@ -65,13 +65,19 @@ def asof_join(
     lstruct = F.struct(*[F.col(c) for c in lcols])
     ltype = left.select(lstruct.alias("l")).schema["l"].dataType
 
+    # NULL times never match (DuckDB ASOF semantics): right rows with a
+    # NULL `on` are excluded from the union entirely — otherwise they sort
+    # first under asc and become a bogus running-last payload — and left
+    # rows with a NULL `on` are forced to sort BEFORE every right row
+    # (nulls_first in both directions) so their running last() is NULL:
+    # unmatched under left join, dropped under inner.
     unioned = left.select(
         *by,
         F.col(on).alias("__t"),
         F.lit(1).alias("__is_left"),
         lstruct.alias("__l"),
         F.lit(None).cast(ptype).alias("__p"),
-    ).unionByName(right.select(
+    ).unionByName(right.where(F.col(on).isNotNull()).select(
         *by,
         F.col(on).alias("__t"),
         F.lit(0).alias("__is_left"),
@@ -82,7 +88,8 @@ def asof_join(
     # backward: ascending time, right-before-left at equal time, so the
     # running last(right payload) at a left row is the largest right time
     # <= its own (inclusive). forward is the mirror image.
-    t_ord = F.col("__t").asc() if direction == "backward" else F.col("__t").desc()
+    t_ord = (F.col("__t").asc_nulls_first() if direction == "backward"
+             else F.col("__t").desc_nulls_first())
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
         .orderBy(t_ord, F.col("__is_left").asc())
@@ -142,6 +149,13 @@ def range_join(
     scalar aggregate, the same build-time statistic discipline as the IVF
     layout); set it nearer the MEDIAN length when a few outlier intervals
     would otherwise pick a needlessly coarse width.
+
+    ``bucket_width`` units are the column's NATIVE difference unit: DAYS
+    for date columns, MICROSECONDS for timestamp columns, the raw value
+    for numeric columns. A width below 1 native unit is clamped up to 1
+    (sub-unit buckets cannot split rows that compare equal). Passing a
+    seconds-based width for a timestamp column would make buckets ~1e6×
+    too fine — multiply by 1_000_000 instead.
     """
     by = by or []
     ptype = dict(points.dtypes)[point_col]

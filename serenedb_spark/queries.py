@@ -597,16 +597,21 @@ _register_session_window()
 
 
 # approx aggregates (reference demo6:66-78 approx_quantile /
-# approx_count_distinct + per-index HLL). Approximate results can't
-# value-hash against an oracle — registered WITHOUT one, taking the
-# driver's rows-only check; exactness-bounds tests live in pytest.
+# approx_count_distinct + per-index HLL). Approximate VALUES can't
+# value-hash across engines (different sketches), but BOUNDS can: each
+# engine computes ITS OWN approx and exact side-by-side and emits
+# per-group booleans — matching TRUE rows prove both engines' sketches
+# honor the stated error. Exact count(*) keeps the row grounded.
 def _approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_tables(spark, sf_dir)
     return spark.sql("""
         SELECT l_returnflag,
-          approx_count_distinct(l_orderkey) AS approx_orders,
-          CAST(round(percentile_approx(l_quantity, 0.5), 2) AS DOUBLE)
-            AS approx_median_qty,
+          (abs(approx_count_distinct(l_orderkey, 0.01)
+               - count(DISTINCT l_orderkey))
+             / CAST(count(DISTINCT l_orderkey) AS DOUBLE)) < 0.05
+            AS cd_within_5pct,
+          abs(percentile_approx(l_quantity, 0.5)
+              - percentile(l_quantity, 0.5)) <= 2.0 AS p50_within_2,
           count(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -614,7 +619,17 @@ def _approx_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
-_register("approx_aggregates", _approx_aggs, None)
+_register("approx_aggregates", _approx_aggs, """
+SELECT l_returnflag,
+  (abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+     / CAST(count(DISTINCT l_orderkey) AS DOUBLE)) < 0.05 AS cd_within_5pct,
+  abs(approx_quantile(l_quantity, 0.5) - median(l_quantity)) <= 2.0
+    AS p50_within_2,
+  count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""")
 
 
 def _approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3492,59 +3507,47 @@ ORDER BY doc_id
 #:          CORRECTNESS_r01-r03.
 #:   r4:    search/vector/dedup/geo/multimodal/ES surface — 50/50 green in
 #:          CORRECTNESS_r04.
-#:   r5 (this window): the 30 queries that have never had a driver row
-#:          (scorer variants, tsquery parsers, ## phrase chains,
-#:          stemmed/synonym analyzers, dict-facet variants, simhash pairs,
-#:          ivf×sq8) + 20 rotating sentinels sampled across every
-#:          previously-green family so regressions there stay visible to
-#:          the external gate.
+#:   r5:    the 30 then-never-sampled queries (scorer variants, tsquery
+#:          parsers, ## phrase chains, analyzers, dict facets, simhash,
+#:          ivf×sq8) + new-in-r5 + sentinels — 49/50 green, 1 no_oracle
+#:          (approx_aggregates, re-gated below).
+#:   r6 (this window): the 25 queries that have never had a driver row
+#:          (all 10 cookbook recipes, ASOF/range joins, expression keys,
+#:          type batteries, skew/ordered-scan, geo WKT, ES significant
+#:          terms), approx_aggregates with its new bounds oracle, the
+#:          new-in-r6 queries, + rotating sentinels across every
+#:          previously-green family.
 #: Every query, windowed or not, still runs in tests/test_differential.py
 #: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
-    # --- the 30 never-driver-verified queries -----------------------------
-    # streaming + approx + PG strings
-    "events_session_window", "approx_aggregates", "pg_string_battery",
-    # FTS predicates not yet sampled: slop/between/all/bool/compound,
-    # the three tsquery parsers, ngram similarity, heterogeneous ## chains
-    "fts_phrase_slop", "fts_between", "fts_all", "fts_bool", "fts_compound",
-    "fts_tsquery_parse", "fts_plainto", "fts_phraseto", "fts_ngram_sim_term",
-    "fts_phrase_mixed", "fts_phrase_mixed_parts",
-    # scorer variants (boost, raw tf/dl/boost, LM-JM, DFI, Indri)
-    "fts_bm25_boost", "fts_raw_tf", "fts_lm_jm_topk", "fts_dfi_topk",
-    "fts_indri_topk", "fts_raw_dl", "fts_raw_boost",
-    # analyzer-driven rows: stemming, synonyms, minhash signatures
-    "fts_stemmed_term", "fts_minhash_sig_facets", "fts_synonyms",
-    # offsets + ts_dict facet variants
-    "fts_offsets", "fts_dict_score", "fts_dict_minmax", "fts_dict_filtered",
-    # dedup + quantized-vector stragglers
-    "dedup_simhash_pairs", "vec_ivf_sq8_knn",
-    # --- 12 new-this-round queries (first driver row) ---------------------
-    # (geo and ES families keep representation through these new rows)
-    "fts_collation", "geo_radius_antimeridian", "embedding_dup_pairs_lsh",
-    "pg_string_battery2", "pg_math_battery", "fts_highlight_sentence",
-    "geo_indexed_radius", "fts_classification_facets", "fts_nn_expansion",
-    "fts_offsets_multi", "es_multi_match", "es_bool_cross_field",
-    "approx_agg_bounds",
-    # --- 7 rotating sentinels (one per previously-green family; the
-    # vector family is represented by vec_ivf_sq8_knn above) --------------
-    "tpch_q1", "window_rank", "dml_merge_into", "events_sessionize",
-    "embedding_dup_pairs", "dedup_minhash_pairs", "fts_bm25_topk",
+    # --- the 25 never-driver-verified queries -----------------------------
+    # cookbook recipes (site_docs/cookbook/search parity)
+    "cookbook_autocomplete", "cookbook_spell_correction",
+    "cookbook_significant_terms", "cookbook_more_like_this",
+    "cookbook_percolate", "cookbook_tag_cloud",
+    "cookbook_result_cardinality", "cookbook_pinned_results",
+    "cookbook_collapse_by_lang", "cookbook_recency_decay",
+    # temporal joins (ASOF vs DuckDB native ASOF; bucketized range join)
+    "events_asof_join", "orders_range_join",
+    # indexed expression keys (computed-values/json-search parity)
+    "fts_expr_concat_phrase", "fts_expr_computed_range",
+    "fts_json_field_search",
+    # type/function batteries + physical-rewrite equivalence rows
+    "complex_types_battery", "temporal_battery", "inet_html_battery",
+    "dml_insert_conflict", "skew_salted_agg", "ordered_topk_scan",
+    "geo_wkt_roundtrip", "es_significant_terms",
+    "fts_boosted_phrase_or", "fts_composite_cross_field",
+    # --- re-gated this round with a bounds-boolean oracle -----------------
+    "approx_aggregates",
+    # --- rotating sentinels (every previously-green family) ---------------
+    "tpch_q6", "tpch_q9_profit", "window_battery", "grouping_sets",
+    "ordered_set_aggs", "setop_except", "exists_semi_join", "qualify_topn",
+    "deterministic_sample", "events_json_extract", "fts_term",
+    "fts_phrase_gaps", "fts_fuzzy", "fts_websearch", "fts_substring_search",
+    "fts_highlight", "fts_covered_include", "geo_bbox_contains",
+    "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
+    "text_fingerprint", "mm_decode_meta", "pipeline_clean_corpus",
 ]
-# Registered after the r5 window was frozen (first driver rows next
-# rotation; all green in scripts/check_correctness over the full registry
-# this round): fts_boosted_phrase_or, fts_composite_cross_field,
-# skew_salted_agg, ordered_topk_scan, dml_insert_conflict,
-# geo_wkt_roundtrip, temporal_battery, inet_html_battery,
-# es_bool_cross_field → (in window), approx_agg_bounds → (in window),
-# complex_types_battery, the eight cookbook_* recipes
-# (site_docs/cookbook/search parity), and the three indexed-expression
-# queries (fts_expr_concat_phrase, fts_expr_computed_range,
-# fts_json_field_search), events_asof_join (ASOF JOIN vs DuckDB's
-# native ASOF as oracle), orders_range_join (bucketized interval join),
-# es_significant_terms, cookbook_tag_cloud, cookbook_result_cardinality.
-# All of these pass scripts/check_correctness over the full registry at
-# sf0.01 this round (163→165/165 ok) and are next in line for window
-# rotation in r6.
 
 
 def _apply_gate_window() -> None:

@@ -97,3 +97,26 @@ def test_timestamp_on_column(spark):
         left, right, on="ts", by=["k"],
         tolerance=F.expr("INTERVAL 60 SECONDS")).collect()}
     assert out2 == {"p1": 1.0, "p2": None}
+
+
+def test_null_times_never_match(spark):
+    """DuckDB ASOF never matches NULL: right rows with NULL t must not
+    become running-last payloads; left rows with NULL t stay unmatched
+    (left join) / drop (inner) — in BOTH directions."""
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, None, "b")], "k int, t int, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 999.0), (1, 3, 30.0), (1, 8, 80.0)],
+        "k int, t int, v double")
+
+    back = {r.tag: (r.t_r, r.v_r)
+            for r in asof_join(left, right, on="t", by=["k"]).collect()}
+    assert back == {"a": (3, 30.0), "b": (None, None)}
+
+    fwd = {r.tag: (r.t_r, r.v_r)
+           for r in asof_join(left, right, on="t", by=["k"],
+                              direction="forward").collect()}
+    assert fwd == {"a": (8, 80.0), "b": (None, None)}
+
+    inner = asof_join(left, right, on="t", by=["k"], how="inner").collect()
+    assert [(r.tag, r.t_r, r.v_r) for r in inner] == [("a", 3, 30.0)]

@@ -165,3 +165,23 @@ def test_significant_terms_lift(spark):
             for r in CB.significant_terms(idx, fg, min_fg_docs=2).collect()}
     assert rows["market"] == (2, 2, 1.0)
     assert rows["data"] == (3, 6, 0.0)
+
+
+def test_percolate_duplicate_and_empty_terms(spark):
+    """Repeated terms in a stored query must still match (n_req counts
+    DISTINCT terms), and an empty terms array matches nothing in BOTH
+    percolate shapes."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha only")],
+        "doc_id int, body string")
+    idx = build_index(docs, {"body": "simple"}, key="doc_id")
+    alerts = spark.createDataFrame(
+        [(1, ["alpha", "alpha", "beta"]), (2, [])],
+        "query_id int, terms array<string>")
+    via_index = {(r.doc_id, r.query_id)
+                 for r in CB.percolate(idx, alerts).collect()}
+    assert via_index == {(1, 1)}
+    via_expr = {(r.doc_id, r.query_id)
+                for r in CB.percolate_stream(
+                    docs, alerts, "body").collect()}
+    assert via_expr == {(1, 1)}
