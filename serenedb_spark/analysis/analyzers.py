@@ -1005,3 +1005,71 @@ make_synonyms("synonyms_demo", {
 })
 make_union("union_demo", ("simple", "ngram3"))
 make_pipeline("pipeline_demo", "segmentation", ("stopwords", "stem"))
+
+# ---- per-locale `text` templates (snowball stemming) ----------------------
+# The reference resolves the `locale` option per dictionary
+# (create_tsdictionary.cpp:255-340, tokenizer_options.h:88-106) and stems
+# through ICU+snowball; here each locale's published Snowball rule table
+# (analysis/snowball.py) generates the three lock-step representations.
+# Stopword lists are pinned explicitly (small, high-frequency function
+# words) so oracles stay reproducible — same policy as ENGLISH_STOPWORDS.
+
+LOCALE_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "in", "den", "von", "zu", "mit",
+           "ist", "des", "im", "für", "auf", "ein", "eine", "als", "auch",
+           "es", "an", "werden", "aus", "er", "hat", "dass", "sie", "nach",
+           "wird", "bei", "einer"),
+    "fr": ("le", "la", "les", "de", "des", "du", "et", "en", "un", "une",
+           "dans", "est", "que", "qui", "pour", "sur", "au", "aux", "avec",
+           "ne", "pas", "ce", "se", "par", "plus", "sont", "ou", "mais",
+           "comme", "il"),
+    "es": ("el", "la", "los", "las", "de", "del", "y", "en", "un", "una",
+           "que", "es", "por", "con", "para", "su", "al", "lo", "como",
+           "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+           "esta", "son"),
+    "ru": ("и", "в", "не", "на", "я", "быть", "он", "с", "что", "а", "по",
+           "это", "она", "этот", "к", "но", "они", "мы", "как", "из", "у",
+           "который", "то", "за", "свой", "весь", "год", "от", "так", "о"),
+}
+
+# Unicode-aware tokenization (the ASCII `simple` split would shred
+# umlauts/Cyrillic). Java regex and RE2 share \p{L}\p{N}; Python's \w is
+# unicode-aware by default, so [\W_]+ states the identical class.
+_UNI_SPLIT_JVM = r"[^\p{L}\p{N}]+"
+_UNI_SPLIT_PY = r"[\W_]+"
+
+
+def _locale_text(locale: str):
+    from serenedb_spark.analysis import snowball as SB
+
+    loc = SB.LOCALES[locale]
+    stop = LOCALE_STOPWORDS[locale]
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in stop) + "]"
+
+    def expr(col: Column) -> Column:
+        toks = F.split(F.lower(col), _UNI_SPLIT_JVM)
+        stopc = F.array(*[F.lit(w) for w in stop])
+        toks = F.filter(
+            toks, lambda t: (t != F.lit("")) & ~F.array_contains(stopc, t))
+        return SB.stem_expr_list(loc, toks)
+
+    def py(s: str) -> list[str]:
+        sset = set(stop)
+        toks = [t for t in re.split(_UNI_SPLIT_PY, s.lower())
+                if t and t not in sset]
+        return [SB.stem_py(loc, t) for t in toks]
+
+    def duck(e: str) -> str:
+        toks = (
+            f"list_filter(regexp_split_to_array(lower({e}),"
+            f" '{_UNI_SPLIT_JVM}'),"
+            f" t -> t <> '' AND NOT list_contains({stop_sql}, t))"
+        )
+        return SB.stem_sql_list(loc, toks)
+
+    return expr, py, duck
+
+
+for _lc in ("de", "fr", "es", "ru"):
+    _e, _p, _d = _locale_text(_lc)
+    register(Analyzer(f"text_{_lc}", _e, _p, _d))

@@ -1,0 +1,670 @@
+"""Per-locale suffix-stripping stemmers (Snowball family), generated in
+three lock-step representations from ONE rule table per locale.
+
+The reference's ``text`` template applies per-locale snowball stemming
+through ICU (server/pg/commands/create_tsdictionary.cpp:255-340, locale
+option server/pg/tokenizer_options.h:88-106). This module re-expresses the
+published Snowball algorithms (snowballstem.org) as declarative rule
+tables — (suffix, region, replacement, conditions) per step — and GENERATES
+the three representations every analyzer must keep consistent:
+
+  * a pyspark Column expression (JVM-side, whole-stage codegen — the
+    index-build hot path never leaves the executor),
+  * a pure-Python function (query-time stemming of the tiny query string),
+  * a DuckDB SQL fragment (states the correctness-gate oracle).
+
+Because all three interpret the SAME rule table with the SAME semantics,
+the three-way consistency invariant is exact by construction; the
+differential harness (tests/test_snowball.py) fuzzes it anyway.
+
+Documented deviations from full Snowball (a portable subset, mirroring the
+repo's other locale stand-ins):
+  * Rule selection is "first APPLICABLE rule wins" (longest suffix first):
+    a rule whose suffix matches but whose side-condition fails falls
+    through to the next rule. Snowball instead blocks a whole step when
+    the longest matching suffix fails its condition, but then falls back
+    to its NEXT step ("do step2 only if step1 changed nothing") — the
+    within-step fallthrough here reproduces that cross-step fallback
+    (e.g. es 'naciones': 'aciones'+R2 fails → residual 'es' strips) at
+    the cost of occasionally stripping a shorter suffix where Snowball
+    would stop.
+  * Within-word capitalization passes (French/German U/Y marking) and
+    rare exception lists are omitted.
+  * Diacritics are folded at the END of the pipeline (ä→a, é→e, …) so
+    index terms are accent-insensitive — the reference reaches the same
+    user-visible behavior through ICU collation.
+
+Region definitions (Snowball's standard):
+  R1 = region after the first non-vowel following a vowel; R2 = R1 of R1;
+  German adjusts R1 to start at least 3 chars in. RV is per-locale
+  (French: after 3rd letter when the word starts with two vowels, else
+  after the first vowel not at the beginning; Spanish: the three-case
+  definition; Russian: after the first vowel).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Rule:
+    """One suffix rule: strip ``suffix`` (append ``repl``) when every
+    stated condition holds; if ``suffix`` matches but a condition fails,
+    evaluation falls through to the next rule (first-applicable-wins —
+    see the module docstring for how this maps onto Snowball's step
+    sequencing)."""
+
+    suffix: str
+    region: str | None = None   # 'r1' | 'r2' | 'rv' — suffix must lie inside
+    repl: str = ""
+    prec: str | None = None     # preceding char exists AND is in this set
+    prec_not: str | None = None  # preceding char exists AND is NOT in set
+    not_prec: str | None = None  # NOT (preceding char exists and in set)
+    min_stem: int = 0           # at least this many chars must remain
+
+
+@dataclass(frozen=True)
+class Locale:
+    name: str
+    vowels: str
+    steps: tuple[tuple[Rule, ...], ...]
+    rv_kind: str | None = None      # 'fr' | 'es' | 'ru' (None: unused)
+    r1_min3: bool = False           # German's 3-char floor before R1
+    prelude: tuple[tuple[str, str], ...] = ()   # literal replace pairs
+    final_from: str = ""            # translate() source chars
+    final_to: str = ""              # translate() target chars
+
+    def r1_pattern(self) -> str:
+        v = self.vowels
+        return f"^[^{v}]*[{v}]+[^{v}](.*)$"
+
+
+def _sorted(rules: tuple[Rule, ...]) -> list[Rule]:
+    # longest suffix first; stable for equal lengths (table order = priority)
+    return sorted(rules, key=lambda r: -len(r.suffix))
+
+
+# ---------------------------------------------------------------------------
+# interpreters
+#
+# Regions are FIXED POSITIONS computed once per word (Snowball semantics:
+# R1/R2/RV are positions in the original word; stripping from the end only
+# shrinks them). Each representation stages (word, r1start, r2start,
+# rvstart) once, so a rule's region condition is a single integer compare
+# — this keeps the generated Spark/DuckDB expression trees linear in the
+# rule count instead of nesting two regexp_extracts per rule.
+# ---------------------------------------------------------------------------
+
+
+def _py_region_starts(loc: Locale, w: str) -> tuple[int, int, int]:
+    pat = loc.r1_pattern()
+
+    def r1(s: str) -> str:
+        m = re.match(pat, s)
+        return m.group(1) if m else ""
+
+    n = len(w)
+    r1_ = r1(w)
+    r1s = n - len(r1_)
+    if loc.r1_min3:
+        r1s = max(r1s, 3)
+    r2s = n - len(r1(r1_))
+    rvs = n
+    v = loc.vowels
+    if loc.rv_kind == "ru":
+        m = re.match(f"^[^{v}]*[{v}](.*)$", w)
+        rvs = n - len(m.group(1)) if m else n
+    elif loc.rv_kind == "fr":
+        if re.match(f"^[{v}][{v}]", w):
+            rvs = min(3, n)
+        else:
+            m = re.match(f"^.[^{v}]*[{v}](.*)$", w)
+            rvs = n - len(m.group(1)) if m else n
+    elif loc.rv_kind == "es":
+        if re.match(f"^.[^{v}]", w):
+            m = re.match(f"^.[^{v}][^{v}]*[{v}](.*)$", w)
+            rvs = n - len(m.group(1)) if m else n
+        elif re.match(f"^[{v}][{v}]", w):
+            m = re.match(f"^[{v}][{v}][{v}]*[^{v}](.*)$", w)
+            rvs = n - len(m.group(1)) if m else n
+        else:
+            rvs = min(3, n)
+    return r1s, r2s, rvs
+
+
+def _py_step(loc: Locale, w: str, starts: tuple[int, int, int],
+             rules: tuple[Rule, ...]) -> str:
+    region_start = dict(zip(("r1", "r2", "rv"), starts))
+    for r in _sorted(rules):
+        if not w.endswith(r.suffix):
+            continue
+        L = len(r.suffix)
+        ok = len(w) - L >= r.min_stem
+        if ok and r.region:
+            ok = len(w) - L >= region_start[r.region]
+        pc = w[-L - 1] if len(w) > L else None
+        if ok and r.prec is not None:
+            ok = pc is not None and pc in r.prec
+        if ok and r.prec_not is not None:
+            ok = pc is not None and pc not in r.prec_not
+        if ok and r.not_prec is not None:
+            ok = not (pc is not None and pc in r.not_prec)
+        if ok:
+            return w[: len(w) - L] + r.repl
+    return w
+
+
+def stem_py(loc: Locale, w: str) -> str:
+    for a, b in loc.prelude:
+        w = w.replace(a, b)
+    starts = _py_region_starts(loc, w)
+    for step in loc.steps:
+        w = _py_step(loc, w, starts, step)
+    if loc.final_from:
+        w = w.translate(str.maketrans(loc.final_from, loc.final_to))
+    return w
+
+
+# ---------------------------------------------------------------------------
+# pyspark Column generator (token-level; compose with F.transform)
+# ---------------------------------------------------------------------------
+
+
+def _col_region_starts(loc: Locale, t: Column) -> tuple[Column, Column, Column]:
+    pat = loc.r1_pattern()
+
+    def r1len(c: Column) -> Column:
+        return F.length(F.regexp_extract(c, pat, 1))
+
+    n = F.length(t)
+    r1_ = F.regexp_extract(t, pat, 1)
+    r1s = n - F.length(r1_)
+    if loc.r1_min3:
+        r1s = F.greatest(r1s, F.lit(3))
+    r2s = n - r1len(r1_)
+    v = loc.vowels
+    if loc.rv_kind == "ru":
+        rvs = n - F.length(F.regexp_extract(t, f"^[^{v}]*[{v}](.*)$", 1))
+    elif loc.rv_kind == "fr":
+        rvs = (
+            F.when(t.rlike(f"^[{v}][{v}]"), F.least(F.lit(3), n))
+            .otherwise(n - F.length(
+                F.regexp_extract(t, f"^.[^{v}]*[{v}](.*)$", 1)))
+        )
+    elif loc.rv_kind == "es":
+        rvs = (
+            F.when(t.rlike(f"^.[^{v}]"),
+                   n - F.length(F.regexp_extract(
+                       t, f"^.[^{v}][^{v}]*[{v}](.*)$", 1)))
+            .when(t.rlike(f"^[{v}][{v}]"),
+                  n - F.length(F.regexp_extract(
+                      t, f"^[{v}][{v}][{v}]*[^{v}](.*)$", 1)))
+            .otherwise(F.least(F.lit(3), n))
+        )
+    else:
+        rvs = n
+    return r1s, r2s, rvs
+
+
+def _col_step(loc: Locale, s: Column, rules: tuple[Rule, ...]) -> Column:
+    """One step over the staged struct (w, r1s, r2s, rvs) -> new struct."""
+    t = s["w"]
+    start = {"r1": s["r1s"], "r2": s["r2s"], "rv": s["rvs"]}
+    out = None
+    for r in _sorted(rules):
+        L = len(r.suffix)
+        cond = t.endswith(r.suffix)
+        if r.min_stem:
+            cond = cond & (F.length(t) - F.lit(L) >= F.lit(r.min_stem))
+        if r.region:
+            cond = cond & (F.length(t) - F.lit(L) >= start[r.region])
+        pc = F.substring(t, F.length(t) - F.lit(L), F.lit(1))
+        has_pc = F.length(t) > F.lit(L)
+        if r.prec is not None:
+            cond = cond & has_pc & pc.isin(*list(r.prec))
+        if r.prec_not is not None:
+            cond = cond & has_pc & ~pc.isin(*list(r.prec_not))
+        if r.not_prec is not None:
+            cond = cond & ~(has_pc & pc.isin(*list(r.not_prec)))
+        stripped = F.concat(
+            F.substring(t, F.lit(1), F.length(t) - F.lit(L)), F.lit(r.repl))
+        out = (F.when(cond, stripped) if out is None
+               else out.when(cond, stripped))
+    w2 = out.otherwise(t) if out is not None else t
+    return F.struct(w2.alias("w"), s["r1s"].alias("r1s"),
+                    s["r2s"].alias("r2s"), s["rvs"].alias("rvs"))
+
+
+def stem_expr_list(loc: Locale, arr: Column) -> Column:
+    """Stem every token of an array<string> Column. One F.transform per
+    step: each lambda's body references only ONE step's rules, keeping
+    the column-node tree linear — chaining every step into a single
+    scalar expression would embed each step's full tree at every
+    reference the next step makes, and the converter's recursion blows
+    the JVM stack at ~100 rules."""
+    for a, b in loc.prelude:
+        arr = F.transform(arr, lambda t: F.replace(t, F.lit(a), F.lit(b)))
+
+    def stage(t: Column) -> Column:
+        r1s, r2s, rvs = _col_region_starts(loc, t)
+        return F.struct(t.alias("w"), r1s.alias("r1s"),
+                        r2s.alias("r2s"), rvs.alias("rvs"))
+
+    arr = F.transform(arr, stage)
+
+    def step_fn(step):
+        # NB: a 2-arg lambda in F.transform would be read as
+        # (element, index) — bind the step via closure instead
+        return lambda s: _col_step(loc, s, step)
+
+    for step in loc.steps:
+        arr = F.transform(arr, step_fn(step))
+    arr = F.transform(arr, lambda s: s["w"])
+    if loc.final_from:
+        arr = F.transform(
+            arr, lambda t: F.translate(t, loc.final_from, loc.final_to))
+    return arr
+
+
+def stem_expr(loc: Locale, t: Column) -> Column:
+    """Single-token Column stemmer (rides the array path so the
+    expression stays step-linear)."""
+    return F.element_at(stem_expr_list(loc, F.array(t)), 1)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL generator (token-level; compose with list_transform)
+# ---------------------------------------------------------------------------
+
+
+def _sql_region_starts(loc: Locale, t: str) -> tuple[str, str, str]:
+    pat = loc.r1_pattern()
+    r1frag = f"regexp_extract({t}, '{pat}', 1)"
+    r1s = f"(length({t}) - length({r1frag}))"
+    if loc.r1_min3:
+        r1s = f"greatest({r1s}, 3)"
+    r2s = (f"(length({t}) - length(regexp_extract({r1frag}, '{pat}', 1)))")
+    v = loc.vowels
+    if loc.rv_kind == "ru":
+        rvs = (f"(length({t}) - length(regexp_extract({t},"
+               f" '^[^{v}]*[{v}](.*)$', 1)))")
+    elif loc.rv_kind == "fr":
+        rvs = (
+            f"CASE WHEN regexp_matches({t}, '^[{v}][{v}]')"
+            f" THEN least(3, length({t}))"
+            f" ELSE length({t}) - length(regexp_extract({t},"
+            f" '^.[^{v}]*[{v}](.*)$', 1)) END"
+        )
+    elif loc.rv_kind == "es":
+        rvs = (
+            f"CASE WHEN regexp_matches({t}, '^.[^{v}]')"
+            f" THEN length({t}) - length(regexp_extract({t},"
+            f" '^.[^{v}][^{v}]*[{v}](.*)$', 1))"
+            f" WHEN regexp_matches({t}, '^[{v}][{v}]')"
+            f" THEN length({t}) - length(regexp_extract({t},"
+            f" '^[{v}][{v}][{v}]*[^{v}](.*)$', 1))"
+            f" ELSE least(3, length({t})) END"
+        )
+    else:
+        rvs = f"length({t})"
+    return r1s, r2s, rvs
+
+
+def _sql_in_set(ch_expr: str, chars: str) -> str:
+    lst = ", ".join(f"'{c}'" for c in chars)
+    return f"{ch_expr} IN ({lst})"
+
+
+def _sql_step(loc: Locale, s: str, rules: tuple[Rule, ...]) -> str:
+    """One step over the staged struct var `s` with fields w/r1s/r2s/rvs;
+    returns the SQL for the new struct."""
+    t = f"{s}.w"
+    start = {"r1": f"{s}.r1s", "r2": f"{s}.r2s", "rv": f"{s}.rvs"}
+    whens = []
+    for r in _sorted(rules):
+        L = len(r.suffix)
+        conds = [f"{t} LIKE '%{r.suffix}'"]
+        if r.min_stem:
+            conds.append(f"length({t}) - {L} >= {r.min_stem}")
+        if r.region:
+            conds.append(f"length({t}) - {L} >= {start[r.region]}")
+        pc = f"substr({t}, length({t}) - {L}, 1)"
+        has = f"length({t}) > {L}"
+        if r.prec is not None:
+            conds.append(f"({has} AND {_sql_in_set(pc, r.prec)})")
+        if r.prec_not is not None:
+            conds.append(f"({has} AND NOT {_sql_in_set(pc, r.prec_not)})")
+        if r.not_prec is not None:
+            conds.append(f"NOT ({has} AND {_sql_in_set(pc, r.not_prec)})")
+        strip = f"substr({t}, 1, length({t}) - {L}) || '{r.repl}'"
+        whens.append(f"WHEN {' AND '.join(conds)} THEN {strip}")
+    w2 = t if not whens else "CASE " + " ".join(whens) + f" ELSE {t} END"
+    return (f"{{'w': {w2}, 'r1s': {s}.r1s, 'r2s': {s}.r2s,"
+            f" 'rvs': {s}.rvs}}")
+
+
+def stem_sql_list(loc: Locale, list_expr: str) -> str:
+    """Stem every token of a DuckDB list expression. One list_transform
+    per step keeps each lambda's references to its argument LINEAR in the
+    rule count (nesting the full cascade into one expression would copy
+    the inner expression once per outer reference — exponential)."""
+    out = list_expr
+    for a, b in loc.prelude:
+        out = f"list_transform({out}, t -> replace(t, '{a}', '{b}'))"
+    r1s, r2s, rvs = _sql_region_starts(loc, "t")
+    out = (f"list_transform({out}, t -> {{'w': t, 'r1s': {r1s},"
+           f" 'r2s': {r2s}, 'rvs': {rvs}}})")
+    for step in loc.steps:
+        out = f"list_transform({out}, s -> {_sql_step(loc, 's', step)})"
+    out = f"list_transform({out}, s -> s.w)"
+    if loc.final_from:
+        out = (f"list_transform({out}, t -> translate(t,"
+               f" '{loc.final_from}', '{loc.final_to}'))")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# locale rule tables (published Snowball algorithms, portable subset)
+# ---------------------------------------------------------------------------
+
+_DE_V = "aeiouyäöü"
+GERMAN = Locale(
+    name="de",
+    vowels=_DE_V,
+    r1_min3=True,
+    prelude=(("ß", "ss"),),
+    steps=(
+        # step 1: plural/case endings
+        (
+            Rule("ern", "r1"), Rule("em", "r1"), Rule("er", "r1"),
+            Rule("en", "r1"), Rule("es", "r1"), Rule("e", "r1"),
+            Rule("s", "r1", prec="bdfghklmnrt"),
+        ),
+        # step 2: comparative/superlative + verbal st
+        (
+            Rule("est", "r1"), Rule("en", "r1"), Rule("er", "r1"),
+            Rule("st", "r1", prec="bdfghklmnt", min_stem=3),
+        ),
+        # step 3: derivational suffixes (d-suffixes, R2)
+        (
+            Rule("isch", "r2", not_prec="e"), Rule("lich", "r2"),
+            Rule("heit", "r2"), Rule("keit", "r2"),
+            Rule("end", "r2"), Rule("ung", "r2"),
+            Rule("ig", "r2", not_prec="e"), Rule("ik", "r2", not_prec="e"),
+        ),
+    ),
+    final_from="äöü",
+    final_to="aou",
+)
+
+_FR_V = "aeiouyâàëéêèïîôûù"
+FRENCH = Locale(
+    name="fr",
+    vowels=_FR_V,
+    rv_kind="fr",
+    steps=(
+        # single removal pass: standard suffixes ∪ verb suffixes,
+        # longest-match-first (Snowball tries these as alternative steps;
+        # union keeps exactly one removal)
+        (
+            # standard (mostly R2)
+            Rule("issements", "r1", prec_not=_FR_V),
+            Rule("issement", "r1", prec_not=_FR_V),
+            Rule("atrices", "r2"), Rule("atrice", "r2"),
+            Rule("ateurs", "r2"), Rule("ateur", "r2"),
+            Rule("ations", "r2"), Rule("ation", "r2"),
+            Rule("logies", "r2", repl="log"),
+            Rule("logie", "r2", repl="log"),
+            Rule("ismes", "r2"), Rule("isme", "r2"),
+            Rule("ances", "r2"), Rule("ance", "r2"),
+            Rule("iques", "r2"), Rule("ique", "r2"),
+            Rule("istes", "r2"), Rule("iste", "r2"),
+            Rule("ables", "r2"), Rule("able", "r2"),
+            Rule("ences", "r2", repl="ent"), Rule("ence", "r2", repl="ent"),
+            Rule("ements", "rv"), Rule("ement", "rv"),
+            Rule("euses", "r2"), Rule("euse", "r2"),
+            Rule("ités", "r2"), Rule("ité", "r2"),
+            Rule("ives", "r2"), Rule("ive", "r2"),
+            Rule("ifs", "r2"), Rule("if", "r2"),
+            Rule("eaux", repl="eau"), Rule("aux", "r1", repl="al"),
+            Rule("eux", "r2"),
+            Rule("amment", "rv", repl="ant"),
+            Rule("emment", "rv", repl="ent"),
+            Rule("ments", "rv", prec=_FR_V), Rule("ment", "rv", prec=_FR_V),
+            # i-verbs (RV, preceded by a non-vowel)
+            Rule("issaient", "rv", prec_not=_FR_V),
+            Rule("issantes", "rv", prec_not=_FR_V),
+            Rule("issante", "rv", prec_not=_FR_V),
+            Rule("issants", "rv", prec_not=_FR_V),
+            Rule("issant", "rv", prec_not=_FR_V),
+            Rule("issions", "rv", prec_not=_FR_V),
+            Rule("issiez", "rv", prec_not=_FR_V),
+            Rule("issais", "rv", prec_not=_FR_V),
+            Rule("issait", "rv", prec_not=_FR_V),
+            Rule("issons", "rv", prec_not=_FR_V),
+            Rule("issez", "rv", prec_not=_FR_V),
+            Rule("isses", "rv", prec_not=_FR_V),
+            Rule("isse", "rv", prec_not=_FR_V),
+            Rule("irent", "rv", prec_not=_FR_V),
+            Rule("irais", "rv", prec_not=_FR_V),
+            Rule("irait", "rv", prec_not=_FR_V),
+            Rule("irions", "rv", prec_not=_FR_V),
+            Rule("iraient", "rv", prec_not=_FR_V),
+            Rule("iriez", "rv", prec_not=_FR_V),
+            Rule("irons", "rv", prec_not=_FR_V),
+            Rule("iront", "rv", prec_not=_FR_V),
+            Rule("irez", "rv", prec_not=_FR_V),
+            Rule("irai", "rv", prec_not=_FR_V),
+            Rule("iras", "rv", prec_not=_FR_V),
+            Rule("ira", "rv", prec_not=_FR_V),
+            Rule("îmes", "rv", prec_not=_FR_V),
+            Rule("îtes", "rv", prec_not=_FR_V),
+            Rule("ît", "rv", prec_not=_FR_V),
+            Rule("ies", "rv", prec_not=_FR_V),
+            Rule("ie", "rv", prec_not=_FR_V),
+            Rule("ir", "rv", prec_not=_FR_V),
+            Rule("is", "rv", prec_not=_FR_V),
+            Rule("it", "rv", prec_not=_FR_V),
+            Rule("i", "rv", prec_not=_FR_V),
+            # e/a-verbs (RV)
+            Rule("eraient", "rv"), Rule("erions", "rv"),
+            Rule("èrent", "rv"), Rule("erais", "rv"), Rule("erait", "rv"),
+            Rule("eriez", "rv"), Rule("erons", "rv"), Rule("eront", "rv"),
+            Rule("erai", "rv"), Rule("eras", "rv"), Rule("era", "rv"),
+            Rule("ées", "rv"), Rule("ée", "rv"), Rule("és", "rv"),
+            Rule("ez", "rv"), Rule("er", "rv"), Rule("é", "rv"),
+            Rule("assions", "rv"), Rule("assiez", "rv"),
+            Rule("assent", "rv"), Rule("asses", "rv"), Rule("asse", "rv"),
+            Rule("antes", "rv"), Rule("ante", "rv"), Rule("ants", "rv"),
+            Rule("ant", "rv"),
+            Rule("âmes", "rv"), Rule("âtes", "rv"), Rule("ât", "rv"),
+            Rule("aient", "rv"), Rule("ais", "rv"), Rule("ait", "rv"),
+            Rule("ai", "rv"), Rule("as", "rv"), Rule("a", "rv"),
+        ),
+        # residual
+        (
+            Rule("ière", repl="i"), Rule("ier", repl="i"),
+            Rule("e", "rv"),
+            Rule("s", not_prec="aiouès", min_stem=1),
+        ),
+    ),
+    final_from="âàëéêèïîôûùç",
+    final_to="aaeeeeiiouuc",
+)
+
+_ES_V = "aeiouáéíóúü"
+SPANISH = Locale(
+    name="es",
+    vowels=_ES_V,
+    rv_kind="es",
+    steps=(
+        # single removal pass: standard (R2) ∪ verb (RV) suffixes
+        (
+            Rule("amientos", "r2"), Rule("imientos", "r2"),
+            Rule("amiento", "r2"), Rule("imiento", "r2"),
+            Rule("aciones", "r2"), Rule("ación", "r2"),
+            Rule("acion", "r2"),
+            Rule("uciones", "r2", repl="u"), Rule("ución", "r2", repl="u"),
+            Rule("ucion", "r2", repl="u"),
+            Rule("logías", "r2", repl="log"),
+            Rule("logía", "r2", repl="log"),
+            Rule("logias", "r2", repl="log"),
+            Rule("logia", "r2", repl="log"),
+            Rule("encias", "r2", repl="ente"),
+            Rule("encia", "r2", repl="ente"),
+            Rule("idades", "r2"), Rule("idad", "r2"),
+            Rule("anzas", "r2"), Rule("anza", "r2"),
+            Rule("ismos", "r2"), Rule("ismo", "r2"),
+            Rule("ables", "r2"), Rule("able", "r2"),
+            Rule("ibles", "r2"), Rule("ible", "r2"),
+            Rule("istas", "r2"), Rule("ista", "r2"),
+            Rule("osos", "r2"), Rule("osas", "r2"),
+            Rule("oso", "r2"), Rule("osa", "r2"),
+            Rule("icos", "r2"), Rule("icas", "r2"),
+            Rule("ico", "r2"), Rule("ica", "r2"),
+            Rule("adoras", "r2"), Rule("adores", "r2"),
+            Rule("adora", "r2"), Rule("ador", "r2"),
+            Rule("antes", "r2"), Rule("ante", "r2"),
+            Rule("ancias", "r2"), Rule("ancia", "r2"),
+            Rule("ivas", "r2"), Rule("ivos", "r2"),
+            Rule("iva", "r2"), Rule("ivo", "r2"),
+            Rule("ezas", "r2"), Rule("eza", "r2"),
+            Rule("amente", "r1"), Rule("mente", "r2"),
+            # verb suffixes (RV)
+            Rule("aríamos", "rv"), Rule("eríamos", "rv"),
+            Rule("iríamos", "rv"), Rule("iéramos", "rv"),
+            Rule("iésemos", "rv"),
+            Rule("aríais", "rv"), Rule("eríais", "rv"),
+            Rule("iríais", "rv"), Rule("ierais", "rv"),
+            Rule("ieseis", "rv"), Rule("asteis", "rv"),
+            Rule("isteis", "rv"),
+            Rule("aremos", "rv"), Rule("eremos", "rv"),
+            Rule("iremos", "rv"), Rule("áramos", "rv"),
+            Rule("ásemos", "rv"), Rule("ábamos", "rv"),
+            Rule("arían", "rv"), Rule("arías", "rv"), Rule("aréis", "rv"),
+            Rule("erían", "rv"), Rule("erías", "rv"), Rule("eréis", "rv"),
+            Rule("irían", "rv"), Rule("irías", "rv"), Rule("iréis", "rv"),
+            Rule("ieran", "rv"), Rule("iesen", "rv"), Rule("ieron", "rv"),
+            Rule("iendo", "rv"), Rule("ieras", "rv"), Rule("ieses", "rv"),
+            Rule("abais", "rv"), Rule("arais", "rv"), Rule("aseis", "rv"),
+            Rule("íamos", "rv"),
+            Rule("aría", "rv"), Rule("arás", "rv"), Rule("ará", "rv"),
+            Rule("aré", "rv"),
+            Rule("ería", "rv"), Rule("erás", "rv"), Rule("erá", "rv"),
+            Rule("eré", "rv"),
+            Rule("iría", "rv"), Rule("irás", "rv"), Rule("irá", "rv"),
+            Rule("iré", "rv"),
+            Rule("aban", "rv"), Rule("aran", "rv"), Rule("asen", "rv"),
+            Rule("aron", "rv"), Rule("ando", "rv"),
+            Rule("abas", "rv"), Rule("adas", "rv"), Rule("idas", "rv"),
+            Rule("aras", "rv"), Rule("ases", "rv"), Rule("íais", "rv"),
+            Rule("ados", "rv"), Rule("idos", "rv"), Rule("amos", "rv"),
+            Rule("emos", "rv"), Rule("imos", "rv"),
+            Rule("iera", "rv"), Rule("iese", "rv"), Rule("aste", "rv"),
+            Rule("iste", "rv"), Rule("aba", "rv"), Rule("ada", "rv"),
+            Rule("ida", "rv"), Rule("ara", "rv"), Rule("ase", "rv"),
+            Rule("ían", "rv"), Rule("ado", "rv"), Rule("ido", "rv"),
+            Rule("ías", "rv"), Rule("áis", "rv"), Rule("éis", "rv"),
+            Rule("ía", "rv"), Rule("ad", "rv"), Rule("ed", "rv"),
+            Rule("id", "rv"), Rule("an", "rv"), Rule("ió", "rv"),
+            Rule("ar", "rv"), Rule("er", "rv"), Rule("ir", "rv"),
+            Rule("as", "rv"), Rule("ís", "rv"), Rule("en", "rv"),
+            Rule("es", "rv"),
+        ),
+        # residual vowels (RV)
+        (
+            Rule("os", "rv"), Rule("a", "rv"), Rule("o", "rv"),
+            Rule("á", "rv"), Rule("í", "rv"), Rule("ó", "rv"),
+            Rule("e", "rv"), Rule("é", "rv"),
+        ),
+    ),
+    final_from="áéíóúü",
+    final_to="aeiouu",
+)
+
+_RU_V = "аеиоуыэюя"
+RUSSIAN = Locale(
+    name="ru",
+    vowels=_RU_V,
+    rv_kind="ru",
+    steps=(
+        # perfective gerund
+        (
+            Rule("ившись", "rv"), Rule("ывшись", "rv"),
+            Rule("вшись", "rv", prec="ая"),
+            Rule("ивши", "rv"), Rule("ывши", "rv"),
+            Rule("вши", "rv", prec="ая"),
+            Rule("ив", "rv"), Rule("ыв", "rv"),
+            Rule("в", "rv", prec="ая"),
+        ),
+        # reflexive
+        (Rule("ся", "rv"), Rule("сь", "rv")),
+        # adjectival ∪ participle ∪ verb ∪ noun — one removal,
+        # longest-match-first
+        (
+            # adjective endings
+            Rule("ими", "rv"), Rule("ыми", "rv"),
+            Rule("его", "rv"), Rule("ого", "rv"),
+            Rule("ему", "rv"), Rule("ому", "rv"),
+            Rule("ее", "rv"), Rule("ие", "rv"), Rule("ые", "rv"),
+            Rule("ое", "rv"), Rule("ей", "rv"), Rule("ий", "rv"),
+            Rule("ый", "rv"), Rule("ой", "rv"), Rule("ем", "rv"),
+            Rule("им", "rv"), Rule("ым", "rv"), Rule("ом", "rv"),
+            Rule("их", "rv"), Rule("ых", "rv"), Rule("ую", "rv"),
+            Rule("юю", "rv"), Rule("ая", "rv"), Rule("яя", "rv"),
+            Rule("ою", "rv"), Rule("ею", "rv"),
+            # participle
+            Rule("ивш", "rv"), Rule("ывш", "rv"), Rule("ующ", "rv"),
+            Rule("вш", "rv", prec="ая"), Rule("ющ", "rv", prec="ая"),
+            Rule("щ", "rv", prec="ая"),
+            # verb endings
+            Rule("ейте", "rv"), Rule("уйте", "rv"),
+            Rule("ила", "rv"), Rule("ыла", "rv"), Rule("ена", "rv"),
+            Rule("ите", "rv"), Rule("или", "rv"), Rule("ыли", "rv"),
+            Rule("ило", "rv"), Rule("ыло", "rv"), Rule("ено", "rv"),
+            Rule("ует", "rv"), Rule("уют", "rv"), Rule("ены", "rv"),
+            Rule("ить", "rv"), Rule("ыть", "rv"), Rule("ишь", "rv"),
+            Rule("ил", "rv"), Rule("ыл", "rv"), Rule("ей", "rv"),
+            Rule("уй", "rv"), Rule("ен", "rv"), Rule("ят", "rv"),
+            Rule("ит", "rv"), Rule("ыт", "rv"), Rule("ую", "rv"),
+            Rule("ю", "rv", prec="ая"),
+            Rule("ете", "rv", prec="ая"), Rule("йте", "rv", prec="ая"),
+            Rule("ла", "rv", prec="ая"), Rule("на", "rv", prec="ая"),
+            Rule("ли", "rv", prec="ая"), Rule("ло", "rv", prec="ая"),
+            Rule("но", "rv", prec="ая"), Rule("ет", "rv", prec="ая"),
+            Rule("ют", "rv", prec="ая"), Rule("ны", "rv", prec="ая"),
+            Rule("ть", "rv", prec="ая"), Rule("ешь", "rv", prec="ая"),
+            Rule("нно", "rv", prec="ая"),
+            Rule("й", "rv", prec="ая"), Rule("л", "rv", prec="ая"),
+            Rule("н", "rv", prec="ая"),
+            # noun endings
+            Rule("иями", "rv"), Rule("ями", "rv"), Rule("ами", "rv"),
+            Rule("ией", "rv"), Rule("иям", "rv"), Rule("ием", "rv"),
+            Rule("иях", "rv"), Rule("ию", "rv"), Rule("ья", "rv"),
+            Rule("ье", "rv"), Rule("ьи", "rv"), Rule("ью", "rv"),
+            Rule("еи", "rv"), Rule("ии", "rv"), Rule("ев", "rv"),
+            Rule("ов", "rv"), Rule("ам", "rv"), Rule("ах", "rv"),
+            Rule("ях", "rv"), Rule("ям", "rv"), Rule("ия", "rv"),
+            Rule("а", "rv"), Rule("е", "rv"), Rule("и", "rv"),
+            Rule("й", "rv"), Rule("о", "rv"), Rule("у", "rv"),
+            Rule("ы", "rv"), Rule("ь", "rv"), Rule("ю", "rv"),
+            Rule("я", "rv"),
+        ),
+        # tidy-up: trailing и, derivational ост/ость (R2), superlative,
+        # undouble н, soft sign
+        (Rule("и", "rv"),),
+        (Rule("ость", "r2"), Rule("ост", "r2")),
+        (Rule("ейше", "rv"), Rule("ейш", "rv")),
+        (Rule("нн", "rv", repl="н"),),
+        (Rule("ь", "rv"),),
+    ),
+)
+
+LOCALES: dict[str, Locale] = {
+    "de": GERMAN, "fr": FRENCH, "es": SPANISH, "ru": RUSSIAN,
+}

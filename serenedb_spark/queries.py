@@ -1592,6 +1592,36 @@ _register("fts_stemmed_term", _fts_stemmed,
                       order="doc_id"))
 
 
+# per-locale snowball templates (reference resolves the `locale` option
+# per dictionary, create_tsdictionary.cpp:255-340 + tokenizer_options.h:88;
+# analysis/snowball.py generates the three lock-step representations from
+# the published rule tables). The query term is stemmed at registration
+# time through the SAME analyzer the index uses, so inflections conflate;
+# the oracle re-tokenizes every document with the generated DuckDB
+# fragment — a full pipeline equivalence check per locale.
+def _register_locale_stemmed() -> None:
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    def make(lc: str, word: str):
+        term = get_analyzer(f"text_{lc}").tokens(word)[0]
+
+        def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+            idx = doc_index(spark, sf_dir, analyzer=f"text_{lc}")
+            return (compile_query(idx, _DOC_COL, q.Term(term))
+                    .doc_ids.orderBy("doc_id"))
+
+        _register(
+            f"fts_stemmed_term_{lc}", fn,
+            O.match_sql(_DOC_TABLE, _DOC_COL, f"text_{lc}", q.Term(term),
+                        order="doc_id"))
+
+    for _lc in ("de", "fr", "es", "ru"):
+        make(_lc, "table")
+
+
+_register_locale_stemmed()
+
+
 # minhash analyzer (create_tsdictionary.cpp:758): the index's term
 # dictionary IS the corpus signature table — facet it
 def _fts_minhash_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3539,12 +3569,15 @@ _GATE_WINDOW = [
     "fts_boosted_phrase_or", "fts_composite_cross_field",
     # --- re-gated this round with a bounds-boolean oracle -----------------
     "approx_aggregates",
+    # --- new-in-r6: per-locale snowball stemming ---------------------------
+    "fts_stemmed_term_de", "fts_stemmed_term_fr",
+    "fts_stemmed_term_es", "fts_stemmed_term_ru",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "tpch_q9_profit", "window_battery", "grouping_sets",
     "ordered_set_aggs", "setop_except", "exists_semi_join", "qualify_topn",
-    "deterministic_sample", "events_json_extract", "fts_term",
-    "fts_phrase_gaps", "fts_fuzzy", "fts_websearch", "fts_substring_search",
-    "fts_highlight", "fts_covered_include", "geo_bbox_contains",
+    "deterministic_sample", "events_json_extract",
+    "fts_fuzzy", "fts_substring_search",
+    "fts_highlight", "geo_bbox_contains",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
     "text_fingerprint", "mm_decode_meta", "pipeline_clean_corpus",
 ]
