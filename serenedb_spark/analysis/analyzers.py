@@ -554,28 +554,51 @@ def _geopoint(levels: tuple[float, ...] = _GEO_LEVELS):
 
 
 def _geojson(levels: tuple[float, ...] = _GEO_LEVELS):
-    """`geojson` template (create_tsdictionary.cpp:652): a GeoJSON Point
-    string → the same grid-cell terms as `geopoint`. GeoJSON coordinate
-    order is [lon, lat]. Non-Point geometries and unparseable input emit
-    no terms (polygon coverings are a documented deviation — the
-    reference covers full geometries via S2)."""
+    """`geojson` template (create_tsdictionary.cpp:652): a GeoJSON
+    Point / LineString / Polygon string → grid-cell terms at each level.
+    GeoJSON coordinate order is [lon, lat]. Non-point geometries are
+    covered by their BOUNDING-BOX cells (all cells the bbox touches,
+    row-major) — lossless but coarser than the reference's exact S2
+    interior covering (documented deviation; the exact geometry check
+    always runs on retrieved candidates, functions/geometry.py). Other
+    geometry types and unparseable input emit no terms."""
 
     def expr(col: Column) -> Column:
         typ = F.get_json_object(col, "$.type")
-        lon = F.get_json_object(col, "$.coordinates[0]").try_cast("double")
-        lat = F.get_json_object(col, "$.coordinates[1]").try_cast("double")
-        toks = [
-            F.concat_ws(":", F.lit(f"g{d}"),
-                        F.floor(lat / F.lit(d)).cast("long"),
-                        F.floor(lon / F.lit(d)).cast("long"))
-            for d in levels
-        ]
+        coords = F.get_json_object(col, "$.coordinates")
+        pt = F.from_json(coords, "array<double>")
+        ln = F.from_json(coords, "array<array<double>>")
+        pg = F.from_json(coords, "array<array<array<double>>>")
+        pos = (
+            F.when(typ == "Point", F.array(pt))
+            .when(typ == "LineString", ln)
+            .when(typ == "Polygon", F.flatten(pg))
+        )
+        bad = F.size(F.filter(
+            pos, lambda p: p.isNull() | (F.size(p) < 2)
+            | F.element_at(p, 1).isNull() | F.element_at(p, 2).isNull()
+        )) > 0
+        lons = F.transform(pos, lambda p: F.element_at(p, 1))
+        lats = F.transform(pos, lambda p: F.element_at(p, 2))
+        x0, x1 = F.array_min(lons), F.array_max(lons)
+        y0, y1 = F.array_min(lats), F.array_max(lats)
+        per_level = []
+        for d in levels:
+            r0 = F.floor(y0 / F.lit(d)).cast("long")
+            r1 = F.floor(y1 / F.lit(d)).cast("long")
+            c0 = F.floor(x0 / F.lit(d)).cast("long")
+            c1 = F.floor(x1 / F.lit(d)).cast("long")
+            per_level.append(F.flatten(F.transform(
+                F.sequence(r0, r1),
+                lambda r: F.transform(
+                    F.sequence(c0, c1),
+                    lambda c: F.concat_ws(":", F.lit(f"g{d}"), r, c)),
+            )))
         return (
             F.when(col.isNull(), F.lit(None).cast("array<string>"))
-            .when((typ != "Point") | typ.isNull()
-                  | lat.isNull() | lon.isNull(),
+            .when(pos.isNull() | (F.size(pos) == 0) | bad,
                   F.array().cast("array<string>"))
-            .otherwise(F.array(*toks))
+            .otherwise(F.concat(*per_level))
         )
 
     def py(s: str) -> list[str]:
@@ -584,32 +607,69 @@ def _geojson(levels: tuple[float, ...] = _GEO_LEVELS):
 
         try:
             obj = json.loads(s)
-            if not isinstance(obj, dict) or obj.get("type") != "Point":
+            typ = obj.get("type") if isinstance(obj, dict) else None
+            if typ == "Point":
+                pos = [obj["coordinates"]]
+            elif typ == "LineString":
+                pos = obj["coordinates"]
+            elif typ == "Polygon":
+                pos = [p for ring in obj["coordinates"] for p in ring]
+            else:
                 return []
-            lon, lat = float(obj["coordinates"][0]), \
-                float(obj["coordinates"][1])
+            pos = [(float(p[0]), float(p[1])) for p in pos]
+            if not pos:
+                return []
         except (ValueError, KeyError, IndexError, TypeError):
             return []
-        return [
-            f"g{d}:{math.floor(lat / d)}:{math.floor(lon / d)}"
-            for d in levels
-        ]
+        x0, x1 = min(x for x, _ in pos), max(x for x, _ in pos)
+        y0, y1 = min(y for _, y in pos), max(y for _, y in pos)
+        out = []
+        for d in levels:
+            for r in range(math.floor(y0 / d), math.floor(y1 / d) + 1):
+                for c in range(math.floor(x0 / d), math.floor(x1 / d) + 1):
+                    out.append(f"g{d}:{r}:{c}")
+        return out
 
     def duck(e: str) -> str:
         typ = f"json_extract_string({e}, '$.type')"
-        lon = f"TRY_CAST(json_extract({e}, '$.coordinates[0]') AS DOUBLE)"
-        lat = f"TRY_CAST(json_extract({e}, '$.coordinates[1]') AS DOUBLE)"
-        items = ", ".join(
-            f"concat('g{d}', ':', CAST(floor({lat} / {d}) AS BIGINT),"
-            f" ':', CAST(floor({lon} / {d}) AS BIGINT))"
-            for d in levels
+        coords = f"json_extract({e}, '$.coordinates')"
+        pos = (
+            f"CASE WHEN {typ} = 'Point'"
+            f" THEN [json_transform({coords}, '[\"DOUBLE\"]')]"
+            f" WHEN {typ} = 'LineString'"
+            f" THEN json_transform({coords}, '[[\"DOUBLE\"]]')"
+            f" WHEN {typ} = 'Polygon'"
+            f" THEN flatten(json_transform({coords}, '[[[\"DOUBLE\"]]]'))"
+            f" END"
         )
+        bad = (
+            f"len(list_filter({pos}, p -> p IS NULL OR len(p) < 2"
+            f" OR p[1] IS NULL OR p[2] IS NULL)) > 0"
+        )
+        x0 = f"list_min(list_transform({pos}, p -> p[1]))"
+        x1 = f"list_max(list_transform({pos}, p -> p[1]))"
+        y0 = f"list_min(list_transform({pos}, p -> p[2]))"
+        y1 = f"list_max(list_transform({pos}, p -> p[2]))"
+        per_level = []
+        for d in levels:
+            r0 = f"CAST(floor({y0} / {d}) AS BIGINT)"
+            r1 = f"CAST(floor({y1} / {d}) AS BIGINT)"
+            c0 = f"CAST(floor({x0} / {d}) AS BIGINT)"
+            c1 = f"CAST(floor({x1} / {d}) AS BIGINT)"
+            per_level.append(
+                f"flatten(list_transform(range({r0}, {r1} + 1),"
+                f" r -> list_transform(range({c0}, {c1} + 1),"
+                f" c -> concat('g{d}', ':', r, ':', c))))"
+            )
+        cells = " || ".join(per_level)
+        # explicit VARCHAR[] casts: with a literal input DuckDB constant-
+        # folds the branches and then refuses to unify []'s "NULL"[] type
         return (
             f"CASE WHEN {e} IS NULL THEN NULL"
-            f" WHEN NOT json_valid({e}) THEN []"  # duckdb json_* throws
-            f" WHEN {typ} IS DISTINCT FROM 'Point'"
-            f" OR {lat} IS NULL OR {lon} IS NULL THEN []"
-            f" ELSE [{items}] END"
+            f" WHEN NOT json_valid({e}) THEN []::VARCHAR[]"  # json_* throws
+            f" WHEN {pos} IS NULL OR len({pos}) = 0 OR {bad}"
+            f" THEN []::VARCHAR[]"
+            f" ELSE CAST({cells} AS VARCHAR[]) END"
         )
 
     return expr, py, duck

@@ -2990,6 +2990,166 @@ ORDER BY point_id
 _register("geo_circle_intersects", _geo_intersects, _geo_intersects_oracle())
 
 
+# convex query pentagon / polyline, (x=lon, y=lat) — literals shared by
+# the Spark plan and the generated DuckDB predicate (functions/geometry.py)
+_GEO_PENTAGON = [(5.03, 14.11), (17.21, 17.33), (14.47, 29.19),
+                 (4.97, 31.61), (-1.53, 22.07)]
+_GEO_LINESTRING = [(-60.13, -20.07), (-45.31, 5.17), (-30.27, -10.23),
+                   (-15.11, 12.29)]
+
+
+def _geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains(polygon, point) — covering-cell prefilter + unrolled
+    ray cast (reference geo_filter_builder.cpp:523 S2 covering + exact
+    check; libs/geo/)."""
+    from serenedb_spark.functions import geo as G
+    from serenedb_spark.functions import geometry as GM
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    return GM.polygon_contains_points(pts, _GEO_PENTAGON).orderBy("point_id")
+
+
+def _geo_polygon_contains_oracle() -> str:
+    from serenedb_spark.functions import geo as G
+    from serenedb_spark.functions import geometry as GM
+
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id")
+    pip = GM.duckdb_point_in_polygon("lon", "lat", _GEO_PENTAGON)
+    # exact check WITHOUT the cell prefilter — equality proves the
+    # polygon covering lossless
+    return f"""
+SELECT point_id, lat, lon FROM ({pts})
+WHERE {pip}
+ORDER BY point_id
+"""
+
+
+_register("geo_polygon_contains", _geo_polygon_contains,
+          _geo_polygon_contains_oracle())
+
+
+def _geo_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects(polygon, square-polygon corpus) — dilated covering
+    prefilter on the squares' center cells + separating-axis exact
+    check."""
+    from serenedb_spark.functions import geometry as GM
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    sq = GM.synth_squares(orders.select("o_orderkey").distinct(),
+                          "o_orderkey")
+    return GM.polygon_intersects_squares(sq, _GEO_PENTAGON) \
+        .orderBy("geom_id")
+
+
+def _geo_polygon_intersects_oracle() -> str:
+    from serenedb_spark.functions import geometry as GM
+
+    sq = GM.duckdb_synth_squares(
+        "(SELECT DISTINCT o_orderkey FROM orders)", "o_orderkey")
+    sat = GM.duckdb_convex_polygon_intersects_rect(
+        _GEO_PENTAGON, "cx", "cy", "half")
+    return f"""
+SELECT geom_id, cx, cy, half FROM ({sq})
+WHERE {sat}
+ORDER BY geom_id
+"""
+
+
+_register("geo_polygon_intersects", _geo_polygon_intersects,
+          _geo_polygon_intersects_oracle())
+
+
+def _geo_linestring_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects(linestring, square-polygon corpus) — per-segment
+    SAT after the dilated covering prefilter."""
+    from serenedb_spark.functions import geometry as GM
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    sq = GM.synth_squares(orders.select("o_orderkey").distinct(),
+                          "o_orderkey")
+    return GM.linestring_intersects_squares(sq, _GEO_LINESTRING) \
+        .orderBy("geom_id")
+
+
+def _geo_linestring_intersects_oracle() -> str:
+    from serenedb_spark.functions import geometry as GM
+
+    sq = GM.duckdb_synth_squares(
+        "(SELECT DISTINCT o_orderkey FROM orders)", "o_orderkey")
+    sat = GM.duckdb_linestring_intersects_rect(
+        _GEO_LINESTRING, "cx", "cy", "half")
+    return f"""
+SELECT geom_id, cx, cy, half FROM ({sq})
+WHERE {sat}
+ORDER BY geom_id
+"""
+
+
+_register("geo_linestring_intersects", _geo_linestring_intersects,
+          _geo_linestring_intersects_oracle())
+
+
+def _geo_indexed_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects through the INVERTED INDEX: square polygons are
+    rendered as GeoJSON and indexed by the `geojson` analyzer's
+    bbox-cell terms; the query polygon's covering becomes an AnyOf term
+    disjunction, the docstore late-materializes the covered (cx,cy,half)
+    columns, SAT confirms exactly. Lossless end to end: any intersection
+    point lies in a cell both coverings contain — the oracle is the
+    direct exact scan with NO index."""
+    from serenedb_spark.functions import geometry as GM
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    sq = GM.synth_squares(cust.select("c_custkey").distinct(), "c_custkey")
+    gj = F.concat(
+        F.lit('{"type":"Polygon","coordinates":[[['),
+        (F.col("cx") - F.col("half")).cast("string"), F.lit(","),
+        (F.col("cy") - F.col("half")).cast("string"), F.lit("],["),
+        (F.col("cx") + F.col("half")).cast("string"), F.lit(","),
+        (F.col("cy") - F.col("half")).cast("string"), F.lit("],["),
+        (F.col("cx") + F.col("half")).cast("string"), F.lit(","),
+        (F.col("cy") + F.col("half")).cast("string"), F.lit("],["),
+        (F.col("cx") - F.col("half")).cast("string"), F.lit(","),
+        (F.col("cy") + F.col("half")).cast("string"), F.lit("],["),
+        (F.col("cx") - F.col("half")).cast("string"), F.lit(","),
+        (F.col("cy") - F.col("half")).cast("string"), F.lit("]]]}"),
+    )
+    docs = sq.select(F.col("geom_id").alias("doc_id"),
+                     "cx", "cy", "half", gj.alias("geom"))
+    idx = build_index(docs, {"geom": "geojson"}, key="doc_id",
+                      name="geo_polygons")
+    terms = [f"g1.0:{c}"
+             for c in GM.polygon_covering_cells(_GEO_PENTAGON, 1.0)]
+    ids = compile_query(idx, "geom", q.AnyOf(terms)).doc_ids
+    return (
+        idx.docstore.join(ids, "doc_id", "left_semi")
+        .where(GM.convex_polygon_intersects_rect_col(
+            _GEO_PENTAGON, F.col("cx"), F.col("cy"), F.col("half")))
+        .select("doc_id", "cx", "cy", "half")
+        .orderBy("doc_id")
+    )
+
+
+def _geo_indexed_polygon_oracle() -> str:
+    from serenedb_spark.functions import geometry as GM
+
+    sq = GM.duckdb_synth_squares(
+        "(SELECT DISTINCT c_custkey FROM customer)", "c_custkey")
+    sat = GM.duckdb_convex_polygon_intersects_rect(
+        _GEO_PENTAGON, "cx", "cy", "half")
+    return f"""
+SELECT geom_id AS doc_id, cx, cy, half FROM ({sq})
+WHERE {sat}
+ORDER BY doc_id
+"""
+
+
+_register("geo_indexed_polygon", _geo_indexed_polygon,
+          _geo_indexed_polygon_oracle())
+
+
 _GEO_POLYGON = [(35.0, 8.0), (40.0, 12.0), (38.0, 16.0), (33.0, 13.0)]
 
 
@@ -3572,12 +3732,15 @@ _GATE_WINDOW = [
     # --- new-in-r6: per-locale snowball stemming ---------------------------
     "fts_stemmed_term_de", "fts_stemmed_term_fr",
     "fts_stemmed_term_es", "fts_stemmed_term_ru",
+    # --- new-in-r6: polygon/linestring geometry (scan + indexed paths) ----
+    "geo_polygon_contains", "geo_polygon_intersects",
+    "geo_linestring_intersects", "geo_indexed_polygon",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "tpch_q9_profit", "window_battery", "grouping_sets",
-    "ordered_set_aggs", "setop_except", "exists_semi_join", "qualify_topn",
-    "deterministic_sample", "events_json_extract",
+    "setop_except", "exists_semi_join",
+    "deterministic_sample",
     "fts_fuzzy", "fts_substring_search",
-    "fts_highlight", "geo_bbox_contains",
+    "fts_highlight",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
     "text_fingerprint", "mm_decode_meta", "pipeline_clean_corpus",
 ]

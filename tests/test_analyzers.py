@@ -21,6 +21,11 @@ SAMPLES = [
     "  punctuation...only!!!  ",
     "MixedCASE tokens 123 456-789",
     "unicode café naïve 中文",
+    '{"type":"Point","coordinates":[10.5,20.5]}',
+    '{"type":"Polygon","coordinates":'
+    '[[[1.0,1.0],[2.5,1.0],[2.5,2.5],[1.0,2.5],[1.0,1.0]]]}',
+    '{"type":"LineString","coordinates":[[-0.9,0.1],[1.9,0.4]]}',
+    '{"type":"MultiPolygon","coordinates":[]}',
 ]
 
 
