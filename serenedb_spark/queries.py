@@ -1079,6 +1079,119 @@ FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
 """)
 
 
+def _variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT battery (reference site_docs/sql/data_types/variant.test):
+    literals of every JSON shape through Spark's native VariantType —
+    parse_json construction, variant_typeof (collapsed label), to_json
+    rendering, typed path extraction (variant_extract / `data.name`),
+    try-cast semantics. The oracle states the same surface over DuckDB's
+    JSON layer (DuckDB 1.0 predates native VARIANT)."""
+    from serenedb_spark.functions import variant as V
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    js = (
+        F.when(k % 4 == 0, k.cast("string"))
+        .when(k % 4 == 1, F.concat(F.lit('"s'), (k % 50).cast("string"),
+                                   F.lit('"')))
+        .when(k % 4 == 2, F.concat(F.lit("["), (k % 7).cast("string"),
+                                   F.lit(","), (k % 5).cast("string"),
+                                   F.lit("]")))
+        .otherwise(F.concat(F.lit('{"age":'), (k % 90).cast("string"),
+                            F.lit(',"name":"n'), (k % 30).cast("string"),
+                            F.lit('"}')))
+    )
+    v = F.parse_json(js)
+    return (
+        orders.where(k < 400)
+        .select(
+            "o_orderkey",
+            V.variant_kind(v).alias("vtype"),
+            F.to_json(v).alias("rendered"),
+            F.try_variant_get(v, "$.name", "string").alias("name"),
+            (F.try_variant_get(v, "$.age", "long") + 1).alias("age_plus"),
+            F.try_variant_get(v, "$[1]", "long").alias("elem1"),
+            F.try_variant_get(v, "$", "long").alias("as_num"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _variant_battery_oracle() -> str:
+    from serenedb_spark.functions import variant as V
+
+    js = (
+        "CASE WHEN o_orderkey % 4 = 0 THEN CAST(o_orderkey AS VARCHAR)"
+        " WHEN o_orderkey % 4 = 1 THEN '\"s' || (o_orderkey % 50) || '\"'"
+        " WHEN o_orderkey % 4 = 2 THEN '[' || (o_orderkey % 7) || ','"
+        " || (o_orderkey % 5) || ']'"
+        " ELSE '{\"age\":' || (o_orderkey % 90) || ',\"name\":\"n'"
+        " || (o_orderkey % 30) || '\"}' END"
+    )
+    return f"""
+WITH t AS (SELECT o_orderkey, {js} AS j FROM orders WHERE o_orderkey < 400)
+SELECT o_orderkey,
+  {V.duckdb_variant_kind('j')} AS vtype,
+  j AS rendered,
+  json_extract_string(j, '$.name') AS name,
+  TRY_CAST(json_extract(j, '$.age') AS BIGINT) + 1 AS age_plus,
+  TRY_CAST(json_extract(j, '$[1]') AS BIGINT) AS elem1,
+  TRY_CAST(json_extract(j, '$') AS BIGINT) AS as_num
+FROM t ORDER BY o_orderkey
+"""
+
+
+_register("variant_battery", _variant_battery, _variant_battery_oracle())
+
+
+def _union_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION battery (reference union.test): UNION(num BIGINT, str
+    VARCHAR) as a tagged struct — union_value construction,
+    union_tag, union_extract (NULL for the inactive member), and the
+    `SELECT u` rendering. The oracle runs DuckDB's NATIVE UNION type,
+    so the struct mapping is checked against the reference's own
+    semantics."""
+    from serenedb_spark.functions import variant as V
+
+    members = {"num": "long", "str": "string"}
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    u = (
+        F.when(k % 2 == 0, V.union_value("num", k, members))
+        .otherwise(V.union_value(
+            "str", F.concat(F.lit("v"), (k % 100).cast("string")), members))
+    )
+    return (
+        orders.where(k < 400)
+        .select(
+            "o_orderkey",
+            V.union_tag(u).alias("tag"),
+            V.union_extract(u, "num").alias("num"),
+            V.union_extract(u, "str").alias("str"),
+            V.union_render(u, members).alias("rendered"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_register("union_battery", _union_battery, """
+WITH t AS (
+  SELECT o_orderkey,
+    CASE WHEN o_orderkey % 2 = 0
+      THEN union_value(num := CAST(o_orderkey AS BIGINT))
+             ::UNION(num BIGINT, str VARCHAR)
+      ELSE union_value(str := 'v' || (o_orderkey % 100))
+             ::UNION(num BIGINT, str VARCHAR) END AS u
+  FROM orders WHERE o_orderkey < 400)
+SELECT o_orderkey,
+  CAST(union_tag(u) AS VARCHAR) AS tag,
+  union_extract(u, 'num') AS num,
+  union_extract(u, 'str') AS str,
+  CAST(u AS VARCHAR) AS rendered
+FROM t ORDER BY o_orderkey
+""")
+
+
 _sql("window_battery", """
 SELECT o_orderkey, o_orderpriority,
   dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS drank,
@@ -3735,10 +3848,12 @@ _GATE_WINDOW = [
     # --- new-in-r6: polygon/linestring geometry (scan + indexed paths) ----
     "geo_polygon_contains", "geo_polygon_intersects",
     "geo_linestring_intersects", "geo_indexed_polygon",
+    # --- new-in-r6: VARIANT (Spark VariantType) + UNION (tagged struct,
+    # oracled against DuckDB's native UNION) -------------------------------
+    "variant_battery", "union_battery",
     # --- rotating sentinels (every previously-green family) ---------------
-    "tpch_q6", "tpch_q9_profit", "window_battery", "grouping_sets",
+    "tpch_q6", "window_battery", "grouping_sets",
     "setop_except", "exists_semi_join",
-    "deterministic_sample",
     "fts_fuzzy", "fts_substring_search",
     "fts_highlight",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
