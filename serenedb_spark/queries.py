@@ -3332,6 +3332,29 @@ GROUP BY term ORDER BY doc_count DESC, term LIMIT 15
 """)
 
 
+def _es_value_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES `value_count` + `cardinality` metric sub-aggs under a terms
+    bucket (reference dsl.cpp Kind::kValueCount translation)."""
+    from serenedb_spark.plans.es_dsl import es_aggs
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return es_aggs(ev, {"types": {
+        "terms": {"field": "event_type", "size": 20},
+        "aggs": {
+            "n_vals": {"value_count": {"field": "user_id"}},
+            "n_users": {"cardinality": {"field": "user_id"}},
+        },
+    }})
+
+
+_register("es_value_count", _es_value_count, """
+SELECT event_type AS key, count(*) AS doc_count,
+  count(user_id) AS n_vals, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+ORDER BY doc_count DESC, key LIMIT 20
+""")
+
+
 # --------------------------------------------------------------------------
 # cookbook recipes (reference site_docs/cookbook/search/*.test) — the
 # end-user query shapes a reference user runs today, composed from the
@@ -3851,11 +3874,12 @@ _GATE_WINDOW = [
     # --- new-in-r6: VARIANT (Spark VariantType) + UNION (tagged struct,
     # oracled against DuckDB's native UNION) -------------------------------
     "variant_battery", "union_battery",
+    # --- new-in-r6: ES value_count/cardinality sub-aggs -------------------
+    "es_value_count",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "window_battery", "grouping_sets",
     "setop_except", "exists_semi_join",
     "fts_fuzzy", "fts_substring_search",
-    "fts_highlight",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
     "text_fingerprint", "mm_decode_meta", "pipeline_clean_corpus",
 ]

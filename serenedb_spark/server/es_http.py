@@ -16,13 +16,21 @@ Routes:
   POST     /{index}/_mget     — multi-doc fetch by ids
   GET      /{index}/_mapping  — indexed fields + analyzers
   GET      /_cat/indices      — per-index doc counts (JSON form)
+  GET      /_cat/count        — total docs across indices
   GET      /{index}/_stats    — doc-count stats envelope
   POST     /{index}/_refresh  — rebuild the snapshot index
+  GET      /{index}/_source/{id} — raw stored document (404 envelope)
+  GET      /_cluster/health, /_cluster/settings, /_nodes/stats[/{m}]
+  POST     [/{index}]/_forcemerge — acknowledge (consolidation is the
+                                engine's own maintenance loop)
+  GET      /                  — version banner
 
-Scroll follows the reference's design: a keyset cursor on _id, not a
-snapshot buffer (handlers.cpp:625-644,881) — each page re-runs the match
-with `doc_id > last_id ORDER BY doc_id LIMIT size`, so state per cursor is
-one id, which is what survives at 100 TB (no server-side result caching).
+Scroll follows the reference's design: a keyset cursor, not a snapshot
+buffer (handlers.cpp:625-644,881) — each page re-runs the match with
+`key > last ORDER BY key LIMIT size`, so state per cursor is one key,
+which is what survives at 100 TB (no server-side result caching). An
+explicit `sort` field keysets on (field, _id) with the sort value
+late-materialized from the docstore.
 """
 
 from __future__ import annotations
@@ -262,15 +270,35 @@ class EsShim:
 
     # ---- scroll (keyset cursor on _id) -----------------------------------
 
+    @staticmethod
+    def _parse_sort(body: dict) -> tuple[str | None, bool]:
+        """ES sort spec → (field, ascending). `_doc` / absent = doc-id
+        order (the fast keyset path); an explicit field sorts on it with
+        the doc id as tiebreak (non-null sort fields — ES missing-value
+        placement is not modeled)."""
+        spec = body.get("sort")
+        if not spec:
+            return None, True
+        first = spec[0] if isinstance(spec, list) else spec
+        if isinstance(first, str):
+            return (None, True) if first == "_doc" else (first, True)
+        (field, opts), = first.items()
+        order = opts.get("order", "asc") if isinstance(opts, dict) else opts
+        return (None if field == "_doc" else field), order != "desc"
+
     def search_scroll(self, index: str, body: dict) -> dict:
-        """Start a scroll: first page + cursor token."""
+        """Start a scroll: first page + cursor token. Supports `sort` on
+        a stored field (keyset on (field, _id) — no offset-deepening, the
+        reference's scroll contract)."""
         import uuid
 
         if not hasattr(self, "_scroll_state"):
             self._scroll_state = {}
         size = int(body.get("size", 10))
+        sort_field, asc = self._parse_sort(body)
         sid = uuid.uuid4().hex
         state = {"index": index, "body": dict(body), "last_id": None,
+                 "last_key": None, "sort": sort_field, "asc": asc,
                  "size": size}
         self._scroll_state[sid] = state
         return self._scroll_page(sid)
@@ -285,24 +313,49 @@ class EsShim:
 
         st = self._scroll_state[sid]
         idx = self._index(st["index"])
+        key_col = self.tables[st["index"]].key
         query = st["body"].get("query", {"match_all": {}})
         if query == {"match_all": {}}:
-            ids = idx.docstore.select(F.col(self.tables[st["index"]].key)
-                                      .alias("doc_id"))
+            ids = idx.docstore.select(F.col(key_col).alias("doc_id"))
         else:
             field, node = parse_query(query, idx.analyzer(idx.default_field()))
             ids = compile_query(
                 idx, field or idx.default_field(), node
             ).doc_ids
+        sort_field, asc = st["sort"], st["asc"]
+        if sort_field is None:
+            if st["last_id"] is not None:
+                ids = ids.where(F.col("doc_id") > st["last_id"])
+            rows = ids.orderBy("doc_id").limit(st["size"]).collect()
+            if rows:
+                st["last_id"] = rows[-1].doc_id
+            return {
+                "_scroll_id": sid,
+                "hits": {"hits": [
+                    {"_index": st["index"], "_id": str(r.doc_id)}
+                    for r in rows
+                ]},
+            }
+        # sorted scroll: late-materialize the sort key from the docstore,
+        # keyset-resume on (sort_value, doc_id)
+        keyed = ids.join(
+            idx.docstore.select(F.col(key_col).alias("doc_id"),
+                                F.col(sort_field).alias("__k")),
+            "doc_id")
+        k, d = F.col("__k"), F.col("doc_id")
         if st["last_id"] is not None:
-            ids = ids.where(F.col("doc_id") > st["last_id"])
-        rows = ids.orderBy("doc_id").limit(st["size"]).collect()
+            lk, li = F.lit(st["last_key"]), F.lit(st["last_id"])
+            keyed = keyed.where(
+                ((k > lk) if asc else (k < lk)) | ((k == lk) & (d > li)))
+        order = [k.asc() if asc else k.desc(), d.asc()]
+        rows = keyed.orderBy(*order).limit(st["size"]).collect()
         if rows:
-            st["last_id"] = rows[-1].doc_id
+            st["last_key"], st["last_id"] = rows[-1]["__k"], rows[-1].doc_id
         return {
             "_scroll_id": sid,
             "hits": {"hits": [
-                {"_index": st["index"], "_id": str(r.doc_id)} for r in rows
+                {"_index": st["index"], "_id": str(r.doc_id),
+                 "sort": [r["__k"]]} for r in rows
             ]},
         }
 
@@ -310,6 +363,73 @@ class EsShim:
         self._snapshots.pop(index, None)
         self._index(index)
         return {"_shards": {"total": 1, "successful": 1, "failed": 0}}
+
+    def get_source(self, index: str, doc_id: str) -> tuple[dict, int]:
+        """GET /{index}/_source/{id} (handlers.cpp GetSourceHandler): the
+        raw stored document; missing doc is the ERROR envelope here,
+        unlike _doc's found:false."""
+        doc = self.get_doc(index, doc_id)
+        if not doc.get("found"):
+            return ({"error": {
+                "type": "resource_not_found_exception",
+                "reason": f"Document not found [{index}]/[{doc_id}]",
+            }, "status": 404}, 404)
+        return doc["_source"], 200
+
+    def cluster_health(self) -> dict:
+        """GET /_cluster/health (handlers.cpp HealthHandler shape)."""
+        return {
+            "cluster_name": "serenedb", "status": "green",
+            "timed_out": False, "number_of_nodes": 1,
+            "number_of_data_nodes": 1, "active_primary_shards": 0,
+            "active_shards": 0, "relocating_shards": 0,
+            "initializing_shards": 0, "unassigned_shards": 0,
+            "delayed_unassigned_shards": 0, "number_of_pending_tasks": 0,
+            "number_of_in_flight_fetch": 0,
+            "task_max_waiting_in_queue_millis": 0,
+            "active_shards_percent_as_number": 100.0,
+        }
+
+    def cluster_settings(self) -> dict:
+        """GET|PUT /_cluster/settings (nothing configurable;
+        acknowledge)."""
+        return {"acknowledged": True, "persistent": {}, "transient": {}}
+
+    def nodes_stats(self) -> dict:
+        """GET /_nodes/stats[/{metric}] — enough node introspection for
+        benchmark telemetry (empty collectors/pools iterate to
+        nothing)."""
+        return {
+            "_nodes": {"total": 1, "successful": 1, "failed": 0},
+            "cluster_name": "serenedb",
+            "nodes": {"sdb0": {
+                "name": "serenedb-0",
+                "jvm": {"gc": {"collectors": {}}, "mem": {"pools": {}}},
+                "ingest": {"total": {"count": 0, "time_in_millis": 0,
+                                     "current": 0, "failed": 0},
+                           "pipelines": {}},
+            }},
+        }
+
+    def forcemerge(self) -> dict:
+        """POST [/{index}]/_forcemerge — consolidation is the engine's
+        own concern; acknowledge (ForceMergeHandler)."""
+        return {"_shards": {"total": 1, "successful": 1, "failed": 0}}
+
+    def cat_count(self) -> list[dict]:
+        """GET /_cat/count?format=json — total docs across indices
+        (CatCountHandler: values are strings, matching ES)."""
+        total = sum(self._index(n).docstore.count()
+                    for n in sorted(self.tables))
+        return [{"count": str(total)}]
+
+    def root(self) -> dict:
+        """GET / — version banner (RootHandler)."""
+        return {
+            "name": "serenedb-0", "cluster_name": "serenedb",
+            "version": {"number": "8.11.0", "build_flavor": "default"},
+            "tagline": "You Know, for Search",
+        }
 
     def analyze(self, index: str | None, body: dict) -> dict:
         """POST /{index}/_analyze and /_analyze (ES analyze API): run a
@@ -364,12 +484,28 @@ def serve(shim: EsShim, port: int = 0):
             parts = [p for p in path.split("/") if p]
             body = self._body()
             try:
+                if parts == []:
+                    return self._reply(shim.root())
                 if parts == ["_bulk"]:
                     return self._reply(shim.bulk(body))
                 if parts == ["_search", "scroll"]:
                     return self._reply(shim.scroll(json.loads(body)))
                 if parts == ["_cat", "indices"]:
                     return self._reply(shim.cat_indices())
+                if parts == ["_cat", "count"]:
+                    return self._reply(shim.cat_count())
+                if parts == ["_cluster", "health"]:
+                    return self._reply(shim.cluster_health())
+                if parts == ["_cluster", "settings"]:
+                    return self._reply(shim.cluster_settings())
+                if parts[:2] == ["_nodes", "stats"]:
+                    return self._reply(shim.nodes_stats())
+                if parts == ["_forcemerge"] or (
+                        len(parts) == 2 and parts[1] == "_forcemerge"):
+                    return self._reply(shim.forcemerge())
+                if len(parts) == 3 and parts[1] == "_source":
+                    obj, code = shim.get_source(parts[0], parts[2])
+                    return self._reply(obj, code)
                 if parts == ["_analyze"]:
                     return self._reply(
                         shim.analyze(None, json.loads(body) if body else {})

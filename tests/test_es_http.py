@@ -224,3 +224,67 @@ def test_single_doc_write_path(es):
     _post(f"{es}/slt_wp/_refresh")
     with urllib.request.urlopen(f"{es}/slt_wp/_doc/a", timeout=60) as resp:
         assert json.loads(resp.read())["found"] is False
+
+
+def test_admin_and_banner_routes(es):
+    for path, probe in [
+        ("/", lambda o: o["tagline"] == "You Know, for Search"),
+        ("/_cluster/health", lambda o: o["status"] == "green"
+            and o["number_of_nodes"] == 1),
+        ("/_cluster/settings", lambda o: o["acknowledged"] is True),
+        ("/_nodes/stats", lambda o: o["_nodes"]["total"] == 1
+            and "sdb0" in o["nodes"]),
+        ("/_nodes/stats/jvm", lambda o: "nodes" in o),
+        ("/_cat/count", lambda o: int(o[0]["count"]) > 0),
+    ]:
+        with urllib.request.urlopen(f"{es}{path}", timeout=60) as r:
+            assert probe(json.loads(r.read())), path
+
+
+def test_forcemerge_routes(es):
+    out = _post(f"{es}/_forcemerge", {})
+    assert out["_shards"]["successful"] == 1
+    out = _post(f"{es}/docs/_forcemerge", {})
+    assert out["_shards"]["failed"] == 0
+
+
+def test_source_route(es):
+    with urllib.request.urlopen(f"{es}/docs/_source/1", timeout=60) as r:
+        src = json.loads(r.read())
+    # raw stored document, NOT the _doc envelope
+    assert src["doc_id"] == 1 and "found" not in src
+    try:
+        urllib.request.urlopen(f"{es}/docs/_source/99999999", timeout=60)
+        raise AssertionError("expected 404")
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+        err = json.loads(e.read())
+        assert err["error"]["type"] == "resource_not_found_exception"
+
+
+def test_scroll_with_sort(es):
+    # explicit sort field: keyset on (text, _id), descending
+    page1 = _post(f"{es}/docs/_search?scroll=1m", {
+        "query": {"term": {"text": "spark"}}, "size": 5,
+        "sort": [{"text": {"order": "desc"}}],
+    })
+    sid = page1["_scroll_id"]
+    rows = [(h["sort"][0], int(h["_id"])) for h in page1["hits"]["hits"]]
+    while True:
+        page = _post(f"{es}/_search/scroll", {"scroll_id": sid})
+        got = [(h["sort"][0], int(h["_id"])) for h in page["hits"]["hits"]]
+        if not got:
+            break
+        rows += got
+    total = _post(f"{es}/docs/_count",
+                  {"query": {"term": {"text": "spark"}}})["count"]
+    assert len(rows) == total == len(set(rows))
+    # global order: text desc, id asc as tiebreak — across page boundaries
+    assert rows == sorted(rows, key=lambda t: (_neg_str(t[0]), t[1]))
+
+
+class _neg_str(str):
+    """Reverse-ordering wrapper for desc string sort in the assertion."""
+
+    def __lt__(self, other):
+        return str.__gt__(self, other)
