@@ -1023,6 +1023,68 @@ ORDER BY o_orderkey
 _register("inet_html_battery", _inet_html_battery, _inet_html_oracle())
 
 
+def _inet6_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv6 INET battery (functions/inet6.py — reference inet.test's
+    dual-family surface): '::'-compressed and full forms, host/masklen/
+    network/broadcast/netmask and `>>` containment, all nibble
+    arithmetic on the 32-hex canonical key."""
+    from serenedb_spark.functions import inet6 as I6
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    k = F.col("o_orderkey")
+    h1 = F.lower(F.hex(k % 4096))
+    h2 = F.lower(F.hex((k * 7) % 65536))
+    m = (k * 11 % 129).cast("int")
+    ip = (
+        F.when(k % 5 == 0,
+               F.concat(F.lit("fe80:"), h1, F.lit(":"), h2,
+                        F.lit(":1:2:3:4:5/64")))
+        .otherwise(F.concat(F.lit("2001:db8:"), h1, F.lit("::"), h2,
+                            F.lit("/"), m.cast("string")))
+    )
+    net = F.lit("2001:db8::/32")
+    return (
+        orders.where(k < 300)
+        .select(
+            "o_orderkey", ip.alias("ip"),
+            I6.ip6_host(ip).alias("host"),
+            I6.ip6_masklen(ip).alias("mlen"),
+            I6.ip6_network(ip).alias("net"),
+            I6.ip6_broadcast(ip).alias("bcast"),
+            I6.ip6_netmask(ip).alias("mask"),
+            I6.ip6_contains(net, ip).alias("in_db8"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def _inet6_oracle() -> str:
+    from serenedb_spark.functions import inet6 as I6
+
+    ip = (
+        "CASE WHEN o_orderkey % 5 = 0"
+        " THEN 'fe80:' || lower(to_hex(o_orderkey % 4096)) || ':'"
+        " || lower(to_hex((o_orderkey * 7) % 65536)) || ':1:2:3:4:5/64'"
+        " ELSE '2001:db8:' || lower(to_hex(o_orderkey % 4096)) || '::'"
+        " || lower(to_hex((o_orderkey * 7) % 65536)) || '/'"
+        " || (o_orderkey * 11 % 129) END"
+    )
+    return f"""
+WITH t AS (SELECT o_orderkey, {ip} AS ip FROM orders WHERE o_orderkey < 300)
+SELECT o_orderkey, ip,
+  {I6.d_host('ip')} AS host,
+  {I6.d_masklen('ip')} AS mlen,
+  {I6.d_network('ip')} AS net,
+  {I6.d_broadcast('ip')} AS bcast,
+  {I6.d_netmask('ip')} AS mask,
+  {I6.d_contains("'2001:db8::/32'", 'ip')} AS in_db8
+FROM t ORDER BY o_orderkey
+"""
+
+
+_register("inet6_battery", _inet6_battery, _inet6_oracle())
+
+
 def _complex_types_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STRUCT/MAP/LIST function battery (reference ddl/map.test,
     struct_field_ddl.test + DuckDB's nested-type surface): construction,
@@ -3874,14 +3936,14 @@ _GATE_WINDOW = [
     # --- new-in-r6: VARIANT (Spark VariantType) + UNION (tagged struct,
     # oracled against DuckDB's native UNION) -------------------------------
     "variant_battery", "union_battery",
-    # --- new-in-r6: ES value_count/cardinality sub-aggs -------------------
-    "es_value_count",
+    # --- new-in-r6: ES value_count sub-aggs + IPv6 INET -------------------
+    "es_value_count", "inet6_battery",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "window_battery", "grouping_sets",
     "setop_except", "exists_semi_join",
     "fts_fuzzy", "fts_substring_search",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
-    "text_fingerprint", "mm_decode_meta", "pipeline_clean_corpus",
+    "mm_decode_meta", "pipeline_clean_corpus",
 ]
 
 
