@@ -63,14 +63,77 @@ def _fake_decode(data: bytes, media_type: str) -> dict:
     return {"width": 0, "height": 0, "channels": 0, "duration_ms": 0}
 
 
+def _pil_decode(data: bytes, media_type: str) -> dict:
+    """Real image codec (used when PIL is importable and codec='auto')."""
+    import io
+
+    from PIL import Image  # noqa: PLC0415 — optional dependency
+
+    img = Image.open(io.BytesIO(data))
+    return {"width": img.width, "height": img.height,
+            "channels": len(img.getbands()), "duration_ms": 0}
+
+
+def _soundfile_decode(data: bytes, media_type: str) -> dict:
+    """Real audio codec (used when soundfile is importable and
+    codec='auto')."""
+    import io
+
+    import soundfile as sf  # noqa: PLC0415 — optional dependency
+
+    info = sf.info(io.BytesIO(data))
+    return {"width": 0, "height": 0, "channels": info.channels,
+            "duration_ms": int(info.frames / info.samplerate * 1000)}
+
+
+def available_codecs() -> dict[str, str]:
+    """Which decoder each media type resolves to under codec='auto' —
+    the `format_available`-style gate: real libs when importable, the
+    deterministic stub otherwise (video is always the stub; no ffmpeg
+    binding is assumed anywhere)."""
+    import importlib.util
+
+    return {
+        "image": ("pil" if importlib.util.find_spec("PIL") else "fake"),
+        "audio": ("soundfile" if importlib.util.find_spec("soundfile")
+                  else "fake"),
+        "video": "fake",
+    }
+
+
+def _resolve_decoder(codec: str):
+    if codec == "fake":
+        return _fake_decode
+    if codec != "auto":
+        raise ValueError(f"codec must be 'auto'|'fake', got {codec!r}")
+    chosen = available_codecs()
+    real = {"pil": _pil_decode, "soundfile": _soundfile_decode}
+
+    def decode(data: bytes, media_type: str) -> dict:
+        fn = real.get(chosen.get(media_type, "fake"), _fake_decode)
+        return fn(data, media_type)
+
+    return decode
+
+
 def decode_media(media: DataFrame, id_col: str = "doc_id",
-                 bytes_col: str = "media", type_col: str = "media_type") -> DataFrame:
-    """binary column → typed metadata, one Arrow batch at a time."""
+                 bytes_col: str = "media", type_col: str = "media_type",
+                 codec: str = "fake", decoder=None) -> DataFrame:
+    """binary column → typed metadata, one Arrow batch at a time.
+
+    ``codec='fake'`` (default) keeps the deterministic stub — the gate
+    queries run over synthetic text-byte payloads that no real codec
+    could parse, and determinism is what makes the oracle possible.
+    ``codec='auto'`` swaps in PIL / soundfile per media type when
+    importable (available_codecs() reports the resolution). ``decoder``
+    injects any callable with the same (bytes, media_type) -> dict
+    contract — the seam the production swap uses."""
+    decode = decoder if decoder is not None else _resolve_decoder(codec)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             metas = [
-                _fake_decode(bs, mt)
+                decode(bs, mt)
                 for bs, mt in zip(pdf[bytes_col], pdf[type_col])
             ]
             yield pd.DataFrame({

@@ -157,6 +157,9 @@ class SereneSession:
         name = name or (table if isinstance(table, str) else "idx")
         idx = build_index(df, fields, key=key, include=include, name=name)
         self._indexes[name] = idx
+        if not hasattr(self, "_index_sources"):
+            self._index_sources = {}
+        self._index_sources[name] = table if isinstance(table, str) else None
         return idx
 
     # ---- search ----------------------------------------------------------
@@ -301,6 +304,99 @@ class SereneSession:
             "'public' AS schemaname", "indexname", "analyzer",
             "indexed_fields",
         ).createOrReplaceTempView("pg_indexes")
+
+        self._install_pg_catalog_core()
+
+    #: PG type-name → pg_type oid (the real PG oids, so ports of catalog
+    #: SQL that hard-code them — BI tools do — resolve correctly)
+    _PG_TYPE_OIDS = {
+        "boolean": 16, "bytea": 17, "bigint": 20, "smallint": 21,
+        "integer": 23, "text": 25, "real": 700, "double precision": 701,
+        "character varying": 1043, "date": 1082,
+        "timestamp without time zone": 1114, "numeric": 1700,
+        "integer[]": 1007, "text[]": 1009, "bigint[]": 1016,
+        "double precision[]": 1022, "real[]": 1021,
+    }
+
+    def relid(self, name: str) -> int | None:
+        """'name'::regclass — the oid pg_class assigns to a relation
+        (user oids start at 16384, enumeration order: sorted tables,
+        then insertion-ordered indexes)."""
+        rels = sorted(self._tables) + list(self._indexes)
+        return 16384 + rels.index(name) if name in rels else None
+
+    def _install_pg_catalog_core(self) -> None:
+        """The PG-true core relations (reference server/pg/pg_catalog/):
+        pg_namespace / pg_class / pg_attribute / pg_index / pg_type join
+        on OIDs exactly like PG's, so catalog SQL written for psql or a
+        BI tool roundtrips: attrelid -> pg_class.oid -> relnamespace ->
+        pg_namespace.oid, atttypid -> pg_type.oid, indrelid/indexrelid
+        pairs for index->table. information_schema.tables/columns ride
+        on the same data in SQL-standard shapes."""
+        from serenedb_spark.functions.pg_system import format_type
+
+        spark = self.spark
+        spark.createDataFrame(
+            [(11, "pg_catalog"), (2200, "public")],
+            "oid int, nspname string",
+        ).createOrReplaceTempView("pg_namespace")
+
+        classes, attrs, depth = [], [], {}
+        for name in sorted(self._tables):
+            df = self._tables[name]
+            rid = self.relid(name)
+            classes.append((rid, name, 2200, "r", len(df.dtypes), -1.0))
+            for i, (c, typ) in enumerate(df.dtypes, start=1):
+                pg_t = format_type(typ)
+                attrs.append((rid, c, i,
+                              self._PG_TYPE_OIDS.get(pg_t, 705),
+                              pg_t, False, False))
+        for name, idx in self._indexes.items():
+            rid = self.relid(name)
+            classes.append((rid, name, 2200, "i", len(idx.fields), -1.0))
+        spark.createDataFrame(
+            classes or [(0, "", 0, "", 0, 0.0)],
+            "oid int, relname string, relnamespace int, relkind string,"
+            " relnatts int, reltuples double",
+        ).where(F.col("oid") != 0).createOrReplaceTempView("pg_class")
+        spark.createDataFrame(
+            attrs or [(0, "", 0, 0, "", False, False)],
+            "attrelid int, attname string, attnum int, atttypid int,"
+            " atttype string, attnotnull boolean, attisdropped boolean",
+        ).where(F.col("attrelid") != 0).createOrReplaceTempView(
+            "pg_attribute_core")
+
+        indexes = []
+        for name, idx in self._indexes.items():
+            src = getattr(self, "_index_sources", {}).get(name)
+            src_id = self.relid(src) if src else None
+            cols = list(idx.fields)
+            indexes.append((self.relid(name), src_id, len(cols),
+                            ",".join(cols)))
+        spark.createDataFrame(
+            indexes or [(0, 0, 0, "")],
+            "indexrelid int, indrelid int, indnatts int, indkey string",
+        ).where(F.col("indexrelid") != 0).createOrReplaceTempView(
+            "pg_index")
+
+        oids = sorted(set(self._PG_TYPE_OIDS.values()))
+        by_oid = {v: k for k, v in self._PG_TYPE_OIDS.items()}
+        spark.createDataFrame(
+            [(o, by_oid[o]) for o in oids] + [(705, "unknown")],
+            "oid int, typname string",
+        ).createOrReplaceTempView("pg_type")
+
+        spark.sql("""
+            SELECT 'serene' AS table_catalog, 'public' AS table_schema,
+                   relname AS table_name, 'BASE TABLE' AS table_type
+            FROM pg_class WHERE relkind = 'r'
+        """).createOrReplaceTempView("information_schema_tables")
+        spark.sql("""
+            SELECT 'public' AS table_schema, c.relname AS table_name,
+                   a.attname AS column_name, a.attnum AS ordinal_position,
+                   a.atttype AS data_type, 'YES' AS is_nullable
+            FROM pg_attribute_core a JOIN pg_class c ON a.attrelid = c.oid
+        """).createOrReplaceTempView("information_schema_columns")
 
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:

@@ -74,3 +74,48 @@ def test_has_table_privilege(ss):
     ss.grant("bob", "orders")
     assert ss.has_table_privilege("bob", "orders")
     assert not ss.has_table_privilege("bob", "orders", "INSERT")
+
+
+def test_pg_catalog_core_roundtrip(ss):
+    """BI-tool-shaped introspection: columns of a table via the OID joins
+    (attrelid -> pg_class.oid -> pg_namespace), types via pg_type,
+    indexes via pg_index's indrelid/indexrelid pair."""
+    ss.create_index("documents", {"text": "simple"}, key="doc_id",
+                    name="docs_core_idx")
+    ss.install_pg_catalog()
+    cols = ss.sql("""
+        SELECT a.attname, t.typname, a.attnum
+        FROM pg_attribute_core a
+        JOIN pg_class c ON a.attrelid = c.oid
+        JOIN pg_namespace n ON c.relnamespace = n.oid
+        JOIN pg_type t ON a.atttypid = t.oid
+        WHERE c.relname = 'orders' AND n.nspname = 'public'
+          AND c.relkind = 'r' AND NOT a.attisdropped
+        ORDER BY a.attnum
+    """).collect()
+    assert cols[0].attname == "o_orderkey" and cols[0].typname == "bigint"
+    assert len(cols) == len(ss._tables["orders"].columns)
+
+    idx = ss.sql("""
+        SELECT ci.relname AS index_name, ct.relname AS table_name,
+               i.indkey
+        FROM pg_index i
+        JOIN pg_class ci ON i.indexrelid = ci.oid
+        JOIN pg_class ct ON i.indrelid = ct.oid
+        WHERE ci.relkind = 'i' AND ct.relname = 'documents'
+    """).collect()
+    assert any(r.index_name == "docs_core_idx" and r.indkey == "text"
+               for r in idx)
+
+    # oids are stable regclass-style handles
+    assert ss.relid("orders") is not None
+    assert ss.relid("nope") is None
+
+    info = {r.table_name for r in ss.sql(
+        "SELECT table_name FROM information_schema_tables").collect()}
+    assert {"orders", "documents"} <= info
+    ic = ss.sql("""
+        SELECT column_name, data_type FROM information_schema_columns
+        WHERE table_name = 'orders' AND ordinal_position = 1
+    """).first()
+    assert (ic.column_name, ic.data_type) == ("o_orderkey", "bigint")
