@@ -62,6 +62,124 @@ HEADLINE = [
 ]
 
 
+#: the scale-crossover section: queries whose sf0.1 latency is dominated
+#: by Spark's fixed per-query overhead get re-measured on a corpus blown
+#: up SPARK_GRAFT_SCALE_COPIES× (documents/embeddings; ids offset, one
+#: embedding dim perturbed per copy so near-dup structure stays linear),
+#: next to DuckDB running the same oracle SQL — the point where the
+#: distributed plan's constants amortize.
+SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
+#: the four queries flagged perf-weak at sf0.1 (fixed-overhead bound);
+#: the other headline queries already beat the baseline at sf0.1, so
+#: re-running their (much slower) oracles at 10× would only pad the
+#: bench's wall-clock
+SCALE_QUERIES = [
+    "fts_bool", "fts_bm25_topk", "es_multi_match",
+    "embedding_dup_pairs_lsh",
+]
+_COPY_OFF = 10_000_000
+
+
+def _build_scale_dir(spark) -> str:
+    """Materialize the blown-up corpus once per (sf, copies); unchanged
+    tables are symlinked, documents/embeddings rewritten with offset ids."""
+    from pyspark.sql import functions as F
+
+    from serenedb_spark import queries as Q
+
+    sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    out = f"/tmp/serene_scale_{sf_tag}_x{SCALE_COPIES}"
+    marker = os.path.join(out, "_READY")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+    copies = F.explode(F.array(*[F.lit(i) for i in range(SCALE_COPIES)]))
+    for t in Q.TABLES:
+        src = f"{SF_DIR}/{t}.parquet"
+        dst = f"{out}/{t}.parquet"
+        if not os.path.exists(src) or os.path.exists(dst):
+            continue
+        if t == "documents":
+            df = (spark.read.parquet(src)
+                  .withColumn("__c", copies)
+                  .withColumn("doc_id",
+                              F.col("doc_id") + F.col("__c") * _COPY_OFF)
+                  .drop("__c"))
+            df.write.mode("overwrite").parquet(dst)
+        elif t == "embeddings":
+            # rotate each copy's vector by the copy index: norm-preserving
+            # and decorrelating (copies of one vector land near-orthogonal),
+            # so the near-dup structure scales LINEARLY with the corpus —
+            # an additive perturbation would either collapse every copy
+            # toward one axis (quadratic pair blow-up) or leave exact dups
+            df = (spark.read.parquet(src)
+                  .withColumn("__c", copies)
+                  .withColumn("vec_id",
+                              F.col("vec_id") + F.col("__c") * _COPY_OFF)
+                  .withColumn("embedding", F.concat(
+                      F.slice("embedding", F.col("__c") + 1,
+                              F.size("embedding") - F.col("__c")),
+                      F.slice("embedding", F.lit(1), F.col("__c"))))
+                  .drop("__c"))
+            df.write.mode("overwrite").parquet(dst)
+        else:
+            os.symlink(src, dst)
+    open(marker, "w").write("ok")
+    return out
+
+
+def _scale_section(spark, timings: dict) -> dict:
+    """Spark vs DuckDB on the blown-up corpus; 1 warm-up + best of 2."""
+    import duckdb
+
+    from serenedb_spark import queries as Q
+
+    sdir = _build_scale_dir(spark)
+    out: dict = {"copies": SCALE_COPIES, "spark": {}, "duckdb": {}}
+
+    t0 = time.perf_counter()
+    idx = Q.doc_index(spark, sdir)
+    idx.postings.count(); idx.term_stats.count(); idx.doc_stats.count()
+    out["spark"]["index_build"] = round(time.perf_counter() - t0, 4)
+
+    for name in SCALE_QUERIES:
+        fn = Q.REGISTRY[name].fn
+        fn(spark, sdir).collect()
+        spark._jvm.System.gc()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sdir).collect()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out["spark"][name] = round(best, 4)
+        print(f"# scale{SCALE_COPIES}x spark {name}: {best:.3f}s",
+              file=sys.stderr)
+
+    con = duckdb.connect()
+    con.sql(f"SET threads={CPUS}")
+    for t in Q.TABLES:
+        p = f"{sdir}/{t}.parquet"
+        if os.path.isdir(p):      # spark writes a part-file directory
+            p = f"{p}/*.parquet"
+        elif not os.path.exists(p):
+            continue
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    for name in SCALE_QUERIES:
+        sql = Q.REGISTRY[name].oracle
+        con.sql(sql).fetchall()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        out["duckdb"][name] = round(best, 4)
+        print(f"# scale{SCALE_COPIES}x duckdb {name}: {best:.3f}s",
+              file=sys.stderr)
+    return out
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -143,12 +261,14 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s (+{worst - best:.3f}s spread,"
               f" {nrows} rows)", file=sys.stderr)
 
+    scale = _scale_section(spark, timings) if SCALE_COPIES > 0 else None
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    payload = {
         "metric": "headline_queries_total",
         "value": round(total, 4),
         "unit": "sec",
@@ -156,7 +276,10 @@ def main() -> None:
         "spread": spread,
         "runs": runs,
         "sf": sf_val,
-    }))
+    }
+    if scale is not None:
+        payload["scale"] = scale
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
