@@ -128,7 +128,7 @@ def _build_scale_dir(spark) -> str:
     return out
 
 
-def _scale_section(spark, timings: dict) -> dict:
+def _scale_section(spark) -> dict:
     """Spark vs DuckDB on the blown-up corpus; 1 warm-up + best of 2."""
     import duckdb
 
@@ -136,6 +136,13 @@ def _scale_section(spark, timings: dict) -> dict:
 
     sdir = _build_scale_dir(spark)
     out: dict = {"copies": SCALE_COPIES, "spark": {}, "duckdb": {}}
+
+    # the sf0.1 sections persisted three indexes this JVM no longer
+    # needs; dropping them keeps their memory pressure (GC, eviction)
+    # out of the scale timings — profiled: es_multi_match reads 5.3s
+    # inside the loaded JVM vs 1.6s steady-state in a clean one
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
 
     t0 = time.perf_counter()
     idx = Q.doc_index(spark, sdir)
@@ -261,7 +268,7 @@ def main() -> None:
         print(f"# {name}: {best:.3f}s (+{worst - best:.3f}s spread,"
               f" {nrows} rows)", file=sys.stderr)
 
-    scale = _scale_section(spark, timings) if SCALE_COPIES > 0 else None
+    scale = _scale_section(spark) if SCALE_COPIES > 0 else None
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -182,3 +182,127 @@ SELECT {id_col} AS doc_id,
   coalesce(list_min(list_transform({toks}, t -> md5(t))), md5({text_col})) AS fingerprint
 FROM {table}
 """
+
+
+# ---- PII redaction (corpus-cleaning stage) --------------------------------
+# Regex rewriting of the classic identifier shapes before training-data
+# release: emails, international-ish phone numbers, IPv4 literals. Pure
+# regexp_replace (JVM-side, codegen); the same RE2/Java-compatible
+# patterns state the DuckDB oracle. The pattern set is deliberately
+# conservative/documented — a production pipeline extends the table, the
+# operator shape (ordered rewrite cascade + per-category hit counts) is
+# what the engine provides.
+
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
+     "<PHONE>"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """(id, redacted_text, n_<category>... , n_redacted): the rewrite
+    cascade applies in PII_PATTERNS order (earlier categories win
+    overlapping spans); hit counts are computed per category BEFORE its
+    rewrite so they report true occurrence counts."""
+    out_cols = [F.col(id_col)]
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        # idx=0: whole-match extraction (the default idx=1 needs a group)
+        n = F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0))) \
+            .alias(f"n_{name}")
+        counts.append(n)
+        cur = F.regexp_replace(cur, pat, repl)
+    total = None
+    for c in counts:
+        total = c if total is None else total + c
+    return df.select(
+        *out_cols, cur.alias("redacted"), *counts,
+        total.alias("n_redacted"),
+    )
+
+
+def duckdb_redact_sql(table: str, text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    cur = text_col
+    counts, names = [], []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(
+            f"len(regexp_extract_all({cur}, '{pat}')) AS n_{name}")
+        names.append(f"n_{name}")
+        cur = f"regexp_replace({cur}, '{pat}', '{repl}', 'g')"
+    total = " + ".join(names)
+    return (
+        f"SELECT {id_col}, {cur} AS redacted, {', '.join(counts)},"
+        f" {total} AS n_redacted FROM {table}"
+    )
+
+
+# ---- chunking (LLM training-data prep) ------------------------------------
+
+def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    analyzer: str = "simple") -> DataFrame:
+    """Split each document into ~chunk_tokens-token windows with
+    ``overlap`` tokens of context carried between consecutive chunks —
+    the standard pretraining-corpus shaping step. One explode, no
+    shuffle: (doc_id, chunk_no, chunk_text, n_tokens). Chunk boundaries
+    are token-aligned (whitespace-joined analyzer tokens); stride =
+    chunk_tokens - overlap."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    an = get_analyzer(analyzer)
+    toks = an.expr(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(F.floor((n - F.lit(overlap) - 1) / F.lit(stride))
+                .cast("int") + 1)
+    # NB: bare sequence(0, n_chunks-1) is the descending-sequence trap —
+    # sequence(0, -1) == [0, -1] — so empty docs must short-circuit
+    starts = F.when(n_chunks <= 0, F.array().cast("array<int>")) \
+        .otherwise(F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+            lambda i: i * stride))
+    chunks = F.transform(
+        starts,
+        lambda s: F.slice(toks, s + 1, F.lit(chunk_tokens)))
+    return (
+        df.select(F.col(id_col), F.posexplode(chunks)
+                  .alias("chunk_no", "__toks"))
+        .select(
+            id_col, "chunk_no",
+            F.array_join("__toks", " ").alias("chunk_text"),
+            F.size("__toks").alias("n_tokens"),
+        )
+    )
+
+
+def duckdb_chunk_sql(table: str, chunk_tokens: int, overlap: int = 0,
+                     text_col: str = "text", id_col: str = "doc_id") -> str:
+    """Oracle for chunk_documents with the `simple` analyzer."""
+    stride = chunk_tokens - overlap
+    toks = (f"list_filter(regexp_split_to_array(lower({text_col}),"
+            f" '[^a-z0-9]+'), t -> t <> '')")
+    return f"""
+WITH base AS (SELECT {id_col}, {toks} AS toks FROM {table}),
+shaped AS (
+  SELECT {id_col}, toks,
+    CASE WHEN len(toks) <= 0 THEN 0
+         ELSE CAST(floor((len(toks) - {overlap} - 1) / {stride}) AS INT) + 1
+    END AS n_chunks
+  FROM base),
+ex AS (
+  SELECT {id_col}, CAST(u.i AS INT) AS chunk_no,
+    toks[u.i * {stride} + 1 : u.i * {stride} + {chunk_tokens}] AS ctoks
+  FROM shaped, LATERAL unnest(range(0, n_chunks)) AS u(i))
+SELECT {id_col}, chunk_no,
+  list_aggregate(ctoks, 'string_agg', ' ') AS chunk_text,
+  len(ctoks) AS n_tokens
+FROM ex
+"""

@@ -2404,6 +2404,47 @@ FROM documents ORDER BY doc_id
 """)
 
 
+#: deterministic PII suffix planted per document (testdata has no real
+#: identifiers) — both engines build the same input, so the redaction
+#: cascade + per-category counts are oracle-checkable end to end
+_PII_SUFFIX_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    " '@example.com or +1-555-', CAST(1000 + doc_id % 9000 AS STRING),"
+    " ' at 10.0.', CAST(doc_id % 256 AS STRING), '.1')"
+)
+_PII_SUFFIX_DUCK = (
+    "text || ' contact user' || doc_id || '@example.com or +1-555-'"
+    " || (1000 + doc_id % 9000) || ' at 10.0.' || (doc_id % 256) || '.1'"
+)
+
+
+def _text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    seeded = docs.selectExpr("doc_id", f"{_PII_SUFFIX_SPARK} AS text")
+    return TS.redact_pii(seeded, "text", "doc_id").orderBy("doc_id")
+
+
+def _register_text_redact() -> None:
+    inner = TS.duckdb_redact_sql(
+        f"(SELECT doc_id, {_PII_SUFFIX_DUCK} AS text FROM documents)")
+    _register("text_redact_pii", _text_redact,
+              inner + " ORDER BY doc_id")
+
+
+_register_text_redact()
+
+
+def _text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TS.chunk_documents(docs, chunk_tokens=24, overlap=6) \
+        .orderBy("doc_id", "chunk_no")
+
+
+_register("text_chunk", _text_chunk,
+          TS.duckdb_chunk_sql("documents", 24, 6)
+          + " ORDER BY doc_id, chunk_no")
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return TS.quality_score(docs, "text", "doc_id").orderBy("doc_id")
@@ -3938,10 +3979,11 @@ _GATE_WINDOW = [
     "variant_battery", "union_battery",
     # --- new-in-r6: ES value_count sub-aggs + IPv6 INET -------------------
     "es_value_count", "inet6_battery",
+    # --- new-in-r6: corpus-cleaning stages (PII redaction, chunking) ------
+    "text_redact_pii", "text_chunk",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "window_battery", "grouping_sets",
     "setop_except", "exists_semi_join",
-    "fts_fuzzy", "fts_substring_search",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
     "mm_decode_meta", "pipeline_clean_corpus",
 ]

@@ -1,0 +1,50 @@
+"""Corpus-cleaning stages (operators/textstats.py): PII redaction
+cascade and token-aligned chunking."""
+
+from __future__ import annotations
+
+
+def test_redact_pii_counts_and_rewrite(spark):
+    from serenedb_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d+x@e.org, call +1-555-1234, ip 10.0.0.1"),
+         (2, "clean text with no identifiers"),
+         (3, "1.2.3.4 then 5.6.7.8")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in TS.redact_pii(docs).collect()}
+    assert rows[1].n_email == 2 and rows[1].n_phone == 1 \
+        and rows[1].n_ipv4 == 1 and rows[1].n_redacted == 4
+    assert "<EMAIL>" in rows[1].redacted \
+        and "<PHONE>" in rows[1].redacted and "<IP>" in rows[1].redacted
+    assert "a@b.co" not in rows[1].redacted
+    assert rows[2].n_redacted == 0 \
+        and rows[2].redacted == "clean text with no identifiers"
+    assert rows[3].n_ipv4 == 2 and rows[3].redacted == "<IP> then <IP>"
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from serenedb_spark.operators import textstats as TS
+
+    text = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, text), (2, "only three words"), (3, "")],
+        "doc_id long, text string")
+    out = TS.chunk_documents(docs, chunk_tokens=4, overlap=1)
+    rows = sorted([(r.doc_id, r.chunk_no, r.chunk_text, r.n_tokens)
+                   for r in out.collect()])
+    by_doc = {}
+    for d, c, t, n in rows:
+        by_doc.setdefault(d, []).append((c, t, n))
+    # stride 3: starts 0,3,6 — the last chunk reaches w9, so no dangling
+    # 4th chunk is emitted (n_chunks = floor((n-overlap-1)/stride)+1)
+    assert [t for _, t, _n in by_doc[1]] == [
+        "w0 w1 w2 w3", "w3 w4 w5 w6", "w6 w7 w8 w9"]
+    # every token appears; consecutive chunks share `overlap` tokens
+    assert by_doc[2] == [(0, "only three words", 3)]
+    assert 3 not in by_doc  # empty doc -> no chunks
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        TS.chunk_documents(docs, chunk_tokens=4, overlap=4)
