@@ -1254,6 +1254,29 @@ FROM t ORDER BY o_orderkey
 """)
 
 
+# recursive CTEs (reference site_docs/sql/query_syntax/with/index.test:
+# series generation + hierarchy traversal; Spark 4 executes WITH RECURSIVE
+# natively, so both engines run the SAME text)
+_sql("recursive_cte_series", """
+WITH RECURSIVE fib(depth, f, nxt) AS (
+    SELECT 0, CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+  UNION ALL
+    SELECT depth + 1, nxt, f + nxt FROM fib WHERE depth < 25
+)
+SELECT depth, f, nxt FROM fib ORDER BY depth
+""")
+
+_sql("recursive_cte_hierarchy", """
+WITH RECURSIVE geo(id, name, path, depth) AS (
+    SELECT r_regionkey + 100, r_name, CAST(r_name AS STRING), 0 FROM region
+  UNION ALL
+    SELECT n.n_nationkey, n.n_name, g.path || '/' || n.n_name, g.depth + 1
+    FROM nation n JOIN geo g ON n.n_regionkey + 100 = g.id
+)
+SELECT id, name, path, depth FROM geo ORDER BY depth, id
+""")
+
+
 _sql("window_battery", """
 SELECT o_orderkey, o_orderpriority,
   dense_rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS drank,
@@ -3981,11 +4004,13 @@ _GATE_WINDOW = [
     "es_value_count", "inet6_battery",
     # --- new-in-r6: corpus-cleaning stages (PII redaction, chunking) ------
     "text_redact_pii", "text_chunk",
+    # --- new-in-r6: WITH RECURSIVE (shared SQL text, Spark 4 native) ------
+    "recursive_cte_series", "recursive_cte_hierarchy",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "window_battery", "grouping_sets",
-    "setop_except", "exists_semi_join",
+    "exists_semi_join",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
-    "mm_decode_meta", "pipeline_clean_corpus",
+    "mm_decode_meta",
 ]
 
 
