@@ -7,7 +7,7 @@ FAMILIES = [
         "exists_semi_join", "anti_join", "full_outer_join", "correlated_subquery",
         "setop_intersect", "setop_except", "scalar_subquery_cte", "top_customers",
         "orders_range_join", "recursive_cte_series",
-        "recursive_cte_hierarchy")),
+        "recursive_cte_hierarchy", "lateral_topn_per_key")),
     ("Windows / grouping / QUALIFY / PIVOT", lambda n: n in (
         "window_rank", "window_running_sum", "window_battery",
         "ordered_set_aggs", "rollup_agg", "grouping_sets",

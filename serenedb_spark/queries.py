@@ -1254,6 +1254,20 @@ FROM t ORDER BY o_orderkey
 """)
 
 
+# correlated LATERAL subquery with per-row ORDER BY + LIMIT (reference
+# site_docs/sql/query_syntax/from_and_join; Spark 4 lateral subqueries
+# execute the same text) — top-2 orders per customer
+_sql("lateral_topn_per_key", """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+WHERE c.c_custkey < 400
+ORDER BY c.c_custkey, o_totalprice DESC, o_orderkey
+""")
+
+
 # recursive CTEs (reference site_docs/sql/query_syntax/with/index.test:
 # series generation + hierarchy traversal; Spark 4 executes WITH RECURSIVE
 # natively, so both engines run the SAME text)
@@ -4004,11 +4018,11 @@ _GATE_WINDOW = [
     "es_value_count", "inet6_battery",
     # --- new-in-r6: corpus-cleaning stages (PII redaction, chunking) ------
     "text_redact_pii", "text_chunk",
-    # --- new-in-r6: WITH RECURSIVE (shared SQL text, Spark 4 native) ------
+    # --- new-in-r6: WITH RECURSIVE + correlated LATERAL (shared SQL) ------
     "recursive_cte_series", "recursive_cte_hierarchy",
+    "lateral_topn_per_key",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "window_battery", "grouping_sets",
-    "exists_semi_join",
     "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
     "mm_decode_meta",
 ]
