@@ -1254,6 +1254,127 @@ FROM t ORDER BY o_orderkey
 """)
 
 
+def _bitstring_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITSTRING battery (reference data_types/bitstring.test): Spark has
+    no BIT type, so values are fixed-width '0'/'1' strings and every
+    operator is positional string arithmetic; the ORACLE runs DuckDB's
+    NATIVE BIT type (casts, &, |, xor, ~, shifts, bit_count, get/set_bit)
+    — the mapping is checked against the reference engine's own
+    semantics, like union_battery."""
+    load_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    k = F.col("o_orderkey")
+    W = 12
+    a = F.lpad(F.conv(((k * 7) % 4096).cast("string"), 10, 2), W, "0")
+    b = F.lpad(F.conv(((k * 13) % 4096).cast("string"), 10, 2), W, "0")
+
+    def zipbits(x, y, op):
+        return F.array_join(F.transform(
+            F.sequence(F.lit(1), F.lit(W)),
+            lambda i: F.when(op(F.substring(x, i, F.lit(1)),
+                               F.substring(y, i, F.lit(1))),
+                             F.lit("1")).otherwise(F.lit("0"))), "")
+
+    b_and = zipbits(a, b, lambda p, q: (p == "1") & (q == "1"))
+    b_or = zipbits(a, b, lambda p, q: (p == "1") | (q == "1"))
+    b_xor = zipbits(a, b, lambda p, q: p != q)
+    return (
+        orders.where(k < 400)
+        .select(
+            "o_orderkey", a.alias("a"), b.alias("b"),
+            b_and.alias("b_and"), b_or.alias("b_or"), b_xor.alias("b_xor"),
+            F.translate(a, "01", "10").alias("b_not"),
+            F.concat(F.substring(a, 3, W - 2), F.lit("00")).alias("shl2"),
+            F.concat(F.lit("000"), F.substring(a, 1, W - 3)).alias("shr3"),
+            F.length(F.regexp_replace(a, "0", "")).cast("long")
+            .alias("n_set"),
+            F.lit(W).cast("long").alias("blen"),
+            F.substring(a, 3, 1).cast("long").alias("bit2"),
+            F.concat(F.substring(a, 1, 1), F.lit("1"),
+                     F.substring(a, 3, W - 2)).alias("set1"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_register("bitstring_battery", _bitstring_battery, """
+WITH t AS (
+  SELECT o_orderkey,
+    CAST(lpad(bin((o_orderkey * 7) % 4096), 12, '0') AS BIT) AS a,
+    CAST(lpad(bin((o_orderkey * 13) % 4096), 12, '0') AS BIT) AS b
+  FROM orders WHERE o_orderkey < 400)
+SELECT o_orderkey,
+  CAST(a AS VARCHAR) AS a, CAST(b AS VARCHAR) AS b,
+  CAST(a & b AS VARCHAR) AS b_and,
+  CAST(a | b AS VARCHAR) AS b_or,
+  CAST(xor(a, b) AS VARCHAR) AS b_xor,
+  CAST(~a AS VARCHAR) AS b_not,
+  CAST(a << 2 AS VARCHAR) AS shl2,
+  CAST(a >> 3 AS VARCHAR) AS shr3,
+  bit_count(a) AS n_set,
+  bit_length(a) AS blen,
+  CAST(get_bit(a, 2) AS BIGINT) AS bit2,
+  CAST(set_bit(a, 1, 1) AS VARCHAR) AS set1
+FROM t ORDER BY o_orderkey
+""")
+
+
+def _time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME battery (reference data_types/time.test): Spark has no TIME
+    type, so the stand-in is seconds-since-midnight with HH:MM:SS
+    rendering; interval arithmetic wraps mod 24h. The oracle runs
+    DuckDB's NATIVE TIME (make_time, + INTERVAL, extract)."""
+    load_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    k = F.col("o_orderkey")
+    h, m, s = k % 24, (k * 7) % 60, (k * 13) % 60
+    secs = h * 3600 + m * 60 + s
+
+    def render(sec):
+        return F.format_string(
+            "%02d:%02d:%02d",
+            F.floor(sec / 3600).cast("int"),
+            (F.floor(sec / 60) % 60).cast("int"),
+            (sec % 60).cast("int"))
+
+    plus90 = (secs + 90 * 60) % (24 * 3600)
+    minus2h = (secs - 2 * 3600 + 24 * 3600) % (24 * 3600)
+    return (
+        orders.where(k < 400)
+        .select(
+            "o_orderkey",
+            render(secs).alias("t"),
+            render(plus90).alias("plus90m"),
+            render(minus2h).alias("minus2h"),
+            h.cast("long").alias("hh"),
+            m.cast("long").alias("mi"),
+            s.cast("long").alias("ss"),
+            secs.cast("long").alias("since_midnight"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_register("time_battery", _time_battery, """
+WITH t AS (
+  SELECT o_orderkey,
+    make_time(CAST(o_orderkey % 24 AS INT),
+              CAST((o_orderkey * 7) % 60 AS INT),
+              CAST((o_orderkey * 13) % 60 AS DOUBLE)) AS tv
+  FROM orders WHERE o_orderkey < 400)
+SELECT o_orderkey,
+  CAST(tv AS VARCHAR) AS t,
+  CAST(tv + INTERVAL 90 MINUTE AS VARCHAR) AS plus90m,
+  CAST(tv - INTERVAL 2 HOUR AS VARCHAR) AS minus2h,
+  CAST(extract(hour FROM tv) AS BIGINT) AS hh,
+  CAST(extract(minute FROM tv) AS BIGINT) AS mi,
+  CAST(extract(second FROM tv) AS BIGINT) AS ss,
+  CAST(extract(hour FROM tv) * 3600 + extract(minute FROM tv) * 60
+       + extract(second FROM tv) AS BIGINT) AS since_midnight
+FROM t ORDER BY o_orderkey
+""")
+
+
 # correlated LATERAL subquery with per-row ORDER BY + LIMIT (reference
 # site_docs/sql/query_syntax/from_and_join; Spark 4 lateral subqueries
 # execute the same text) — top-2 orders per customer
@@ -4021,9 +4142,11 @@ _GATE_WINDOW = [
     # --- new-in-r6: WITH RECURSIVE + correlated LATERAL (shared SQL) ------
     "recursive_cte_series", "recursive_cte_hierarchy",
     "lateral_topn_per_key",
+    # --- new-in-r6: BIT / TIME stand-ins vs DuckDB native types -----------
+    "bitstring_battery", "time_battery",
     # --- rotating sentinels (every previously-green family) ---------------
-    "tpch_q6", "window_battery", "grouping_sets",
-    "vec_knn_cosine", "vec_pq_adc_knn", "dedup_jaccard_pairs",
+    "tpch_q6", "window_battery",
+    "vec_knn_cosine", "dedup_jaccard_pairs",
     "mm_decode_meta",
 ]
 
