@@ -1254,6 +1254,63 @@ FROM t ORDER BY o_orderkey
 """)
 
 
+def _blob_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOB battery (reference data_types/blob.test): binary payloads
+    from part names — hex/base64 codecs round-trip, octet_length,
+    concat. Spark `binary` ↔ DuckDB BLOB; only the encode() spelling
+    differs per dialect."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        SELECT p_partkey,
+          hex(encode(p_name, 'utf-8')) AS payload_hex,
+          octet_length(encode(p_name, 'utf-8')) AS n_bytes,
+          base64(encode(p_name, 'utf-8')) AS b64,
+          hex(unbase64(base64(encode(p_name, 'utf-8')))) AS b64_roundtrip,
+          hex(concat(encode(p_brand, 'utf-8'), encode('#', 'utf-8'),
+                     encode(p_type, 'utf-8'))) AS tagged_hex,
+          hex(unhex('6a6b')) AS unhex_roundtrip
+        FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+    """)
+
+
+_register("blob_battery", _blob_battery, """
+SELECT p_partkey,
+  hex(encode(p_name)) AS payload_hex,
+  octet_length(encode(p_name)) AS n_bytes,
+  to_base64(encode(p_name)) AS b64,
+  hex(from_base64(to_base64(encode(p_name)))) AS b64_roundtrip,
+  hex(concat(encode(p_brand), encode('#'), encode(p_type))) AS tagged_hex,
+  hex(from_hex('6a6b')) AS unhex_roundtrip
+FROM part WHERE p_partkey < 300 ORDER BY p_partkey
+""")
+
+
+# TRY_CAST edge semantics (reference data_types/typecasting.test):
+# malformed → NULL, whitespace trim, scientific notation, bool spellings,
+# impossible dates — identical text in both engines. One documented
+# divergence carved out: DuckDB accepts '1e3'::INT (1000), Spark's
+# ANSI INT cast rejects scientific notation (NULL) — the scientific
+# form is asserted through the DOUBLE column instead.
+_sql("trycast_battery", """
+SELECT o_orderkey,
+  CASE WHEN v = '1e3' THEN NULL ELSE TRY_CAST(v AS INT) END AS as_int,
+  TRY_CAST(v AS DOUBLE) AS as_double,
+  TRY_CAST(v AS DATE) AS as_date,
+  TRY_CAST(v AS BOOLEAN) AS as_bool
+FROM (
+  SELECT o_orderkey,
+    CASE CAST(o_orderkey % 6 AS INT)
+      WHEN 0 THEN CAST(o_orderkey AS STRING)
+      WHEN 1 THEN ' 42 '
+      WHEN 2 THEN '1e3'
+      WHEN 3 THEN 'true'
+      WHEN 4 THEN '2026-01-15'
+      ELSE '12x' END AS v
+  FROM orders WHERE o_orderkey < 400)
+ORDER BY o_orderkey
+""")
+
+
 def _bitstring_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BITSTRING battery (reference data_types/bitstring.test): Spark has
     no BIT type, so values are fixed-width '0'/'1' strings and every
@@ -4142,12 +4199,12 @@ _GATE_WINDOW = [
     # --- new-in-r6: WITH RECURSIVE + correlated LATERAL (shared SQL) ------
     "recursive_cte_series", "recursive_cte_hierarchy",
     "lateral_topn_per_key",
-    # --- new-in-r6: BIT / TIME stand-ins vs DuckDB native types -----------
-    "bitstring_battery", "time_battery",
+    # --- new-in-r6: BIT / TIME / BLOB / TRY_CAST type surface -------------
+    "bitstring_battery", "time_battery", "blob_battery",
+    "trycast_battery",
     # --- rotating sentinels (every previously-green family) ---------------
     "tpch_q6", "window_battery",
-    "vec_knn_cosine", "dedup_jaccard_pairs",
-    "mm_decode_meta",
+    "vec_knn_cosine",
 ]
 
 
