@@ -18,7 +18,7 @@ FAMILIES = [
         "inet_html_battery", "complex_types_battery",
         "inet6_battery", "variant_battery", "union_battery",
         "bitstring_battery", "time_battery", "blob_battery",
-        "trycast_battery")),
+        "trycast_battery", "enum_battery")),
     ("Events (time series / JSON / sessionization)",
      lambda n: n.startswith("events_") or n.startswith("approx_")),
     ("DML", lambda n: n.startswith("dml_")),

@@ -1254,6 +1254,49 @@ FROM t ORDER BY o_orderkey
 """)
 
 
+def _enum_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENUM battery (reference data_types/enum.test): Spark has no enum
+    type, so the mapping is declaration-order position (array_position)
+    — comparisons, codes and ORDER BY all go through the code. The
+    declaration order ('small','medium','large','xl') is deliberately
+    NON-alphabetical so enum ordering provably differs from string
+    ordering; the oracle runs DuckDB's native inline ENUM casts +
+    enum_code."""
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+        WITH t AS (
+          SELECT o_orderkey,
+            element_at(array('small','medium','large','xl'),
+                       CAST(o_orderkey % 4 AS INT) + 1) AS v
+          FROM orders WHERE o_orderkey < 400),
+        coded AS (
+          SELECT o_orderkey, v,
+            array_position(array('small','medium','large','xl'), v) - 1
+              AS code
+          FROM t)
+        SELECT o_orderkey, v, CAST(code AS BIGINT) AS code,
+          code < 2 AS below_large,
+          code >= 1 AND code <= 2 AS mid_range
+        FROM coded
+        ORDER BY code, o_orderkey
+    """)
+
+
+_register("enum_battery", _enum_battery, """
+WITH t AS (
+  SELECT o_orderkey,
+    CAST(['small','medium','large','xl'][CAST(o_orderkey % 4 AS INT) + 1]
+         AS ENUM('small','medium','large','xl')) AS v
+  FROM orders WHERE o_orderkey < 400)
+SELECT o_orderkey, CAST(v AS VARCHAR) AS v,
+  CAST(enum_code(v) AS BIGINT) AS code,
+  enum_code(v) < 2 AS below_large,
+  enum_code(v) BETWEEN 1 AND 2 AS mid_range
+FROM t
+ORDER BY enum_code(v), o_orderkey
+""")
+
+
 def _blob_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BLOB battery (reference data_types/blob.test): binary payloads
     from part names — hex/base64 codecs round-trip, octet_length,
@@ -4201,10 +4244,9 @@ _GATE_WINDOW = [
     "lateral_topn_per_key",
     # --- new-in-r6: BIT / TIME / BLOB / TRY_CAST type surface -------------
     "bitstring_battery", "time_battery", "blob_battery",
-    "trycast_battery",
+    "trycast_battery", "enum_battery",
     # --- rotating sentinels (every previously-green family) ---------------
-    "tpch_q6", "window_battery",
-    "vec_knn_cosine",
+    "tpch_q6", "vec_knn_cosine",
 ]
 
 
