@@ -21,6 +21,8 @@ Spark-first design:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -739,4 +741,222 @@ def hybrid_search(
     return knn_exact(
         filtered, vec_col, query_vec, k=k, metric=metric,
         id_col=id_col, round_to=round_to,
+    )
+
+
+# ---- RaBitQ binary quantization -------------------------------------------
+
+class RaBitQ:
+    """RaBitQ-style 1-bit quantization (the reference's `quant=rabitq`
+    family, server/catalog/index.cpp:300-460; published algorithm: Gao &
+    Long, SIGMOD 2024): residuals against a fixed centroid are passed
+    through a SEEDED random orthogonal rotation, the sign bits of the
+    rotated residual are stored together with two per-vector correction
+    scalars (residual norm, <quantized-unit, unit>), and queries use the
+    unbiased inner-product estimator
+
+        <o, q̂> ≈ <ō, q̂> / <ō, ô>
+        dist²(x, q) ≈ ||o||² + ||q-c||² - 2 ||o|| ||q-c|| <o, q̂>
+
+    Engine-portability: every float is produced by the SAME left-fold
+    summation order in Spark (zip_with + aggregate), DuckDB
+    (list_transform + list_reduce) and driver-side Python, so the
+    estimate — not just the bits — is bit-identical and the whole path
+    stays oracle-gated. The centroid is the per-dim midrange (order-
+    independent, unlike a float mean); the rotation is Q from the QR of a
+    seeded Gaussian matrix, shipped as literals into both engines.
+    """
+
+    def __init__(self, centroid: list[float], rotation: list[list[float]]):
+        self.centroid = centroid
+        self.rotation = rotation          # row-major: rot[j] = output dim j
+        self.dim = len(centroid)
+        self._inv_sqrt_d = 1.0 / math.sqrt(self.dim)
+
+    @staticmethod
+    def rotation_matrix(dim: int, seed: int = 7) -> list[list[float]]:
+        """Seeded random orthogonal matrix (Q of a Gaussian QR,
+        sign-fixed) — data-INDEPENDENT, so oracles can regenerate it
+        without training."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        q, r = np.linalg.qr(rng.standard_normal((dim, dim)))
+        q = q * np.sign(np.diag(r))
+        return [[float(x) for x in row] for row in q]
+
+    @classmethod
+    def train(cls, df: DataFrame, vec_col: str = "embedding",
+              seed: int = 7) -> "RaBitQ":
+        rows = (
+            df.select(F.posexplode(F.col(vec_col)).alias("i", "v"))
+            .groupBy("i")
+            .agg(F.min(F.col("v").cast("double")).alias("mn"),
+                 F.max(F.col("v").cast("double")).alias("mx"))
+            .orderBy("i")
+            .collect()
+        )
+        centroid = [(r.mn + r.mx) / 2.0 for r in rows]
+        return cls(centroid, cls.rotation_matrix(len(centroid), seed))
+
+    # -- shared arithmetic, in all three representations --------------------
+
+    def _rot_col(self, res: Column, j: int) -> Column:
+        row = F.array(*[F.lit(x) for x in self.rotation[j]])
+        return F.aggregate(
+            F.zip_with(res, row, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    def encode_col(self, vec: Column) -> tuple[Column, Column, Column]:
+        """(bits array<int>, norm double, obar_dot_o double) for one data
+        vector column."""
+        cen = F.array(*[F.lit(c) for c in self.centroid])
+        res = F.zip_with(vec, cen, lambda v, c: v.cast("double") - c)
+        norm = F.sqrt(F.aggregate(
+            F.transform(res, lambda x: x * x),
+            F.lit(0.0), lambda acc, x: acc + x))
+        rots = [self._rot_col(res, j) for j in range(self.dim)]
+        bits = F.array(*[
+            F.when(r > 0, F.lit(1)).otherwise(F.lit(0)) for r in rots])
+        # <ō, o> = Σ ±(1/√D)·rot_j / ||res|| — left fold in dim order
+        signed = [
+            F.when(r > 0, F.lit(self._inv_sqrt_d))
+            .otherwise(F.lit(-self._inv_sqrt_d)) * r
+            for r in rots
+        ]
+        acc = signed[0]
+        for t in signed[1:]:
+            acc = acc + t
+        obar_o = F.when(norm > 0, acc / norm).otherwise(F.lit(0.0))
+        return bits, norm, obar_o
+
+    def query_transform(self, query_vec) -> tuple[list[float], float]:
+        """Driver-side: (rotated normalized query residual, ||q - c||) —
+        the same left-fold float order as the engine expressions."""
+        res = [float(q) - c for q, c in zip(query_vec, self.centroid)]
+        qnorm = 0.0
+        for x in res:
+            qnorm = qnorm + x * x
+        qnorm = math.sqrt(qnorm)
+        rot = []
+        for j in range(self.dim):
+            acc = 0.0
+            for a, b in zip(res, self.rotation[j]):
+                acc = acc + a * b
+            rot.append(acc / qnorm if qnorm > 0 else 0.0)
+        return rot, qnorm
+
+
+def rabitq_encode(df: DataFrame, rq: RaBitQ, vec_col: str,
+                  id_col: str = "vec_id") -> DataFrame:
+    """Index-build step: (id, bits, norm, obar_o) — 1 bit/dim + two
+    correction doubles per vector."""
+    bits, norm, obar_o = rq.encode_col(F.col(vec_col))
+    return df.select(F.col(id_col), bits.alias("bits"),
+                     norm.alias("norm"), obar_o.alias("obar_o"))
+
+
+def rabitq_codes_knn(codes: DataFrame, rq: RaBitQ, query_vec,
+                     k: int = 10, round_to: int = 6,
+                     id_col: str = "vec_id") -> DataFrame:
+    """Top-k by the RaBitQ estimated distance over PRE-ENCODED codes:
+    per-row work is one ±1/√D dot with the rotated query + scalar
+    algebra — no float vectors touched at query time."""
+    qrot, qnorm = rq.query_transform(query_vec)
+    qarr = F.array(*[F.lit(x) for x in qrot])
+    s = F.lit(rq._inv_sqrt_d)
+    obar_q = F.aggregate(
+        F.zip_with(F.col("bits"), qarr,
+                   lambda b, qv: (F.when(b == 1, s).otherwise(-s)) * qv),
+        F.lit(0.0), lambda acc, x: acc + x)
+    est_oq = F.when(F.col("obar_o") != 0.0,
+                    obar_q / F.col("obar_o")).otherwise(F.lit(0.0))
+    est_d2 = (F.col("norm") * F.col("norm") + F.lit(qnorm * qnorm)
+              - F.lit(2.0) * F.col("norm") * F.lit(qnorm) * est_oq)
+    # + 0.0 canonicalizes IEEE -0.0 (the gate hashes rendered strings)
+    return (
+        codes.select(id_col,
+                     (F.round(est_d2, round_to) + F.lit(0.0))
+                     .alias("est_d2"))
+        .orderBy("est_d2", id_col)
+        .limit(k)
+    )
+
+
+def duckdb_rabitq_sql(rq: RaBitQ, query_vec, table: str = "embeddings",
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      k: int = 10, round_to: int = 6) -> str:
+    """The FULL RaBitQ pipeline (encode + estimate) as DuckDB SQL with
+    the rotation/centroid as literals — the parity oracle."""
+    d = rq.dim
+    cen = "[" + ", ".join(repr(c) for c in rq.centroid) + "]"
+    s = repr(rq._inv_sqrt_d)
+    qrot, qnorm = rq.query_transform(query_vec)
+    qarr = "[" + ", ".join(repr(x) for x in qrot) + "]"
+
+    def dotrow(j: int) -> str:
+        row = "[" + ", ".join(repr(x) for x in rq.rotation[j]) + "]"
+        return (f"list_reduce(list_transform(range(1, {d} + 1),"
+                f" i -> res[i] * ({row})[i]), (a, b) -> a + b)")
+
+    rots = ", ".join(dotrow(j) + f" AS r{j}" for j in range(d))
+    signed_sum = " + ".join(
+        f"(CASE WHEN r{j} > 0 THEN {s} ELSE -{s} END) * r{j}"
+        for j in range(d))
+    bits_arr = ", ".join(
+        f"CASE WHEN r{j} > 0 THEN 1 ELSE 0 END" for j in range(d))
+    return f"""
+WITH res_t AS (
+  SELECT {id_col},
+    list_transform(range(1, {d} + 1),
+      i -> {vec_col}[i]::DOUBLE - ({cen})[i]) AS res
+  FROM {table}),
+rot_t AS (
+  SELECT {id_col}, res,
+    sqrt(list_reduce(list_transform(res, x -> x * x),
+         (a, b) -> a + b)) AS norm,
+    {rots}
+  FROM res_t),
+enc AS (
+  SELECT {id_col}, norm, [{bits_arr}] AS bits,
+    CASE WHEN norm > 0 THEN ({signed_sum}) / norm ELSE 0.0 END AS obar_o
+  FROM rot_t),
+est AS (
+  SELECT {id_col}, norm, obar_o,
+    list_reduce(list_transform(range(1, {d} + 1),
+      i -> (CASE WHEN bits[i] = 1 THEN {s} ELSE -{s} END)
+           * ({qarr})[i]), (a, b) -> a + b) AS obar_q
+  FROM enc)
+SELECT {id_col},
+  round(norm * norm + {repr(qnorm * qnorm)}
+        - 2.0 * norm * {repr(qnorm)}
+          * (CASE WHEN obar_o <> 0.0 THEN obar_q / obar_o ELSE 0.0 END),
+        {round_to}) + 0.0 AS est_d2
+FROM est ORDER BY est_d2, {id_col} LIMIT {k}
+"""
+
+
+def rabitq_rerank_knn(codes: DataFrame, vectors: DataFrame, rq: RaBitQ,
+                      query_vec, k: int = 10, shortlist: int = 100,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      round_to: int = 6) -> DataFrame:
+    """RaBitQ as designed to be used: the 1-bit estimator shortlists
+    `shortlist` candidates (bit fold only), then the exact L2 re-rank
+    touches float vectors for just those rows — at 100 TB the float
+    columns are read via a semi-join on the shortlist, 32× less scan
+    bandwidth on the first pass."""
+    cand = rabitq_codes_knn(codes, rq, query_vec, k=shortlist,
+                            id_col=id_col).select(id_col)
+    qarr = F.array(*[F.lit(float(x)) for x in query_vec])
+    d2 = F.aggregate(
+        F.zip_with(F.col(vec_col), qarr,
+                   lambda a, b: (a.cast("double") - b)
+                   * (a.cast("double") - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return (
+        vectors.join(cand, id_col, "left_semi")
+        .select(id_col, (F.round(d2, round_to) + F.lit(0.0)).alias("d2"))
+        .orderBy("d2", id_col)
+        .limit(k)
     )

@@ -21,6 +21,7 @@ value-hash comparison is engine-portable.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -3140,6 +3141,124 @@ FROM bits, qb ORDER BY hamming, vec_id LIMIT 10
 _register("vec_binary_quant_knn", _vec_binary_quant, _BQ_ORACLE)
 
 
+# RaBitQ (reference quant=rabitq, index.cpp:300-460): seeded orthogonal
+# rotation + sign bits + per-vector correction scalars + the unbiased
+# estimator. The rotation is data-INDEPENDENT (regenerated from the seed
+# on both sides); the centroid is the per-dim midrange, computed from
+# the data by Spark's train() and by the oracle's own SQL — every float
+# comes from the same left-fold order, so the ESTIMATES hash-match.
+_RABITQ_CACHE: dict[str, object] = {}
+
+
+def _rabitq_for(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _RABITQ_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        _RABITQ_CACHE[sf_dir] = SIM.RaBitQ.train(emb, "embedding")
+    return _RABITQ_CACHE[sf_dir]
+
+
+def _vec_rabitq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rq = _rabitq_for(spark, sf_dir)
+    codes = _codes_for(spark, sf_dir, "rabitq",
+                       lambda: SIM.rabitq_encode(emb, rq, "embedding"))
+    return SIM.rabitq_codes_knn(codes, rq, QUERY_VEC, k=10)
+
+
+def _vec_rabitq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    rq = _rabitq_for(spark, sf_dir)
+    codes = _codes_for(spark, sf_dir, "rabitq",
+                       lambda: SIM.rabitq_encode(emb, rq, "embedding"))
+    return SIM.rabitq_rerank_knn(codes, emb, rq, QUERY_VEC,
+                                 k=10, shortlist=60)
+
+
+def _rabitq_oracle(k: int, rerank: bool = False,
+                   shortlist: int = 60, round_to: int = 6) -> str:
+    d = len(QUERY_VEC)
+    rot = SIM.RaBitQ.rotation_matrix(d)
+    s = repr(1.0 / math.sqrt(d))
+    qv = V.duckdb_lit_vector(QUERY_VEC)
+
+    def dotrow(j: int, var: str) -> str:
+        row = "[" + ", ".join(repr(x) for x in rot[j]) + "]"
+        return (f"list_reduce(list_transform(range(1, {d} + 1),"
+                f" i -> {var}[i] * ({row})[i]), (a, b) -> a + b)")
+
+    rots = ", ".join(dotrow(j, "res") + f" AS r{j}" for j in range(d))
+    signed_sum = " + ".join(
+        f"(CASE WHEN r{j} > 0 THEN {s} ELSE -{s} END) * r{j}"
+        for j in range(d))
+    bits_arr = ", ".join(
+        f"CASE WHEN r{j} > 0 THEN 1 ELSE 0 END" for j in range(d))
+    qrots = ", ".join(dotrow(j, "qres") + f" AS qr{j}" for j in range(d))
+    qrot_arr = ", ".join(
+        f"CASE WHEN qnorm > 0 THEN qr{j} / qnorm ELSE 0.0 END"
+        for j in range(d))
+    est = f"""
+WITH dims AS (
+  SELECT i, (min(e::DOUBLE) + max(e::DOUBLE)) / 2.0 AS mid
+  FROM (SELECT unnest(embedding) AS e,
+               generate_subscripts(embedding, 1) AS i FROM embeddings)
+  GROUP BY i),
+stats AS (SELECT list(mid ORDER BY i) AS mids FROM dims),
+qres_t AS (
+  SELECT list_transform(range(1, {d} + 1),
+           i -> ({qv})[i] - mids[i]) AS qres
+  FROM stats),
+qn_t AS (
+  SELECT qres, sqrt(list_reduce(list_transform(qres, x -> x * x),
+                    (a, b) -> a + b)) AS qnorm
+  FROM qres_t),
+qrot_t AS (SELECT qnorm, {qrots} FROM qn_t),
+qhat AS (SELECT qnorm, [{qrot_arr}] AS qh FROM qrot_t),
+res_t AS (
+  SELECT vec_id,
+    list_transform(range(1, {d} + 1),
+      i -> embedding[i]::DOUBLE - mids[i]) AS res
+  FROM embeddings, stats),
+rot_t AS (
+  SELECT vec_id, res,
+    sqrt(list_reduce(list_transform(res, x -> x * x),
+         (a, b) -> a + b)) AS norm,
+    {rots}
+  FROM res_t),
+enc AS (
+  SELECT vec_id, norm, [{bits_arr}] AS bits,
+    CASE WHEN norm > 0 THEN ({signed_sum}) / norm ELSE 0.0 END AS obar_o
+  FROM rot_t),
+est AS (
+  SELECT vec_id, norm, obar_o, qnorm,
+    list_reduce(list_transform(range(1, {d} + 1),
+      i -> (CASE WHEN bits[i] = 1 THEN {s} ELSE -{s} END) * qh[i]),
+      (a, b) -> a + b) AS obar_q
+  FROM enc, qhat),
+scored AS (
+  SELECT vec_id,
+    round(norm * norm + qnorm * qnorm
+          - 2.0 * norm * qnorm
+            * (CASE WHEN obar_o <> 0.0 THEN obar_q / obar_o
+               ELSE 0.0 END), {round_to}) + 0.0 AS est_d2
+  FROM est)
+"""
+    if not rerank:
+        return est + f"""
+SELECT vec_id, est_d2 FROM scored ORDER BY est_d2, vec_id LIMIT {k}"""
+    l2 = V.duckdb_l2_sqr("e.embedding", qv)
+    return est + f"""
+, short AS (SELECT vec_id FROM scored
+            ORDER BY est_d2, vec_id LIMIT {shortlist})
+SELECT e.vec_id, round({l2}, {round_to}) + 0.0 AS d2
+FROM embeddings e JOIN short USING (vec_id)
+ORDER BY d2, e.vec_id LIMIT {k}"""
+
+
+_register("vec_rabitq_knn", _vec_rabitq, _rabitq_oracle(10))
+_register("vec_rabitq_rerank", _vec_rabitq_rerank,
+          _rabitq_oracle(10, rerank=True))
+
+
 def _vec_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs, exact semantics: all pairs with cosine ≥ threshold.
     At test scale the full self-join is fine; at 100 TB the same operator
@@ -4246,8 +4365,12 @@ _GATE_WINDOW = [
     # --- new-in-r6: BIT / TIME / BLOB / TRY_CAST type surface -------------
     "bitstring_battery", "time_battery", "blob_battery",
     "trycast_battery", "enum_battery",
-    # --- rotating sentinels (every previously-green family) ---------------
-    "tpch_q6", "vec_knn_cosine",
+    # --- new-in-r6: RaBitQ binary quantization (estimator + rerank) -------
+    "vec_rabitq_knn", "vec_rabitq_rerank",
+    # (no sentinel slots left this round: the window is exactly the 25
+    # never-driver-sampled queries, the re-gated approx_aggregates, and
+    # the 24 new-in-r6 queries; every previously-green family keeps its
+    # cumulative r1-r5 driver rows and the full local registry run)
 ]
 
 

@@ -126,3 +126,35 @@ def test_binary_quant_bits_roundtrip(spark):
     assert len(top) == 5
     assert all(0 <= r.hamming <= 64 for r in top)
     assert top == sorted(top, key=lambda r: (r.hamming, r.vec_id))
+
+
+def test_rabitq_estimator_and_rerank(spark):
+    """RaBitQ (rotation + correction + unbiased estimator): the 1-bit
+    estimator alone gives useful-but-lossy ordering; the designed usage
+    (shortlist -> exact re-rank) recovers exact top-k."""
+    from serenedb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    rq = SIM.RaBitQ.train(emb, "embedding")
+    q = list(emb.where(F.col("vec_id") == 11).first()["embedding"])
+    codes = SIM.rabitq_encode(emb, rq, "embedding").persist()
+
+    exact = [r.vec_id for r in SIM.knn_exact(
+        emb, "embedding", q, k=10, metric="l2").collect()]
+    est = [r.vec_id for r in SIM.rabitq_codes_knn(
+        codes, rq, q, k=10).collect()]
+    # self-match always survives quantization; estimator recall is lossy
+    assert est[0] == 11
+    assert len(set(exact) & set(est)) >= 3
+
+    rerank = [r.vec_id for r in SIM.rabitq_rerank_knn(
+        codes, emb, rq, q, k=10, shortlist=120).collect()]
+    assert len(set(exact) & set(rerank)) >= 9
+
+    # rotation is orthogonal: norms preserved (seeded, deterministic)
+    import numpy as np
+
+    R = np.array(SIM.RaBitQ.rotation_matrix(len(q)))
+    assert np.allclose(R @ R.T, np.eye(len(q)), atol=1e-9)
+    assert SIM.RaBitQ.rotation_matrix(len(q)) == \
+        SIM.RaBitQ.rotation_matrix(len(q))
