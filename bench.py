@@ -59,6 +59,20 @@ HEADLINE = [
     "events_asof_join",
     "orders_range_join",
     "cookbook_percolate",
+    # round-6 operator families
+    "fts_stemmed_term_de",
+    "geo_polygon_intersects",
+    "variant_battery",
+    "text_redact_pii",
+    "text_chunk",
+    "recursive_cte_hierarchy",
+    "lateral_topn_per_key",
+    # NB: vec_rabitq_* stay OFF the headline list — their parity oracle
+    # re-derives the rotation in SQL (64 list_reduce folds per row),
+    # ~90 s in DuckDB at sf0.1, which would pad bench_baseline's total
+    # in our favor for no information; the sf0.01 gate row covers them
+    "bitstring_battery",
+    "inet6_battery",
 ]
 
 

@@ -224,3 +224,49 @@ def d_contains(net: str, addr: str) -> str:
     m = d_masklen(net)
     return (f"({_d_prefix_fill(d_canon(net), m, '0')}"
             f" = {_d_prefix_fill(d_canon(addr), m, '0')})")
+
+
+# -- canon-staged variants: compute ip6_canon/ip6_masklen ONCE in a prior
+# projection and derive everything from them. In a single fused Project,
+# each operator re-derives the canonical key — Catalyst happily inlines
+# ~6 copies of the parse into one stage and the generated code blows past
+# the JIT's happy zone (profiled: 7 s for 300 rows fused vs 0.3 s staged).
+
+def ip6_network_c(canon: Column, m: Column) -> Column:
+    return ip6_render(_prefix_fill(canon, m, "0"), m)
+
+
+def ip6_broadcast_c(canon: Column, m: Column) -> Column:
+    return ip6_render(_prefix_fill(canon, m, "f"), m)
+
+
+def ip6_contains_c(net_lit: str, canon: Column) -> Column:
+    """Containment of a pre-canonicalized address in a LITERAL network
+    (prefix comparison computed at plan time)."""
+    naddr, _, nmask = net_lit.partition("/")
+    m = int(nmask) if nmask else 128
+    keep, bits = divmod(m, 4)
+    # driver-side canonicalization of the literal network
+    import re as _re
+
+    s = naddr.lower()
+    if s.startswith("::"):
+        s = "0" + s
+    if s.endswith("::"):
+        s = s + "0"
+    if "::" in s:
+        left, right = s.split("::")
+        lg = left.split(":")
+        rg = right.split(":") if right else []
+        groups = lg + ["0"] * (8 - len(lg) - len(rg)) + rg
+    else:
+        groups = s.split(":")
+    ncanon = "".join(g.zfill(4) for g in groups)
+    cond = F.substring(canon, 1, keep) == F.lit(ncanon[:keep])
+    if bits:
+        step = 1 << (4 - bits)
+        want = (int(ncanon[keep], 16) // step) * step
+        d = F.conv(F.substring(canon, keep + 1, 1), 16, 10).cast("int")
+        cond = cond & ((F.floor(d / step) * step).cast("int")
+                       == F.lit(want))
+    return cond

@@ -1043,17 +1043,24 @@ def _inet6_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("2001:db8:"), h1, F.lit("::"), h2,
                             F.lit("/"), m.cast("string")))
     )
-    net = F.lit("2001:db8::/32")
+    # staged: parse the canonical key ONCE, derive every operator from it
+    # (a fused Project would inline ~6 copies of the parse — see
+    # inet6.ip6_network_c)
+    staged = orders.where(k < 300).select(
+        "o_orderkey", ip.alias("ip"),
+        I6.ip6_canon(ip).alias("__c"),
+        I6.ip6_masklen(ip).alias("__m"),
+    )
+    c, mm = F.col("__c"), F.col("__m")
     return (
-        orders.where(k < 300)
-        .select(
-            "o_orderkey", ip.alias("ip"),
-            I6.ip6_host(ip).alias("host"),
-            I6.ip6_masklen(ip).alias("mlen"),
-            I6.ip6_network(ip).alias("net"),
-            I6.ip6_broadcast(ip).alias("bcast"),
-            I6.ip6_netmask(ip).alias("mask"),
-            I6.ip6_contains(net, ip).alias("in_db8"),
+        staged.select(
+            "o_orderkey", "ip",
+            I6.ip6_render(c).alias("host"),
+            mm.alias("mlen"),
+            I6.ip6_network_c(c, mm).alias("net"),
+            I6.ip6_broadcast_c(c, mm).alias("bcast"),
+            I6.ip6_netmask(F.col("ip")).alias("mask"),
+            I6.ip6_contains_c("2001:db8::/32", c).alias("in_db8"),
         )
         .orderBy("o_orderkey")
     )
