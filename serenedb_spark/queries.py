@@ -1346,8 +1346,11 @@ _sql("trycast_battery", """
 SELECT o_orderkey,
   CASE WHEN v = '1e3' THEN NULL ELSE TRY_CAST(v AS INT) END AS as_int,
   TRY_CAST(v AS DOUBLE) AS as_double,
-  TRY_CAST(v AS DATE) AS as_date,
-  TRY_CAST(v AS BOOLEAN) AS as_bool
+  -- rendered as text: pandas datetime64-vs-date dtypes sort NULLs
+  -- differently across the two engines' client paths, misaligning the
+  -- order-insensitive row compare
+  CAST(TRY_CAST(v AS DATE) AS STRING) AS as_date,
+  CAST(TRY_CAST(v AS BOOLEAN) AS INT) AS as_bool
 FROM (
   SELECT o_orderkey,
     CASE CAST(o_orderkey % 6 AS INT)
