@@ -4330,10 +4330,11 @@ ORDER BY doc_id
 #:   r6 (this window): the 25 queries that have never had a driver row
 #:          (all 10 cookbook recipes, ASOF/range joins, expression keys,
 #:          type batteries, skew/ordered-scan, geo WKT, ES significant
-#:          terms), approx_aggregates with its new bounds oracle, all 21
-#:          new-in-r6 queries, + rotating sentinels. With this window,
-#:          the union of driver rows r1–r6 covers EVERY registered query
-#:          — no operator remains driver-unverified.
+#:          terms), approx_aggregates with its new bounds oracle, and all 24
+#:          new-in-r6 queries (locale stemming, geometry, type batteries,
+#:          corpus stages, recursive/lateral SQL, RaBitQ). With this
+#:          window, the union of driver rows r1–r6 covers EVERY
+#:          registered query — no operator remains driver-unverified.
 #: Every query, windowed or not, still runs in tests/test_differential.py
 #: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
