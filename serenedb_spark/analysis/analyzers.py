@@ -1090,6 +1090,22 @@ LOCALE_STOPWORDS: dict[str, tuple[str, ...]] = {
     "ru": ("и", "в", "не", "на", "я", "быть", "он", "с", "что", "а", "по",
            "это", "она", "этот", "к", "но", "они", "мы", "как", "из", "у",
            "который", "то", "за", "свой", "весь", "год", "от", "так", "о"),
+    "it": ("di", "e", "il", "la", "che", "in", "un", "a", "per", "è",
+           "una", "sono", "da", "non", "si", "le", "con", "dei", "del",
+           "al", "lo", "i", "gli", "nel", "alla", "più", "come", "anche",
+           "o", "ma"),
+    "pt": ("de", "a", "o", "que", "e", "do", "da", "em", "um", "para",
+           "é", "com", "não", "uma", "os", "no", "se", "na", "por",
+           "mais", "as", "dos", "como", "mas", "foi", "ao", "ele", "das",
+           "tem", "ou"),
+    "nl": ("de", "het", "een", "en", "van", "in", "is", "dat", "op", "te",
+           "zijn", "met", "voor", "niet", "aan", "er", "om", "ook", "als",
+           "dan", "maar", "bij", "uit", "nog", "door", "over", "naar",
+           "meer", "deze", "wordt"),
+    "sv": ("och", "i", "att", "det", "som", "en", "på", "är", "av", "för",
+           "med", "den", "till", "inte", "om", "han", "var", "sig", "men",
+           "ett", "har", "vid", "vi", "så", "kan", "man", "när", "år",
+           "från", "ska"),
 }
 
 # Unicode-aware tokenization (the ASCII `simple` split would shred
@@ -1130,6 +1146,6 @@ def _locale_text(locale: str):
     return expr, py, duck
 
 
-for _lc in ("de", "fr", "es", "ru"):
+for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv"):
     _e, _p, _d = _locale_text(_lc)
     register(Analyzer(f"text_{_lc}", _e, _p, _d))

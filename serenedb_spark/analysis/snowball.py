@@ -665,6 +665,261 @@ RUSSIAN = Locale(
     ),
 )
 
+_IT_V = "aeiouàèìòù"
+ITALIAN = Locale(
+    name="it",
+    vowels=_IT_V,
+    rv_kind="es",   # Snowball defines it/pt RV identically to Spanish
+    steps=(
+        # single removal pass: standard (R2/R1) ∪ verb (RV) suffixes
+        # (attached-pronoun step 0 omitted — portable subset)
+        (
+            Rule("amente", "r1"), Rule("mente", "r2"),
+            Rule("atrice", "r2"), Rule("atrici", "r2"),
+            Rule("azione", "r2"), Rule("azioni", "r2"),
+            Rule("atore", "r2"), Rule("atori", "r2"),
+            Rule("uzione", "r2"), Rule("uzioni", "r2"),
+            Rule("usione", "r2"), Rule("usioni", "r2"),
+            Rule("logia", "r2", repl="log"),
+            Rule("logie", "r2", repl="log"),
+            Rule("enza", "r2", repl="ente"),
+            Rule("enze", "r2", repl="ente"),
+            Rule("amento", "rv"), Rule("amenti", "rv"),
+            Rule("imento", "rv"), Rule("imenti", "rv"),
+            Rule("abile", "r2"), Rule("abili", "r2"),
+            Rule("ibile", "r2"), Rule("ibili", "r2"),
+            Rule("ista", "r2"), Rule("iste", "r2"), Rule("isti", "r2"),
+            Rule("ismo", "r2"), Rule("ismi", "r2"),
+            Rule("oso", "r2"), Rule("osi", "r2"),
+            Rule("osa", "r2"), Rule("ose", "r2"),
+            Rule("iche", "r2"), Rule("ichi", "r2"),
+            Rule("ico", "r2"), Rule("ici", "r2"),
+            Rule("ica", "r2"), Rule("ice", "r2"),
+            Rule("ità", "r2"),
+            Rule("ivo", "r2"), Rule("ivi", "r2"),
+            Rule("iva", "r2"), Rule("ive", "r2"),
+            Rule("ante", "r2"), Rule("anti", "r2"),
+            # verb suffixes (RV)
+            Rule("erebbero", "rv"), Rule("irebbero", "rv"),
+            Rule("assero", "rv"), Rule("assimo", "rv"),
+            Rule("eranno", "rv"), Rule("erebbe", "rv"),
+            Rule("eremmo", "rv"), Rule("ereste", "rv"),
+            Rule("eresti", "rv"), Rule("essero", "rv"),
+            Rule("iranno", "rv"), Rule("irebbe", "rv"),
+            Rule("iremmo", "rv"), Rule("ireste", "rv"),
+            Rule("iresti", "rv"), Rule("iscano", "rv"),
+            Rule("iscono", "rv"), Rule("issero", "rv"),
+            Rule("arono", "rv"), Rule("avamo", "rv"), Rule("avano", "rv"),
+            Rule("avate", "rv"), Rule("eremo", "rv"), Rule("erete", "rv"),
+            Rule("erono", "rv"), Rule("evamo", "rv"), Rule("evano", "rv"),
+            Rule("evate", "rv"), Rule("iremo", "rv"), Rule("irete", "rv"),
+            Rule("irono", "rv"), Rule("ivamo", "rv"), Rule("ivano", "rv"),
+            Rule("ivate", "rv"),
+            Rule("ammo", "rv"), Rule("ando", "rv"), Rule("asse", "rv"),
+            Rule("assi", "rv"), Rule("emmo", "rv"), Rule("enda", "rv"),
+            Rule("ende", "rv"), Rule("endi", "rv"), Rule("endo", "rv"),
+            Rule("erai", "rv"), Rule("erei", "rv"), Rule("iamo", "rv"),
+            Rule("immo", "rv"), Rule("irai", "rv"), Rule("irei", "rv"),
+            Rule("isca", "rv"), Rule("isce", "rv"), Rule("isci", "rv"),
+            Rule("isco", "rv"),
+            Rule("ano", "rv"), Rule("are", "rv"), Rule("ata", "rv"),
+            Rule("ate", "rv"), Rule("ati", "rv"), Rule("ato", "rv"),
+            Rule("ava", "rv"), Rule("avi", "rv"), Rule("avo", "rv"),
+            Rule("erà", "rv"), Rule("erò", "rv"), Rule("ere", "rv"),
+            Rule("ete", "rv"), Rule("eva", "rv"), Rule("evi", "rv"),
+            Rule("evo", "rv"), Rule("irà", "rv"), Rule("irò", "rv"),
+            Rule("ire", "rv"), Rule("ita", "rv"), Rule("ite", "rv"),
+            Rule("iti", "rv"), Rule("ito", "rv"), Rule("iva", "rv"),
+            Rule("ivi", "rv"), Rule("ivo", "rv"), Rule("ono", "rv"),
+            Rule("uta", "rv"), Rule("ute", "rv"), Rule("uti", "rv"),
+            Rule("uto", "rv"),
+            Rule("ar", "rv"), Rule("ir", "rv"),
+        ),
+        # residual vowel (3a), then a second trailing i exposed by it
+        (
+            Rule("a", "rv"), Rule("e", "rv"), Rule("i", "rv"),
+            Rule("o", "rv"), Rule("à", "rv"), Rule("è", "rv"),
+            Rule("ì", "rv"), Rule("ò", "rv"),
+        ),
+        (Rule("i", "rv"),),
+        # 3b: ch/gh -> c/g
+        (Rule("ch", "rv", repl="c"), Rule("gh", "rv", repl="g")),
+    ),
+    final_from="àèìòùáéíóú",
+    final_to="aeiouaeiou",
+)
+
+_PT_V = "aeiouáéíóúâêôãõ"
+PORTUGUESE = Locale(
+    name="pt",
+    vowels=_PT_V,
+    rv_kind="es",
+    steps=(
+        # single removal pass: standard (R2/R1) ∪ verb (RV) suffixes
+        (
+            Rule("amente", "r1"), Rule("mente", "r2"),
+            Rule("ezas", "r2"), Rule("eza", "r2"),
+            Rule("icos", "r2"), Rule("icas", "r2"),
+            Rule("ico", "r2"), Rule("ica", "r2"),
+            Rule("ismos", "r2"), Rule("ismo", "r2"),
+            Rule("áveis", "r2"), Rule("ável", "r2"),
+            Rule("íveis", "r2"), Rule("ível", "r2"),
+            Rule("istas", "r2"), Rule("ista", "r2"),
+            Rule("osos", "r2"), Rule("osas", "r2"),
+            Rule("oso", "r2"), Rule("osa", "r2"),
+            Rule("amentos", "r2"), Rule("imentos", "r2"),
+            Rule("amento", "r2"), Rule("imento", "r2"),
+            Rule("adoras", "r2"), Rule("adores", "r2"),
+            Rule("adora", "r2"), Rule("ador", "r2"),
+            Rule("ações", "r2"), Rule("ação", "r2"),
+            Rule("uções", "r2", repl="u"), Rule("ução", "r2", repl="u"),
+            Rule("logias", "r2", repl="log"),
+            Rule("logia", "r2", repl="log"),
+            Rule("ências", "r2", repl="ente"),
+            Rule("ência", "r2", repl="ente"),
+            Rule("antes", "r2"), Rule("ante", "r2"),
+            Rule("âncias", "r2"), Rule("ância", "r2"),
+            Rule("idades", "r2"), Rule("idade", "r2"),
+            Rule("ivas", "r2"), Rule("ivos", "r2"),
+            Rule("iva", "r2"), Rule("ivo", "r2"),
+            Rule("iras", "rv", prec="e", repl="ir"),
+            Rule("ira", "rv", prec="e", repl="ir"),
+            # verb suffixes (RV)
+            Rule("aríamos", "rv"), Rule("eríamos", "rv"),
+            Rule("iríamos", "rv"), Rule("ássemos", "rv"),
+            Rule("êssemos", "rv"), Rule("íssemos", "rv"),
+            Rule("aríeis", "rv"), Rule("eríeis", "rv"),
+            Rule("iríeis", "rv"), Rule("ásseis", "rv"),
+            Rule("ésseis", "rv"), Rule("ísseis", "rv"),
+            Rule("áramos", "rv"), Rule("éramos", "rv"),
+            Rule("íramos", "rv"), Rule("ávamos", "rv"),
+            Rule("aremos", "rv"), Rule("eremos", "rv"),
+            Rule("iremos", "rv"),
+            Rule("ariam", "rv"), Rule("eriam", "rv"), Rule("iriam", "rv"),
+            Rule("assem", "rv"), Rule("essem", "rv"), Rule("issem", "rv"),
+            Rule("arão", "rv"), Rule("erão", "rv"), Rule("irão", "rv"),
+            Rule("arias", "rv"), Rule("erias", "rv"), Rule("irias", "rv"),
+            Rule("ardes", "rv"), Rule("erdes", "rv"), Rule("irdes", "rv"),
+            Rule("asses", "rv"), Rule("esses", "rv"), Rule("isses", "rv"),
+            Rule("astes", "rv"), Rule("estes", "rv"), Rule("istes", "rv"),
+            Rule("áreis", "rv"), Rule("éreis", "rv"), Rule("íreis", "rv"),
+            Rule("áveis", "rv"), Rule("íeis", "rv"),
+            Rule("aria", "rv"), Rule("eria", "rv"), Rule("iria", "rv"),
+            Rule("asse", "rv"), Rule("esse", "rv"), Rule("isse", "rv"),
+            Rule("aste", "rv"), Rule("este", "rv"), Rule("iste", "rv"),
+            Rule("arei", "rv"), Rule("erei", "rv"), Rule("irei", "rv"),
+            Rule("aram", "rv"), Rule("eram", "rv"), Rule("iram", "rv"),
+            Rule("avam", "rv"), Rule("arem", "rv"), Rule("erem", "rv"),
+            Rule("irem", "rv"),
+            Rule("ando", "rv"), Rule("endo", "rv"), Rule("indo", "rv"),
+            Rule("adas", "rv"), Rule("idas", "rv"),
+            Rule("arás", "rv"), Rule("aras", "rv"), Rule("erás", "rv"),
+            Rule("eras", "rv"), Rule("irás", "rv"),
+            Rule("avas", "rv"), Rule("ares", "rv"), Rule("eres", "rv"),
+            Rule("ires", "rv"),
+            Rule("ados", "rv"), Rule("idos", "rv"),
+            Rule("ámos", "rv"), Rule("amos", "rv"), Rule("emos", "rv"),
+            Rule("imos", "rv"), Rule("iras", "rv"),
+            Rule("ada", "rv"), Rule("ida", "rv"),
+            Rule("ará", "rv"), Rule("ara", "rv"), Rule("erá", "rv"),
+            Rule("era", "rv"), Rule("irá", "rv"),
+            Rule("ava", "rv"), Rule("iam", "rv"),
+            Rule("ado", "rv"), Rule("ido", "rv"),
+            Rule("ias", "rv"), Rule("ais", "rv"), Rule("eis", "rv"),
+            Rule("ira", "rv"), Rule("ia", "rv"), Rule("ei", "rv"),
+            Rule("am", "rv"), Rule("em", "rv"),
+            Rule("ar", "rv"), Rule("er", "rv"), Rule("ir", "rv"),
+            Rule("as", "rv"), Rule("es", "rv"), Rule("is", "rv"),
+            Rule("eu", "rv"), Rule("iu", "rv"), Rule("ou", "rv"),
+        ),
+        # step 3: i preceded by c (RV)
+        (Rule("i", "rv", prec="c"),),
+        # residual suffix (step 4) + final e/é/ê (step 5), one pass each
+        (
+            Rule("os", "rv"), Rule("a", "rv"), Rule("i", "rv"),
+            Rule("o", "rv"), Rule("á", "rv"), Rule("í", "rv"),
+            Rule("ó", "rv"),
+        ),
+        (Rule("e", "rv"), Rule("é", "rv"), Rule("ê", "rv")),
+    ),
+    final_from="áéíóúâêôãõàèç",
+    final_to="aeiouaeoaoaec",
+)
+
+_NL_V = "aeiouyè"
+DUTCH = Locale(
+    name="nl",
+    vowels=_NL_V,
+    r1_min3=True,
+    prelude=(("ä", "a"), ("ë", "e"), ("ï", "i"), ("ö", "o"), ("ü", "u"),
+             ("á", "a"), ("é", "e"), ("í", "i"), ("ó", "o"), ("ú", "u")),
+    steps=(
+        # step 1: heden -> heid; en-endings; s-endings
+        (
+            Rule("heden", "r1", repl="heid"),
+            Rule("ene", "r1", prec_not=_NL_V),
+            Rule("en", "r1", prec_not=_NL_V),
+            Rule("se", "r1", prec_not=_NL_V + "j"),
+            Rule("s", "r1", prec_not=_NL_V + "j"),
+        ),
+        # step 3a: heid (not preceded by c)
+        (Rule("heid", "r2", not_prec="c"),),
+        # step 3b: d-suffixes
+        (
+            Rule("baar", "r2"), Rule("lijk", "r2"),
+            Rule("end", "r2"), Rule("ing", "r2"),
+            Rule("bar", "r2"),
+        ),
+        (Rule("ig", "r2", not_prec="e"),),
+        # step 2: final e after a consonant
+        (Rule("e", "r1", prec_not=_NL_V),),
+        # undouble kk/dd/tt exposed by a removal (portable subset: global —
+        # native Dutch words do not end in these clusters un-suffixed)
+        (Rule("kk", repl="k"), Rule("dd", repl="d"), Rule("tt", repl="t")),
+    ),
+)
+
+_SV_V = "aeiouyäåö"
+SWEDISH = Locale(
+    name="sv",
+    vowels=_SV_V,
+    r1_min3=True,
+    steps=(
+        # step 1: a-suffixes (R1) + s preceded by a valid s-ending
+        (
+            Rule("heterna", "r1"), Rule("hetens", "r1"),
+            Rule("anden", "r1"), Rule("arnas", "r1"), Rule("ernas", "r1"),
+            Rule("ornas", "r1"), Rule("arens", "r1"), Rule("heten", "r1"),
+            Rule("heter", "r1"), Rule("andet", "r1"), Rule("andes", "r1"),
+            Rule("arna", "r1"), Rule("erna", "r1"), Rule("orna", "r1"),
+            Rule("ande", "r1"), Rule("arne", "r1"), Rule("aste", "r1"),
+            Rule("aren", "r1"), Rule("ades", "r1"),
+            Rule("ade", "r1"), Rule("are", "r1"), Rule("ern", "r1"),
+            Rule("ens", "r1"), Rule("het", "r1"), Rule("ast", "r1"),
+            Rule("ad", "r1"), Rule("en", "r1"), Rule("ar", "r1"),
+            Rule("er", "r1"), Rule("or", "r1"), Rule("as", "r1"),
+            Rule("es", "r1"), Rule("at", "r1"),
+            Rule("a", "r1"), Rule("e", "r1"),
+            Rule("s", "r1", prec="bcdfghjklmnoprtvy"),
+        ),
+        # step 2: shorten dd/gd/nn/dt/gt/kt/tt
+        (
+            Rule("dd", "r1", repl="d"), Rule("gd", "r1", repl="g"),
+            Rule("nn", "r1", repl="n"), Rule("dt", "r1", repl="d"),
+            Rule("gt", "r1", repl="g"), Rule("kt", "r1", repl="k"),
+            Rule("tt", "r1", repl="t"),
+        ),
+        # step 3: d-suffixes
+        (
+            Rule("löst", "r1", repl="lös"), Rule("fullt", "r1", repl="full"),
+            Rule("lig", "r1"), Rule("els", "r1"), Rule("ig", "r1"),
+        ),
+    ),
+    final_from="äåö",
+    final_to="aao",
+)
+
 LOCALES: dict[str, Locale] = {
     "de": GERMAN, "fr": FRENCH, "es": SPANISH, "ru": RUSSIAN,
+    "it": ITALIAN, "pt": PORTUGUESE, "nl": DUTCH, "sv": SWEDISH,
 }

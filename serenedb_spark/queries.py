@@ -2059,7 +2059,7 @@ def _register_locale_stemmed() -> None:
             O.match_sql(_DOC_TABLE, _DOC_COL, f"text_{lc}", q.Term(term),
                         order="doc_id"))
 
-    for _lc in ("de", "fr", "es", "ru"):
+    for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv"):
         make(_lc, "table")
 
 
@@ -4378,6 +4378,9 @@ _GATE_WINDOW = [
     "trycast_battery", "enum_battery",
     # --- new-in-r6: RaBitQ binary quantization (estimator + rerank) -------
     "vec_rabitq_knn", "vec_rabitq_rerank",
+    # (r7 rotation candidates — registered after the window filled:
+    # fts_stemmed_term_{it,pt,nl,sv} and any further post-window adds;
+    # all run in tests/test_differential.py + check_correctness meanwhile)
     # (no sentinel slots left this round: the window is exactly the 25
     # never-driver-sampled queries, the re-gated approx_aggregates, and
     # the 24 new-in-r6 queries; every previously-green family keeps its

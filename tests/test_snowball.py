@@ -38,6 +38,33 @@ GOLDEN = {
         ("пользователей", "пользовател"), ("пользователи", "пользовател"),
         ("большая", "больш"), ("большие", "больш"),
     ],
+    "it": [
+        ("nazione", "nazion"), ("nazioni", "nazion"),
+        ("informazione", "inform"), ("informazioni", "inform"),
+        ("rapidamente", "rapid"), ("importante", "import"),
+        ("importanti", "import"), ("parlando", "parl"),
+        ("parlare", "parl"), ("felicità", "felic"),
+        ("libri", "libr"), ("libro", "libr"),
+    ],
+    "pt": [
+        ("administração", "administr"), ("administrações", "administr"),
+        ("casas", "cas"), ("casa", "cas"), ("rapidamente", "rapid"),
+        ("felicidade", "felic"), ("felicidades", "felic"),
+        ("importante", "import"), ("falaram", "fal"), ("falando", "fal"),
+        ("falar", "fal"), ("livros", "livr"), ("livro", "livr"),
+    ],
+    "nl": [
+        ("huizen", "huiz"), ("boeken", "boek"), ("appels", "appel"),
+        ("appel", "appel"), ("mogelijkheid", "mogelijk"),
+        ("mogelijkheden", "mogelijk"), ("lopen", "lop"),
+        ("gelukkig", "geluk"), ("werken", "werk"),
+    ],
+    "sv": [
+        ("flickorna", "flick"), ("flickor", "flick"), ("flicka", "flick"),
+        ("tidningarna", "tidning"), ("tidningar", "tidning"),
+        ("möjligheterna", "moj"), ("möjligheten", "moj"),
+        ("möjlig", "moj"), ("hundarnas", "hund"), ("hundar", "hund"),
+    ],
 }
 
 _ALPHABETS = {
@@ -45,6 +72,10 @@ _ALPHABETS = {
     "fr": "abdefghilmnorstuvéèêçà",
     "es": "abdefghilmnorstuvíóáé",
     "ru": "абвгдеижклмнопрстуыьэюя",
+    "it": "abdefghilmnorstuvàèìò",
+    "pt": "abdefghilmnorstuváéíçãõ",
+    "nl": "abdefghijklmnorstuv",
+    "sv": "abdefghiklmnorstuvyäåö",
 }
 
 
