@@ -19,6 +19,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+#: ICU/CLDR en sentence-break suppressions (portable subset): a '.' is not
+#: a sentence end when the word before it is one of these abbreviations.
+#: ts_highlight.cpp inherits the full list from ICU's en tailoring; this
+#: covers the CLDR entries likely in technical/business prose.
+SENTENCE_ABBREVIATIONS: tuple[str, ...] = (
+    "Dr", "Mr", "Mrs", "Ms", "Prof", "St", "Jr", "Sr", "Rev", "Gen",
+    "Sen", "Gov", "Capt", "Sgt", "Col", "Lt", "Maj", "Hon", "Messrs",
+    "Inc", "Ltd", "Co", "Corp", "No", "Fig", "Dept", "Univ", "Ave",
+    "Blvd", "Rd", "Mt", "Ft",
+    "etc", "vs", "cf", "al", "e.g", "i.e", "est", "approx",
+    "Jan", "Feb", "Mar", "Apr", "Jun", "Jul", "Aug", "Sep", "Sept",
+    "Oct", "Nov", "Dec", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun",
+)
+
+
 def term_offsets_col(text: Column, term: str) -> Column:
     """1-based char offsets of whole-token occurrences of `term`:
     positions i where lower(substr(text,i,len)) = term and both neighbours
@@ -131,9 +146,12 @@ def ts_highlight(
     ICU break-iterator snippeting (ts_highlight.cpp uses ICU word/sentence
     breaks). ``boundary='sentence'`` returns the full sentence containing
     the match, using the portable UAX#29 core: a sentence ends at [.!?]
-    whose successor is whitespace or end-of-text (locale tailoring and
-    abbreviation suppression are the documented deviation from ICU).
-    ``boundary='char'`` keeps the raw fixed window."""
+    whose successor is whitespace or end-of-text, EXCEPT a '.' whose
+    preceding word is a known abbreviation (the ICU/CLDR en suppression
+    tailoring, ``SENTENCE_ABBREVIATIONS`` — ts_highlight.cpp reaches the
+    same behavior through ICU's en break data; non-en suppression lists
+    remain the documented deviation). ``boundary='char'`` keeps the raw
+    fixed window."""
     offs = term_offsets_col(F.col(text_col), term)
     first = F.get(offs, 0)  # NULL (not an error) when there is no match
     n = len(term)
@@ -142,11 +160,19 @@ def ts_highlight(
         ln = F.length(text)
         idx = F.filter(F.sequence(F.lit(1), F.greatest(ln, F.lit(1))),
                        lambda i: i <= ln)
-        breaks = F.filter(
-            idx,
-            lambda i: (F.instr(F.lit(".!?"), text.substr(i, F.lit(1))) > 0)
-            & ((text.substr(i + F.lit(1), F.lit(1)) == F.lit(" ")) | (i == ln)),
-        )
+        def _is_break(i: Column) -> Column:
+            ch = text.substr(i, F.lit(1))
+            basic = (F.instr(F.lit(".!?"), ch) > 0) & (
+                (text.substr(i + F.lit(1), F.lit(1)) == F.lit(" "))
+                | (i == ln)
+            )
+            prev_word = F.element_at(
+                F.split(text.substr(F.lit(1), i - F.lit(1)), " "), -1)
+            suppressed = (ch == F.lit(".")) & prev_word.isin(
+                *SENTENCE_ABBREVIATIONS)
+            return basic & ~suppressed
+
+        breaks = F.filter(idx, _is_break)
         s0 = F.coalesce(
             F.array_max(F.filter(breaks, lambda p: p < first)), F.lit(0)
         ) + F.lit(1)
@@ -211,10 +237,14 @@ def duckdb_ts_highlight_sql(
          OR i + {n} > length({lo})))"""
     if boundary == "sentence":
         tc = text_col
+        ab = ", ".join(f"'{a}'" for a in SENTENCE_ABBREVIATIONS)
+        prev_word = f"string_split(substr({tc}, 1, i - 1), ' ')[-1]"
         breaks = (
             f"list_filter(range(1, length({tc}) + 1),"
             f" i -> strpos('.!?', substr({tc}, i, 1)) > 0"
-            f" AND (substr({tc}, i + 1, 1) = ' ' OR i = length({tc})))"
+            f" AND (substr({tc}, i + 1, 1) = ' ' OR i = length({tc}))"
+            f" AND NOT (substr({tc}, i, 1) = '.'"
+            f" AND {prev_word} IN ({ab})))"
         )
         return f"""
 SELECT {id_col},

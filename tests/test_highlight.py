@@ -1,0 +1,68 @@
+"""Sentence-boundary highlighting with ICU-style abbreviation suppression
+(functions/highlight.py): the Spark expression and the generated DuckDB
+oracle SQL must agree on abbreviation-rich prose, and a '.' after a known
+abbreviation must NOT end the snippet's sentence."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from serenedb_spark.functions.highlight import (
+    duckdb_ts_highlight_sql,
+    ts_highlight,
+)
+
+DOCS = [
+    (1, "Dr. Smith joined the spark team. It ran fast. Done."),
+    (2, "We shipped, e.g. the spark operator. More news soon. Bye."),
+    (3, "Costs fell 40 pct. vs. last year the spark job was slow. Fin."),
+    (4, "A plain sentence about spark here. Another sentence follows."),
+    (5, "Results due Jan. 5 show spark ahead. Next review in Feb."),
+    (6, "No match in this one. Nothing to see. Bye."),
+    (7, "spark at the very start. Second sentence."),
+    (8, "Trailing match mentions spark"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def _both(spark, docs_df, term: str, boundary: str):
+    got = {
+        r["doc_id"]: r["snippet"]
+        for r in ts_highlight(docs_df, "text", term,
+                              boundary=boundary).collect()
+    }
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    sql = duckdb_ts_highlight_sql("docs", "text", term, boundary=boundary)
+    want = dict(con.execute(sql).fetchall())
+    return got, want
+
+
+@pytest.mark.parametrize("boundary", ["sentence", "word", "char"])
+def test_spark_matches_duckdb_oracle(spark, docs_df, boundary):
+    got, want = _both(spark, docs_df, "spark", boundary)
+    assert got == want and got  # non-empty and identical
+
+
+def test_abbreviations_do_not_split_sentences(spark, docs_df):
+    got, _ = _both(spark, docs_df, "spark", "sentence")
+    # Dr. must not end the sentence: snippet spans from the text start
+    assert got[1] == "Dr. Smith joined the <b>spark</b> team."
+    # e.g. suppressed -> sentence starts at the text start, not after 'e.g.'
+    assert got[2] == "We shipped, e.g. the <b>spark</b> operator."
+    # vs. suppressed (pct. is NOT on the list -> break stands)
+    assert got[3].startswith("vs. last year")
+    # Jan. suppressed -> one sentence through the match
+    assert got[5].startswith("Results due Jan. 5")
+    # unsuppressed control: plain sentences still split normally
+    assert got[4] == "A plain sentence about <b>spark</b> here."
+    # no-match doc absent; match-at-start and unterminated-tail still work
+    assert 6 not in got
+    assert got[7].startswith("<b>spark</b> at the very start.")
+    assert got[8].endswith("<b>spark</b>")
