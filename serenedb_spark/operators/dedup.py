@@ -554,3 +554,112 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+# ---- near-dup clustering (connected components over the pair graph) ------
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Connected components over the undirected dup-pair graph: every node
+    that appears in a pair is labeled with the MIN id reachable from it —
+    (id, cluster) rows, one per member doc.
+
+    Reference behavior target: grouping LSH/SimHash candidate pairs into
+    duplicate clusters before canonical selection (the standard corpus-dedup
+    step downstream of minhash_lsh_pairs / simhash_pairs).
+
+    Spark-first: iterative min-label propagation — the MapReduce
+    connected-components shape of Kiveris et al., "Connected Components in
+    MapReduce and Beyond" (SoCC'14). Each round is one equi-join of the
+    label relation against the edge list (shuffle on node id) plus a
+    map-side-combinable min-aggregate; rounds needed = O(log diameter),
+    and near-dup components are shallow (diameter ≤ a few hops), so 3-5
+    rounds close real corpora. The fixpoint test is a driver-side COUNT of
+    changed labels (an aggregate, never a collect of the data), and every
+    ``checkpoint_every`` rounds the label relation is localCheckpoint-ed to
+    truncate lineage — at 100 TB the edge relation is only the near-dup
+    pairs (orders of magnitude smaller than the corpus), so each round's
+    shuffle is tiny relative to the candidate-generation stage that
+    produced it.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .persist()
+    )
+    for it in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), "label")
+        )
+        # pointer-doubling shortcut (label <- label-of-label): with it the
+        # propagation distance doubles per round, so convergence is
+        # O(log diameter) instead of O(diameter)
+        l1, l2 = labels.alias("l1"), labels.alias("l2")
+        short = (
+            l1.join(l2, F.col("l1.label") == F.col("l2.id"))
+            .select(F.col("l1.id").alias("id"),
+                    F.col("l2.label").alias("label"))
+        )
+        new_labels = (
+            labels.union(nbr).union(short)
+            .groupBy("id").agg(F.min("label").alias("label"))
+        )
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.persist()
+        changed = (
+            labels.alias("o")
+            .join(new_labels.alias("n"), "id")
+            .where(F.col("o.label") != F.col("n.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster"))
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of cluster dedup: drop every cluster member except the
+    canonical (min-id) representative; docs in no cluster pass through.
+    One broadcast-able anti-join — `clusters` holds only near-dup members,
+    a vanishing fraction of a 100 TB corpus."""
+    losers = clusters.where(F.col("id") != F.col("cluster")).select("id")
+    return df.join(losers, df[id_col] == losers["id"], "left_anti")
+
+
+def duckdb_dup_clusters_sql(pairs_sql: str) -> str:
+    """Oracle mirroring dup_clusters: min reachable label via a recursive
+    label walk (UNION dedups, so the walk terminates; min() per node picks
+    the component representative)."""
+    return f"""
+WITH RECURSIVE
+pairs AS ({pairs_sql}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+walk(id, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.src, w.label FROM edges e JOIN walk w ON w.id = e.dst
+)
+SELECT id, min(label) AS cluster FROM walk GROUP BY id
+"""

@@ -2598,6 +2598,43 @@ _register(
 )
 
 
+# LSH pairs → connected components → canonical survivor per cluster:
+# the full corpus-dedup chain (candidate pairs are upstream, so the
+# iterative label propagation runs on the tiny near-dup graph only)
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = DD.minhash_lsh_pairs(docs, "text", "doc_id")
+    return DD.dup_clusters(pairs).orderBy("id")
+
+
+_register(
+    "dedup_clusters", _dedup_clusters,
+    DD.duckdb_dup_clusters_sql(
+        DD.duckdb_minhash_pairs_sql("documents", "text", "doc_id"))
+    + " ORDER BY id",
+)
+
+
+def _dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = DD.minhash_lsh_pairs(docs, "text", "doc_id")
+    clusters = DD.dup_clusters(pairs)
+    return (DD.dedup_keep_canonical(docs, clusters, "doc_id")
+            .select("doc_id").orderBy("doc_id"))
+
+
+_register(
+    "dedup_keep_canonical", _dedup_keep_canonical,
+    f"""
+WITH clusters AS ({DD.duckdb_dup_clusters_sql(
+        DD.duckdb_minhash_pairs_sql("documents", "text", "doc_id"))})
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cluster)
+ORDER BY doc_id
+""",
+)
+
+
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).orderBy("id_a", "id_b")
