@@ -381,6 +381,26 @@ ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """)
 
+# q11 "important stock": lineitem stands in for partsupp (no partsupp
+# table in the test corpus — same adaptation as q2/q16/q20); exact
+# DECIMAL sums so the fraction-of-total threshold compares deterministically
+_sql("tpch_q11_important_stock", """
+WITH nat AS (
+  SELECT l_partkey,
+    CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) AS val
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  WHERE n_name = 'NATION_7'
+),
+grouped AS (SELECT l_partkey AS ps_partkey, sum(val) AS value
+            FROM nat GROUP BY l_partkey)
+SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+FROM grouped
+WHERE value > (SELECT sum(val) * 0.001 FROM nat)
+ORDER BY value DESC, ps_partkey
+""")
+
 _sql("tpch_q13_customer_distribution", """
 SELECT c_count, count(*) AS custdist
 FROM (
