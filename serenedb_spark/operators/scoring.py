@@ -224,14 +224,21 @@ def scored_topk(
     scorer: str = "bm25",
     round_to: int = 4,
     info: dict | None = None,
+    terms_local: list | None = None,
     **params,
 ) -> DataFrame:
     """Exact (doc_id, score) top-k over a pure disjunction with max-score
     pruning. Falls back to full scoring when the scorer has no bound, the
     expansion is degenerate (1 term) or too wide to bound driver-side.
     `info`, when passed, receives {pruned_terms, total_terms, theta} — the
-    observability hook tests assert on (like ordered_scan.files_scanned)."""
-    qt = score_terms.collect()  # tiny: the query's expanded term list
+    observability hook tests assert on (like ordered_scan.files_scanned).
+    ``terms_local`` (CompiledQuery.terms_local) carries the literal
+    (term, boost) pairs when the query needed no dictionary expansion, so
+    no job is spent collecting the tiny local relation."""
+    if terms_local is not None:
+        qt = list(terms_local)
+    else:
+        qt = [(r["term"], r["boost"]) for r in score_terms.collect()]
     full = lambda: (  # noqa: E731 — the unpruned plan, used by fallbacks
         score(idx, field, score_terms, scorer, **params)
         .select("doc_id", F.round(F.col("score"), round_to).alias("score"))
@@ -239,8 +246,8 @@ def scored_topk(
     )
     if len(qt) < 2 or len(qt) > 64:
         return full()
-    terms = [r["term"] for r in qt]
-    boosts = {r["term"]: r["boost"] for r in qt}
+    terms = [t for t, _ in qt]
+    boosts = dict(qt)
     g, known = _bound_stats(idx, field, terms)
     if g is None or "min_dl" not in g.asDict():
         return full()

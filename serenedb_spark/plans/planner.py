@@ -43,6 +43,10 @@ class CompiledQuery:
 
     doc_ids: DataFrame
     score_terms: DataFrame  # columns: term STRING, boost DOUBLE
+    #: literal (term, boost) pairs when the score-term set is known
+    #: driver-side (no dictionary expansion) — lets the scorer skip the
+    #: collect job it would otherwise run on the tiny local relation
+    terms_local: list | None = None
 
 
 def _postings(idx: InvertedIndex, field: str) -> DataFrame:
@@ -141,7 +145,7 @@ def compile_query(
     if isinstance(node, q.Term):
         docs = _postings_for_terms(idx, field, [node.term]).select("doc_id")
         terms = _terms_df(idx, [node.term]).withColumn("boost", F.lit(boost))
-        return CompiledQuery(docs, terms)
+        return CompiledQuery(docs, terms, [(node.term, boost)])
 
     if isinstance(node, q.AnyOf):
         terms = list(dict.fromkeys(node.terms))
@@ -161,7 +165,7 @@ def compile_query(
                 .select("doc_id")
             )
         tdf = _terms_df(idx, terms).withColumn("boost", F.lit(boost))
-        return CompiledQuery(docs, tdf)
+        return CompiledQuery(docs, tdf, [(t, boost) for t in terms])
 
     if isinstance(node, q.AllOf):
         terms = list(dict.fromkeys(node.terms))
@@ -173,14 +177,15 @@ def compile_query(
             .select("doc_id")
         )
         tdf = _terms_df(idx, terms).withColumn("boost", F.lit(boost))
-        return CompiledQuery(docs, tdf)
+        return CompiledQuery(docs, tdf, [(t, boost) for t in terms])
 
     if isinstance(node, q.Phrase):
         docs = _compile_phrase(idx, field, node)
         tdf = _terms_df(idx, list(dict.fromkeys(node.words))).withColumn(
             "boost", F.lit(boost)
         )
-        return CompiledQuery(docs, tdf)
+        return CompiledQuery(
+            docs, tdf, [(t, boost) for t in dict.fromkeys(node.words)])
 
     if isinstance(node, q.PhraseSeq):
         docs = _compile_phrase_seq(idx, field, node)
@@ -211,28 +216,30 @@ def compile_query(
             .select("doc_id")
         )
         tdf = _terms_df(idx, grams).withColumn("boost", F.lit(boost))
-        return CompiledQuery(docs, tdf)
+        return CompiledQuery(docs, tdf, [(t, boost) for t in grams])
 
     if isinstance(node, q.And):
         parts = [compile_query(idx, field, p, boost) for p in node.parts]
         docs = parts[0].doc_ids
         for p in parts[1:]:
             docs = docs.join(p.doc_ids, "doc_id", "left_semi")
-        return CompiledQuery(docs.distinct(), _union_terms(idx, parts))
+        return CompiledQuery(docs.distinct(), _union_terms(idx, parts),
+                             _union_terms_local(parts))
 
     if isinstance(node, q.Or):
         parts = [compile_query(idx, field, p, boost) for p in node.parts]
         docs = parts[0].doc_ids
         for p in parts[1:]:
             docs = docs.unionByName(p.doc_ids)
-        return CompiledQuery(docs.distinct(), _union_terms(idx, parts))
+        return CompiledQuery(docs.distinct(), _union_terms(idx, parts),
+                             _union_terms_local(parts))
 
     if isinstance(node, q.Not):
         inner = compile_query(idx, field, node.part, boost)
         universe = idx.universe.where(F.col("field") == field).select("doc_id")
         docs = universe.join(inner.doc_ids, "doc_id", "left_anti")
         # negative clauses do not contribute to relevance (Lucene/reference)
-        return CompiledQuery(docs, _empty_terms(idx))
+        return CompiledQuery(docs, _empty_terms(idx), [])
 
     if isinstance(node, q.Boost):
         return compile_query(idx, field, node.part, boost * node.factor)
@@ -277,10 +284,23 @@ def compile_query(
             docs = docs.join(p.doc_ids, "doc_id", "left_anti")
 
         return CompiledQuery(
-            docs.distinct(), _union_terms(idx, must + should)
+            docs.distinct(), _union_terms(idx, must + should),
+            _union_terms_local(must + should)
         )
 
     raise TypeError(f"unsupported TSQuery node: {node!r}")
+
+
+def _union_terms_local(parts: list["CompiledQuery"]) -> list | None:
+    """Driver-side mirror of _union_terms: max boost per term, or None as
+    soon as any part's term set required dictionary expansion."""
+    merged: dict[str, float] = {}
+    for p in parts:
+        if p.terms_local is None:
+            return None
+        for t, b in p.terms_local:
+            merged[t] = max(merged.get(t, b), b)
+    return list(merged.items())
 
 
 def _union_terms(idx: InvertedIndex, parts: list[CompiledQuery]) -> DataFrame:
