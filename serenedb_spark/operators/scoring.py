@@ -110,6 +110,30 @@ def score(
     base = _scored_base(idx, field, score_terms)
     if doc_filter is not None:
         base = base.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
+    contrib, agg_of = _contrib_expr(scorer, score_terms, params)
+    agg = agg_of(contrib)
+    return base.groupBy("doc_id").agg(agg.alias("score"))
+
+
+def scored_contributions(
+    idx: InvertedIndex,
+    field: str,
+    score_terms: DataFrame,
+    scorer: str = "bm25",
+    **params,
+) -> DataFrame:
+    """(doc_id, contrib) per matched (doc × query term) pair, BEFORE the
+    per-doc aggregation — lets multi-field scorers union several fields'
+    contributions and aggregate ONCE (one shuffle keyed doc_id instead of
+    one per field plus an outer join). Per-field stats are resolved before
+    the union, so rows carry their own field's df/dl/globals."""
+    base = _scored_base(idx, field, score_terms)
+    contrib, _ = _contrib_expr(scorer, score_terms, params)
+    return base.select("doc_id", contrib.alias("contrib"))
+
+
+def _contrib_expr(scorer, score_terms, params):
+    """(contribution Column, aggregator) for a scorer name."""
     if scorer == "bm25":
         contrib = _bm25_contrib(params.get("k1", 1.2), params.get("b", 0.75))
     elif scorer == "tfidf":
@@ -144,8 +168,8 @@ def score(
         raise ValueError(f"unknown scorer {scorer!r}")
     # raw_dl is a per-doc property, not a per-term contribution: max == the
     # value; every other scorer sums term contributions
-    agg = F.max(contrib) if scorer == "raw_dl" else F.sum(contrib)
-    return base.groupBy("doc_id").agg(agg.alias("score"))
+    agg_of = F.max if scorer == "raw_dl" else F.sum
+    return contrib, agg_of
 
 
 # ---- max-score / WAND top-k pruning ---------------------------------------

@@ -238,36 +238,37 @@ def _multi_match(idx: InvertedIndex, spec: dict[str, Any],
     takes the max per-field score (ES dis_max with tie_breaker 0),
     `most_fields` sums them. Fields with zero analyzed tokens or zero
     matches contribute nothing."""
-    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.operators.scoring import scored_contributions
     from serenedb_spark.plans.planner import compile_query
 
     fields = spec["fields"]
     text = str(spec["query"])
     mtype = spec.get("type", "best_fields")
     per_field = []
-    for f in fields:
+    for i, f in enumerate(fields):
         toks = idx.analyzer(f).tokens(text)
         if not toks:
             continue
         compiled = compile_query(idx, f, q.AnyOf(toks))
         per_field.append(
-            _score(idx, f, compiled.score_terms, scorer)
-            .select("doc_id", F.col("score").alias(f"s_{len(per_field)}"))
+            scored_contributions(idx, f, compiled.score_terms, scorer)
+            .select("doc_id", F.lit(i).alias("fld"), "contrib")
         )
     if not per_field:
         raise ValueError(f"multi_match analyzed to no tokens: {text!r}")
-    out = per_field[0]
+    # union per-field CONTRIBUTIONS (per-field stats already resolved),
+    # then aggregate: per-(doc, field) sums, combined per doc — one
+    # map-side-combinable shuffle chain instead of one agg shuffle per
+    # field plus a full-outer join of the score relations
+    u = per_field[0]
     for p in per_field[1:]:
-        out = out.join(p, "doc_id", "full_outer")
-    score_cols = [F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
-                  for i in range(len(per_field))]
-    if mtype == "most_fields":
-        combined = sum(score_cols[1:], score_cols[0])
-    else:  # best_fields
-        combined = F.greatest(*score_cols) if len(score_cols) > 1 \
-            else score_cols[0]
+        u = u.unionByName(p)
+    per_doc_field = u.groupBy("doc_id", "fld").agg(
+        F.sum("contrib").alias("s"))
+    comb = F.sum("s") if mtype == "most_fields" else F.max("s")
     return (
-        out.select("doc_id", F.round(combined, 4).alias("score"))
+        per_doc_field.groupBy("doc_id")
+        .agg(F.round(comb, 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
     )
 
