@@ -985,6 +985,91 @@ FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
 """)
 
 
+# timezone conversion battery (reference site_docs/sql/data_types/
+# timezones.test): Spark's from_utc_timestamp/to_utc_timestamp against
+# DuckDB ICU's timezone() interp/render composition. Session TZ is UTC,
+# so naive timestamps mean the same instant on both engines. Zones probe
+# a DST boundary pair (America/New_York), a half-hour offset
+# (Asia/Kolkata), and a no-DST roundtrip (Asia/Tokyo — roundtripping a
+# DST zone would be ambiguous at fall-back wall times).
+def _timezone_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+SELECT o_orderkey,
+  CAST(ts AS STRING) AS ts_utc,
+  CAST(from_utc_timestamp(ts, 'America/New_York') AS STRING) AS ny_wall,
+  CAST(from_utc_timestamp(ts, 'Asia/Kolkata') AS STRING) AS kolkata_wall,
+  CAST(hour(from_utc_timestamp(ts, 'America/New_York')) AS INT) AS ny_hour,
+  CAST(to_utc_timestamp(from_utc_timestamp(ts, 'Asia/Tokyo'), 'Asia/Tokyo')
+       AS STRING) AS tokyo_rt,
+  CAST(unix_timestamp(ts) AS BIGINT) AS epoch_s
+FROM (SELECT o_orderkey,
+        CAST(o_orderdate AS TIMESTAMP)
+          + make_interval(0, 0, 0, 0, 0, 0, o_orderkey % 86399) AS ts
+      FROM orders)
+ORDER BY o_orderkey LIMIT 500
+""")
+
+
+_register("timezone_battery", _timezone_battery, """
+SELECT o_orderkey,
+  CAST(ts AS VARCHAR) AS ts_utc,
+  CAST(timezone('America/New_York', timezone('UTC', ts)) AS VARCHAR)
+    AS ny_wall,
+  CAST(timezone('Asia/Kolkata', timezone('UTC', ts)) AS VARCHAR)
+    AS kolkata_wall,
+  CAST(hour(timezone('America/New_York', timezone('UTC', ts))) AS INTEGER)
+    AS ny_hour,
+  CAST(timezone('UTC', timezone('Asia/Tokyo',
+       timezone('Asia/Tokyo', timezone('UTC', ts)))) AS VARCHAR)
+    AS tokyo_rt,
+  CAST(epoch(ts) AS BIGINT) AS epoch_s
+FROM (SELECT o_orderkey,
+        o_orderdate::TIMESTAMP + (o_orderkey % 86399) * INTERVAL 1 SECOND
+          AS ts
+      FROM orders)
+ORDER BY o_orderkey LIMIT 500
+""")
+
+
+# interval arithmetic battery (reference site_docs/sql/data_types/
+# interval.test): calendar-month addition CLAMPS to month end on both
+# engines (2024-01-31 + 1 month = 2024-02-29, verified incl. leap years);
+# composite year-month-day offsets apply months before days.
+def _interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+SELECT o_orderkey,
+  CAST(d AS STRING) AS d,
+  CAST(add_months(d, CAST(o_orderkey % 25 AS INT)) AS STRING) AS plus_mo,
+  CAST(add_months(d, -CAST(o_orderkey % 13 AS INT)) AS STRING) AS minus_mo,
+  CAST(date_add(add_months(d, 14), CAST(o_orderkey % 28 AS INT)) AS STRING)
+    AS composite,
+  CAST(date_add(d, CAST(o_orderkey % 10 AS INT) * 7) AS STRING) AS plus_wk,
+  CAST((year(d) - 1992) * 12 + month(d) - 1 AS BIGINT) AS months_since_92
+FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders)
+ORDER BY o_orderkey LIMIT 500
+""")
+
+
+_register("interval_battery", _interval_battery, """
+SELECT o_orderkey,
+  CAST(d AS VARCHAR) AS d,
+  CAST(CAST(d + (o_orderkey % 25) * INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+    AS plus_mo,
+  CAST(CAST(d - (o_orderkey % 13) * INTERVAL 1 MONTH AS DATE) AS VARCHAR)
+    AS minus_mo,
+  CAST(CAST(d + INTERVAL 14 MONTH + (o_orderkey % 28) * INTERVAL 1 DAY
+            AS DATE) AS VARCHAR) AS composite,
+  CAST(CAST(d + (o_orderkey % 10) * INTERVAL 7 DAY AS DATE) AS VARCHAR)
+    AS plus_wk,
+  CAST((date_part('year', d) - 1992) * 12 + date_part('month', d) - 1
+       AS BIGINT) AS months_since_92
+FROM (SELECT o_orderkey, o_orderdate::DATE AS d FROM orders)
+ORDER BY o_orderkey LIMIT 500
+""")
+
+
 def _inet_html_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INET (IPv4 CIDR) + html_escape battery (reference inet.test):
     netmask keeps the /masklen suffix (the documented SereneDB
@@ -4437,7 +4522,8 @@ _GATE_WINDOW = [
     # --- new-in-r6: RaBitQ binary quantization (estimator + rerank) -------
     "vec_rabitq_knn", "vec_rabitq_rerank",
     # (r7 rotation candidates — registered after the window filled:
-    # fts_stemmed_term_{it,pt,nl,sv} and any further post-window adds;
+    # fts_stemmed_term_{it,pt,nl,sv}, dedup_clusters, dedup_keep_canonical,
+    # tpch_q11_important_stock, timezone_battery, interval_battery;
     # all run in tests/test_differential.py + check_correctness meanwhile)
     # (no sentinel slots left this round: the window is exactly the 25
     # never-driver-sampled queries, the re-gated approx_aggregates, and
