@@ -1032,6 +1032,66 @@ ORDER BY o_orderkey LIMIT 500
 """)
 
 
+# IEEE-754 special-values battery (reference any/floating/{float4,float8}
+# .test): NaN/±Infinity parsing, the engines' SHARED total-order deviation
+# from raw IEEE (NaN = NaN is true, NaN sorts greatest, -0.0 = 0.0),
+# infinity arithmetic, NaN propagation through greatest/least, and
+# division-by-zero → NULL (Spark ANSI try_divide ≡ DuckDB float division).
+# Renderings are normalized (lower + infinity→inf) because the engines
+# format specials differently; NaN-producing arithmetic is asserted via
+# isnan flags, not rendering (DuckDB prints inf-inf as '-nan').
+def _float_special_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return spark.sql("""
+SELECT o_orderkey,
+  CAST(isnan(CAST('NaN' AS DOUBLE)) AS INT) AS nan_parse,
+  CAST(CAST('Infinity' AS DOUBLE) > CAST(o_orderkey AS DOUBLE) * 1e300
+       AS INT) AS inf_gt_huge,
+  CAST(CAST('NaN' AS DOUBLE) > CAST('Infinity' AS DOUBLE) AS INT)
+    AS nan_gt_inf,
+  CAST(CAST('NaN' AS DOUBLE) = CAST('NaN' AS DOUBLE) AS INT) AS nan_eq_nan,
+  CAST(CAST(-0.0 AS DOUBLE) = CAST(0.0 AS DOUBLE) AS INT) AS negzero_eq,
+  CAST(try_divide(CAST(o_orderkey AS DOUBLE), 0.0) IS NULL AS INT)
+    AS div0_null,
+  CAST(CAST('Infinity' AS DOUBLE) + CAST(o_orderkey AS DOUBLE)
+       = CAST('Infinity' AS DOUBLE) AS INT) AS inf_absorbs,
+  CAST(isnan(CAST('Infinity' AS DOUBLE) - CAST('Infinity' AS DOUBLE))
+       AS INT) AS inf_minus_inf_nan,
+  CAST(isnan(greatest(CAST('NaN' AS DOUBLE),
+                      CAST(o_orderkey AS DOUBLE))) AS INT) AS greatest_nan,
+  CAST(least(CAST('NaN' AS DOUBLE), CAST(o_orderkey AS DOUBLE)) AS BIGINT)
+    AS least_finite,
+  replace(lower(CAST(CAST('-Infinity' AS DOUBLE)
+       * CAST(o_orderkey % 7 + 1 AS DOUBLE)
+       AS STRING)), 'infinity', 'inf') AS neg_inf_render,
+  CAST(CAST(CAST('NaN' AS FLOAT) AS DOUBLE) > 0.0 AS INT) AS f4_nan_gt
+FROM orders ORDER BY o_orderkey LIMIT 400
+""")
+
+
+_register("float_special_battery", _float_special_battery, """
+SELECT o_orderkey,
+  CAST(isnan('NaN'::DOUBLE) AS INT) AS nan_parse,
+  CAST('Infinity'::DOUBLE > o_orderkey::DOUBLE * 1e300 AS INT)
+    AS inf_gt_huge,
+  CAST('NaN'::DOUBLE > 'Infinity'::DOUBLE AS INT) AS nan_gt_inf,
+  CAST('NaN'::DOUBLE = 'NaN'::DOUBLE AS INT) AS nan_eq_nan,
+  CAST((-0.0)::DOUBLE = 0.0::DOUBLE AS INT) AS negzero_eq,
+  CAST((o_orderkey::DOUBLE / 0.0) IS NULL AS INT) AS div0_null,
+  CAST('Infinity'::DOUBLE + o_orderkey::DOUBLE = 'Infinity'::DOUBLE AS INT)
+    AS inf_absorbs,
+  CAST(isnan('Infinity'::DOUBLE - 'Infinity'::DOUBLE) AS INT)
+    AS inf_minus_inf_nan,
+  CAST(isnan(greatest('NaN'::DOUBLE, o_orderkey::DOUBLE)) AS INT)
+    AS greatest_nan,
+  CAST(least('NaN'::DOUBLE, o_orderkey::DOUBLE) AS BIGINT) AS least_finite,
+  replace(lower(CAST('-Infinity'::DOUBLE * (o_orderkey % 7 + 1)::DOUBLE
+       AS VARCHAR)), 'infinity', 'inf') AS neg_inf_render,
+  CAST(CAST('NaN'::FLOAT AS DOUBLE) > 0.0 AS INT) AS f4_nan_gt
+FROM orders ORDER BY o_orderkey LIMIT 400
+""")
+
+
 # interval arithmetic battery (reference site_docs/sql/data_types/
 # interval.test): calendar-month addition CLAMPS to month end on both
 # engines (2024-01-31 + 1 month = 2024-02-29, verified incl. leap years);
@@ -4523,7 +4583,8 @@ _GATE_WINDOW = [
     "vec_rabitq_knn", "vec_rabitq_rerank",
     # (r7 rotation candidates — registered after the window filled:
     # fts_stemmed_term_{it,pt,nl,sv}, dedup_clusters, dedup_keep_canonical,
-    # tpch_q11_important_stock, timezone_battery, interval_battery;
+    # tpch_q11_important_stock, timezone_battery, interval_battery,
+    # float_special_battery;
     # all run in tests/test_differential.py + check_correctness meanwhile)
     # (no sentinel slots left this round: the window is exactly the 25
     # never-driver-sampled queries, the re-gated approx_aggregates, and
