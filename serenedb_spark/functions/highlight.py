@@ -33,6 +33,12 @@ SENTENCE_ABBREVIATIONS: tuple[str, ...] = (
     "Oct", "Nov", "Dec", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun",
 )
 
+#: longest suppression entry — sizes the O(1) lookback window; a word
+#: longer than this ending at '.' can never match the list, and the
+#: +1-char window guarantees a word that DOES fit arrives whole (with its
+#: leading whitespace separator when one exists)
+_ABBR_MAX = max(len(a) for a in SENTENCE_ABBREVIATIONS)
+
 
 def term_offsets_col(text: Column, term: str) -> Column:
     """1-based char offsets of whole-token occurrences of `term`:
@@ -160,14 +166,22 @@ def ts_highlight(
         ln = F.length(text)
         idx = F.filter(F.sequence(F.lit(1), F.greatest(ln, F.lit(1))),
                        lambda i: i <= ln)
+        # fixed-width lookback: the longest abbreviation is _ABBR_MAX
+        # chars, so an (_ABBR_MAX+1)-char window always contains either
+        # the full preceding word (plus its leading separator) or a
+        # fragment strictly longer than any abbreviation — O(1) per
+        # position instead of splitting the whole prefix (O(n²) docs)
         def _is_break(i: Column) -> Column:
             ch = text.substr(i, F.lit(1))
             basic = (F.instr(F.lit(".!?"), ch) > 0) & (
                 (text.substr(i + F.lit(1), F.lit(1)) == F.lit(" "))
                 | (i == ln)
             )
+            w = F.lit(_ABBR_MAX + 1)
+            start = F.greatest(i - w, F.lit(1))
+            lookback = text.substr(start, i - start)
             prev_word = F.element_at(
-                F.split(text.substr(F.lit(1), i - F.lit(1)), " "), -1)
+                F.split(lookback, r"[ \t\n\r]"), -1)
             suppressed = (ch == F.lit(".")) & prev_word.isin(
                 *SENTENCE_ABBREVIATIONS)
             return basic & ~suppressed
@@ -238,7 +252,12 @@ def duckdb_ts_highlight_sql(
     if boundary == "sentence":
         tc = text_col
         ab = ", ".join(f"'{a}'" for a in SENTENCE_ABBREVIATIONS)
-        prev_word = f"string_split(substr({tc}, 1, i - 1), ' ')[-1]"
+        w = _ABBR_MAX + 1
+        st = f"greatest(i - {w}, 1)"
+        prev_word = (
+            f"regexp_split_to_array(substr({tc}, {st}, i - {st}),"
+            f" '[ \\t\\n\\r]')[-1]"
+        )
         breaks = (
             f"list_filter(range(1, length({tc}) + 1),"
             f" i -> strpos('.!?', substr({tc}, i, 1)) > 0"

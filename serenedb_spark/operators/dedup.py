@@ -631,7 +631,14 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select("id", F.col("label").alias("cluster"))
+    # materialize the (tiny: near-dup members only) label relation so the
+    # loop's persisted generations can be released now instead of leaking
+    # executor cache across calls; the checkpoint RDD is reclaimed by the
+    # ContextCleaner when the caller drops the DataFrame
+    out = (labels.select("id", F.col("label").alias("cluster"))
+           .localCheckpoint(eager=True))
+    labels.unpersist()
+    return out
 
 
 def dedup_keep_canonical(

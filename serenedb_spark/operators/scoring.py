@@ -132,6 +132,13 @@ def scored_contributions(
     return base.select("doc_id", contrib.alias("contrib"))
 
 
+def scorer_aggregator(scorer: str):
+    """How scored_contributions rows combine into one per-doc score:
+    raw_dl is a per-doc property (max == the value); every other scorer
+    sums per-term contributions."""
+    return F.max if scorer == "raw_dl" else F.sum
+
+
 def _contrib_expr(scorer, score_terms, params):
     """(contribution Column, aggregator) for a scorer name."""
     if scorer == "bm25":

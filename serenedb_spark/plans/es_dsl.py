@@ -263,8 +263,12 @@ def _multi_match(idx: InvertedIndex, spec: dict[str, Any],
     u = per_field[0]
     for p in per_field[1:]:
         u = u.unionByName(p)
+    from serenedb_spark.operators.scoring import scorer_aggregator
     per_doc_field = u.groupBy("doc_id", "fld").agg(
-        F.sum("contrib").alias("s"))
+        scorer_aggregator(scorer)("contrib").alias("s"))
+    # cross-field combine: ES dis_max over the fields the doc MATCHED
+    # (no zero floor — a doc matching only one field keeps that field's
+    # score even if the scorer is negative-valued, per ES best_fields)
     comb = F.sum("s") if mtype == "most_fields" else F.max("s")
     return (
         per_doc_field.groupBy("doc_id")

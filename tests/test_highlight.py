@@ -23,6 +23,8 @@ DOCS = [
     (6, "No match in this one. Nothing to see. Bye."),
     (7, "spark at the very start. Second sentence."),
     (8, "Trailing match mentions spark"),
+    (9, "Ask\nDr. Smith about the spark plan. Then stop."),
+    (10, "A word like xMessrs. ends the spark sentence. Next one."),
 ]
 
 
@@ -66,3 +68,8 @@ def test_abbreviations_do_not_split_sentences(spark, docs_df):
     assert 6 not in got
     assert got[7].startswith("<b>spark</b> at the very start.")
     assert got[8].endswith("<b>spark</b>")
+    # newline-separated abbreviation still suppressed (whitespace-aware
+    # lookback, not just single spaces)
+    assert got[9].endswith("Dr. Smith about the <b>spark</b> plan.")
+    # a longer word that merely ENDS in an abbreviation is not suppressed
+    assert got[10] == "ends the <b>spark</b> sentence."
