@@ -306,3 +306,133 @@ SELECT {id_col}, chunk_no,
   len(ctoks) AS n_tokens
 FROM ex
 """
+
+
+# ---- Gopher corpus-filter rules ------------------------------------------
+
+#: the minimal stop list Gopher's "contains ≥2 stop words" rule uses
+#: (Rae et al. 2021, appendix A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    appendix A1.1) as per-doc boolean flags plus a combined keep flag:
+
+      r_word_count     min_words ≤ |words| ≤ max_words
+      r_mean_len       3 ≤ mean word length ≤ 10
+      r_symbol_ratio   (# of '#' + '...') / |words| ≤ 0.1
+      r_bullet_lines   < 90% of lines start with a bullet ('-' or '*')
+      r_ellipsis_lines < 30% of lines end with '...'
+      r_alpha_words    > 80% of words contain an alphabetic char
+      r_stop_words     ≥ 2 distinct words from the 8-word stop list
+
+    (min_words defaults to 20, not the paper's 50 — the synthetic docs
+    are short; the threshold is a parameter.) All flags are pure column
+    expressions over one whitespace split — no shuffle, no Python."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+    n = F.size(words)
+    nz = F.when(n > 0, n.cast("double"))
+    nl = F.size(lines)
+    nlz = F.when(nl > 0, nl.cast("double"))
+    mean_len = (
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w))
+        .cast("double") / nz
+    )
+    n_hash = F.size(F.filter(words, lambda w: w.contains("#")))
+    n_ell = F.size(F.filter(words, lambda w: w.contains("...")))
+    symbol_ratio = (n_hash + n_ell).cast("double") / nz
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.startswith("-") | l.startswith("*")))
+        .cast("double") / nlz
+    )
+    ell_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("...")))
+        .cast("double") / nlz
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .cast("double") / nz
+    )
+    stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.array_intersect(F.transform(words, F.lower), stop))
+    flags = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_len": (mean_len >= 3.0) & (mean_len <= 10.0),
+        "r_symbol_ratio": F.coalesce(symbol_ratio <= 0.1, F.lit(False)),
+        "r_bullet_lines": F.coalesce(bullet_frac < 0.9, F.lit(False)),
+        "r_ellipsis_lines": F.coalesce(ell_frac < 0.3, F.lit(False)),
+        "r_alpha_words": F.coalesce(alpha_frac > 0.8, F.lit(False)),
+        "r_stop_words": stop_hits >= 2,
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    cols = [F.col(id_col)]
+    cols += [v.cast("int").alias(k) for k, v in flags.items()]
+    cols.append(keep.cast("int").alias("keep"))
+    return df.select(*cols)
+
+
+def duckdb_gopher_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 20,
+    max_words: int = 100_000,
+) -> str:
+    """Oracle mirroring gopher_rules symbol-for-symbol."""
+    stop = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+    list_filter(regexp_split_to_array({text_col}, '\\s+'), w -> w <> '')
+      AS words,
+    list_filter(string_split({text_col}, chr(10)), l -> l <> '') AS lines
+  FROM {table}
+), m AS (
+  SELECT doc_id, words, lines,
+    len(words) AS n,
+    nullif(len(words), 0)::DOUBLE AS nz,
+    nullif(len(lines), 0)::DOUBLE AS nlz
+  FROM base
+), f AS (
+  SELECT doc_id,
+    (n >= {min_words} AND n <= {max_words}) AS r_word_count,
+    (list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
+                 (a, b) -> a + b)::DOUBLE / nz BETWEEN 3.0 AND 10.0)
+      AS r_mean_len,
+    coalesce((len(list_filter(words, w -> contains(w, '#')))
+            + len(list_filter(words, w -> contains(w, '...'))))::DOUBLE
+           / nz <= 0.1, FALSE) AS r_symbol_ratio,
+    coalesce(len(list_filter(lines, l -> starts_with(l, '-')
+                                      OR starts_with(l, '*')))::DOUBLE
+           / nlz < 0.9, FALSE) AS r_bullet_lines,
+    coalesce(len(list_filter(lines, l -> suffix(l, '...')))::DOUBLE
+           / nlz < 0.3, FALSE) AS r_ellipsis_lines,
+    coalesce(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+           / nz > 0.8, FALSE) AS r_alpha_words,
+    (len(list_intersect(list_transform(words, w -> lower(w)), {stop})) >= 2)
+      AS r_stop_words
+  FROM m
+)
+SELECT doc_id,
+  r_word_count::INT AS r_word_count,
+  r_mean_len::INT AS r_mean_len,
+  r_symbol_ratio::INT AS r_symbol_ratio,
+  r_bullet_lines::INT AS r_bullet_lines,
+  r_ellipsis_lines::INT AS r_ellipsis_lines,
+  r_alpha_words::INT AS r_alpha_words,
+  r_stop_words::INT AS r_stop_words,
+  (r_word_count AND r_mean_len AND r_symbol_ratio AND r_bullet_lines
+   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words)::INT AS keep
+FROM f
+"""

@@ -2926,6 +2926,16 @@ _register("text_quality", _text_quality,
           TS.duckdb_quality_sql("documents", "text", "doc_id") + " ORDER BY doc_id")
 
 
+def _text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir)["documents"]
+    return TS.gopher_rules(docs, "text", "doc_id").orderBy("doc_id")
+
+
+_register("text_gopher_rules", _text_gopher,
+          TS.duckdb_gopher_sql("documents", "text", "doc_id")
+          + " ORDER BY doc_id")
+
+
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     return TS.lang_id(docs, "text", "doc_id").orderBy("doc_id")
@@ -4584,7 +4594,7 @@ _GATE_WINDOW = [
     # (r7 rotation candidates — registered after the window filled:
     # fts_stemmed_term_{it,pt,nl,sv}, dedup_clusters, dedup_keep_canonical,
     # tpch_q11_important_stock, timezone_battery, interval_battery,
-    # float_special_battery;
+    # float_special_battery, text_gopher_rules;
     # all run in tests/test_differential.py + check_correctness meanwhile)
     # (no sentinel slots left this round: the window is exactly the 25
     # never-driver-sampled queries, the re-gated approx_aggregates, and
