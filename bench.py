@@ -73,6 +73,9 @@ HEADLINE = [
     # in our favor for no information; the sf0.01 gate row covers them
     "bitstring_battery",
     "inet6_battery",
+    # round-6 second-half additions
+    "dedup_clusters",
+    "text_gopher_rules",
 ]
 
 

@@ -564,6 +564,7 @@ def dup_clusters(
     id_b: str = "id_b",
     max_iter: int = 25,
     checkpoint_every: int = 5,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over the undirected dup-pair graph: every node
     that appears in a pair is labeled with the MIN id reachable from it —
@@ -593,6 +594,35 @@ def dup_clusters(
         .distinct()
         .persist()
     )
+    # small-graph shortcut: LSH candidate graphs are usually a vanishing
+    # fraction of the corpus — when the edge list provably fits on the
+    # driver, union-find there beats paying one distributed round-trip
+    # PER iteration (the same runtime-size dispatch AQE applies to join
+    # strategies). The distributed loop below is the >threshold path.
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        rows = edges.collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r["src"], r["dst"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        out_rows = [(n, find(n)) for n in parent]
+        edges.unpersist()
+        spark = pairs.sparkSession
+        schema = pairs.select(
+            F.col(id_a).alias("id"), F.col(id_a).alias("cluster")).schema
+        return spark.createDataFrame(out_rows, schema)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()

@@ -30,28 +30,31 @@ def _union_find(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-def _spark_clusters(spark, edges):
+def _spark_clusters(spark, edges, **kw):
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
-    out = DD.dup_clusters(pairs)
+    out = DD.dup_clusters(pairs, **kw)
     return {r["id"]: r["cluster"] for r in out.collect()}
 
 
-def test_chain_forces_multihop(spark):
-    # a 40-node chain: min label must travel the full diameter
+def test_chain_forces_multihop_distributed(spark):
+    # a 40-node chain through the DISTRIBUTED loop (local_threshold=0):
+    # min label must travel the full diameter via pointer doubling
     edges = [(i, i + 1) for i in range(40)]
-    got = _spark_clusters(spark, edges)
+    got = _spark_clusters(spark, edges, local_threshold=0)
     assert got == {i: 0 for i in range(41)}
 
 
 def test_random_graphs_match_union_find(spark):
     rng = random.Random(7)
-    for _ in range(3):
+    for i in range(3):
         n = 60
         edges = sorted({
             tuple(sorted(rng.sample(range(n), 2)))
             for _ in range(rng.randint(10, 50))
         })
-        got = _spark_clusters(spark, edges)
+        # alternate the driver-side shortcut and the distributed loop
+        thr = 0 if i == 0 else 100_000
+        got = _spark_clusters(spark, edges, local_threshold=thr)
         assert got == _union_find(edges)
 
 
