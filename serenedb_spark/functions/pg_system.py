@@ -78,6 +78,24 @@ def set_config(spark: SparkSession, name: str, value: str) -> str:
     return value
 
 
+def current_user(session) -> str:
+    """PG current_user: the session principal; 'postgres' (the superuser
+    spelling) when no user is set — matches the reference default."""
+    return session.current_user or "postgres"
+
+
+def current_role(session) -> str:
+    """PG current_role == current_user (no SET ROLE distinction here)."""
+    return current_user(session)
+
+
+def pg_total_relation_size(spark: SparkSession, *dfs) -> int:
+    """pg_total_relation_size analogue: the relation plus its derived
+    segments (pass the index relations alongside the table — the library
+    engine's equivalent of heap + indexes)."""
+    return sum(pg_table_size(spark, d) for d in dfs)
+
+
 def pg_table_size(spark: SparkSession, df) -> int:
     """Bytes of the relation's source files (pg_table_size analogue —
     on-disk size, not in-memory)."""

@@ -405,6 +405,16 @@ class SereneSession:
         return privilege.upper() in grants.get(principal, {}).get(
             table, set())
 
+    def has_column_privilege(self, principal: str, table: str,
+                             column: str,
+                             privilege: str = "SELECT") -> bool:
+        """PG has_column_privilege: table privilege AND the column is not
+        rewritten away by a mask (reference rbac.cpp treats a masked
+        column as one the role cannot read in the clear)."""
+        if not self.has_table_privilege(principal, table, privilege):
+            return False
+        return column not in getattr(self, "_col_masks", {}).get(table, {})
+
     # ---- GRANT/REVOKE (reference rbac.cpp + pg GRANT grammar): a
     # principal model enforced at the catalog boundary. Privileges are
     # per (principal, table); `current_user` scopes enforcement; row

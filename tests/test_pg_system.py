@@ -119,3 +119,38 @@ def test_pg_catalog_core_roundtrip(ss):
         WHERE table_name = 'orders' AND ordinal_position = 1
     """).first()
     assert (ic.column_name, ic.data_type) == ("o_orderkey", "bigint")
+
+
+def test_column_privilege_and_user(spark):
+    from serenedb_spark.functions import pg_system as PSY
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    df = spark.range(3).selectExpr("id", "CAST(id AS STRING) AS secret")
+    ss._tables["t_priv"] = df
+    df.createOrReplaceTempView("t_priv")
+    assert PSY.current_user(ss) == "postgres"
+    ss.set_user("alice")
+    assert PSY.current_user(ss) == "alice"
+    assert PSY.current_role(ss) == "alice"
+    ss.grant("alice", "t_priv", "SELECT")
+    assert ss.has_column_privilege("alice", "t_priv", "secret")
+    # masked column = not readable in the clear
+    ss.set_column_mask("t_priv", "secret", "NULL")
+    assert not ss.has_column_privilege("alice", "t_priv", "secret")
+    assert ss.has_column_privilege("alice", "t_priv", "id")
+    # no table grant -> no column privilege either
+    assert not ss.has_column_privilege("bob", "t_priv", "id")
+    ss.set_user(None)
+
+
+def test_total_relation_size(spark, tmp_path):
+    from serenedb_spark.functions import pg_system as PSY
+
+    p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+    spark.range(100).write.parquet(p1)
+    spark.range(50).write.parquet(p2)
+    a, b = spark.read.parquet(p1), spark.read.parquet(p2)
+    tot = PSY.pg_total_relation_size(spark, a, b)
+    assert tot == PSY.pg_table_size(spark, a) + PSY.pg_table_size(spark, b)
+    assert tot > 0
