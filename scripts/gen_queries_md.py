@@ -17,6 +17,7 @@ FAMILIES = [
         "pg_string_battery2", "pg_math_battery", "temporal_battery",
         "inet_html_battery", "complex_types_battery",
         "inet6_battery", "variant_battery", "union_battery",
+        "float_special_battery", "interval_battery", "timezone_battery",
         "bitstring_battery", "time_battery", "blob_battery",
         "trycast_battery", "enum_battery")),
     ("Events (time series / JSON / sessionization)",
