@@ -74,7 +74,11 @@ HEADLINE = [
     "bitstring_battery",
     "inet6_battery",
     # round-6 second-half additions
-    "dedup_clusters",
+    # NB: dedup_clusters stays OFF the headline list for the same reason
+    # as vec_rabitq_*: its oracle re-derives the minhash band relation
+    # TWICE inside a recursive CTE (~63 s in DuckDB at sf0.1 vs 1.9 s
+    # Spark-side) — padding bench_baseline in our favor for little extra
+    # information; the sf0.01 gate row covers its correctness
     "text_gopher_rules",
 ]
 
