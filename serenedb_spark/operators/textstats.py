@@ -332,6 +332,10 @@ def gopher_rules(
       r_ellipsis_lines < 30% of lines end with '...'
       r_alpha_words    > 80% of words contain an alphabetic char
       r_stop_words     ≥ 2 distinct words from the 8-word stop list
+      r_dup_lines      ≤ 30% of lines are duplicates of an earlier line
+      r_dup_line_chars ≤ 20% of characters sit in duplicated lines
+      r_top_2gram      chars covered by the most frequent word 2-gram
+                       ≤ 20% of the text
 
     (min_words defaults to 20, not the paper's 50 — the synthetic docs
     are short; the threshold is a parameter.) All flags are pure column
@@ -364,6 +368,33 @@ def gopher_rules(
     stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     stop_hits = F.size(
         F.array_intersect(F.transform(words, F.lower), stop))
+    # repetition rules: per-distinct-element occurrence counts via nested
+    # HOFs — O(lines · distinct) inside one row, still a pure expression
+    dlines = F.array_distinct(lines)
+    dup_line_frac = (nl - F.size(dlines)).cast("double") / nlz
+    dup_line_chars = (
+        F.aggregate(
+            dlines, F.lit(0),
+            lambda a, d: a + F.when(
+                F.size(F.filter(lines, lambda l: l == d)) > 1,
+                F.size(F.filter(lines, lambda l: l == d)) * F.length(d),
+            ).otherwise(F.lit(0)),
+        ).cast("double")
+        / F.when(F.length(text_col) > 0, F.length(text_col).cast("double"))
+    )
+    grams = F.zip_with(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top2 = F.array_max(F.transform(
+        F.array_distinct(grams),
+        lambda d: F.size(F.filter(grams, lambda g: g == d)) * F.length(d),
+    ))
+    top2_frac = (
+        top2.cast("double")
+        / F.when(F.length(text_col) > 0, F.length(text_col).cast("double"))
+    )
     flags = {
         "r_word_count": (n >= min_words) & (n <= max_words),
         "r_mean_len": (mean_len >= 3.0) & (mean_len <= 10.0),
@@ -372,6 +403,10 @@ def gopher_rules(
         "r_ellipsis_lines": F.coalesce(ell_frac < 0.3, F.lit(False)),
         "r_alpha_words": F.coalesce(alpha_frac > 0.8, F.lit(False)),
         "r_stop_words": stop_hits >= 2,
+        "r_dup_lines": F.coalesce(dup_line_frac <= 0.3, F.lit(False)),
+        "r_dup_line_chars": F.coalesce(dup_line_chars <= 0.2,
+                                       F.lit(False)),
+        "r_top_2gram": F.coalesce(top2_frac <= 0.2, F.lit(False)),
     }
     keep = None
     for c in flags.values():
@@ -396,10 +431,11 @@ WITH base AS (
   SELECT {id_col} AS doc_id,
     list_filter(regexp_split_to_array({text_col}, '\\s+'), w -> w <> '')
       AS words,
-    list_filter(string_split({text_col}, chr(10)), l -> l <> '') AS lines
+    list_filter(string_split({text_col}, chr(10)), l -> l <> '') AS lines,
+    length({text_col}) AS tlen
   FROM {table}
 ), m AS (
-  SELECT doc_id, words, lines,
+  SELECT doc_id, words, lines, tlen,
     len(words) AS n,
     nullif(len(words), 0)::DOUBLE AS nz,
     nullif(len(lines), 0)::DOUBLE AS nlz
@@ -421,7 +457,24 @@ WITH base AS (
     coalesce(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
            / nz > 0.8, FALSE) AS r_alpha_words,
     (len(list_intersect(list_transform(words, w -> lower(w)), {stop})) >= 2)
-      AS r_stop_words
+      AS r_stop_words,
+    coalesce((len(lines) - len(list_distinct(lines)))::DOUBLE / nlz <= 0.3,
+             FALSE) AS r_dup_lines,
+    coalesce(list_sum(list_prepend(0, list_transform(list_distinct(lines),
+               d -> CASE WHEN len(list_filter(lines, l -> l = d)) > 1
+                    THEN len(list_filter(lines, l -> l = d)) * length(d)
+                    ELSE 0 END)))::DOUBLE
+           / nullif(tlen, 0) <= 0.2, FALSE)
+      AS r_dup_line_chars,
+    coalesce(list_max(list_transform(
+               list_distinct(list_transform(
+                 range(1, greatest(n, 1)),
+                 i -> words[i] || ' ' || words[i + 1])),
+               d -> len(list_filter(
+                      list_transform(range(1, greatest(n, 1)),
+                                     i -> words[i] || ' ' || words[i + 1]),
+                      g -> g = d)) * length(d)))::DOUBLE
+           / nullif(tlen, 0) <= 0.2, FALSE) AS r_top_2gram
   FROM m
 )
 SELECT doc_id,
@@ -432,7 +485,11 @@ SELECT doc_id,
   r_ellipsis_lines::INT AS r_ellipsis_lines,
   r_alpha_words::INT AS r_alpha_words,
   r_stop_words::INT AS r_stop_words,
+  r_dup_lines::INT AS r_dup_lines,
+  r_dup_line_chars::INT AS r_dup_line_chars,
+  r_top_2gram::INT AS r_top_2gram,
   (r_word_count AND r_mean_len AND r_symbol_ratio AND r_bullet_lines
-   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words)::INT AS keep
+   AND r_ellipsis_lines AND r_alpha_words AND r_stop_words
+   AND r_dup_lines AND r_dup_line_chars AND r_top_2gram)::INT AS keep
 FROM f
 """

@@ -48,3 +48,25 @@ def test_chunk_documents_cover_and_overlap(spark):
 
     with pytest.raises(ValueError):
         TS.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_gopher_repetition_rules(spark):
+    from serenedb_spark.operators import textstats as TS
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "fox",
+             "golf", "hotel"]
+    good = "the quick value of " + " ".join(
+        f"item{i} {words[i]} point{i * 7}" for i in range(8)
+    ) + " and that have be with"
+    dup_lines = "\n".join(["same line of text here"] * 10 + ["one more bit"])
+    rep_2gram = " ".join(["very common"] * 30) + " the and of that have be"
+    df = spark.createDataFrame(
+        [(1, good), (2, dup_lines), (3, rep_2gram)], "doc_id int, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in TS.gopher_rules(df, min_words=5).collect()}
+    assert got[1]["r_dup_lines"] and got[1]["r_dup_line_chars"]
+    assert got[1]["r_top_2gram"] and got[1]["keep"]
+    # 10 identical lines -> dup fractions blow both thresholds
+    assert not got[2]["r_dup_lines"] and not got[2]["r_dup_line_chars"]
+    # one 2-gram covering most of the text
+    assert not got[3]["r_top_2gram"] and not got[3]["keep"]
