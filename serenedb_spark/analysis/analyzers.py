@@ -1106,6 +1106,14 @@ LOCALE_STOPWORDS: dict[str, tuple[str, ...]] = {
            "med", "den", "till", "inte", "om", "han", "var", "sig", "men",
            "ett", "har", "vid", "vi", "så", "kan", "man", "när", "år",
            "från", "ska"),
+    "da": ("og", "i", "det", "at", "en", "den", "til", "er", "som", "på",
+           "de", "med", "han", "af", "for", "ikke", "der", "var", "mig",
+           "sig", "men", "et", "har", "om", "vi", "min", "havde", "ham",
+           "hun", "nu"),
+    "no": ("og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+           "som", "på", "de", "med", "han", "av", "ikke", "der", "så",
+           "var", "meg", "seg", "men", "har", "om", "vi", "mitt", "ha",
+           "hadde", "hun"),
 }
 
 # Unicode-aware tokenization (the ASCII `simple` split would shred
@@ -1146,6 +1154,6 @@ def _locale_text(locale: str):
     return expr, py, duck
 
 
-for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv"):
+for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv", "da", "no"):
     _e, _p, _d = _locale_text(_lc)
     register(Analyzer(f"text_{_lc}", _e, _p, _d))

@@ -919,7 +919,79 @@ SWEDISH = Locale(
     final_to="aao",
 )
 
+_DA_V = "aeiouyæåø"
+DANISH = Locale(
+    name="da",
+    vowels=_DA_V,
+    r1_min3=True,
+    steps=(
+        # step 1: a-suffixes (R1) + s after a valid s-ending
+        (
+            Rule("erendes", "r1"), Rule("erende", "r1"),
+            Rule("hedens", "r1"), Rule("erede", "r1"), Rule("heden", "r1"),
+            Rule("heder", "r1"), Rule("endes", "r1"), Rule("ernes", "r1"),
+            Rule("erens", "r1"), Rule("erets", "r1"), Rule("ethed", "r1"),
+            Rule("erer", "r1"), Rule("heds", "r1"), Rule("enes", "r1"),
+            Rule("eres", "r1"), Rule("ered", "r1"), Rule("ende", "r1"),
+            Rule("erne", "r1"), Rule("eren", "r1"), Rule("eret", "r1"),
+            Rule("ens", "r1"), Rule("ers", "r1"), Rule("ets", "r1"),
+            Rule("ene", "r1"), Rule("ere", "r1"), Rule("hed", "r1"),
+            Rule("es", "r1"), Rule("et", "r1"), Rule("er", "r1"),
+            Rule("en", "r1"), Rule("e", "r1"),
+            Rule("s", "r1", prec="abcdfghjklmnoprtvyzå"),
+        ),
+        # step 2: shorten gd/dt/gt/kt
+        (
+            Rule("gd", "r1", repl="g"), Rule("dt", "r1", repl="d"),
+            Rule("gt", "r1", repl="g"), Rule("kt", "r1", repl="k"),
+        ),
+        # step 3: d-suffixes
+        (
+            Rule("elig", "r1"), Rule("løst", repl="løs"),
+            Rule("lig", "r1"), Rule("els", "r1"), Rule("ig", "r1"),
+        ),
+    ),
+    final_from="æåø",
+    final_to="aao",
+)
+
+_NO_V = "aeiouyæåø"
+NORWEGIAN = Locale(
+    name="no",
+    vowels=_NO_V,
+    r1_min3=True,
+    steps=(
+        # step 1: a-suffixes (R1) + erte/ert -> er + s after s-ending
+        (
+            Rule("hetenes", "r1"), Rule("hetene", "r1"),
+            Rule("hetens", "r1"), Rule("heten", "r1"), Rule("heter", "r1"),
+            Rule("endes", "r1"), Rule("edes", "r1"), Rule("enes", "r1"),
+            Rule("erte", "r1", repl="er"),
+            Rule("ande", "r1"), Rule("ende", "r1"), Rule("ane", "r1"),
+            Rule("ene", "r1"), Rule("ede", "r1"), Rule("ens", "r1"),
+            Rule("ers", "r1"), Rule("ets", "r1"), Rule("het", "r1"),
+            Rule("ast", "r1"), Rule("ert", "r1", repl="er"),
+            Rule("en", "r1"), Rule("ar", "r1"), Rule("er", "r1"),
+            Rule("as", "r1"), Rule("es", "r1"), Rule("et", "r1"),
+            Rule("a", "r1"), Rule("e", "r1"),
+            Rule("s", "r1", prec="bcdfghjlmnoptvyz"),
+        ),
+        # step 2: dt/vt -> delete last
+        (Rule("dt", "r1", repl="d"), Rule("vt", "r1", repl="v")),
+        # step 3: d-suffixes
+        (
+            Rule("hetslov", "r1"), Rule("eleg", "r1"), Rule("elov", "r1"),
+            Rule("slov", "r1"), Rule("elig", "r1"), Rule("eig", "r1"),
+            Rule("lig", "r1"), Rule("els", "r1"), Rule("lov", "r1"),
+            Rule("leg", "r1"), Rule("ig", "r1"),
+        ),
+    ),
+    final_from="æåø",
+    final_to="aao",
+)
+
 LOCALES: dict[str, Locale] = {
     "de": GERMAN, "fr": FRENCH, "es": SPANISH, "ru": RUSSIAN,
     "it": ITALIAN, "pt": PORTUGUESE, "nl": DUTCH, "sv": SWEDISH,
+    "da": DANISH, "no": NORWEGIAN,
 }

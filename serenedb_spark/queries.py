@@ -2225,7 +2225,8 @@ def _register_locale_stemmed() -> None:
             O.match_sql(_DOC_TABLE, _DOC_COL, f"text_{lc}", q.Term(term),
                         order="doc_id"))
 
-    for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv"):
+    for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv",
+                "da", "no"):
         make(_lc, "table")
 
 
@@ -4594,7 +4595,7 @@ _GATE_WINDOW = [
     # (r7 rotation candidates — registered after the window filled:
     # fts_stemmed_term_{it,pt,nl,sv}, dedup_clusters, dedup_keep_canonical,
     # tpch_q11_important_stock, timezone_battery, interval_battery,
-    # float_special_battery, text_gopher_rules;
+    # float_special_battery, text_gopher_rules, fts_stemmed_term_{da,no};
     # all run in tests/test_differential.py + check_correctness meanwhile)
     # (no sentinel slots left this round: the window is exactly the 25
     # never-driver-sampled queries, the re-gated approx_aggregates, and

@@ -65,6 +65,16 @@ GOLDEN = {
         ("möjligheterna", "moj"), ("möjligheten", "moj"),
         ("möjlig", "moj"), ("hundarnas", "hund"), ("hundar", "hund"),
     ],
+    "da": [
+        ("bilerne", "bil"), ("biler", "bil"), ("bilen", "bil"),
+        ("husene", "hus"), ("huset", "hus"),
+        ("venlige", "ven"), ("venlig", "ven"),
+    ],
+    "no": [
+        ("bilene", "bil"), ("biler", "bil"), ("bilen", "bil"),
+        ("husene", "hus"), ("huset", "hus"),
+        ("muligheten", "mul"), ("mulighetene", "mul"),
+    ],
 }
 
 _ALPHABETS = {
@@ -76,6 +86,8 @@ _ALPHABETS = {
     "pt": "abdefghilmnorstuváéíçãõ",
     "nl": "abdefghijklmnorstuv",
     "sv": "abdefghiklmnorstuvyäåö",
+    "da": "abdefghiklmnorstuvyæåø",
+    "no": "abdefghiklmnorstuvyæåø",
 }
 
 
