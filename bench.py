@@ -1,9 +1,13 @@
 """Benchmark harness — times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE final JSON line (size-guarded to stay well under the driver's
+2,000-byte stdout tail — BENCH_r06 was lost to an oversized line):
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "runs": N, "sf": <sf>, "scale": {...}}
+
+Everything else (per-query spread, scale-crossover detail) goes to
+stderr `# ` lines and to the committed sidecar ``BENCH_DETAIL.json``.
 
 Methodology mirrors the reference's harnesses (BASELINE.md): the inverted
 index is built once up front (the reference's CREATE INDEX precedes its
@@ -15,11 +19,16 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+DETAIL_PATH = os.environ.get(
+    "SPARK_GRAFT_BENCH_DETAIL",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "BENCH_DETAIL.json"))
 
 #: headline queries: one per operator family (SURVEY §2 coverage), weighted
 #: toward the scans/joins/aggs that dominate at scale.
@@ -85,104 +94,123 @@ HEADLINE = [
 
 #: the scale-crossover section: queries whose sf0.1 latency is dominated
 #: by Spark's fixed per-query overhead get re-measured on a corpus blown
-#: up SPARK_GRAFT_SCALE_COPIES× (documents/embeddings; ids offset, one
-#: embedding dim perturbed per copy so near-dup structure stays linear),
+#: up SPARK_GRAFT_SCALE_COPIES× (documents/embeddings rewritten with
+#: offset ids — each copy's embedding is ROTATED by the copy index, which
+#: is norm-preserving and decorrelating so near-dup structure stays
+#: linear; events rewritten with offset event/user ids for the asof row),
 #: next to DuckDB running the same oracle SQL — the point where the
 #: distributed plan's constants amortize.
 SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
-#: the four queries flagged perf-weak at sf0.1 (fixed-overhead bound);
-#: the other headline queries already beat the baseline at sf0.1, so
-#: re-running their (much slower) oracles at 10× would only pad the
-#: bench's wall-clock
 SCALE_QUERIES = [
     "fts_bool", "fts_bm25_topk", "es_multi_match",
-    "embedding_dup_pairs_lsh",
+    "embedding_dup_pairs_lsh", "events_asof_join",
 ]
+#: the 100× section: the two index-served queries whose 10× row already
+#: crossed DuckDB — SCALE.md claimed "at 100× every row is a Spark win";
+#: this measures it instead of claiming it.
+SCALE2_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE2_COPIES", "100"))
+SCALE2_QUERIES = ["fts_bool", "fts_bm25_topk"]
 _COPY_OFF = 10_000_000
 
 
-def _build_scale_dir(spark) -> str:
+def _build_scale_dir(spark, copies: int,
+                     tables: tuple[str, ...] = ("documents", "embeddings",
+                                                "events")) -> str:
     """Materialize the blown-up corpus once per (sf, copies); unchanged
-    tables are symlinked, documents/embeddings rewritten with offset ids."""
+    tables are symlinked, `tables` rewritten with offset ids. Built into
+    a temp dir + atomic rename so a crash mid-write can never bless a
+    partial corpus (a bare _READY check could)."""
     from pyspark.sql import functions as F
 
     from serenedb_spark import queries as Q
 
     sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
-    out = f"/tmp/serene_scale_{sf_tag}_x{SCALE_COPIES}"
+    # v2: events now rewritten too (asof crossover row) — new dir name so
+    # a v1 dir's _READY marker (events symlinked) can't be mistaken for it
+    out = f"/tmp/serene_scale_{sf_tag}_x{copies}_v2"
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out
-    os.makedirs(out, exist_ok=True)
-    copies = F.explode(F.array(*[F.lit(i) for i in range(SCALE_COPIES)]))
+    # no marker → whatever is there is stale/partial; rebuild from scratch
+    tmp = out + ".building"
+    for d in (out, tmp):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    os.makedirs(tmp)
+    copy_col = F.explode(F.array(*[F.lit(i) for i in range(copies)]))
     for t in Q.TABLES:
         src = f"{SF_DIR}/{t}.parquet"
-        dst = f"{out}/{t}.parquet"
-        if not os.path.exists(src) or os.path.exists(dst):
+        dst = f"{tmp}/{t}.parquet"
+        if not os.path.exists(src):
             continue
-        if t == "documents":
-            df = (spark.read.parquet(src)
-                  .withColumn("__c", copies)
-                  .withColumn("doc_id",
-                              F.col("doc_id") + F.col("__c") * _COPY_OFF)
-                  .drop("__c"))
-            df.write.mode("overwrite").parquet(dst)
-        elif t == "embeddings":
-            # rotate each copy's vector by the copy index: norm-preserving
-            # and decorrelating (copies of one vector land near-orthogonal),
-            # so the near-dup structure scales LINEARLY with the corpus —
-            # an additive perturbation would either collapse every copy
-            # toward one axis (quadratic pair blow-up) or leave exact dups
-            df = (spark.read.parquet(src)
-                  .withColumn("__c", copies)
-                  .withColumn("vec_id",
-                              F.col("vec_id") + F.col("__c") * _COPY_OFF)
-                  .withColumn("embedding", F.concat(
-                      F.slice("embedding", F.col("__c") + 1,
-                              F.size("embedding") - F.col("__c")),
-                      F.slice("embedding", F.lit(1), F.col("__c"))))
-                  .drop("__c"))
-            df.write.mode("overwrite").parquet(dst)
+        if t in tables:
+            df = spark.read.parquet(src).withColumn("__c", copy_col)
+            if t == "documents":
+                df = df.withColumn(
+                    "doc_id", F.col("doc_id") + F.col("__c") * _COPY_OFF)
+            elif t == "embeddings":
+                # rotate each copy's vector by the copy index:
+                # norm-preserving and decorrelating (copies of one vector
+                # land near-orthogonal), so the near-dup structure scales
+                # LINEARLY with the corpus — an additive perturbation
+                # would either collapse every copy toward one axis
+                # (quadratic pair blow-up) or leave exact dups
+                # rotation offset is __c mod dim — copies beyond the
+                # vector dimension wrap instead of slicing past the end
+                rot = F.pmod(F.col("__c"), F.size("embedding"))
+                df = (df.withColumn(
+                          "vec_id",
+                          F.col("vec_id") + F.col("__c") * _COPY_OFF)
+                      .withColumn("embedding", F.when(rot == 0, F.col(
+                          "embedding")).otherwise(F.concat(
+                          F.slice("embedding", rot + 1,
+                                  F.size("embedding") - rot),
+                          F.slice("embedding", F.lit(1), rot)))))
+            elif t == "events":
+                # offset event AND user ids: each copy is a fresh user
+                # population, so per-user asof chains scale linearly
+                df = (df.withColumn(
+                          "event_id",
+                          F.col("event_id") + F.col("__c") * _COPY_OFF)
+                      .withColumn(
+                          "user_id",
+                          F.col("user_id") + F.col("__c") * _COPY_OFF))
+            df.drop("__c").write.mode("overwrite").parquet(dst)
         else:
             os.symlink(src, dst)
-    open(marker, "w").write("ok")
+    open(os.path.join(tmp, "_READY"), "w").write("ok")
+    os.rename(tmp, out)
     return out
 
 
-def _scale_section(spark) -> dict:
-    """Spark vs DuckDB on the blown-up corpus; 1 warm-up + best of 2."""
+def _time_spark(spark, fn, sdir: str) -> float:
+    """1 warm-up + best of 2 (GC drained between)."""
+    fn(spark, sdir).collect()
+    spark._jvm.System.gc()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sdir).collect()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _time_duckdb(con, sql: str) -> float:
+    con.sql(sql).fetchall()
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        con.sql(sql).fetchall()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
+def _duckdb_con(sdir: str):
     import duckdb
 
     from serenedb_spark import queries as Q
-
-    sdir = _build_scale_dir(spark)
-    out: dict = {"copies": SCALE_COPIES, "spark": {}, "duckdb": {}}
-
-    # the sf0.1 sections persisted three indexes this JVM no longer
-    # needs; dropping them keeps their memory pressure (GC, eviction)
-    # out of the scale timings — profiled: es_multi_match reads 5.3s
-    # inside the loaded JVM vs 1.6s steady-state in a clean one
-    spark.catalog.clearCache()
-    spark._jvm.System.gc()
-
-    t0 = time.perf_counter()
-    idx = Q.doc_index(spark, sdir)
-    idx.postings.count(); idx.term_stats.count(); idx.doc_stats.count()
-    out["spark"]["index_build"] = round(time.perf_counter() - t0, 4)
-
-    for name in SCALE_QUERIES:
-        fn = Q.REGISTRY[name].fn
-        fn(spark, sdir).collect()
-        spark._jvm.System.gc()
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sdir).collect()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out["spark"][name] = round(best, 4)
-        print(f"# scale{SCALE_COPIES}x spark {name}: {best:.3f}s",
-              file=sys.stderr)
 
     con = duckdb.connect()
     con.sql(f"SET threads={CPUS}")
@@ -193,18 +221,43 @@ def _scale_section(spark) -> dict:
         elif not os.path.exists(p):
             continue
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
-    for name in SCALE_QUERIES:
-        sql = Q.REGISTRY[name].oracle
-        con.sql(sql).fetchall()
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            con.sql(sql).fetchall()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        out["duckdb"][name] = round(best, 4)
-        print(f"# scale{SCALE_COPIES}x duckdb {name}: {best:.3f}s",
+    return con
+
+
+def _scale_run(spark, copies: int, names: list[str],
+               with_index: bool) -> dict:
+    """Spark vs DuckDB on the blown-up corpus; 1 warm-up + best of 2."""
+    from serenedb_spark import queries as Q
+
+    sdir = _build_scale_dir(spark, copies)
+    out: dict = {"copies": copies, "spark": {}, "duckdb": {}}
+
+    # the sf0.1 sections persisted indexes this JVM no longer needs;
+    # dropping them keeps their memory pressure (GC, eviction) out of
+    # the scale timings — profiled: es_multi_match reads 5.3s inside the
+    # loaded JVM vs 1.6s steady-state in a clean one
+    spark.catalog.clearCache()
+    spark._jvm.System.gc()
+
+    if with_index:
+        t0 = time.perf_counter()
+        idx = Q.doc_index(spark, sdir)
+        idx.postings.count(); idx.term_stats.count(); idx.doc_stats.count()
+        out["spark"]["index_build"] = round(time.perf_counter() - t0, 3)
+
+    for name in names:
+        best = _time_spark(spark, Q.REGISTRY[name].fn, sdir)
+        out["spark"][name] = round(best, 3)
+        print(f"# scale{copies}x spark {name}: {best:.3f}s",
               file=sys.stderr)
+
+    con = _duckdb_con(sdir)
+    for name in names:
+        best = _time_duckdb(con, Q.REGISTRY[name].oracle)
+        out["duckdb"][name] = round(best, 3)
+        print(f"# scale{copies}x duckdb {name}: {best:.3f}s",
+              file=sys.stderr)
+    con.close()
     return out
 
 
@@ -246,14 +299,14 @@ def main() -> None:
     idx.postings.count()  # materialize the persisted postings
     idx.term_stats.count()
     idx.doc_stats.count()
-    timings["index_build"] = round(time.perf_counter() - t0, 4)
+    timings["index_build"] = round(time.perf_counter() - t0, 3)
 
     # the substring query runs over the sparse-ngram index — build it up
     # front too (CREATE INDEX precedes query timings, same methodology)
     t0 = time.perf_counter()
     sidx = Q.doc_index(spark, SF_DIR, analyzer="sparse_ngram3")
     sidx.postings.count()
-    timings["index_build_sparse"] = round(time.perf_counter() - t0, 4)
+    timings["index_build_sparse"] = round(time.perf_counter() - t0, 3)
 
     # settle after the garbage-heavy index builds so the first headline
     # query doesn't absorb their GC pause
@@ -283,13 +336,17 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
             worst = max(worst, dt)
             nrows = len(rows)
-        timings[name] = round(best, 4)
-        spread[name] = round(worst - best, 4)
+        timings[name] = round(best, 3)
+        spread[name] = round(worst - best, 3)
         total += best
         print(f"# {name}: {best:.3f}s (+{worst - best:.3f}s spread,"
               f" {nrows} rows)", file=sys.stderr)
 
-    scale = _scale_section(spark) if SCALE_COPIES > 0 else None
+    scale = (_scale_run(spark, SCALE_COPIES, SCALE_QUERIES, with_index=True)
+             if SCALE_COPIES > 0 else None)
+    scale2 = (_scale_run(spark, SCALE2_COPIES, SCALE2_QUERIES,
+                         with_index=True)
+              if SCALE2_COPIES > 0 else None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -298,16 +355,41 @@ def main() -> None:
         sf_val = sf
     payload = {
         "metric": "headline_queries_total",
-        "value": round(total, 4),
+        "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
-        "spread": spread,
         "runs": runs,
         "sf": sf_val,
     }
     if scale is not None:
         payload["scale"] = scale
-    print(json.dumps(payload))
+    if scale2 is not None:
+        payload["scale100"] = scale2
+
+    # full detail (incl. per-query spread) goes to the committed sidecar;
+    # the driver's stdout record keeps only a 2,000-byte tail, which an
+    # oversized line overflows (BENCH_r06 lost its round to exactly that)
+    detail = dict(payload)
+    detail["spread"] = spread
+    try:
+        with open(DETAIL_PATH, "w") as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError as e:
+        print(f"# sidecar write failed: {e}", file=sys.stderr)
+
+    line = json.dumps(payload, separators=(",", ":"))
+    # size guard: the final line must survive the driver's 2,000-byte
+    # stdout tail with headroom; shed the scale sections first (they
+    # live in the sidecar + stderr lines regardless)
+    for drop in ("scale100", "scale"):
+        if len(line) <= 1800:
+            break
+        if drop in payload:
+            print(f"# {drop}: "
+                  + json.dumps(payload.pop(drop), separators=(",", ":")),
+                  file=sys.stderr)
+            line = json.dumps(payload, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

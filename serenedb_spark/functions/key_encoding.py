@@ -29,6 +29,14 @@ NULL handling: encoders return NULL for NULL input (top-level NULL is the
 caller's concern, exactly as AppendScalarValue's contract); `null_last`
 wraps an encoded key with the reference's nested-element markers
 (\\x01 + payload / \\x02 for NULL, nulls greatest).
+
+FORMAT VERSIONS: the string NUL escape changed \\x00\\xff → \\x00\\x01 in
+round 6 (ENCODING_VERSION 1 → 2) to match the reference byte-for-byte.
+The change is a PERSISTED-FORMAT BREAK: expression indexes built with
+version-1 keys mis-order/mismatch range claims against version-2 keys —
+rebuild any index persisted before the bump. DiskSearchTable manifests
+record `key_encoding_version`; loading a manifest whose version differs
+from ENCODING_VERSION raises instead of silently mixing encodings.
 """
 
 from __future__ import annotations

@@ -161,8 +161,20 @@ class DiskSearchTable:
         would fork history, so DML raises."""
         import json
 
+        from serenedb_spark.functions.key_encoding import ENCODING_VERSION
+
         with open(f"{path}/manifest.json") as f:
             m = json.load(f)
+        # refuse to mix persisted key encodings: the \x00-escape byte
+        # changed in ENCODING_VERSION 2 (key_encoding.py docstring), so a
+        # table written under another version must be rebuilt, not read
+        kev = m.get("key_encoding_version", ENCODING_VERSION)
+        if kev != ENCODING_VERSION:
+            raise ValueError(
+                f"table at {path} was written with key_encoding_version "
+                f"{kev}, engine is {ENCODING_VERSION}: encoded-key order "
+                "is not compatible across versions — rebuild the table"
+            )
         ops = [tuple(op) for op in m["ops"]]
         if tick is None:
             return cls(spark, path, m["fields"], m["key"], m["name"],
@@ -186,10 +198,15 @@ class DiskSearchTable:
 
         tmp = f"{self.path}/manifest.json.tmp"
         with open(tmp, "w") as f:
+            from serenedb_spark.functions.key_encoding import (
+                ENCODING_VERSION,
+            )
+
             json.dump({
                 "fields": self.fields, "key": self.key, "name": self.name,
                 "tick": self._tick, "ops": self._ops,
                 "layout_version": 1,
+                "key_encoding_version": ENCODING_VERSION,
             }, f, indent=2)
         os.replace(tmp, f"{self.path}/manifest.json")  # the commit point
 

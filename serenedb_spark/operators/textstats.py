@@ -196,9 +196,13 @@ FROM {table}
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
      "<EMAIL>"),
+    # ipv4 MUST precede phone: the phone pattern fully matches dotted
+    # IPv4s whose middle octets have 3 digits (192.168.100.1), which
+    # would misattribute them to n_phone; dotted phone numbers are safe
+    # the other way (a 4-digit final group never parses as an octet)
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
     ("phone", r"\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}",
      "<PHONE>"),
-    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
 )
 
 
@@ -259,10 +263,14 @@ def chunk_documents(df: DataFrame, chunk_tokens: int, overlap: int = 0,
     an = get_analyzer(analyzer)
     toks = an.expr(F.col(text_col))
     n = F.size(toks)
+    # clamp to ≥1 chunk for any non-empty doc: for 1 ≤ n ≤ overlap the
+    # bare formula evaluates to 0 and the document would vanish from the
+    # corpus entirely (every short doc is still one undersized chunk)
     n_chunks = F.when(
         n <= 0, F.lit(0)
-    ).otherwise(F.floor((n - F.lit(overlap) - 1) / F.lit(stride))
-                .cast("int") + 1)
+    ).otherwise(F.greatest(
+        F.lit(1),
+        F.floor((n - F.lit(overlap) - 1) / F.lit(stride)).cast("int") + 1))
     # NB: bare sequence(0, n_chunks-1) is the descending-sequence trap —
     # sequence(0, -1) == [0, -1] — so empty docs must short-circuit
     starts = F.when(n_chunks <= 0, F.array().cast("array<int>")) \
@@ -294,7 +302,8 @@ WITH base AS (SELECT {id_col}, {toks} AS toks FROM {table}),
 shaped AS (
   SELECT {id_col}, toks,
     CASE WHEN len(toks) <= 0 THEN 0
-         ELSE CAST(floor((len(toks) - {overlap} - 1) / {stride}) AS INT) + 1
+         ELSE greatest(1,
+           CAST(floor((len(toks) - {overlap} - 1) / {stride}) AS INT) + 1)
     END AS n_chunks
   FROM base),
 ex AS (
@@ -368,17 +377,38 @@ def gopher_rules(
     stop = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
     stop_hits = F.size(
         F.array_intersect(F.transform(words, F.lower), stop))
-    # repetition rules: per-distinct-element occurrence counts via nested
-    # HOFs — O(lines · distinct) inside one row, still a pure expression
+    # repetition rules: per-distinct-element occurrence counts as ONE
+    # linear run-length fold over the SORTED array (equal elements are
+    # adjacent after array_sort, so a (prev, run_count, acc) struct state
+    # flushes each run once) — O(n log n) per row. The r6 shape re-filtered
+    # the whole array per distinct element: O(n²), ~10^10 comparisons on a
+    # real 100k-word web document.
     dlines = F.array_distinct(lines)
     dup_line_frac = (nl - F.size(dlines)).cast("double") / nlz
+
+    def _dup_flush(s):
+        # chars sitting in duplicated lines: runs of length > 1 contribute
+        # run_count × line_length
+        return F.when(s["cnt"] > 1,
+                      s["cnt"] * F.length(s["prev"])).otherwise(F.lit(0))
+
     dup_line_chars = (
         F.aggregate(
-            dlines, F.lit(0),
-            lambda a, d: a + F.when(
-                F.size(F.filter(lines, lambda l: l == d)) > 1,
-                F.size(F.filter(lines, lambda l: l == d)) * F.length(d),
-            ).otherwise(F.lit(0)),
+            F.array_sort(lines),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).cast("long").alias("cnt"),
+                F.lit(0).cast("long").alias("acc"),
+            ),
+            lambda s, x: F.when(
+                x == s["prev"],  # NULL prev (first element) starts a run
+                F.struct(x.alias("prev"), (s["cnt"] + 1).alias("cnt"),
+                         s["acc"].alias("acc")),
+            ).otherwise(
+                F.struct(x.alias("prev"),
+                         F.lit(1).cast("long").alias("cnt"),
+                         (s["acc"] + _dup_flush(s)).alias("acc"))),
+            lambda s: s["acc"] + _dup_flush(s),
         ).cast("double")
         / F.when(F.length(text_col) > 0, F.length(text_col).cast("double"))
     )
@@ -387,10 +417,30 @@ def gopher_rules(
         F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    top2 = F.array_max(F.transform(
-        F.array_distinct(grams),
-        lambda d: F.size(F.filter(grams, lambda g: g == d)) * F.length(d),
-    ))
+
+    def _top_flush(s):
+        # coverage of one distinct 2-gram: count × chars (count ≥ 1 runs
+        # all contribute — the max is over EVERY distinct gram)
+        return F.when(s["cnt"] > 0, s["cnt"] * F.length(s["prev"]))
+
+    top2 = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.lit(None).cast("long").alias("best"),
+        ),
+        lambda s, x: F.when(
+            x == s["prev"],
+            F.struct(x.alias("prev"), (s["cnt"] + 1).alias("cnt"),
+                     s["best"].alias("best")),
+        ).otherwise(
+            F.struct(x.alias("prev"), F.lit(1).cast("long").alias("cnt"),
+                     # greatest skips NULLs: first flush (cnt=0 → NULL)
+                     # leaves best untouched
+                     F.greatest(s["best"], _top_flush(s)).alias("best"))),
+        lambda s: F.greatest(s["best"], _top_flush(s)),
+    )
     top2_frac = (
         top2.cast("double")
         / F.when(F.length(text_col) > 0, F.length(text_col).cast("double"))
@@ -440,6 +490,25 @@ WITH base AS (
     nullif(len(words), 0)::DOUBLE AS nz,
     nullif(len(lines), 0)::DOUBLE AS nlz
   FROM base
+), lc AS (
+  -- chars in duplicated lines, linear: unnest → per-(doc, line) counts
+  SELECT doc_id, sum(CASE WHEN c > 1 THEN c * length(l) ELSE 0 END)
+           AS dup_chars
+  FROM (SELECT doc_id, l, count(*) AS c
+        FROM (SELECT doc_id, unnest(lines) AS l FROM m)
+        GROUP BY doc_id, l)
+  GROUP BY doc_id
+), g2 AS (
+  -- top word-2-gram coverage, linear: unnest → per-(doc, gram) counts
+  SELECT doc_id, max(c * length(g)) AS top2
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(1, greatest(n, 1)),
+                                      i -> words[i] || ' ' || words[i + 1]))
+                  AS g
+              FROM m)
+        GROUP BY doc_id, g)
+  GROUP BY doc_id
 ), f AS (
   SELECT doc_id,
     (n >= {min_words} AND n <= {max_words}) AS r_word_count,
@@ -460,22 +529,12 @@ WITH base AS (
       AS r_stop_words,
     coalesce((len(lines) - len(list_distinct(lines)))::DOUBLE / nlz <= 0.3,
              FALSE) AS r_dup_lines,
-    coalesce(list_sum(list_prepend(0, list_transform(list_distinct(lines),
-               d -> CASE WHEN len(list_filter(lines, l -> l = d)) > 1
-                    THEN len(list_filter(lines, l -> l = d)) * length(d)
-                    ELSE 0 END)))::DOUBLE
+    coalesce(coalesce(lc.dup_chars, 0)::DOUBLE
            / nullif(tlen, 0) <= 0.2, FALSE)
       AS r_dup_line_chars,
-    coalesce(list_max(list_transform(
-               list_distinct(list_transform(
-                 range(1, greatest(n, 1)),
-                 i -> words[i] || ' ' || words[i + 1])),
-               d -> len(list_filter(
-                      list_transform(range(1, greatest(n, 1)),
-                                     i -> words[i] || ' ' || words[i + 1]),
-                      g -> g = d)) * length(d)))::DOUBLE
+    coalesce(g2.top2::DOUBLE
            / nullif(tlen, 0) <= 0.2, FALSE) AS r_top_2gram
-  FROM m
+  FROM m LEFT JOIN lc USING (doc_id) LEFT JOIN g2 USING (doc_id)
 )
 SELECT doc_id,
   r_word_count::INT AS r_word_count,

@@ -50,6 +50,56 @@ def test_chunk_documents_cover_and_overlap(spark):
         TS.chunk_documents(docs, chunk_tokens=4, overlap=4)
 
 
+def test_chunk_documents_short_doc_not_dropped(spark):
+    """Docs with 1 <= n_tokens <= overlap must still emit ONE chunk: the
+    bare formula floor((n-overlap-1)/stride)+1 evaluates to 0 there and
+    the document would silently vanish from the corpus."""
+    from serenedb_spark.operators import textstats as TS
+
+    docs = spark.createDataFrame(
+        [(1, "tiny"), (2, "two words"), (3, "one two three four five six"),
+         (4, "")],
+        "doc_id long, text string")
+    # chunk_tokens=24, overlap=6 — the registered gate params; docs 1-3
+    # all have n <= overlap
+    out = TS.chunk_documents(docs, chunk_tokens=24, overlap=6)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3}  # empty doc still emits nothing
+    assert rows[1].chunk_text == "tiny" and rows[1].n_tokens == 1
+    assert rows[2].n_tokens == 2 and rows[3].n_tokens == 6
+    assert all(r.chunk_no == 0 for r in rows.values())
+
+
+def test_gopher_rules_linear_on_long_doc(spark):
+    """The repetition rules must be a single sorted-array fold (O(n log n)
+    per row), not the per-distinct-element re-filter (O(n²)): a 100k-word
+    document with heavy 2-gram repetition has to evaluate in seconds —
+    the quadratic shape is ~10^10 comparisons and would hang."""
+    import time
+
+    from serenedb_spark.operators import textstats as TS
+
+    # 100k words: 50k copies of a repeated 2-gram + distinct filler, plus
+    # 2k lines where half are duplicates — exercises both fold rules at
+    # realistic web-document scale
+    rep = ("lorem ipsum " * 25_000).strip()
+    filler = " ".join(f"tok{i}" for i in range(50_000))
+    lines = [f"line {i % 1000} repeated content" for i in range(2_000)]
+    text = rep + " " + filler + "\n" + "\n".join(lines)
+    assert len(text.split()) >= 100_000
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    t0 = time.perf_counter()
+    row = TS.gopher_rules(df, min_words=5).collect()[0]
+    dt = time.perf_counter() - t0
+    # the quadratic shape took minutes-to-hours here; the fold takes ~1s.
+    # generous bound so a loaded CI box never flakes
+    assert dt < 30, f"gopher_rules took {dt:.1f}s on a 100k-word doc"
+    # 'lorem ipsum' covers ~29% of chars -> top-2gram rule trips
+    assert not row.r_top_2gram
+    # 1000 of 2000 lines are duplicates -> dup-line rules trip
+    assert not row.r_dup_lines
+
+
 def test_gopher_repetition_rules(spark):
     from serenedb_spark.operators import textstats as TS
 
