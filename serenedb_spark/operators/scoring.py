@@ -132,6 +132,51 @@ def scored_contributions(
     return base.select("doc_id", contrib.alias("contrib"))
 
 
+def scored_contributions_multi(
+    idx: InvertedIndex,
+    field_terms: list[tuple[str, str, float]],
+    scorer: str = "bm25",
+    **params,
+) -> DataFrame:
+    """(doc_id, field, contrib) for a MULTI-FIELD term query in ONE
+    postings scan: ``field_terms`` is the literal (field, term, boost)
+    query relation, broadcast and joined on (field, term), so N fields
+    stop multiplying postings scans (the per-field path re-read postings
+    once per field — reference dis_max/multi_match read one iterator
+    forest, server/network/http/es/dsl.cpp:394-407). Per-field stats
+    (df/ctf, dl, globals) arrive keyed by field in the same joins; the
+    lm_dirichlet |q| length penalty uses each field's own query-term
+    count, carried as a column of the literal relation."""
+    from collections import Counter
+
+    spark = idx.postings.sparkSession
+    n_by_field = Counter(f for f, _, _ in field_terms)
+    rows = [(f, t, float(b), float(n_by_field[f])) for f, t, b in field_terms]
+    pairs = spark.createDataFrame(
+        rows, "field string, term string, boost double, n_terms double")
+    fields = sorted(n_by_field)
+    terms = sorted({t for _, t, _ in field_terms})
+    # the isin filters are pushable predicates (term-bucket pruning on a
+    # persisted index); the broadcast join then resolves per-pair boost
+    P = idx.postings.where(
+        F.col("field").isin(fields) & F.col("term").isin(terms))
+    matched = P.join(F.broadcast(pairs), ["field", "term"])
+    ts = idx.term_stats.where(
+        F.col("field").isin(fields) & F.col("term").isin(terms)
+    ).select("field", "term", "df", "ctf")
+    ds = idx.doc_stats.where(F.col("field").isin(fields)).select(
+        "field", "doc_id", "dl")
+    g = idx.globals_.where(F.col("field").isin(fields)).select(
+        "field", "n_docs", "avgdl", "total_dl")
+    base = (
+        matched.join(F.broadcast(ts), ["field", "term"])
+        .join(ds, ["field", "doc_id"])
+        .join(F.broadcast(g), "field")
+    )
+    contrib = _contrib_expr_n(scorer, F.col("n_terms"), params)
+    return base.select("doc_id", "field", contrib.alias("contrib"))
+
+
 def scorer_aggregator(scorer: str):
     """How scored_contributions rows combine into one per-doc score:
     raw_dl is a per-doc property (max == the value); every other scorer
@@ -140,17 +185,26 @@ def scorer_aggregator(scorer: str):
 
 
 def _contrib_expr(scorer, score_terms, params):
-    """(contribution Column, aggregator) for a scorer name."""
+    """(contribution Column, aggregator) for a scorer name; the per-doc
+    aggregator comes with it. lm_dirichlet needs |q| — counted from the
+    score_terms relation here; callers with a literal term list use
+    _contrib_expr_n directly."""
+    n_terms = (score_terms.count() if scorer == "lm_dirichlet" else 0)
+    contrib = _contrib_expr_n(scorer, F.lit(float(n_terms)), params)
+    agg_of = F.max if scorer == "raw_dl" else F.sum
+    return contrib, agg_of
+
+
+def _contrib_expr_n(scorer, n_terms_col, params):
+    """Contribution Column for a scorer name; ``n_terms_col`` supplies the
+    lm_dirichlet |q| (a literal for single-field paths, a per-row column
+    for the multi-field shared scan)."""
     if scorer == "bm25":
         contrib = _bm25_contrib(params.get("k1", 1.2), params.get("b", 0.75))
     elif scorer == "tfidf":
         contrib = _tfidf_contrib()
     elif scorer == "lm_dirichlet":
-        # number of query terms is a driver-side scalar (tiny DF)
-        n_terms = score_terms.count()
-        contrib = _lm_dirichlet_contrib(
-            params.get("mu", 2000.0), F.lit(float(n_terms))
-        )
+        contrib = _lm_dirichlet_contrib(params.get("mu", 2000.0), n_terms_col)
     elif scorer == "lm_jm":
         contrib = _lm_jm_contrib(params.get("lam", 0.3))
     elif scorer == "dfi":
@@ -173,10 +227,7 @@ def _contrib_expr(scorer, score_terms, params):
         contrib = F.col("dl").cast("double")
     else:
         raise ValueError(f"unknown scorer {scorer!r}")
-    # raw_dl is a per-doc property, not a per-term contribution: max == the
-    # value; every other scorer sums term contributions
-    agg_of = F.max if scorer == "raw_dl" else F.sum
-    return contrib, agg_of
+    return contrib
 
 
 # ---- max-score / WAND top-k pruning ---------------------------------------

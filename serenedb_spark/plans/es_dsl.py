@@ -149,7 +149,7 @@ def _peek_field(dsl: dict[str, Any]) -> str | None:
     """The field a leaf clause targets, without parsing it (needed to pick
     the right analyzer BEFORE parse_query)."""
     (kind, body), = dsl.items()
-    if kind in ("bool", "multi_match"):
+    if kind in ("bool", "multi_match", "dis_max"):
         return None
     if kind == "query_string":
         return body.get("default_field") if isinstance(body, dict) else None
@@ -230,49 +230,91 @@ def _bool_multi_field(idx: InvertedIndex, body: dict[str, Any],
     )
 
 
+def _dis_max_combine(mtype: str, tie: float):
+    """Cross-field score combine over the fields a doc MATCHED (no zero
+    floor — a doc matching only one field keeps that field's score even
+    if the scorer is negative-valued, per ES best_fields):
+    most_fields sums; best_fields is dis_max — max plus tie_breaker ×
+    the remaining fields' scores."""
+    if mtype == "most_fields":
+        return F.sum("s")
+    if tie:
+        return F.max("s") + F.lit(tie) * (F.sum("s") - F.max("s"))
+    return F.max("s")
+
+
 def _multi_match(idx: InvertedIndex, spec: dict[str, Any],
                  scorer: str) -> DataFrame:
     """ES multi_match: the query text is analyzed PER FIELD with that
     field's analyzer (so a keyword field sees one token, a text field
     many), scored per field, then combined — `best_fields` (default)
-    takes the max per-field score (ES dis_max with tie_breaker 0),
-    `most_fields` sums them. Fields with zero analyzed tokens or zero
-    matches contribute nothing."""
-    from serenedb_spark.operators.scoring import scored_contributions
-    from serenedb_spark.plans.planner import compile_query
+    takes the max per-field score (ES dis_max, with optional
+    tie_breaker), `most_fields` sums them. Fields take the `name^boost`
+    ES syntax. All fields share ONE postings scan: the literal
+    (field, term, boost) query relation is broadcast-joined against
+    postings/stats keyed by (field, term), so fields stop multiplying
+    scans (dsl.cpp:394-407 builds one iterator forest likewise)."""
+    from serenedb_spark.operators.scoring import (
+        scored_contributions_multi, scorer_aggregator,
+    )
 
-    fields = spec["fields"]
     text = str(spec["query"])
     mtype = spec.get("type", "best_fields")
-    per_field = []
-    for i, f in enumerate(fields):
-        toks = idx.analyzer(f).tokens(text)
-        if not toks:
-            continue
-        compiled = compile_query(idx, f, q.AnyOf(toks))
-        per_field.append(
-            scored_contributions(idx, f, compiled.score_terms, scorer)
-            .select("doc_id", F.lit(i).alias("fld"), "contrib")
-        )
-    if not per_field:
+    tie = float(spec.get("tie_breaker", 0.0))
+    field_terms: list[tuple[str, str, float]] = []
+    for f in spec["fields"]:
+        name, _, b = str(f).partition("^")
+        boost = float(b) if b else 1.0
+        # distinct tokens per field — same dedup AnyOf applies, so a
+        # repeated query word never double-contributes
+        for t in dict.fromkeys(idx.analyzer(name).tokens(text)):
+            field_terms.append((name, t, boost))
+    if not field_terms:
         raise ValueError(f"multi_match analyzed to no tokens: {text!r}")
-    # union per-field CONTRIBUTIONS (per-field stats already resolved),
-    # then aggregate: per-(doc, field) sums, combined per doc — one
-    # map-side-combinable shuffle chain instead of one agg shuffle per
-    # field plus a full-outer join of the score relations
-    u = per_field[0]
-    for p in per_field[1:]:
-        u = u.unionByName(p)
-    from serenedb_spark.operators.scoring import scorer_aggregator
-    per_doc_field = u.groupBy("doc_id", "fld").agg(
-        scorer_aggregator(scorer)("contrib").alias("s"))
-    # cross-field combine: ES dis_max over the fields the doc MATCHED
-    # (no zero floor — a doc matching only one field keeps that field's
-    # score even if the scorer is negative-valued, per ES best_fields)
-    comb = F.sum("s") if mtype == "most_fields" else F.max("s")
+    per_doc_field = (
+        scored_contributions_multi(idx, field_terms, scorer)
+        .groupBy("doc_id", "field")
+        .agg(scorer_aggregator(scorer)("contrib").alias("s"))
+    )
     return (
         per_doc_field.groupBy("doc_id")
-        .agg(F.round(comb, 4).alias("score"))
+        .agg(F.round(_dis_max_combine(mtype, tie), 4).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id"))
+    )
+
+
+def _dis_max(idx: InvertedIndex, spec: dict[str, Any],
+             default_field: str, scorer: str) -> DataFrame:
+    """ES dis_max over ARBITRARY subqueries (phrases, bools, ranges — not
+    just term bags, which multi_match covers): each clause compiles and
+    scores against its own field, restricted to the docs that clause
+    MATCHES (a phrase clause must not score bag-of-words hits); the
+    per-clause score relations union once and one aggregation applies
+    max + tie_breaker × rest. Reference: dsl.cpp dis_max — best_fields
+    multi_match lowers onto it."""
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.planner import compile_query
+
+    clauses = _aslist(spec.get("queries"))
+    if not clauses:
+        raise ValueError("dis_max requires a non-empty `queries` list")
+    tie = float(spec.get("tie_breaker", 0.0))
+    per_clause = []
+    for c in clauses:
+        f = _peek_field(c) or default_field
+        f2, node = parse_query(c, idx.analyzer(f))
+        f = f2 or f
+        compiled = compile_query(idx, f, node)
+        per_clause.append(
+            _score(idx, f, compiled.score_terms, scorer,
+                   doc_filter=compiled.doc_ids)
+            .select("doc_id", F.col("score").alias("s")))
+    u = per_clause[0]
+    for p in per_clause[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("doc_id")
+        .agg(F.round(_dis_max_combine("best_fields", tie), 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
     )
 
@@ -299,6 +341,8 @@ def es_search(
         out = docs.withColumn("score", F.lit(1.0)).orderBy("doc_id")
     elif next(iter(query)) == "multi_match":
         out = _multi_match(idx, query["multi_match"], scorer)
+    elif next(iter(query)) == "dis_max":
+        out = _dis_max(idx, query["dis_max"], field, scorer)
     elif (next(iter(query)) == "bool"
           and len(_bool_clause_fields(query["bool"], field)) > 1):
         out = _bool_multi_field(idx, query["bool"], field, scorer)

@@ -2528,6 +2528,42 @@ ORDER BY score DESC, doc_id LIMIT 25
 _register("es_multi_match", _es_multi_match, _es_multi_match_oracle())
 
 
+def _es_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES dis_max over heterogeneous clauses (a phrase and a term on
+    different fields) with tie_breaker — best_fields multi_match lowers
+    onto this combine (dsl.cpp dis_max)."""
+    from serenedb_spark.plans.es_dsl import es_search
+
+    idx = _doc_index_multi(spark, sf_dir)
+    body = {"query": {"dis_max": {
+        "queries": [
+            {"match_phrase": {"text": "table scan"}},
+            {"term": {"source": "src3"}},
+        ],
+        "tie_breaker": 0.3,
+    }}, "size": 20}
+    return es_search(idx, body)
+
+
+def _es_dis_max_oracle() -> str:
+    t_sql = O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN,
+                         q.Phrase(["table", "scan"]),
+                         scorer="bm25", k=None, round_to=10)
+    s_sql = O.scored_sql(_DOC_TABLE, "source", _DOC_AN, q.Term("src3"),
+                         scorer="bm25", k=None, round_to=10)
+    return f"""
+WITH t AS ({t_sql}), s AS ({s_sql}),
+u AS (SELECT doc_id, score FROM t UNION ALL SELECT doc_id, score FROM s),
+g AS (SELECT doc_id, max(score) AS m, sum(score) AS sm
+      FROM u GROUP BY doc_id)
+SELECT doc_id, round(m + 0.3 * (sm - m), 4) AS score
+FROM g ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+_register("es_dis_max", _es_dis_max, _es_dis_max_oracle())
+
+
 _COMPOSITE_IDX_CACHE: dict = {}
 
 

@@ -86,6 +86,78 @@ def test_es_search_equals_direct_plan(spark):
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
 
+def test_multi_match_field_boost_and_tie_breaker(spark):
+    """`name^boost` field syntax scales that field's contributions;
+    tie_breaker folds non-best fields in at the given fraction:
+    best_fields(tie=t) == max + t*(sum - max). Verified against the
+    explicitly-computed per-field scores."""
+    from pyspark.sql import functions as F
+
+    from serenedb_spark import queries as Q
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.planner import compile_query
+    from tests.conftest import SF_DIR
+
+    idx = Q._doc_index_multi(spark, SF_DIR)
+    body = {"query": {"multi_match": {
+        "query": "spark src3", "fields": ["text^2", "source"],
+        "type": "best_fields", "tie_breaker": 0.4,
+    }}, "size": 2000}
+    got = {r.doc_id: r.score for r in es_search(idx, body).collect()}
+
+    def field_scores(field):
+        toks = [t for t in ("spark", "src3")
+                if idx.analyzer(field).tokens(t)]
+        compiled = compile_query(idx, field, q.AnyOf(toks))
+        return {r.doc_id: r.score
+                for r in _score(idx, field, compiled.score_terms,
+                                "bm25").collect()}
+
+    t_s, s_s = field_scores("text"), field_scores("source")
+    assert got, "multi_match returned no hits"
+    for doc_id, score in got.items():
+        per = [v for v in (2.0 * t_s.get(doc_id, None)
+                           if doc_id in t_s else None,
+                           s_s.get(doc_id))
+               if v is not None]
+        m = max(per)
+        want = m + 0.4 * (sum(per) - m)
+        assert abs(score - round(want, 4)) < 1e-6, (doc_id, score, want)
+
+
+def test_dis_max_restricts_to_clause_matches(spark):
+    """A dis_max phrase clause must score only PHRASE matches (not
+    bag-of-words hits), and the combine must be max + tie*(rest)."""
+    from serenedb_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    idx = Q._doc_index_multi(spark, SF_DIR)
+    phrase_hits = {
+        r.doc_id
+        for r in es_search(idx, {"query": {"match_phrase":
+                                           {"text": "table scan"}},
+                                 "size": 10000}).collect()}
+    term_hits = {
+        r.doc_id
+        for r in es_search(idx, {"query": {"term": {"source": "src3"}},
+                                 "size": 10000}).collect()}
+    got = es_search(idx, {"query": {"dis_max": {
+        "queries": [{"match_phrase": {"text": "table scan"}},
+                    {"term": {"source": "src3"}}],
+        "tie_breaker": 0.3}}, "size": 10000}).collect()
+    got_ids = {r.doc_id for r in got}
+    assert got_ids == phrase_hits | term_hits
+    # a doc in both clauses must outscore its own best single clause
+    both = phrase_hits & term_hits
+    if both:
+        single = {**{r.doc_id: r.score for r in es_search(
+            idx, {"query": {"match_phrase": {"text": "table scan"}},
+                  "size": 10000}).collect()}}
+        combined = {r.doc_id: r.score for r in got}
+        for d in both:
+            assert combined[d] >= single.get(d, 0.0)
+
+
 def test_es_aggs_terms_and_histogram(spark):
     from pyspark.sql import functions as F
 
