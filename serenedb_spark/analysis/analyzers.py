@@ -1114,6 +1114,26 @@ LOCALE_STOPWORDS: dict[str, tuple[str, ...]] = {
            "som", "på", "de", "med", "han", "av", "ikke", "der", "så",
            "var", "meg", "seg", "men", "har", "om", "vi", "mitt", "ha",
            "hadde", "hun"),
+    "fi": ("ja", "on", "ei", "että", "oli", "se", "hän", "kun", "niin",
+           "joka", "myös", "mutta", "ole", "jos", "sen", "tai", "ovat",
+           "kuin", "vain", "sitä", "he", "nyt", "voi", "mitä", "tämä",
+           "kaikki", "mukaan", "vielä", "sekä", "siitä"),
+    "hu": ("a", "az", "és", "hogy", "nem", "is", "egy", "de", "ez", "mint",
+           "el", "még", "csak", "meg", "már", "volt", "ha", "vagy", "azt",
+           "van", "lesz", "pedig", "ki", "be", "ezt", "mert", "aki", "ami",
+           "ő", "mi"),
+    "tr": ("ve", "bir", "bu", "da", "de", "için", "ile", "mi", "ne", "o",
+           "çok", "daha", "en", "gibi", "ama", "ben", "sen", "biz", "siz",
+           "var", "yok", "her", "kadar", "sonra", "olarak", "olan", "ki",
+           "şu", "ya", "hem"),
+    "ro": ("și", "de", "la", "a", "în", "un", "o", "pe", "cu", "ce", "care",
+           "nu", "este", "mai", "din", "se", "sa", "să", "că", "pentru",
+           "dar", "lui", "al", "cel", "cea", "sunt", "fost", "fi", "au",
+           "era"),
+    "el": ("και", "το", "η", "ο", "του", "της", "των", "να", "με", "που",
+           "σε", "για", "δεν", "από", "τα", "τον", "την", "στο", "στη",
+           "οι", "ως", "αν", "θα", "ότι", "αυτό", "είναι", "μια", "ένα",
+           "τις", "τους"),
 }
 
 # Unicode-aware tokenization (the ASCII `simple` split would shred
@@ -1154,6 +1174,7 @@ def _locale_text(locale: str):
     return expr, py, duck
 
 
-for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv", "da", "no"):
+for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv", "da", "no",
+            "fi", "hu", "tr", "ro", "el"):
     _e, _p, _d = _locale_text(_lc)
     register(Analyzer(f"text_{_lc}", _e, _p, _d))

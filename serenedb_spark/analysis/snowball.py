@@ -65,6 +65,9 @@ class Rule:
     prec: str | None = None     # preceding char exists AND is in this set
     prec_not: str | None = None  # preceding char exists AND is NOT in set
     not_prec: str | None = None  # NOT (preceding char exists and in set)
+    prev2: str | None = None    # char BEFORE the preceding char exists AND
+    #                             is in this set (Snowball's two-char
+    #                             lookbehind, e.g. Finnish partitive 'cv')
     min_stem: int = 0           # at least this many chars must remain
 
 
@@ -75,6 +78,9 @@ class Locale:
     steps: tuple[tuple[Rule, ...], ...]
     rv_kind: str | None = None      # 'fr' | 'es' | 'ru' (None: unused)
     r1_min3: bool = False           # German's 3-char floor before R1
+    r1_kind: str | None = None      # 'hu': consonant-start words take R1
+    #                                 after the FIRST VOWEL (vowel-start
+    #                                 words keep the standard definition)
     prelude: tuple[tuple[str, str], ...] = ()   # literal replace pairs
     final_from: str = ""            # translate() source chars
     final_to: str = ""              # translate() target chars
@@ -109,10 +115,15 @@ def _py_region_starts(loc: Locale, w: str) -> tuple[int, int, int]:
         return m.group(1) if m else ""
 
     n = len(w)
+    v = loc.vowels
     r1_ = r1(w)
     r1s = n - len(r1_)
     if loc.r1_min3:
         r1s = max(r1s, 3)
+    if loc.r1_kind == "hu" and w and w[0] not in v:
+        # Hungarian: consonant-start word → R1 after the first vowel
+        m = re.match(f"^[^{v}]+[{v}](.*)$", w)
+        r1s = n - len(m.group(1)) if m else n
     r2s = n - len(r1(r1_))
     rvs = n
     v = loc.vowels
@@ -154,6 +165,9 @@ def _py_step(loc: Locale, w: str, starts: tuple[int, int, int],
             ok = pc is not None and pc not in r.prec_not
         if ok and r.not_prec is not None:
             ok = not (pc is not None and pc in r.not_prec)
+        if ok and r.prev2 is not None:
+            p2 = w[-L - 2] if len(w) > L + 1 else None
+            ok = p2 is not None and p2 in r.prev2
         if ok:
             return w[: len(w) - L] + r.repl
     return w
@@ -182,12 +196,17 @@ def _col_region_starts(loc: Locale, t: Column) -> tuple[Column, Column, Column]:
         return F.length(F.regexp_extract(c, pat, 1))
 
     n = F.length(t)
+    v = loc.vowels
     r1_ = F.regexp_extract(t, pat, 1)
     r1s = n - F.length(r1_)
     if loc.r1_min3:
         r1s = F.greatest(r1s, F.lit(3))
+    if loc.r1_kind == "hu":
+        r1s = F.when(
+            t.rlike(f"^[^{v}]"),
+            n - F.length(F.regexp_extract(t, f"^[^{v}]+[{v}](.*)$", 1)),
+        ).otherwise(r1s)
     r2s = n - r1len(r1_)
-    v = loc.vowels
     if loc.rv_kind == "ru":
         rvs = n - F.length(F.regexp_extract(t, f"^[^{v}]*[{v}](.*)$", 1))
     elif loc.rv_kind == "fr":
@@ -231,6 +250,10 @@ def _col_step(loc: Locale, s: Column, rules: tuple[Rule, ...]) -> Column:
             cond = cond & has_pc & ~pc.isin(*list(r.prec_not))
         if r.not_prec is not None:
             cond = cond & ~(has_pc & pc.isin(*list(r.not_prec)))
+        if r.prev2 is not None:
+            p2 = F.substring(t, F.length(t) - F.lit(L + 1), F.lit(1))
+            cond = cond & (F.length(t) > F.lit(L + 1)) \
+                & p2.isin(*list(r.prev2))
         stripped = F.concat(
             F.substring(t, F.lit(1), F.length(t) - F.lit(L)), F.lit(r.repl))
         out = (F.when(cond, stripped) if out is None
@@ -288,6 +311,13 @@ def _sql_region_starts(loc: Locale, t: str) -> tuple[str, str, str]:
     r1s = f"(length({t}) - length({r1frag}))"
     if loc.r1_min3:
         r1s = f"greatest({r1s}, 3)"
+    if loc.r1_kind == "hu":
+        v0 = loc.vowels
+        r1s = (
+            f"CASE WHEN regexp_matches({t}, '^[^{v0}]')"
+            f" THEN length({t}) - length(regexp_extract({t},"
+            f" '^[^{v0}]+[{v0}](.*)$', 1)) ELSE {r1s} END"
+        )
     r2s = (f"(length({t}) - length(regexp_extract({r1frag}, '{pat}', 1)))")
     v = loc.vowels
     if loc.rv_kind == "ru":
@@ -341,6 +371,10 @@ def _sql_step(loc: Locale, s: str, rules: tuple[Rule, ...]) -> str:
             conds.append(f"({has} AND NOT {_sql_in_set(pc, r.prec_not)})")
         if r.not_prec is not None:
             conds.append(f"NOT ({has} AND {_sql_in_set(pc, r.not_prec)})")
+        if r.prev2 is not None:
+            p2 = f"substr({t}, length({t}) - {L + 1}, 1)"
+            conds.append(
+                f"(length({t}) > {L + 1} AND {_sql_in_set(p2, r.prev2)})")
         strip = f"substr({t}, 1, length({t}) - {L}) || '{r.repl}'"
         whens.append(f"WHEN {' AND '.join(conds)} THEN {strip}")
     w2 = t if not whens else "CASE " + " ".join(whens) + f" ELSE {t} END"
@@ -990,8 +1024,344 @@ NORWEGIAN = Locale(
     final_to="aao",
 )
 
+_FI_V = "aeiouyäö"
+_FI_C = "bcdfghjklmnpqrstvwxz"
+FINNISH = Locale(
+    name="fi",
+    vowels=_FI_V,
+    steps=(
+        # step 1: enclitic particles (preceded by n, t or a vowel) + sti
+        (
+            Rule("kaan", "r1", prec="nt" + _FI_V),
+            Rule("kään", "r1", prec="nt" + _FI_V),
+            Rule("kin", "r1", prec="nt" + _FI_V),
+            Rule("han", "r1", prec="nt" + _FI_V),
+            Rule("hän", "r1", prec="nt" + _FI_V),
+            Rule("sti", "r2"),
+            Rule("ko", "r1", prec="nt" + _FI_V),
+            Rule("kö", "r1", prec="nt" + _FI_V),
+            Rule("pa", "r1", prec="nt" + _FI_V),
+            Rule("pä", "r1", prec="nt" + _FI_V),
+        ),
+        # step 2: possessives
+        (
+            Rule("nsa", "r1"), Rule("nsä", "r1"),
+            Rule("mme", "r1"), Rule("nne", "r1"),
+            Rule("si", "r1", not_prec="k"), Rule("ni", "r1"),
+        ),
+        # step 3: case endings. The partitive/essive a/ä takes Snowball's
+        # two-char 'cv' lookbehind (consonant preceded by a vowel), which
+        # keeps lexical final a ('kirja') while stripping 'taloja'
+        (
+            Rule("seen", "r1", prec=_FI_V),
+            Rule("siin", "r1", prec=_FI_V),
+            Rule("tta", "r1", prec="e"), Rule("ttä", "r1", prec="e"),
+            Rule("ssa", "r1"), Rule("ssä", "r1"),
+            Rule("sta", "r1"), Rule("stä", "r1"),
+            Rule("lla", "r1"), Rule("llä", "r1"),
+            Rule("lta", "r1"), Rule("ltä", "r1"),
+            Rule("lle", "r1"), Rule("ksi", "r1"), Rule("ine", "r1"),
+            Rule("na", "r1"), Rule("nä", "r1"),
+            Rule("ta", "r1"), Rule("tä", "r1"),
+            Rule("hon", "r1", prec="o"), Rule("hin", "r1", prec="i"),
+            Rule("hun", "r1", prec="u"), Rule("hyn", "r1", prec="y"),
+            Rule("hen", "r1", prec="e"), Rule("hön", "r1", prec="ö"),
+            Rule("hän", "r1", prec="ä"), Rule("han", "r1", prec="a"),
+            Rule("a", "r1", prec=_FI_C, prev2=_FI_V),
+            Rule("ä", "r1", prec=_FI_C, prev2=_FI_V),
+            Rule("n", "r1", prec=_FI_V),
+        ),
+        # step 4: other endings (R2 comparatives/superlatives)
+        (
+            Rule("impi", "r2"), Rule("impa", "r2"), Rule("impä", "r2"),
+            Rule("immi", "r2"), Rule("imma", "r2"), Rule("immä", "r2"),
+            Rule("mpi", "r2"), Rule("mpa", "r2"), Rule("mpä", "r2"),
+            Rule("mmi", "r2"), Rule("mma", "r2"), Rule("mmä", "r2"),
+            Rule("eja", "r2"), Rule("ejä", "r2"),
+        ),
+        # step 5: plural markers exposed by case removal
+        (
+            Rule("i", "r1", min_stem=3),
+            Rule("j", "r1", min_stem=3),
+            Rule("t", "r1", prec=_FI_V),
+        ),
+        # step 6a: shorten a final long vowel inside R1
+        (
+            Rule("aa", "r1", repl="a"), Rule("ee", "r1", repl="e"),
+            Rule("ii", "r1", repl="i"), Rule("oo", "r1", repl="o"),
+            Rule("uu", "r1", repl="u"), Rule("ää", "r1", repl="ä"),
+            Rule("öö", "r1", repl="ö"),
+        ),
+        # step 6b: undouble a final consonant pair
+        (
+            Rule("kk", repl="k"), Rule("pp", repl="p"),
+            Rule("tt", repl="t"),
+        ),
+    ),
+    final_from="äö",
+    final_to="ao",
+)
+
+_HU_V = "aeiouöüáéíóőúű"
+HUNGARIAN = Locale(
+    name="hu",
+    vowels=_HU_V,
+    r1_kind="hu",
+    steps=(
+        # step 1: instrumental val/vel
+        (Rule("val", "r1"), Rule("vel", "r1")),
+        # step 2: case endings (deleted; á/é exposed finals fold in the
+        # final translate, matching Snowball's á→a / é→e rewrite)
+        (
+            Rule("képpen", "r1"), Rule("képp", "r1"), Rule("ként", "r1"),
+            Rule("ban", "r1"), Rule("ben", "r1"), Rule("nak", "r1"),
+            Rule("nek", "r1"), Rule("ról", "r1"), Rule("ről", "r1"),
+            Rule("tól", "r1"), Rule("től", "r1"), Rule("ból", "r1"),
+            Rule("ből", "r1"), Rule("hoz", "r1"), Rule("hez", "r1"),
+            Rule("höz", "r1"), Rule("nál", "r1"), Rule("nél", "r1"),
+            Rule("ért", "r1"), Rule("kor", "r1"),
+            Rule("ba", "r1"), Rule("be", "r1"), Rule("ra", "r1"),
+            Rule("re", "r1"), Rule("ig", "r1"), Rule("ul", "r1"),
+            Rule("ül", "r1"),
+            Rule("át", "r1", repl="a"), Rule("ét", "r1", repl="e"),
+            Rule("at", "r1"), Rule("et", "r1"), Rule("ot", "r1"),
+            Rule("öt", "r1"),
+            Rule("on", "r1"), Rule("en", "r1"), Rule("ön", "r1"),
+            Rule("án", "r1", repl="a"), Rule("én", "r1", repl="e"),
+            Rule("t", "r1", prec=_HU_V + "lnrzs"),
+            Rule("n", "r1", prec=_HU_V),
+        ),
+        # step 3: possessives
+        (
+            Rule("jaink", "r1"), Rule("jeink", "r1"),
+            Rule("aink", "r1"), Rule("eink", "r1"),
+            Rule("unk", "r1"), Rule("ünk", "r1"),
+            Rule("juk", "r1"), Rule("jük", "r1"),
+            Rule("ja", "r1"), Rule("je", "r1"),
+            Rule("ái", "r1", repl="a"), Rule("éi", "r1", repl="e"),
+            Rule("ai", "r1"), Rule("ei", "r1"),
+        ),
+        # step 4: plural
+        (
+            Rule("ák", "r1", repl="a"), Rule("ék", "r1", repl="e"),
+            Rule("ók", "r1", repl="o"), Rule("ők", "r1", repl="ö"),
+            Rule("ak", "r1"), Rule("ek", "r1"), Rule("ok", "r1"),
+            Rule("ök", "r1"),
+            Rule("k", "r1", prec=_HU_V),
+        ),
+    ),
+    final_from="áéíóőúűöü",
+    final_to="aeioouuou",
+)
+
+_TR_V = "aeıioöuü"
+#: Turkish has no Snowball regions — the published stemmer tracks suffix
+#: chains (root+plural+possessive+case, stripped outermost-first) with
+#: vowel-harmony checks. Portable subset: every harmony variant is
+#: enumerated literally (so no harmony predicate is needed) and min_stem
+#: guards protect short roots; consonant mutation (kitabı→kitab vs kitap)
+#: is left unrestored — a documented deviation.
+TURKISH = Locale(
+    name="tr",
+    vowels=_TR_V,
+    steps=(
+        # step 1: case endings (outermost)
+        (
+            Rule("ndan", min_stem=2), Rule("nden", min_stem=2),
+            Rule("dan", min_stem=2), Rule("den", min_stem=2),
+            Rule("tan", min_stem=2), Rule("ten", min_stem=2),
+            Rule("nda", min_stem=2), Rule("nde", min_stem=2),
+            Rule("nın", min_stem=2), Rule("nin", min_stem=2),
+            Rule("nun", min_stem=2), Rule("nün", min_stem=2),
+            Rule("yla", min_stem=2), Rule("yle", min_stem=2),
+            Rule("da", min_stem=2), Rule("de", min_stem=2),
+            Rule("ta", min_stem=2), Rule("te", min_stem=2),
+            Rule("yı", min_stem=2), Rule("yi", min_stem=2),
+            Rule("yu", min_stem=2), Rule("yü", min_stem=2),
+            Rule("nı", min_stem=2), Rule("ni", min_stem=2),
+            Rule("nu", min_stem=2), Rule("nü", min_stem=2),
+            Rule("ın", min_stem=2, prec_not=_TR_V),
+            Rule("in", min_stem=2, prec_not=_TR_V),
+            Rule("un", min_stem=2, prec_not=_TR_V),
+            Rule("ün", min_stem=2, prec_not=_TR_V),
+            Rule("ı", min_stem=2, prec_not=_TR_V),
+            Rule("i", min_stem=2, prec_not=_TR_V),
+            Rule("u", min_stem=2, prec_not=_TR_V),
+            Rule("ü", min_stem=2, prec_not=_TR_V),
+        ),
+        # step 2: possessives
+        (
+            Rule("ımız", min_stem=2), Rule("imiz", min_stem=2),
+            Rule("umuz", min_stem=2), Rule("ümüz", min_stem=2),
+            Rule("ınız", min_stem=2), Rule("iniz", min_stem=2),
+            Rule("unuz", min_stem=2), Rule("ünüz", min_stem=2),
+            Rule("ları", min_stem=2), Rule("leri", min_stem=2),
+            Rule("sı", min_stem=2, prec=_TR_V),
+            Rule("si", min_stem=2, prec=_TR_V),
+            Rule("su", min_stem=2, prec=_TR_V),
+            Rule("sü", min_stem=2, prec=_TR_V),
+            Rule("ım", min_stem=2), Rule("im", min_stem=2),
+            Rule("um", min_stem=2), Rule("üm", min_stem=2),
+            Rule("ın", min_stem=2, prec_not=_TR_V),
+            Rule("in", min_stem=2, prec_not=_TR_V),
+            Rule("un", min_stem=2, prec_not=_TR_V),
+            Rule("ün", min_stem=2, prec_not=_TR_V),
+            Rule("ı", min_stem=2, prec_not=_TR_V),
+            Rule("i", min_stem=2, prec_not=_TR_V),
+            Rule("u", min_stem=2, prec_not=_TR_V),
+            Rule("ü", min_stem=2, prec_not=_TR_V),
+        ),
+        # step 3: plural
+        (Rule("lar", min_stem=2), Rule("ler", min_stem=2)),
+        # step 4: derivational + copula
+        (
+            Rule("lık", min_stem=2), Rule("lik", min_stem=2),
+            Rule("luk", min_stem=2), Rule("lük", min_stem=2),
+            Rule("sız", min_stem=2), Rule("siz", min_stem=2),
+            Rule("suz", min_stem=2), Rule("süz", min_stem=2),
+            Rule("dır", min_stem=2), Rule("dir", min_stem=2),
+            Rule("dur", min_stem=2), Rule("dür", min_stem=2),
+            Rule("tır", min_stem=2), Rule("tir", min_stem=2),
+            Rule("tur", min_stem=2), Rule("tür", min_stem=2),
+            Rule("mış", min_stem=2), Rule("miş", min_stem=2),
+            Rule("muş", min_stem=2), Rule("müş", min_stem=2),
+            Rule("lı", min_stem=2), Rule("li", min_stem=2),
+            Rule("lu", min_stem=2), Rule("lü", min_stem=2),
+            Rule("cı", min_stem=2), Rule("ci", min_stem=2),
+            Rule("cu", min_stem=2), Rule("cü", min_stem=2),
+            Rule("çı", min_stem=2), Rule("çi", min_stem=2),
+            Rule("çu", min_stem=2), Rule("çü", min_stem=2),
+        ),
+    ),
+    final_from="çğıöşü",
+    final_to="cgiosu",
+)
+
+_RO_V = "aeiouăâî"
+ROMANIAN = Locale(
+    name="ro",
+    vowels=_RO_V,
+    rv_kind="es",
+    prelude=(("ş", "ș"), ("ţ", "ț")),  # unify cedilla/comma codepoints
+    steps=(
+        # step 0: plural / definite-article endings
+        (
+            Rule("urile", "r1", repl="u"), Rule("uri", "r1", repl="u"),
+            Rule("iilor", "r1", repl="i"), Rule("ului", "r1"),
+            Rule("iile", "r1", repl="i"), Rule("aua", "r1", repl="a"),
+            Rule("elor", "r1", repl="e"), Rule("ilor", "r1", repl="i"),
+            Rule("iua", "r1", repl="i"), Rule("iei", "r1", repl="i"),
+            Rule("atei", "r1", repl="at"),
+            Rule("ile", "r1", repl="i", not_prec="b"),
+            Rule("ele", "r1", repl="e"), Rule("ii", "r1", repl="i"),
+            Rule("ul", "r1"), Rule("ea", "r1", repl="e"),
+        ),
+        # step 1: combining suffixes (rewrite, keeps derivation family)
+        (
+            Rule("abilitate", "r1", repl="abil"),
+            Rule("abilitati", "r1", repl="abil"),
+            Rule("abilități", "r1", repl="abil"),
+            Rule("ibilitate", "r1", repl="ibil"),
+            Rule("ivitate", "r1", repl="iv"),
+            Rule("ivitati", "r1", repl="iv"),
+            Rule("icitate", "r1", repl="ic"),
+            Rule("icitati", "r1", repl="ic"),
+            Rule("icator", "r1", repl="ic"),
+            Rule("icatori", "r1", repl="ic"),
+            Rule("ătoare", "r1", repl="ător"),
+            Rule("itoare", "r1", repl="itor"),
+        ),
+        # step 2: standard suffixes (R2). Every family member DELETES (the
+        # inflected forms must not rewrite onto the bare form, which this
+        # same step would then strip — the family has to land on one stem)
+        (
+            Rule("abilă", "r2"), Rule("abile", "r2"), Rule("abili", "r2"),
+            Rule("itate", "r2"), Rule("itati", "r2"), Rule("ități", "r2"),
+            Rule("atori", "r2"), Rule("ători", "r2"), Rule("itori", "r2"),
+            Rule("ator", "r2"), Rule("ător", "r2"), Rule("itor", "r2"),
+            Rule("abil", "r2"), Rule("ibil", "r2"),
+            Rule("oasă", "r2"), Rule("oase", "r2"), Rule("oși", "r2"),
+            Rule("işti", "r2"), Rule("iști", "r2"),
+            Rule("anti", "r2"), Rule("antă", "r2"), Rule("ante", "r2"),
+            Rule("anți", "r2"),
+            Rule("istă", "r2"), Rule("iste", "r2"),
+            Rule("ică", "r2"), Rule("ice", "r2"), Rule("ici", "r2"),
+            Rule("ivă", "r2"), Rule("ive", "r2"), Rule("ivi", "r2"),
+            Rule("ant", "r2"), Rule("ist", "r2"),
+            Rule("os", "r2"), Rule("ic", "r2"), Rule("iv", "r2"),
+        ),
+        # step 3: verb endings (RV)
+        (
+            Rule("aseră", "rv"), Rule("iseră", "rv"), Rule("useră", "rv"),
+            Rule("ează", "rv"), Rule("ându", "rv"), Rule("indu", "rv"),
+            Rule("este", "rv"), Rule("ește", "rv"), Rule("esc", "rv"),
+            Rule("ăsc", "rv"),
+            Rule("are", "rv"), Rule("ere", "rv"), Rule("ire", "rv"),
+            Rule("ând", "rv"), Rule("ind", "rv"),
+            Rule("ată", "rv", repl="at"), Rule("ate", "rv", repl="at"),
+            Rule("ați", "rv", repl="at"),
+            Rule("ită", "rv", repl="it"), Rule("ite", "rv", repl="it"),
+            Rule("iți", "rv", repl="it"),
+            Rule("ută", "rv", repl="ut"), Rule("ute", "rv", repl="ut"),
+            Rule("uți", "rv", repl="ut"),
+            Rule("eze", "rv"), Rule("ez", "rv"),
+            Rule("ăm", "rv"), Rule("em", "rv"), Rule("im", "rv"),
+            Rule("âm", "rv"),
+        ),
+        # step 4: residual final vowel (RV)
+        (
+            Rule("ie", "rv", repl="i"),
+            Rule("a", "rv"), Rule("e", "rv"), Rule("i", "rv"),
+            Rule("ă", "rv"),
+        ),
+    ),
+    final_from="ăâîșț",
+    final_to="aaist",
+)
+
+#: Greek (contributed Snowball family; Ntais' stemmer is the published
+#: base). Portable subset over σ-NORMALIZED lowercase (the prelude folds
+#: final sigma ς→σ so Python/JVM/DuckDB lowercasing — which disagree on
+#: contextual final-sigma — can never diverge), covering the regular
+#: noun/adjective inflection classes; min_stem floors replace the
+#: original's syllable counting.
+_EL_V = "αεηιουω"
+GREEK = Locale(
+    name="el",
+    vowels=_EL_V,
+    prelude=(("ς", "σ"),),
+    steps=(
+        # step 1: -μα nominalizations
+        (
+            Rule("ματων", repl="μα", min_stem=2),
+            Rule("ματοσ", repl="μα", min_stem=2),
+            Rule("ματα", repl="μα", min_stem=2),
+        ),
+        # step 2: verb/participle endings
+        (
+            Rule("οντασ", min_stem=3), Rule("ωντασ", min_stem=3),
+            Rule("ουσεσ", min_stem=3), Rule("ουσα", min_stem=3),
+            Rule("ουμε", min_stem=3), Rule("ουνε", min_stem=3),
+            Rule("ετε", min_stem=3), Rule("ουν", min_stem=3),
+            Rule("ειτε", min_stem=3),
+        ),
+        # step 3: noun/adjective inflection
+        (
+            Rule("ουσ", min_stem=3), Rule("εων", min_stem=3),
+            Rule("ων", min_stem=3), Rule("εσ", min_stem=3),
+            Rule("ου", min_stem=3), Rule("ασ", min_stem=3),
+            Rule("ησ", min_stem=3), Rule("οσ", min_stem=3),
+            Rule("οι", min_stem=3), Rule("αι", min_stem=3),
+            Rule("α", min_stem=3), Rule("η", min_stem=3),
+            Rule("ο", min_stem=3), Rule("ι", min_stem=3),
+            Rule("ε", min_stem=3), Rule("σ", min_stem=3),
+        ),
+    ),
+)
+
 LOCALES: dict[str, Locale] = {
     "de": GERMAN, "fr": FRENCH, "es": SPANISH, "ru": RUSSIAN,
     "it": ITALIAN, "pt": PORTUGUESE, "nl": DUTCH, "sv": SWEDISH,
-    "da": DANISH, "no": NORWEGIAN,
+    "da": DANISH, "no": NORWEGIAN, "fi": FINNISH, "hu": HUNGARIAN,
+    "tr": TURKISH, "ro": ROMANIAN, "el": GREEK,
 }

@@ -2226,7 +2226,7 @@ def _register_locale_stemmed() -> None:
                         order="doc_id"))
 
     for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv",
-                "da", "no"):
+                "da", "no", "fi", "hu", "tr", "ro", "el"):
         make(_lc, "table")
 
 

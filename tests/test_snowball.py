@@ -75,6 +75,37 @@ GOLDEN = {
         ("husene", "hus"), ("huset", "hus"),
         ("muligheten", "mul"), ("mulighetene", "mul"),
     ],
+    "fi": [
+        ("taloissa", "talo"), ("talossa", "talo"), ("talon", "talo"),
+        ("talot", "talo"), ("taloja", "talo"), ("talo", "talo"),
+        ("kirjassa", "kirja"), ("kirjat", "kirja"), ("kirjan", "kirja"),
+        ("kirja", "kirja"),
+    ],
+    "hu": [
+        ("házban", "haz"), ("házakban", "haz"), ("házak", "haz"),
+        ("házat", "haz"), ("ház", "haz"),
+        ("könyvek", "konyv"), ("könyvet", "konyv"), ("könyvben", "konyv"),
+        ("könyv", "konyv"), ("almák", "alma"), ("alma", "alma"),
+    ],
+    "tr": [
+        ("evlerinden", "ev"), ("evleri", "ev"), ("evler", "ev"),
+        ("evde", "ev"), ("ev", "ev"),
+        ("kitaplardan", "kitap"), ("kitaplar", "kitap"),
+        ("kitap", "kitap"), ("arabaları", "araba"), ("araba", "araba"),
+    ],
+    "ro": [
+        ("importante", "import"), ("important", "import"),
+        ("importanți", "import"),
+        ("lucrurile", "lucru"), ("lucruri", "lucru"), ("lucru", "lucru"),
+        ("cărțile", "cart"), ("cărți", "cart"), ("carte", "cart"),
+        ("naționale", "national"), ("național", "national"),
+    ],
+    "el": [
+        ("λογοσ", "λογ"), ("λογου", "λογ"), ("λογων", "λογ"),
+        ("λογοι", "λογ"),
+        ("βιβλια", "βιβλι"), ("βιβλιο", "βιβλι"), ("βιβλιων", "βιβλι"),
+        ("προγραμματα", "προγραμμ"), ("προγραμμα", "προγραμμ"),
+    ],
 }
 
 _ALPHABETS = {
@@ -88,6 +119,11 @@ _ALPHABETS = {
     "sv": "abdefghiklmnorstuvyäåö",
     "da": "abdefghiklmnorstuvyæåø",
     "no": "abdefghiklmnorstuvyæåø",
+    "fi": "abdefghijklmnoprstuvyäö",
+    "hu": "abdefghiklmnorstuvzáéíóöőúüű",
+    "tr": "abcdefgiklmnoprstuvyzçğıöşü",
+    "ro": "abcdefgilmnoprstuvăâîșț",
+    "el": "αβγδεζηθικλμνξοπρστυφχψως",
 }
 
 
