@@ -372,3 +372,205 @@ def _bbox_ring(pts: Vertices) -> Vertices:
     ys = [y for _, y in pts]
     return [(min(xs), min(ys)), (max(xs), min(ys)),
             (max(xs), max(ys)), (min(xs), max(ys))]
+
+
+# ---------------------------------------------------------------------------
+# arbitrary polygons: CONCAVE rings and MULTI-RING (holes) support
+#
+# Reference: the S2 path takes any polygon, with holes, polygon-vs-polygon
+# (server/connector/geo_filter_builder.cpp:523, libs/geo/). Re-expressed
+# without S2: containment is even-odd ray casting over ALL rings' edges
+# (parity across outer+holes is exactly region membership), and
+# polygon-vs-square intersection is the exact three-way decomposition
+#   any ring vertex inside the square
+#   OR any square corner inside the region (even-odd)
+#   OR any ring edge properly crossing any square edge
+# — each term unrolls to literal-coefficient arithmetic stated identically
+# in the Column DSL and DuckDB SQL, so concave/holed queries stay
+# oracle-checkable. Convex queries keep the cheaper SAT path above.
+# ---------------------------------------------------------------------------
+
+Rings = list  # list[Vertices]: [outer, hole1, hole2, ...], open rings
+
+
+def _ring_edges(rings: Rings):
+    out = []
+    for ring in rings:
+        out.extend(_edges(ring))
+    return out
+
+
+def point_in_rings_col(x: Column, y: Column, rings: Rings) -> Column:
+    """Even-odd containment over a ring set (outer + holes): parity of
+    crossings across ALL edges — a point inside a hole counts an even
+    total and is excluded. Concavity needs no special casing."""
+    crossings = None
+    for (x1, y1), (x2, y2) in _ring_edges(rings):
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        lhs = (x - F.lit(x1)) * F.lit(y2 - y1)
+        rhs = F.lit(x2 - x1) * (y - F.lit(y1))
+        hit = straddles & (lhs < rhs if y2 > y1 else lhs > rhs)
+        c = F.when(hit, 1).otherwise(0)
+        crossings = c if crossings is None else crossings + c
+    return crossings % 2 == 1
+
+
+def duckdb_point_in_rings(x: str, y: str, rings: Rings) -> str:
+    terms = []
+    for (x1, y1), (x2, y2) in _ring_edges(rings):
+        op = "<" if y2 > y1 else ">"
+        terms.append(
+            f"CASE WHEN (({y1} > {y}) <> ({y2} > {y}))"
+            f" AND (({x} - {x1}) * {y2 - y1}"
+            f" {op} {x2 - x1} * ({y} - {y1})) THEN 1 ELSE 0 END"
+        )
+    return f"(({' + '.join(terms)}) % 2 = 1)"
+
+
+def _py_point_in_rings(px: float, py: float, rings: Rings) -> bool:
+    hits = sum(_pip(px, py, [v for v in ring]) for ring in rings)
+    return hits % 2 == 1
+
+
+def rings_covering_cells(rings: Rings, cell_deg: float) -> list[str]:
+    """Cells whose closed square intersects the REGION (outer minus
+    holes): a cell strictly inside a hole has no vertex in it, no corner
+    in the region, and no edge crossing — it drops out of the covering."""
+    outer_pts = [v for v in rings[0]]
+    xs = [x for x, _ in outer_pts]
+    ys = [y for _, y in outer_pts]
+    c0, c1 = (int(math.floor(min(xs) / cell_deg)),
+              int(math.floor(max(xs) / cell_deg)))
+    r0, r1 = (int(math.floor(min(ys) / cell_deg)),
+              int(math.floor(max(ys) / cell_deg)))
+    out = []
+    for r in range(r0, r1 + 1):
+        for c in range(c0, c1 + 1):
+            x0, y0 = c * cell_deg, r * cell_deg
+            x1, y1 = x0 + cell_deg, y0 + cell_deg
+            corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+            hit = any(
+                x0 <= vx <= x1 and y0 <= vy <= y1
+                for ring in rings for vx, vy in ring
+            ) or any(_py_point_in_rings(px, py, rings)
+                     for px, py in corners)
+            if not hit:
+                for a, b in _ring_edges(rings):
+                    if any(_seg_x_seg(a, b, corners[j],
+                                      corners[(j + 1) % 4])
+                           for j in range(4)):
+                        hit = True
+                        break
+            if hit:
+                out.append(f"{r}:{c}")
+    return out
+
+
+def rings_intersects_rect_col(
+    rings: Rings, cx: Column, cy: Column, half: Column
+) -> Column:
+    """Exact region-vs-square intersection for an arbitrary (concave /
+    holed) query polygon."""
+    x0, x1 = cx - half, cx + half
+    y0, y1 = cy - half, cy + half
+    # 1. any ring vertex inside the square
+    cond = None
+    for ring in rings:
+        for vx, vy in ring:
+            t = ((F.lit(vx) >= x0) & (F.lit(vx) <= x1)
+                 & (F.lit(vy) >= y0) & (F.lit(vy) <= y1))
+            cond = t if cond is None else cond | t
+    # 2. any square corner inside the region (even-odd)
+    for px, py in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+        cond = cond | point_in_rings_col(px, py, rings)
+    # 3. any ring edge properly crossing any square edge
+    sq = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    for (ax, ay), (bx, by) in _ring_edges(rings):
+        for j in range(4):
+            px_, py_ = sq[j]
+            qx_, qy_ = sq[(j + 1) % 4]
+            # d1/d2: a,b against the square edge; d3/d4: corners against ab
+            d1 = ((qx_ - px_) * (F.lit(ay) - py_)
+                  - (qy_ - py_) * (F.lit(ax) - px_))
+            d2 = ((qx_ - px_) * (F.lit(by) - py_)
+                  - (qy_ - py_) * (F.lit(bx) - px_))
+            d3 = (F.lit(bx - ax) * (py_ - F.lit(ay))
+                  - F.lit(by - ay) * (px_ - F.lit(ax)))
+            d4 = (F.lit(bx - ax) * (qy_ - F.lit(ay))
+                  - F.lit(by - ay) * (qx_ - F.lit(ax)))
+            cond = cond | (((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0)))
+    return cond
+
+
+def duckdb_rings_intersects_rect(
+    rings: Rings, cx: str, cy: str, half: str
+) -> str:
+    x0, x1 = f"({cx} - {half})", f"({cx} + {half})"
+    y0, y1 = f"({cy} - {half})", f"({cy} + {half})"
+    terms = []
+    for ring in rings:
+        for vx, vy in ring:
+            terms.append(f"({vx} >= {x0} AND {vx} <= {x1}"
+                         f" AND {vy} >= {y0} AND {vy} <= {y1})")
+    for px, py in ((x0, y0), (x1, y0), (x1, y1), (x0, y1)):
+        terms.append(duckdb_point_in_rings(px, py, rings))
+    sq = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    for (ax, ay), (bx, by) in _ring_edges(rings):
+        for j in range(4):
+            px_, py_ = sq[j]
+            qx_, qy_ = sq[(j + 1) % 4]
+            d1 = (f"(({qx_} - {px_}) * ({ay} - {py_})"
+                  f" - ({qy_} - {py_}) * ({ax} - {px_}))")
+            d2 = (f"(({qx_} - {px_}) * ({by} - {py_})"
+                  f" - ({qy_} - {py_}) * ({bx} - {px_}))")
+            d3 = (f"({bx - ax} * ({py_} - {ay})"
+                  f" - {by - ay} * ({px_} - {ax}))")
+            d4 = (f"({bx - ax} * ({qy_} - {ay})"
+                  f" - {by - ay} * ({qx_} - {ax}))")
+            terms.append(f"((({d1} > 0) <> ({d2} > 0))"
+                         f" AND (({d3} > 0) <> ({d4} > 0)))")
+    return "(" + " OR ".join(terms) + ")"
+
+
+def rings_contain_points(
+    points: DataFrame,
+    rings: Rings,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    id_col: str = "point_id",
+    cell_deg: float = 1.0,
+) -> DataFrame:
+    """ST_Contains(multi-ring polygon, point): region covering prefilter
+    (cells inside holes already dropped) + even-odd ray cast."""
+    from serenedb_spark.functions.geo import cell_id
+
+    cells = rings_covering_cells(rings, cell_deg)
+    return (
+        points
+        .where(cell_id(F.col(lat_col), F.col(lon_col), cell_deg).isin(cells))
+        .where(point_in_rings_col(F.col(lon_col), F.col(lat_col), rings))
+        .select(id_col, lat_col, lon_col)
+    )
+
+
+def rings_intersect_squares(
+    squares: DataFrame,
+    rings: Rings,
+    cell_deg: float = 4.0,
+    max_half: float = 1.77,
+) -> DataFrame:
+    """ST_Intersects(concave/holed polygon, square corpus): dilated
+    outer-bbox covering prefilter + the exact three-way check."""
+    from serenedb_spark.functions.geo import cell_id
+
+    grown = [(x + dx, y + dy) for (x, y) in rings[0]
+             for dx in (-max_half, max_half) for dy in (-max_half, max_half)]
+    hull = _bbox_ring(grown)
+    cells = polygon_covering_cells(hull, cell_deg)
+    return (
+        squares
+        .where(cell_id(F.col("cy"), F.col("cx"), cell_deg).isin(cells))
+        .where(rings_intersects_rect_col(
+            rings, F.col("cx"), F.col("cy"), F.col("half")))
+        .select("geom_id", "cx", "cy", "half")
+    )

@@ -4003,6 +4003,86 @@ _register("geo_indexed_polygon", _geo_indexed_polygon,
           _geo_indexed_polygon_oracle())
 
 
+# concave (10-vertex star) and multi-ring (donut) query polygons — the
+# S2 path's arbitrary-polygon support (geo_filter_builder.cpp:523),
+# re-expressed as even-odd ray casting + the exact three-way
+# region-vs-square check (functions/geometry.py Rings section)
+_GEO_STAR = [
+    (65.03, -25.11), (47.61, -19.93), (41.27, -2.87), (34.81, -19.73),
+    (17.19, -24.89), (30.77, -36.91), (28.03, -55.13), (42.11, -43.17),
+    (57.91, -54.79), (53.87, -36.99),
+]
+_GEO_DONUT = [
+    # outer hexagon around (-60, 40), radius ~25
+    [(-35.13, 40.07), (-47.29, 61.83), (-72.91, 61.97), (-85.07, 39.89),
+     (-72.69, 18.11), (-47.51, 18.23)],
+    # hole: square radius ~10
+    [(-50.21, 30.17), (-50.03, 49.91), (-69.87, 50.13), (-70.11, 29.83)],
+]
+
+
+def _geo_concave_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects(CONCAVE star polygon, square corpus): the convex SAT
+    path is unsound here (a separating axis may not exist among the
+    star's edge normals when the square sits in a concavity pocket); the
+    exact three-way check (vertex-in-square / corner-in-region /
+    edge-crossing) decides it."""
+    from serenedb_spark.functions import geometry as GM
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    sq = GM.synth_squares(orders.select("o_orderkey").distinct(),
+                          "o_orderkey")
+    return GM.rings_intersect_squares(sq, [_GEO_STAR]).orderBy("geom_id")
+
+
+def _geo_concave_polygon_oracle() -> str:
+    from serenedb_spark.functions import geometry as GM
+
+    sq = GM.duckdb_synth_squares(
+        "(SELECT DISTINCT o_orderkey FROM orders)", "o_orderkey")
+    pred = GM.duckdb_rings_intersects_rect([_GEO_STAR], "cx", "cy", "half")
+    return f"""
+SELECT geom_id, cx, cy, half FROM ({sq})
+WHERE {pred}
+ORDER BY geom_id
+"""
+
+
+_register("geo_concave_polygon", _geo_concave_polygon,
+          _geo_concave_polygon_oracle())
+
+
+def _geo_multiring_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Contains(polygon WITH HOLE, point): even-odd parity across both
+    rings — points inside the hole are excluded, and the covering
+    prefilter already drops cells strictly inside the hole."""
+    from serenedb_spark.functions import geo as G
+    from serenedb_spark.functions import geometry as GM
+
+    ev = load_tables(spark, sf_dir)["events"]
+    pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
+    return GM.rings_contain_points(pts, _GEO_DONUT, cell_deg=2.0) \
+        .orderBy("point_id")
+
+
+def _geo_multiring_polygon_oracle() -> str:
+    from serenedb_spark.functions import geo as G
+    from serenedb_spark.functions import geometry as GM
+
+    pts = G.duckdb_synth_points(
+        "(SELECT DISTINCT event_id FROM events)", "event_id")
+    pip = GM.duckdb_point_in_rings("lon", "lat", _GEO_DONUT)
+    return f"""
+SELECT point_id, lat, lon FROM ({pts})
+WHERE {pip}
+ORDER BY point_id
+"""
+
+
+_register("geo_multiring_polygon", _geo_multiring_polygon,
+          _geo_multiring_polygon_oracle())
+
+
 _GEO_POLYGON = [(35.0, 8.0), (40.0, 12.0), (38.0, 16.0), (33.0, 13.0)]
 
 

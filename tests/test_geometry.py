@@ -132,3 +132,87 @@ def test_pip_known_points():
         assert GM._pip(x, y, PENT), (x, y)
     for x, y in outside:
         assert not GM._pip(x, y, PENT), (x, y)
+
+
+STAR = [
+    (65.03, -25.11), (47.61, -19.93), (41.27, -2.87), (34.81, -19.73),
+    (17.19, -24.89), (30.77, -36.91), (28.03, -55.13), (42.11, -43.17),
+    (57.91, -54.79), (53.87, -36.99),
+]
+DONUT = [
+    [(-35.13, 40.07), (-47.29, 61.83), (-72.91, 61.97), (-85.07, 39.89),
+     (-72.69, 18.11), (-47.51, 18.23)],
+    [(-50.21, 30.17), (-50.03, 49.91), (-69.87, 50.13), (-70.11, 29.83)],
+]
+
+
+def test_star_is_concave():
+    # the rings path exists FOR concave queries — pin that STAR is one
+    n = len(STAR)
+    signs = set()
+    for i in range(n):
+        (x1, y1), (x2, y2) = STAR[i], STAR[(i + 1) % n]
+        x3, y3 = STAR[(i + 2) % n]
+        signs.add((x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1) > 0)
+    assert len(signs) == 2
+
+
+def test_rings_semantics_known_cases():
+    # hole excluded, solid ring included, outside excluded
+    assert GM._py_point_in_rings(-40.0, 40.0, DONUT)       # solid part
+    assert not GM._py_point_in_rings(-60.0, 40.0, DONUT)   # inside hole
+    assert not GM._py_point_in_rings(-100.0, 40.0, DONUT)  # outside
+    # star: center is inside; a pocket between two arms is outside even
+    # though it lies inside the convex hull
+    assert GM._py_point_in_rings(41.0, -30.0, [STAR])
+    assert not GM._py_point_in_rings(60.0, -45.0, [STAR])  # pocket
+
+
+def test_rings_covering_lossless_and_hole_pruned():
+    cells = set(GM.rings_covering_cells(DONUT, 2.0))
+    rng = random.Random(7)
+    for _ in range(4000):
+        x = rng.uniform(-90, -30)
+        y = rng.uniform(15, 65)
+        if GM._py_point_in_rings(x, y, DONUT):
+            key = (f"{int(math.floor(y / 2.0))}:{int(math.floor(x / 2.0))}")
+            assert key in cells, (x, y)
+    # a cell strictly inside the hole must NOT be covered
+    assert f"{int(math.floor(40.0 / 2.0))}:{int(math.floor(-60.0 / 2.0))}" \
+        not in cells
+
+
+def test_rings_intersect_matches_brute_force_and_duckdb(spark):
+    rng = random.Random(31)
+    rows = [(i, rng.uniform(0, 80), rng.uniform(-70, 10),
+             rng.uniform(0.05, 4.0)) for i in range(400)]
+
+    def brute(cx, cy, h, rings):
+        # dense sampling of the square boundary + interior grid
+        for fx in range(11):
+            for fy in range(11):
+                x = cx - h + 2 * h * fx / 10
+                y = cy - h + 2 * h * fy / 10
+                if GM._py_point_in_rings(x, y, rings):
+                    return True
+        # polygon vertex inside square
+        return any(
+            cx - h <= vx <= cx + h and cy - h <= vy <= cy + h
+            for ring in rings for vx, vy in ring)
+
+    df = spark.createDataFrame(rows, "i long, cx double, cy double, h double")
+    sp = {r.i for r in df.where(GM.rings_intersects_rect_col(
+        [STAR], F.col("cx"), F.col("cy"), F.col("h"))).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i BIGINT, cx DOUBLE, cy DOUBLE, h DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?,?,?,?)", rows)
+    dk = {r[0] for r in con.execute(
+        "SELECT i FROM t WHERE "
+        + GM.duckdb_rings_intersects_rect([STAR], "cx", "cy", "h")
+    ).fetchall()}
+    assert sp == dk and sp
+    # the exact predicate must dominate the (approximate) sampling brute
+    # force: everything brute finds, the predicate finds
+    for i, cx, cy, h in rows:
+        if brute(cx, cy, h, [STAR]):
+            assert i in sp, (i, cx, cy, h)
