@@ -4644,6 +4644,107 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
+# dynamic SQL table functions + catalog introspection (new in r7)
+# --------------------------------------------------------------------------
+
+
+def _session_over(spark: SparkSession, sf_dir: str):
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    for t, df in load_tables(spark, sf_dir).items():
+        ss._tables[t] = df
+        df.createOrReplaceTempView(t)
+    return ss
+
+
+def _query_table_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query_table('orders'): a runtime-valued table name as a relation
+    (reference query_and_query_table_functions.test), feeding a normal
+    aggregation."""
+    ss = _session_over(spark, sf_dir)
+    tname = "".join(["or", "ders"])  # a genuinely dynamic identifier
+    return (
+        ss.query_table(tname)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderstatus")
+    )
+
+
+_register("query_table_dynamic", _query_table_dynamic, """
+SELECT o_orderstatus, count(*) AS n FROM orders
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+""")
+
+
+def _query_table_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """query('SELECT ...'): dynamically-BUILT SQL strings as relations,
+    unioned — the reference cookbook's loop-over-tables idiom."""
+    ss = _session_over(spark, sf_dir)
+    parts = [
+        ss.query(f"SELECT '{t}' AS tname, count(*) AS n FROM {t}")
+        for t in ("region", "nation", "customer")
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.orderBy("tname")
+
+
+_register("query_table_union", _query_table_union, """
+SELECT 'region' AS tname, count(*) AS n FROM region
+UNION ALL SELECT 'nation', count(*) FROM nation
+UNION ALL SELECT 'customer', count(*) FROM customer
+ORDER BY tname
+""")
+
+
+def _pg_catalog_introspection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """information_schema.columns over the session catalog vs DuckDB's
+    NATIVE information_schema on the same parquet tables — a real
+    cross-engine introspection differential (names + positions; types
+    are engine-spelled and excluded)."""
+    ss = _session_over(spark, sf_dir)
+    ss.install_pg_catalog()
+    tabs = ", ".join(f"'{t}'" for t in TABLES)
+    return spark.sql(f"""
+        SELECT table_name, column_name, ordinal_position
+        FROM information_schema_columns
+        WHERE table_name IN ({tabs})
+        ORDER BY table_name, ordinal_position
+    """)
+
+
+_register("pg_catalog_introspection", _pg_catalog_introspection, f"""
+SELECT table_name, column_name, CAST(ordinal_position AS INT)
+  AS ordinal_position
+FROM information_schema.columns
+WHERE table_name IN ({", ".join(f"'{t}'" for t in TABLES)})
+ORDER BY table_name, ordinal_position
+""")
+
+
+def _text_chunk_short_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking where many docs are SHORTER than the overlap (first 30
+    chars only): every non-empty doc must still emit exactly one
+    undersized chunk — the regression surface of the r6 advice's
+    short-doc loss."""
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        "doc_id", F.substring("text", 1, 30).alias("text"))
+    return TS.chunk_documents(docs, chunk_tokens=24, overlap=6) \
+        .orderBy("doc_id", "chunk_no")
+
+
+_register(
+    "text_chunk_short_docs", _text_chunk_short_docs,
+    TS.duckdb_chunk_sql(
+        "(SELECT doc_id, substr(text, 1, 30) AS text FROM documents)",
+        24, 6)
+    + " ORDER BY doc_id, chunk_no")
+
+
+# --------------------------------------------------------------------------
 # driver contract adapters
 # --------------------------------------------------------------------------
 

@@ -398,6 +398,71 @@ class SereneSession:
             FROM pg_attribute_core a JOIN pg_class c ON a.attrelid = c.oid
         """).createOrReplaceTempView("information_schema_columns")
 
+        self._install_pg_catalog_extras()
+
+    def _install_pg_catalog_extras(self) -> None:
+        """The introspection tail BI tools and psql \\d hit after the core
+        five (reference server/pg/pg_catalog/): pg_constraint (PKs +
+        CHECKs over the session's constraint state), pg_description
+        (COMMENT ON), pg_roles (granted principals), pg_settings (the
+        live conf), pg_proc (registered macros/UDFs), and
+        information_schema.key_column_usage riding pg_constraint."""
+        spark = self.spark
+
+        cons, kcu = [], []
+        for t, col in getattr(self, "_pks", {}).items():
+            rid = self.relid(t)
+            attnum = [c for c, _ in self._tables[t].dtypes].index(col) + 1
+            cons.append((f"{t}_pkey", rid, "p", [attnum], None))
+            kcu.append((f"{t}_pkey", "public", t, col, 1))
+        for t, checks in getattr(self, "_checks", {}).items():
+            rid = self.relid(t)
+            for name, pred in checks.items():
+                cons.append((name, rid, "c", [], str(pred)))
+        spark.createDataFrame(
+            cons or [("", 0, "", [], "")],
+            "conname string, conrelid int, contype string,"
+            " conkey array<int>, consrc string",
+        ).where(F.col("conrelid") != 0).createOrReplaceTempView(
+            "pg_constraint")
+        spark.createDataFrame(
+            kcu or [("", "", "", "", 0)],
+            "constraint_name string, table_schema string,"
+            " table_name string, column_name string, ordinal_position int",
+        ).where(F.col("constraint_name") != "").createOrReplaceTempView(
+            "information_schema_key_column_usage")
+
+        descr = [(self.relid(obj), obj, c)
+                 for obj, c in getattr(self, "_comments", {}).items()
+                 if c is not None]
+        spark.createDataFrame(
+            descr or [(0, "", "")],
+            "objoid int, objname string, description string",
+        ).where(F.col("objname") != "").createOrReplaceTempView(
+            "pg_description")
+
+        roles = sorted({"postgres", *getattr(self, "_grants", {})}
+                       | ({self.current_user} if self.current_user else
+                          set()))
+        spark.createDataFrame(
+            [(10 if r == "postgres" else 16384 + i, r, r == "postgres")
+             for i, r in enumerate(roles)],
+            "oid int, rolname string, rolsuper boolean",
+        ).createOrReplaceTempView("pg_roles")
+
+        spark.sql("SET").selectExpr(
+            "key AS name", "value AS setting"
+        ).createOrReplaceTempView("pg_settings")
+
+        procs = [(16384 + i, name, params.count(",") + 1 if params else 0,
+                  is_table)
+                 for i, (name, (params, is_table))
+                 in enumerate(self._macros_meta.items())]
+        spark.createDataFrame(
+            procs or [(0, "", 0, False)],
+            "oid int, proname string, pronargs int, proretset boolean",
+        ).where(F.col("oid") != 0).createOrReplaceTempView("pg_proc")
+
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:
         """PG has_table_privilege over the session GRANT state."""
@@ -635,6 +700,7 @@ class SereneSession:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS {returns} RETURN {body}"
         )
+        self._macros_meta[name] = (params, False)
 
     def create_table_macro(self, name: str, params: str, schema: str,
                            body: str) -> None:
@@ -644,9 +710,42 @@ class SereneSession:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) "
             f"RETURNS TABLE ({schema}) RETURN {body}"
         )
+        self._macros_meta[name] = (params, True)
 
     def drop_macro(self, name: str) -> None:
         self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+        self._macros_meta.pop(name, None)
+
+    @property
+    def _macros_meta(self) -> dict:
+        m = getattr(self, "_macros_meta_store", None)
+        if m is None:
+            m = self._macros_meta_store = {}
+        return m
+
+    # ---- dynamic SQL table functions (reference query() /
+    # query_table(), site_docs/cookbook/sql_features/
+    # query_and_query_table_functions.test: run a SQL string / a
+    # dynamically-named table as a relation)
+    def query(self, sql: str) -> DataFrame:
+        """query('SELECT ...'): execute a dynamically-built SQL string as
+        a table. Read-only by contract (the reference rejects DML here) —
+        only a single SELECT/WITH statement is accepted."""
+        head = sql.lstrip().split(None, 1)[0].upper() if sql.strip() else ""
+        if head not in ("SELECT", "WITH", "FROM", "VALUES"):
+            raise ValueError(
+                f"query() only accepts SELECT statements, got {head!r}")
+        return self.sql(sql)
+
+    def query_table(self, name: str | list) -> DataFrame:
+        """query_table('name' | ['schema','name']): a table whose NAME is
+        a runtime value (the reference's dynamic-identifier companion to
+        query()). Row policies / masks apply exactly as via table()."""
+        if isinstance(name, (list, tuple)):
+            if len(name) == 2 and name[0] not in ("public", "main"):
+                raise ValueError(f"unknown schema {name[0]!r}")
+            name = name[-1]
+        return self.table(name)
 
     # ---- sequences (reference sequence.cpp; see operators/sequences) ----
     @property

@@ -154,3 +154,74 @@ def test_total_relation_size(spark, tmp_path):
     tot = PSY.pg_total_relation_size(spark, a, b)
     assert tot == PSY.pg_table_size(spark, a) + PSY.pg_table_size(spark, b)
     assert tot > 0
+
+
+def test_pg_catalog_extras_psql_d_equivalent(ss):
+    """psql \\d-equivalent introspection of a table with a PK, a CHECK,
+    and a COMMENT: pg_constraint + pg_description + key_column_usage
+    must surface them through catalog SQL (reference
+    server/pg/pg_catalog/)."""
+    from pyspark.sql import functions as F
+
+    ss.set_primary_key("orders", "o_orderkey")
+    ss.add_check("orders", "orders_price_pos", F.col("o_totalprice") > 0)
+    ss.comment_on("orders", "TPC-H orders fact")
+    ss.grant("analyst", "orders", "SELECT")
+    ss.create_macro("twice", "x DOUBLE", "x * 2")
+    ss.install_pg_catalog()
+
+    pk = ss.sql("""
+        SELECT con.conname, c.relname, con.contype, con.conkey
+        FROM pg_constraint con JOIN pg_class c ON con.conrelid = c.oid
+        WHERE c.relname = 'orders' AND con.contype = 'p'
+    """).first()
+    assert pk.conname == "orders_pkey" and pk.conkey == [1]
+
+    chk = ss.sql("""
+        SELECT conname, consrc FROM pg_constraint WHERE contype = 'c'
+    """).collect()
+    assert any(r.conname == "orders_price_pos" for r in chk)
+
+    kcu = ss.sql("""
+        SELECT column_name, ordinal_position
+        FROM information_schema_key_column_usage
+        WHERE table_name = 'orders' AND constraint_name = 'orders_pkey'
+    """).first()
+    assert (kcu.column_name, kcu.ordinal_position) == ("o_orderkey", 1)
+
+    descr = ss.sql("""
+        SELECT d.description FROM pg_description d
+        JOIN pg_class c ON d.objoid = c.oid WHERE c.relname = 'orders'
+    """).first()
+    assert descr.description == "TPC-H orders fact"
+
+    roles = {r.rolname for r in ss.sql(
+        "SELECT rolname FROM pg_roles").collect()}
+    assert {"postgres", "analyst"} <= roles
+
+    proc = ss.sql(
+        "SELECT pronargs, proretset FROM pg_proc"
+        " WHERE proname = 'twice'").first()
+    assert proc.pronargs == 1 and not proc.proretset
+
+    setting = ss.sql("""
+        SELECT setting FROM pg_settings
+        WHERE name = 'spark.sql.shuffle.partitions'
+    """).first()
+    assert setting is not None
+
+
+def test_query_and_query_table_functions(ss):
+    """Reference query()/query_table() cookbook semantics: dynamic SQL
+    strings and dynamic identifiers as relations; DML rejected."""
+    import pytest
+
+    n = ss.query("SELECT count(*) AS n FROM orders").first().n
+    assert n == ss._tables["orders"].count()
+    assert ss.query_table("orders").columns \
+        == ss._tables["orders"].columns
+    assert ss.query_table(["public", "orders"]).count() == n
+    with pytest.raises(ValueError):
+        ss.query("DELETE FROM orders")
+    with pytest.raises(ValueError):
+        ss.query_table(["other_schema", "orders"])
