@@ -830,9 +830,28 @@ class RaBitQ:
         obar_o = F.when(norm > 0, acc / norm).otherwise(F.lit(0.0))
         return bits, norm, obar_o
 
-    def query_transform(self, query_vec) -> tuple[list[float], float]:
+    def query_transform(self, query_vec,
+                        fast: bool | None = None) -> tuple[list[float], float]:
         """Driver-side: (rotated normalized query residual, ||q - c||) —
-        the same left-fold float order as the engine expressions."""
+        the same left-fold float order as the engine expressions. With
+        ``fast`` (default above 64 dims, matching the encode path's
+        method switch) the rotation is one numpy matvec instead of a
+        dim² Python loop — last-ulp summation differences, scale path
+        only."""
+        if fast is None:
+            fast = self.dim > 64
+        if fast:
+            import numpy as np
+
+            res_a = (np.asarray([float(q) for q in query_vec])
+                     - np.asarray(self.centroid))
+            qnorm = float(np.sqrt((res_a * res_a).sum()))
+            rot_a = np.asarray(self.rotation) @ res_a
+            if qnorm > 0:
+                rot_a = rot_a / qnorm
+            else:
+                rot_a = np.zeros_like(rot_a)
+            return [float(x) for x in rot_a], qnorm
         res = [float(q) - c for q, c in zip(query_vec, self.centroid)]
         qnorm = 0.0
         for x in res:
@@ -848,12 +867,65 @@ class RaBitQ:
 
 
 def rabitq_encode(df: DataFrame, rq: RaBitQ, vec_col: str,
-                  id_col: str = "vec_id") -> DataFrame:
+                  id_col: str = "vec_id", method: str = "auto") -> DataFrame:
     """Index-build step: (id, bits, norm, obar_o) — 1 bit/dim + two
-    correction doubles per vector."""
-    bits, norm, obar_o = rq.encode_col(F.col(vec_col))
-    return df.select(F.col(id_col), bits.alias("bits"),
-                     norm.alias("norm"), obar_o.alias("obar_o"))
+    correction doubles per vector.
+
+    Two physical paths behind one API:
+      * ``expr``  — pure column expressions; the rotation is dim² literals
+        in the plan, which whole-stage-codegens fine at oracle-gate dims
+        but CANNOT compile at real embedding dims (1536² ≈ 2.4M literal
+        nodes). Bit-identical to the DuckDB oracle — the gated path.
+      * ``numpy`` — Arrow-batched mapInPandas; the rotation matrix ships
+        ONCE as an sc.broadcast (float64, ~18 MB at 1536 dims), each
+        batch is one BLAS matmul. Build-time only; numpy's pairwise
+        summation may differ from the left-fold in the last ulp, so this
+        path is for scale, not for the hash-matching oracle.
+    ``auto`` picks expr at/below 64 dims (every gate query), numpy above.
+    """
+    if method == "auto":
+        method = "expr" if rq.dim <= 64 else "numpy"
+    if method == "expr":
+        bits, norm, obar_o = rq.encode_col(F.col(vec_col))
+        return df.select(F.col(id_col), bits.alias("bits"),
+                         norm.alias("norm"), obar_o.alias("obar_o"))
+
+    import numpy as np
+
+    spark = df.sparkSession
+    b_rot = spark.sparkContext.broadcast(
+        np.asarray(rq.rotation, dtype=np.float64))
+    cen = np.asarray(rq.centroid, dtype=np.float64)
+    s = rq._inv_sqrt_d
+    id_field = df.schema[id_col]
+
+    def encode_batches(batches):
+        rot_t = b_rot.value.T  # res @ R.T: rot[:, j] = res · rotation[j]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            res = vecs - cen
+            norm = np.sqrt((res * res).sum(axis=1))
+            rot = res @ rot_t
+            bits = (rot > 0).astype(np.int32)
+            signed = np.where(rot > 0, s, -s) * rot
+            with np.errstate(divide="ignore", invalid="ignore"):
+                obar = np.where(norm > 0, signed.sum(axis=1) / norm, 0.0)
+            import pandas as pd
+
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "bits": list(bits),
+                "norm": norm,
+                "obar_o": obar,
+            })
+
+    out_schema = (f"{id_col} {id_field.dataType.simpleString()},"
+                  " bits array<int>, norm double, obar_o double")
+    return df.select(id_col, vec_col).mapInPandas(
+        encode_batches, schema=out_schema)
 
 
 def rabitq_codes_knn(codes: DataFrame, rq: RaBitQ, query_vec,

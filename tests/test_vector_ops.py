@@ -158,3 +158,61 @@ def test_rabitq_estimator_and_rerank(spark):
     assert np.allclose(R @ R.T, np.eye(len(q)), atol=1e-9)
     assert SIM.RaBitQ.rotation_matrix(len(q)) == \
         SIM.RaBitQ.rotation_matrix(len(q))
+
+
+def test_rabitq_numpy_path_matches_expr_path(spark):
+    """The Arrow/numpy encode path must agree with the expression path
+    (same math, summation-order-only differences): identical bits and
+    near-identical correction scalars on real data."""
+    from serenedb_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet") \
+        .limit(200)
+    rq = SIM.RaBitQ.train(emb, "embedding")
+    by_expr = {r.vec_id: r for r in SIM.rabitq_encode(
+        emb, rq, "embedding", method="expr").collect()}
+    by_np = {r.vec_id: r for r in SIM.rabitq_encode(
+        emb, rq, "embedding", method="numpy").collect()}
+    assert set(by_expr) == set(by_np)
+    for vid, e in by_expr.items():
+        n = by_np[vid]
+        assert e.bits == n.bits, vid
+        assert abs(e.norm - n.norm) < 1e-9
+        assert abs(e.obar_o - n.obar_o) < 1e-9
+
+
+def test_rabitq_at_1536_dims_bounded(spark):
+    """RaBitQ at REAL embedding dims: the dim x dim literal rotation
+    cannot codegen at 1536 (2.4M expression nodes); the numpy path must
+    build and query in bounded time. (r6 verdict item 8.)"""
+    import random
+    import time
+
+    from serenedb_spark.operators import similarity as SIM
+
+    dim, n = 1536, 300
+    rng = random.Random(5)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>") \
+        .repartition(8)
+
+    t0 = time.perf_counter()
+    rot = SIM.RaBitQ.rotation_matrix(dim)
+    rq = SIM.RaBitQ([0.0] * dim, rot)
+    codes = SIM.rabitq_encode(df, rq, "embedding").persist()
+    assert codes.count() == n
+    build = time.perf_counter() - t0
+
+    q = rows[17][1]
+    t0 = time.perf_counter()
+    est = SIM.rabitq_codes_knn(codes, rq, q, k=10).collect()
+    rerank = SIM.rabitq_rerank_knn(codes, df, rq, q, k=5,
+                                   shortlist=50).collect()
+    query = time.perf_counter() - t0
+
+    assert est[0].vec_id == 17       # self-match survives 1-bit codes
+    assert rerank[0].vec_id == 17 and rerank[0].d2 == 0.0
+    # generous bounds — the point is "minutes, not hours/OOM"
+    assert build < 120, f"encode took {build:.1f}s"
+    assert query < 120, f"query took {query:.1f}s"
+    codes.unpersist()
