@@ -33,11 +33,36 @@ SENTENCE_ABBREVIATIONS: tuple[str, ...] = (
     "Oct", "Nov", "Dec", "Mon", "Tue", "Wed", "Thu", "Fri", "Sat", "Sun",
 )
 
+#: per-locale suppression tailorings (portable subsets of the public
+#: CLDR segments/<locale>/suppressions data — the reference reaches the
+#: same behavior through ICU's per-locale break data,
+#: ts_highlight.cpp). 'en' is the original list above.
+SENTENCE_ABBREVIATIONS_BY_LOCALE: dict[str, tuple[str, ...]] = {
+    "en": SENTENCE_ABBREVIATIONS,
+    "de": ("Dr", "Prof", "Nr", "Hr", "Fr", "Frl", "Abb", "Abs", "Art",
+           "Bd", "bzw", "ca", "d.h", "etc", "evtl", "geb", "gem", "ggf",
+           "inkl", "Mio", "Mrd", "s.o", "s.u", "Str", "Tel", "u.a",
+           "usw", "vgl", "z.B", "z.T"),
+    "fr": ("M", "MM", "Mme", "Mmes", "Mlle", "Mlles", "Dr", "Prof",
+           "av", "bd", "boul", "etc", "ex", "p.ex", "St", "Ste", "tél"),
+    "es": ("Sr", "Sra", "Srta", "Dr", "Dra", "D", "Dña", "Av", "Avda",
+           "núm", "pág", "tel", "Ud", "Uds", "etc", "p.ej"),
+    "it": ("Sig", "Sigg", "Dott", "Prof", "Ing", "Avv", "ecc", "p.es",
+           "tel", "art"),
+    "pt": ("Sr", "Sra", "Srs", "Dr", "Dra", "Av", "Eng", "etc", "ex",
+           "pág", "tel", "p.ex"),
+}
+
 #: longest suppression entry — sizes the O(1) lookback window; a word
 #: longer than this ending at '.' can never match the list, and the
 #: +1-char window guarantees a word that DOES fit arrives whole (with its
 #: leading whitespace separator when one exists)
 _ABBR_MAX = max(len(a) for a in SENTENCE_ABBREVIATIONS)
+
+
+def _abbr_list(locale: str) -> tuple[tuple[str, ...], int]:
+    abbr = SENTENCE_ABBREVIATIONS_BY_LOCALE[locale]
+    return abbr, max(len(a) for a in abbr)
 
 
 def term_offsets_col(text: Column, term: str) -> Column:
@@ -143,9 +168,11 @@ def ts_highlight(
     tag_close: str = "</b>",
     window: int = 40,
     boundary: str = "word",
+    locale: str = "en",
 ) -> DataFrame:
     """Snippet around the FIRST whole-token match: ±window chars with the
-    match wrapped in tags.
+    match wrapped in tags. ``locale`` selects the sentence-break
+    suppression tailoring (SENTENCE_ABBREVIATIONS_BY_LOCALE).
 
     ``boundary='word'`` (default) snaps the window edges to whitespace so
     the snippet never cuts mid-word — the portable core of the reference's
@@ -163,6 +190,7 @@ def ts_highlight(
     n = len(term)
     text = F.col(text_col)
     if boundary == "sentence":
+        abbrs, abbr_max = _abbr_list(locale)
         ln = F.length(text)
         idx = F.filter(F.sequence(F.lit(1), F.greatest(ln, F.lit(1))),
                        lambda i: i <= ln)
@@ -177,13 +205,12 @@ def ts_highlight(
                 (text.substr(i + F.lit(1), F.lit(1)) == F.lit(" "))
                 | (i == ln)
             )
-            w = F.lit(_ABBR_MAX + 1)
+            w = F.lit(abbr_max + 1)
             start = F.greatest(i - w, F.lit(1))
             lookback = text.substr(start, i - start)
             prev_word = F.element_at(
                 F.split(lookback, r"[ \t\n\r]"), -1)
-            suppressed = (ch == F.lit(".")) & prev_word.isin(
-                *SENTENCE_ABBREVIATIONS)
+            suppressed = (ch == F.lit(".")) & prev_word.isin(*abbrs)
             return basic & ~suppressed
 
         breaks = F.filter(idx, _is_break)
@@ -236,7 +263,7 @@ def ts_highlight(
 def duckdb_ts_highlight_sql(
     table_expr: str, text_col: str, term: str, id_col: str = "doc_id",
     tag_open: str = "<b>", tag_close: str = "</b>", window: int = 40,
-    boundary: str = "word",
+    boundary: str = "word", locale: str = "en",
 ) -> str:
     """Oracle mirroring ts_highlight (same word-boundary snapping)."""
     t = term.replace("'", "''")
@@ -250,9 +277,10 @@ def duckdb_ts_highlight_sql(
     AND (strpos('{alnum}', substr({lo}, i + {n}, 1)) = 0
          OR i + {n} > length({lo})))"""
     if boundary == "sentence":
+        abbrs, abbr_max = _abbr_list(locale)
         tc = text_col
-        ab = ", ".join(f"'{a}'" for a in SENTENCE_ABBREVIATIONS)
-        w = _ABBR_MAX + 1
+        ab = ", ".join(f"'{a}'" for a in abbrs)
+        w = abbr_max + 1
         st = f"greatest(i - {w}, 1)"
         prev_word = (
             f"regexp_split_to_array(substr({tc}, {st}, i - {st}),"

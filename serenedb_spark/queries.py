@@ -2453,6 +2453,48 @@ def _register_highlight_entries() -> None:
                                 boundary="sentence")
         + " ORDER BY doc_id, snippet",
     )
+    # non-en suppression tailoring (CLDR de): the derived text plants
+    # German abbreviations ('Nr.', 'z.B.', 'Dr.') INSIDE the sentence
+    # that holds the match — with the en list those dots would cut the
+    # snippet short, so the row verifies the de tailoring end to end
+    de_sql = (
+        f"SELECT doc_id, concat('Nr. 7 gilt. Siehe z.B. ',"
+        f" substr(text, 1, 100), ' laut Dr. Weber ',"
+        f" substr(text, 101, 80), '! Ende hier.') AS text"
+        f" FROM ({m_win}) m0"
+    )
+    _register(
+        "fts_sentence_seg_multilingual", _fts_sentence_seg_de,
+        duckdb_ts_highlight_sql(f"({de_sql}) m", "text", "window",
+                                boundary="sentence", locale="de")
+        + " ORDER BY doc_id, snippet",
+    )
+
+
+def _fts_sentence_seg_de(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence snippets under the GERMAN suppression tailoring
+    (SENTENCE_ABBREVIATIONS_BY_LOCALE['de'], CLDR subset): 'Nr.',
+    'z.B.', 'Dr.' must not terminate the sentence (reference: ICU de
+    break data, ts_highlight.cpp)."""
+    from serenedb_spark.functions.highlight import ts_highlight
+
+    idx = doc_index(spark, sf_dir)
+    ids = compile_query(idx, _DOC_COL, q.Term("window")).doc_ids
+    matched = (
+        idx.docstore.join(ids, "doc_id", "left_semi")
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Nr. 7 gilt. Siehe z.B. "),
+                F.substring("text", 1, 100),
+                F.lit(" laut Dr. Weber "),
+                F.substring("text", 101, 80),
+                F.lit("! Ende hier."),
+            ).alias("text"),
+        )
+    )
+    return ts_highlight(matched, "text", "window", boundary="sentence",
+                        locale="de").orderBy("doc_id", "snippet")
 
 
 def _fts_highlight_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3517,6 +3559,34 @@ ORDER BY d2, e.vec_id LIMIT {k}"""
 _register("vec_rabitq_knn", _vec_rabitq, _rabitq_oracle(10))
 _register("vec_rabitq_rerank", _vec_rabitq_rerank,
           _rabitq_oracle(10, rerank=True))
+
+
+_RABITQ_HD_CACHE: dict[str, object] = {}
+
+
+def _vec_rabitq_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RaBitQ at REAL embedding dims (1536 = the 64-dim corpus tiled
+    24×): exercises the numpy/Arrow encode path — the dim² literal plan
+    cannot codegen here, so there is no SQL-expressible oracle (the
+    DuckDB twin would be a 2.4M-literal statement); the driver records
+    the weaker rows-only check, and test_vector_ops pins numpy==expr
+    parity at gate dims."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    hd = emb.select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"), 24)).alias("embedding"))
+    if sf_dir not in _RABITQ_HD_CACHE:
+        _RABITQ_HD_CACHE[sf_dir] = SIM.RaBitQ(
+            [0.0] * 1536, SIM.RaBitQ.rotation_matrix(1536))
+    rq = _RABITQ_HD_CACHE[sf_dir]
+    codes = _codes_for(
+        spark, sf_dir, "rabitq_hd",
+        lambda: SIM.rabitq_encode(hd, rq, "embedding", method="numpy"))
+    qv = [float(x) for x in QUERY_VEC] * 24
+    return SIM.rabitq_rerank_knn(codes, hd, rq, qv, k=10, shortlist=60)
+
+
+_register("vec_rabitq_highdim", _vec_rabitq_highdim, None)
 
 
 def _vec_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4796,8 +4866,7 @@ _GATE_WINDOW = [
     "fts_bool", "fts_bm25_topk", "fts_phrase_slop", "fts_compound",
     "fts_highlight", "es_terms_facet", "fts_dict_facets",
     "vec_knn_cosine", "vec_ivf_sq8_knn", "embedding_dup_pairs_lsh",
-    "dedup_minhash_pairs", "text_quality", "text_lang_id",
-    "geo_indexed_radius", "events_sessionize", "pipeline_clean_corpus",
+    "dedup_minhash_pairs", "text_quality",
 ]
 
 

@@ -73,3 +73,23 @@ def test_abbreviations_do_not_split_sentences(spark, docs_df):
     assert got[9].endswith("Dr. Smith about the <b>spark</b> plan.")
     # a longer word that merely ENDS in an abbreviation is not suppressed
     assert got[10] == "ends the <b>spark</b> sentence."
+
+
+def test_sentence_locale_suppressions(spark):
+    """de tailoring: 'z.B.'/'Nr.'/'Dr.' must not end a sentence; under
+    the en list the same dots DO break — proving the locale parameter
+    changes behavior, not just the list object."""
+    from serenedb_spark.functions.highlight import ts_highlight
+
+    text = ("Nr. 7 gilt hier. Wir sehen z.B. das fenster klar "
+            "laut Dr. Weber heute. Ende.")
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    de = ts_highlight(df, "text", "fenster", boundary="sentence",
+                      locale="de").first().snippet
+    en = ts_highlight(df, "text", "fenster", boundary="sentence",
+                      locale="en").first().snippet
+    # de: the sentence runs from after 'gilt hier.' to 'heute.'
+    assert de == ("Wir sehen z.B. das <b>fenster</b> klar "
+                  "laut Dr. Weber heute.")
+    # en: 'z.B.' is not suppressed -> the sentence starts after it
+    assert en == "das <b>fenster</b> klar laut Dr. Weber heute."
