@@ -39,14 +39,28 @@ def available_models() -> dict[str, bool]:
     }
 
 
+def _load_fasttext_model(model_path: str):
+    """The C++ binding when installed; otherwise the vendored
+    pure-Python reader of the SAME published .bin format
+    (functions/fasttext_io.py) — the seam runs real model files either
+    way instead of skipping."""
+    try:
+        import fasttext  # noqa: PLC0415 — optional dependency
+
+        return fasttext.load_model(model_path)
+    except ImportError:
+        from serenedb_spark.functions.fasttext_io import FastTextModel
+
+        return FastTextModel.load(model_path)
+
+
 def fasttext_classifier(model_path: str,
                         top_k: int = 1) -> Callable[[str], list[str]]:
-    """Real fastText supervised classifier with the classification
-    analyzer's (text) -> [labels] signature. Raises ImportError without
-    the library — fall back to get_analyzer('classification').tokens."""
-    import fasttext  # noqa: PLC0415 — optional dependency
-
-    model = fasttext.load_model(model_path)
+    """fastText supervised classifier with the classification analyzer's
+    (text) -> [labels] signature, over a real .bin model file (reference
+    create_tsdictionary.cpp:535). Backed by the fasttext library when
+    importable, by the vendored format reader otherwise."""
+    model = _load_fasttext_model(model_path)
 
     def classify(text: str) -> list[str]:
         if text is None:
@@ -59,11 +73,10 @@ def fasttext_classifier(model_path: str,
 
 def fasttext_neighbors(model_path: str,
                        k: int = 2) -> Callable[[str], list[str]]:
-    """Real fastText nearest-neighbor expansion with the
-    nearest_neighbors analyzer's (word) -> [neighbors] signature."""
-    import fasttext  # noqa: PLC0415 — optional dependency
-
-    model = fasttext.load_model(model_path)
+    """fastText nearest-neighbor expansion with the nearest_neighbors
+    analyzer's (word) -> [neighbors] signature (reference
+    create_tsdictionary.cpp:549)."""
+    model = _load_fasttext_model(model_path)
 
     def neighbors(word: str) -> list[str]:
         if word is None:

@@ -86,17 +86,79 @@ def _soundfile_decode(data: bytes, media_type: str) -> dict:
             "duration_ms": int(info.frames / info.samplerate * 1000)}
 
 
+#: JPEG start-of-frame markers that carry dimensions (baseline,
+#: progressive, lossless variants — published JPEG/JFIF layout)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def _header_decode(data: bytes, media_type: str) -> dict | None:
+    """REAL metadata from the published container headers — pure struct
+    parsing, no codec libraries: PNG IHDR, JPEG SOF, GIF logical screen,
+    BMP info header, RIFF/WAVE fmt+data chunks. Returns None for
+    payloads whose magic is not recognized (callers fall back to the
+    deterministic stub) — full pixel/sample DECODE still needs
+    PIL/soundfile; headers cover the metadata contract."""
+    import struct
+
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 26:
+        w, h = struct.unpack_from(">II", data, 16)
+        color_type = data[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type, 3)
+        return {"width": w, "height": h, "channels": channels,
+                "duration_ms": 0}
+    if data[:2] == b"\xff\xd8":  # JPEG: walk the marker stream to a SOF
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                break
+            marker = data[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack_from(">HH", data, i + 5)
+                return {"width": w, "height": h,
+                        "channels": data[i + 9], "duration_ms": 0}
+            seg_len = struct.unpack_from(">H", data, i + 2)[0]
+            i += 2 + seg_len
+        return None
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack_from("<HH", data, 6)
+        return {"width": w, "height": h, "channels": 3, "duration_ms": 0}
+    if data[:2] == b"BM" and len(data) >= 30:
+        w, h = struct.unpack_from("<ii", data, 18)
+        bpp = struct.unpack_from("<H", data, 28)[0]
+        return {"width": w, "height": abs(h),
+                "channels": max(bpp // 8, 1), "duration_ms": 0}
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        i, channels, byte_rate, data_size = 12, 0, 0, 0
+        while i + 8 <= len(data):
+            cid = data[i:i + 4]
+            size = struct.unpack_from("<I", data, i + 4)[0]
+            if cid == b"fmt " and i + 16 <= len(data):
+                channels = struct.unpack_from("<H", data, i + 10)[0]
+                byte_rate = struct.unpack_from("<I", data, i + 16)[0]
+            elif cid == b"data":
+                data_size = size
+            i += 8 + size + (size % 2)
+        if channels:
+            dur = (int(data_size * 1000 / byte_rate) if byte_rate else 0)
+            return {"width": 0, "height": 0, "channels": channels,
+                    "duration_ms": dur}
+    return None
+
+
 def available_codecs() -> dict[str, str]:
     """Which decoder each media type resolves to under codec='auto' —
     the `format_available`-style gate: real libs when importable, the
-    deterministic stub otherwise (video is always the stub; no ffmpeg
-    binding is assumed anywhere)."""
+    header parser for recognized containers otherwise, the deterministic
+    stub as last resort (video is always the stub; no ffmpeg binding is
+    assumed anywhere)."""
     import importlib.util
 
     return {
-        "image": ("pil" if importlib.util.find_spec("PIL") else "fake"),
+        "image": ("pil" if importlib.util.find_spec("PIL")
+                  else "headers"),
         "audio": ("soundfile" if importlib.util.find_spec("soundfile")
-                  else "fake"),
+                  else "headers"),
         "video": "fake",
     }
 
@@ -104,13 +166,23 @@ def available_codecs() -> dict[str, str]:
 def _resolve_decoder(codec: str):
     if codec == "fake":
         return _fake_decode
+    if codec == "headers":
+        return lambda data, mt: (_header_decode(data, mt)
+                                 or _fake_decode(data, mt))
     if codec != "auto":
-        raise ValueError(f"codec must be 'auto'|'fake', got {codec!r}")
+        raise ValueError(
+            f"codec must be 'auto'|'headers'|'fake', got {codec!r}")
     chosen = available_codecs()
     real = {"pil": _pil_decode, "soundfile": _soundfile_decode}
 
     def decode(data: bytes, media_type: str) -> dict:
-        fn = real.get(chosen.get(media_type, "fake"), _fake_decode)
+        which = chosen.get(media_type, "fake")
+        if which == "headers":
+            parsed = _header_decode(data, media_type)
+            if parsed is not None:
+                return parsed
+            return _fake_decode(data, media_type)
+        fn = real.get(which, _fake_decode)
         return fn(data, media_type)
 
     return decode
