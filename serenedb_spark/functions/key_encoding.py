@@ -46,6 +46,12 @@ from pyspark.sql import functions as F
 
 _SIGN_BIT = -9223372036854775808  # 1 << 63 as signed int64
 
+#: persisted-format version (see FORMAT VERSIONS in the module
+#: docstring): 1 = \x00\xff NUL escape, 2 = \x00\x01 (reference
+#: byte-compatible). DiskSearchTable manifests record this and refuse
+#: cross-version loads.
+ENCODING_VERSION = 2
+
 _NUL = "\x00"
 _ESC = "\x00\x01"  # kNullEsc, byte-compatible with key_encoding.cpp
 _TERM = "\x00\x00"

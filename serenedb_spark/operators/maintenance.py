@@ -111,6 +111,23 @@ class SearchTable:
         return self
 
 
+#: fault-injection points (the reference's ``SET sdb_faults`` analogue,
+#: tests/sqllogic/recovery/): tests add point names here and the next
+#: crossing raises InjectedFault — the recovery matrix
+#: (tests/test_recovery_faults.py) drives every DML/maintenance
+#: interleaving through a crash and reopens from disk.
+FAULTS: set[str] = set()
+
+
+class InjectedFault(RuntimeError):
+    pass
+
+
+def _fault(name: str) -> None:
+    if name in FAULTS:
+        raise InjectedFault(name)
+
+
 class DiskSearchTable:
     """Durable segmented search table — the on-disk twin of SearchTable.
 
@@ -208,7 +225,9 @@ class DiskSearchTable:
                 "layout_version": 1,
                 "key_encoding_version": ENCODING_VERSION,
             }, f, indent=2)
+        _fault("manifest_tmp_written")  # crash: tmp exists, commit not
         os.replace(tmp, f"{self.path}/manifest.json")  # the commit point
+        _fault("manifest_committed")
 
     def _append(self, kind: str, df: DataFrame) -> int:
         self._forbid_snapshot_writes()
@@ -216,6 +235,7 @@ class DiskSearchTable:
         rel = f"segments/{kind}_{self._tick:08d}"
         out = df if kind == "seg" else df.select(self.key).distinct()
         out.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        _fault("segment_written")  # crash: orphan segment, old manifest
         self._ops.append((self._tick, kind, rel))
         self._write_manifest()  # data durable BEFORE visibility flips
         return self._tick
@@ -239,7 +259,9 @@ class DiskSearchTable:
         seg_rel = f"segments/seg_{seg_tick:08d}"
         rows.select(self.key).distinct().write.mode("overwrite").parquet(
             f"{self.path}/{del_rel}")
+        _fault("update_del_written")  # crash: only the del half on disk
         rows.write.mode("overwrite").parquet(f"{self.path}/{seg_rel}")
+        _fault("update_seg_written")  # crash: both halves, no commit
         self._tick = seg_tick
         self._ops.append((del_tick, "del", del_rel))
         self._ops.append((seg_tick, "seg", seg_rel))
@@ -273,6 +295,7 @@ class DiskSearchTable:
         self._tick += 1
         rel = f"segments/seg_{self._tick:08d}"
         merged.write.mode("overwrite").parquet(f"{self.path}/{rel}")
+        _fault("compact_segment_written")  # crash: repoint not committed
         self._ops = [(self._tick, "seg", rel)]
         self._write_manifest()
         return self
@@ -284,8 +307,9 @@ class DiskSearchTable:
 
         live = {rel.split("/", 1)[1] for _t, _k, rel in self._ops}
         removed = 0
-        for d in os.listdir(f"{self.path}/segments"):
+        for d in sorted(os.listdir(f"{self.path}/segments")):
             if d not in live:
                 shutil.rmtree(f"{self.path}/segments/{d}")
                 removed += 1
+                _fault("vacuum_after_first_delete")
         return removed
