@@ -4577,6 +4577,48 @@ ORDER BY event_id
 """)
 
 
+def _events_asof_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The asof join reduced to exact-integer aggregates (match count +
+    total lag in whole seconds). This is the SCALE-bench shape: at 100×
+    the row-returning variant spends its time serializing 2M result
+    rows through the driver, which measures the pipe, not the join —
+    the aggregate keeps both engines' work identical and the result one
+    row."""
+    from serenedb_spark.operators.temporal_join import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+             .groupBy("user_id", "ts")
+             .agg(F.round(F.max("value"), 4).alias("score")))
+    out = asof_join(purchases, views, on="ts", by=["user_id"])
+    t = F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                / F.lit(1000000)).cast("long")
+    mt = F.floor(F.unix_micros(F.col("ts_r").cast("timestamp_ltz"))
+                 / F.lit(1000000)).cast("long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("score_r").alias("n_matched"),
+        F.sum(t - mt).alias("lag_seconds"),
+    )
+
+
+_register("events_asof_agg", _events_asof_agg, """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, round(max(value), 4) AS score
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT count(*) AS n, count(r.score) AS n_matched,
+  CAST(sum(CAST(floor(epoch(l.ts)) AS BIGINT)
+           - CAST(floor(epoch(r.ts)) AS BIGINT)) AS BIGINT) AS lag_seconds
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+
+
 def _orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders bucketized into 60-day promo windows — interval containment
     as a bucket EQUI-join (operators/temporal_join.py range_join), not a

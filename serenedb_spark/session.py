@@ -34,7 +34,12 @@ def get_spark(app: str = "serenedb-spark", cpus: int | None = None) -> SparkSess
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        # the stated environment is a single 128 GiB JVM (local[32]); 16g
+        # left the unified pool ~9 GB and the 10x bench's two persisted
+        # indexes (~180M postings rows) thrashed the storage region —
+        # es_multi_match read 6.9s under eviction vs 1.1s steady-state
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # testdata parquet carries TIMESTAMP(NANOS); Spark has no ns type —
         # read as long and convert to µs at load (documented precision rule,
