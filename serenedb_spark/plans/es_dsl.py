@@ -261,6 +261,16 @@ def _multi_match(idx: InvertedIndex, spec: dict[str, Any],
     text = str(spec["query"])
     mtype = spec.get("type", "best_fields")
     tie = float(spec.get("tie_breaker", 0.0))
+    if mtype in ("phrase", "phrase_prefix"):
+        # ES lowers phrase-type multi_match onto dis_max of per-field
+        # match_phrase(_prefix) clauses — reuse that path verbatim
+        kind = ("match_phrase" if mtype == "phrase"
+                else "match_phrase_prefix")
+        names = [str(f).partition("^")[0] for f in spec["fields"]]
+        return _dis_max(idx, {
+            "queries": [{kind: {n: text}} for n in names],
+            "tie_breaker": tie,
+        }, names[0], scorer)
     field_terms: list[tuple[str, str, float]] = []
     for f in spec["fields"]:
         name, _, b = str(f).partition("^")

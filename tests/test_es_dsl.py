@@ -223,3 +223,25 @@ def test_es_search_from_size_capped(spark):
             "from": 10_000, "size": 1}
     with _pytest.raises(ValueError, match="max_result_window"):
         es_search(idx, body)
+
+
+def test_multi_match_phrase_type_lowers_to_dis_max(spark):
+    """type=phrase multi_match == dis_max of per-field match_phrase
+    (ES semantics)."""
+    from serenedb_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    idx = Q._doc_index_multi(spark, SF_DIR)
+    mm = es_search(idx, {"query": {"multi_match": {
+        "query": "table scan", "fields": ["text", "source"],
+        "type": "phrase", "tie_breaker": 0.2}}, "size": 500}).collect()
+    dm = es_search(idx, {"query": {"dis_max": {
+        "queries": [{"match_phrase": {"text": "table scan"}},
+                    {"match_phrase": {"source": "table scan"}}],
+        "tie_breaker": 0.2}}, "size": 500}).collect()
+    assert [tuple(r) for r in mm] == [tuple(r) for r in dm]
+    # phrase-type must NOT match bag-of-words-only docs
+    bag = es_search(idx, {"query": {"multi_match": {
+        "query": "table scan", "fields": ["text"]}},
+        "size": 5000}).count()
+    assert len(mm) < bag
