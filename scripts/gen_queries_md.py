@@ -42,6 +42,8 @@ FAMILIES = [
      lambda n: n.startswith(("skew_", "ordered_"))),
     ("Cookbook recipes (site_docs/cookbook/search parity)",
      lambda n: n.startswith("cookbook_")),
+    ("Dynamic SQL + catalog introspection",
+     lambda n: n.startswith("query_table_") or n == "pg_catalog_introspection"),
 ]
 
 
