@@ -49,11 +49,16 @@ FAMILIES = [
 
 def main() -> None:
     names = sorted(Q.REGISTRY)
+    n_oracle = sum(1 for n in names if Q.REGISTRY[n].oracle is not None)
+    no_oracle = [n for n in names if Q.REGISTRY[n].oracle is None]
+    extra = (f"; {len(no_oracle)} rows-only (no SQL-expressible oracle): "
+             + ", ".join(f"`{n}`" for n in no_oracle)) if no_oracle else ""
     out = ["# QUERIES — the correctness-gate inventory\n",
-           f"\n{len(names)} oracle-gated queries (auto-generated from"
+           f"\n{n_oracle} oracle-gated queries (auto-generated from"
            " `serenedb_spark.queries.REGISTRY`; every entry has both a"
            " `queries()` callable and an `oracle_sql()` DuckDB string —"
-           " regenerate with `python scripts/gen_queries_md.py`).\n"]
+           " regenerate with `python scripts/gen_queries_md.py`"
+           f"{extra}).\n"]
     seen = set()
     for title, pred in FAMILIES:
         group = [n for n in names if n not in seen and pred(n)]
