@@ -721,6 +721,41 @@ FROM events GROUP BY event_type ORDER BY event_type
 """)
 
 
+def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted shuffle join (operators/skew.py salted_broadcast_join): the
+    join key is event_type — a handful of values over 100k rows, the
+    worst-case hot key — salted 8 ways so each (key, salt) pair is its
+    own task. The oracle is the PLAIN join: salting must be a pure
+    physical rewrite."""
+    from serenedb_spark.operators.skew import salted_broadcast_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_n"))
+    joined = salted_broadcast_join(
+        ev.select("event_id", "event_type", "value"), dim,
+        "event_type", salt=8)
+    return (
+        joined.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.max("type_n").alias("type_n"),
+             F.round(F.sum(F.col("value").cast("decimal(18,4)"))
+                     .cast("double"), 4).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
+_register("skew_salted_join", _skew_salted_join, """
+WITH d AS (
+  SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n, max(d.type_n) AS type_n,
+  round(CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE), 4)
+    AS sum_value
+FROM events e JOIN d USING (event_type)
+GROUP BY e.event_type ORDER BY e.event_type
+""")
+
+
 _ORDERED_SCAN_CACHE: dict = {}
 
 

@@ -28,7 +28,14 @@ def test_query_matches_oracle(name, spark, duck):
 
 
 #: queries registered WITHOUT an oracle — each needs a stated reason
-ROWS_ONLY = {"approx_aggregates"}  # approximate values, no exact twin
+ROWS_ONLY = {
+    "approx_aggregates",   # approximate values, no exact twin
+    "vec_rabitq_highdim",  # 1536-dim: the DuckDB twin would be a 2.4M-
+    #                        literal statement (the expr path cannot
+    #                        codegen there either — that's the point);
+    #                        numpy==expr parity is pinned at gate dims
+    #                        in test_vector_ops
+}
 
 
 def test_all_queries_have_oracles():
