@@ -4566,6 +4566,94 @@ ORDER BY rank_score DESC, s.doc_id LIMIT 15
 """)
 
 
+_PART_IDX_CACHE: dict = {}
+
+
+def _cb_search_with_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cookbook search/search-with-joins.test: an index match set joined
+    to a fact table and aggregated — the recipe's products⟕orders
+    restated on part⟕lineitem (match 'red' in p_name, revenue per
+    part)."""
+    t = load_tables(spark, sf_dir)
+    ck = (id(spark), sf_dir)
+    if ck not in _PART_IDX_CACHE:
+        idx = build_index(t["part"], {"p_name": "simple"},
+                          key="p_partkey", name="part_names")
+        idx.postings.persist()
+        _PART_IDX_CACHE[ck] = idx
+    idx = _PART_IDX_CACHE[ck]
+    hits = compile_query(idx, "p_name", q.Term("red")).doc_ids
+    li = t["lineitem"]
+    return (
+        t["part"].join(hits.withColumnRenamed("doc_id", "p_partkey"),
+                       "p_partkey", "left_semi")
+        .join(li, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_partkey", "p_name")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("revenue"),
+             F.sum(F.col("l_quantity").cast("long")).alias("units"))
+        .select("p_partkey", "p_name", F.round("revenue", 2).alias("revenue"),
+                "units")
+        .orderBy(F.col("revenue").desc(), F.col("p_partkey"))
+        .limit(20)
+    )
+
+
+_register("cookbook_search_with_joins", _cb_search_with_joins, """
+WITH hits AS (
+  SELECT p_partkey, p_name FROM part
+  WHERE list_contains(
+    list_filter(regexp_split_to_array(lower(p_name), '[^a-z0-9]+'),
+                t -> t <> ''), 'red')
+)
+SELECT h.p_partkey, h.p_name,
+  round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS revenue,
+  CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS units
+FROM hits h JOIN lineitem l ON l.l_partkey = h.p_partkey
+GROUP BY h.p_partkey, h.p_name
+ORDER BY revenue DESC, h.p_partkey LIMIT 20
+""")
+
+
+_VIEW_IDX_CACHE: dict = {}
+
+
+def _cb_indexing_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cookbook search/indexing-views.test: CREATE INDEX over a VIEW —
+    the index builds from the view's (filtered, projected) relation and
+    queries only see view rows."""
+    t = load_tables(spark, sf_dir)
+    t["documents"].where(F.col("lang") == "en") \
+        .select("doc_id", "text", "source") \
+        .createOrReplaceTempView("v_docs_en")
+    ck = (id(spark), sf_dir)
+    if ck not in _VIEW_IDX_CACHE:
+        idx = build_index(spark.table("v_docs_en"), {"text": "simple"},
+                          key="doc_id", name="v_docs_en")
+        idx.postings.persist()
+        _VIEW_IDX_CACHE[ck] = idx
+    idx = _VIEW_IDX_CACHE[ck]
+    hits = compile_query(idx, "text", q.AllOf(["spark", "stream"])).doc_ids
+    return (
+        idx.docstore.join(hits, "doc_id", "left_semi")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_register("cookbook_indexing_views", _cb_indexing_views, """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                t -> t <> '') AS toks
+  FROM documents WHERE lang = 'en'
+)
+WHERE list_contains(toks, 'spark') AND list_contains(toks, 'stream')
+ORDER BY doc_id
+""")
+
+
 # --------------------------------------------------------------------------
 # ASOF JOIN (cookbook sql_features/asof_join.test; DuckDB-native oracle)
 # --------------------------------------------------------------------------
