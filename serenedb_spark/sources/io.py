@@ -230,3 +230,201 @@ def write_avro_pure(df: DataFrame, path: str, record_name: str = "row",
         return iter(())
 
     df.rdd.mapPartitionsWithIndex(write_part).count()
+
+
+# ---------------------------------------------------------------------------
+# More cookbook file_formats / database_integration surfaces, all live
+# with stdlib-or-bundled backends (reference
+# site_docs/cookbook/file_formats/*.test + database_integration/*.test):
+#   read_text       — raw lines as rows (read_file.test)
+#   read_sqlite     — DISTRIBUTED rowid-range scans via stdlib sqlite3
+#                     (sqlite.test; executors each open the file readonly)
+#   read_duckdb     — .duckdb database files via the bundled duckdb,
+#                     Arrow-batched (read_duckdb.test)
+#   read_http       — fetch a URL to a local spool then read_table
+#                     (http_import.test; the driver is the gateway —
+#                     object stores with hadoop connectors stream
+#                     executor-side instead, see module header)
+#   read/write_excel — minimal OOXML SpreadsheetML (excel_io.py)
+# ---------------------------------------------------------------------------
+
+
+def read_text(spark: SparkSession, path: str,
+              col: str = "value") -> DataFrame:
+    """read_file.test: each line of each file as a row."""
+    return spark.read.text(path).withColumnRenamed("value", col)
+
+
+def read_sqlite(spark: SparkSession, db_path: str, table: str,
+                num_partitions: int = 8) -> DataFrame:
+    """Distributed SQLite scan: rowid ranges are computed driver-side
+    (one tiny query), then each executor task opens the database
+    READ-ONLY via stdlib sqlite3 and scans its own range — the same
+    range-partitioned shape as the JDBC foreign scan, no driver
+    round-trip for data."""
+    import sqlite3
+
+    con = sqlite3.connect(f"file:{db_path}?mode=ro", uri=True)
+    try:
+        cols = [r[1] for r in con.execute(f'PRAGMA table_info("{table}")')]
+        if not cols:
+            raise ValueError(f"no such table {table!r} in {db_path}")
+        lo, hi = con.execute(
+            f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
+        probe = con.execute(
+            f'SELECT * FROM "{table}" LIMIT 100').fetchall()
+    finally:
+        con.close()
+    if lo is None:
+        raise ValueError(f"table {table!r} is empty")
+
+    def _ddl_type(i: int) -> str:
+        for row in probe:
+            v = row[i]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "bigint"
+            if isinstance(v, float):
+                return "double"
+            if isinstance(v, bytes):
+                return "binary"
+            return "string"
+        return "string"
+
+    ddl = ", ".join(f"`{c}` {_ddl_type(i)}" for i, c in enumerate(cols))
+    n = max(1, min(num_partitions, hi - lo + 1))
+    step = (hi - lo + 1 + n - 1) // n
+    bounds = [(lo + i * step, min(lo + (i + 1) * step - 1, hi))
+              for i in range(n)]
+    ranges = spark.createDataFrame(bounds, "lo long, hi long") \
+        .repartition(n, "lo")
+
+    col_list = ", ".join(f'"{c}"' for c in cols)
+
+    def scan(batches):
+        import pandas as pd
+        import sqlite3 as sq
+
+        for pdf in batches:
+            for lo_, hi_ in zip(pdf["lo"], pdf["hi"]):
+                c = sq.connect(f"file:{db_path}?mode=ro", uri=True)
+                try:
+                    rows = c.execute(
+                        f'SELECT {col_list} FROM "{table}"'
+                        f" WHERE rowid BETWEEN ? AND ?",
+                        (int(lo_), int(hi_))).fetchall()
+                finally:
+                    c.close()
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return ranges.mapInPandas(scan, ddl)
+
+
+def write_sqlite(df: DataFrame, db_path: str, table: str,
+                 mode: str = "overwrite") -> None:
+    """Small-export sink (wire-COPY parity): SQLite is a single-writer
+    file — collect through Arrow and write in one transaction."""
+    import sqlite3
+
+    pdf = df.toPandas()
+    con = sqlite3.connect(db_path)
+    try:
+        if mode == "overwrite":
+            con.execute(f'DROP TABLE IF EXISTS "{table}"')
+        cols = ", ".join(f'"{c}"' for c in pdf.columns)
+        qs = ", ".join("?" for _ in pdf.columns)
+        con.execute(f'CREATE TABLE IF NOT EXISTS "{table}"'
+                    f" ({cols})")
+        con.executemany(
+            f'INSERT INTO "{table}" VALUES ({qs})',
+            [tuple(None if pd_isna(v) else v for v in row)
+             for row in pdf.itertuples(index=False, name=None)])
+        con.commit()
+    finally:
+        con.close()
+
+
+def pd_isna(v) -> bool:
+    import pandas as pd
+
+    try:
+        return v is None or bool(pd.isna(v))
+    except (TypeError, ValueError):  # arrays/lists
+        return False
+
+
+def read_duckdb(spark: SparkSession, db_path: str,
+                table_or_query: str) -> DataFrame:
+    """A table (or SELECT) from a .duckdb database file, via the bundled
+    duckdb through Arrow. DuckDB files are single-node artifacts, so the
+    driver reads and Spark distributes — import, not federation (the
+    reference's read_duckdb cookbook page is the same shape)."""
+    import duckdb
+
+    con = duckdb.connect(db_path, read_only=True)
+    try:
+        q = (table_or_query if table_or_query.lstrip().upper()
+             .startswith(("SELECT", "WITH")) else
+             f'SELECT * FROM "{table_or_query}"')
+        tbl = con.sql(q).arrow()
+    finally:
+        con.close()
+    return spark.createDataFrame(tbl.to_pandas())
+
+
+def read_http(spark: SparkSession, url: str, fmt: str = "csv",
+              schema: str | None = None, **options) -> DataFrame:
+    """http_import.test: fetch the URL to a local spool file, then
+    read_table. stdlib urllib — no hadoop-http connector needed; for
+    object stores at scale, mount the hadoop connector and read the
+    s3a://... path directly instead."""
+    import tempfile
+    import urllib.request
+
+    suffix = "." + (url.rsplit(".", 1)[-1] if "." in url.rsplit("/", 1)[-1]
+                    else fmt)
+    with urllib.request.urlopen(url) as resp:  # noqa: S310 — caller's URL
+        data = resp.read()
+    tmp = tempfile.NamedTemporaryFile(suffix=suffix, delete=False)
+    tmp.write(data)
+    tmp.close()
+    return read_table(spark, tmp.name, fmt, schema=schema, **options)
+
+
+def write_excel(df: DataFrame, path: str) -> None:
+    """excel_export.test: one-sheet .xlsx (small exports — spreadsheets
+    are not a scale format)."""
+    from serenedb_spark.sources.excel_io import write_xlsx
+
+    rows = [list(r) for r in df.collect()]
+    write_xlsx(path, list(df.columns), rows)
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """excel_import.test: first sheet, header row as column names."""
+    from serenedb_spark.sources.excel_io import read_xlsx
+
+    header, rows = read_xlsx(path)
+    if not header:
+        raise ValueError(f"empty workbook: {path}")
+
+    def _typ(i):
+        for r in rows:
+            v = r[i]
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, int):
+                return "bigint"
+            if isinstance(v, float):
+                return "double"
+            return "string"
+        return "string"
+
+    ddl = ", ".join(f"`{h}` {_typ(i)}" for i, h in enumerate(header))
+    return spark.createDataFrame(rows, ddl)
