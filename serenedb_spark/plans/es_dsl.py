@@ -215,15 +215,40 @@ def _bool_multi_field(idx: InvertedIndex, body: dict[str, Any],
     for _, c in nots:
         docs = docs.join(c.doc_ids, "doc_id", "left_anti")
 
+    # ES bool scoring SUMS the scoring clauses — so all clauses' per-term
+    # contributions union into ONE aggregation keyed doc_id (per-field
+    # stats resolved before the union), left-joined once to the filtered
+    # doc set: one shuffle instead of a left-join chain per clause (the
+    # same redesign multi_match got; a term appearing in two clauses
+    # contributes twice, exactly as two independent clause scores would)
     scored = musts + shoulds
+    from serenedb_spark.operators.scoring import (
+        scored_contributions, scorer_aggregator,
+    )
+
     out = docs.select("doc_id")
-    cols = []
-    for i, (f, c) in enumerate(scored):
-        s = _score(idx, f, c.score_terms, scorer).select(
-            "doc_id", F.col("score").alias(f"c{i}"))
-        out = out.join(s, "doc_id", "left")
-        cols.append(F.coalesce(F.col(f"c{i}"), F.lit(0.0)))
-    total = sum(cols[1:], cols[0]) if cols else F.lit(0.0)
+    if scorer_aggregator(scorer) is not F.sum:
+        # raw_dl's per-clause score is max(contrib), which does not
+        # distribute over the union — keep per-clause scoring there
+        cols = []
+        for i, (f, c) in enumerate(scored):
+            s = _score(idx, f, c.score_terms, scorer).select(
+                "doc_id", F.col("score").alias(f"c{i}"))
+            out = out.join(s, "doc_id", "left")
+            cols.append(F.coalesce(F.col(f"c{i}"), F.lit(0.0)))
+        total = sum(cols[1:], cols[0]) if cols else F.lit(0.0)
+    else:
+        u = None
+        for f, c in scored:
+            p = scored_contributions(idx, f, c.score_terms, scorer) \
+                .select("doc_id", "contrib")
+            u = p if u is None else u.unionByName(p)
+        if u is not None:
+            s = u.groupBy("doc_id").agg(F.sum("contrib").alias("__s"))
+            out = out.join(s, "doc_id", "left")
+            total = F.coalesce(F.col("__s"), F.lit(0.0))
+        else:
+            total = F.lit(0.0)
     return (
         out.select("doc_id", F.round(total, 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
