@@ -728,6 +728,66 @@ class SereneSession:
             m = self._macros_meta_store = {}
         return m
 
+    # ---- transactions (reference: multi-statement strings form an
+    # implicit block mirroring postgres.c, pg_wire_session.cpp:1369-1398;
+    # tests any/pg/txn/). DataFrames are immutable and every DML rebinds
+    # the session's state dicts, so BEGIN snapshots the dict layer and
+    # ROLLBACK restores it — genuine all-or-nothing over any number of
+    # statements, zero data copying.
+    _TXN_STATE = ("_tables", "_pks", "_row_policies", "_column_masks",
+                  "_grants", "_comments", "_checks")
+
+    def begin(self) -> None:
+        """BEGIN: snapshot the session's mutable catalog/data state.
+        Nested blocks are refused exactly as PG warns-and-ignores —
+        except we make it an error rather than silently flattening."""
+        if getattr(self, "_txn_backup", None) is not None:
+            raise ValueError("already inside a transaction block")
+        self._txn_backup = {
+            a: dict(getattr(self, a, {}) or {}) for a in self._TXN_STATE}
+
+    def commit(self) -> None:
+        if getattr(self, "_txn_backup", None) is None:
+            raise ValueError("no transaction in progress")
+        self._txn_backup = None
+
+    def rollback(self) -> None:
+        """ROLLBACK: restore every snapshotted dict and re-register the
+        views whose relations changed."""
+        bak = getattr(self, "_txn_backup", None)
+        if bak is None:
+            raise ValueError("no transaction in progress")
+        changed = {
+            t for t in set(self._tables) | set(bak["_tables"])
+            if self._tables.get(t) is not bak["_tables"].get(t)
+        }
+        for a, snap in bak.items():
+            setattr(self, a, snap)
+        self._txn_backup = None
+        for t in changed:
+            if t in self._tables:
+                self._reregister(t)
+            else:
+                self.spark.catalog.dropTempView(t)
+
+    def transaction(self):
+        """`with ss.transaction():` — commit on success, rollback on
+        exception (the implicit-block convenience)."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            self.begin()
+            try:
+                yield self
+            except BaseException:
+                self.rollback()
+                raise
+            else:
+                self.commit()
+
+        return _cm()
+
     # ---- dynamic SQL table functions (reference query() /
     # query_table(), site_docs/cookbook/sql_features/
     # query_and_query_table_functions.test: run a SQL string / a
