@@ -247,6 +247,11 @@ def _contrib_expr_n(scorer, n_terms_col, params):
 # than the output rounding quantum, so the rounded (score, doc_id) ordering
 # is bit-identical to the unpruned plan.
 
+#: SET sdb_disable_top_k_optimization analogue
+#: (server/query/config_variables.cpp): forces the unpruned plan — the
+#: reference's escape hatch when bound math is suspected, ours too
+DISABLE_TOPK_PRUNING = False
+
 #: per-(index, field) cache of the collected stats rows used for bounds —
 #: index stats are immutable once built (DML produces new InvertedIndex
 #: objects), so the driver pays the tiny collects once, not per query
@@ -326,7 +331,7 @@ def scored_topk(
         .select("doc_id", F.round(F.col("score"), round_to).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id").limit(k)
     )
-    if len(qt) < 2 or len(qt) > 64:
+    if DISABLE_TOPK_PRUNING or len(qt) < 2 or len(qt) > 64:
         return full()
     terms = [t for t, _ in qt]
     boosts = dict(qt)

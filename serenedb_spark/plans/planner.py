@@ -35,6 +35,11 @@ from pyspark.sql import functions as F
 from serenedb_spark.operators.indexing import InvertedIndex
 from serenedb_spark.plans import tsquery as q
 
+#: SET sdb_levenshtein_max_terms analogue (config_variables.cpp): a
+#: session-wide cap on fuzzy dictionary expansion, tightening any
+#: per-node max_terms when set
+LEVENSHTEIN_MAX_TERMS: int | None = None
+
 
 @dataclass
 class CompiledQuery:
@@ -95,7 +100,10 @@ def _expand(idx: InvertedIndex, field: str, node: q.TSQuery) -> DataFrame:
         cand = td.where(
             (F.length("term") >= len(w) - d) & (F.length("term") <= len(w) + d)
         ).where(F.levenshtein(F.col("term"), F.lit(w)) <= d)
-        return cand.orderBy("term").limit(node.max_terms).select("term")
+        cap = node.max_terms
+        if LEVENSHTEIN_MAX_TERMS is not None:
+            cap = min(cap, LEVENSHTEIN_MAX_TERMS)
+        return cand.orderBy("term").limit(cap).select("term")
     if isinstance(node, q.Between):
         c = F.lit(True)
         if node.lo is not None:

@@ -728,6 +728,69 @@ class SereneSession:
             m = self._macros_meta_store = {}
         return m
 
+    # ---- SET/SHOW engine variables (reference
+    # server/query/config_variables.cpp — the sdb_* set). Each name is
+    # validated and type-coerced against its default; the ones with a
+    # live engine knob are WIRED (faults -> maintenance.FAULTS,
+    # log_level -> sparkContext, levenshtein cap -> planner expansion,
+    # top-k pruning toggle -> scoring); the rest are defaults the
+    # facade's operators consult.
+    _VARIABLE_DEFAULTS = {
+        "sdb_faults": "",
+        "sdb_nprobe": 4,
+        "sdb_rerank_factor": 10,
+        "sdb_disable_top_k_optimization": False,
+        "sdb_levenshtein_max_terms": 0,   # 0 = per-node default
+        "sdb_scored_terms_limit": 64,
+        "sdb_ivf_posting_size": 0,
+        "sdb_ivf_sample_factor": 16,
+        "sdb_log_level": "WARN",
+        "sdb_strict_ddl": False,
+    }
+
+    def set_variable(self, name: str, value) -> None:
+        """SET name = value (sdb_* engine variables)."""
+        from serenedb_spark.operators import maintenance as _M
+        from serenedb_spark.operators import scoring as _SC
+        from serenedb_spark.plans import planner as _PL
+
+        if name not in self._VARIABLE_DEFAULTS:
+            raise ValueError(f"unknown variable {name!r}")
+        default = self._VARIABLE_DEFAULTS[name]
+        if isinstance(default, bool):
+            value = (value if isinstance(value, bool)
+                     else str(value).lower() in ("true", "on", "1"))
+        elif isinstance(default, int):
+            value = int(value)
+        else:
+            value = str(value)
+        store = getattr(self, "_variables", None)
+        if store is None:
+            store = self._variables = {}
+        store[name] = value
+        if name == "sdb_faults":
+            _M.FAULTS.clear()
+            _M.FAULTS.update(p for p in value.split(",") if p)
+        elif name == "sdb_log_level":
+            self.spark.sparkContext.setLogLevel(value)
+        elif name == "sdb_levenshtein_max_terms":
+            _PL.LEVENSHTEIN_MAX_TERMS = value or None
+        elif name == "sdb_disable_top_k_optimization":
+            _SC.DISABLE_TOPK_PRUNING = value
+
+    def show_variable(self, name: str):
+        if name not in self._VARIABLE_DEFAULTS:
+            raise ValueError(f"unknown variable {name!r}")
+        return getattr(self, "_variables", {}).get(
+            name, self._VARIABLE_DEFAULTS[name])
+
+    def show_variables(self) -> DataFrame:
+        """SHOW ALL over the sdb_* set (pg_settings carries the Spark
+        conf separately)."""
+        rows = [(n, str(self.show_variable(n)))
+                for n in sorted(self._VARIABLE_DEFAULTS)]
+        return self.spark.createDataFrame(rows, "name string, value string")
+
     # ---- transactions (reference: multi-statement strings form an
     # implicit block mirroring postgres.c, pg_wire_session.cpp:1369-1398;
     # tests any/pg/txn/). DataFrames are immutable and every DML rebinds

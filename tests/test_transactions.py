@@ -101,3 +101,57 @@ def test_failed_statement_inside_block_keeps_block_consistent(ss, spark):
     assert ss.table("nation").count() == n0
     # PK survives: it was set BEFORE the block
     assert getattr(ss, "_pks", {}).get("nation") == "n_nationkey"
+
+
+def test_set_show_variables_wired(ss, spark):
+    """SET/SHOW of the reference's sdb_* variables — the wired ones
+    must actually change engine behavior."""
+    from serenedb_spark.operators import maintenance as M
+    from serenedb_spark.operators import scoring as SC
+    from serenedb_spark.plans import planner as PL
+
+    try:
+        assert ss.show_variable("sdb_nprobe") == 4
+        ss.set_variable("sdb_nprobe", "8")
+        assert ss.show_variable("sdb_nprobe") == 8
+
+        ss.set_variable("sdb_faults", "segment_written,manifest_tmp_written")
+        assert M.FAULTS == {"segment_written", "manifest_tmp_written"}
+        ss.set_variable("sdb_faults", "")
+        assert M.FAULTS == set()
+
+        ss.set_variable("sdb_levenshtein_max_terms", 7)
+        assert PL.LEVENSHTEIN_MAX_TERMS == 7
+        ss.set_variable("sdb_levenshtein_max_terms", 0)
+        assert PL.LEVENSHTEIN_MAX_TERMS is None
+
+        ss.set_variable("sdb_disable_top_k_optimization", "on")
+        assert SC.DISABLE_TOPK_PRUNING is True
+        ss.set_variable("sdb_disable_top_k_optimization", False)
+        assert SC.DISABLE_TOPK_PRUNING is False
+
+        with pytest.raises(ValueError):
+            ss.set_variable("sdb_nope", 1)
+        rows = {r.name: r.value for r in ss.show_variables().collect()}
+        assert rows["sdb_nprobe"] == "8"
+        assert len(rows) == 10
+    finally:
+        M.FAULTS.clear()
+        PL.LEVENSHTEIN_MAX_TERMS = None
+        SC.DISABLE_TOPK_PRUNING = False
+
+
+def test_disable_topk_pruning_same_results(ss, spark):
+    """The toggle must be a pure physical switch: identical top-k either
+    way (pruning is exact by design; this pins the toggle path too)."""
+    from serenedb_spark import queries as Q
+    from serenedb_spark.operators import scoring as SC
+
+    fn = Q.REGISTRY["fts_bm25_topk"].fn
+    a = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    try:
+        ss.set_variable("sdb_disable_top_k_optimization", True)
+        b = [tuple(r) for r in fn(spark, SF_DIR).collect()]
+    finally:
+        SC.DISABLE_TOPK_PRUNING = False
+    assert a == b
