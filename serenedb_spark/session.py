@@ -468,6 +468,50 @@ class SereneSession:
             "oid int, proname string, pronargs int, proretset boolean",
         ).where(F.col("oid") != 0).createOrReplaceTempView("pg_proc")
 
+        # the static/one-row relations psql's \l, \dv, \ds, \dx hit
+        spark.createDataFrame(
+            [(1, "serene", 10, "UTF8")],
+            "oid int, datname string, datdba int, encoding string",
+        ).createOrReplaceTempView("pg_database")
+        spark.createDataFrame(
+            [(2, "heap"), (403, "btree"), (16384, "inverted")],
+            "oid int, amname string",
+        ).createOrReplaceTempView("pg_am")
+        seqs = [
+            (name, st["current"], st["increment"], st["min"], st["max"],
+             st["cycle"])
+            for name, st in getattr(self.sequences, "_seqs", {}).items()
+        ]
+        spark.createDataFrame(
+            seqs or [("", 0, 0, 0, 0, False)],
+            "sequencename string, last_value long, increment_by long,"
+            " min_value long, max_value long, cycle boolean",
+        ).where(F.col("sequencename") != "").createOrReplaceTempView(
+            "pg_sequences")
+        views = [(n,) for n in sorted(getattr(self, "_view_defs", {}))]
+        spark.createDataFrame(
+            views or [("",)], "viewname string",
+        ).where(F.col("viewname") != "").selectExpr(
+            "'public' AS schemaname", "viewname",
+        ).createOrReplaceTempView("pg_views")
+        spark.createDataFrame(
+            [(16384, "serene_spark", "1.0")],
+            "oid int, extname string, extversion string",
+        ).createOrReplaceTempView("pg_extension")
+        spark.createDataFrame(
+            [(100, "default", "libc"), (950, "C", "libc")],
+            "oid int, collname string, collprovider string",
+        ).createOrReplaceTempView("pg_collation")
+        # n_live_tup stays -1 (unknown) rather than forcing a count job
+        # per table at catalog-install time — PG's own numbers are also
+        # estimates, refreshed by ANALYZE, not reads
+        stat = [(self.relid(t), t, -1.0) for t in self._tables]
+        spark.createDataFrame(
+            stat or [(0, "", 0.0)],
+            "relid int, relname string, n_live_tup double",
+        ).where(F.col("relid") != 0).createOrReplaceTempView(
+            "pg_stat_user_tables")
+
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:
         """PG has_table_privilege over the session GRANT state."""
@@ -864,6 +908,24 @@ class SereneSession:
             raise ValueError(
                 f"query() only accepts SELECT statements, got {head!r}")
         return self.sql(sql)
+
+    def create_view(self, name: str, query_or_df) -> DataFrame:
+        """CREATE VIEW: register a named relation (SQL string or
+        DataFrame) — tracked in the catalog (pg_views) and queryable via
+        table()/sql()/query_table()."""
+        df = (self.sql(query_or_df) if isinstance(query_or_df, str)
+              else query_or_df)
+        df.createOrReplaceTempView(name)
+        vd = getattr(self, "_view_defs", None)
+        if vd is None:
+            vd = self._view_defs = {}
+        vd[name] = (query_or_df if isinstance(query_or_df, str)
+                    else "<dataframe>")
+        return df
+
+    def drop_view(self, name: str) -> None:
+        getattr(self, "_view_defs", {}).pop(name, None)
+        self.spark.catalog.dropTempView(name)
 
     def query_table(self, name: str | list) -> DataFrame:
         """query_table('name' | ['schema','name']): a table whose NAME is

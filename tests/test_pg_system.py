@@ -225,3 +225,36 @@ def test_query_and_query_table_functions(ss):
         ss.query("DELETE FROM orders")
     with pytest.raises(ValueError):
         ss.query_table(["other_schema", "orders"])
+
+
+def test_pg_catalog_second_tier(ss):
+    """pg_database / pg_am / pg_views / pg_sequences / pg_extension /
+    pg_collation / pg_stat_user_tables — the psql \\l, \\dv, \\ds, \\dx
+    surfaces."""
+    ss.create_sequence("ticket", start=5, increment=2)
+    ss.nextval("ticket")
+    ss.create_view("big_orders",
+                   "SELECT * FROM orders WHERE o_totalprice > 1000")
+    ss.install_pg_catalog()
+
+    assert ss.sql("SELECT datname FROM pg_database").first().datname \
+        == "serene"
+    ams = {r.amname for r in ss.sql("SELECT amname FROM pg_am").collect()}
+    assert {"heap", "inverted"} <= ams
+    v = ss.sql("SELECT schemaname, viewname FROM pg_views").first()
+    assert (v.schemaname, v.viewname) == ("public", "big_orders")
+    s = ss.sql("""
+        SELECT last_value, increment_by, cycle FROM pg_sequences
+        WHERE sequencename = 'ticket'
+    """).first()
+    assert (s.last_value, s.increment_by, s.cycle) == (5, 2, False)
+    assert ss.sql("SELECT extname FROM pg_extension").first().extname \
+        == "serene_spark"
+    assert ss.sql("SELECT count(*) AS n FROM pg_collation").first().n >= 2
+    stat = {r.relname: r.n_live_tup for r in ss.sql(
+        "SELECT relname, n_live_tup FROM pg_stat_user_tables").collect()}
+    assert "orders" in stat  # estimates unknown (-1) until ANALYZE
+
+    ss.drop_view("big_orders")
+    ss.install_pg_catalog()
+    assert ss.sql("SELECT count(*) AS n FROM pg_views").first().n == 0
