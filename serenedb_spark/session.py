@@ -774,11 +774,15 @@ class SereneSession:
 
     # ---- SET/SHOW engine variables (reference
     # server/query/config_variables.cpp — the sdb_* set). Each name is
-    # validated and type-coerced against its default; the ones with a
-    # live engine knob are WIRED (faults -> maintenance.FAULTS,
+    # validated and type-coerced against its default; four have a live
+    # engine knob and are WIRED (faults -> maintenance.FAULTS,
     # log_level -> sparkContext, levenshtein cap -> planner expansion,
-    # top-k pruning toggle -> scoring); the rest are defaults the
-    # facade's operators consult.
+    # top-k pruning toggle -> scoring). The remaining six are validated
+    # session state only — their operators take the value as an explicit
+    # parameter (nprobe/rerank_factor/posting_size/sample_factor on the
+    # similarity builders, scored_terms_limit on scored_topk's 64-term
+    # bound, strict_ddl on ALTER) and callers read the variable when they
+    # want the session default.
     _VARIABLE_DEFAULTS = {
         "sdb_faults": "",
         "sdb_nprobe": 4,
