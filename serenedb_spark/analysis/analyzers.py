@@ -953,6 +953,19 @@ def make_pipeline(name: str, base: str, filters: tuple[str, ...]) -> "Analyzer":
 register(Analyzer("keyword", _keyword_expr, _keyword_py, _keyword_duckdb,
                   features=("frequency",)))
 register(Analyzer("simple", _simple_expr, _simple_py, _simple_duckdb))
+# `array`: index an array<string> column DIRECTLY — each element is one
+# term, element order is the position stream, so phrase/slop queries mean
+# adjacency in the array (reference indexes list columns the same way,
+# tests inverted_index_array_include/_direct_list_array). The Python side
+# accepts a list (query literals) or a single string (one term).
+register(Analyzer(
+    "array",
+    lambda col: F.filter(col, lambda t: t.isNotNull()),
+    lambda v: ([t for t in v if t is not None]
+               if isinstance(v, (list, tuple)) else [v]),
+    lambda e: f"list_filter({e}, t -> t IS NOT NULL)",
+    features=("frequency", "position", "array_input"),
+))
 # `text` stems by default like the reference (create_tsdictionary.cpp:261);
 # the unstemmed variant stays available as text_nostem
 register(Analyzer("text", _text_expr, _text_py, _text_duckdb))

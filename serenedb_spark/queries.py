@@ -4878,6 +4878,36 @@ ORDER BY doc_id
 """)
 
 
+_ARRAY_IDX_CACHE: dict = {}
+
+
+def _fts_array_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index an ARRAY column directly (reference list-column indexing,
+    inverted_index_array_include/_direct_list_array): elements are terms,
+    element order is the position stream — a phrase query over the array
+    means adjacency. The array here is the simple analyzer's own token
+    output, so the oracle is the ordinary text phrase match: the two
+    index paths must be indistinguishable."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    ck = (id(spark), sf_dir)
+    if ck not in _ARRAY_IDX_CACHE:
+        arr = F.filter(F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                       lambda t: t != F.lit(""))
+        idx = build_index(docs, {"tags": "array"}, key="doc_id",
+                          exprs={"tags": arr}, name="doc_tags")
+        idx.postings.persist()
+        _ARRAY_IDX_CACHE[ck] = idx
+    idx = _ARRAY_IDX_CACHE[ck]
+    hits = compile_query(idx, "tags",
+                         q.Phrase(["table", "scan"])).doc_ids
+    return hits.orderBy("doc_id")
+
+
+_register("fts_array_column", _fts_array_column,
+          O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN,
+                      q.Phrase(["table", "scan"]), order="doc_id"))
+
+
 # --------------------------------------------------------------------------
 # dynamic SQL table functions + catalog introspection (new in r7)
 # --------------------------------------------------------------------------

@@ -32,6 +32,9 @@ SAMPLES = [
 @pytest.mark.parametrize("name", sorted(analyzers()))
 def test_three_way_consistency(name, spark):
     an = analyzers()[name]
+    if "array_input" in an.features:
+        pytest.skip("array-input analyzer — covered by "
+                    "test_array_analyzer_three_way")
     con = duckdb.connect()
     df = spark.createDataFrame([(i, s) for i, s in enumerate(SAMPLES)], "i long, s string")
     spark_rows = {
@@ -50,7 +53,34 @@ def test_three_way_consistency(name, spark):
 
 def test_null_handling(spark):
     for name, an in analyzers().items():
-        df = spark.createDataFrame([(1, None)], "i long, s string")
+        if "array_input" in an.features:
+            df = spark.createDataFrame([(1, None)],
+                                       "i long, s array<string>")
+        else:
+            df = spark.createDataFrame([(1, None)], "i long, s string")
         row = df.select(an.expr(df.s).alias("t")).collect()[0]
         # NULL input must never produce tokens (3VL soundness upstream)
         assert row.t is None or row.t == [], (name, row.t)
+
+
+def test_array_analyzer_three_way(spark):
+    """The `array` analyzer indexes an array<string> column directly:
+    elements are terms (NULL elements dropped), element order is the
+    position stream — all three representations agree on array input."""
+    import duckdb as _dd
+
+    an = analyzers()["array"]
+    samples = [["a", "b", "a"], [], ["x"], ["q", None, "r"], None]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)],
+        "i long, s array<string>")
+    got = {r.i: (list(r.t) if r.t is not None else None)
+           for r in df.select("i", an.expr(df.s).alias("t")).collect()}
+    assert got[0] == ["a", "b", "a"] and got[1] == [] and got[2] == ["x"]
+    assert got[3] == ["q", "r"] and got[4] is None
+    assert an.tokens(["q", None, "r"]) == ["q", "r"]
+    assert an.tokens("single") == ["single"]
+    con = _dd.connect()
+    dk = con.sql("SELECT " + an.duckdb("['q', NULL, 'r']")
+                 + " AS t").fetchone()[0]
+    assert list(dk) == ["q", "r"]
