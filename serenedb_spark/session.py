@@ -575,7 +575,15 @@ class SereneSession:
     def alter_add_column(self, table: str, name: str, expr,
                          default=None) -> None:
         """ADD COLUMN name AS expr (a Column or SQL string); `default`
-        instead of `expr` adds a constant column (SET DEFAULT shape)."""
+        instead of `expr` adds a constant column (SET DEFAULT shape).
+        Under SET sdb_strict_ddl = on, adding a column that already
+        exists is an ERROR (PG semantics) instead of withColumn's silent
+        replace."""
+        if (self.show_variable("sdb_strict_ddl")
+                and name in self._tables[table].columns):
+            raise ValueError(
+                f"column {name!r} of {table!r} already exists "
+                "(sdb_strict_ddl = on)")
         if expr is None:
             col = F.lit(default)
         elif isinstance(expr, str):

@@ -155,3 +155,17 @@ def test_disable_topk_pruning_same_results(ss, spark):
     finally:
         SC.DISABLE_TOPK_PRUNING = False
     assert a == b
+
+
+def test_strict_ddl_variable(ss, spark):
+    """sdb_strict_ddl = on makes duplicate ADD COLUMN an error (PG
+    semantics) instead of a silent replace."""
+    ss.alter_add_column("nation", "extra", None, default=1)
+    ss.alter_add_column("nation", "extra", None, default=2)  # lax: replace
+    assert ss.table("nation").select("extra").first().extra == 2
+    ss.set_variable("sdb_strict_ddl", True)
+    try:
+        with pytest.raises(ValueError):
+            ss.alter_add_column("nation", "extra", None, default=3)
+    finally:
+        ss.set_variable("sdb_strict_ddl", False)
