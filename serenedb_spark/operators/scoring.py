@@ -252,6 +252,10 @@ def _contrib_expr_n(scorer, n_terms_col, params):
 #: reference's escape hatch when bound math is suspected, ours too
 DISABLE_TOPK_PRUNING = False
 
+#: SET sdb_scored_terms_limit analogue: expansions wider than this skip
+#: bound computation (driver-side per-term stats stop paying off)
+SCORED_TERMS_LIMIT = 64
+
 #: per-(index, field) cache of the collected stats rows used for bounds —
 #: index stats are immutable once built (DML produces new InvertedIndex
 #: objects), so the driver pays the tiny collects once, not per query
@@ -331,7 +335,7 @@ def scored_topk(
         .select("doc_id", F.round(F.col("score"), round_to).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id").limit(k)
     )
-    if DISABLE_TOPK_PRUNING or len(qt) < 2 or len(qt) > 64:
+    if DISABLE_TOPK_PRUNING or len(qt) < 2 or len(qt) > SCORED_TERMS_LIMIT:
         return full()
     terms = [t for t, _ in qt]
     boosts = dict(qt)

@@ -782,15 +782,15 @@ class SereneSession:
 
     # ---- SET/SHOW engine variables (reference
     # server/query/config_variables.cpp — the sdb_* set). Each name is
-    # validated and type-coerced against its default; four have a live
+    # validated and type-coerced against its default; six have a live
     # engine knob and are WIRED (faults -> maintenance.FAULTS,
     # log_level -> sparkContext, levenshtein cap -> planner expansion,
-    # top-k pruning toggle -> scoring). The remaining six are validated
-    # session state only — their operators take the value as an explicit
-    # parameter (nprobe/rerank_factor/posting_size/sample_factor on the
-    # similarity builders, scored_terms_limit on scored_topk's 64-term
-    # bound, strict_ddl on ALTER) and callers read the variable when they
-    # want the session default.
+    # top-k pruning toggle + scored_terms_limit -> scoring,
+    # strict_ddl -> ALTER duplicate-column errors). The remaining four
+    # (nprobe/rerank_factor/ivf_posting_size/ivf_sample_factor) are
+    # validated session state — the similarity builders take them as
+    # explicit parameters and callers read the variable when they want
+    # the session default.
     _VARIABLE_DEFAULTS = {
         "sdb_faults": "",
         "sdb_nprobe": 4,
@@ -833,6 +833,8 @@ class SereneSession:
             _PL.LEVENSHTEIN_MAX_TERMS = value or None
         elif name == "sdb_disable_top_k_optimization":
             _SC.DISABLE_TOPK_PRUNING = value
+        elif name == "sdb_scored_terms_limit":
+            _SC.SCORED_TERMS_LIMIT = value
 
     def show_variable(self, name: str):
         if name not in self._VARIABLE_DEFAULTS:

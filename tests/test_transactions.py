@@ -169,3 +169,13 @@ def test_strict_ddl_variable(ss, spark):
             ss.alter_add_column("nation", "extra", None, default=3)
     finally:
         ss.set_variable("sdb_strict_ddl", False)
+
+
+def test_scored_terms_limit_variable(ss):
+    from serenedb_spark.operators import scoring as SC
+
+    try:
+        ss.set_variable("sdb_scored_terms_limit", 8)
+        assert SC.SCORED_TERMS_LIMIT == 8
+    finally:
+        SC.SCORED_TERMS_LIMIT = 64
