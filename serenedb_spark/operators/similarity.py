@@ -94,8 +94,15 @@ def ivf_build(
     metric: str = "cosine",
     seed: int = 42,
     max_iter: int = 20,
+    train_sample_factor: int | None = None,
 ) -> IVFIndex:
-    """KMeans (MLlib, fixed seed) → centroid assignment column."""
+    """KMeans (MLlib, fixed seed) → centroid assignment column.
+
+    ``train_sample_factor`` (the reference's SET sdb_ivf_sample_factor):
+    fit the centroids on a deterministic sample of ~nlist × factor rows
+    instead of the full corpus — at 100 TB the KMeans fit must sample
+    (assignment still covers every row). None keeps full-corpus training
+    (the oracle-gated small-SF behavior)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
@@ -106,8 +113,15 @@ def ivf_build(
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
         ).alias("__features"),
     )
+    train = feat
+    if train_sample_factor is not None:
+        target = nlist * train_sample_factor
+        n = df.count()
+        if n > target:
+            train = feat.sample(fraction=min(1.0, target / n * 1.2),
+                                seed=seed).limit(target)
     km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="__features")
-    model = km.fit(feat)
+    model = km.fit(train)
     assigned = model.transform(feat).select(
         id_col, vec_col, F.col(model.getPredictionCol()).alias("centroid_id")
     )

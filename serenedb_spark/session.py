@@ -243,6 +243,57 @@ class SereneSession:
         return knn_exact(df, vec_col, query_vec, k=k, metric=metric,
                          id_col=id_col)
 
+    def create_ann_index(self, table: str | DataFrame,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         nlist: int | None = None,
+                         quant: str | None = None,
+                         metric: str = "cosine"):
+        """CREATE INDEX USING ivf [quant=sq8] (reference ivf opclass).
+        The SET variables supply the session defaults: nlist derives
+        from sdb_ivf_posting_size (target rows per posting list) when
+        not given, and the KMeans fit samples ~nlist ×
+        sdb_ivf_sample_factor rows — full-corpus training does not
+        survive 100 TB. Returns the index handle (ivf) or (ivf, sq8)."""
+        from serenedb_spark.operators import similarity as SIM
+
+        df = self.table(table) if isinstance(table, str) else table
+        if nlist is None:
+            psize = self.show_variable("sdb_ivf_posting_size")
+            if psize > 0:
+                nlist = max(1, -(-df.count() // psize))
+            else:
+                nlist = 16
+        factor = self.show_variable("sdb_ivf_sample_factor")
+        if quant == "sq8":
+            sq = SIM.SQ8.train(df, vec_col)
+            ivf = SIM.ivf_build(df, vec_col, id_col, nlist=nlist,
+                                metric=metric,
+                                train_sample_factor=factor or None)
+            ivf.assigned = ivf.assigned.withColumn(
+                "codes", sq.encode_col(F.col(vec_col)))
+            return ivf, sq
+        if quant is not None:
+            raise ValueError(f"unknown quant {quant!r}")
+        return SIM.ivf_build(df, vec_col, id_col, nlist=nlist,
+                             metric=metric,
+                             train_sample_factor=factor or None)
+
+    def ann_search(self, index, query_vec, k: int = 10,
+                   nprobe: int | None = None,
+                   rerank_factor: int | None = None) -> DataFrame:
+        """Probe an ANN index from create_ann_index; nprobe defaults to
+        SET sdb_nprobe, the SQ8 rerank width to SET sdb_rerank_factor."""
+        from serenedb_spark.operators import similarity as SIM
+
+        nprobe = nprobe or self.show_variable("sdb_nprobe")
+        if isinstance(index, tuple):
+            ivf, sq = index
+            rf = rerank_factor or self.show_variable("sdb_rerank_factor")
+            return SIM.ivf_sq8_search(ivf, sq, query_vec, k=k,
+                                      nprobe=nprobe, rerank_factor=rf)
+        return SIM.ivf_search(index, query_vec, k=k, nprobe=nprobe)
+
     def dedup(self, table: str | DataFrame, method: str = "exact",
               text_col: str = "text", id_col: str = "doc_id", **kw) -> DataFrame:
         from serenedb_spark.operators import dedup as DD

@@ -179,3 +179,36 @@ def test_scored_terms_limit_variable(ss):
         assert SC.SCORED_TERMS_LIMIT == 8
     finally:
         SC.SCORED_TERMS_LIMIT = 64
+
+
+def test_ann_facade_consults_variables(spark):
+    """create_ann_index/ann_search read the session's sdb_* ANN
+    variables: nlist from posting size, sampled KMeans training, nprobe
+    + rerank defaults — and a full-probe search equals exact knn."""
+    from serenedb_spark.operators import similarity as SIM
+    from serenedb_spark.session import SereneSession
+
+    ss2 = SereneSession(spark)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ss2._tables["embeddings"] = emb
+    emb.createOrReplaceTempView("embeddings")
+
+    ss2.set_variable("sdb_ivf_posting_size", 100)
+    ss2.set_variable("sdb_ivf_sample_factor", 8)
+    ss2.set_variable("sdb_nprobe", 4)
+    n = emb.count()
+    idx = ss2.create_ann_index("embeddings")
+    assert len(idx.centroids) == -(-n // 100)  # nlist = ceil(n/posting)
+    # every row assigned even though training sampled
+    assert idx.assigned.count() == n
+
+    q = list(emb.first()["embedding"])
+    got = ss2.ann_search(idx, q, k=5,
+                         nprobe=len(idx.centroids))  # full probe
+    exact = SIM.knn_exact(emb, "embedding", q, k=5, metric="cosine")
+    assert [r.vec_id for r in got.collect()] \
+        == [r.vec_id for r in exact.collect()]
+
+    ivf_sq = ss2.create_ann_index("embeddings", quant="sq8", nlist=4)
+    top = ss2.ann_search(ivf_sq, q, k=5).collect()
+    assert len(top) == 5 and top[0].vec_id == emb.first()["vec_id"]
