@@ -833,15 +833,13 @@ class SereneSession:
 
     # ---- SET/SHOW engine variables (reference
     # server/query/config_variables.cpp — the sdb_* set). Each name is
-    # validated and type-coerced against its default; six have a live
-    # engine knob and are WIRED (faults -> maintenance.FAULTS,
-    # log_level -> sparkContext, levenshtein cap -> planner expansion,
-    # top-k pruning toggle + scored_terms_limit -> scoring,
-    # strict_ddl -> ALTER duplicate-column errors). The remaining four
-    # (nprobe/rerank_factor/ivf_posting_size/ivf_sample_factor) are
-    # validated session state — the similarity builders take them as
-    # explicit parameters and callers read the variable when they want
-    # the session default.
+    # validated and type-coerced against its default, and every one has
+    # a live consumer: faults -> maintenance.FAULTS, log_level ->
+    # sparkContext, levenshtein cap -> planner expansion, top-k pruning
+    # toggle + scored_terms_limit -> scoring, strict_ddl -> ALTER
+    # duplicate-column errors, and the four ANN knobs (nprobe /
+    # rerank_factor / ivf_posting_size / ivf_sample_factor) -> the
+    # create_ann_index/ann_search facade defaults.
     _VARIABLE_DEFAULTS = {
         "sdb_faults": "",
         "sdb_nprobe": 4,
