@@ -398,10 +398,12 @@ class SereneSession:
         ).createOrReplaceTempView("pg_namespace")
 
         classes, attrs, depth = [], [], {}
+        _an_stats = getattr(self, "_analyze_stats", {})
         for name in sorted(self._tables):
             df = self._tables[name]
             rid = self.relid(name)
-            classes.append((rid, name, 2200, "r", len(df.dtypes), -1.0))
+            classes.append((rid, name, 2200, "r", len(df.dtypes),
+                            _an_stats.get(name, -1.0)))
             for i, (c, typ) in enumerate(df.dtypes, start=1):
                 pg_t = format_type(typ)
                 attrs.append((rid, c, i,
@@ -553,10 +555,12 @@ class SereneSession:
             [(100, "default", "libc"), (950, "C", "libc")],
             "oid int, collname string, collprovider string",
         ).createOrReplaceTempView("pg_collation")
-        # n_live_tup stays -1 (unknown) rather than forcing a count job
-        # per table at catalog-install time — PG's own numbers are also
+        # n_live_tup stays -1 (unknown) until ANALYZE records it — no
+        # count job at catalog-install time; PG's own numbers are also
         # estimates, refreshed by ANALYZE, not reads
-        stat = [(self.relid(t), t, -1.0) for t in self._tables]
+        counts = getattr(self, "_analyze_stats", {})
+        stat = [(self.relid(t), t, counts.get(t, -1.0))
+                for t in self._tables]
         spark.createDataFrame(
             stat or [(0, "", 0.0)],
             "relid int, relname string, n_live_tup double",
@@ -971,6 +975,18 @@ class SereneSession:
             raise ValueError(
                 f"query() only accepts SELECT statements, got {head!r}")
         return self.sql(sql)
+
+    def analyze(self, table: str | None = None) -> None:
+        """ANALYZE [table]: refresh row-count statistics (one count job
+        per analyzed table, by explicit request only) — surfaces in
+        pg_stat_user_tables.n_live_tup and pg_class.reltuples on the
+        next install_pg_catalog (reference ddl/analyze_vacuum.test)."""
+        stats = getattr(self, "_analyze_stats", None)
+        if stats is None:
+            stats = self._analyze_stats = {}
+        names = [table] if table is not None else list(self._tables)
+        for t in names:
+            stats[t] = float(self._tables[t].count())
 
     def create_view(self, name: str, query_or_df) -> DataFrame:
         """CREATE VIEW: register a named relation (SQL string or

@@ -258,3 +258,28 @@ def test_pg_catalog_second_tier(ss):
     ss.drop_view("big_orders")
     ss.install_pg_catalog()
     assert ss.sql("SELECT count(*) AS n FROM pg_views").first().n == 0
+
+
+def test_analyze_refreshes_stats(ss):
+    """ANALYZE fills pg_stat_user_tables.n_live_tup and
+    pg_class.reltuples; unanalyzed tables stay at -1."""
+    ss.install_pg_catalog()
+    before = ss.sql("""
+        SELECT n_live_tup FROM pg_stat_user_tables
+        WHERE relname = 'orders'""").first().n_live_tup
+    assert before == -1.0
+    ss.analyze("orders")
+    ss.install_pg_catalog()
+    n = ss._tables["orders"].count()
+    got = ss.sql("""
+        SELECT n_live_tup FROM pg_stat_user_tables
+        WHERE relname = 'orders'""").first().n_live_tup
+    assert got == float(n)
+    rel = ss.sql(
+        "SELECT reltuples FROM pg_class WHERE relname = 'orders'"
+    ).first().reltuples
+    assert rel == float(n)
+    other = ss.sql("""
+        SELECT n_live_tup FROM pg_stat_user_tables
+        WHERE relname = 'documents'""").first().n_live_tup
+    assert other == -1.0
