@@ -908,7 +908,7 @@ class SereneSession:
     # the session's state dicts, so BEGIN snapshots the dict layer and
     # ROLLBACK restores it — genuine all-or-nothing over any number of
     # statements, zero data copying.
-    _TXN_STATE = ("_tables", "_pks", "_row_policies", "_column_masks",
+    _TXN_STATE = ("_tables", "_pks", "_row_policies", "_col_masks",
                   "_grants", "_comments", "_checks")
 
     def begin(self) -> None:
@@ -975,6 +975,50 @@ class SereneSession:
             raise ValueError(
                 f"query() only accepts SELECT statements, got {head!r}")
         return self.sql(sql)
+
+    def create_table(self, name: str, df: DataFrame,
+                     or_replace: bool = False) -> None:
+        """CREATE [OR REPLACE] TABLE from a DataFrame. Replacing CASCADES
+        like the reference (ddl/create_or_replace_cascade.test): the old
+        table's indexes, PK, CHECKs, comment, masks, policies and
+        ANALYZE stats drop with it — they described the replaced
+        relation, not the new one."""
+        if name in self._tables and not or_replace:
+            raise ValueError(f"table {name!r} already exists "
+                             "(use or_replace=True)")
+        if name in self._tables and or_replace:
+            for iname, src in list(getattr(self, "_index_sources",
+                                           {}).items()):
+                if src == name:
+                    self._indexes.pop(iname, None)
+                    self._index_sources.pop(iname, None)
+            getattr(self, "_pks", {}).pop(name, None)
+            getattr(self, "_checks", {}).pop(name, None)
+            getattr(self, "_comments", {}).pop(name, None)
+            getattr(self, "_analyze_stats", {}).pop(name, None)
+            getattr(self, "_col_masks", {}).pop(name, None)
+            self._row_policies.pop(name, None)
+        self._tables[name] = df
+        self._reregister(name)
+
+    def drop_table(self, name: str, cascade: bool = False) -> None:
+        """DROP TABLE: refuses while dependent indexes exist unless
+        CASCADE (reference drop_cascade_* semantics)."""
+        deps = [i for i, src in getattr(self, "_index_sources",
+                                        {}).items() if src == name]
+        if deps and not cascade:
+            raise ValueError(
+                f"cannot drop {name!r}: indexes depend on it "
+                f"({', '.join(sorted(deps))}) — use cascade=True")
+        for i in deps:
+            self._indexes.pop(i, None)
+            self._index_sources.pop(i, None)
+        self._tables.pop(name, None)
+        for store in ("_pks", "_checks", "_comments", "_analyze_stats"):
+            getattr(self, store, {}).pop(name, None)
+        getattr(self, "_col_masks", {}).pop(name, None)
+        self._row_policies.pop(name, None)
+        self.spark.catalog.dropTempView(name)
 
     def analyze(self, table: str | None = None) -> None:
         """ANALYZE [table]: refresh row-count statistics (one count job

@@ -212,3 +212,45 @@ def test_ann_facade_consults_variables(spark):
     ivf_sq = ss2.create_ann_index("embeddings", quant="sq8", nlist=4)
     top = ss2.ann_search(ivf_sq, q, k=5).collect()
     assert len(top) == 5 and top[0].vec_id == emb.first()["vec_id"]
+
+
+def test_create_or_replace_and_drop_cascade(ss, spark):
+    """CREATE OR REPLACE TABLE cascades the old relation's dependents
+    (indexes/PK/CHECK/comment/stats); DROP refuses with dependents
+    unless CASCADE (reference create_or_replace_cascade + drop_cascade
+    tests)."""
+    df1 = spark.createDataFrame([(1, "alpha text")], "doc_id long, text string")
+    ss.create_table("scratch", df1)
+    with pytest.raises(ValueError):
+        ss.create_table("scratch", df1)  # exists, no or_replace
+    ss.create_index("scratch", {"text": "simple"}, key="doc_id",
+                    name="scratch_idx")
+    ss.set_primary_key("scratch", "doc_id")
+    ss.comment_on("scratch", "temp")
+
+    df2 = spark.createDataFrame([(7, 1.5)], "id long, v double")
+    ss.create_table("scratch", df2, or_replace=True)
+    assert "scratch_idx" not in ss._indexes          # cascaded
+    assert getattr(ss, "_pks", {}).get("scratch") is None
+    assert ss.get_comment("scratch") is None
+    assert ss.table("scratch").columns == ["id", "v"]
+    assert ss.sql("SELECT * FROM scratch").first().id == 7
+
+    ss.create_index("scratch", {"v": "keyword"}, key="id",
+                    name="scratch_idx2")
+    with pytest.raises(ValueError):
+        ss.drop_table("scratch")                     # dependent index
+    ss.drop_table("scratch", cascade=True)
+    assert "scratch" not in ss._tables
+    assert "scratch_idx2" not in ss._indexes
+
+
+def test_rollback_restores_column_masks(ss):
+    """The txn snapshot must cover the REAL mask store (_col_masks — a
+    prior snapshot listed a misspelled attribute and silently skipped
+    masks)."""
+    ss.begin()
+    ss.set_column_mask("nation", "n_name", "NULL")
+    assert ss.table("nation").first().n_name is None
+    ss.rollback()
+    assert ss.table("nation").first().n_name is not None
