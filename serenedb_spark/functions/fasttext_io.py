@@ -51,10 +51,16 @@ LOSS_SOFTMAX = 3
 
 
 def _fnv1a(s: str) -> int:
-    """fastText's subword hash (FNV-1a over utf-8 bytes, 32-bit)."""
+    """fastText's subword hash: FNV-1a over utf-8 bytes, 32-bit, with
+    each byte SIGN-EXTENDED before the xor (dictionary.cc hashes
+    ``uint32_t(int8_t(b))``), so bytes >= 0x80 xor as 0xFFFFFF80..FF —
+    required for bucket rows to match real models on non-ASCII
+    n-grams."""
     h = 2166136261
     for b in s.encode("utf-8"):
-        h = (h ^ b) & 0xFFFFFFFF
+        if b >= 0x80:
+            b -= 256
+        h = (h ^ (b & 0xFFFFFFFF)) & 0xFFFFFFFF
         h = (h * 16777619) & 0xFFFFFFFF
     return h
 
@@ -209,7 +215,11 @@ class FastTextModel:
         z = sum(exps)
         probs = [e / z for e in exps]
         order = sorted(range(len(probs)), key=lambda j: -probs[j])[:k]
-        return ([f"__label__{self.labels[j]}" for j in order],
+        # labels are returned VERBATIM from the dictionary: real models
+        # already store them with the __label__ prefix included (the
+        # training corpus carries it), so prepending another here would
+        # yield '__label____label__x' for genuinely-trained models.
+        return ([self.labels[j] for j in order],
                 [probs[j] for j in order])
 
     def get_nearest_neighbors(self, word: str,
@@ -239,7 +249,9 @@ def write_model(path: str, dim: int, words: dict, labels: dict,
     would emit for a tiny corpus, with vectors chosen instead of
     trained). words/labels: {token: count}; input_rows: {token: vector}
     for word rows (bucket rows zero-filled); output_rows: one vector per
-    label (sup) in label order."""
+    label (sup) in label order. Label tokens are written WITH the
+    __label__ prefix (added here when absent) because that is what real
+    fastText dictionaries store — the training corpus includes it."""
     buf = bytearray()
     buf += struct.pack("<2i", FASTTEXT_MAGIC, FASTTEXT_VERSION)
     buf += struct.pack("<12i", dim, 5, 5, 1, 5, 1, loss, model,
@@ -247,7 +259,9 @@ def write_model(path: str, dim: int, words: dict, labels: dict,
     buf += struct.pack("<d", 1e-4)
 
     entries = ([(w, c, 0) for w, c in words.items()]
-               + [(lb, c, 1) for lb, c in labels.items()])
+               + [(lb if lb.startswith("__label__")
+                   else f"__label__{lb}", c, 1)
+                  for lb, c in labels.items()])
     buf += struct.pack("<3i", len(entries), len(words), len(labels))
     buf += struct.pack("<q", sum(c for _, c, _ in entries))
     buf += struct.pack("<q", 0)  # pruneidx_size

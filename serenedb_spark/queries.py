@@ -5037,43 +5037,55 @@ _register(
 #: Every query, windowed or not, still runs in tests/test_differential.py
 #: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
-    # --- the 13 never-driver-sampled queries (r6 verdict rotation list) ---
-    "dedup_clusters", "dedup_keep_canonical",
-    "float_special_battery", "interval_battery", "timezone_battery",
-    "fts_stemmed_term_it", "fts_stemmed_term_pt", "fts_stemmed_term_nl",
-    "fts_stemmed_term_sv", "fts_stemmed_term_da", "fts_stemmed_term_no",
-    "text_gopher_rules", "tpch_q11_important_stock",
-    # --- re-gates: implementation + oracle changed this round -------------
-    "text_chunk", "text_redact_pii",
-    # --- re-gate: es_multi_match redesigned (single shared postings scan) -
-    "es_multi_match",
-    # --- new-in-r7 queries (slots swapped in as they land) -----------------
-    "fts_stemmed_term_fi", "fts_stemmed_term_hu", "fts_stemmed_term_tr",
-    "fts_stemmed_term_ro", "fts_stemmed_term_el",
-    "geo_concave_polygon", "geo_multiring_polygon",
-    "query_table_dynamic", "query_table_union",
-    "vec_rabitq_highdim", "text_chunk_short_docs",
-    "es_dis_max", "fts_sentence_seg_multilingual",
+    # --- the 5 never-driver-sampled queries (r7 verdict rotation list) ----
+    "events_asof_agg", "skew_salted_join", "fts_array_column",
+    "cookbook_search_with_joins", "cookbook_indexing_views",
+    # --- new-in-r8 queries (slots swapped in as they land) -----------------
+    "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
+    "vec_rabitq_middim", "geo_polygon_vs_polygon",
+    "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
+    "events_asof_agg_preagg",
+    # --- re-gates: implementation changed this round -----------------------
     "pg_catalog_introspection",
-    # --- green sentinels: one per major family (all driver-green r1-r6) ---
-    "tpch_q1", "tpch_q6", "tpch_q9_profit", "top_customers",
-    "window_rank", "grouping_sets", "exists_semi_join", "dml_merge_into",
+    # --- green sentinels: one per major family (all driver-green r1-r7) ---
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9_profit",
+    "top_customers", "window_rank", "grouping_sets", "exists_semi_join",
+    "dml_merge_into", "recursive_cte_hierarchy", "lateral_topn_per_key",
+    "events_pivot", "approx_aggregates",
     "fts_bool", "fts_bm25_topk", "fts_phrase_slop", "fts_compound",
-    "fts_highlight", "es_terms_facet", "fts_dict_facets",
-    "vec_knn_cosine", "vec_ivf_sq8_knn", "embedding_dup_pairs_lsh",
-    "dedup_minhash_pairs", "text_quality",
-    # (r8 rotation candidates — registered after this window filled:
-    # events_asof_agg, skew_salted_join, fts_array_column,
-    # cookbook_search_with_joins, cookbook_indexing_views; all green in
-    # scripts/check_correctness full-registry runs meanwhile)
+    "fts_highlight", "fts_fuzzy", "fts_ngram_sim_term",
+    "es_terms_facet", "es_multi_match", "es_dis_max", "fts_dict_facets",
+    "vec_knn_cosine", "vec_ivf_sq8_knn", "vec_pq_adc_knn",
+    "embedding_dup_pairs_lsh", "dedup_minhash_pairs", "dedup_clusters",
+    "text_quality", "text_lang_id", "text_gopher_rules", "text_chunk",
+    "geo_indexed_radius", "inet6_battery", "events_asof_join",
+    "orders_range_join", "skew_salted_agg",
 ]
+
+#: Window names allowed to be absent from REGISTRY at import time — the
+#: documented not-yet-landed set ONLY. Any other skipped name is a typo
+#: and must fail loudly, not be silently padded over.
+_GATE_PENDING: set = {
+    # r8 work items, registered later this round (remove as each lands)
+    "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
+    "vec_rabitq_middim", "geo_polygon_vs_polygon",
+    "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
+    "events_asof_agg_preagg",
+}
 
 
 def _apply_gate_window() -> None:
-    """Reorder REGISTRY so the window leads. New-in-r7 names may be listed
-    before they land (they register later in the round); names not yet in
-    REGISTRY are skipped and the window is padded from the registry tail
-    (never-windowed-this-round greens) to exactly 50."""
+    """Reorder REGISTRY so the window leads. Names not yet in REGISTRY
+    must be in the documented _GATE_PENDING allowlist (new-in-round
+    queries listed before they land); anything else missing is a typo'd
+    window entry and raises instead of being silently replaced by a
+    padded query. The window is then padded from the registry tail to
+    exactly 50."""
+    missing = [n for n in _GATE_WINDOW if n not in REGISTRY]
+    unknown = [n for n in missing if n not in _GATE_PENDING]
+    assert not unknown, (
+        f"_GATE_WINDOW names absent from REGISTRY and not in the "
+        f"documented pending set: {unknown}")
     present = [n for n in _GATE_WINDOW if n in REGISTRY]
     if len(present) < 50:
         pad = [n for n in REGISTRY if n not in present]

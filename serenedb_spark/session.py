@@ -909,16 +909,40 @@ class SereneSession:
     # ROLLBACK restores it — genuine all-or-nothing over any number of
     # statements, zero data copying.
     _TXN_STATE = ("_tables", "_pks", "_row_policies", "_col_masks",
-                  "_grants", "_comments", "_checks")
+                  "_grants", "_comments", "_checks", "_not_null",
+                  "_indexes", "_index_sources", "_variables")
+
+    @classmethod
+    def _txn_copy(cls, v):
+        """Structural deep copy of the container layer only: dicts /
+        sets / lists are copied recursively so in-place mutation inside
+        a block (grants.setdefault(...).add(...)) can't leak through the
+        snapshot; leaf values (DataFrames, InvertedIndex, strings) are
+        shared by reference — they are rebound, never mutated."""
+        if isinstance(v, dict):
+            return {k: cls._txn_copy(x) for k, x in v.items()}
+        if isinstance(v, set):
+            return set(v)
+        if isinstance(v, frozenset):
+            return v
+        if isinstance(v, list):
+            return [cls._txn_copy(x) for x in v]
+        return v
 
     def begin(self) -> None:
         """BEGIN: snapshot the session's mutable catalog/data state.
         Nested blocks are refused exactly as PG warns-and-ignores —
-        except we make it an error rather than silently flattening."""
+        except we make it an error rather than silently flattening.
+        The snapshot copies the full container layer (nested dicts and
+        sets included): _grants / _checks / _col_masks are mutated in
+        place by GRANT / ADD CHECK on pre-existing keys, so a one-level
+        dict() copy would alias them and ROLLBACK would not undo
+        security-relevant state."""
         if getattr(self, "_txn_backup", None) is not None:
             raise ValueError("already inside a transaction block")
         self._txn_backup = {
-            a: dict(getattr(self, a, {}) or {}) for a in self._TXN_STATE}
+            a: self._txn_copy(getattr(self, a, {}) or {})
+            for a in self._TXN_STATE}
 
     def commit(self) -> None:
         if getattr(self, "_txn_backup", None) is None:
@@ -935,9 +959,17 @@ class SereneSession:
             t for t in set(self._tables) | set(bak["_tables"])
             if self._tables.get(t) is not bak["_tables"].get(t)
         }
+        # SET inside an aborted block reverts (PG semantics); variables
+        # with module-level consumers must have their side effects
+        # re-applied, not just the dict restored.
+        cur_vars = dict(getattr(self, "_variables", {}) or {})
         for a, snap in bak.items():
             setattr(self, a, snap)
         self._txn_backup = None
+        for n, v in cur_vars.items():
+            restored = bak["_variables"].get(n, self._VARIABLE_DEFAULTS[n])
+            if restored != v:
+                self.set_variable(n, restored)
         for t in changed:
             if t in self._tables:
                 self._reregister(t)

@@ -255,6 +255,34 @@ def read_text(spark: SparkSession, path: str,
     return spark.read.text(path).withColumnRenamed("value", col)
 
 
+def _infer_ddl_type(values) -> str:
+    """Widen over ALL sampled values, not just the first non-null: an
+    int column whose 50th value is 2.5 must type double, and any
+    genuinely mixed column (SQLite columns are dynamically typed) falls
+    back to string rather than raising at createDataFrame time."""
+    kind = None
+    for v in values:
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            k = "boolean"
+        elif isinstance(v, int):
+            k = "bigint"
+        elif isinstance(v, float):
+            k = "double"
+        elif isinstance(v, bytes):
+            k = "binary"
+        else:
+            k = "string"
+        if kind is None or kind == k:
+            kind = k
+        elif {kind, k} == {"bigint", "double"}:
+            kind = "double"
+        else:
+            return "string"
+    return kind or "string"
+
+
 def read_sqlite(spark: SparkSession, db_path: str, table: str,
                 num_partitions: int = 8) -> DataFrame:
     """Distributed SQLite scan: rowid ranges are computed driver-side
@@ -278,23 +306,10 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
     if lo is None:
         raise ValueError(f"table {table!r} is empty")
 
-    def _ddl_type(i: int) -> str:
-        for row in probe:
-            v = row[i]
-            if v is None:
-                continue
-            if isinstance(v, bool):
-                return "boolean"
-            if isinstance(v, int):
-                return "bigint"
-            if isinstance(v, float):
-                return "double"
-            if isinstance(v, bytes):
-                return "binary"
-            return "string"
-        return "string"
-
-    ddl = ", ".join(f"`{c}` {_ddl_type(i)}" for i, c in enumerate(cols))
+    col_types = [_infer_ddl_type(row[i] for row in probe)
+                 for i in range(len(cols))]
+    ddl = ", ".join(f"`{c}` {t}" for c, t in zip(cols, col_types))
+    str_cols = [c for c, t in zip(cols, col_types) if t == "string"]
     n = max(1, min(num_partitions, hi - lo + 1))
     step = (hi - lo + 1 + n - 1) // n
     bounds = [(lo + i * step, min(lo + (i + 1) * step - 1, hi))
@@ -319,7 +334,13 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
                 finally:
                     c.close()
                 if rows:
-                    yield pd.DataFrame(rows, columns=cols)
+                    pdf_out = pd.DataFrame(rows, columns=cols)
+                    # dynamically-typed SQLite columns widened to string
+                    # by the probe may still yield non-str values here
+                    for c in str_cols:
+                        pdf_out[c] = pdf_out[c].map(
+                            lambda v: v if v is None else str(v))
+                    yield pdf_out
 
     return ranges.mapInPandas(scan, ddl)
 
@@ -412,19 +433,17 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
     if not header:
         raise ValueError(f"empty workbook: {path}")
 
-    def _typ(i):
-        for r in rows:
-            v = r[i]
-            if v is None:
-                continue
-            if isinstance(v, bool):
-                return "boolean"
-            if isinstance(v, int):
-                return "bigint"
-            if isinstance(v, float):
-                return "double"
-            return "string"
-        return "string"
-
-    ddl = ", ".join(f"`{h}` {_typ(i)}" for i, h in enumerate(header))
-    return spark.createDataFrame(rows, ddl)
+    types = [_infer_ddl_type(r[i] for r in rows)
+             for i in range(len(header))]
+    ddl = ", ".join(f"`{h}` {t}" for h, t in zip(header, types))
+    # coerce to the widened type so createDataFrame's verifier accepts
+    # mixed int/float (-> double) and mixed-type (-> string) columns
+    coerced = [
+        tuple(None if v is None
+              else float(v) if t == "double" and isinstance(v, int)
+              and not isinstance(v, bool)
+              else str(v) if t == "string" and not isinstance(v, str)
+              else v
+              for v, t in zip(r, types))
+        for r in rows]
+    return spark.createDataFrame(coerced, ddl)

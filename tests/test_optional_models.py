@@ -79,7 +79,9 @@ def test_fasttext_reader_roundtrip_and_guards(tmp_path):
     _write_tiny_supervised(p)
     m = FT.FastTextModel.load(str(p))
     assert m.dim == 4 and m.words[1] == "spark"
-    assert m.labels == ["tech", "other"]
+    # real fastText dictionaries store labels with the prefix included;
+    # write_model adds it and load() keeps tokens verbatim
+    assert m.labels == ["__label__tech", "__label__other"]
     assert len(m.input) == 5 and len(m.output) == 2
     labels, probs = m.predict("spark data", k=2)
     assert labels == ["__label__tech", "__label__other"]
@@ -102,6 +104,17 @@ def test_fasttext_reader_roundtrip_and_guards(tmp_path):
     bad.write_bytes(b"\x00" * 16)
     with pytest.raises(ValueError):
         FT.FastTextModel.load(str(bad))
+
+
+def test_fnv1a_sign_extends_high_bytes():
+    """fastText hashes uint32_t(int8_t(b)) — bytes >= 0x80 xor
+    sign-extended. Values pinned against the C++ semantics; the
+    unsigned-xor variant would give 429777122 for 'ä'."""
+    from serenedb_spark.functions.fasttext_io import _fnv1a
+
+    assert _fnv1a("ä") == 939155682
+    assert _fnv1a("héllo") == 3948832576
+    assert _fnv1a("<ab") == 1218209508  # pure-ASCII path unchanged
 
 
 def test_fasttext_classifier_batched_over_spark(spark, tmp_path):
