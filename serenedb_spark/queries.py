@@ -5083,14 +5083,16 @@ def _apply_gate_window() -> None:
     exactly 50."""
     missing = [n for n in _GATE_WINDOW if n not in REGISTRY]
     unknown = [n for n in missing if n not in _GATE_PENDING]
-    assert not unknown, (
-        f"_GATE_WINDOW names absent from REGISTRY and not in the "
-        f"documented pending set: {unknown}")
+    if unknown:  # not assert: must survive python -O
+        raise ValueError(
+            f"_GATE_WINDOW names absent from REGISTRY and not in the "
+            f"documented pending set: {unknown}")
     present = [n for n in _GATE_WINDOW if n in REGISTRY]
     if len(present) < 50:
         pad = [n for n in REGISTRY if n not in present]
         present += pad[: 50 - len(present)]
-    assert len(present) >= 50, len(present)
+    if len(present) < 50:
+        raise ValueError(f"registry too small for gate window: {len(present)}")
     ordered = {n: REGISTRY[n] for n in present[:50]}
     for n, d in REGISTRY.items():
         if n not in ordered:

@@ -299,17 +299,33 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
             raise ValueError(f"no such table {table!r} in {db_path}")
         lo, hi = con.execute(
             f'SELECT min(rowid), max(rowid) FROM "{table}"').fetchone()
-        probe = con.execute(
-            f'SELECT * FROM "{table}" LIMIT 100').fetchall()
+        # exact typing: one aggregate pass collecting the DISTINCT
+        # storage classes per column (SQLite columns are dynamically
+        # typed; a row sample can miss a late float in an int column and
+        # Arrow's unsafe cast would then truncate it silently)
+        typeof_list = ", ".join(
+            f'group_concat(DISTINCT typeof("{c}"))' for c in cols)
+        observed = con.execute(
+            f'SELECT {typeof_list} FROM "{table}"').fetchone()
     finally:
         con.close()
     if lo is None:
         raise ValueError(f"table {table!r} is empty")
 
-    col_types = [_infer_ddl_type(row[i] for row in probe)
-                 for i in range(len(cols))]
+    def _ddl_of(classes: str | None) -> str:
+        ks = set((classes or "").split(",")) - {"", "null"}
+        if ks == {"integer"}:
+            return "bigint"
+        if ks <= {"integer", "real"} and "real" in ks:
+            return "double"
+        if ks == {"blob"}:
+            return "binary"
+        return "string"  # text, genuinely mixed, or all-NULL
+
+    col_types = [_ddl_of(o) for o in observed]
     ddl = ", ".join(f"`{c}` {t}" for c, t in zip(cols, col_types))
     str_cols = [c for c, t in zip(cols, col_types) if t == "string"]
+    dbl_cols = [c for c, t in zip(cols, col_types) if t == "double"]
     n = max(1, min(num_partitions, hi - lo + 1))
     step = (hi - lo + 1 + n - 1) // n
     bounds = [(lo + i * step, min(lo + (i + 1) * step - 1, hi))
@@ -337,9 +353,14 @@ def read_sqlite(spark: SparkSession, db_path: str, table: str,
                     pdf_out = pd.DataFrame(rows, columns=cols)
                     # dynamically-typed SQLite columns widened to string
                     # by the probe may still yield non-str values here
-                    for c in str_cols:
-                        pdf_out[c] = pdf_out[c].map(
+                    for col_name in str_cols:
+                        pdf_out[col_name] = pdf_out[col_name].map(
                             lambda v: v if v is None else str(v))
+                    # an all-int partition of a real-typed column would
+                    # arrive int64; widen so the Arrow cast is exact
+                    for col_name in dbl_cols:
+                        pdf_out[col_name] = pdf_out[col_name].astype(
+                            "float64")
                     yield pdf_out
 
     return ranges.mapInPandas(scan, ddl)
