@@ -1,0 +1,747 @@
+"""SQL front door for the search dialect — the reference's primary UX.
+
+The reference exposes full-text search as PG SQL text: ``WHERE col @@
+to_tsquery('...')``, native combinators ``&& || !! ## ^`` over tsquery
+leaves (``ts_phrase``, ``ts_starts_with``, ``ts_levenshtein``, …), scorer
+calls in the projection and ORDER BY (``ORDER BY BM25(idx.tableoid) DESC
+LIMIT k``), and index DDL (``CREATE INDEX n ON t USING inverted(col
+analyzer, plain_col)``).  References: server/connector/functions/
+search.h:75-132 (the claimed function surface), examples/demo3/demo.sql
+(every query shape below appears there), tests/sqllogic/sdb/pg/site_docs/
+sql/functions/full_text_search.test (## gap / boost / to_tsquery forms).
+
+This module parses that restricted SQL shape and lowers it onto the
+existing engine: plans.tsquery AST → plans.planner.compile_query →
+operators.scoring.  It is deliberately NOT a general SQL parser — a
+statement with no search construct is handed to Spark SQL untouched
+(plans.dialect.sql_compat); a statement that mixes search constructs with
+shapes this parser does not cover raises, never silently misparses.
+
+Grammar (token-level, paren-aware):
+
+    select   := SELECT items FROM name [WHERE conj (AND conj)*]
+                [ORDER BY key [ASC|DESC] (, key [ASC|DESC])*] [LIMIT n]
+    conj     := ident @@ tsexpr          -- claimed, any number of fields
+              | <any SQL span>           -- residual, evaluated post-match
+    tsexpr   := ts_or
+    ts_or    := ts_and ('||' ts_and)*
+    ts_and   := ts_seq ('&&' ts_seq)*
+    ts_seq   := ts_unary ('##' gap? ts_unary)*      -- ## phrase chain
+    gap      := int | ARRAY[lo, hi]                  -- tokens between
+    ts_unary := '!!' ts_unary | primary ('^' num | '::' ident)*
+    primary  := '(' ts_or ')' | func '(' args ')' | 'string literal'
+
+Scorer calls (BM25/TFIDF/lm_dirichlet/lm_jm/dfi/…) may appear in the
+select list and ORDER BY keys; each call (plus a trailing ``::numeric``
+cast) is rewritten to the internal ``__score`` column, so surrounding SQL
+(``round(BM25(x)::numeric, 2) AS score``) evaluates as ordinary Spark SQL
+over the computed score.
+
+Gap semantics: ``a ## n ## b`` = exactly n tokens between (position diff
+n+1); ``a ## ARRAY[lo,hi] ## b`` = lo..hi tokens between — matching the
+documented forms in full-text-search.test:173 and demo3 §8.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serenedb_spark.plans import tsquery as q
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+|--[^\n]*)
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<num>\d+\.\d+|\d+)
+      | (?P<op>@@|&&|\|\||!!|\#\#|::|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.])
+      | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*)
+    """,
+    re.X,
+)
+
+
+@dataclass
+class Tok:
+    kind: str  # STR NUM OP IDENT
+    text: str
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+
+def tokenize(sql: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise ValueError(f"cannot tokenize SQL at {sql[pos:pos+20]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind.upper() if kind else "OP", m.group()))
+    return out
+
+
+def _unquote(s: str) -> str:
+    return s[1:-1].replace("''", "'")
+
+
+class _Stream:
+    def __init__(self, toks: list[Tok]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k: int = 0) -> Tok | None:
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else None
+
+    def next(self) -> Tok:
+        t = self.peek()
+        if t is None:
+            raise ValueError("unexpected end of SQL")
+        self.i += 1
+        return t
+
+    def match(self, text: str) -> bool:
+        t = self.peek()
+        if t is not None and t.upper == text.upper():
+            self.i += 1
+            return True
+        return False
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.upper != text.upper():
+            raise ValueError(f"expected {text!r}, got {t.text!r}")
+        return t
+
+
+# ---------------------------------------------------------------------------
+# tsquery expression parser (the text inside `col @@ ...`)
+# ---------------------------------------------------------------------------
+
+
+def _text_leaf(s: str, an) -> q.TSQuery:
+    """Bare 'string literal': analyzed through the column analyzer —
+    one token → Term, several → adjacent Phrase (demo3 §1/§2a)."""
+    toks = an.tokens(s)
+    if not toks:
+        raise ValueError(f"query text {s!r} analyzes to no tokens")
+    return q.Term(toks[0]) if len(toks) == 1 else q.Phrase(toks)
+
+
+def _parse_array(ts: _Stream) -> list:
+    """ARRAY[a, b, ...] of scalars."""
+    ts.expect("[")
+    vals = []
+    while not ts.match("]"):
+        t = ts.next()
+        if t.kind == "STR":
+            vals.append(_unquote(t.text))
+        elif t.kind == "NUM":
+            vals.append(float(t.text) if "." in t.text else int(t.text))
+        elif t.text == ",":
+            continue
+        else:
+            raise ValueError(f"unexpected token in ARRAY literal: {t.text!r}")
+    return vals
+
+
+def _scalar_arg(ts: _Stream):
+    t = ts.peek()
+    if t is None:
+        raise ValueError("unexpected end of argument list")
+    if t.kind == "STR":
+        return _unquote(ts.next().text)
+    if t.kind == "NUM":
+        txt = ts.next().text
+        return float(txt) if "." in txt else int(txt)
+    if t.upper == "ARRAY":
+        ts.next()
+        return _parse_array(ts)
+    if t.upper in ("TRUE", "FALSE"):
+        return ts.next().upper == "TRUE"
+    if t.upper == "NULL":
+        ts.next()
+        return None
+    if t.text == "-" and ts.peek(1) is not None and ts.peek(1).kind == "NUM":
+        ts.next()
+        txt = ts.next().text
+        return -(float(txt) if "." in txt else int(txt))
+    raise ValueError(f"unsupported function argument: {t.text!r}")
+
+
+def _parse_args(ts: _Stream) -> list:
+    ts.expect("(")
+    args = []
+    while not ts.match(")"):
+        args.append(_scalar_arg(ts))
+        if not ts.match(","):
+            ts.expect(")")
+            break
+    return args
+
+
+def _phrase_from_args(args: list, an) -> q.TSQuery:
+    """ts_phrase('w1', ARRAY[lo,hi], 'w2', ...) — strings are analyzed
+    (multi-token strings expand to adjacent words); ARRAY[lo,hi] between
+    two strings sets that gap in tokens-between units (demo3 §1)."""
+    words: list[str] = []
+    gaps: list[tuple[int, int]] = []
+    pending: tuple[int, int] | None = None
+    for a in args:
+        if isinstance(a, list):
+            if len(a) != 2 or words == []:
+                raise ValueError(f"misplaced gap spec in ts_phrase: {a!r}")
+            pending = (int(a[0]) + 1, int(a[1]) + 1)
+        elif isinstance(a, str):
+            toks = an.tokens(a)
+            if not toks:
+                raise ValueError(f"ts_phrase part {a!r} analyzes to nothing")
+            for t in toks:
+                if words:
+                    gaps.append(pending if pending is not None else (1, 1))
+                    pending = None
+                words.append(t)
+        else:
+            raise ValueError(f"unsupported ts_phrase argument: {a!r}")
+    if pending is not None:
+        raise ValueError("trailing gap spec in ts_phrase")
+    if not words:
+        raise ValueError("empty ts_phrase")
+    if len(words) == 1:
+        return q.Term(words[0])
+    return q.Phrase(words, gaps=gaps)
+
+
+def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
+    args = _parse_args(ts)
+    n = name.lower()
+    if n == "to_tsquery":
+        return q.to_tsquery(args[0])
+    if n == "plainto_tsquery":
+        return q.plainto_tsquery(args[0], an.name)
+    if n == "phraseto_tsquery":
+        return q.phraseto_tsquery(args[0], an.name)
+    if n == "websearch_to_tsquery":
+        return q.websearch_to_tsquery(args[0], an.name)
+    if n == "ts_phrase":
+        return _phrase_from_args(args, an)
+    if n == "ts_starts_with":
+        return q.Prefix(args[0])
+    if n == "ts_like":
+        return q.Wildcard(args[0])
+    if n == "ts_regexp":
+        return q.Regexp(args[0])
+    if n == "ts_levenshtein":
+        d = int(args[1]) if len(args) > 1 else 1
+        mt = int(args[2]) if len(args) > 2 else 50
+        return q.Fuzzy(args[0], d, mt)
+    if n == "ts_ngram":
+        return q.NgramSim(args[0], float(args[1]))
+    if n == "ts_any":
+        mm = int(args[1]) if len(args) > 1 else 1
+        return q.AnyOf(args[0], mm)
+    if n == "ts_all":
+        return q.AllOf(args[0])
+    if n == "ts_between":
+        li = bool(args[2]) if len(args) > 2 else True
+        hi = bool(args[3]) if len(args) > 3 else True
+        return q.Between(args[0], args[1], li, hi)
+    if n == "ts_lt":
+        return q.Between(hi=args[0], hi_inclusive=False)
+    if n == "ts_le":
+        return q.Between(hi=args[0])
+    if n == "ts_gt":
+        return q.Between(lo=args[0], lo_inclusive=False)
+    if n == "ts_ge":
+        return q.Between(lo=args[0])
+    raise ValueError(f"unknown tsquery function {name!r}")
+
+
+_SEQ_PART_TYPES = (q.Term, q.AnyOf, q.Prefix, q.Wildcard, q.Regexp,
+                   q.Fuzzy, q.Between)
+
+
+def _seq_parts_of(node: q.TSQuery) -> list[q.TSQuery]:
+    """A ## operand contributes its parts: term-set leaves pass through,
+    an adjacent Phrase (from a multi-word string / ts_phrase) splices as
+    consecutive Terms (full_text_search.test:379 `ts_phrase('quick') ##
+    1 ## 'fox'`)."""
+    if isinstance(node, _SEQ_PART_TYPES):
+        return [node]
+    if isinstance(node, q.Phrase) and all(g == (1, 1) for g in node.gaps):
+        return [q.Term(w) for w in node.words]
+    if isinstance(node, q.PhraseSeq):
+        return list(node.parts)
+    raise ValueError(f"unsupported ## operand: {node!r}")
+
+
+def _parse_ts_seq(ts: _Stream, an) -> q.TSQuery:
+    first = _parse_ts_unary(ts, an)
+    if ts.peek() is None or ts.peek().text != "##":
+        return first
+    parts = _seq_parts_of(first)
+    gaps: list[tuple[int, int]] = [(1, 1)] * (len(parts) - 1)
+    while ts.match("##"):
+        t = ts.peek()
+        pending: tuple[int, int] | None = None
+        if t is not None and t.kind == "NUM":
+            # `a ## n ## b`: exactly n tokens between → pos diff n+1
+            n = int(ts.next().text)
+            pending = (n + 1, n + 1)
+            ts.expect("##")
+        elif t is not None and t.upper == "ARRAY":
+            ts.next()
+            lo, hi = _parse_array(ts)
+            pending = (int(lo) + 1, int(hi) + 1)
+            ts.expect("##")
+        sub = _seq_parts_of(_parse_ts_unary(ts, an))
+        gaps.append(pending if pending is not None else (1, 1))
+        gaps.extend([(1, 1)] * (len(sub) - 1))
+        parts.extend(sub)
+    return q.PhraseSeq(parts, gaps=gaps)
+
+
+def _parse_ts_unary(ts: _Stream, an) -> q.TSQuery:
+    if ts.match("!!"):
+        return ~_parse_ts_unary(ts, an)
+    node = _parse_ts_primary(ts, an)
+    while True:
+        t = ts.peek()
+        if t is None:
+            return node
+        if t.text == "^":
+            ts.next()
+            node = node.boost(float(ts.next().text))
+        elif t.text == "::":
+            ts.next()
+            nxt = ts.next()
+            if nxt.upper == "TSQUERY":
+                continue  # '...'::TSQUERY cast — no-op here
+            if nxt.upper == "SLOP":
+                (n,) = _parse_args(ts)
+                if not isinstance(node, q.PhraseSeq):
+                    raise ValueError("::slop(n) applies to a ## chain")
+                node = node.with_slop(int(n))
+            else:
+                raise ValueError(f"unsupported cast ::{nxt.text}")
+        else:
+            return node
+
+
+def _parse_ts_primary(ts: _Stream, an) -> q.TSQuery:
+    t = ts.next()
+    if t.text == "(":
+        node = parse_tsquery_tokens(ts, an)
+        ts.expect(")")
+        return node
+    if t.kind == "STR":
+        return _text_leaf(_unquote(t.text), an)
+    if t.kind == "IDENT" and ts.peek() is not None and ts.peek().text == "(":
+        return _parse_call(t.text, ts, an)
+    raise ValueError(f"unexpected token in tsquery expression: {t.text!r}")
+
+
+def parse_tsquery_tokens(ts: _Stream, an) -> q.TSQuery:
+    node = _parse_ts_and(ts, an)
+    while ts.match("||"):
+        node = node | _parse_ts_and(ts, an)
+    return node
+
+
+def _parse_ts_and(ts: _Stream, an) -> q.TSQuery:
+    node = _parse_ts_seq(ts, an)
+    while ts.match("&&"):
+        node = node & _parse_ts_seq(ts, an)
+    return node
+
+
+def parse_tsquery_text(text: str, an) -> q.TSQuery:
+    ts = _Stream(tokenize(text))
+    node = parse_tsquery_tokens(ts, an)
+    if ts.peek() is not None:
+        raise ValueError(f"trailing tokens in tsquery: {ts.peek().text!r}")
+    return node
+
+
+# ---------------------------------------------------------------------------
+# statement parser
+# ---------------------------------------------------------------------------
+
+#: scorer-call name → (engine scorer name, positional param names after the
+#: leading index-reference argument) — demo3 §5 calls these in SELECT and
+#: ORDER BY with the index oid as first arg.
+SCORER_FUNCS: dict[str, tuple[str, tuple[str, ...]]] = {
+    "bm25": ("bm25", ("k1", "b")),
+    "tfidf": ("tfidf", ()),
+    "lm_dirichlet": ("lm_dirichlet", ("mu",)),
+    "lm_jm": ("lm_jm", ("lam",)),
+    "indri_dirichlet": ("indri_dirichlet", ("mu",)),
+    "dfi": ("dfi", ()),
+    "raw_tf": ("raw_tf", ()),
+    "raw_df": ("raw_df", ()),
+    "raw_dl": ("raw_dl", ()),
+    "raw_boost": ("raw_boost", ()),
+}
+
+
+@dataclass
+class SearchSelect:
+    select_items: list[str]          # SQL text, scorer calls → __score
+    from_name: str
+    matches: list[tuple[str, q.TSQuery]]  # (column, tsquery)
+    residual: str | None             # post-match SQL predicate
+    order: list[tuple[str, bool]]    # (SQL text with __score, is_desc)
+    limit: int | None
+    scorer: str | None
+    scorer_params: dict = field(default_factory=dict)
+
+
+def _split_top(toks: list[Tok], seps: tuple[str, ...]) -> list[list[Tok]]:
+    """Split a token list on top-level (paren-depth-0) separators."""
+    out: list[list[Tok]] = [[]]
+    depth = 0
+    for t in toks:
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        if depth == 0 and (t.upper in seps or t.text in seps):
+            out.append([])
+        else:
+            out[-1].append(t)
+    return out
+
+
+def _find_clause(toks: list[Tok], kw: tuple[str, ...], start: int = 0) -> int:
+    depth = 0
+    i = start
+    while i < len(toks):
+        t = toks[i]
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.upper == kw[0]:
+            if all(i + j < len(toks) and toks[i + j].upper == kw[j]
+                   for j in range(len(kw))):
+                return i
+        i += 1
+    return -1
+
+
+def _render(toks: list[Tok]) -> str:
+    return " ".join(t.text for t in toks)
+
+
+def _rewrite_scorers(toks: list[Tok]) -> tuple[list[Tok], str | None, dict]:
+    """Replace every scorer call (name '(' … ')' [ '::' type ]) with the
+    __score identifier; return (rewritten tokens, scorer, params)."""
+    out: list[Tok] = []
+    scorer: str | None = None
+    params: dict = {}
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.text.lower()
+        if (t.kind == "IDENT" and low in SCORER_FUNCS
+                and i + 1 < len(toks) and toks[i + 1].text == "("):
+            name, pnames = SCORER_FUNCS[low]
+            if scorer is not None and scorer != name:
+                raise ValueError(
+                    f"mixed scorers in one statement: {scorer} vs {name}")
+            scorer = name
+            # consume through the matching close paren
+            depth = 0
+            j = i + 1
+            args: list[list[Tok]] = [[]]
+            while j < len(toks):
+                tj = toks[j]
+                if tj.text == "(":
+                    depth += 1
+                    if depth > 1:
+                        args[-1].append(tj)
+                elif tj.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                    args[-1].append(tj)
+                elif depth == 1 and tj.text == ",":
+                    args.append([])
+                else:
+                    args[-1].append(tj)
+                j += 1
+            if depth != 0:
+                raise ValueError("unbalanced parens in scorer call")
+            # first arg is the index reference (idx.tableoid) — ignored;
+            # remaining numeric args bind positionally (demo3 §5c)
+            for pi, a in enumerate(args[1:]):
+                if pi >= len(pnames) or len(a) != 1 or a[0].kind != "NUM":
+                    raise ValueError(
+                        f"bad scorer parameter in {low}: {_render(a)!r}")
+                params[pnames[pi]] = float(a[0].text)
+            i = j + 1
+            # swallow a trailing ::numeric / ::double cast
+            if (i + 1 < len(toks) and toks[i].text == "::"
+                    and toks[i + 1].kind == "IDENT"):
+                i += 2
+            out.append(Tok("IDENT", "__score"))
+        else:
+            out.append(t)
+            i += 1
+    return out, scorer, params
+
+
+def parse_select(sql: str, analyzer_of) -> SearchSelect:
+    """Parse the restricted search-SELECT shape. ``analyzer_of(from_name,
+    column)`` resolves the analyzer used for bare-string query terms."""
+    toks = tokenize(sql.strip().rstrip(";"))
+    if not toks or toks[0].upper != "SELECT":
+        raise ValueError("search dialect handles SELECT statements only")
+    fpos = _find_clause(toks, ("FROM",))
+    if fpos < 0:
+        raise ValueError("search SELECT requires FROM")
+    sel_toks = toks[1:fpos]
+    wpos = _find_clause(toks, ("WHERE",), fpos)
+    opos = _find_clause(toks, ("ORDER", "BY"), fpos)
+    lpos = _find_clause(toks, ("LIMIT",), fpos)
+    from_end = min(x for x in (wpos, opos, lpos, len(toks)) if x >= 0)
+    from_toks = toks[fpos + 1:from_end]
+    if len(from_toks) != 1 or from_toks[0].kind != "IDENT":
+        raise ValueError(
+            f"search dialect supports a single FROM relation, got "
+            f"{_render(from_toks)!r}")
+    from_name = from_toks[0].text
+
+    matches: list[tuple[str, q.TSQuery]] = []
+    residuals: list[str] = []
+    if wpos >= 0:
+        wend = min(x for x in (opos, lpos, len(toks)) if x >= 0)
+        for conj in _split_top(toks[wpos + 1:wend], ("AND",)):
+            at = next((k for k, t in enumerate(conj) if t.text == "@@"), None)
+            # unwrap a fully-parenthesized conjunct: ( col @@ ... )
+            while (at is None and len(conj) >= 2 and conj[0].text == "("
+                   and conj[-1].text == ")"):
+                conj = conj[1:-1]
+                at = next((k for k, t in enumerate(conj)
+                           if t.text == "@@"), None)
+            if at is None:
+                residuals.append(_render(conj))
+                continue
+            left = conj[:at]
+            if len(left) != 1 or left[0].kind != "IDENT":
+                raise ValueError(
+                    f"@@ left side must be a column, got {_render(left)!r}")
+            col = left[0].text.split(".")[-1]
+            an = analyzer_of(from_name, col)
+            ts = _Stream(conj[at + 1:])
+            node = parse_tsquery_tokens(ts, an)
+            if ts.peek() is not None:
+                raise ValueError(
+                    f"trailing tokens after tsquery: {ts.peek().text!r}")
+            matches.append((col, node))
+
+    order: list[tuple[str, bool]] = []
+    scorer: str | None = None
+    params: dict = {}
+
+    def _merge(s: str | None, p: dict) -> None:
+        nonlocal scorer, params
+        if s is None:
+            return
+        if scorer is not None and scorer != s:
+            raise ValueError(f"mixed scorers in one statement: {scorer} vs {s}")
+        scorer = s
+        params = {**params, **p}
+
+    if opos >= 0:
+        oend = lpos if lpos >= 0 else len(toks)
+        for key in _split_top(toks[opos + 2:oend], (",",)):
+            desc = False
+            if key and key[-1].upper in ("ASC", "DESC"):
+                desc = key[-1].upper == "DESC"
+                key = key[:-1]
+            key, s, p = _rewrite_scorers(key)
+            _merge(s, p)
+            order.append((_render(key), desc))
+
+    limit = None
+    if lpos >= 0:
+        if lpos + 1 >= len(toks) or toks[lpos + 1].kind != "NUM":
+            raise ValueError("LIMIT requires an integer")
+        limit = int(toks[lpos + 1].text)
+
+    items: list[str] = []
+    for item in _split_top(sel_toks, (",",)):
+        item, s, p = _rewrite_scorers(item)
+        _merge(s, p)
+        items.append(_render(item))
+
+    return SearchSelect(items, from_name, matches,
+                        " AND ".join(f"({r})" for r in residuals) or None,
+                        order, limit, scorer, params)
+
+
+# ---------------------------------------------------------------------------
+# CREATE INDEX ... USING inverted(...) DDL
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CreateInvertedIndex:
+    name: str
+    table: str
+    fields: dict[str, str]   # column -> analyzer name
+    includes: list[str]      # plain covered columns (demo3: `label`)
+    where: str | None        # partial-index predicate
+
+
+def parse_create_index(sql: str) -> CreateInvertedIndex | None:
+    """``CREATE INDEX n ON t USING inverted(col analyzer, plain_col, ...)
+    [WHERE pred]`` (demo3 imdb_fts_idx; site_docs/sql/indexes/inverted).
+    Returns None when the statement is not this shape."""
+    toks = tokenize(sql.strip().rstrip(";"))
+    if len(toks) < 4 or toks[0].upper != "CREATE" or toks[1].upper != "INDEX":
+        return None
+    upos = _find_clause(toks, ("USING",))
+    if upos < 0 or toks[upos + 1].text.lower() != "inverted":
+        return None
+    name = toks[2].text
+    if toks[3].upper != "ON":
+        raise ValueError("CREATE INDEX requires ON <table>")
+    table = toks[4].text
+    ts = _Stream(toks[upos + 2:])
+    ts.expect("(")
+    fields: dict[str, str] = {}
+    includes: list[str] = []
+    depth = 1
+    spec: list[Tok] = []
+
+    def flush(spec: list[Tok]) -> None:
+        if not spec:
+            return
+        if len(spec) == 1:
+            includes.append(spec[0].text)
+        elif len(spec) == 2:
+            fields[spec[0].text] = spec[1].text
+        else:
+            raise ValueError(f"bad index column spec: {_render(spec)!r}")
+
+    while True:
+        t = ts.next()
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        if depth == 1 and t.text == ",":
+            flush(spec)
+            spec = []
+        elif depth >= 1 and t.text != ")":
+            spec.append(t)
+    flush(spec)
+    where = None
+    if ts.peek() is not None and ts.peek().upper == "WHERE":
+        ts.next()
+        where = _render(ts.toks[ts.i:])
+    if not fields:
+        raise ValueError("USING inverted requires at least one analyzed column")
+    return CreateInvertedIndex(name, table, fields, includes, where)
+
+
+# ---------------------------------------------------------------------------
+# executor
+# ---------------------------------------------------------------------------
+
+
+def has_search_construct(sql: str) -> bool:
+    """True when the statement needs the search dialect: a top-level `@@`
+    match or inverted-index DDL (string literals are already excluded by
+    the tokenizer)."""
+    try:
+        toks = tokenize(sql)
+    except ValueError:
+        return False
+    if any(t.text == "@@" for t in toks):
+        return True
+    return any(t.text.lower() == "inverted" and i > 0
+               and toks[i - 1].upper == "USING"
+               for i, t in enumerate(toks))
+
+
+def execute_select(stmt: SearchSelect, get_index) -> DataFrame:
+    """Lower a parsed search SELECT onto the DataFrame engine.
+
+    ``get_index(from_name, column)`` → InvertedIndex serving that column.
+    Late-materialization shape (reference iresearch_plan.cpp:466-533):
+    claimed @@ conjuncts run over postings and intersect as doc-id
+    relations; the docstore is joined only for surviving ids; residual SQL
+    evaluates post-join; scorer (if any) left-joins as __score.
+    """
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.planner import compile_query, is_pure_disjunction
+
+    if not stmt.matches:
+        raise ValueError("search SELECT requires at least one @@ conjunct")
+
+    compiled = []
+    idx0 = None
+    for col, node in stmt.matches:
+        idx = get_index(stmt.from_name, col)
+        idx0 = idx0 or idx
+        compiled.append((idx, col, node, compile_query(idx, col, node)))
+
+    doc_ids = compiled[0][3].doc_ids
+    for _, _, _, c in compiled[1:]:
+        doc_ids = doc_ids.join(c.doc_ids, "doc_id", "left_semi")
+
+    score_df = None
+    if stmt.scorer is not None:
+        # sum contributions across all @@ fields (demo3 §7 "ranked by
+        # BM25 across all matched terms")
+        parts = []
+        for idx, col, node, c in compiled:
+            parts.append(_score(idx, col, c.score_terms, stmt.scorer,
+                                **stmt.scorer_params))
+        score_df = parts[0]
+        for p in parts[1:]:
+            score_df = (
+                score_df.unionByName(p)
+                .groupBy("doc_id").agg(F.sum("score").alias("score"))
+            )
+        if len(compiled) == 1 and is_pure_disjunction(compiled[0][2]):
+            # scorer-reuse: the score relation's keys ARE the match set
+            doc_ids = score_df.select("doc_id")
+
+    out = idx0.docstore.join(doc_ids, "doc_id", "left_semi")
+    if score_df is not None:
+        out = out.join(score_df, "doc_id", "left").withColumn(
+            "__score", F.coalesce(F.col("score"), F.lit(0.0))
+        ).drop("score")
+    if stmt.residual:
+        out = out.where(F.expr(stmt.residual))
+    if stmt.order:
+        keys = [
+            F.expr(k).desc() if d else F.expr(k).asc()
+            for k, d in stmt.order
+        ]
+        out = out.orderBy(*keys)
+    if stmt.limit is not None:
+        out = out.limit(stmt.limit)
+    if not (len(stmt.select_items) == 1 and stmt.select_items[0] == "*"):
+        out = out.selectExpr(*stmt.select_items)
+    elif "__score" in out.columns:
+        out = out.drop("__score")
+    return out

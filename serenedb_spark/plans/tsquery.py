@@ -283,19 +283,27 @@ def websearch_to_tsquery(s: str, analyzer_name: str = "simple") -> TSQuery:
 
 
 def to_tsquery(s: str) -> TSQuery:
-    """Tiny query-string parser (reference to_tsquery family,
-    ts_to_tsquery.cpp): `a & b | !c`, `'quoted phrase'`, `pre:*`, parens.
-    Whitespace-separated bare words default to AND, PG-style.
+    """Query-string parser (reference to_tsquery family, ts_to_tsquery.cpp):
+    `a & b | !c`, `'quoted phrase'` / `"quoted phrase"`, `pre:*`, parens —
+    plus the word forms the reference accepts (full_text_search.test
+    `to_tsquery('quick AND brown')`, demo3 §2b Lucene-style
+    `'"plot twist" OR "happy ending" -boring'`): AND/OR/NOT keywords and a
+    leading `-` as NOT. Whitespace-separated bare words default to AND,
+    PG-style.
     """
     import re as _re
 
-    tokens = _re.findall(r"\(|\)|&|\||!|<->|'[^']*'|[^\s()&|!]+", s)
+    tokens = _re.findall(
+        r"\(|\)|&|\||!|<->|-(?=[\"'\w])|'[^']*'|\"[^\"]*\"|[^\s()&|!\"']+", s)
     pos = 0
+
+    def _is_or(t: str) -> bool:
+        return t == "|" or t.upper() == "OR"
 
     def parse_or():
         nonlocal pos
         node = parse_and()
-        while pos < len(tokens) and tokens[pos] == "|":
+        while pos < len(tokens) and _is_or(tokens[pos]):
             pos += 1
             node = node | parse_and()
         return node
@@ -303,8 +311,8 @@ def to_tsquery(s: str) -> TSQuery:
     def parse_and():
         nonlocal pos
         node = parse_not()
-        while pos < len(tokens) and tokens[pos] not in (")", "|"):
-            if tokens[pos] == "&":
+        while pos < len(tokens) and tokens[pos] != ")" and not _is_or(tokens[pos]):
+            if tokens[pos] == "&" or tokens[pos].upper() == "AND":
                 pos += 1
             node = node & parse_not()
         return node
@@ -313,7 +321,7 @@ def to_tsquery(s: str) -> TSQuery:
         nonlocal pos
         if pos >= len(tokens):
             raise ValueError(f"tsquery syntax error: unexpected end of input in {s!r}")
-        if tokens[pos] == "!":
+        if tokens[pos] in ("!", "-") or tokens[pos].upper() == "NOT":
             pos += 1
             return ~parse_not()
         return parse_atom()
@@ -324,17 +332,21 @@ def to_tsquery(s: str) -> TSQuery:
         if t == "(":
             pos += 1
             node = parse_or()
-            assert tokens[pos] == ")", "unbalanced parens"
+            if pos >= len(tokens) or tokens[pos] != ")":
+                raise ValueError(f"unbalanced parens in tsquery: {s!r}")
             pos += 1
             return node
         pos += 1
-        if t.startswith("'") and t.endswith("'"):
-            words = t[1:-1].split()
+        if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
+            words = t[1:-1].lower().split()
+            if not words:
+                raise ValueError(f"empty quoted phrase in tsquery: {s!r}")
             return Phrase(words) if len(words) > 1 else Term(words[0])
         if t.endswith(":*"):
             return Prefix(t[:-2])
         return Term(t.lower())
 
     node = parse_or()
-    assert pos == len(tokens), f"trailing tokens in tsquery: {tokens[pos:]}"
+    if pos != len(tokens):
+        raise ValueError(f"trailing tokens in tsquery: {tokens[pos:]}")
     return node

@@ -2177,6 +2177,56 @@ _fts_scored("fts_raw_boost",
             q.Term("spark").boost(1.5) | q.Term("vector"), "raw_boost", 15)
 
 
+# SQL front door: the same engine reached through SQL TEXT — `col @@
+# tsquery-expr` with native combinators, scorer calls in SELECT/ORDER BY
+# (reference examples/demo3/demo.sql §2a/§5a, search.h:91). The statement
+# is parsed by plans.search_sql (the session.sql() path) and the oracle is
+# generated from the PARSED AST, so SQL text and oracle can never drift.
+def _fts_sql(name: str, sql_text: str, scored: bool = False) -> None:
+    from serenedb_spark.analysis.analyzers import get_analyzer
+    from serenedb_spark.plans import search_sql as SS
+
+    stmt = SS.parse_select(sql_text, lambda t, c: get_analyzer(_DOC_AN))
+    node = stmt.matches[0][1]
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql_text) -> DataFrame:
+        idx = doc_index(spark, sf_dir)
+        st = SS.parse_select(_sql, lambda t, c: idx.analyzer(c))
+        return SS.execute_select(st, lambda t, c: idx)
+
+    if scored:
+        oracle = O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, node,
+                              scorer=stmt.scorer, k=stmt.limit,
+                              **stmt.scorer_params)
+    else:
+        oracle = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, node,
+                             order="doc_id")
+    _register(name, fn, oracle)
+
+
+# demo3 §2a shape: (('special' ## 'effects') && !!ts_phrase('cgi'))
+_fts_sql("fts_sql_entry", """
+SELECT doc_id FROM documents
+WHERE text @@ (('hash' ## 'join') && !!ts_phrase('slow'))
+ORDER BY doc_id
+""")
+# demo3 §5a shape: score in projection AND order key, ::numeric cast,
+# LIMIT pushdown
+_fts_sql("fts_sql_bm25_topk", """
+SELECT doc_id, round(BM25(documents.tableoid)::numeric, 4) AS score
+FROM documents
+WHERE text @@ ts_any(ARRAY['spark','stream','window'])
+ORDER BY round(BM25(documents.tableoid)::numeric, 4) DESC, doc_id
+LIMIT 20
+""", scored=True)
+# demo3 §2b shape: Lucene/websearch syntax through the SQL text door
+_fts_sql("fts_sql_websearch", """
+SELECT doc_id FROM documents
+WHERE text @@ websearch_to_tsquery('spark -dup "hash join" OR stream')
+ORDER BY doc_id
+""")
+
+
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
 # a query over the partial index answers the conjunctive query
 # `text @@ q AND lang='en'` (the claim is valid because the query implies
@@ -5066,8 +5116,7 @@ _GATE_WINDOW = [
 #: documented not-yet-landed set ONLY. Any other skipped name is a typo
 #: and must fail loudly, not be silently padded over.
 _GATE_PENDING: set = {
-    # r8 work items, registered later this round (remove as each lands)
-    "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
+    # remaining r8-declared work items (remove as each lands this round)
     "vec_rabitq_middim", "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
     "events_asof_agg_preagg",

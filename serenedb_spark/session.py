@@ -90,7 +90,60 @@ class SereneSession:
         return self._apply_masks(name, df)
 
     def sql(self, q: str) -> DataFrame:
-        return self.spark.sql(q)
+        """The SQL front door. Search-dialect statements — `col @@
+        tsquery` matches, scorer calls in SELECT/ORDER BY, `CREATE INDEX
+        ... USING inverted(...)` DDL (reference
+        server/connector/functions/search.h:75-132,
+        examples/demo3/demo.sql) — lower onto the index engine; anything
+        else runs as Spark SQL with the dialect shims (QUALIFY)."""
+        from serenedb_spark.plans import search_sql as SS
+        from serenedb_spark.plans.dialect import sql_compat
+
+        if not SS.has_search_construct(q):
+            return sql_compat(self.spark, q)
+        ddl = SS.parse_create_index(q)
+        if ddl is not None:
+            return self._create_inverted_index_sql(ddl)
+        stmt = SS.parse_select(
+            q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
+        return SS.execute_select(stmt, self._index_for)
+
+    def _create_inverted_index_sql(self, ddl) -> DataFrame:
+        """CREATE INDEX ... USING inverted(col analyzer, plain_col) —
+        analyzed columns become index fields, bare columns ride the
+        docstore (covered), WHERE builds a partial index."""
+        df = self.table(ddl.table)
+        if ddl.where:
+            df = df.where(F.expr(ddl.where))
+        key = "doc_id" if "doc_id" in df.columns else df.columns[0]
+        include = [c for c in df.columns if c != key]
+        idx = build_index(df, ddl.fields, key=key, include=include,
+                          name=ddl.name)
+        self._indexes[ddl.name] = idx
+        if not hasattr(self, "_index_sources"):
+            self._index_sources = {}
+        self._index_sources[ddl.name] = ddl.table
+        return self.spark.createDataFrame(
+            [(ddl.name, ddl.table, ",".join(
+                f"{c} {a}" for c, a in ddl.fields.items()))],
+            "index_name string, table_name string, fields string")
+
+    def _index_for(self, from_name: str, column: str):
+        """Resolve the index serving `FROM from_name ... column @@ ...`:
+        the reference queries the index relation directly (`FROM
+        imdb_fts_idx`), so an index name wins; a table name falls back to
+        any index built over it that serves the column."""
+        idx = self._indexes.get(from_name)
+        if idx is not None and column in idx.fields:
+            return idx
+        for name, ix in self._indexes.items():
+            if (getattr(self, "_index_sources", {}).get(name) == from_name
+                    and column in ix.fields):
+                return ix
+        raise ValueError(
+            f"no inverted index serves {from_name}.{column}; create one "
+            f"with CREATE INDEX ... ON {from_name} USING "
+            f"inverted({column} <analyzer>)")
 
     # ---- row-level security (reference optimizer/rbac.cpp: access
     # predicates injected at plan time, before anything else sees the rows)

@@ -1,0 +1,237 @@
+"""SQL front door for the search dialect (plans/search_sql.py +
+SereneSession.sql): statement parsing, tsquery-expression lowering, the
+CREATE INDEX ... USING inverted DDL form, and end-to-end execution parity
+with the AST engine. Reference shapes: examples/demo3/demo.sql,
+tests/sqllogic/sdb/pg/site_docs/sql/functions/full_text_search.test."""
+
+from __future__ import annotations
+
+import pytest
+
+from serenedb_spark.analysis.analyzers import get_analyzer
+from serenedb_spark.plans import search_sql as SS
+from serenedb_spark.plans import tsquery as q
+from tests.conftest import SF_DIR
+
+AN = get_analyzer("simple")
+
+
+def _an_of(_t, _c):
+    return AN
+
+
+def _parse_ts(text: str) -> q.TSQuery:
+    return SS.parse_tsquery_text(text, AN)
+
+
+# ---------------------------------------------------------------------------
+# tsquery expression parsing
+# ---------------------------------------------------------------------------
+
+
+def test_native_combinators_precedence():
+    node = _parse_ts("'spark' && ('data' || 'batch') && !!'slow'")
+    assert node == (q.Term("spark") & (q.Term("data") | q.Term("batch"))
+                    ) & ~q.Term("slow")
+
+
+def test_boost_binds_tighter_than_or():
+    # full_text_search.test: ts_phrase('fox') || ts_phrase('quick') ^ 2.0
+    node = _parse_ts("ts_phrase('fox') || ts_phrase('quick') ^ 2.0")
+    assert node == q.Term("fox") | q.Term("quick").boost(2.0)
+
+
+def test_bare_multiword_string_is_adjacent_phrase():
+    assert _parse_ts("'hash join'") == q.Phrase(["hash", "join"])
+
+
+def test_seq_chain_exact_gap_int():
+    # 'quick' ## 1 ## 'fox' = exactly one token between → pos diff 2
+    node = _parse_ts("'quick' ## 1 ## 'fox'")
+    assert isinstance(node, q.PhraseSeq)
+    assert node.gaps == ((2, 2),)
+
+
+def test_seq_chain_array_gap_and_splice():
+    node = _parse_ts(
+        "ts_levenshtein('tarintino', 2) ## ARRAY[1,5] ## "
+        "ts_starts_with('direct') ## ARRAY[0,8] ## 'film'")
+    assert node.parts == (q.Fuzzy("tarintino", 2), q.Prefix("direct"),
+                          q.Term("film"))
+    assert node.gaps == ((2, 6), (1, 9))
+
+
+def test_ts_phrase_with_gap_arrays():
+    # demo3 §1: ts_phrase('plot', ARRAY[0,3], 'twist')
+    node = _parse_ts("ts_phrase('plot', ARRAY[0,3], 'twist')")
+    assert node == q.Phrase(["plot", "twist"], gaps=[(1, 4)])
+
+
+def test_ts_phrase_multiword_string_expands():
+    assert _parse_ts("ts_phrase('special effects')") == q.Phrase(
+        ["special", "effects"])
+
+
+def test_tsquery_cast_is_noop():
+    assert _parse_ts("'quick'::TSQUERY ## 1 ## 'fox'::TSQUERY").parts == (
+        q.Term("quick"), q.Term("fox"))
+
+
+def test_func_leaves():
+    assert _parse_ts("ts_any(ARRAY['a','b'], 2)") == q.AnyOf(["a", "b"], 2)
+    assert _parse_ts("ts_all(ARRAY['a','b'])") == q.AllOf(["a", "b"])
+    assert _parse_ts("ts_like('photo%graphy')") == q.Wildcard("photo%graphy")
+    assert _parse_ts("ts_regexp('osc[ae]r')") == q.Regexp("osc[ae]r")
+    assert _parse_ts("ts_ngram('directur', 0.6)") == q.NgramSim(
+        "directur", 0.6)
+    assert _parse_ts("ts_between('a', 'b', true, false)") == q.Between(
+        "a", "b", True, False)
+    assert _parse_ts("ts_lt('m')") == q.Between(hi="m", hi_inclusive=False)
+    assert _parse_ts("ts_ge('m')") == q.Between(lo="m")
+
+
+def test_to_tsquery_word_operators():
+    assert q.to_tsquery("quick AND brown") == q.Term("quick") & q.Term("brown")
+    assert q.to_tsquery('"plot twist" OR -boring') == (
+        q.Phrase(["plot", "twist"]) | ~q.Term("boring"))
+
+
+# ---------------------------------------------------------------------------
+# statement parsing
+# ---------------------------------------------------------------------------
+
+
+def test_parse_select_with_residual_and_limit():
+    st = SS.parse_select(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' "
+        "AND lang = 'en' ORDER BY doc_id LIMIT 5", _an_of)
+    assert st.matches == [("text", q.Term("spark"))]
+    assert st.residual == "(lang = 'en')"
+    assert st.order == [("doc_id", False)]
+    assert st.limit == 5
+
+
+def test_parse_select_scorer_rewrite():
+    st = SS.parse_select(
+        "SELECT doc_id, round(BM25(d.tableoid)::numeric, 2) AS score "
+        "FROM d WHERE text @@ 'x' ORDER BY BM25(d.tableoid) DESC", _an_of)
+    assert st.scorer == "bm25"
+    assert st.select_items[1] == "round ( __score , 2 ) AS score"
+    assert st.order == [("__score", True)]
+
+
+def test_parse_select_scorer_params():
+    # demo3 §5c: lm_dirichlet(oid, 5.0) — positional param binds to mu
+    st = SS.parse_select(
+        "SELECT doc_id FROM d WHERE text @@ 'x' "
+        "ORDER BY lm_dirichlet(d.tableoid, 5.0) DESC", _an_of)
+    assert st.scorer == "lm_dirichlet"
+    assert st.scorer_params == {"mu": 5.0}
+
+
+def test_parse_select_mixed_scorers_raise():
+    with pytest.raises(ValueError, match="mixed scorers"):
+        SS.parse_select(
+            "SELECT BM25(d.x) FROM d WHERE t @@ 'a' "
+            "ORDER BY TFIDF(d.x) DESC", _an_of)
+
+
+def test_string_literal_at_at_is_not_search():
+    assert not SS.has_search_construct("SELECT '@@' AS x FROM t")
+    assert SS.has_search_construct(
+        "SELECT 1 FROM t WHERE c @@ to_tsquery('x')")
+
+
+def test_parse_create_index():
+    ddl = SS.parse_create_index(
+        "CREATE INDEX imdb_idx ON imdb USING inverted("
+        "text imdb_en, text_ngram imdb_ng, label)")
+    assert ddl.name == "imdb_idx" and ddl.table == "imdb"
+    assert ddl.fields == {"text": "imdb_en", "text_ngram": "imdb_ng"}
+    assert ddl.includes == ["label"]
+    assert SS.parse_create_index("CREATE TABLE t (a INT)") is None
+
+
+def test_parse_create_index_partial():
+    ddl = SS.parse_create_index(
+        "CREATE INDEX i ON documents USING inverted(text simple) "
+        "WHERE lang = 'en'")
+    assert ddl.where == "lang = 'en'"
+
+
+# ---------------------------------------------------------------------------
+# end-to-end through SereneSession.sql
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def session(spark):
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    ss.load_dir(SF_DIR, tables=("documents", "nation"))
+    ss.sql("CREATE INDEX doc_idx ON documents USING inverted(text simple)")
+    return ss
+
+
+def test_sql_ddl_returns_status(session):
+    row = session.sql(
+        "CREATE INDEX doc_idx2 ON documents USING inverted(text simple)"
+    ).first()
+    assert row.index_name == "doc_idx2" and row.table_name == "documents"
+
+
+def test_sql_match_parity_with_ast_engine(session):
+    got = session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ "
+        "('spark' && ('data' || 'batch')) ORDER BY doc_id"
+    ).toPandas()
+    want = session.match(
+        session._indexes["doc_idx"],
+        q.Term("spark") & (q.Term("data") | q.Term("batch")),
+    ).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert list(got.doc_id) == list(want.doc_id)
+    assert len(got) > 0
+
+
+def test_sql_from_index_name(session):
+    # reference queries the index relation directly: FROM imdb_fts_idx
+    a = session.sql(
+        "SELECT doc_id FROM doc_idx WHERE text @@ 'spark' ORDER BY doc_id"
+    ).toPandas()
+    b = session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' ORDER BY doc_id"
+    ).toPandas()
+    assert list(a.doc_id) == list(b.doc_id)
+
+
+def test_sql_scored_topk(session):
+    df = session.sql(
+        "SELECT doc_id, round(BM25(doc_idx.tableoid)::numeric, 4) AS score "
+        "FROM documents WHERE text @@ ts_any(ARRAY['spark','stream']) "
+        "ORDER BY round(BM25(doc_idx.tableoid)::numeric, 4) DESC, doc_id "
+        "LIMIT 10").toPandas()
+    assert list(df.columns) == ["doc_id", "score"]
+    assert len(df) == 10
+    assert list(df.score) == sorted(df.score, reverse=True)
+    assert (df.score > 0).all()
+
+
+def test_sql_residual_predicate(session):
+    df = session.sql(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE text @@ 'spark' AND lang = 'en' ORDER BY doc_id").toPandas()
+    assert (df.lang == "en").all()
+    unfiltered = session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark'").count()
+    assert 0 < len(df) < unfiltered
+
+
+def test_sql_non_search_passthrough(session):
+    df = session.sql("SELECT count(*) AS n FROM nation").toPandas()
+    assert df.n[0] == 25
+
+
+def test_sql_no_index_raises(session):
+    with pytest.raises(ValueError, match="no inverted index"):
+        session.sql("SELECT n_name FROM nation WHERE n_name @@ 'x'")
