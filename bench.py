@@ -108,6 +108,12 @@ SCALE_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE_COPIES", "10"))
 SCALE_QUERIES = [
     "fts_bool", "fts_bm25_topk", "es_multi_match",
     "embedding_dup_pairs_lsh", "events_asof_agg",
+    # single-shuffle asof (tie-break dedup) vs the two-shuffle original
+    "events_asof_agg_preagg",
+    # the two remaining >2×-at-sf0.1 watch queries (r8 verdict): measure
+    # their 10× crossover instead of arguing it — customer/orders/lineitem
+    # are rewritten with offset keys for these
+    "top_customers", "inet6_battery",
 ]
 #: the 100× section: the index-served queries whose 10× row already
 #: crossed DuckDB — SCALE.md claimed "at 100× every row is a Spark win";
@@ -115,13 +121,15 @@ SCALE_QUERIES = [
 #: one remaining >2×-at-10× row (10M events here), so its crossover
 #: point is measured rather than argued.
 SCALE2_COPIES = int(os.environ.get("SPARK_GRAFT_SCALE2_COPIES", "100"))
-SCALE2_QUERIES = ["fts_bool", "fts_bm25_topk", "events_asof_agg"]
+SCALE2_QUERIES = ["fts_bool", "fts_bm25_topk", "events_asof_agg",
+                  "events_asof_agg_preagg"]
 _COPY_OFF = 10_000_000
 
 
 def _build_scale_dir(spark, copies: int,
                      tables: tuple[str, ...] = ("documents", "embeddings",
-                                                "events")) -> str:
+                                                "events", "customer",
+                                                "orders", "lineitem")) -> str:
     """Materialize the blown-up corpus once per (sf, copies); unchanged
     tables are symlinked, `tables` rewritten with offset ids. Built into
     a temp dir + atomic rename so a crash mid-write can never bless a
@@ -131,9 +139,10 @@ def _build_scale_dir(spark, copies: int,
     from serenedb_spark import queries as Q
 
     sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
-    # v2: events now rewritten too (asof crossover row) — new dir name so
-    # a v1 dir's _READY marker (events symlinked) can't be mistaken for it
-    out = f"/tmp/serene_scale_{sf_tag}_x{copies}_v2"
+    # v3: customer/orders/lineitem now rewritten too (top_customers +
+    # inet6_battery crossover rows) — new dir name so an older dir's
+    # _READY marker (those tables symlinked) can't be mistaken for it
+    out = f"/tmp/serene_scale_{sf_tag}_x{copies}_v3"
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out
@@ -181,6 +190,22 @@ def _build_scale_dir(spark, copies: int,
                       .withColumn(
                           "user_id",
                           F.col("user_id") + F.col("__c") * _COPY_OFF))
+            elif t == "customer":
+                df = df.withColumn(
+                    "c_custkey", F.col("c_custkey") + F.col("__c") * _COPY_OFF)
+            elif t == "orders":
+                # each copy is a fresh customer+order population — the
+                # customer⨝orders⨝lineitem join tree scales linearly
+                df = (df.withColumn(
+                          "o_orderkey",
+                          F.col("o_orderkey") + F.col("__c") * _COPY_OFF)
+                      .withColumn(
+                          "o_custkey",
+                          F.col("o_custkey") + F.col("__c") * _COPY_OFF))
+            elif t == "lineitem":
+                df = df.withColumn(
+                    "l_orderkey",
+                    F.col("l_orderkey") + F.col("__c") * _COPY_OFF)
             df.drop("__c").write.mode("overwrite").parquet(dst)
         else:
             os.symlink(src, dst)
@@ -231,11 +256,13 @@ def _duckdb_con(sdir: str):
 
 
 def _scale_run(spark, copies: int, names: list[str],
-               with_index: bool) -> dict:
+               with_index: bool,
+               tables: tuple[str, ...] | None = None) -> dict:
     """Spark vs DuckDB on the blown-up corpus; 1 warm-up + best of 2."""
     from serenedb_spark import queries as Q
 
-    sdir = _build_scale_dir(spark, copies)
+    sdir = (_build_scale_dir(spark, copies, tables) if tables is not None
+            else _build_scale_dir(spark, copies))
     out: dict = {"copies": copies, "spark": {}, "duckdb": {}}
 
     # the sf0.1 sections persisted indexes this JVM no longer needs;
@@ -350,8 +377,11 @@ def main() -> None:
 
     scale = (_scale_run(spark, SCALE_COPIES, SCALE_QUERIES, with_index=True)
              if SCALE_COPIES > 0 else None)
+    # 100× touches only documents/events queries — skip the (large,
+    # unused) customer/orders/lineitem rewrite there
     scale2 = (_scale_run(spark, SCALE2_COPIES, SCALE2_QUERIES,
-                         with_index=True)
+                         with_index=True,
+                         tables=("documents", "embeddings", "events"))
               if SCALE2_COPIES > 0 else None)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

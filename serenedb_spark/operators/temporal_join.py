@@ -16,7 +16,10 @@ Tie semantics match DuckDB: ``backward`` takes the LARGEST right time <=
 left time (inclusive), ``forward`` the SMALLEST right time >= left time.
 Right rows carrying identical (by, time) should be pre-aggregated by the
 caller (DuckDB's ASOF picks an arbitrary one — we refuse to be
-nondeterministic by construction instead).
+nondeterministic by construction instead) — or pass ``tie_break`` to fold
+that dedup into the window's sort: the caller's groupBy costs a second
+wide shuffle keyed (by, time) on top of the window's shuffle keyed (by);
+the tie-break costs nothing.
 """
 
 from __future__ import annotations
@@ -35,6 +38,7 @@ def asof_join(
     tolerance: Column | None = None,
     how: str = "left",
     suffix: str = "_r",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the right row whose ``on`` value is the
     closest at-or-before it (``backward``) / at-or-after it (``forward``),
@@ -48,6 +52,12 @@ def asof_join(
       it become NULL (left join) / are dropped (inner).
     - right's non-``by``, non-``on`` columns come back suffixed; its ``on``
       comes back as ``on + suffix``.
+    - ``tie_break``: name of a right value column; among right rows with
+      identical (by, on), the row with the LARGEST tie_break value wins
+      (NULLs lose), deterministically. Equivalent to the caller
+      pre-aggregating right per (by, on) with max_by — but expressed as
+      extra sort keys inside the window's existing shuffle, so the whole
+      join stays ONE shuffle on ``by`` instead of two.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -90,9 +100,16 @@ def asof_join(
     # <= its own (inclusive). forward is the mirror image.
     t_ord = (F.col("__t").asc_nulls_first() if direction == "backward"
              else F.col("__t").desc_nulls_first())
+    # tie_break ascending with NULLs first: among right rows tied on
+    # (by, __t) the max-tie_break row sorts LAST, so the running last()
+    # at any subsequent left row sees exactly it. Left rows still sort
+    # after every tied right row via __is_left, so the extra key never
+    # affects left/right interleaving.
+    tie_ord = ([F.col(f"__p.{tie_break}{suffix}").asc_nulls_first()]
+               if tie_break is not None else [])
     w = (
         Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(t_ord, F.col("__is_left").asc())
+        .orderBy(t_ord, F.col("__is_left").asc(), *tie_ord)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = unioned.withColumn(

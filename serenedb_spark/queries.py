@@ -4792,6 +4792,48 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """)
 
 
+def _events_asof_agg_preagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same aggregate as events_asof_agg, ONE wide shuffle instead of two:
+    the right side's per-(user, ts) dedup (round(max(value),4)) is folded
+    into the asof window's tie-break ordering (asof_join tie_break=) —
+    the groupBy pre-aggregation shuffles on (user_id, ts) while the window
+    shuffles on user_id, so at 100 TB the explicit pre-agg doubles the
+    event-stream shuffle volume for nothing."""
+    from serenedb_spark.operators.temporal_join import asof_join
+
+    ev = load_tables(spark, sf_dir)["events"]
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (ev.where(F.col("event_type") == "view")
+             .select("user_id", "ts", F.round("value", 4).alias("score")))
+    out = asof_join(purchases, views, on="ts", by=["user_id"],
+                    tie_break="score")
+    t = F.floor(F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+                / F.lit(1000000)).cast("long")
+    mt = F.floor(F.unix_micros(F.col("ts_r").cast("timestamp_ltz"))
+                 / F.lit(1000000)).cast("long")
+    return out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("score_r").alias("n_matched"),
+        F.sum(t - mt).alias("lag_seconds"),
+    )
+
+
+_register("events_asof_agg_preagg", _events_asof_agg_preagg, """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, ts, round(max(value), 4) AS score
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT count(*) AS n, count(r.score) AS n_matched,
+  CAST(sum(CAST(floor(epoch(l.ts)) AS BIGINT)
+           - CAST(floor(epoch(r.ts)) AS BIGINT)) AS BIGINT) AS lag_seconds
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""")
+
+
 def _orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orders bucketized into 60-day promo windows — interval containment
     as a bucket EQUI-join (operators/temporal_join.py range_join), not a
@@ -5119,7 +5161,6 @@ _GATE_PENDING: set = {
     # remaining r8-declared work items (remove as each lands this round)
     "vec_rabitq_middim", "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
-    "events_asof_agg_preagg",
 }
 
 

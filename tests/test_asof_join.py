@@ -120,3 +120,43 @@ def test_null_times_never_match(spark):
 
     inner = asof_join(left, right, on="t", by=["k"], how="inner").collect()
     assert [(r.tag, r.t_r, r.v_r) for r in inner] == [("a", 3, 30.0)]
+
+
+def test_tie_break_picks_max_deterministically(spark):
+    """tie_break: among right rows tied on (by, on), the max-tie_break row
+    wins — equivalent to pre-aggregating right per (by, on) with max, but
+    inside the window's single shuffle. NULL tie values lose to non-NULL;
+    an all-NULL tie group still matches (with a NULL value), exactly like
+    max() over the group."""
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (2, 10, "b")], "k int, t int, tag string")
+    right = spark.createDataFrame(
+        [(1, 5, 3.0), (1, 5, 7.0), (1, 5, None), (1, 2, 99.0),
+         (2, 5, None), (2, 5, None)],
+        "k int, t int, v double")
+    out = {r.tag: (r.t_r, r.v_r)
+           for r in asof_join(left, right, on="t", by=["k"],
+                              tie_break="v").collect()}
+    assert out == {"a": (5, 7.0), "b": (5, None)}
+
+
+def test_tie_break_matches_preagg_plan(spark):
+    """Differential: tie_break ≡ caller-side groupBy(max) pre-aggregation
+    on a randomized input with heavy (k, t) duplication."""
+    import random
+
+    rnd = random.Random(7)
+    rows_l = [(rnd.randint(0, 5), rnd.randint(0, 30), i) for i in range(80)]
+    rows_r = [(rnd.randint(0, 5), rnd.randint(0, 30),
+               None if rnd.random() < 0.2 else round(rnd.random(), 3))
+              for _ in range(300)]
+    left = spark.createDataFrame(rows_l, "k int, t int, lid int")
+    right = spark.createDataFrame(rows_r, "k int, t int, v double")
+
+    pre = right.groupBy("k", "t").agg(F.max("v").alias("v"))
+    want = sorted((r.lid, r.t_r, r.v_r) for r in
+                  asof_join(left, pre, on="t", by=["k"]).collect())
+    got = sorted((r.lid, r.t_r, r.v_r) for r in
+                 asof_join(left, right, on="t", by=["k"],
+                           tie_break="v").collect())
+    assert got == want
