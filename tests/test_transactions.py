@@ -254,3 +254,39 @@ def test_rollback_restores_column_masks(ss):
     assert ss.table("nation").first().n_name is None
     ss.rollback()
     assert ss.table("nation").first().n_name is not None
+
+
+def test_rollback_undoes_mutation_of_preexisting_keys(ss):
+    """Aliasing regression (r8 fix, session.py _txn_copy): when a grant /
+    check / mask / not-null entry EXISTS BEFORE the block, the in-block
+    mutation happens in place on the nested container
+    (grants.setdefault(...).add(...)) — a shallow one-level snapshot
+    aliases it and ROLLBACK silently keeps the security-relevant change.
+    The deep structural snapshot must fully undo it."""
+    # pre-existing state, established OUTSIDE any block
+    ss.grant("analyst", "nation", "SELECT")
+    ss.add_check("nation", "key_pos", F.col("n_nationkey") >= 0)
+    ss.set_column_mask("nation", "n_comment", F.lit("xxx"))
+    ss.alter_set_not_null("nation", "n_name")
+
+    ss.begin()
+    # mutate the PRE-EXISTING nested containers in place
+    ss.grant("analyst", "nation", "INSERT")        # same principal+table
+    ss.grant("analyst", "region", "SELECT")        # same principal, new table
+    ss.add_check("nation", "key_small", F.col("n_nationkey") < 1000)
+    ss.set_column_mask("nation", "n_name", F.lit("yyy"))  # same table
+    ss.alter_set_not_null("nation", "n_nationkey")        # same table
+    ss.rollback()
+
+    # only the pre-existing entries survive
+    assert ss.has_table_privilege("analyst", "nation", "SELECT")
+    assert not ss.has_table_privilege("analyst", "nation", "INSERT")
+    assert not ss.has_table_privilege("analyst", "region", "SELECT")
+    checks = getattr(ss, "_checks", {}).get("nation", {})
+    assert "key_pos" in checks and "key_small" not in checks
+    masks = getattr(ss, "_col_masks", {}).get("nation", {})
+    assert "n_comment" in masks and "n_name" not in masks
+    nn = getattr(ss, "_not_null", {}).get("nation", ())
+    assert "n_name" in nn and "n_nationkey" not in nn
+    # and the pre-existing mask still applies through the table() path
+    assert ss.table("nation").select("n_comment").first()[0] == "xxx"
