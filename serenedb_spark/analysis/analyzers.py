@@ -1147,6 +1147,18 @@ LOCALE_STOPWORDS: dict[str, tuple[str, ...]] = {
            "σε", "για", "δεν", "από", "τα", "τον", "την", "στο", "στη",
            "οι", "ως", "αν", "θα", "ότι", "αυτό", "είναι", "μια", "ένα",
            "τις", "τους"),
+    "lt": ("ir", "yra", "kad", "į", "iš", "su", "tai", "bet", "kaip", "o",
+           "dėl", "per", "apie", "po", "prie", "už", "nuo", "ar", "jis",
+           "ji", "jo", "jos", "mes", "jūs", "šis", "ši", "tik", "dar",
+           "jau", "visi"),
+    "id": ("yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke", "karena",
+           "tersebut", "bisa", "ada", "mereka", "lebih", "kata", "tahun",
+           "sudah", "atau", "saat", "oleh", "menjadi", "orang", "ia"),
+    "ga": ("agus", "an", "na", "is", "go", "le", "ar", "do", "de", "mar",
+           "atá", "bhí", "tá", "sé", "sí", "mé", "tú", "siad", "seo",
+           "sin", "ach", "nach", "ní", "ag", "as", "os", "faoi", "idir",
+           "chun", "dá"),
 }
 
 # Unicode-aware tokenization (the ASCII `simple` split would shred
@@ -1188,6 +1200,6 @@ def _locale_text(locale: str):
 
 
 for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv", "da", "no",
-            "fi", "hu", "tr", "ro", "el"):
+            "fi", "hu", "tr", "ro", "el", "lt", "id", "ga"):
     _e, _p, _d = _locale_text(_lc)
     register(Analyzer(f"text_{_lc}", _e, _p, _d))

@@ -33,6 +33,12 @@ repo's other locale stand-ins):
   * Diacritics are folded at the END of the pipeline (ä→a, é→e, …) so
     index terms are accent-insensitive — the reference reaches the same
     user-visible behavior through ICU collation.
+  * Prefix languages are in-family since Locale.prefixes landed (Irish
+    initial mutations, Indonesian meN-/peN-/ber-). Czech, Polish and
+    Japanese remain OUT of this framework's family: cs/pl need palatal
+    alternation rewrites mid-word and ja needs dictionary segmentation
+    (MeCab-class), neither expressible as anchored affix tables —
+    documented deviation, matching the reference's ICU dependency.
 
 Region definitions (Snowball's standard):
   R1 = region after the first non-vowel following a vowel; R2 = R1 of R1;
@@ -69,6 +75,10 @@ class Rule:
     #                             is in this set (Snowball's two-char
     #                             lookbehind, e.g. Finnish partitive 'cv')
     min_stem: int = 0           # at least this many chars must remain
+    min_vowels: int = 0         # at least this many VOWELS must remain
+    #                             (Indonesian's syllable-count condition:
+    #                             each removal requires the residue to
+    #                             keep >= 2 syllables = vowels)
 
 
 @dataclass(frozen=True)
@@ -76,6 +86,15 @@ class Locale:
     name: str
     vowels: str
     steps: tuple[tuple[Rule, ...], ...]
+    #: anchored PREFIX rounds, applied once each after the prelude and
+    #: BEFORE region computation (initial-mutation / derivational-prefix
+    #: languages: Irish eclipsis+lenition, Indonesian meN-/peN-/ber-).
+    #: Rule reuse for prefixes: ``suffix`` is the prefix text, ``repl``
+    #: is PREPENDED to the remainder (letter restoration: meny→s),
+    #: ``prec`` constrains the char immediately AFTER the prefix,
+    #: ``min_stem``/``min_vowels`` constrain the remainder. Longest
+    #: prefix first, first-applicable-wins within a round.
+    prefixes: tuple[tuple[Rule, ...], ...] = ()
     rv_kind: str | None = None      # 'fr' | 'es' | 'ru' (None: unused)
     r1_min3: bool = False           # German's 3-char floor before R1
     r1_kind: str | None = None      # 'hu': consonant-start words take R1
@@ -168,14 +187,33 @@ def _py_step(loc: Locale, w: str, starts: tuple[int, int, int],
         if ok and r.prev2 is not None:
             p2 = w[-L - 2] if len(w) > L + 1 else None
             ok = p2 is not None and p2 in r.prev2
+        if ok and r.min_vowels:
+            ok = sum(c in loc.vowels for c in w[: len(w) - L]) >= r.min_vowels
         if ok:
             return w[: len(w) - L] + r.repl
+    return w
+
+
+def _py_prefix(loc: Locale, w: str, rules: tuple[Rule, ...]) -> str:
+    for r in _sorted(rules):
+        if not w.startswith(r.suffix):
+            continue
+        rest = w[len(r.suffix):]
+        if len(rest) < r.min_stem:
+            continue
+        if r.prec is not None and not (rest and rest[0] in r.prec):
+            continue
+        if r.min_vowels and sum(c in loc.vowels for c in rest) < r.min_vowels:
+            continue
+        return r.repl + rest
     return w
 
 
 def stem_py(loc: Locale, w: str) -> str:
     for a, b in loc.prelude:
         w = w.replace(a, b)
+    for rnd in loc.prefixes:
+        w = _py_prefix(loc, w, rnd)
     starts = _py_region_starts(loc, w)
     for step in loc.steps:
         w = _py_step(loc, w, starts, step)
@@ -254,6 +292,11 @@ def _col_step(loc: Locale, s: Column, rules: tuple[Rule, ...]) -> Column:
             p2 = F.substring(t, F.length(t) - F.lit(L + 1), F.lit(1))
             cond = cond & (F.length(t) > F.lit(L + 1)) \
                 & p2.isin(*list(r.prev2))
+        if r.min_vowels:
+            stem_part = F.substring(t, F.lit(1), F.length(t) - F.lit(L))
+            nv = F.length(F.regexp_replace(
+                stem_part, f"[^{loc.vowels}]", ""))
+            cond = cond & (nv >= F.lit(r.min_vowels))
         stripped = F.concat(
             F.substring(t, F.lit(1), F.length(t) - F.lit(L)), F.lit(r.repl))
         out = (F.when(cond, stripped) if out is None
@@ -261,6 +304,26 @@ def _col_step(loc: Locale, s: Column, rules: tuple[Rule, ...]) -> Column:
     w2 = out.otherwise(t) if out is not None else t
     return F.struct(w2.alias("w"), s["r1s"].alias("r1s"),
                     s["r2s"].alias("r2s"), s["rvs"].alias("rvs"))
+
+
+def _col_prefix(loc: Locale, t: Column, rules: tuple[Rule, ...]) -> Column:
+    out = None
+    for r in _sorted(rules):
+        L = len(r.suffix)
+        rest = F.substring(t, F.lit(L + 1), F.length(t))
+        cond = t.startswith(r.suffix)
+        if r.min_stem:
+            cond = cond & (F.length(t) - F.lit(L) >= F.lit(r.min_stem))
+        if r.prec is not None:
+            nxt = F.substring(t, F.lit(L + 1), F.lit(1))
+            cond = cond & (F.length(t) > F.lit(L)) & nxt.isin(*list(r.prec))
+        if r.min_vowels:
+            nv = F.length(F.regexp_replace(rest, f"[^{loc.vowels}]", ""))
+            cond = cond & (nv >= F.lit(r.min_vowels))
+        stripped = F.concat(F.lit(r.repl), rest)
+        out = (F.when(cond, stripped) if out is None
+               else out.when(cond, stripped))
+    return out.otherwise(t) if out is not None else t
 
 
 def stem_expr_list(loc: Locale, arr: Column) -> Column:
@@ -272,6 +335,12 @@ def stem_expr_list(loc: Locale, arr: Column) -> Column:
     the JVM stack at ~100 rules."""
     for a, b in loc.prelude:
         arr = F.transform(arr, lambda t: F.replace(t, F.lit(a), F.lit(b)))
+
+    def prefix_fn(rnd):
+        return lambda t: _col_prefix(loc, t, rnd)
+
+    for rnd in loc.prefixes:
+        arr = F.transform(arr, prefix_fn(rnd))
 
     def stage(t: Column) -> Column:
         r1s, r2s, rvs = _col_region_starts(loc, t)
@@ -375,6 +444,11 @@ def _sql_step(loc: Locale, s: str, rules: tuple[Rule, ...]) -> str:
             p2 = f"substr({t}, length({t}) - {L + 1}, 1)"
             conds.append(
                 f"(length({t}) > {L + 1} AND {_sql_in_set(p2, r.prev2)})")
+        if r.min_vowels:
+            stem_part = f"substr({t}, 1, length({t}) - {L})"
+            conds.append(
+                f"length(regexp_replace({stem_part}, '[^{loc.vowels}]',"
+                f" '', 'g')) >= {r.min_vowels}")
         strip = f"substr({t}, 1, length({t}) - {L}) || '{r.repl}'"
         whens.append(f"WHEN {' AND '.join(conds)} THEN {strip}")
     w2 = t if not whens else "CASE " + " ".join(whens) + f" ELSE {t} END"
@@ -390,6 +464,26 @@ def stem_sql_list(loc: Locale, list_expr: str) -> str:
     out = list_expr
     for a, b in loc.prelude:
         out = f"list_transform({out}, t -> replace(t, '{a}', '{b}'))"
+    for rnd in loc.prefixes:
+        whens = []
+        for r in _sorted(rnd):
+            L = len(r.suffix)
+            rest = f"substr(t, {L + 1})"
+            conds = [f"t LIKE '{r.suffix}%'"]
+            if r.min_stem:
+                conds.append(f"length(t) - {L} >= {r.min_stem}")
+            if r.prec is not None:
+                conds.append(
+                    f"(length(t) > {L} AND "
+                    f"{_sql_in_set(f'substr(t, {L + 1}, 1)', r.prec)})")
+            if r.min_vowels:
+                conds.append(
+                    f"length(regexp_replace({rest}, '[^{loc.vowels}]',"
+                    f" '', 'g')) >= {r.min_vowels}")
+            whens.append(f"WHEN {' AND '.join(conds)}"
+                         f" THEN '{r.repl}' || {rest}")
+        case = "CASE " + " ".join(whens) + " ELSE t END"
+        out = f"list_transform({out}, t -> {case})"
     r1s, r2s, rvs = _sql_region_starts(loc, "t")
     out = (f"list_transform({out}, t -> {{'w': t, 'r1s': {r1s},"
            f" 'r2s': {r2s}, 'rvs': {rvs}}})")
@@ -1359,9 +1453,163 @@ GREEK = Locale(
     ),
 )
 
+# Lithuanian (published Snowball lithuanian.sbl, portable subset: the
+# common declension/conjugation ending tables in R1; the č/dž fix-up
+# steps and the rarest endings are omitted — documented deviation).
+_LT_V = "aąeęėiįyouųū"
+LITHUANIAN = Locale(
+    name="lt",
+    vowels=_LT_V,
+    steps=(
+        # step 1: nominal declension endings (R1)
+        (
+            Rule("iuose", "r1", min_stem=2), Rule("uose", "r1", min_stem=2),
+            Rule("iams", "r1", min_stem=2), Rule("iais", "r1", min_stem=2),
+            Rule("iose", "r1", min_stem=2), Rule("iems", "r1", min_stem=2),
+            Rule("omis", "r1", min_stem=2), Rule("ėmis", "r1", min_stem=2),
+            Rule("imis", "r1", min_stem=2), Rule("umis", "r1", min_stem=2),
+            Rule("iai", "r1", min_stem=2), Rule("ams", "r1", min_stem=2),
+            Rule("ais", "r1", min_stem=2), Rule("oms", "r1", min_stem=2),
+            Rule("ėms", "r1", min_stem=2), Rule("ims", "r1", min_stem=2),
+            Rule("ums", "r1", min_stem=2), Rule("ose", "r1", min_stem=2),
+            Rule("ėse", "r1", min_stem=2), Rule("yse", "r1", min_stem=2),
+            Rule("yje", "r1", min_stem=2), Rule("oje", "r1", min_stem=2),
+            Rule("ėje", "r1", min_stem=2), Rule("ije", "r1", min_stem=2),
+            Rule("iui", "r1", min_stem=2), Rule("ias", "r1", min_stem=2),
+            Rule("ius", "r1", min_stem=2), Rule("ių", "r1", min_stem=2),
+            Rule("ui", "r1", min_stem=2), Rule("as", "r1", min_stem=2),
+            Rule("is", "r1", min_stem=2), Rule("ys", "r1", min_stem=2),
+            Rule("us", "r1", min_stem=2), Rule("ai", "r1", min_stem=2),
+            Rule("os", "r1", min_stem=2), Rule("ės", "r1", min_stem=2),
+            Rule("ia", "r1", min_stem=2), Rule("io", "r1", min_stem=2),
+            Rule("iu", "r1", min_stem=2), Rule("ią", "r1", min_stem=2),
+            Rule("a", "r1", min_stem=2), Rule("ą", "r1", min_stem=2),
+            Rule("ė", "r1", min_stem=2), Rule("ę", "r1", min_stem=2),
+            Rule("į", "r1", min_stem=2), Rule("ų", "r1", min_stem=2),
+            Rule("o", "r1", min_stem=2), Rule("u", "r1", min_stem=2),
+            Rule("e", "r1", min_stem=2), Rule("i", "r1", min_stem=2),
+            Rule("y", "r1", min_stem=2),
+        ),
+        # step 2: verb endings left after step 1 (R1)
+        (
+            Rule("iame", "r1", min_stem=2), Rule("iate", "r1", min_stem=2),
+            Rule("ame", "r1", min_stem=2), Rule("ate", "r1", min_stem=2),
+            Rule("ome", "r1", min_stem=2), Rule("ėme", "r1", min_stem=2),
+            Rule("ėte", "r1", min_stem=2), Rule("ote", "r1", min_stem=2),
+            Rule("iau", "r1", min_stem=2), Rule("au", "r1", min_stem=2),
+            Rule("si", "r1", min_stem=3), Rule("ti", "r1", min_stem=3),
+        ),
+    ),
+)
+
+# Indonesian (published Snowball indonesian.sbl after Tala 2003):
+# particle and possessive suffixes, meN-/peN- first-order and ber-/per-
+# second-order prefixes with letter restoration (meny→s, mem+V→p,
+# men+V→t), derivational -kan/-an/-i. The syllable-count condition
+# (every removal must leave >= 2 syllables) is expressed as
+# min_vowels=2. Documented deviation: the dictionary-free mem+V→p
+# recoding is applied unconditionally (the reference ambiguity
+# mem+makan vs mem+pakai is unresolvable without a lexicon).
+_ID_V = "aeiou"
+INDONESIAN = Locale(
+    name="id",
+    vowels=_ID_V,
+    prefixes=(
+        # first-order: meN- / peN- / di- / ter- / ke-
+        (
+            Rule("meng", prec=_ID_V, min_vowels=2), Rule("meng", min_vowels=2),
+            Rule("meny", repl="s", prec=_ID_V, min_vowels=2),
+            Rule("peng", prec=_ID_V, min_vowels=2), Rule("peng", min_vowels=2),
+            Rule("peny", repl="s", prec=_ID_V, min_vowels=2),
+            Rule("mem", repl="p", prec=_ID_V, min_vowels=2),
+            Rule("mem", min_vowels=2),
+            Rule("men", repl="t", prec=_ID_V, min_vowels=2),
+            Rule("men", min_vowels=2),
+            Rule("pem", repl="p", prec=_ID_V, min_vowels=2),
+            Rule("pem", min_vowels=2),
+            Rule("pen", repl="t", prec=_ID_V, min_vowels=2),
+            Rule("pen", min_vowels=2),
+            Rule("ter", min_vowels=2), Rule("di", min_vowels=2),
+            Rule("ke", min_vowels=2), Rule("me", min_vowels=2),
+        ),
+        # second-order: ber- / per-
+        (
+            Rule("bel", min_vowels=2), Rule("ber", min_vowels=2),
+            Rule("pel", min_vowels=2), Rule("per", min_vowels=2),
+            Rule("be", prec="k", min_vowels=2), Rule("pe", min_vowels=2),
+        ),
+    ),
+    steps=(
+        # particles
+        (Rule("kah", min_vowels=2), Rule("lah", min_vowels=2),
+         Rule("tah", min_vowels=2), Rule("pun", min_vowels=2)),
+        # possessive pronouns
+        (Rule("nya", min_vowels=2), Rule("ku", min_vowels=2),
+         Rule("mu", min_vowels=2)),
+        # derivational suffixes (-i never strips after a vowel: sungai)
+        (Rule("kan", min_vowels=2), Rule("an", min_vowels=2),
+         Rule("i", min_vowels=2, prec_not=_ID_V)),
+    ),
+)
+
+# Irish (published Snowball irish.sbl, portable subset): initial-mutation
+# removal — eclipsis (mb→b, gc→c, nd→d, ng→g, bp→p, dt→t, bhf→f, ts→s)
+# and lenition (Xh→X for b c d f g m p s t) — then the common noun
+# (-(e)acht(a), -(e)anna, -(e)acha, -í) and verb (-(f)aidh/-fidh, -ann,
+# -(e)adh, -t(e)ar, -(e)amar, -áil) endings in R1. The hyphenated h-/n-/
+# t- prothesis forms are handled upstream by tokenization (the hyphen
+# splits them off); bare-h prothesis is not removed (hata vs héadaí is
+# unresolvable without a lexicon) — documented deviation.
+_GA_V = "aeiouáéíóú"
+IRISH = Locale(
+    name="ga",
+    vowels=_GA_V,
+    prefixes=(
+        (
+            Rule("bhf", repl="f", min_stem=2),
+            Rule("mb", repl="b", min_stem=2),
+            Rule("gc", repl="c", min_stem=2),
+            Rule("nd", repl="d", min_stem=2),
+            Rule("ng", repl="g", min_stem=2),
+            Rule("bp", repl="p", min_stem=2),
+            Rule("dt", repl="t", min_stem=2),
+            Rule("ts", repl="s", min_stem=2),
+            Rule("bh", repl="b", min_stem=2),
+            Rule("ch", repl="c", min_stem=2),
+            Rule("dh", repl="d", min_stem=2),
+            Rule("fh", repl="f", min_stem=2),
+            Rule("gh", repl="g", min_stem=2),
+            Rule("mh", repl="m", min_stem=2),
+            Rule("ph", repl="p", min_stem=2),
+            Rule("sh", repl="s", min_stem=2),
+            Rule("th", repl="t", min_stem=2),
+        ),
+    ),
+    steps=(
+        # step 1: noun endings (R1)
+        (
+            Rule("eachta", "r1", min_stem=2), Rule("achta", "r1", min_stem=2),
+            Rule("eanna", "r1", min_stem=2), Rule("anna", "r1", min_stem=2),
+            Rule("eacha", "r1", min_stem=2), Rule("acha", "r1", min_stem=2),
+            Rule("eacht", "r1", min_stem=2), Rule("acht", "r1", min_stem=2),
+            Rule("aí", "r1", min_stem=2), Rule("í", "r1", min_stem=2),
+        ),
+        # step 2: verb endings (R1)
+        (
+            Rule("eamar", "r1", min_stem=2), Rule("faidh", "r1", min_stem=2),
+            Rule("amar", "r1", min_stem=2), Rule("fidh", "r1", min_stem=2),
+            Rule("eadh", "r1", min_stem=2), Rule("tear", "r1", min_stem=2),
+            Rule("fimid", "r1", min_stem=2), Rule("faimid", "r1", min_stem=2),
+            Rule("ann", "r1", min_stem=2), Rule("adh", "r1", min_stem=2),
+            Rule("tar", "r1", min_stem=2), Rule("áil", "r1", min_stem=2),
+        ),
+    ),
+)
+
 LOCALES: dict[str, Locale] = {
     "de": GERMAN, "fr": FRENCH, "es": SPANISH, "ru": RUSSIAN,
     "it": ITALIAN, "pt": PORTUGUESE, "nl": DUTCH, "sv": SWEDISH,
     "da": DANISH, "no": NORWEGIAN, "fi": FINNISH, "hu": HUNGARIAN,
     "tr": TURKISH, "ro": ROMANIAN, "el": GREEK,
+    "lt": LITHUANIAN, "id": INDONESIAN, "ga": IRISH,
 }

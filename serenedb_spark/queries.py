@@ -2311,7 +2311,8 @@ def _register_locale_stemmed() -> None:
                         order="doc_id"))
 
     for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv",
-                "da", "no", "fi", "hu", "tr", "ro", "el"):
+                "da", "no", "fi", "hu", "tr", "ro", "el",
+                "lt", "id", "ga"):
         make(_lc, "table")
 
 
@@ -3672,6 +3673,113 @@ def _vec_rabitq_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _register("vec_rabitq_highdim", _vec_rabitq_highdim, None)
+
+
+_RABITQ_MD_CACHE: dict[str, object] = {}
+_MD_TILES = 4  # 64-dim corpus tiled to 256 dims
+
+
+def _vec_rabitq_middim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-gated twin of vec_rabitq_highdim: the SAME numpy/Arrow
+    encode path (mapInPandas, broadcast rotation, BLAS matmul) at 256
+    dims — a dimension where the dim² literal DuckDB plan still compiles
+    (256² = 65k literals vs 1536²'s 2.4M). Same untrained zero centroid
+    as highdim. numpy's pairwise summation can differ from the oracle's
+    left-fold in the last ulp, which the round(est, 6) shortlist and the
+    exact float rerank both absorb — so the numpy path is hash-gated
+    end-to-end here, leaving the 1536-dim row as pure codegen-limit
+    evidence."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    md = emb.select(
+        "vec_id",
+        F.flatten(F.array_repeat(F.col("embedding"),
+                                 _MD_TILES)).alias("embedding"))
+    d = 64 * _MD_TILES
+    if sf_dir not in _RABITQ_MD_CACHE:
+        _RABITQ_MD_CACHE[sf_dir] = SIM.RaBitQ(
+            [0.0] * d, SIM.RaBitQ.rotation_matrix(d))
+    rq = _RABITQ_MD_CACHE[sf_dir]
+    codes = _codes_for(
+        spark, sf_dir, "rabitq_md",
+        lambda: SIM.rabitq_encode(md, rq, "embedding", method="numpy"))
+    qv = [float(x) for x in QUERY_VEC] * _MD_TILES
+    return SIM.rabitq_rerank_knn(codes, md, rq, qv, k=10, shortlist=60)
+
+
+def _rabitq_middim_oracle(k: int = 10, shortlist: int = 60,
+                          round_to: int = 6) -> str:
+    """DuckDB twin of _vec_rabitq_middim: tiled corpus, zero centroid
+    (res = the vector itself), rotate→sign-bits→estimate→exact-rerank.
+
+    RELATIONAL matmul, not the 64-dim oracle's d² scalar-expression plan:
+    at 256 dims that plan is 131k interpreted list-lambdas and measured
+    ~25 min at sf0.01. Here the rotation ships as ONE 65k-literal flat
+    list, unnested once into (j, i, val) rows, and every dot product is a
+    vectorized join + GROUP BY SUM — seconds instead of minutes. SUM's
+    addition order is engine-chosen (unlike the left-fold 64-dim oracle),
+    exactly like numpy's pairwise order on the Spark side; both land
+    within 1e-12 of the real value, which round(est, 6) and the exact
+    float rerank absorb — the same argument that makes the numpy encode
+    path hash-gateable at all."""
+    d = 64 * _MD_TILES
+    rot = SIM.RaBitQ.rotation_matrix(d)
+    s = repr(1.0 / math.sqrt(d))
+    flat = "[" + ", ".join(repr(x) for row in rot for x in row) + "]"
+    qv = V.duckdb_lit_vector([float(x) for x in QUERY_VEC] * _MD_TILES)
+    tiled = ", ".join(["embedding"] * _MD_TILES)
+    l2 = V.duckdb_l2_sqr("e.embedding", qv)
+    return f"""
+WITH base AS (
+  SELECT vec_id, flatten([{tiled}]) AS embedding FROM embeddings),
+rotflat AS (
+  SELECT unnest({flat}) AS val,
+         generate_subscripts({flat}, 1) AS idx),
+rot AS (
+  SELECT ((idx - 1) // {d})::INT AS j, ((idx - 1) % {d})::INT + 1 AS i, val
+  FROM rotflat),
+res AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         unnest(embedding)::DOUBLE AS v
+  FROM base),
+norm_t AS (
+  SELECT vec_id, sqrt(sum(v * v)) AS norm FROM res GROUP BY vec_id),
+rotv AS (
+  SELECT vec_id, j, sum(v * val) AS r
+  FROM res JOIN rot USING (i) GROUP BY vec_id, j),
+qres AS (
+  SELECT generate_subscripts({qv}, 1) AS i, unnest({qv}) AS v),
+qn_t AS (SELECT sqrt(sum(v * v)) AS qnorm FROM qres),
+qrotv AS (
+  SELECT j, sum(v * val) AS qr
+  FROM qres JOIN rot USING (i) GROUP BY j),
+qhat AS (
+  SELECT j, CASE WHEN qnorm > 0 THEN qr / qnorm ELSE 0.0 END AS qh
+  FROM qrotv, qn_t),
+enc AS (
+  SELECT vec_id,
+    sum((CASE WHEN r > 0 THEN {s} ELSE -{s} END) * r) AS sgn,
+    sum((CASE WHEN r > 0 THEN {s} ELSE -{s} END) * qh) AS obar_q
+  FROM rotv JOIN qhat USING (j) GROUP BY vec_id),
+est AS (
+  SELECT n.vec_id, n.norm, qn_t.qnorm,
+    CASE WHEN n.norm > 0 THEN e2.sgn / n.norm ELSE 0.0 END AS obar_o,
+    e2.obar_q
+  FROM norm_t n JOIN enc e2 USING (vec_id), qn_t),
+scored AS (
+  SELECT vec_id,
+    round(norm * norm + qnorm * qnorm
+          - 2.0 * norm * qnorm
+            * (CASE WHEN obar_o <> 0.0 THEN obar_q / obar_o
+               ELSE 0.0 END), {round_to}) + 0.0 AS est_d2
+  FROM est),
+short AS (SELECT vec_id FROM scored
+          ORDER BY est_d2, vec_id LIMIT {shortlist})
+SELECT e.vec_id, round({l2}, {round_to}) + 0.0 AS d2
+FROM base e JOIN short USING (vec_id)
+ORDER BY d2, e.vec_id LIMIT {k}"""
+
+
+_register("vec_rabitq_middim", _vec_rabitq_middim, _rabitq_middim_oracle())
 
 
 def _vec_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5134,7 +5242,7 @@ _GATE_WINDOW = [
     "cookbook_search_with_joins", "cookbook_indexing_views",
     # --- new-in-r8 queries (slots swapped in as they land) -----------------
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
-    "vec_rabitq_middim", "geo_polygon_vs_polygon",
+    "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
     "events_asof_agg_preagg",
     # --- re-gates: implementation changed this round -----------------------
@@ -5159,8 +5267,7 @@ _GATE_WINDOW = [
 #: and must fail loudly, not be silently padded over.
 _GATE_PENDING: set = {
     # remaining r8-declared work items (remove as each lands this round)
-    "vec_rabitq_middim", "geo_polygon_vs_polygon",
-    "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
+    "geo_polygon_vs_polygon",
 }
 
 

@@ -106,6 +106,28 @@ GOLDEN = {
         ("βιβλια", "βιβλι"), ("βιβλιο", "βιβλι"), ("βιβλιων", "βιβλι"),
         ("προγραμματα", "προγραμμ"), ("προγραμμα", "προγραμμ"),
     ],
+    "lt": [
+        ("knygos", "knyg"), ("knygoms", "knyg"), ("knyga", "knyg"),
+        ("knygą", "knyg"),
+        ("namas", "nam"), ("namuose", "nam"), ("namai", "nam"),
+        ("namų", "nam"), ("didelis", "didel"), ("dideli", "didel"),
+    ],
+    "id": [
+        ("membaca", "baca"), ("dibaca", "baca"), ("bacaan", "baca"),
+        ("baca", "baca"),
+        ("menyapu", "sapu"), ("sapu", "sapu"),
+        ("makanan", "makan"), ("makan", "makan"),
+        ("bukunya", "buku"), ("bukuku", "buku"), ("buku", "buku"),
+        ("belajar", "ajar"), ("mengajar", "ajar"), ("ajar", "ajar"),
+        ("terbesar", "besar"), ("besar", "besar"), ("sungai", "sungai"),
+    ],
+    "ga": [
+        ("bhean", "bean"), ("bean", "bean"),
+        ("bhfuil", "fuil"), ("fuil", "fuil"),
+        ("ólann", "ól"), ("ólfaidh", "ól"), ("ól", "ól"),
+        ("bádanna", "bád"), ("bád", "bád"),
+        ("gcailín", "cailín"), ("cailíní", "cailín"), ("cailín", "cailín"),
+    ],
 }
 
 _ALPHABETS = {
@@ -124,6 +146,9 @@ _ALPHABETS = {
     "tr": "abcdefgiklmnoprstuvyzçğıöşü",
     "ro": "abcdefgilmnoprstuvăâîșț",
     "el": "αβγδεζηθικλμνξοπρστυφχψως",
+    "lt": "abdegiklmnoprstuvyząęėįųū",
+    "id": "abdefghiklmnoprstuw",
+    "ga": "abcdefghilmnoprstuáéíóú",
 }
 
 
