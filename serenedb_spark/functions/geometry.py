@@ -574,3 +574,234 @@ def rings_intersect_squares(
             rings, F.col("cx"), F.col("cy"), F.col("half")))
         .select("geom_id", "cx", "cy", "half")
     )
+
+
+# ---------------------------------------------------------------------------
+# arbitrary CORPUS-side geometry: varied polygons as WKT + exact
+# polygon-vs-polygon intersection
+#
+# Reference: the S2 path indexes arbitrary GeoJSON/WKB corpus geometry and
+# answers polygon-vs-polygon (server/connector/geo_filter_builder.cpp:523,
+# libs/geo/). Re-expressed without S2: the corpus carries WKT POLYGON text
+# (round-tripped through Spark's shortest-repr double formatting, so
+# parse-back is bit-exact), parsed JVM-side into an array<struct<x,y>>
+# ring; the query is an arbitrary (concave / holed) ring set; the exact
+# region-vs-polygon decomposition is
+#     any corpus vertex inside the query region (even-odd)
+#  OR any query-ring vertex inside the corpus polygon (ray cast over the
+#     RUNTIME edge list — F.aggregate parity)
+#  OR any query edge properly crossing any corpus edge (literal x runtime
+#     orientation tests)
+# with every float op stated identically in the Column DSL and DuckDB SQL.
+# ---------------------------------------------------------------------------
+
+#: unit-circle vertex coefficients per shape id (0 triangle, 1 hexagon,
+#: 2 concave dart) — module-level so the Spark builder and the DuckDB
+#: oracle embed the SAME double literals
+_POLY_SHAPES: dict[int, list[tuple[float, float]]] = {
+    0: [(math.cos(math.radians(a)), math.sin(math.radians(a)))
+        for a in (90, 210, 330)],
+    1: [(math.cos(math.radians(a)), math.sin(math.radians(a)))
+        for a in (0, 60, 120, 180, 240, 300)],
+    2: [(1.0, 0.0), (0.0, 1.0), (-1.0, 0.0), (0.0, 0.3)],
+}
+
+
+def synth_polygons_wkt(df: DataFrame, key_col: str,
+                       id_alias: str = "geom_id") -> DataFrame:
+    """Deterministic VARIED corpus polygons from an integer key, as WKT:
+    shape = key % 3 (triangle / hexagon / concave dart), center like
+    synth_squares, circumradius r in (0.17 .. 1.77]. The WKT closing
+    vertex repeats the first, per spec."""
+    k = F.col(key_col).cast("long")
+    cx = ((k * 41 % 3400) - 1700) / F.lit(10.0)
+    cy = ((k * 59 % 1600) - 800) / F.lit(10.0)
+    r = ((k * 17 % 16) + 1) / F.lit(10.0) + F.lit(0.07)
+    shape = (k % 3).cast("int")
+
+    def ring(coefs):
+        parts = [
+            F.concat((cx + r * F.lit(c)).cast("string"), F.lit(" "),
+                     (cy + r * F.lit(s)).cast("string"))
+            for c, s in coefs
+        ]
+        return F.concat_ws(", ", *parts, parts[0])
+
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        F.when(shape == 0, ring(_POLY_SHAPES[0]))
+         .when(shape == 1, ring(_POLY_SHAPES[1]))
+         .otherwise(ring(_POLY_SHAPES[2])),
+        F.lit("))"),
+    )
+    return df.select(k.alias(id_alias), cx.alias("cx"), cy.alias("cy"),
+                     r.alias("r"), wkt.alias("wkt"))
+
+
+def parse_wkt_polygon_col(wkt: Column) -> Column:
+    """WKT 'POLYGON ((x y, x y, ...))' → array<struct<x,y>> OPEN ring
+    (the spec's closing vertex is dropped). Pure column expressions —
+    corpus parsing never leaves the JVM."""
+    inner = F.regexp_extract(wkt, r"POLYGON\s*\(\(\s*(.+?)\s*\)\)", 1)
+    pts = F.split(inner, ",")
+    pts = F.slice(pts, 1, F.size(pts) - 1)
+    return F.transform(
+        pts,
+        lambda p: F.struct(
+            F.element_at(F.split(F.trim(p), " +"), 1)
+             .cast("double").alias("x"),
+            F.element_at(F.split(F.trim(p), " +"), 2)
+             .cast("double").alias("y"),
+        ),
+    )
+
+
+def rings_intersects_polygon_col(rings: Rings, verts_in: Column) -> Column:
+    """Exact region-vs-polygon over a RUNTIME vertex array (query rings
+    are literals, corpus ring is data).
+
+    The whole predicate evaluates inside ONE higher-order function whose
+    lambda variable is the vertex array: the predicate references the
+    array ~100 times, and lambda variables are leaf expressions — passing
+    the parse/source expression directly would inline its tree at every
+    reference (Catalyst collapses projections back into filters, so a
+    withColumn barrier does not help) and analysis alone takes minutes."""
+    return F.exists(F.array(verts_in),
+                    lambda vs: _rings_x_polygon_pred(rings, vs))
+
+
+def _rings_x_polygon_pred(rings: Rings, verts: Column) -> Column:
+    n = F.size(verts)
+    idx = F.sequence(F.lit(1), n)
+
+    def edge(i):
+        a = F.element_at(verts, i)
+        b = F.element_at(verts, (i % n) + F.lit(1))
+        return a, b
+
+    # 1. any corpus vertex inside the query region
+    cond = F.exists(
+        verts, lambda v: point_in_rings_col(v["x"], v["y"], rings))
+    # 2. any query-ring vertex inside the corpus polygon (runtime ray
+    #    cast; the division form is stated identically in the oracle —
+    #    the straddle test guarantees y2 != y1 wherever the quotient
+    #    matters)
+    for qx, qy in [v for ring in rings for v in ring]:
+        def hit(i, _qx=qx, _qy=qy):
+            a, b = edge(i)
+            x1, y1, x2, y2 = a["x"], a["y"], b["x"], b["y"]
+            straddles = (y1 > F.lit(_qy)) != (y2 > F.lit(_qy))
+            t = ((x2 - x1) * (F.lit(_qy) - y1)) / (y2 - y1) + x1
+            return F.when(straddles & (F.lit(_qx) < t), 1).otherwise(0)
+
+        crossings = F.aggregate(idx, F.lit(0), lambda acc, i: acc + hit(i))
+        cond = cond | (crossings % 2 == 1)
+    # 3. any query edge properly crossing any corpus edge
+    # (closure factory, not default args: PySpark's HOF wrapper reads the
+    # callable's FULL parameter list as lambda arity)
+    def make_crosses(a, b):
+        (ax_, ay_), (bx_, by_) = a, b
+
+        def crosses(i):
+            p, q2 = edge(i)
+            px, py, qx_, qy_ = p["x"], p["y"], q2["x"], q2["y"]
+            d1 = (qx_ - px) * (F.lit(ay_) - py) - (qy_ - py) * (F.lit(ax_) - px)
+            d2 = (qx_ - px) * (F.lit(by_) - py) - (qy_ - py) * (F.lit(bx_) - px)
+            d3 = F.lit(bx_ - ax_) * (py - F.lit(ay_)) \
+                - F.lit(by_ - ay_) * (px - F.lit(ax_))
+            d4 = F.lit(bx_ - ax_) * (qy_ - F.lit(ay_)) \
+                - F.lit(by_ - ay_) * (qx_ - F.lit(ax_))
+            return ((d1 > 0) != (d2 > 0)) & ((d3 > 0) != (d4 > 0))
+
+        return crosses
+
+    for a_b in _ring_edges(rings):
+        cond = cond | F.exists(idx, make_crosses(*a_b))
+    return cond
+
+
+def rings_intersect_polygons(
+    polys: DataFrame,
+    rings: Rings,
+    cell_deg: float = 4.0,
+    max_r: float = 1.77,
+) -> DataFrame:
+    """ST_Intersects(concave/holed query polygon, WKT polygon corpus):
+    dilated covering prefilter on the corpus polygons' CENTER cells
+    (lossless: a corpus polygon lies inside disk(center, max_r), so any
+    intersector's center falls in the query bbox grown by max_r), then
+    WKT parse + the exact region-vs-polygon decomposition."""
+    from serenedb_spark.functions.geo import cell_id
+
+    grown = [(x + dx, y + dy) for (x, y) in rings[0]
+             for dx in (-max_r, max_r) for dy in (-max_r, max_r)]
+    hull = _bbox_ring(grown)
+    cells = polygon_covering_cells(hull, cell_deg)
+    return (
+        polys
+        .where(cell_id(F.col("cy"), F.col("cx"), cell_deg).isin(cells))
+        .where(rings_intersects_polygon_col(
+            rings, parse_wkt_polygon_col(F.col("wkt"))))
+        .select("geom_id", "cx", "cy", "r")
+    )
+
+
+def duckdb_synth_polygons(table: str, key_col: str,
+                          id_alias: str = "geom_id") -> str:
+    """Oracle twin of synth_polygons_wkt: vertex list per row via the
+    same closed-form arithmetic (no WKT round-trip needed — the Spark
+    side's parse-back is bit-exact by shortest-repr formatting)."""
+
+    def ring(coefs):
+        pts = ", ".join(
+            f"{{'x': cx + r * {c!r}, 'y': cy + r * {s!r}}}"
+            for c, s in coefs)
+        return f"[{pts}]"
+
+    return f"""
+SELECT {id_alias}, cx, cy, r,
+  CASE WHEN shape = 0 THEN {ring(_POLY_SHAPES[0])}
+       WHEN shape = 1 THEN {ring(_POLY_SHAPES[1])}
+       ELSE {ring(_POLY_SHAPES[2])} END AS verts
+FROM (
+  SELECT CAST({key_col} AS BIGINT) AS {id_alias},
+    (({key_col} * 41 % 3400) - 1700) / 10.0 AS cx,
+    (({key_col} * 59 % 1600) - 800) / 10.0 AS cy,
+    (({key_col} * 17 % 16) + 1) / 10.0 + 0.07 AS r,
+    CAST({key_col} % 3 AS INT) AS shape
+  FROM {table})"""
+
+
+def duckdb_rings_intersects_polygon(rings: Rings,
+                                    verts: str = "verts") -> str:
+    """Oracle twin of rings_intersects_polygon_col over a list-of-struct
+    column; identical arithmetic term for term."""
+    nxt = f"{verts}[i % len({verts}) + 1]"
+    cur = f"{verts}[i]"
+    terms = [
+        f"len(list_filter({verts},"
+        f" v -> {duckdb_point_in_rings('(v.x)', '(v.y)', rings)})) > 0"
+    ]
+    for qx, qy in [v for ring in rings for v in ring]:
+        hit = (
+            f"CASE WHEN (({cur}.y > {qy}) <> ({nxt}.y > {qy}))"
+            f" AND ({qx} < (({nxt}.x - {cur}.x) * ({qy} - {cur}.y))"
+            f" / ({nxt}.y - {cur}.y) + {cur}.x) THEN 1 ELSE 0 END"
+        )
+        terms.append(
+            f"(list_sum(list_transform(range(1, len({verts}) + 1),"
+            f" i -> {hit})) % 2 = 1)")
+    for (ax, ay), (bx, by) in _ring_edges(rings):
+        d1 = (f"(({nxt}.x - {cur}.x) * ({ay} - {cur}.y)"
+              f" - ({nxt}.y - {cur}.y) * ({ax} - {cur}.x))")
+        d2 = (f"(({nxt}.x - {cur}.x) * ({by} - {cur}.y)"
+              f" - ({nxt}.y - {cur}.y) * ({bx} - {cur}.x))")
+        d3 = (f"({bx - ax} * ({cur}.y - {ay})"
+              f" - {by - ay} * ({cur}.x - {ax}))")
+        d4 = (f"({bx - ax} * ({nxt}.y - {ay})"
+              f" - {by - ay} * ({nxt}.x - {ax}))")
+        terms.append(
+            f"len(list_filter(range(1, len({verts}) + 1),"
+            f" i -> (({d1} > 0) <> ({d2} > 0))"
+            f" AND (({d3} > 0) <> ({d4} > 0)))) > 0")
+    return "(" + " OR ".join(terms) + ")"

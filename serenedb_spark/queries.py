@@ -4346,6 +4346,40 @@ _register("geo_multiring_polygon", _geo_multiring_polygon,
           _geo_multiring_polygon_oracle())
 
 
+def _geo_polygon_vs_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_Intersects(holed query polygon, VARIED WKT polygon corpus):
+    the corpus carries triangles/hexagons/concave darts as WKT text
+    (reference S2 path: arbitrary corpus geometry,
+    geo_filter_builder.cpp:523); covering-cell prefilter on the corpus
+    centers, JVM-side WKT parse, exact region-vs-polygon decomposition
+    (corpus-vertex-in-region / query-vertex-in-polygon / edge-crossing).
+    The donut query region exercises both ring-ring logic and the
+    hole-exclusion parity."""
+    from serenedb_spark.functions import geometry as GM
+
+    cust = load_tables(spark, sf_dir)["customer"]
+    polys = GM.synth_polygons_wkt(cust.select("c_custkey").distinct(),
+                                  "c_custkey")
+    return GM.rings_intersect_polygons(polys, _GEO_DONUT).orderBy("geom_id")
+
+
+def _geo_polygon_vs_polygon_oracle() -> str:
+    from serenedb_spark.functions import geometry as GM
+
+    polys = GM.duckdb_synth_polygons(
+        "(SELECT DISTINCT c_custkey FROM customer)", "c_custkey")
+    pred = GM.duckdb_rings_intersects_polygon(_GEO_DONUT)
+    return f"""
+SELECT geom_id, cx, cy, r FROM ({polys})
+WHERE {pred}
+ORDER BY geom_id
+"""
+
+
+_register("geo_polygon_vs_polygon", _geo_polygon_vs_polygon,
+          _geo_polygon_vs_polygon_oracle())
+
+
 _GEO_POLYGON = [(35.0, 8.0), (40.0, 12.0), (38.0, 16.0), (33.0, 13.0)]
 
 
@@ -5265,10 +5299,8 @@ _GATE_WINDOW = [
 #: Window names allowed to be absent from REGISTRY at import time — the
 #: documented not-yet-landed set ONLY. Any other skipped name is a typo
 #: and must fail loudly, not be silently padded over.
-_GATE_PENDING: set = {
-    # remaining r8-declared work items (remove as each lands this round)
-    "geo_polygon_vs_polygon",
-}
+#: empty as of r9 — every name declared in the r8 window is registered
+_GATE_PENDING: set = set()
 
 
 def _apply_gate_window() -> None:

@@ -216,3 +216,57 @@ def test_rings_intersect_matches_brute_force_and_duckdb(spark):
     for i, cx, cy, h in rows:
         if brute(cx, cy, h, [STAR]):
             assert i in sp, (i, cx, cy, h)
+
+
+def test_wkt_polygon_roundtrip(spark):
+    """synth WKT → parse_wkt_polygon_col gives back the exact doubles
+    (shortest-repr formatting round-trips bit-exactly)."""
+    from serenedb_spark.functions import geometry as GM
+
+    df = spark.createDataFrame([(7,), (8,), (9,)], "k long")
+    polys = GM.synth_polygons_wkt(df, "k")
+    rows = polys.select(
+        "geom_id", "cx", "cy", "r", "wkt",
+        GM.parse_wkt_polygon_col(F.col("wkt")).alias("verts")).collect()
+    for row in rows:
+        shape = row.geom_id % 3
+        coefs = GM._POLY_SHAPES[shape]
+        assert len(row.verts) == len(coefs)
+        for (c, s), v in zip(coefs, row.verts):
+            assert v.x == row.cx + row.r * c
+            assert v.y == row.cy + row.r * s
+        assert row.wkt.startswith("POLYGON ((") and row.wkt.endswith("))")
+        # closed ring: first == last coordinate pair in the text
+        inner = row.wkt[len("POLYGON (("):-2].split(", ")
+        assert inner[0] == inner[-1]
+
+
+def test_rings_vs_polygon_known_cases(spark):
+    """Hand-checkable containment/crossing/disjoint cases, including a
+    corpus polygon strictly inside the query's HOLE (must NOT match)."""
+    from serenedb_spark.functions import geometry as GM
+
+    donut = [
+        [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)],   # outer
+        [(8.0, 8.0), (12.0, 8.0), (12.0, 12.0), (8.0, 12.0)],   # hole
+    ]
+    cases = [
+        # (verts, expect) — triangle inside region
+        ([(2.0, 2.0), (5.0, 2.0), (3.0, 5.0)], True),
+        # inside the hole → excluded by parity
+        ([(9.0, 9.0), (11.0, 9.0), (10.0, 11.0)], False),
+        # crossing the outer boundary
+        ([(-2.0, 10.0), (2.0, 10.0), (0.0, 13.0)], True),
+        # fully outside
+        ([(30.0, 30.0), (33.0, 30.0), (31.0, 33.0)], False),
+        # polygon CONTAINING the whole region (query vertices inside it)
+        ([(-5.0, -5.0), (25.0, -5.0), (25.0, 25.0), (-5.0, 25.0)], True),
+        # straddling the hole boundary (in hole AND in region)
+        ([(7.0, 9.0), (9.5, 9.0), (8.0, 11.0)], True),
+    ]
+    wkts = [("POLYGON ((" + ", ".join(f"{x} {y}" for x, y in vs + [vs[0]])
+             + "))",) for vs, _ in cases]
+    df = spark.createDataFrame(wkts, "wkt string")
+    got = df.select(GM.rings_intersects_polygon_col(
+        donut, GM.parse_wkt_polygon_col(F.col("wkt"))).alias("hit")).collect()
+    assert [r.hit for r in got] == [e for _, e in cases]
