@@ -99,6 +99,7 @@ class SereneSession:
         from serenedb_spark.plans import search_sql as SS
         from serenedb_spark.plans.dialect import sql_compat
 
+        self._last_query = q  # surfaced by pg_stat_activity
         if not SS.has_search_construct(q):
             return sql_compat(self.spark, q)
         ddl = SS.parse_create_index(q)
@@ -107,6 +108,37 @@ class SereneSession:
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         return SS.execute_select(stmt, self._index_for)
+
+    def explain(self, q: str) -> str:
+        """Claimed-vs-residual EXPLAIN (reference EXPLAIN over an index
+        relation renders IRESEARCH_SCAN with the claimed index filter
+        tree and the residual column filter,
+        tests/sqllogic/sdb/pg/explain/basic.test:7-13). Search-dialect
+        statements render the split; plain SQL returns Spark's own
+        extended plan text."""
+        from serenedb_spark.plans import search_sql as SS
+        from serenedb_spark.plans.dialect import rewrite_qualify
+        from serenedb_spark.plans.explain import explain_search
+
+        if not SS.has_search_construct(q):
+            df = self.spark.sql(rewrite_qualify(q))
+            return df._jdf.queryExecution().explainString(
+                self.spark._jvm.org.apache.spark.sql.execution
+                .ExplainMode.fromString("extended"))
+        stmt = SS.parse_select(
+            q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
+        matches = []
+        idx_name = stmt.from_name
+        for col, node in stmt.matches:
+            idx = self._index_for(stmt.from_name, col)
+            idx_name = idx.name
+            matches.append((col, node, idx.fields[col]))
+        return explain_search(
+            idx_name, matches,
+            projections=stmt.select_items,
+            residual=stmt.residual,
+            scorer=stmt.scorer, scorer_params=stmt.scorer_params,
+            order=stmt.order, limit=stmt.limit)
 
     def _create_inverted_index_sql(self, ddl) -> DataFrame:
         """CREATE INDEX ... USING inverted(col analyzer, plain_col) —
@@ -619,6 +651,107 @@ class SereneSession:
             "relid int, relname string, n_live_tup double",
         ).where(F.col("relid") != 0).createOrReplaceTempView(
             "pg_stat_user_tables")
+        self._install_pg_catalog_tranche3()
+
+    def _install_pg_catalog_tranche3(self) -> None:
+        """Tranche 3 toward the reference's 93 pg_catalog relations
+        (server/pg/pg_catalog/): pg_attrdef (SET DEFAULT state),
+        pg_depend (index→table + constraint→table edges — the same
+        dependency facts DROP ... CASCADE walks), pg_locks (the virtual
+        locks of the single-session engine: relation AccessShareLocks
+        while a transaction block is open, else empty — PG shows
+        held-until-commit locks the same way), pg_stat_activity (this
+        session), and information_schema.table_constraints /
+        referential_constraints riding pg_constraint/_fks."""
+        import os as _os
+
+        spark = self.spark
+
+        defaults = []
+        for t, cols in getattr(self, "_col_defaults", {}).items():
+            rid = self.relid(t)
+            names = [c for c, _ in self._tables[t].dtypes]
+            for c, v in cols.items():
+                num = names.index(c) + 1 if c in names else 0
+                defaults.append((rid, num, c, repr(v)))
+        spark.createDataFrame(
+            defaults or [(0, 0, "", "")],
+            "adrelid int, adnum int, adcolname string, adsrc string",
+        ).where(F.col("adrelid") != 0).createOrReplaceTempView("pg_attrdef")
+
+        dep = []
+        for name in self._indexes:
+            src = getattr(self, "_index_sources", {}).get(name)
+            if src and src in self._tables:
+                dep.append((self.relid(name), self.relid(src), "a",
+                            "index"))
+        for t in getattr(self, "_pks", {}):
+            dep.append((self.relid(t), self.relid(t), "i", "pkey"))
+        for t, checks in getattr(self, "_checks", {}).items():
+            for _ in checks:
+                dep.append((self.relid(t), self.relid(t), "n", "check"))
+        for cname, (t, _c, rt, _rc) in getattr(self, "_fks", {}).items():
+            dep.append((self.relid(t), self.relid(rt), "n", "fkey"))
+        spark.createDataFrame(
+            dep or [(0, 0, "", "")],
+            "objid int, refobjid int, deptype string, depkind string",
+        ).where(F.col("objid") != 0).createOrReplaceTempView("pg_depend")
+
+        in_txn = getattr(self, "_txn_backup", None) is not None
+        locks = ([(self.relid(t), t, "AccessShareLock", True)
+                  for t in sorted(self._tables)] if in_txn else [])
+        spark.createDataFrame(
+            locks or [(0, "", "", False)],
+            "relation int, relname string, mode string, granted boolean",
+        ).where(F.col("relation") != 0).createOrReplaceTempView("pg_locks")
+
+        spark.createDataFrame(
+            [(_os.getpid(), self.current_user or "postgres", "active",
+              getattr(self, "_last_query", None))],
+            "pid int, usename string, state string, query string",
+        ).createOrReplaceTempView("pg_stat_activity")
+
+        tcons = []
+        for t in getattr(self, "_pks", {}):
+            tcons.append((f"{t}_pkey", "public", t, "PRIMARY KEY"))
+        for t, checks in getattr(self, "_checks", {}).items():
+            for name in checks:
+                tcons.append((name, "public", t, "CHECK"))
+        refcons = []
+        for cname, (t, c, rt, rc) in getattr(self, "_fks", {}).items():
+            tcons.append((cname, "public", t, "FOREIGN KEY"))
+            refcons.append((cname, "public", f"{rt}_pkey", "NONE",
+                            "NO ACTION", "NO ACTION"))
+        spark.createDataFrame(
+            tcons or [("", "", "", "")],
+            "constraint_name string, table_schema string,"
+            " table_name string, constraint_type string",
+        ).where(F.col("constraint_name") != "").createOrReplaceTempView(
+            "information_schema_table_constraints")
+        spark.createDataFrame(
+            refcons or [("", "", "", "", "", "")],
+            "constraint_name string, constraint_schema string,"
+            " unique_constraint_name string, match_option string,"
+            " update_rule string, delete_rule string",
+        ).where(F.col("constraint_name") != "").createOrReplaceTempView(
+            "information_schema_referential_constraints")
+
+        spark.createDataFrame(
+            [("serene", "pg_catalog", "postgres"),
+             ("serene", "public", "postgres")],
+            "catalog_name string, schema_name string, schema_owner string",
+        ).createOrReplaceTempView("information_schema_schemata")
+        idx_stat = []
+        for name, idx in self._indexes.items():
+            src = getattr(self, "_index_sources", {}).get(name)
+            idx_stat.append((self.relid(src) if src else 0,
+                             self.relid(name), src or "", name))
+        spark.createDataFrame(
+            idx_stat or [(0, 0, "", "")],
+            "relid int, indexrelid int, relname string,"
+            " indexrelname string",
+        ).where(F.col("indexrelid") != 0).createOrReplaceTempView(
+            "pg_stat_user_indexes")
 
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:
@@ -694,6 +827,7 @@ class SereneSession:
                 "(sdb_strict_ddl = on)")
         if expr is None:
             col = F.lit(default)
+            self.alter_set_default(table, name, default)
         elif isinstance(expr, str):
             col = F.expr(expr)
         else:
@@ -710,6 +844,49 @@ class SereneSession:
         self._tables[table] = self.sequences.assign(
             self._tables[table], sequence, name)
         self._reregister(table)
+
+    def alter_set_default(self, table: str, column: str, value) -> None:
+        """ALTER TABLE ... ALTER COLUMN ... SET DEFAULT (reference
+        ddl/alter_set_default.test): recorded in the catalog
+        (pg_attrdef) and applied by insert() when the column is absent
+        from the incoming rows."""
+        d = getattr(self, "_col_defaults", None)
+        if d is None:
+            d = self._col_defaults = {}
+        d.setdefault(table, {})[column] = value
+
+    # ---- foreign keys (reference dml/foreign_key.test): declarative
+    # registration + set-based validation. A library engine can't block
+    # row-at-a-time like PG's per-insert trigger; the honest distributed
+    # equivalent is VALIDATE CONSTRAINT — one anti-join over the
+    # referenced key, which is also the only shape that scales.
+    def add_foreign_key(self, table: str, column: str, ref_table: str,
+                        ref_column: str, name: str | None = None,
+                        validate: bool = True) -> None:
+        """ADD FOREIGN KEY; with validate=True (PG default) the existing
+        rows are checked immediately and a violation raises."""
+        fks = getattr(self, "_fks", None)
+        if fks is None:
+            fks = self._fks = {}
+        cname = name or f"{table}_{column}_fkey"
+        fks[cname] = (table, column, ref_table, ref_column)
+        if validate:
+            bad = self.validate_foreign_key(cname).limit(1).count()
+            if bad:
+                fks.pop(cname)
+                raise ValueError(
+                    f"foreign key {cname}: rows in {table}.{column} "
+                    f"without a match in {ref_table}.{ref_column}")
+
+    def validate_foreign_key(self, name: str) -> DataFrame:
+        """Rows of the referencing table violating the named FK (empty =
+        valid): anti-join on the referenced key, NULLs pass (PG MATCH
+        SIMPLE)."""
+        table, column, ref_table, ref_column = self._fks[name]
+        left = self._tables[table].where(F.col(column).isNotNull())
+        right = self._tables[ref_table].select(
+            F.col(ref_column).alias(column)).distinct()
+        return left.join(right, column, "left_anti")
 
     def comment_on(self, obj: str, comment: str | None) -> None:
         """COMMENT ON (reference ddl/comment.test); None removes it."""
@@ -963,7 +1140,8 @@ class SereneSession:
     # statements, zero data copying.
     _TXN_STATE = ("_tables", "_pks", "_row_policies", "_col_masks",
                   "_grants", "_comments", "_checks", "_not_null",
-                  "_indexes", "_index_sources", "_variables")
+                  "_indexes", "_index_sources", "_variables",
+                  "_fks", "_col_defaults")
 
     @classmethod
     def _txn_copy(cls, v):

@@ -283,3 +283,83 @@ def test_analyze_refreshes_stats(ss):
         SELECT n_live_tup FROM pg_stat_user_tables
         WHERE relname = 'documents'""").first().n_live_tup
     assert other == -1.0
+
+
+def test_pg_catalog_tranche3(ss):
+    """pg_attrdef / pg_depend / pg_locks / pg_stat_activity +
+    information_schema table_constraints / referential_constraints, and
+    the relation-count floor (>=30 registered catalog relations)."""
+    import os
+
+    ss.load_dir(SF_DIR, tables=("nation", "region"))
+    ss.set_primary_key("nation", "n_nationkey")
+    ss.add_check("orders", "price_pos", F.col("o_totalprice") > 0)
+    ss.alter_set_default("orders", "o_comment", "n/a")
+    ss.add_foreign_key("nation", "n_regionkey", "region", "r_regionkey")
+    ss.create_index("documents", {"text": "simple"}, key="doc_id",
+                    name="d_idx")
+    ss.install_pg_catalog()
+
+    # pg_attrdef carries the SET DEFAULT
+    row = ss.sql("SELECT adcolname, adsrc FROM pg_attrdef").first()
+    assert (row.adcolname, row.adsrc) == ("o_comment", "'n/a'")
+
+    # pg_depend: index->table edge resolvable through pg_class
+    dep = ss.sql("""
+        SELECT c1.relname AS obj, c2.relname AS ref, d.depkind
+        FROM pg_depend d
+        JOIN pg_class c1 ON d.objid = c1.oid
+        JOIN pg_class c2 ON d.refobjid = c2.oid
+        WHERE d.depkind = 'index'
+    """).collect()
+    assert ("d_idx", "documents", "index") in [tuple(r) for r in dep]
+    fk_dep = ss.sql(
+        "SELECT count(*) AS n FROM pg_depend WHERE depkind = 'fkey'"
+    ).first().n
+    assert fk_dep == 1
+
+    # pg_locks: empty outside a txn, relation locks inside one
+    assert ss.sql("SELECT count(*) AS n FROM pg_locks").first().n == 0
+    ss.begin()
+    ss.install_pg_catalog()
+    locked = ss.sql(
+        "SELECT relname FROM pg_locks WHERE granted ORDER BY relname"
+    ).collect()
+    assert [r.relname for r in locked] == sorted(ss._tables)
+    ss.rollback()
+
+    # pg_stat_activity reflects this process and the last query text
+    act = ss.sql("SELECT * FROM pg_stat_activity").first()
+    assert act.pid == os.getpid() and act.state == "active"
+    assert "pg_locks" in act.query or "pg_stat_activity" in act.query
+
+    # information_schema constraint views
+    tc = {(r.constraint_name, r.constraint_type) for r in ss.sql(
+        "SELECT * FROM information_schema_table_constraints").collect()}
+    assert ("nation_pkey", "PRIMARY KEY") in tc
+    assert ("price_pos", "CHECK") in tc
+    assert ("nation_n_regionkey_fkey", "FOREIGN KEY") in tc
+    rc = ss.sql(
+        "SELECT * FROM information_schema_referential_constraints"
+    ).first()
+    assert rc.constraint_name == "nation_n_regionkey_fkey"
+    assert rc.unique_constraint_name == "region_pkey"
+    assert rc.delete_rule == "NO ACTION"
+
+    # the relation-count floor
+    pg_rels = [t.name for t in ss.spark.catalog.listTables()
+               if t.name.startswith(("pg_", "information_schema"))]
+    assert len(set(pg_rels)) >= 30, sorted(set(pg_rels))
+
+
+def test_foreign_key_validation(ss):
+    ss.load_dir(SF_DIR, tables=("nation", "region"))
+    ss.add_foreign_key("nation", "n_regionkey", "region", "r_regionkey")
+    assert ss.validate_foreign_key(
+        "nation_n_regionkey_fkey").count() == 0
+    # a violating FK is refused at ADD time (PG validate-on-add)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="foreign key"):
+        ss.add_foreign_key("nation", "n_nationkey", "region", "r_regionkey",
+                           name="bad_fk")
+    assert "bad_fk" not in ss._fks

@@ -235,3 +235,51 @@ def test_sql_non_search_passthrough(session):
 def test_sql_no_index_raises(session):
     with pytest.raises(ValueError, match="no inverted index"):
         session.sql("SELECT n_name FROM nation WHERE n_name @@ 'x'")
+
+
+# ---------------------------------------------------------------------------
+# claimed-vs-residual EXPLAIN
+# ---------------------------------------------------------------------------
+
+
+def test_explain_claimed_residual_split(session):
+    txt = session.explain(
+        "SELECT doc_id, round(BM25(doc_idx.tableoid)::numeric, 4) AS score "
+        "FROM documents WHERE text @@ ('spark' && ('data' || 'batch')) "
+        "AND lang = 'en' "
+        "ORDER BY BM25(doc_idx.tableoid) DESC LIMIT 10")
+    assert txt.startswith("IRESEARCH_SCAN")
+    assert "Index: doc_idx" in txt
+    assert "field=text analyzer=simple" in txt
+    # the claimed tree is post-optimizer: 'data' || 'batch' collapses to
+    # a Terms (AnyOf) leaf
+    assert "Term value='spark'" in txt
+    assert "Terms values=['data', 'batch']" in txt
+    assert "Column Filter (residual): (lang = 'en')" in txt
+    assert "Scorer: bm25" in txt
+    assert "Top-K: 10" in txt
+
+
+def test_explain_not_and_fuzzy_leaves(session):
+    txt = session.explain(
+        "SELECT doc_id FROM documents "
+        "WHERE text @@ (ts_levenshtein('sprk', 1) && !!'slow')")
+    assert "Fuzzy value='sprk' distance=1" in txt
+    assert "Not" in txt and "Term value='slow'" in txt
+    assert "Column Filter (residual): none" in txt
+
+
+def test_explain_plain_sql_falls_through(session):
+    txt = session.explain("SELECT count(*) AS n FROM nation")
+    assert "IRESEARCH_SCAN" not in txt
+    assert "Physical Plan" in txt
+
+
+def test_explain_ann_probe_counts():
+    from serenedb_spark.plans.explain import explain_ann
+
+    txt = explain_ann(64, 8, 10, metric="cosine", quantization="sq8")
+    assert "Centroids: 64" in txt
+    assert "Probes: 8" in txt
+    assert "Pruned partitions: 56" in txt
+    assert "Quantization: sq8" in txt

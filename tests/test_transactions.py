@@ -290,3 +290,13 @@ def test_rollback_undoes_mutation_of_preexisting_keys(ss):
     assert "n_name" in nn and "n_nationkey" not in nn
     # and the pre-existing mask still applies through the table() path
     assert ss.table("nation").select("n_comment").first()[0] == "xxx"
+
+
+def test_rollback_restores_fks_and_defaults(ss):
+    ss.load_dir(SF_DIR, tables=("nation", "region"))
+    ss.begin()
+    ss.add_foreign_key("nation", "n_regionkey", "region", "r_regionkey")
+    ss.alter_set_default("nation", "n_comment", "n/a")
+    ss.rollback()
+    assert "nation_n_regionkey_fkey" not in getattr(ss, "_fks", {})
+    assert "nation" not in getattr(ss, "_col_defaults", {})
