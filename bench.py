@@ -139,10 +139,12 @@ def _build_scale_dir(spark, copies: int,
     from serenedb_spark import queries as Q
 
     sf_tag = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
-    # v3: customer/orders/lineitem now rewritten too (top_customers +
-    # inet6_battery crossover rows) — new dir name so an older dir's
-    # _READY marker (those tables symlinked) can't be mistaken for it
-    out = f"/tmp/serene_scale_{sf_tag}_x{copies}_v3"
+    # v3: customer/orders/lineitem rewritable too (top_customers +
+    # inet6_battery crossover rows). The dir name encodes WHICH tables
+    # are rewritten — different scale sections pass different sets, and
+    # a _READY marker from one set must never satisfy another
+    ttag = "".join(sorted(t[0] for t in tables))
+    out = f"/tmp/serene_scale_{sf_tag}_x{copies}_v3{ttag}"
     marker = os.path.join(out, "_READY")
     if os.path.exists(marker):
         return out

@@ -1203,3 +1203,79 @@ for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv", "da", "no",
             "fi", "hu", "tr", "ro", "el", "lt", "id", "ga"):
     _e, _p, _d = _locale_text(_lc)
     register(Analyzer(f"text_{_lc}", _e, _p, _d))
+
+
+def create_dictionary(name: str, template: str, **opts) -> Analyzer:
+    """CREATE TEXT SEARCH DICTIONARY — instantiate a template with
+    options and register it under ``name`` (reference
+    create_tsdictionary.cpp: template + option grammar; demo3's
+    `imdb_fts_ngram(template='ngram', mingram=3, maxgram=3, ...)`).
+
+    Options consumed per template; `frequency`/`position`/
+    `preserveoriginal` map to the Analyzer feature flags. Unknown
+    templates or unsupported option combinations raise — never a silent
+    fallback analyzer."""
+    tpl = template.lower()
+    feats = tuple(
+        f for f, on in (
+            ("frequency", opts.pop("frequency", True)),
+            ("position", opts.pop("position", True)),
+            ("norm", opts.pop("norm", False)),
+        ) if on)
+    opts.pop("preserveoriginal", None)  # accepted, not yet meaningful
+
+    if tpl == "ngram":
+        lo = int(opts.pop("mingram", 3))
+        hi = int(opts.pop("maxgram", lo))
+        if lo != hi:
+            raise ValueError(
+                "ngram template: mingram != maxgram is not supported — "
+                "use template='edge_ngram' for ranged prefix grams")
+        e, p, d = _ngram(lo)
+    elif tpl == "edge_ngram":
+        e, p, d = _edge_ngram(int(opts.pop("mingram", 2)),
+                              int(opts.pop("maxgram", 6)))
+    elif tpl == "delimiter":
+        e, p, d = _delimiter(str(opts.pop("delimiter", ",")))
+    elif tpl in ("pattern", "multi_delimiter"):
+        e, p, d = _pattern(str(opts.pop("pattern", r"\W+")))
+    elif tpl == "path_hierarchy":
+        e, p, d = _path_hierarchy(str(opts.pop("delimiter", "/")))
+    elif tpl == "shingle":
+        e, p, d = _shingle(int(opts.pop("n", 2)))
+    elif tpl == "minhash":
+        e, p, d = _minhash(int(opts.pop("num_hashes", 4)),
+                           str(opts.pop("base", "simple")))
+    elif tpl == "sparse_ngram":
+        e, p, d = _sparse_ngram(int(opts.pop("n", 3)))
+    elif tpl == "segmentation":
+        e, p, d = _segmentation()
+    elif tpl == "text":
+        locale = str(opts.pop("locale", "en")).split("_")[0].split(".")[0]
+        src = get_analyzer("text" if locale == "en" else f"text_{locale}")
+        e, p, d = src._expr, src._py, src._duckdb
+    elif tpl == "pipeline":
+        base = str(opts.pop("base", "simple"))
+        filters = opts.pop("filters", "")
+        if isinstance(filters, str):
+            filters = tuple(f for f in filters.split(",") if f)
+        a = make_pipeline(name, base, tuple(filters))
+        if opts:
+            raise ValueError(f"unknown options for {template!r}: {opts}")
+        return a
+    elif tpl in ("keyword", "simple", "norm", "collation", "stem",
+                 "geopoint", "geojson", "wildcard"):
+        src = get_analyzer(tpl)
+        e, p, d = src._expr, src._py, src._duckdb
+    else:
+        raise ValueError(f"unknown dictionary template {template!r}")
+    if opts:
+        raise ValueError(f"unknown options for {template!r}: {opts}")
+    return register(Analyzer(name, e, p, d, features=feats))
+
+
+def drop_dictionary(name: str) -> None:
+    """DROP TEXT SEARCH DICTIONARY — built-ins are protected."""
+    if name in ("keyword", "simple", "text"):
+        raise ValueError(f"cannot drop built-in analyzer {name!r}")
+    _REGISTRY.pop(name, None)

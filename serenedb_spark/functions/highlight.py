@@ -185,10 +185,32 @@ def ts_highlight(
     same behavior through ICU's en break data; non-en suppression lists
     remain the documented deviation). ``boundary='char'`` keeps the raw
     fixed window."""
-    offs = term_offsets_col(F.col(text_col), term)
+    first, snippet = highlight_parts(
+        F.col(text_col), term, tag_open=tag_open, tag_close=tag_close,
+        window=window, boundary=boundary, locale=locale)
+    return (
+        matched_docs.select(F.col(id_col), first.alias("first"),
+                            snippet.alias("snippet"))
+        .where(F.col("first").isNotNull())
+        .select(id_col, "snippet")
+    )
+
+
+def highlight_parts(
+    text: Column,
+    term: str,
+    tag_open: str = "<b>",
+    tag_close: str = "</b>",
+    window: int = 40,
+    boundary: str = "word",
+    locale: str = "en",
+) -> tuple[Column, Column]:
+    """Column-level core of ts_highlight: (first_match_offset, snippet).
+    `first` is NULL when the term does not occur — callers decide whether
+    to drop or NULL out (the SQL front door projects NULL)."""
+    offs = term_offsets_col(text, term)
     first = F.get(offs, 0)  # NULL (not an error) when there is no match
     n = len(term)
-    text = F.col(text_col)
     if boundary == "sentence":
         abbrs, abbr_max = _abbr_list(locale)
         ln = F.length(text)
@@ -224,12 +246,7 @@ def ts_highlight(
         hit = text.substr(first, F.lit(n))
         post = text.substr(first + F.lit(n), e0 - first - F.lit(n) + F.lit(1))
         snippet = F.concat(pre, F.lit(tag_open), hit, F.lit(tag_close), post)
-        return (
-            matched_docs.select(F.col(id_col), first.alias("first"),
-                                snippet.alias("snippet"))
-            .where(F.col("first").isNotNull())
-            .select(id_col, "snippet")
-        )
+        return first, snippet
     start = F.greatest(first - F.lit(window), F.lit(1))
     pre_raw = text.substr(start, first - start)
     end_at_len = (first + F.lit(n - 1 + window)) >= F.length(text)
@@ -253,11 +270,7 @@ def ts_highlight(
         pre, post = pre_raw, post_raw
     hit = text.substr(first, F.lit(n))
     snippet = F.concat(pre, F.lit(tag_open), hit, F.lit(tag_close), post)
-    return (
-        matched_docs.select(F.col(id_col), first.alias("first"), snippet.alias("snippet"))
-        .where(F.col("first").isNotNull())
-        .select(id_col, "snippet")
-    )
+    return first, snippet
 
 
 def duckdb_ts_highlight_sql(

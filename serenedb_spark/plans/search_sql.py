@@ -406,6 +406,9 @@ class SearchSelect:
     limit: int | None
     scorer: str | None
     scorer_params: dict = field(default_factory=dict)
+    #: highlight/offsets projection calls found in the select list:
+    #: (placeholder column, func name, text column, extra scalar args)
+    proj_calls: list = field(default_factory=list)
 
 
 def _split_top(toks: list[Tok], seps: tuple[str, ...]) -> list[list[Tok]]:
@@ -583,14 +586,58 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
         limit = int(toks[lpos + 1].text)
 
     items: list[str] = []
+    proj_calls: list = []
     for item in _split_top(sel_toks, (",",)):
         item, s, p = _rewrite_scorers(item)
         _merge(s, p)
+        item = _rewrite_proj_calls(item, proj_calls)
         items.append(_render(item))
 
     return SearchSelect(items, from_name, matches,
                         " AND ".join(f"({r})" for r in residuals) or None,
-                        order, limit, scorer, params)
+                        order, limit, scorer, params,
+                        proj_calls=proj_calls)
+
+
+#: projection functions computed by the search executor, not Spark SQL:
+#: OFFSETS(col [, 'term'] [, limit]) → array<struct<start,len>> of every
+#: whole-token match (demo3 §6 "byte ranges of every match"), and
+#: ts_highlight(col [, 'term'] [, 'open', 'close' [, window]]) → snippet
+#: around the first match (NULL when the doc's match came from another
+#: clause). Default terms derive from the @@ match on the same column.
+_PROJ_FUNCS = ("offsets", "ts_offsets", "ts_highlight")
+
+
+def _rewrite_proj_calls(toks: list[Tok], out_calls: list) -> list[Tok]:
+    """Replace OFFSETS/ts_highlight calls with __projN placeholder
+    identifiers, recording (placeholder, func, column, args)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        low = t.text.lower()
+        if (t.kind == "IDENT" and low in _PROJ_FUNCS
+                and i + 1 < len(toks) and toks[i + 1].text == "("):
+            ts = _Stream(toks[i + 1:])
+            ts.expect("(")
+            col_tok = ts.next()
+            if col_tok.kind != "IDENT":
+                raise ValueError(
+                    f"{t.text}() first argument must be a column")
+            args = []
+            while ts.match(","):
+                args.append(_scalar_arg(ts))
+            ts.expect(")")
+            ph = f"__proj{len(out_calls)}"
+            out_calls.append(
+                (ph, "offsets" if low != "ts_highlight" else "ts_highlight",
+                 col_tok.text.split(".")[-1], args))
+            out.append(Tok("IDENT", ph))
+            i += 1 + ts.i
+        else:
+            out.append(t)
+            i += 1
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -668,17 +715,24 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
 
 def has_search_construct(sql: str) -> bool:
     """True when the statement needs the search dialect: a top-level `@@`
-    match or inverted-index DDL (string literals are already excluded by
-    the tokenizer)."""
+    match, inverted-index DDL, text-search-dictionary DDL, or DROP INDEX
+    (string literals are already excluded by the tokenizer)."""
     try:
         toks = tokenize(sql)
     except ValueError:
         return False
     if any(t.text == "@@" for t in toks):
         return True
-    return any(t.text.lower() == "inverted" and i > 0
-               and toks[i - 1].upper == "USING"
-               for i, t in enumerate(toks))
+    if any(t.text.lower() == "inverted" and i > 0
+           and toks[i - 1].upper == "USING"
+           for i, t in enumerate(toks)):
+        return True
+    ups = [t.upper for t in toks[:4]]
+    if len(toks) >= 3 and ups[:2] == ["DROP", "INDEX"]:
+        return True
+    return (len(toks) >= 5
+            and ups[0] in ("CREATE", "DROP")
+            and ups[1:4] == ["TEXT", "SEARCH", "DICTIONARY"])
 
 
 def execute_select(stmt: SearchSelect, get_index) -> DataFrame:
@@ -732,6 +786,9 @@ def execute_select(stmt: SearchSelect, get_index) -> DataFrame:
         ).drop("score")
     if stmt.residual:
         out = out.where(F.expr(stmt.residual))
+    for ph, func, col, args in stmt.proj_calls:
+        out = out.withColumn(
+            ph, _proj_expr(func, col, args, dict(stmt.matches)))
     if stmt.order:
         keys = [
             F.expr(k).desc() if d else F.expr(k).asc()
@@ -745,3 +802,120 @@ def execute_select(stmt: SearchSelect, get_index) -> DataFrame:
     elif "__score" in out.columns:
         out = out.drop("__score")
     return out
+
+
+# ---------------------------------------------------------------------------
+# CREATE/DROP TEXT SEARCH DICTIONARY + DROP INDEX DDL
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class CreateDictionary:
+    name: str
+    options: dict  # includes 'template'
+
+
+def parse_create_dictionary(sql: str) -> CreateDictionary | None:
+    """``CREATE TEXT SEARCH DICTIONARY name (template = 'ngram',
+    mingram = 3, ...)`` (reference create_tsdictionary.cpp; demo3's
+    dictionary definitions). Returns None when not this shape."""
+    toks = tokenize(sql.strip().rstrip(";"))
+    heads = ("CREATE", "TEXT", "SEARCH", "DICTIONARY")
+    if len(toks) < 6 or any(toks[i].upper != h for i, h in enumerate(heads)):
+        return None
+    name = toks[4].text
+    ts = _Stream(toks[5:])
+    ts.expect("(")
+    opts: dict = {}
+    while not ts.match(")"):
+        key = ts.next().text.lower()
+        ts.expect("=")
+        opts[key] = _scalar_arg(ts)
+        ts.match(",")
+    return CreateDictionary(name, opts)
+
+
+def parse_drop(sql: str) -> tuple[str, str] | None:
+    """DROP INDEX name / DROP TEXT SEARCH DICTIONARY name →
+    ('index'|'dictionary', name); None otherwise."""
+    toks = tokenize(sql.strip().rstrip(";"))
+    if len(toks) >= 3 and toks[0].upper == "DROP" and toks[1].upper == "INDEX":
+        return ("index", toks[2].text)
+    if (len(toks) >= 5 and toks[0].upper == "DROP"
+            and [t.upper for t in toks[1:4]] == ["TEXT", "SEARCH",
+                                                 "DICTIONARY"]):
+        return ("dictionary", toks[4].text)
+    return None
+
+
+def _literal_terms(node: q.TSQuery) -> list[str]:
+    """Positive literal terms of a match node, in query order (drives
+    OFFSETS/ts_highlight defaults — same set the reference's OFFSETS
+    emits ranges for). Negative clauses contribute nothing."""
+    out: list[str] = []
+
+    def walk(n):
+        if isinstance(n, q.Term):
+            out.append(n.term)
+        elif isinstance(n, (q.AnyOf, q.AllOf)):
+            out.extend(n.terms)
+        elif isinstance(n, q.Phrase):
+            out.extend(n.words)
+        elif isinstance(n, q.PhraseSeq):
+            for p in n.parts:
+                walk(p)
+        elif isinstance(n, q.Boost):
+            walk(n.part)
+        elif isinstance(n, (q.And, q.Or)):
+            for p in n.parts:
+                walk(p)
+        elif isinstance(n, q.Compound):
+            for p in (*n.must, *n.should):
+                walk(p)
+        # Not / Prefix / Wildcard / Regexp / Fuzzy / Between / NgramSim:
+        # no literal term to mark
+
+    walk(node)
+    seen: set = set()
+    return [t for t in out if not (t in seen or seen.add(t))]
+
+
+def _proj_expr(func: str, col: str, args: list, matches: dict):
+    """Build the Column for an OFFSETS/ts_highlight projection call."""
+    from serenedb_spark.functions.highlight import (highlight_parts,
+                                                    term_offsets_col)
+
+    str_args = [a for a in args if isinstance(a, str)]
+    num_args = [a for a in args
+                if isinstance(a, (int, float)) and not isinstance(a, bool)]
+    node = matches.get(col)
+    terms = ([str_args[0]] if str_args
+             else (_literal_terms(node) if node is not None else []))
+    if not terms:
+        raise ValueError(
+            f"{func}({col}): no literal query terms — pass the term "
+            f"explicitly, e.g. {func}({col}, 'word')")
+
+    if func == "offsets":
+        def to_ranges(t):
+            n = len(t)
+
+            def mk(i):
+                return F.struct(i.alias("start"), F.lit(n).alias("len"))
+
+            return F.transform(term_offsets_col(F.col(col), t), mk)
+
+        arr = F.array_sort(F.concat(*[to_ranges(t) for t in terms]))
+        if num_args:
+            arr = F.slice(arr, 1, int(num_args[0]))
+        return arr
+
+    # ts_highlight
+    tag_open, tag_close = "<b>", "</b>"
+    if len(str_args) >= 3:
+        tag_open, tag_close = str_args[1], str_args[2]
+    window = int(num_args[0]) if num_args else 40
+    first, snippet = highlight_parts(
+        F.col(col), terms[0], tag_open=tag_open, tag_close=tag_close,
+        window=window)
+    return F.when(first.isNotNull(), snippet)

@@ -2227,6 +2227,33 @@ ORDER BY doc_id
 """)
 
 
+# demo3 §6 shape: highlight projection through the SQL text door —
+# ts_highlight(col) computes the snippet for the match's term as part of
+# the SELECT list (plans/search_sql.py projection calls)
+def _fts_sql_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans import search_sql as SS
+
+    idx = doc_index(spark, sf_dir)
+    st = SS.parse_select("""
+        SELECT doc_id, ts_highlight(text) AS snippet FROM documents
+        WHERE text @@ 'window' ORDER BY doc_id
+    """, lambda t, c: idx.analyzer(c))
+    return SS.execute_select(st, lambda t, c: idx)
+
+
+def _fts_sql_highlight_oracle() -> str:
+    from serenedb_spark.functions.highlight import duckdb_ts_highlight_sql
+
+    m = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("window"),
+                    select="doc_id, text")
+    return (duckdb_ts_highlight_sql(f"({m}) m", "text", "window")
+            + " ORDER BY doc_id")
+
+
+_register("fts_sql_highlight", _fts_sql_highlight,
+          _fts_sql_highlight_oracle())
+
+
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
 # a query over the partial index answers the conjunctive query
 # `text @@ q AND lang='en'` (the claim is valid because the query implies
@@ -5261,27 +5288,36 @@ _register(
 #:          joins, expression keys, type batteries, skew/ordered-scan, geo
 #:          WKT, ES significant terms), approx_aggregates re-gated, and 24
 #:          new-in-r6 queries — 50/50 green in CORRECTNESS_r06.
-#:   r7 (this window): the 13 registry queries that have never had a
-#:          driver row (registered after the r6 window froze), re-gates of
-#:          the three queries whose code/oracle changed this round
-#:          (gopher fold rewrite, chunk short-doc clamp, PII rule order —
-#:          gopher is also in the 13), new-in-r7 queries, and green
-#:          sentinels spanning every major family. With the 13, the union
-#:          of driver rows r1-r7 covers EVERY query registered through r6.
+#:   r7:    the 13 registry queries that had never had a driver row,
+#:          re-gates of the three queries whose code/oracle changed that
+#:          round, new-in-r7 queries, and family sentinels. Union of
+#:          driver rows r1-r7 covers every query registered through r6.
+#:   r8:    the 5 never-sampled r7-registered queries led and passed —
+#:          cumulatively every registered query driver-sampled;
+#:          CORRECTNESS_r08 50/50.
+#:   r9 (this window): the 9 new-in-r9 queries (SQL search dialect rows,
+#:          single-shuffle asof, RaBitQ mid-dim, polygon-vs-polygon, the
+#:          lt/id/ga stemmers), re-gates of every code path r9 touched
+#:          (to_tsquery word forms, asof tie_break ordering, snowball
+#:          interpreter branches, pg_catalog tranche 3), then sentinels.
 #: Every query, windowed or not, still runs in tests/test_differential.py
 #: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
-    # --- the 5 never-driver-sampled queries (r7 verdict rotation list) ----
-    "events_asof_agg", "skew_salted_join", "fts_array_column",
-    "cookbook_search_with_joins", "cookbook_indexing_views",
-    # --- new-in-r8 queries (slots swapped in as they land) -----------------
+    # --- new-in-r9 queries (all registered and locally oracle-green) ------
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
-    "geo_polygon_vs_polygon",
+    "fts_sql_highlight",
+    "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
-    "events_asof_agg_preagg",
-    # --- re-gates: implementation changed this round -----------------------
+    # --- re-gates: implementation changed in r9 ----------------------------
+    # to_tsquery gained AND/OR/NOT word forms + "quoted"/-term lowering
+    "fts_tsquery_parse", "fts_websearch",
+    # asof_join's window ordering gained the tie_break key path
+    "events_asof_join", "events_asof_agg",
+    # snowball interpreters gained prefix rounds + min_vowels branches
+    "fts_stemmed_term_de", "fts_stemmed_term_ru",
+    # install_pg_catalog grew tranche 3
     "pg_catalog_introspection",
-    # --- green sentinels: one per major family (all driver-green r1-r7) ---
+    # --- green sentinels: one per major family (all driver-green r1-r8) ---
     "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9_profit",
     "top_customers", "window_rank", "grouping_sets", "exists_semi_join",
     "dml_merge_into", "recursive_cte_hierarchy", "lateral_topn_per_key",
@@ -5292,7 +5328,7 @@ _GATE_WINDOW = [
     "vec_knn_cosine", "vec_ivf_sq8_knn", "vec_pq_adc_knn",
     "embedding_dup_pairs_lsh", "dedup_minhash_pairs", "dedup_clusters",
     "text_quality", "text_lang_id", "text_gopher_rules", "text_chunk",
-    "geo_indexed_radius", "inet6_battery", "events_asof_join",
+    "geo_indexed_radius", "inet6_battery",
     "orders_range_join", "skew_salted_agg",
 ]
 

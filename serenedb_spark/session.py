@@ -105,6 +105,33 @@ class SereneSession:
         ddl = SS.parse_create_index(q)
         if ddl is not None:
             return self._create_inverted_index_sql(ddl)
+        dic = SS.parse_create_dictionary(q)
+        if dic is not None:
+            from serenedb_spark.analysis.analyzers import create_dictionary
+
+            opts = dict(dic.options)
+            template = opts.pop("template", None)
+            if template is None:
+                raise ValueError(
+                    "CREATE TEXT SEARCH DICTIONARY requires template=")
+            a = create_dictionary(dic.name, str(template), **opts)
+            return self.spark.createDataFrame(
+                [(a.name, str(template), ",".join(a.features))],
+                "dictionary string, template string, features string")
+        drop = SS.parse_drop(q)
+        if drop is not None:
+            kind, name = drop
+            if kind == "index":
+                if name not in self._indexes:
+                    raise ValueError(f"no such index {name!r}")
+                self._indexes.pop(name)
+                getattr(self, "_index_sources", {}).pop(name, None)
+            else:
+                from serenedb_spark.analysis.analyzers import drop_dictionary
+
+                drop_dictionary(name)
+            return self.spark.createDataFrame(
+                [(kind, name)], "dropped string, name string")
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         return SS.execute_select(stmt, self._index_for)

@@ -283,3 +283,83 @@ def test_explain_ann_probe_counts():
     assert "Probes: 8" in txt
     assert "Pruned partitions: 56" in txt
     assert "Quantization: sq8" in txt
+
+
+# ---------------------------------------------------------------------------
+# CREATE/DROP TEXT SEARCH DICTIONARY + DROP INDEX (demo3's full DDL cycle)
+# ---------------------------------------------------------------------------
+
+
+def test_create_dictionary_ddl_and_use(session):
+    row = session.sql(
+        "CREATE TEXT SEARCH DICTIONARY my_ngram(template = 'ngram', "
+        "mingram = 3, maxgram = 3, preserveoriginal = false, "
+        "frequency = true, position = true)").first()
+    assert row.dictionary == "my_ngram" and row.template == "ngram"
+    # the new dictionary serves an index + @@ query end-to-end
+    session.sql(
+        "CREATE INDEX doc_ng_idx ON documents USING inverted(text my_ngram)")
+    hits = session.sql(
+        "SELECT doc_id FROM doc_ng_idx WHERE text @@ ts_ngram('sparc', 0.5) "
+        "ORDER BY doc_id").count()
+    assert hits > 0
+    # cleanup cycle from demo3's footer
+    session.sql("DROP INDEX doc_ng_idx")
+    assert "doc_ng_idx" not in session._indexes
+    session.sql("DROP TEXT SEARCH DICTIONARY my_ngram")
+    from serenedb_spark.analysis.analyzers import get_analyzer
+    with pytest.raises(KeyError):
+        get_analyzer("my_ngram")
+
+
+def test_create_dictionary_unknown_template_raises(session):
+    with pytest.raises(ValueError, match="unknown dictionary template"):
+        session.sql(
+            "CREATE TEXT SEARCH DICTIONARY x(template = 'nope')")
+
+
+def test_drop_missing_index_raises(session):
+    with pytest.raises(ValueError, match="no such index"):
+        session.sql("DROP INDEX never_created")
+
+
+# ---------------------------------------------------------------------------
+# OFFSETS / ts_highlight projections (demo3 §6)
+# ---------------------------------------------------------------------------
+
+
+def test_sql_offsets_projection(session):
+    rows = session.sql(
+        "SELECT doc_id, OFFSETS(text) AS match_ranges FROM documents "
+        "WHERE text @@ 'spark' ORDER BY doc_id LIMIT 5").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r.match_ranges) > 0
+        for rng in r.match_ranges:
+            assert rng.len == len("spark") and rng.start >= 1
+    # explicit term + range cap
+    capped = session.sql(
+        "SELECT doc_id, OFFSETS(text, 'spark', 2) AS mr FROM documents "
+        "WHERE text @@ 'spark' ORDER BY doc_id LIMIT 3").collect()
+    assert all(len(r.mr) <= 2 for r in capped)
+
+
+def test_sql_offsets_multi_term_sorted(session):
+    rows = session.sql(
+        "SELECT doc_id, OFFSETS(text) AS mr FROM documents "
+        "WHERE text @@ ('hash' && 'join') ORDER BY doc_id LIMIT 3").collect()
+    for r in rows:
+        starts = [x.start for x in r.mr]
+        assert starts == sorted(starts)
+        assert {x.len for x in r.mr} <= {4}  # hash/join are both 4 chars
+
+
+def test_sql_highlight_projection(session):
+    rows = session.sql(
+        "SELECT doc_id, ts_highlight(text) AS snippet FROM documents "
+        "WHERE text @@ 'spark' ORDER BY doc_id LIMIT 5").collect()
+    assert all("<b>spark</b>" in r.snippet for r in rows)
+    custom = session.sql(
+        "SELECT ts_highlight(text, 'spark', '[', ']') AS s FROM documents "
+        "WHERE text @@ 'spark' LIMIT 3").collect()
+    assert all("[spark]" in r.s for r in custom)
