@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+|--[^\n]*)
       | (?P<str>'(?:[^']|'')*')
       | (?P<num>\d+\.\d+|\d+)
-      | (?P<op>@@|&&|\|\||!!|\#\#|::|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.])
+      | (?P<op>@@|&&|\|\||!!|\#\#|::|<=>|<->|<\#>|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.])
       | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*)
     """,
     re.X,
@@ -141,7 +141,7 @@ def _text_leaf(s: str, an) -> q.TSQuery:
 
 
 def _parse_array(ts: _Stream) -> list:
-    """ARRAY[a, b, ...] of scalars."""
+    """ARRAY[a, b, ...] of scalars (negative numbers included)."""
     ts.expect("[")
     vals = []
     while not ts.match("]"):
@@ -150,6 +150,12 @@ def _parse_array(ts: _Stream) -> list:
             vals.append(_unquote(t.text))
         elif t.kind == "NUM":
             vals.append(float(t.text) if "." in t.text else int(t.text))
+        elif t.text == "-":
+            nt = ts.next()
+            if nt.kind != "NUM":
+                raise ValueError(
+                    f"unexpected token in ARRAY literal: -{nt.text!r}")
+            vals.append(-(float(nt.text) if "." in nt.text else int(nt.text)))
         elif t.text == ",":
             continue
         else:
@@ -409,6 +415,12 @@ class SearchSelect:
     #: highlight/offsets projection calls found in the select list:
     #: (placeholder column, func name, text column, extra scalar args)
     proj_calls: list = field(default_factory=list)
+    #: the `col <=> ARRAY[...]` distance referenced by ORDER BY / SELECT
+    #: (demo4 Q1/Q3: ANN top-k) — (column, metric, query vector)
+    vector_dist: tuple | None = None
+    #: WHERE `col <=> qvec < r` range conjuncts (demo4 Q2):
+    #: (column, metric, qvec, cmp, radius)
+    vector_ranges: list = field(default_factory=list)
 
 
 def _split_top(toks: list[Tok], seps: tuple[str, ...]) -> list[list[Tok]]:
@@ -529,6 +541,8 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
 
     matches: list[tuple[str, q.TSQuery]] = []
     residuals: list[str] = []
+    vec_holder: dict = {}
+    vector_ranges: list = []
     if wpos >= 0:
         wend = min(x for x in (opos, lpos, len(toks)) if x >= 0)
         for conj in _split_top(toks[wpos + 1:wend], ("AND",)):
@@ -540,7 +554,11 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
                 at = next((k for k, t in enumerate(conj)
                            if t.text == "@@"), None)
             if at is None:
-                residuals.append(_render(conj))
+                vr = _parse_vector_range(conj)
+                if vr is not None:
+                    vector_ranges.append(vr)
+                else:
+                    residuals.append(_render(conj))
                 continue
             left = conj[:at]
             if len(left) != 1 or left[0].kind != "IDENT":
@@ -577,6 +595,7 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
                 key = key[:-1]
             key, s, p = _rewrite_scorers(key)
             _merge(s, p)
+            key = _rewrite_vector_dist(key, vec_holder)
             order.append((_render(key), desc))
 
     limit = None
@@ -591,12 +610,94 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
         item, s, p = _rewrite_scorers(item)
         _merge(s, p)
         item = _rewrite_proj_calls(item, proj_calls)
+        item = _rewrite_vector_dist(item, vec_holder)
         items.append(_render(item))
 
     return SearchSelect(items, from_name, matches,
                         " AND ".join(f"({r})" for r in residuals) or None,
                         order, limit, scorer, params,
-                        proj_calls=proj_calls)
+                        proj_calls=proj_calls,
+                        vector_dist=vec_holder.get("ref"),
+                        vector_ranges=vector_ranges)
+
+
+# ---------------------------------------------------------------------------
+# pgvector-style distance operators (demo4): `col <=> ARRAY[...]` in
+# ORDER BY / SELECT (ANN top-k) and `col <=> qvec < r` in WHERE (range)
+# ---------------------------------------------------------------------------
+
+_VEC_OPS = {"<=>": "cosine", "<->": "l2", "<#>": "neg_ip"}
+
+
+def _parse_vec_literal(ts: _Stream) -> list[float]:
+    """ARRAY[...] with an optional `::FLOAT[d]` cast (the cast folds at
+    plan time, demo4 Q1)."""
+    t = ts.next()
+    if t.upper != "ARRAY":
+        raise ValueError(
+            f"vector operand must be an ARRAY[...] literal, got {t.text!r}")
+    vals = [float(v) for v in _parse_array(ts)]
+    if ts.peek() is not None and ts.peek().text == "::":
+        ts.next()
+        ts.next()  # type name
+        if ts.peek() is not None and ts.peek().text == "[":
+            ts.next()
+            ts.next()  # dimension
+            ts.expect("]")
+    return vals
+
+
+def _parse_vector_range(conj: list[Tok]):
+    """`col <op> ARRAY[...] < r` / `<= r` → (col, metric, qvec, cmp, r);
+    None when the conjunct is not this shape."""
+    at = next((k for k, t in enumerate(conj) if t.text in _VEC_OPS), None)
+    if at is None:
+        return None
+    left = conj[:at]
+    if len(left) != 1 or left[0].kind != "IDENT":
+        raise ValueError(
+            f"vector-op left side must be a column, got {_render(left)!r}")
+    col = left[0].text.split(".")[-1]
+    metric = _VEC_OPS[conj[at].text]
+    ts = _Stream(conj[at + 1:])
+    qvec = _parse_vec_literal(ts)
+    cmp_tok = ts.next()
+    if cmp_tok.text not in ("<", "<="):
+        raise ValueError(
+            f"vector range comparator must be < or <=, got {cmp_tok.text!r}")
+    r_tok = ts.next()
+    if r_tok.kind != "NUM":
+        raise ValueError("vector range radius must be a number")
+    if ts.peek() is not None:
+        raise ValueError(
+            f"trailing tokens after vector range: {ts.peek().text!r}")
+    return (col, metric, qvec, cmp_tok.text, float(r_tok.text))
+
+
+def _rewrite_vector_dist(toks: list[Tok], holder: dict) -> list[Tok]:
+    """Replace `col <op> ARRAY[...][::cast]` with the __vdist identifier;
+    all references in one statement must agree on (col, metric, qvec)."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.text in _VEC_OPS and out and out[-1].kind == "IDENT"):
+            col = out.pop().text.split(".")[-1]
+            metric = _VEC_OPS[t.text]
+            ts = _Stream(toks[i + 1:])
+            qvec = _parse_vec_literal(ts)
+            ref = (col, metric, tuple(qvec))
+            if "ref" in holder and holder["ref"] != ref:
+                raise ValueError(
+                    "one statement may reference ONE vector distance; "
+                    f"saw both {holder['ref'][:2]} and {ref[:2]}")
+            holder["ref"] = ref
+            out.append(Tok("IDENT", "__vdist"))
+            i += 1 + ts.i
+        else:
+            out.append(t)
+            i += 1
+    return out
 
 
 #: projection functions computed by the search executor, not Spark SQL:
@@ -721,7 +822,7 @@ def has_search_construct(sql: str) -> bool:
         toks = tokenize(sql)
     except ValueError:
         return False
-    if any(t.text == "@@" for t in toks):
+    if any(t.text == "@@" or t.text in _VEC_OPS for t in toks):
         return True
     if any(t.text.lower() == "inverted" and i > 0
            and toks[i - 1].upper == "USING"
@@ -735,20 +836,33 @@ def has_search_construct(sql: str) -> bool:
             and ups[1:4] == ["TEXT", "SEARCH", "DICTIONARY"])
 
 
-def execute_select(stmt: SearchSelect, get_index) -> DataFrame:
+def execute_select(stmt: SearchSelect, get_index,
+                   get_table=None) -> DataFrame:
     """Lower a parsed search SELECT onto the DataFrame engine.
 
-    ``get_index(from_name, column)`` → InvertedIndex serving that column.
+    ``get_index(from_name, column)`` → InvertedIndex serving that column;
+    ``get_table(from_name)`` → base DataFrame for pure vector statements
+    (demo4 Q1/Q2 — no @@ conjunct, so no index is required: the exact
+    distance scan is the flat fallback the reference also plans when no
+    ANN index serves the column).
     Late-materialization shape (reference iresearch_plan.cpp:466-533):
     claimed @@ conjuncts run over postings and intersect as doc-id
     relations; the docstore is joined only for surviving ids; residual SQL
-    evaluates post-join; scorer (if any) left-joins as __score.
+    evaluates post-join; scorer (if any) left-joins as __score; the
+    vector distance (if any) computes as __vdist.
     """
     from serenedb_spark.operators.scoring import score as _score
     from serenedb_spark.plans.planner import compile_query, is_pure_disjunction
 
     if not stmt.matches:
-        raise ValueError("search SELECT requires at least one @@ conjunct")
+        if not (stmt.vector_dist or stmt.vector_ranges):
+            raise ValueError(
+                "search SELECT requires an @@ conjunct or a vector "
+                "distance operator")
+        if get_table is None:
+            raise ValueError("pure vector SELECT needs a table resolver")
+        out = get_table(stmt.from_name)
+        return _finish_select(stmt, out)
 
     compiled = []
     idx0 = None
@@ -784,6 +898,30 @@ def execute_select(stmt: SearchSelect, get_index) -> DataFrame:
         out = out.join(score_df, "doc_id", "left").withColumn(
             "__score", F.coalesce(F.col("score"), F.lit(0.0))
         ).drop("score")
+    return _finish_select(stmt, out)
+
+
+def _vec_dist_col(col: str, metric: str, qvec) -> "F.Column":
+    from serenedb_spark.functions import vector as V
+
+    qc = V.lit_vector(list(qvec))
+    c = F.col(col)
+    if metric == "cosine":
+        return V.cosine_distance(c, qc)
+    if metric == "l2":
+        return V.l2_distance(c, qc)
+    return V.negative_inner_product(c, qc)  # neg_ip, pgvector's <#>
+
+
+def _finish_select(stmt: SearchSelect, out: DataFrame) -> DataFrame:
+    """The post-match tail shared by indexed and pure-vector statements:
+    vector ranges/distance, residual SQL, projections, order, limit."""
+    for col, metric, qvec, cmp, radius in stmt.vector_ranges:
+        dist = _vec_dist_col(col, metric, qvec)
+        out = out.where(dist < radius if cmp == "<" else dist <= radius)
+    if stmt.vector_dist is not None:
+        col, metric, qvec = stmt.vector_dist
+        out = out.withColumn("__vdist", _vec_dist_col(col, metric, qvec))
     if stmt.residual:
         out = out.where(F.expr(stmt.residual))
     for ph, func, col, args in stmt.proj_calls:
@@ -799,8 +937,8 @@ def execute_select(stmt: SearchSelect, get_index) -> DataFrame:
         out = out.limit(stmt.limit)
     if not (len(stmt.select_items) == 1 and stmt.select_items[0] == "*"):
         out = out.selectExpr(*stmt.select_items)
-    elif "__score" in out.columns:
-        out = out.drop("__score")
+    else:
+        out = out.drop("__score", "__vdist")
     return out
 
 

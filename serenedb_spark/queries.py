@@ -3277,6 +3277,48 @@ FROM embeddings ORDER BY distance, vec_id LIMIT 10
 """)
 
 
+# demo4 Q1/Q2 shapes THROUGH SQL TEXT: pgvector-style distance operators
+# (`embedding <=> ARRAY[...]::FLOAT[64]`) in ORDER BY (ANN top-k) and in
+# WHERE (range scan), parsed by plans/search_sql.py and lowered onto the
+# exact distance scan (the flat fallback the reference also plans without
+# an ANN index; the IVF physical path stays behind the session facade).
+_QVEC_SQL = ("ARRAY[" + ", ".join(repr(float(x)) for x in QUERY_VEC)
+             + "]::FLOAT[64]")
+
+
+def _vec_sql(name: str, sql_text: str, oracle: str) -> None:
+    from serenedb_spark.plans import search_sql as SS
+
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql_text) -> DataFrame:
+        tabs = load_tables(spark, sf_dir)
+        st = SS.parse_select(_sql, lambda t, c: None)
+        return SS.execute_select(st, None, lambda n: tabs[n])
+
+    _register(name, fn, oracle)
+
+
+_vec_sql("vec_sql_knn", f"""
+SELECT vec_id, round(embedding <=> {_QVEC_SQL}, 6) AS distance
+FROM embeddings
+ORDER BY round(embedding <=> {_QVEC_SQL}, 6), vec_id
+LIMIT 10
+""", f"""
+SELECT vec_id,
+  round({V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))}, 6) AS distance
+FROM embeddings ORDER BY distance, vec_id LIMIT 10
+""")
+
+_vec_sql("vec_sql_radius", f"""
+SELECT vec_id FROM embeddings
+WHERE embedding <=> {_QVEC_SQL} < 0.95
+ORDER BY vec_id
+""", f"""
+SELECT vec_id FROM embeddings
+WHERE {V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))} < 0.95
+ORDER BY vec_id
+""")
+
+
 def _vec_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     return SIM.radius_search(
@@ -5305,7 +5347,7 @@ _register(
 _GATE_WINDOW = [
     # --- new-in-r9 queries (all registered and locally oracle-green) ------
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
-    "fts_sql_highlight",
+    "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius",
     "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
     # --- re-gates: implementation changed in r9 ----------------------------

@@ -134,7 +134,16 @@ class SereneSession:
                 [(kind, name)], "dropped string, name string")
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
-        return SS.execute_select(stmt, self._index_for)
+        return SS.execute_select(stmt, self._index_for, self._relation_for)
+
+    def _relation_for(self, name: str) -> DataFrame:
+        """FROM resolution for pure-vector statements: a session table,
+        else an index's docstore (reference FROM idx_name)."""
+        if name in self._tables:
+            return self.table(name)
+        if name in self._indexes:
+            return self._indexes[name].docstore
+        raise ValueError(f"unknown relation {name!r}")
 
     def explain(self, q: str) -> str:
         """Claimed-vs-residual EXPLAIN (reference EXPLAIN over an index

@@ -363,3 +363,89 @@ def test_sql_highlight_projection(session):
         "SELECT ts_highlight(text, 'spark', '[', ']') AS s FROM documents "
         "WHERE text @@ 'spark' LIMIT 3").collect()
     assert all("[spark]" in r.s for r in custom)
+
+
+# ---------------------------------------------------------------------------
+# pgvector-style distance operators (demo4 Q1/Q2/Q3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def vec_session(spark):
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    ss.load_dir(SF_DIR, tables=("embeddings",))
+    return ss
+
+
+def _qarr(dim=64):
+    vals = ", ".join(repr(((i * 37) % 19 - 9) / 10.0) for i in range(dim))
+    return f"ARRAY[{vals}]::FLOAT[{dim}]"
+
+
+def test_sql_vector_knn(vec_session):
+    rows = vec_session.sql(
+        f"SELECT vec_id, round(embedding <=> {_qarr()}, 6) AS distance "
+        f"FROM embeddings ORDER BY round(embedding <=> {_qarr()}, 6), vec_id "
+        f"LIMIT 5").collect()
+    assert len(rows) == 5
+    ds = [r.distance for r in rows]
+    assert ds == sorted(ds)
+    # parity with the exact knn operator
+    from serenedb_spark.operators.similarity import knn_exact
+    from serenedb_spark.queries import QUERY_VEC
+    want = [r.vec_id for r in knn_exact(
+        vec_session.table("embeddings"), "embedding", QUERY_VEC,
+        k=5, metric="cosine").collect()]
+    assert [r.vec_id for r in rows] == want
+
+
+def test_sql_vector_range(vec_session):
+    rows = vec_session.sql(
+        f"SELECT vec_id FROM embeddings "
+        f"WHERE embedding <=> {_qarr()} < 0.95 ORDER BY vec_id").collect()
+    n_all = vec_session.table("embeddings").count()
+    assert 0 < len(rows) < n_all
+
+
+def test_sql_vector_l2_and_ip(vec_session):
+    l2 = vec_session.sql(
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY embedding <-> {_qarr()}, vec_id LIMIT 3").collect()
+    ip = vec_session.sql(
+        f"SELECT vec_id FROM embeddings "
+        f"ORDER BY embedding <#> {_qarr()}, vec_id LIMIT 3").collect()
+    assert len(l2) == 3 and len(ip) == 3
+
+
+def test_sql_vector_mixed_refs_raise(vec_session):
+    with pytest.raises(ValueError, match="ONE vector distance"):
+        vec_session.sql(
+            f"SELECT embedding <=> {_qarr()} AS a FROM embeddings "
+            f"ORDER BY embedding <-> {_qarr()} LIMIT 1")
+
+
+def test_sql_hybrid_text_plus_vector(spark):
+    """demo4 Q3: @@ filter + ORDER BY vector distance over ONE relation
+    (documents joined to aligned embeddings)."""
+    from serenedb_spark.session import SereneSession
+    from pyspark.sql import functions as F
+
+    ss = SereneSession(spark)
+    ss.load_dir(SF_DIR, tables=("documents", "embeddings"))
+    hybrid = (ss.table("documents")
+              .join(ss.table("embeddings"),
+                    F.col("doc_id") == F.col("vec_id"), "inner")
+              .select("doc_id", "text", "embedding"))
+    ss._tables["hybrid"] = hybrid
+    hybrid.createOrReplaceTempView("hybrid")
+    ss.sql("CREATE INDEX hybrid_idx ON hybrid USING inverted(text simple)")
+    rows = ss.sql(
+        f"SELECT doc_id FROM hybrid WHERE text @@ 'spark' "
+        f"ORDER BY embedding <=> {_qarr()}, doc_id LIMIT 5").collect()
+    assert 0 < len(rows) <= 5
+    # every returned doc matches the text filter
+    match_ids = {r.doc_id for r in ss.sql(
+        "SELECT doc_id FROM hybrid WHERE text @@ 'spark'").collect()}
+    assert {r.doc_id for r in rows} <= match_ids
