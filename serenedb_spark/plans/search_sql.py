@@ -167,6 +167,21 @@ def _scalar_arg(ts: _Stream):
     t = ts.peek()
     if t is None:
         raise ValueError("unexpected end of argument list")
+    if (t.kind == "IDENT" and t.text.lower() == "ts_tokenize"
+            and ts.peek(1) is not None and ts.peek(1).text == "("):
+        # demo6: ts_all(ts_tokenize(ARRAY['...'], 'analyzer')) — analyze
+        # the strings through the NAMED analyzer, flatten to a term list
+        from serenedb_spark.analysis.analyzers import get_analyzer
+
+        ts.next()
+        args = _parse_args(ts)
+        if len(args) != 2:
+            raise ValueError("ts_tokenize(texts, analyzer_name)")
+        texts, an_name = args
+        if isinstance(texts, str):
+            texts = [texts]
+        an = get_analyzer(str(an_name))
+        return [tok for s in texts for tok in an.tokens(s)]
     if t.kind == "STR":
         return _unquote(ts.next().text)
     if t.kind == "NUM":
@@ -423,6 +438,54 @@ class SearchSelect:
     vector_ranges: list = field(default_factory=list)
 
 
+#: PG type spellings → Spark CAST targets (the rest pass through)
+_CAST_TYPES = {"numeric": "double", "float4": "float", "float8": "double",
+               "int4": "int", "int8": "bigint", "text": "string",
+               "varchar": "string", "bool": "boolean"}
+
+
+def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
+    """PG `expr::type` → `CAST(expr AS type)` for the residual/projection
+    spans that run as Spark SQL (demo1 Q3 `label::float`, `round(x)::
+    numeric`). The operand is the preceding identifier/literal or
+    parenthesized group."""
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.text == "::" and out and i + 1 < len(toks)
+                and toks[i + 1].kind == "IDENT"):
+            typ = toks[i + 1].text.lower()
+            typ = _CAST_TYPES.get(typ, typ)
+            # find the operand start in `out`
+            if out[-1].text == ")":
+                depth = 0
+                j = len(out) - 1
+                while j >= 0:
+                    if out[j].text == ")":
+                        depth += 1
+                    elif out[j].text == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                # include a function name before the group
+                if j > 0 and out[j - 1].kind == "IDENT":
+                    j -= 1
+            else:
+                j = len(out) - 1
+            operand = out[j:]
+            del out[j:]
+            out.extend([Tok("IDENT", "CAST"), Tok("OP", "(")] + operand
+                       + [Tok("IDENT", "AS"), Tok("IDENT", typ),
+                          Tok("OP", ")")])
+            i += 2
+        else:
+            out.append(t)
+            i += 1
+    return out
+
+
 def _split_top(toks: list[Tok], seps: tuple[str, ...]) -> list[list[Tok]]:
     """Split a token list on top-level (paren-depth-0) separators."""
     out: list[list[Tok]] = [[]]
@@ -558,7 +621,7 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
                 if vr is not None:
                     vector_ranges.append(vr)
                 else:
-                    residuals.append(_render(conj))
+                    residuals.append(_render(_rewrite_casts(conj)))
                 continue
             left = conj[:at]
             if len(left) != 1 or left[0].kind != "IDENT":
@@ -596,7 +659,7 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
             key, s, p = _rewrite_scorers(key)
             _merge(s, p)
             key = _rewrite_vector_dist(key, vec_holder)
-            order.append((_render(key), desc))
+            order.append((_render(_rewrite_casts(key)), desc))
 
     limit = None
     if lpos >= 0:
@@ -611,7 +674,7 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
         _merge(s, p)
         item = _rewrite_proj_calls(item, proj_calls)
         item = _rewrite_vector_dist(item, vec_holder)
-        items.append(_render(item))
+        items.append(_render(_rewrite_casts(item)))
 
     return SearchSelect(items, from_name, matches,
                         " AND ".join(f"({r})" for r in residuals) or None,
@@ -630,13 +693,25 @@ _VEC_OPS = {"<=>": "cosine", "<->": "l2", "<#>": "neg_ip"}
 
 
 def _parse_vec_literal(ts: _Stream) -> list[float]:
-    """ARRAY[...] with an optional `::FLOAT[d]` cast (the cast folds at
-    plan time, demo4 Q1)."""
+    """ARRAY[...] or ai_embed('text', 'model'[, 'provider']) with an
+    optional `::FLOAT[d]` cast (the cast folds at plan time, demo4 Q1 /
+    demo5 Q4-Q5 — ai_embed on the query string runs ONCE driver-side,
+    exactly like the reference folds the bind-parameter cast)."""
     t = ts.next()
-    if t.upper != "ARRAY":
+    if t.kind == "IDENT" and t.text.lower() == "ai_embed":
+        from serenedb_spark.functions.embedding import _resolve_provider
+
+        args = _parse_args(ts)
+        if not 2 <= len(args) <= 3:
+            raise ValueError("ai_embed(text, model[, provider])")
+        key = str(args[2]) if len(args) == 3 else str(args[1])
+        vals = [float(x) for x in _resolve_provider(key)([str(args[0])])[0]]
+    elif t.upper == "ARRAY":
+        vals = [float(v) for v in _parse_array(ts)]
+    else:
         raise ValueError(
-            f"vector operand must be an ARRAY[...] literal, got {t.text!r}")
-    vals = [float(v) for v in _parse_array(ts)]
+            f"vector operand must be ARRAY[...] or ai_embed(...), "
+            f"got {t.text!r}")
     if ts.peek() is not None and ts.peek().text == "::":
         ts.next()
         ts.next()  # type name

@@ -2254,6 +2254,34 @@ _register("fts_sql_highlight", _fts_sql_highlight,
           _fts_sql_highlight_oracle())
 
 
+# demo1 Q1/Q3 shape: BM25-filtered docs feeding straight into SQL
+# aggregation, with a residual predicate and PG ::numeric casts — the
+# "hybrid analytics" recipe, through the text door
+def _fts_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans import search_sql as SS
+
+    idx = doc_index(spark, sf_dir)
+    st = SS.parse_select("""
+        SELECT count(*) AS hits,
+               round(avg(doc_id)::numeric, 3) AS avg_id
+        FROM documents
+        WHERE text @@ ts_phrase('hash join') AND lang = 'en'
+    """, lambda t, c: idx.analyzer(c))
+    return SS.execute_select(st, lambda t, c: idx)
+
+
+def _fts_sql_agg_oracle() -> str:
+    m = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN,
+                    q.Phrase(["hash", "join"]), select="doc_id, lang")
+    return f"""
+SELECT count(*) AS hits, round(avg(doc_id), 3) + 0.0 AS avg_id
+FROM ({m}) m WHERE lang = 'en'
+"""
+
+
+_register("fts_sql_agg", _fts_sql_agg, _fts_sql_agg_oracle())
+
+
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
 # a query over the partial index answers the conjunctive query
 # `text @@ q AND lang='en'` (the claim is valid because the query implies
@@ -5347,7 +5375,7 @@ _register(
 _GATE_WINDOW = [
     # --- new-in-r9 queries (all registered and locally oracle-green) ------
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
-    "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius",
+    "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
     "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
     # --- re-gates: implementation changed in r9 ----------------------------

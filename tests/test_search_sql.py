@@ -449,3 +449,51 @@ def test_sql_hybrid_text_plus_vector(spark):
     match_ids = {r.doc_id for r in ss.sql(
         "SELECT doc_id FROM hybrid WHERE text @@ 'spark'").collect()}
     assert {r.doc_id for r in rows} <= match_ids
+
+
+# ---------------------------------------------------------------------------
+# demo1 Q3 aggregates, demo6 ts_tokenize, demo5 ai_embed operand
+# ---------------------------------------------------------------------------
+
+
+def test_sql_aggregate_over_match_set(session):
+    row = session.sql(
+        "SELECT count(*) AS hits, round(avg(doc_id)::numeric, 3) AS a "
+        "FROM documents WHERE text @@ ts_phrase('hash join') "
+        "AND lang = 'en'").first()
+    assert row.hits > 0 and row.a is not None
+    # hits equals the plain match count under the same residual
+    n = session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ts_phrase('hash join') "
+        "AND lang = 'en'").count()
+    assert row.hits == n
+
+
+def test_sql_ts_tokenize_inside_ts_all(session):
+    a = session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ "
+        "ts_all(ts_tokenize(ARRAY['hash join'], 'simple')) "
+        "ORDER BY doc_id").toPandas()
+    b = session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ts_all(ARRAY['hash', "
+        "'join']) ORDER BY doc_id").toPandas()
+    assert list(a.doc_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_sql_ai_embed_vector_operand(spark):
+    """demo5: ORDER BY embedding <=> ai_embed('query', 'stub') — the
+    query string embeds ONCE driver-side; the nearest row is the one
+    whose stored embedding came from the same text."""
+    from serenedb_spark.session import SereneSession
+    from serenedb_spark.functions.embedding import embed_table
+
+    ss = SereneSession(spark)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon zeta")],
+        "id long, text string")
+    ss._tables["minidocs"] = embed_table(docs)
+    top = ss.sql(
+        "SELECT id FROM minidocs "
+        "ORDER BY embedding <=> ai_embed('gamma delta', 'stub'), id "
+        "LIMIT 1").first()
+    assert top.id == 2
