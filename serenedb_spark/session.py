@@ -169,12 +169,29 @@ class SereneSession:
             idx = self._index_for(stmt.from_name, col)
             idx_name = idx.name
             matches.append((col, node, idx.fields[col]))
-        return explain_search(
-            idx_name, matches,
-            projections=stmt.select_items,
-            residual=stmt.residual,
-            scorer=stmt.scorer, scorer_params=stmt.scorer_params,
-            order=stmt.order, limit=stmt.limit)
+        blocks = []
+        if matches or not (stmt.vector_dist or stmt.vector_ranges):
+            blocks.append(explain_search(
+                idx_name, matches,
+                projections=stmt.select_items,
+                residual=stmt.residual,
+                scorer=stmt.scorer, scorer_params=stmt.scorer_params,
+                order=stmt.order, limit=stmt.limit))
+        if stmt.vector_dist or stmt.vector_ranges:
+            refs = ([stmt.vector_dist[:2]] if stmt.vector_dist else []) + [
+                (c, m) for c, m, *_ in stmt.vector_ranges]
+            col, metric = refs[0]
+            lines = ["VECTOR_SCAN",
+                     f"  Column: {col}",
+                     f"  Metric: {metric}",
+                     "  Strategy: exact (flat fallback; IVF via the "
+                     "session ANN facade)"]
+            for c, m, _qv, cmp, r in stmt.vector_ranges:
+                lines.append(f"  Range: {c} {cmp} {r:g}")
+            if stmt.limit is not None:
+                lines.append(f"  Top-K: {stmt.limit}")
+            blocks.append("\n".join(lines))
+        return "\n".join(blocks)
 
     def _create_inverted_index_sql(self, ddl) -> DataFrame:
         """CREATE INDEX ... USING inverted(col analyzer, plain_col) —
@@ -788,6 +805,78 @@ class SereneSession:
             " indexrelname string",
         ).where(F.col("indexrelid") != 0).createOrReplaceTempView(
             "pg_stat_user_indexes")
+        self._install_pg_catalog_tranche4()
+
+    def _install_pg_catalog_tranche4(self) -> None:
+        """Tranche 4 (server/pg/pg_catalog/ tail): pg_authid (role
+        credentials view of pg_roles), pg_tablespace / pg_language
+        (PG-true static rows), pg_operator (the comparison AND search
+        operator surface — `@@`, `##`, `<=>` documented in the catalog
+        exactly like the reference registers its claimed operators),
+        pg_aggregate (the aggregate heads over pg_proc-style oids), and
+        information_schema.views / routines over session view + macro
+        state."""
+        spark = self.spark
+
+        roles = sorted({"postgres", *getattr(self, "_grants", {})}
+                       | ({self.current_user} if self.current_user else
+                          set()))
+        spark.createDataFrame(
+            [(10 if r == "postgres" else 16384 + i, r, r == "postgres",
+              True) for i, r in enumerate(roles)],
+            "oid int, rolname string, rolsuper boolean,"
+            " rolcanlogin boolean",
+        ).createOrReplaceTempView("pg_authid")
+
+        spark.createDataFrame(
+            [(1663, "pg_default", 10), (1664, "pg_global", 10)],
+            "oid int, spcname string, spcowner int",
+        ).createOrReplaceTempView("pg_tablespace")
+        spark.createDataFrame(
+            [(12, "internal", False), (14, "sql", True),
+             (16400, "python", True)],
+            "oid int, lanname string, lanpltrusted boolean",
+        ).createOrReplaceTempView("pg_language")
+
+        ops = [
+            ("=", "b"), ("<>", "b"), ("<", "b"), ("<=", "b"), (">", "b"),
+            (">=", "b"), ("+", "b"), ("-", "b"), ("*", "b"), ("/", "b"),
+            ("||", "b"), ("@@", "b"), ("##", "b"), ("&&", "b"),
+            ("!!", "l"), ("^", "b"), ("<=>", "b"), ("<->", "b"),
+            ("<#>", "b"),
+        ]
+        spark.createDataFrame(
+            [(16500 + i, name, kind) for i, (name, kind) in enumerate(ops)],
+            "oid int, oprname string, oprkind string",
+        ).createOrReplaceTempView("pg_operator")
+
+        aggs = ["count", "sum", "avg", "min", "max", "stddev", "variance",
+                "corr", "string_agg", "array_agg", "bool_and", "bool_or",
+                "percentile_cont", "percentile_disc", "mode"]
+        spark.createDataFrame(
+            [(16600 + i, a, "n") for i, a in enumerate(aggs)],
+            "aggfnoid int, aggname string, aggkind string",
+        ).createOrReplaceTempView("pg_aggregate")
+
+        views = [("serene", "public", n, d or "")
+                 for n, d in sorted(getattr(self, "_view_defs",
+                                            {}).items())]
+        spark.createDataFrame(
+            views or [("", "", "", "")],
+            "table_catalog string, table_schema string, table_name string,"
+            " view_definition string",
+        ).where(F.col("table_name") != "").createOrReplaceTempView(
+            "information_schema_views")
+        routines = [
+            ("serene", "public", name, "FUNCTION",
+             "SETOF record" if is_table else "scalar")
+            for name, (params, is_table) in self._macros_meta.items()]
+        spark.createDataFrame(
+            routines or [("", "", "", "", "")],
+            "routine_catalog string, routine_schema string,"
+            " routine_name string, routine_type string, data_type string",
+        ).where(F.col("routine_name") != "").createOrReplaceTempView(
+            "information_schema_routines")
 
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:

@@ -363,3 +363,34 @@ def test_foreign_key_validation(ss):
         ss.add_foreign_key("nation", "n_nationkey", "region", "r_regionkey",
                            name="bad_fk")
     assert "bad_fk" not in ss._fks
+
+
+def test_pg_catalog_tranche4(ss):
+    ss.create_macro("twice", "x DOUBLE", "x * 2")
+    ss.create_view("big_orders",
+                   "SELECT * FROM orders WHERE o_totalprice > 100")
+    ss.install_pg_catalog()
+    # search + vector operators documented in pg_operator
+    ops = {r.oprname for r in ss.sql(
+        "SELECT oprname FROM pg_operator").collect()}
+    assert {"@@", "##", "<=>", "<->", "<#>", "="} <= ops
+    # roles mirror pg_roles with login flags
+    assert ss.sql(
+        "SELECT rolname FROM pg_authid WHERE rolsuper").first().rolname \
+        == "postgres"
+    # view definition text round-trips
+    v = ss.sql(
+        "SELECT view_definition FROM information_schema_views "
+        "WHERE table_name = 'big_orders'").first()
+    assert "o_totalprice > 100" in v.view_definition
+    # macros appear as routines
+    r = ss.sql(
+        "SELECT routine_type FROM information_schema_routines "
+        "WHERE routine_name = 'twice'").first()
+    assert r.routine_type == "FUNCTION"
+    # aggregate heads present
+    assert ss.sql(
+        "SELECT count(*) AS n FROM pg_aggregate").first().n >= 15
+    rels = {t.name for t in ss.spark.catalog.listTables()
+            if t.name.startswith(("pg_", "information_schema"))}
+    assert len(rels) >= 38, sorted(rels)

@@ -497,3 +497,14 @@ def test_sql_ai_embed_vector_operand(spark):
         "ORDER BY embedding <=> ai_embed('gamma delta', 'stub'), id "
         "LIMIT 1").first()
     assert top.id == 2
+
+
+def test_explain_vector_scan(vec_session):
+    txt = vec_session.explain(
+        f"SELECT vec_id FROM embeddings "
+        f"WHERE embedding <=> {_qarr()} < 0.9 "
+        f"ORDER BY embedding <=> {_qarr()}, vec_id LIMIT 5")
+    assert "VECTOR_SCAN" in txt
+    assert "Metric: cosine" in txt
+    assert "Range: embedding < 0.9" in txt
+    assert "Top-K: 5" in txt
