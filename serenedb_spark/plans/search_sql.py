@@ -897,7 +897,9 @@ def has_search_construct(sql: str) -> bool:
         toks = tokenize(sql)
     except ValueError:
         return False
-    if any(t.text == "@@" or t.text in _VEC_OPS for t in toks):
+    if any(t.text == "@@" or t.text in _VEC_OPS
+           or (t.kind == "IDENT" and t.text.lower().startswith("ts_dict_"))
+           for t in toks):
         return True
     if any(t.text.lower() == "inverted" and i > 0
            and toks[i - 1].upper == "USING"
@@ -988,6 +990,27 @@ def _vec_dist_col(col: str, metric: str, qvec) -> "F.Column":
     return V.negative_inner_product(c, qc)  # neg_ip, pgvector's <#>
 
 
+def _alias_map(select_items: list[str]) -> dict[str, str]:
+    """alias -> underlying expression, from rendered `expr AS alias`
+    select items (ORDER BY may reference select aliases, which the
+    executor sorts BEFORE projecting)."""
+    out: dict[str, str] = {}
+    for it in select_items:
+        parts = it.rsplit(" AS ", 1)
+        if len(parts) == 2 and parts[1].strip().isidentifier():
+            out[parts[1].strip()] = parts[0].strip()
+    return out
+
+
+def _order_keys(stmt_order, select_items):
+    amap = _alias_map(select_items)
+    return [
+        (F.expr(amap.get(k, k)).desc() if d
+         else F.expr(amap.get(k, k)).asc())
+        for k, d in stmt_order
+    ]
+
+
 def _finish_select(stmt: SearchSelect, out: DataFrame) -> DataFrame:
     """The post-match tail shared by indexed and pure-vector statements:
     vector ranges/distance, residual SQL, projections, order, limit."""
@@ -1003,11 +1026,7 @@ def _finish_select(stmt: SearchSelect, out: DataFrame) -> DataFrame:
         out = out.withColumn(
             ph, _proj_expr(func, col, args, dict(stmt.matches)))
     if stmt.order:
-        keys = [
-            F.expr(k).desc() if d else F.expr(k).asc()
-            for k, d in stmt.order
-        ]
-        out = out.orderBy(*keys)
+        out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
     if stmt.limit is not None:
         out = out.limit(stmt.limit)
     if not (len(stmt.select_items) == 1 and stmt.select_items[0] == "*"):
@@ -1132,3 +1151,139 @@ def _proj_expr(func: str, col: str, args: list, matches: dict):
         F.col(col), terms[0], tag_open=tag_open, tag_close=tag_close,
         window=window)
     return F.when(first.isNotNull(), snippet)
+
+
+# ---------------------------------------------------------------------------
+# ts_dict_* term-dictionary statements (reference
+# site_docs/sql/functions/term_dictionary.test):
+#   SELECT unnest(ts_dict_agg(col)) AS term,
+#          unnest(ts_dict_count(col)) AS docs,
+#          unnest(ts_dict_freq(col)) AS freq
+#   FROM idx [WHERE col LIKE 'g%'] [ORDER BY ...] [LIMIT n]
+# The WHERE predicate ranges over the TERM DICTIONARY (col stands for
+# the term), exactly like the reference's claimed aggregate plan.
+# ---------------------------------------------------------------------------
+
+_TSDICT_MAP = {"ts_dict_agg": "term", "ts_dict_raw_agg": "term",
+               "ts_dict_count": "doc_count", "ts_dict_freq": "total_freq"}
+
+
+@dataclass
+class TsDictSelect:
+    select_items: list[str]
+    from_name: str
+    field: str
+    residual: str | None
+    order: list[tuple[str, bool]]
+    limit: int | None
+
+
+def parse_ts_dict(sql: str) -> TsDictSelect | None:
+    """Parse the ts_dict_* statement shape; None when the statement
+    contains no ts_dict_* call."""
+    toks = tokenize(sql.strip().rstrip(";"))
+    if not any(t.kind == "IDENT" and t.text.lower().startswith("ts_dict_")
+               for t in toks):
+        return None
+    if not toks or toks[0].upper != "SELECT":
+        raise ValueError("ts_dict_* only supported in SELECT")
+    fpos = _find_clause(toks, ("FROM",))
+    if fpos < 0:
+        raise ValueError("ts_dict SELECT requires FROM")
+    sel_toks = toks[1:fpos]
+    wpos = _find_clause(toks, ("WHERE",), fpos)
+    opos = _find_clause(toks, ("ORDER", "BY"), fpos)
+    lpos = _find_clause(toks, ("LIMIT",), fpos)
+    from_end = min(x for x in (wpos, opos, lpos, len(toks)) if x >= 0)
+    from_toks = toks[fpos + 1:from_end]
+    if len(from_toks) != 1 or from_toks[0].kind != "IDENT":
+        raise ValueError("ts_dict SELECT supports a single FROM relation")
+    from_name = from_toks[0].text
+
+    field: str | None = None
+
+    def rewrite(span: list[Tok]) -> list[Tok]:
+        """unnest(ts_dict_X(col)) → mapped column; ts_dict_min/max(col)
+        → min/max(term); then any bare reference to the field ident
+        means the term itself."""
+        nonlocal field
+        out: list[Tok] = []
+        i = 0
+        while i < len(span):
+            t = span[i]
+            low = t.text.lower()
+            if (low == "unnest" and i + 7 < len(span) + 1
+                    and i + 1 < len(span) and span[i + 1].text == "("
+                    and span[i + 2].text.lower() in _TSDICT_MAP
+                    and span[i + 3].text == "("
+                    and span[i + 4].kind == "IDENT"
+                    and span[i + 5].text == ")"
+                    and span[i + 6].text == ")"):
+                field = field or span[i + 4].text.split(".")[-1]
+                out.append(Tok("IDENT", _TSDICT_MAP[span[i + 2].text.lower()]))
+                i += 7
+            elif (low in ("ts_dict_min", "ts_dict_max")
+                  and i + 3 < len(span) and span[i + 1].text == "("
+                  and span[i + 2].kind == "IDENT"
+                  and span[i + 3].text == ")"):
+                field = field or span[i + 2].text.split(".")[-1]
+                fn = "min" if low == "ts_dict_min" else "max"
+                out.extend([Tok("IDENT", fn), Tok("OP", "("),
+                            Tok("IDENT", "term"), Tok("OP", ")")])
+                i += 4
+            elif low == "ts_dict_count" and i + 1 < len(span) \
+                    and span[i + 1].text == "(":
+                # bare ts_dict_count(col) = number of distinct terms
+                field = field or span[i + 2].text.split(".")[-1]
+                out.extend([Tok("IDENT", "count"), Tok("OP", "("),
+                            Tok("IDENT", "term"), Tok("OP", ")")])
+                i += 4
+            else:
+                out.append(t)
+                i += 1
+        return out
+
+    items = [_render(_rewrite_casts(rewrite(it)))
+             for it in _split_top(sel_toks, (",",))]
+    if field is None:
+        raise ValueError("no ts_dict_*(column) call found")
+
+    def field_to_term(span: list[Tok]) -> list[Tok]:
+        return [Tok("IDENT", "term")
+                if (t.kind == "IDENT" and t.text.split(".")[-1] == field)
+                else t for t in span]
+
+    residual = None
+    if wpos >= 0:
+        wend = min(x for x in (opos, lpos, len(toks)) if x >= 0)
+        residual = _render(_rewrite_casts(
+            field_to_term(toks[wpos + 1:wend])))
+    order: list[tuple[str, bool]] = []
+    if opos >= 0:
+        oend = lpos if lpos >= 0 else len(toks)
+        for key in _split_top(toks[opos + 2:oend], (",",)):
+            desc = False
+            if key and key[-1].upper in ("ASC", "DESC"):
+                desc = key[-1].upper == "DESC"
+                key = key[:-1]
+            order.append((_render(field_to_term(rewrite(key))), desc))
+    limit = None
+    if lpos >= 0:
+        limit = int(toks[lpos + 1].text)
+    return TsDictSelect(items, from_name, field, residual, order, limit)
+
+
+def execute_ts_dict(stmt: TsDictSelect, get_index) -> DataFrame:
+    """The claimed term-dictionary aggregate: answered from term_stats,
+    never touching rows (reference ts_dict_plan.cpp)."""
+    from serenedb_spark.operators import facets as FC
+
+    idx = get_index(stmt.from_name, stmt.field)
+    df = FC.ts_dict(idx, stmt.field)
+    if stmt.residual:
+        df = df.where(F.expr(stmt.residual))
+    if stmt.order:
+        df = df.orderBy(*_order_keys(stmt.order, stmt.select_items))
+    if stmt.limit is not None:
+        df = df.limit(stmt.limit)
+    return df.selectExpr(*stmt.select_items)

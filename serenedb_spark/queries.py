@@ -2282,6 +2282,34 @@ FROM ({m}) m WHERE lang = 'en'
 _register("fts_sql_agg", _fts_sql_agg, _fts_sql_agg_oracle())
 
 
+# term_dictionary.test shape: aligned-list claimed aggregates over the
+# dictionary, with the WHERE ranging over TERMS (col LIKE 'g%')
+def _fts_sql_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans import search_sql as SS
+
+    idx = doc_index(spark, sf_dir)
+    st = SS.parse_ts_dict("""
+        SELECT unnest(ts_dict_agg(text)) AS term,
+               unnest(ts_dict_count(text)) AS docs,
+               unnest(ts_dict_freq(text)) AS freq
+        FROM documents WHERE text LIKE 'g%' ORDER BY term
+    """)
+    return SS.execute_ts_dict(st, lambda t, c: idx)
+
+
+def _fts_sql_dict_oracle() -> str:
+    base = FC.duckdb_ts_dict_sql(
+        _DOC_TABLE, _DOC_COL,
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '')",
+    )
+    return (f"SELECT term, doc_count AS docs, total_freq AS freq "
+            f"FROM ({base}) d WHERE term LIKE 'g%' ORDER BY term")
+
+
+_register("fts_sql_dict", _fts_sql_dict, _fts_sql_dict_oracle())
+
+
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
 # a query over the partial index answers the conjunctive query
 # `text @@ q AND lang='en'` (the claim is valid because the query implies
@@ -5376,6 +5404,7 @@ _GATE_WINDOW = [
     # --- new-in-r9 queries (all registered and locally oracle-green) ------
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
     "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
+    "fts_sql_dict",
     "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
     # --- re-gates: implementation changed in r9 ----------------------------

@@ -132,6 +132,9 @@ class SereneSession:
                 drop_dictionary(name)
             return self.spark.createDataFrame(
                 [(kind, name)], "dropped string, name string")
+        td = SS.parse_ts_dict(q)
+        if td is not None:
+            return SS.execute_ts_dict(td, self._index_for)
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         return SS.execute_select(stmt, self._index_for, self._relation_for)

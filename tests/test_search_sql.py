@@ -508,3 +508,18 @@ def test_explain_vector_scan(vec_session):
     assert "Metric: cosine" in txt
     assert "Range: embedding < 0.9" in txt
     assert "Top-K: 5" in txt
+
+
+def test_sql_ts_dict_statement(session):
+    rows = session.sql(
+        "SELECT unnest(ts_dict_agg(text)) AS term, "
+        "unnest(ts_dict_count(text)) AS docs, "
+        "unnest(ts_dict_freq(text)) AS freq "
+        "FROM documents WHERE text LIKE 's%' ORDER BY term LIMIT 10"
+    ).collect()
+    assert rows and all(r.term.startswith("s") for r in rows)
+    assert all(r.freq >= r.docs > 0 for r in rows)
+    mm = session.sql(
+        "SELECT ts_dict_min(text) AS lo, ts_dict_max(text) AS hi "
+        "FROM documents").first()
+    assert mm.lo <= mm.hi
