@@ -5404,8 +5404,7 @@ _GATE_WINDOW = [
     # --- new-in-r9 queries (all registered and locally oracle-green) ------
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
     "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
-    "fts_sql_dict",
-    "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",
+    "fts_sql_dict", "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",
     "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
     # --- re-gates: implementation changed in r9 ----------------------------
     # to_tsquery gained AND/OR/NOT word forms + "quoted"/-term lowering

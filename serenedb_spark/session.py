@@ -164,6 +164,15 @@ class SereneSession:
             return df._jdf.queryExecution().explainString(
                 self.spark._jvm.org.apache.spark.sql.execution
                 .ExplainMode.fromString("extended"))
+        td = SS.parse_ts_dict(q)
+        if td is not None:
+            return "\n".join([
+                "TS_DICT_SCAN",
+                f"  Index: {td.from_name}",
+                f"  Field: {td.field}",
+                "  Source: term_stats (no row access)",
+                f"  Term Filter: {td.residual or 'none'}",
+            ] + ([f"  Top-K: {td.limit}"] if td.limit is not None else []))
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         matches = []

@@ -523,3 +523,12 @@ def test_sql_ts_dict_statement(session):
         "SELECT ts_dict_min(text) AS lo, ts_dict_max(text) AS hi "
         "FROM documents").first()
     assert mm.lo <= mm.hi
+
+
+def test_explain_ts_dict(session):
+    txt = session.explain(
+        "SELECT unnest(ts_dict_agg(text)) AS term FROM documents "
+        "WHERE text LIKE 'g%' LIMIT 5")
+    assert txt.startswith("TS_DICT_SCAN")
+    assert "Source: term_stats (no row access)" in txt
+    assert "Term Filter: term LIKE 'g%'" in txt
