@@ -375,17 +375,19 @@ def _parse_ts_primary(ts: _Stream, an) -> q.TSQuery:
 
 
 def parse_tsquery_tokens(ts: _Stream, an) -> q.TSQuery:
-    node = _parse_ts_and(ts, an)
+    parts = [_parse_ts_and(ts, an)]
     while ts.match("||"):
-        node = node | _parse_ts_and(ts, an)
-    return node
+        parts.append(_parse_ts_and(ts, an))
+    # n-ary, not left-nested pairs: `a || b || c` is one Or([a, b, c]) —
+    # matches the combinator builders and round-trips tsquery_to_sql
+    return parts[0] if len(parts) == 1 else q.Or(parts)
 
 
 def _parse_ts_and(ts: _Stream, an) -> q.TSQuery:
-    node = _parse_ts_seq(ts, an)
+    parts = [_parse_ts_seq(ts, an)]
     while ts.match("&&"):
-        node = node & _parse_ts_seq(ts, an)
-    return node
+        parts.append(_parse_ts_seq(ts, an))
+    return parts[0] if len(parts) == 1 else q.And(parts)
 
 
 def parse_tsquery_text(text: str, an) -> q.TSQuery:
@@ -1287,3 +1289,81 @@ def execute_ts_dict(stmt: TsDictSelect, get_index) -> DataFrame:
     if stmt.limit is not None:
         df = df.limit(stmt.limit)
     return df.selectExpr(*stmt.select_items)
+
+
+# ---------------------------------------------------------------------------
+# AST → dialect-SQL renderer (the inverse of parse_tsquery_text): lets
+# programmatic TSQuery ASTs be displayed/persisted as reference-dialect
+# text, and powers the parser round-trip fuzz (test_search_sql.py)
+# ---------------------------------------------------------------------------
+
+
+def _q(s: str) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
+def _arr(vals) -> str:
+    return "ARRAY[" + ", ".join(_q(v) for v in vals) + "]"
+
+
+def tsquery_to_sql(node: q.TSQuery) -> str:
+    """Render a TSQuery AST as search-dialect SQL text. Round-trip
+    contract: for terms that are analyzer fixed points,
+    ``parse_tsquery_text(tsquery_to_sql(n), an) == n``."""
+    if isinstance(node, q.Term):
+        return _q(node.term)
+    if isinstance(node, q.AnyOf):
+        mm = f", {node.min_match}" if node.min_match != 1 else ""
+        return f"ts_any({_arr(node.terms)}{mm})"
+    if isinstance(node, q.AllOf):
+        return f"ts_all({_arr(node.terms)})"
+    if isinstance(node, q.Phrase):
+        parts: list[str] = []
+        for i, w in enumerate(node.words):
+            if i > 0:
+                lo, hi = node.gaps[i - 1]
+                if (lo, hi) != (1, 1):
+                    parts.append(f"ARRAY[{lo - 1},{hi - 1}]")
+            parts.append(_q(w))
+        return f"ts_phrase({', '.join(parts)})"
+    if isinstance(node, q.PhraseSeq):
+        bits: list[str] = []
+        for i, p in enumerate(node.parts):
+            if i > 0:
+                lo, hi = node.gaps[i - 1]
+                if (lo, hi) != (1, 1):
+                    bits.append(f"ARRAY[{lo - 1},{hi - 1}]")
+            bits.append(tsquery_to_sql(p))
+        return "(" + " ## ".join(bits) + ")"
+    if isinstance(node, q.Prefix):
+        return f"ts_starts_with({_q(node.prefix)})"
+    if isinstance(node, q.Wildcard):
+        return f"ts_like({_q(node.pattern)})"
+    if isinstance(node, q.Regexp):
+        return f"ts_regexp({_q(node.pattern)})"
+    if isinstance(node, q.Fuzzy):
+        return (f"ts_levenshtein({_q(node.term)}, {node.distance},"
+                f" {node.max_terms})")
+    if isinstance(node, q.NgramSim):
+        return f"ts_ngram({_q(node.text)}, {node.threshold!r})"
+    if isinstance(node, q.Between):
+        if node.lo is None:
+            return (f"ts_le({_q(node.hi)})" if node.hi_inclusive
+                    else f"ts_lt({_q(node.hi)})")
+        if node.hi is None:
+            return (f"ts_ge({_q(node.lo)})" if node.lo_inclusive
+                    else f"ts_gt({_q(node.lo)})")
+        return (f"ts_between({_q(node.lo)}, {_q(node.hi)},"
+                f" {str(node.lo_inclusive).lower()},"
+                f" {str(node.hi_inclusive).lower()})")
+    if isinstance(node, q.And):
+        return "(" + " && ".join(tsquery_to_sql(p) for p in node.parts) + ")"
+    if isinstance(node, q.Or):
+        return "(" + " || ".join(tsquery_to_sql(p) for p in node.parts) + ")"
+    if isinstance(node, q.Not):
+        return f"!!{tsquery_to_sql(node.part)}"
+    if isinstance(node, q.Boost):
+        # parenthesize the operand: `!!x ^ f` is ambiguous (prefix-not vs
+        # postfix-boost); `((!!x) ^ f)` round-trips exactly
+        return f"(({tsquery_to_sql(node.part)}) ^ {node.factor!r})"
+    raise TypeError(f"cannot render {type(node).__name__} as dialect SQL")

@@ -30,9 +30,15 @@ def _parse_ts(text: str) -> q.TSQuery:
 
 
 def test_native_combinators_precedence():
+    # chains parse n-ary (a && b && c = one And([a, b, c])), matching
+    # the combinator builders and the tsquery_to_sql round-trip
     node = _parse_ts("'spark' && ('data' || 'batch') && !!'slow'")
-    assert node == (q.Term("spark") & (q.Term("data") | q.Term("batch"))
-                    ) & ~q.Term("slow")
+    assert node == q.And([q.Term("spark"),
+                          q.Term("data") | q.Term("batch"),
+                          ~q.Term("slow")])
+    # || binds looser than &&
+    assert _parse_ts("'a' && 'b' || 'c'") == (
+        q.Term("a") & q.Term("b")) | q.Term("c")
 
 
 def test_boost_binds_tighter_than_or():
@@ -532,3 +538,63 @@ def test_explain_ts_dict(session):
     assert txt.startswith("TS_DICT_SCAN")
     assert "Source: term_stats (no row access)" in txt
     assert "Term Filter: term LIKE 'g%'" in txt
+
+
+# ---------------------------------------------------------------------------
+# parser ⟷ renderer round-trip fuzz
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.from_regex(r"[a-z][a-z0-9]{0,7}", fullmatch=True)
+
+
+def _leaf_nodes():
+    return st.one_of(
+        _WORD.map(q.Term),
+        st.lists(_WORD, min_size=1, max_size=4, unique=True).map(q.AllOf),
+        st.tuples(st.lists(_WORD, min_size=2, max_size=4, unique=True),
+                  st.integers(1, 2)).map(lambda t: q.AnyOf(*t)),
+        st.tuples(
+            st.lists(_WORD, min_size=2, max_size=3),
+            st.lists(st.tuples(st.integers(1, 3), st.integers(3, 6)),
+                     min_size=2, max_size=2),
+        ).map(lambda t: q.Phrase(t[0], gaps=t[1][:len(t[0]) - 1])),
+        _WORD.map(q.Prefix),
+        _WORD.map(lambda w: q.Wildcard(w + "%")),
+        st.tuples(_WORD, st.integers(1, 2)).map(lambda t: q.Fuzzy(*t)),
+        st.tuples(_WORD, st.floats(0.1, 0.9).map(
+            lambda f: round(f, 2))).map(lambda t: q.NgramSim(*t)),
+        st.tuples(_WORD, _WORD, st.booleans(), st.booleans()).map(
+            lambda t: q.Between(min(t[0], t[1]), max(t[0], t[1]),
+                                t[2], t[3])),
+        _WORD.map(lambda w: q.Between(lo=w, lo_inclusive=False)),
+        _WORD.map(lambda w: q.Between(hi=w)),
+    )
+
+
+_NODES = st.recursive(
+    _leaf_nodes(),
+    lambda kids: st.one_of(
+        st.lists(kids, min_size=2, max_size=3).map(q.And),
+        st.lists(kids, min_size=2, max_size=3).map(q.Or),
+        kids.map(q.Not),
+        st.tuples(kids, st.floats(0.5, 4.0).map(
+            lambda f: round(f, 2))).map(lambda t: q.Boost(*t)),
+        st.lists(kids.filter(lambda n: isinstance(
+            n, (q.Term, q.AnyOf, q.Prefix, q.Wildcard, q.Fuzzy,
+                q.Between))), min_size=2, max_size=3).map(q.PhraseSeq),
+    ),
+    max_leaves=8,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(node=_NODES)
+def test_tsquery_sql_roundtrip_fuzz(node):
+    """tsquery_to_sql ∘ parse_tsquery_text is the identity for every
+    AST over analyzer-fixed-point terms — the parser and renderer can
+    never drift from each other."""
+    sql = SS.tsquery_to_sql(node)
+    assert SS.parse_tsquery_text(sql, AN) == node
