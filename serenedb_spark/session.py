@@ -890,6 +890,47 @@ class SereneSession:
         ).where(F.col("routine_name") != "").createOrReplaceTempView(
             "information_schema_routines")
 
+        # tranche 5: the RBAC tail, all REAL session state — pg_policy
+        # (row policies as catalog rows, reference rbac.cpp access
+        # predicates), information_schema.table_privileges (GRANT
+        # state, psql \\dp) and column_privileges (a masked column is
+        # one the grantee cannot read in the clear, so it is EXCLUDED —
+        # the same rule has_column_privilege enforces)
+        pols = [(16700 + i, f"{t}_policy", self.relid(t), t, "r", str(p))
+                for i, (t, p) in enumerate(
+                    sorted(self._row_policies.items(),
+                           key=lambda kv: kv[0]))]
+        spark.createDataFrame(
+            pols or [(0, "", 0, "", "", "")],
+            "oid int, polname string, polrelid int, tablename string,"
+            " polcmd string, polqual string",
+        ).where(F.col("oid") != 0).createOrReplaceTempView("pg_policy")
+
+        tprivs, cprivs = [], []
+        for principal, tables in getattr(self, "_grants", {}).items():
+            for t, privs in tables.items():
+                for p in sorted(privs):
+                    tprivs.append(("postgres", principal, "public", t, p))
+                    if t in self._tables:
+                        masked = set(getattr(self, "_col_masks",
+                                             {}).get(t, {}))
+                        for c in self._tables[t].columns:
+                            if c not in masked:
+                                cprivs.append(("postgres", principal,
+                                               "public", t, c, p))
+        spark.createDataFrame(
+            tprivs or [("", "", "", "", "")],
+            "grantor string, grantee string, table_schema string,"
+            " table_name string, privilege_type string",
+        ).where(F.col("grantee") != "").createOrReplaceTempView(
+            "information_schema_table_privileges")
+        spark.createDataFrame(
+            cprivs or [("", "", "", "", "", "")],
+            "grantor string, grantee string, table_schema string,"
+            " table_name string, column_name string, privilege_type string",
+        ).where(F.col("grantee") != "").createOrReplaceTempView(
+            "information_schema_column_privileges")
+
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:
         """PG has_table_privilege over the session GRANT state."""

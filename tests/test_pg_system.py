@@ -394,3 +394,37 @@ def test_pg_catalog_tranche4(ss):
     rels = {t.name for t in ss.spark.catalog.listTables()
             if t.name.startswith(("pg_", "information_schema"))}
     assert len(rels) >= 38, sorted(rels)
+
+
+def test_pg_catalog_tranche5_rbac_tail(ss):
+    """pg_policy + information_schema table/column privileges mirror the
+    LIVE RBAC state, including the masked-column exclusion rule."""
+    ss.set_row_policy("orders", F.col("o_totalprice") > 0)
+    ss.grant("analyst", "orders", "SELECT")
+    ss.grant("analyst", "orders", "INSERT")
+    ss.set_column_mask("orders", "o_comment", F.lit("x"))
+    ss.install_pg_catalog()
+
+    pol = ss.sql("""
+        SELECT p.polname, c.relname, p.polqual FROM pg_policy p
+        JOIN pg_class c ON p.polrelid = c.oid
+    """).first()
+    assert pol.relname == "orders" and "o_totalprice" in pol.polqual
+
+    tp = {(r.grantee, r.privilege_type) for r in ss.sql(
+        "SELECT * FROM information_schema_table_privileges "
+        "WHERE table_name = 'orders'").collect()}
+    assert {("analyst", "SELECT"), ("analyst", "INSERT")} <= tp
+
+    cols = {r.column_name for r in ss.sql(
+        "SELECT * FROM information_schema_column_privileges "
+        "WHERE table_name = 'orders' AND grantee = 'analyst' "
+        "AND privilege_type = 'SELECT'").collect()}
+    assert "o_orderkey" in cols and "o_comment" not in cols
+    # catalog agrees with the enforcement function
+    assert not ss.has_column_privilege("analyst", "orders", "o_comment")
+    assert ss.has_column_privilege("analyst", "orders", "o_orderkey")
+
+    rels = {t.name for t in ss.spark.catalog.listTables()
+            if t.name.startswith(("pg_", "information_schema"))}
+    assert len(rels) >= 41, sorted(rels)
