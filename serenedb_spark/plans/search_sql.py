@@ -956,6 +956,11 @@ def execute_select(stmt: SearchSelect, get_index,
 
     score_df = None
     if stmt.scorer is not None:
+        topk = _try_wand_topk(stmt, compiled)
+        if topk is not None:
+            out = idx0.docstore.join(topk, "doc_id", "inner").withColumn(
+                "__score", F.col("score")).drop("score")
+            return _finish_select(stmt, out)
         # sum contributions across all @@ fields (demo3 §7 "ranked by
         # BM25 across all matched terms")
         parts = []
@@ -978,6 +983,51 @@ def execute_select(stmt: SearchSelect, get_index,
             "__score", F.coalesce(F.col("score"), F.lit(0.0))
         ).drop("score")
     return _finish_select(stmt, out)
+
+
+#: only the explicitly-rounded form delegates — scored_topk always
+#: rounds, so a plain unrounded `ORDER BY __score` must keep the
+#: general plan to preserve its exact values and tie order
+_SCORE_ORDER_RE = re.compile(r"round \( __score , (\d+) \)")
+
+
+def _try_wand_topk(stmt: SearchSelect, compiled) -> DataFrame | None:
+    """Delegate `... ORDER BY round(<scorer>, d) DESC [, doc_id] LIMIT k`
+    to the max-score/WAND pruned top-k (operators/scoring.scored_topk —
+    the reference's top-k pushdown) when the statement is exactly the
+    safe shape: ONE pure-disjunction @@ match, no residual/projection/
+    vector work, and the primary order key is the rounded score
+    descending with at most a doc_id tiebreak. Anything else returns
+    None and the general match+score plan runs."""
+    from serenedb_spark.operators.scoring import scored_topk
+    from serenedb_spark.plans.planner import is_pure_disjunction
+
+    if (len(compiled) != 1 or stmt.residual or stmt.proj_calls
+            or stmt.vector_dist is not None or stmt.vector_ranges
+            or stmt.limit is None or not stmt.order):
+        return None
+    idx, col, node, c = compiled[0]
+    if not is_pure_disjunction(node):
+        return None
+    key0, desc0 = stmt.order[0]
+    m = _SCORE_ORDER_RE.fullmatch(key0)
+    if not (desc0 and m):
+        return None
+    if len(stmt.order) > 1 and stmt.order[1] != ("doc_id", False):
+        return None
+    if len(stmt.order) > 2:
+        return None
+    round_to = int(m.group(1))
+    # any select-list use of the score must be the same rounded form —
+    # scored_topk's output IS rounded, so an unrounded projection would
+    # surface different values than the general plan
+    rounded = f"round ( __score , {round_to} )"
+    if any("__score" in item.replace(rounded, "")
+           for item in stmt.select_items):
+        return None
+    return scored_topk(idx, col, c.score_terms, stmt.limit, stmt.scorer,
+                       round_to=round_to, terms_local=c.terms_local,
+                       **stmt.scorer_params)
 
 
 def _vec_dist_col(col: str, metric: str, qvec) -> "F.Column":

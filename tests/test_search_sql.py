@@ -223,6 +223,46 @@ def test_sql_scored_topk(session):
     assert (df.score > 0).all()
 
 
+def test_sql_scored_topk_wand_delegation(session, monkeypatch):
+    """The canonical `ORDER BY round(bm25,d) DESC, doc_id LIMIT k` shape
+    delegates to the WAND-pruned scored_topk; unsafe shapes (unrounded
+    order, mixed unrounded projection) keep the general plan; and the
+    delegated rows equal the general plan's rows exactly."""
+    from serenedb_spark.plans.planner import compile_query
+
+    idx = session._indexes["doc_idx"]
+
+    def _compiled(sql):
+        st = SS.parse_select(sql, lambda t, c: idx.analyzer(c))
+        return st, [(idx, col, node, compile_query(idx, col, node))
+                    for col, node in st.matches]
+
+    topk_sql = (
+        "SELECT doc_id, round(BM25(doc_idx.tableoid)::numeric, 4) AS score "
+        "FROM documents WHERE text @@ ts_any(ARRAY['spark','stream']) "
+        "ORDER BY round(BM25(doc_idx.tableoid)::numeric, 4) DESC, doc_id "
+        "LIMIT 10")
+    st, comp = _compiled(topk_sql)
+    assert SS._try_wand_topk(st, comp) is not None
+
+    st, comp = _compiled(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' "
+        "ORDER BY BM25(doc_idx.tableoid) DESC, doc_id LIMIT 5")
+    assert SS._try_wand_topk(st, comp) is None  # unrounded order
+
+    st, comp = _compiled(
+        "SELECT doc_id, BM25(doc_idx.tableoid) AS s FROM documents "
+        "WHERE text @@ 'spark' "
+        "ORDER BY round(BM25(doc_idx.tableoid)::numeric, 4) DESC, doc_id "
+        "LIMIT 5")
+    assert SS._try_wand_topk(st, comp) is None  # unrounded projection
+
+    delegated = session.sql(topk_sql).toPandas()
+    monkeypatch.setattr(SS, "_try_wand_topk", lambda *_: None)
+    general = session.sql(topk_sql).toPandas()
+    assert delegated.values.tolist() == general.values.tolist()
+
+
 def test_sql_residual_predicate(session):
     df = session.sql(
         "SELECT doc_id, lang FROM documents "
