@@ -1,0 +1,347 @@
+"""Multi-relation search SQL: JOIN / GROUP BY statements with @@ matches.
+
+The reference plans these as an IRESEARCH_SCAN feeding a regular
+relational plan — demo6 Q2 joins a code-grams match set against a second
+index relation, Q7 GROUP-BYs across two index relations
+(examples/demo6/demo.sql:36-46,87-99); secondary_index.test:1014 shows
+the same shape over tables. Spark-first lowering: each @@-matched
+relation is lowered to its claimed (and optionally scored) docstore
+DataFrame and registered as a temp view; the statement TEXT is rewritten
+to reference those views — match conjuncts become TRUE, scorer calls
+become the view's __score column — and the whole rewritten statement is
+handed to Catalyst, which then owns join strategy and ordering
+(broadcasting a small match set into a big fact side is exactly the plan
+a 100 TB run wants, and AQE picks it from the claimed side's real size).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serenedb_spark.plans import tsquery as q
+from serenedb_spark.plans.search_sql import (
+    SCORER_FUNCS, Tok, _Stream, _find_clause, _render, _rewrite_casts,
+    parse_tsquery_tokens, tokenize)
+
+#: clause keywords that terminate the FROM zone at paren depth 0
+_TAIL_CLAUSES = (("WHERE",), ("GROUP", "BY"), ("HAVING",), ("ORDER", "BY"),
+                 ("LIMIT",), ("QUALIFY",))
+#: identifiers that cannot be a relation alias
+_NOT_ALIAS = {"JOIN", "ON", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
+              "OUTER", "USING", "NATURAL", "AND", "OR", "WHERE", "GROUP",
+              "HAVING", "ORDER", "LIMIT", "QUALIFY", "AS"}
+#: DuckDB/PG spellings → Spark SQL function names (applied token-level to
+#: calls only, so column names are never renamed)
+_FN_RENAMES = {"approx_quantile": "approx_percentile"}
+
+
+@dataclass
+class _Rel:
+    pos: int                 # token index of the relation-name token
+    name: str
+    alias: str | None
+    matches: list = field(default_factory=list)   # [(col, TSQuery)]
+    scored: bool = False
+    view: str = ""
+
+
+def _clause_end(toks: list[Tok], start: int) -> int:
+    ends = [p for p in (_find_clause(toks, kw, start)
+                        for kw in _TAIL_CLAUSES) if p >= 0]
+    return min(ends) if ends else len(toks)
+
+
+def needs_multirel(toks: list[Tok]) -> bool:
+    """True when the restricted single-relation executor cannot plan the
+    statement: more than one FROM relation (JOIN / comma list) or a
+    GROUP BY clause."""
+    fpos = _find_clause(toks, ("FROM",))
+    if fpos < 0:
+        return False
+    fend = _clause_end(toks, fpos)
+    if any(t.upper == "JOIN" or t.text == ","
+           for t in toks[fpos + 1:fend]):
+        return True
+    return _find_clause(toks, ("GROUP", "BY"), fpos) >= 0
+
+
+def _parse_relations(toks: list[Tok], start: int, end: int) -> list[_Rel]:
+    rels: list[_Rel] = []
+    depth = 0
+    expecting = True
+    i = start
+    while i < end:
+        t = toks[i]
+        if t.text in ("(", "["):
+            if expecting:
+                raise ValueError(
+                    "subqueries in FROM are not supported by the search "
+                    "dialect — CREATE a view first")
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and expecting:
+            if t.kind != "IDENT" or "." in t.text:
+                raise ValueError(f"expected relation name, got {t.text!r}")
+            alias = None
+            j = i + 1
+            if j < end and toks[j].upper == "AS":
+                j += 1
+            if (j < end and toks[j].kind == "IDENT"
+                    and toks[j].upper not in _NOT_ALIAS
+                    and "." not in toks[j].text):
+                alias = toks[j].text
+            rels.append(_Rel(i, t.text, alias))
+            expecting = False
+            i = j if alias is None else j + 1
+            continue
+        elif depth == 0 and (t.upper == "JOIN" or t.text == ","):
+            expecting = True
+        i += 1
+    if not rels:
+        raise ValueError("FROM clause names no relations")
+    return rels
+
+
+def _conjunct_spans(toks: list[Tok], start: int,
+                    end: int) -> list[tuple[int, int]]:
+    spans = []
+    depth = 0
+    s = start
+    for i in range(start, end):
+        t = toks[i]
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.upper == "AND":
+            spans.append((s, i))
+            s = i + 1
+    spans.append((s, end))
+    return spans
+
+
+def _top_level_at(toks: list[Tok], start: int, end: int) -> int | None:
+    depth = 0
+    for i in range(start, end):
+        t = toks[i]
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.text == "@@":
+            return i
+    return None
+
+
+def _resolve_rel(qualifier: str | None, col: str | None,
+                 rels: list[_Rel], byq: dict, get_index) -> _Rel:
+    if qualifier is not None:
+        r = byq.get(qualifier.lower())
+        if r is None:
+            raise ValueError(f"unknown relation qualifier {qualifier!r}")
+        return r
+    if len(rels) == 1:
+        return rels[0]
+    if col is not None:
+        served = []
+        for r in rels:
+            try:
+                get_index(r.name, col)
+                served.append(r)
+            except ValueError:
+                continue
+        if len(served) == 1:
+            return served[0]
+    raise ValueError(
+        f"ambiguous reference in a multi-relation statement — qualify "
+        f"the column ({col!r}) with its relation alias")
+
+
+def execute_multirel(sql_text: str, get_index, get_relation,
+                     spark: SparkSession) -> DataFrame:
+    """Rewrite-and-run a multi-relation (or GROUP BY) search statement."""
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.dialect import sql_compat
+    from serenedb_spark.plans.planner import compile_query
+
+    toks = tokenize(sql_text.strip().rstrip(";"))
+    if any(t.text in ("<=>", "<->", "<#>") for t in toks):
+        raise ValueError(
+            "vector distance operators are not supported in "
+            "multi-relation statements — run the ANN stage as its own "
+            "single-relation SELECT")
+
+    fpos = _find_clause(toks, ("FROM",))
+    if fpos < 0:
+        raise ValueError("multi-relation statement requires FROM")
+    fend = _clause_end(toks, fpos)
+    rels = _parse_relations(toks, fpos + 1, fend)
+    byq: dict[str, _Rel] = {}
+    for r in rels:
+        if r.alias:
+            byq[r.alias.lower()] = r
+    names = [r.name.lower() for r in rels]
+    for r in rels:  # a bare name only resolves when unambiguous
+        if names.count(r.name.lower()) == 1:
+            byq.setdefault(r.name.lower(), r)
+
+    #: token-index → (end-exclusive, replacement tokens)
+    repl: dict[int, tuple[int, list[Tok]]] = {}
+
+    # ---- @@ match conjuncts --------------------------------------------
+    wpos = _find_clause(toks, ("WHERE",), fpos)
+    if wpos >= 0:
+        wend = _clause_end(toks, wpos + 1)
+        for s, e in _conjunct_spans(toks, wpos + 1, wend):
+            cs, ce = s, e
+            at = _top_level_at(toks, cs, ce)
+            while (at is None and ce - cs >= 2 and toks[cs].text == "("
+                   and toks[ce - 1].text == ")"):
+                cs, ce = cs + 1, ce - 1
+                at = _top_level_at(toks, cs, ce)
+            if at is None:
+                continue
+            left = toks[cs:at]
+            if len(left) != 1 or left[0].kind != "IDENT":
+                raise ValueError(
+                    f"@@ left side must be a column, got {_render(left)!r}")
+            parts = left[0].text.split(".")
+            qual = parts[0] if len(parts) > 1 else None
+            col = parts[-1]
+            rel = _resolve_rel(qual, col, rels, byq, get_index)
+            an = get_index(rel.name, col).analyzer(col)
+            ts = _Stream(toks[at + 1:ce])
+            node = parse_tsquery_tokens(ts, an)
+            if ts.peek() is not None:
+                raise ValueError(
+                    f"trailing tokens after tsquery: {ts.peek().text!r}")
+            rel.matches.append((col, node))
+            repl[s] = (e, [Tok("IDENT", "TRUE")])
+
+    # indexes + compiled claims per matched relation (before scorer
+    # resolution: a scorer qualifier may name the serving INDEX)
+    idx_of: dict[int, object] = {}
+    compiled_of: dict[int, list] = {}
+    for k, r in enumerate(rels):
+        if not r.matches:
+            continue
+        comp = []
+        idx0 = None
+        for col, node in r.matches:
+            idx = get_index(r.name, col)
+            idx0 = idx0 or idx
+            comp.append((idx, col, compile_query(idx, col, node)))
+            byq.setdefault(idx.name.lower(), r)
+        idx_of[k] = idx0
+        compiled_of[k] = comp
+
+    # ---- scorer calls ---------------------------------------------------
+    scorer: str | None = None
+    params: dict = {}
+    i = 0
+    n = len(toks)
+    while i < n:
+        t = toks[i]
+        low = t.text.lower()
+        if (t.kind == "IDENT" and low in SCORER_FUNCS
+                and i + 1 < n and toks[i + 1].text == "("
+                and not (fpos < i < fend)):
+            name, pnames = SCORER_FUNCS[low]
+            if scorer is not None and scorer != name:
+                raise ValueError(
+                    f"mixed scorers in one statement: {scorer} vs {name}")
+            scorer = name
+            depth = 0
+            j = i + 1
+            args: list[list[Tok]] = [[]]
+            while j < n:
+                tj = toks[j]
+                if tj.text == "(":
+                    depth += 1
+                    if depth > 1:
+                        args[-1].append(tj)
+                elif tj.text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                    args[-1].append(tj)
+                elif depth == 1 and tj.text == ",":
+                    args.append([])
+                else:
+                    args[-1].append(tj)
+                j += 1
+            if depth != 0:
+                raise ValueError("unbalanced parens in scorer call")
+            for pi, a in enumerate(args[1:]):
+                if pi >= len(pnames) or len(a) != 1 or a[0].kind != "NUM":
+                    raise ValueError(
+                        f"bad scorer parameter in {low}: {_render(a)!r}")
+                params[pnames[pi]] = float(a[0].text)
+            qual = None
+            if args[0] and args[0][0].kind == "IDENT":
+                qual = args[0][0].text.split(".")[0]
+            cand = [r for r in rels if r.matches]
+            rel = (byq.get(qual.lower()) if qual else None) or (
+                cand[0] if len(cand) == 1 else None)
+            if rel is None or not rel.matches:
+                raise ValueError(
+                    f"scorer {low}(...) does not resolve to an @@-matched "
+                    f"relation — pass its index or alias as the argument")
+            rel.scored = True
+            end = j + 1
+            if (end + 1 < n and toks[end].text == "::"
+                    and toks[end + 1].kind == "IDENT"):
+                end += 2  # swallow a trailing ::numeric cast
+            ref = rel.alias or rel.name
+            repl[i] = (end, [Tok("IDENT", f"{ref}.__score")])
+            i = end
+            continue
+        i += 1
+
+    # ---- build + register per-relation DataFrames ----------------------
+    for k, r in enumerate(rels):
+        r.view = f"__serene_mr{k}_{r.name}"
+        if not r.matches:
+            df = get_relation(r.name)
+        else:
+            comp = compiled_of[k]
+            doc_ids = comp[0][2].doc_ids
+            for _, _, c in comp[1:]:
+                doc_ids = doc_ids.join(c.doc_ids, "doc_id", "left_semi")
+            df = idx_of[k].docstore.join(doc_ids, "doc_id", "left_semi")
+            if r.scored:
+                parts = [_score(idx, col, c.score_terms, scorer, **params)
+                         for idx, col, c in comp]
+                score_df = parts[0]
+                for p in parts[1:]:
+                    score_df = (score_df.unionByName(p).groupBy("doc_id")
+                                .agg(F.sum("score").alias("score")))
+                df = df.join(score_df, "doc_id", "left").withColumn(
+                    "__score", F.coalesce(F.col("score"), F.lit(0.0))
+                ).drop("score")
+        df.createOrReplaceTempView(r.view)
+        rep = [Tok("IDENT", r.view)]
+        if r.alias is None:  # keep `name.col` references resolvable
+            rep += [Tok("IDENT", "AS"), Tok("IDENT", r.name)]
+        repl[r.pos] = (r.pos + 1, rep)
+
+    # ---- splice, render, run through the dialect shims ------------------
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        if i in repl:
+            end, rep = repl[i]
+            out.extend(rep)
+            i = end
+        else:
+            out.append(toks[i])
+            i += 1
+    for t in out:
+        lw = t.text.lower()
+        if t.kind == "IDENT" and lw in _FN_RENAMES:
+            t.text = _FN_RENAMES[lw]
+    return sql_compat(spark, _render(_rewrite_casts(out)))

@@ -2310,6 +2310,67 @@ def _fts_sql_dict_oracle() -> str:
 _register("fts_sql_dict", _fts_sql_dict, _fts_sql_dict_oracle())
 
 
+# demo6 Q2/Q7 shapes: multi-relation search statements through the SQL
+# text door (examples/demo6/demo.sql:36-46,87-99;
+# tests/sqllogic/any/pg/index/secondary_index.test:1014). The @@-claimed
+# relation is lowered to a semi-joined docstore view and the rewritten
+# statement is handed to Catalyst, which owns join strategy (the claimed
+# side's real size drives AQE's broadcast decision — the 100 TB shape).
+def _fts_sql_mr(name: str, sql_text: str, oracle: str) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql_text) -> DataFrame:
+        from serenedb_spark.plans.search_join import execute_multirel
+
+        idx = doc_index(spark, sf_dir)
+        tables = load_tables(spark, sf_dir)
+
+        def gi(t: str, c: str, _idx=idx):
+            if t.lower() != "documents" or c != "text":
+                raise ValueError(f"no inverted index serves {t}.{c}")
+            return _idx
+
+        return execute_multirel(_sql, gi, lambda n: tables[n], spark)
+
+    _register(name, fn, oracle)
+
+
+_MR_JOIN_NODE = q.Term("spark") & q.Term("join")
+_fts_sql_mr("fts_sql_join", """
+SELECT d.doc_id, e.label FROM documents d
+JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.text @@ ('spark' && 'join') ORDER BY d.doc_id
+""", f"""
+SELECT m.doc_id AS doc_id, e.label AS label
+FROM ({O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, _MR_JOIN_NODE)}) m
+JOIN embeddings e ON e.vec_id = m.doc_id ORDER BY doc_id
+""")
+
+_fts_sql_mr("fts_sql_join_group", """
+SELECT d.lang, count(*) AS n, min(e.label) AS lo
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.text @@ 'stream' GROUP BY d.lang
+HAVING count(*) >= 2 ORDER BY n DESC, d.lang
+""", f"""
+SELECT m.lang AS lang, count(*) AS n, min(e.label) AS lo
+FROM ({O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("stream"),
+                   select="doc_id, lang")}) m
+JOIN embeddings e ON e.vec_id = m.doc_id
+GROUP BY m.lang HAVING count(*) >= 2 ORDER BY n DESC, lang
+""")
+
+_fts_sql_mr("fts_sql_join_scored", """
+SELECT d.doc_id, e.label, round(bm25(d.tableoid)::numeric, 4) AS score
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+WHERE d.text @@ ts_any(ARRAY['spark','stream'])
+ORDER BY round(bm25(d.tableoid)::numeric, 4) DESC, d.doc_id LIMIT 20
+""", f"""
+SELECT s.doc_id AS doc_id, e.label AS label, s.score AS score
+FROM ({O.scored_sql(_DOC_TABLE, _DOC_COL, _DOC_AN,
+                    q.AnyOf(["spark", "stream"]), k=None)}) s
+JOIN embeddings e ON e.vec_id = s.doc_id
+ORDER BY s.score DESC, s.doc_id LIMIT 20
+""")
+
+
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
 # a query over the partial index answers the conjunctive query
 # `text @@ q AND lang='en'` (the claim is valid because the query implies
@@ -5402,6 +5463,7 @@ _register(
 #: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
     # --- new-in-r9 queries (all registered and locally oracle-green) ------
+    "fts_sql_join", "fts_sql_join_group", "fts_sql_join_scored",
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
     "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
     "fts_sql_dict", "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",

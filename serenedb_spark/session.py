@@ -101,6 +101,7 @@ class SereneSession:
 
         self._last_query = q  # surfaced by pg_stat_activity
         if not SS.has_search_construct(q):
+            self._expose_index_relations(q)
             return sql_compat(self.spark, q)
         ddl = SS.parse_create_index(q)
         if ddl is not None:
@@ -135,9 +136,28 @@ class SereneSession:
         td = SS.parse_ts_dict(q)
         if td is not None:
             return SS.execute_ts_dict(td, self._index_for)
+        from serenedb_spark.plans.search_join import (
+            execute_multirel, needs_multirel)
+
+        if needs_multirel(SS.tokenize(q.strip().rstrip(";"))):
+            return execute_multirel(
+                q, self._index_for, self._relation_for, self.spark)
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         return SS.execute_select(stmt, self._index_for, self._relation_for)
+
+    def _expose_index_relations(self, q: str) -> None:
+        """Plain SQL over an index relation (demo6 Q5-Q7: `FROM
+        solutions_idx` with no search construct in the statement):
+        register the docstore under the index name so Spark resolves the
+        FROM. Session tables win on a name collision."""
+        import re as _re
+
+        for name, idx in self._indexes.items():
+            if name in self._tables:
+                continue
+            if _re.search(rf"\b{_re.escape(name)}\b", q, _re.IGNORECASE):
+                idx.docstore.createOrReplaceTempView(name)
 
     def _relation_for(self, name: str) -> DataFrame:
         """FROM resolution for pure-vector statements: a session table,

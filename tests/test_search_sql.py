@@ -638,3 +638,126 @@ def test_tsquery_sql_roundtrip_fuzz(node):
     never drift from each other."""
     sql = SS.tsquery_to_sql(node)
     assert SS.parse_tsquery_text(sql, AN) == node
+
+
+# ---------------------------------------------------------------------------
+# multi-relation statements (JOIN / comma-list / GROUP BY) — demo6 Q2/Q7
+# shapes (examples/demo6/demo.sql:36-46,87-99), secondary_index.test:1014
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mr_session(spark):
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    ss.load_dir(SF_DIR, tables=("documents", "embeddings", "nation"))
+    ss.sql("CREATE INDEX doc_idx ON documents USING inverted(text simple)")
+    return ss
+
+
+def test_mr_join_matches_single_relation_semi(mr_session):
+    got = mr_session.sql(
+        "SELECT d.doc_id, e.label FROM documents d "
+        "JOIN embeddings e ON e.vec_id = d.doc_id "
+        "WHERE d.text @@ ('spark' && 'join') ORDER BY d.doc_id").toPandas()
+    want = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ('spark' && 'join') "
+        "ORDER BY doc_id").toPandas()
+    emb = {r.vec_id for r in
+           mr_session.sql("SELECT vec_id FROM embeddings").collect()}
+    assert list(got.doc_id) == [d for d in want.doc_id if d in emb]
+    assert len(got) > 0
+
+
+def test_mr_comma_list_from(mr_session):
+    a = mr_session.sql(
+        "SELECT d.doc_id FROM documents d, embeddings e "
+        "WHERE e.vec_id = d.doc_id AND d.text @@ 'spark' "
+        "ORDER BY d.doc_id").toPandas()
+    b = mr_session.sql(
+        "SELECT d.doc_id FROM documents d "
+        "JOIN embeddings e ON e.vec_id = d.doc_id "
+        "WHERE d.text @@ 'spark' ORDER BY d.doc_id").toPandas()
+    assert list(a.doc_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_mr_group_by_single_relation(mr_session):
+    rows = mr_session.sql(
+        "SELECT lang, count(*) AS hits FROM documents "
+        "WHERE text @@ ('spark' || 'stream') GROUP BY lang "
+        "HAVING count(*) > 1 ORDER BY lang").collect()
+    base = mr_session.sql(
+        "SELECT doc_id, lang FROM documents "
+        "WHERE text @@ ('spark' || 'stream')").toPandas()
+    want = base.groupby("lang").size()
+    want = want[want > 1].sort_index()
+    assert [(r.lang, r.hits) for r in rows] == list(want.items())
+
+
+def test_mr_scored_join_matches_single_relation_scores(mr_session):
+    got = mr_session.sql(
+        "SELECT d.doc_id, e.label, "
+        "round(bm25(d.tableoid)::numeric, 4) AS score "
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id "
+        "WHERE d.text @@ ts_any(ARRAY['spark','stream']) "
+        "ORDER BY round(bm25(d.tableoid)::numeric, 4) DESC, d.doc_id "
+        "LIMIT 10").toPandas()
+    want = mr_session.sql(
+        "SELECT doc_id, round(bm25(doc_idx.tableoid)::numeric, 4) AS score "
+        "FROM documents WHERE text @@ ts_any(ARRAY['spark','stream']) "
+        "ORDER BY round(bm25(doc_idx.tableoid)::numeric, 4) DESC, doc_id "
+        "LIMIT 10").toPandas()
+    assert list(got.doc_id) == list(want.doc_id)
+    assert list(got.score) == list(want.score)
+
+
+def test_mr_join_group_having(mr_session):
+    rows = mr_session.sql(
+        "SELECT d.lang, count(*) AS n, min(e.label) AS lo "
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id "
+        "WHERE d.text @@ 'stream' GROUP BY d.lang "
+        "HAVING count(*) >= 2 ORDER BY n DESC, d.lang").collect()
+    assert len(rows) > 0
+    assert all(r.n >= 2 and r.lo is not None for r in rows)
+    assert [(-r.n, r.lang) for r in rows] == sorted(
+        (-r.n, r.lang) for r in rows)
+
+
+def test_mr_fn_rename_approx_quantile(mr_session):
+    row = mr_session.sql(
+        "SELECT lang, approx_quantile(doc_id, 0.5) AS med "
+        "FROM documents WHERE text @@ 'spark' GROUP BY lang "
+        "ORDER BY lang LIMIT 1").first()
+    assert row.med is not None
+
+
+def test_mr_ambiguous_unqualified_column_raises(mr_session):
+    with pytest.raises(ValueError, match="ambiguous|qualify"):
+        mr_session.sql(
+            "SELECT 1 FROM documents d JOIN documents e ON e.doc_id = "
+            "d.doc_id WHERE text @@ 'spark'")
+
+
+def test_mr_vector_operator_rejected(mr_session):
+    with pytest.raises(ValueError, match="vector distance"):
+        mr_session.sql(
+            "SELECT d.doc_id FROM documents d JOIN embeddings e "
+            "ON e.vec_id = d.doc_id WHERE d.text @@ 'spark' "
+            "ORDER BY e.embedding <=> e.embedding LIMIT 3")
+
+
+def test_mr_from_subquery_rejected(mr_session):
+    with pytest.raises(ValueError, match="subquer"):
+        mr_session.sql(
+            "SELECT x.doc_id FROM (SELECT doc_id FROM documents) x "
+            "JOIN embeddings e ON e.vec_id = x.doc_id "
+            "WHERE text @@ 'spark'")
+
+
+def test_plain_sql_over_index_relation(mr_session):
+    # demo6 Q5-Q7: FROM idx_name with NO search construct in the text —
+    # the docstore is exposed under the index name for plain Spark SQL
+    n = mr_session.sql("SELECT count(*) AS n FROM doc_idx").first().n
+    m = mr_session.sql("SELECT count(*) AS n FROM documents").first().n
+    assert n == m > 0
