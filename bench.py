@@ -89,6 +89,8 @@ HEADLINE = [
     # Spark-side) — padding bench_baseline in our favor for little extra
     # information; the sf0.01 gate row covers its correctness
     "text_gopher_rules",
+    # round-9: multi-relation search SQL (claimed view ⋈ dimension)
+    "fts_sql_join",
 ]
 
 
