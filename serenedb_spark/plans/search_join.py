@@ -161,11 +161,24 @@ def _resolve_rel(qualifier: str | None, col: str | None,
         f"the column ({col!r}) with its relation alias")
 
 
-def execute_multirel(sql_text: str, get_index, get_relation,
-                     spark: SparkSession) -> DataFrame:
-    """Rewrite-and-run a multi-relation (or GROUP BY) search statement."""
-    from serenedb_spark.operators.scoring import score as _score
-    from serenedb_spark.plans.dialect import sql_compat
+@dataclass
+class _MRPlan:
+    toks: list
+    fpos: int
+    fend: int
+    rels: list
+    byq: dict
+    repl: dict
+    scorer: str | None
+    params: dict
+    idx_of: dict
+    compiled_of: dict
+
+
+def _plan(sql_text: str, get_index) -> _MRPlan:
+    """Analysis phase shared by execute and EXPLAIN: parse the FROM
+    relation list, lift @@ conjuncts onto their relations, compile the
+    claims, and resolve scorer calls — no DataFrame is built."""
     from serenedb_spark.plans.planner import compile_query
 
     toks = tokenize(sql_text.strip().rstrip(";"))
@@ -302,6 +315,21 @@ def execute_multirel(sql_text: str, get_index, get_relation,
             continue
         i += 1
 
+    return _MRPlan(toks, fpos, fend, rels, byq, repl, scorer, params,
+                   idx_of, compiled_of)
+
+
+def execute_multirel(sql_text: str, get_index, get_relation,
+                     spark: SparkSession) -> DataFrame:
+    """Rewrite-and-run a multi-relation (or GROUP BY) search statement."""
+    from serenedb_spark.operators.scoring import score as _score
+    from serenedb_spark.plans.dialect import sql_compat
+
+    p = _plan(sql_text, get_index)
+    toks, rels, repl = p.toks, p.rels, p.repl
+    scorer, params, idx_of, compiled_of = (
+        p.scorer, p.params, p.idx_of, p.compiled_of)
+
     # ---- build + register per-relation DataFrames ----------------------
     for k, r in enumerate(rels):
         r.view = f"__serene_mr{k}_{r.name}"
@@ -345,3 +373,49 @@ def execute_multirel(sql_text: str, get_index, get_relation,
         if t.kind == "IDENT" and lw in _FN_RENAMES:
             t.text = _FN_RENAMES[lw]
     return sql_compat(spark, _render(_rewrite_casts(out)))
+
+
+def explain_multirel(sql_text: str, get_index) -> str:
+    """Claimed-vs-residual EXPLAIN for a multi-relation statement: one
+    IRESEARCH_SCAN block per @@-matched relation (reference renders one
+    scan per index relation feeding the join,
+    tests/sqllogic/sdb/pg/explain/basic.test:7-13), then a RELATIONAL
+    block naming the full-scan sides and the clauses Catalyst owns."""
+    from serenedb_spark.plans.explain import explain_search
+
+    p = _plan(sql_text, get_index)
+    blocks: list[str] = []
+    for k, r in enumerate(p.rels):
+        if not r.matches:
+            continue
+        idx = p.idx_of[k]
+        matches = [(col, node, idx.fields[col]) for col, node in r.matches]
+        block = explain_search(
+            idx.name, matches,
+            scorer=p.scorer if r.scored else None,
+            scorer_params=p.params if r.scored else None)
+        ref = r.alias or r.name
+        blocks.append(block.replace(
+            "IRESEARCH_SCAN", f"IRESEARCH_SCAN ({ref} = {r.name})", 1))
+    full = [f"{r.alias or r.name} = {r.name}"
+            for r in p.rels if not r.matches]
+    lines = ["RELATIONAL (Catalyst)"]
+    if full:
+        lines.append(f"  Full-scan relations: {', '.join(full)}")
+    clauses = []
+    if any(t.upper == "JOIN" or (p.fpos < i < p.fend and t.text == ",")
+           for i, t in enumerate(p.toks)):
+        clauses.append("join")
+    if _find_clause(p.toks, ("GROUP", "BY"), p.fpos) >= 0:
+        clauses.append("group-by")
+    if _find_clause(p.toks, ("HAVING",), p.fpos) >= 0:
+        clauses.append("having")
+    if _find_clause(p.toks, ("ORDER", "BY"), p.fpos) >= 0:
+        clauses.append("order-by")
+    if _find_clause(p.toks, ("LIMIT",), p.fpos) >= 0:
+        clauses.append("limit")
+    lines.append(f"  Delegated clauses: {', '.join(clauses) or 'none'}")
+    lines.append("  Join strategy: Catalyst/AQE over the claimed views "
+                 "(match-set size drives broadcast)")
+    blocks.append("\n".join(lines))
+    return "\n".join(blocks)

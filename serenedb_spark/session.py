@@ -193,6 +193,11 @@ class SereneSession:
                 "  Source: term_stats (no row access)",
                 f"  Term Filter: {td.residual or 'none'}",
             ] + ([f"  Top-K: {td.limit}"] if td.limit is not None else []))
+        from serenedb_spark.plans.search_join import (
+            explain_multirel, needs_multirel)
+
+        if needs_multirel(SS.tokenize(q.strip().rstrip(";"))):
+            return explain_multirel(q, self._index_for)
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         matches = []

@@ -761,3 +761,19 @@ def test_plain_sql_over_index_relation(mr_session):
     n = mr_session.sql("SELECT count(*) AS n FROM doc_idx").first().n
     m = mr_session.sql("SELECT count(*) AS n FROM documents").first().n
     assert n == m > 0
+
+
+def test_mr_explain_claimed_blocks(mr_session):
+    txt = mr_session.explain(
+        "SELECT d.doc_id, e.label, "
+        "round(bm25(d.tableoid)::numeric, 4) AS score "
+        "FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id "
+        "WHERE d.text @@ ('spark' && 'join') "
+        "GROUP BY d.doc_id, e.label "
+        "ORDER BY 3 DESC LIMIT 5")
+    assert txt.startswith("IRESEARCH_SCAN (d = documents)")
+    assert "field=text analyzer=simple" in txt
+    assert "Scorer: bm25" in txt
+    assert "RELATIONAL (Catalyst)" in txt
+    assert "Full-scan relations: e = embeddings" in txt
+    assert "Delegated clauses: join, group-by, order-by, limit" in txt
