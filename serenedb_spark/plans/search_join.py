@@ -46,6 +46,7 @@ class _Rel:
     matches: list = field(default_factory=list)   # [(col, TSQuery)]
     scored: bool = False
     view: str = ""
+    nullable: bool = False   # on the NULL-extended side of an outer join
 
 
 def _clause_end(toks: list[Tok], start: int) -> int:
@@ -72,6 +73,7 @@ def _parse_relations(toks: list[Tok], start: int, end: int) -> list[_Rel]:
     rels: list[_Rel] = []
     depth = 0
     expecting = True
+    next_nullable = False    # LEFT/FULL: the joined-in relation NULL-extends
     i = start
     while i < end:
         t = toks[i]
@@ -94,11 +96,22 @@ def _parse_relations(toks: list[Tok], start: int, end: int) -> list[_Rel]:
                     and toks[j].upper not in _NOT_ALIAS
                     and "." not in toks[j].text):
                 alias = toks[j].text
-            rels.append(_Rel(i, t.text, alias))
+            rels.append(_Rel(i, t.text, alias, nullable=next_nullable))
+            next_nullable = False
             expecting = False
             i = j if alias is None else j + 1
             continue
         elif depth == 0 and (t.upper == "JOIN" or t.text == ","):
+            if t.upper == "JOIN":
+                k = i - 1
+                if k >= start and toks[k].upper == "OUTER":
+                    k -= 1
+                jt = toks[k].upper if k >= start else ""
+                if jt in ("LEFT", "FULL"):
+                    next_nullable = True
+                if jt in ("RIGHT", "FULL"):  # prior side NULL-extends
+                    for r in rels:
+                        r.nullable = True
             expecting = True
         i += 1
     if not rels:
@@ -232,6 +245,16 @@ def _plan(sql_text: str, get_index) -> _MRPlan:
             if ts.peek() is not None:
                 raise ValueError(
                     f"trailing tokens after tsquery: {ts.peek().text!r}")
+            if rel.nullable:
+                # a WHERE conjunct post-filters the join, so on a
+                # NULL-extended side it collapses the outer join to inner
+                # — pre-filtering the claimed view would instead KEEP the
+                # NULL-extended rows. Refuse rather than silently differ.
+                raise ValueError(
+                    f"@@ match on {rel.alias or rel.name!r}, the "
+                    f"NULL-extended side of an outer join: the WHERE "
+                    f"filter makes the join inner — use INNER JOIN, or "
+                    f"pre-filter via a CREATEd view")
             rel.matches.append((col, node))
             repl[s] = (e, [Tok("IDENT", "TRUE")])
 

@@ -777,3 +777,35 @@ def test_mr_explain_claimed_blocks(mr_session):
     assert "RELATIONAL (Catalyst)" in txt
     assert "Full-scan relations: e = embeddings" in txt
     assert "Delegated clauses: join, group-by, order-by, limit" in txt
+
+
+def test_mr_left_join_match_on_preserved_side(mr_session):
+    # match on the preserved side: pre-filtering the claimed view is
+    # equivalent to the post-join WHERE — allowed, equals inner here
+    # (embeddings covers every doc_id)
+    a = mr_session.sql(
+        "SELECT d.doc_id FROM documents d "
+        "LEFT JOIN embeddings e ON e.vec_id = d.doc_id "
+        "WHERE d.text @@ 'spark' ORDER BY d.doc_id").toPandas()
+    b = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' "
+        "ORDER BY doc_id").toPandas()
+    assert list(a.doc_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_mr_outer_join_match_on_nullable_side_rejected(mr_session):
+    with pytest.raises(ValueError, match="NULL-extended"):
+        mr_session.sql(
+            "SELECT e.vec_id, d.doc_id FROM embeddings e "
+            "LEFT JOIN documents d ON d.doc_id = e.vec_id "
+            "WHERE d.text @@ 'spark'")
+    with pytest.raises(ValueError, match="NULL-extended"):
+        mr_session.sql(
+            "SELECT d.doc_id FROM documents d "
+            "RIGHT JOIN embeddings e ON e.vec_id = d.doc_id "
+            "WHERE d.text @@ 'spark'")
+    with pytest.raises(ValueError, match="NULL-extended"):
+        mr_session.sql(
+            "SELECT d.doc_id FROM documents d "
+            "FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id "
+            "WHERE d.text @@ 'spark'")
