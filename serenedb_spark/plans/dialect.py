@@ -76,7 +76,52 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
+#: DuckDB/PG spellings → Spark SQL function names, applied at call sites
+#: only (identifier immediately followed by `(`), never inside string
+#: literals or quoted identifiers — demo6 Q5/Q7 aggregate with
+#: approx_quantile through the plain-SQL door
+_FN_RENAMES = {"approx_quantile": "approx_percentile"}
+
+
+def rewrite_fn_renames(sql: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):          # skip literal / quoted identifier
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2        # '' escape
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = sql[i:j]
+            k = j
+            while k < n and sql[k] in " \t\n":
+                k += 1
+            repl = _FN_RENAMES.get(word.lower())
+            qualified = i > 0 and sql[i - 1] == "."
+            if repl and not qualified and k < n and sql[k] == "(":
+                out.append(repl)
+            else:
+                out.append(word)
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
-    lowered = rewrite_qualify(sql)
+    lowered = rewrite_qualify(rewrite_fn_renames(sql))
     return spark.sql(lowered)

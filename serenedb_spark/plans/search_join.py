@@ -33,11 +33,6 @@ _TAIL_CLAUSES = (("WHERE",), ("GROUP", "BY"), ("HAVING",), ("ORDER", "BY"),
 _NOT_ALIAS = {"JOIN", "ON", "LEFT", "RIGHT", "FULL", "INNER", "CROSS",
               "OUTER", "USING", "NATURAL", "AND", "OR", "WHERE", "GROUP",
               "HAVING", "ORDER", "LIMIT", "QUALIFY", "AS"}
-#: DuckDB/PG spellings → Spark SQL function names (applied token-level to
-#: calls only, so column names are never renamed)
-_FN_RENAMES = {"approx_quantile": "approx_percentile"}
-
-
 @dataclass
 class _Rel:
     pos: int                 # token index of the relation-name token
@@ -391,10 +386,8 @@ def execute_multirel(sql_text: str, get_index, get_relation,
         else:
             out.append(toks[i])
             i += 1
-    for t in out:
-        lw = t.text.lower()
-        if t.kind == "IDENT" and lw in _FN_RENAMES:
-            t.text = _FN_RENAMES[lw]
+    # fn renames (approx_quantile → approx_percentile, ...) happen inside
+    # sql_compat's dialect shims, shared with the plain-SQL door
     return sql_compat(spark, _render(_rewrite_casts(out)))
 
 

@@ -809,3 +809,46 @@ def test_mr_outer_join_match_on_nullable_side_rejected(mr_session):
             "SELECT d.doc_id FROM documents d "
             "FULL OUTER JOIN embeddings e ON e.vec_id = d.doc_id "
             "WHERE d.text @@ 'spark'")
+
+
+def test_mr_two_matched_relations_self_join(mr_session):
+    # demo6 Q7 true shape: two @@-matched index relations in one
+    # statement — each gets its own claimed view
+    a = mr_session.sql(
+        "SELECT a.doc_id FROM documents a "
+        "JOIN documents b ON b.doc_id = a.doc_id "
+        "WHERE a.text @@ 'spark' AND b.text @@ 'stream' "
+        "ORDER BY a.doc_id").toPandas()
+    b = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ('spark' && 'stream') "
+        "ORDER BY doc_id").toPandas()
+    assert list(a.doc_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_fn_rename_call_sites_only():
+    from serenedb_spark.plans.dialect import rewrite_fn_renames as R
+
+    assert R("approx_quantile(x, 0.5)") == "approx_percentile(x, 0.5)"
+    assert R("APPROX_QUANTILE (x, 0.5)") == "approx_percentile (x, 0.5)"
+    # string literals and quoted identifiers are untouched
+    assert R("SELECT 'approx_quantile(') ") == "SELECT 'approx_quantile(') "
+    assert R('SELECT "approx_quantile"(x)') == 'SELECT "approx_quantile"(x)'
+    # a bare column reference (no call parens) is untouched
+    assert R("SELECT approx_quantile FROM t") == (
+        "SELECT approx_quantile FROM t")
+    # qualified names are untouched
+    assert R("s.approx_quantile(x)") == "s.approx_quantile(x)"
+    # '' escape does not end the literal early
+    assert R("SELECT 'it''s approx_quantile(' , approx_quantile(x, 1)") == (
+        "SELECT 'it''s approx_quantile(' , approx_percentile(x, 1)")
+
+
+def test_plain_sql_index_relation_group_by(mr_session):
+    # demo6 Q5/Q7 shape through the PLAIN door: FROM idx_name, GROUP BY,
+    # approx_quantile — no search construct anywhere in the statement
+    rows = mr_session.sql(
+        "SELECT lang, count(*) AS n, "
+        "round(approx_quantile(doc_id, 0.5)) AS p50 "
+        "FROM doc_idx GROUP BY lang HAVING count(*) >= 2 "
+        "ORDER BY n DESC, lang LIMIT 5").collect()
+    assert len(rows) > 0 and all(r.p50 is not None for r in rows)
