@@ -435,3 +435,110 @@ def explain_multirel(sql_text: str, get_index) -> str:
                  "(match-set size drives broadcast)")
     blocks.append("\n".join(lines))
     return "\n".join(blocks)
+
+
+_SET_OPS = {"UNION", "INTERSECT", "EXCEPT"}
+
+
+def _strip_outer_parens(span: list[Tok]) -> list[Tok]:
+    while len(span) >= 2 and span[0].text == "(" and span[-1].text == ")":
+        depth = 0
+        for i, t in enumerate(span):
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0 and i != len(span) - 1:
+                    return span  # not one balanced wrapper
+        span = span[1:-1]
+    return span
+
+
+def split_set_ops(toks: list[Tok]):
+    """Split a statement on top-level UNION/INTERSECT/EXCEPT [ALL].
+    Returns (arm_texts, ops, tail_text) — ops[i] = (kind, all_flag)
+    joins arms[i] and arms[i+1]; a trailing ORDER BY/LIMIT/OFFSET after
+    the last un-parenthesized arm applies to the whole set result (PG) —
+    or None when the statement has no top-level set operation.
+    `SELECT * EXCEPT (cols)` (the Spark projection modifier) is not a
+    set op: EXCEPT only counts when not preceded by `*` and followed by
+    SELECT / ALL / DISTINCT / `(`."""
+    cuts: list[tuple[int, int, str, bool]] = []   # (start, end, kind, all)
+    depth = 0
+    for i, t in enumerate(toks):
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        elif depth == 0 and t.upper in _SET_OPS:
+            if i > 0 and toks[i - 1].text == "*":
+                continue
+            j = i + 1
+            all_ = False
+            if j < len(toks) and toks[j].upper in ("ALL", "DISTINCT"):
+                all_ = toks[j].upper == "ALL"
+                j += 1
+            if j >= len(toks) or not (toks[j].upper == "SELECT"
+                                      or toks[j].text == "("):
+                continue
+            cuts.append((i, j, t.upper, all_))
+    if not cuts:
+        return None
+    arms: list[list[Tok]] = []
+    ops: list[tuple[str, bool]] = []
+    pos = 0
+    for s, e, kind, all_ in cuts:
+        arms.append(toks[pos:s])
+        ops.append((kind, all_))
+        pos = e
+    arms.append(toks[pos:])
+    # trailing ORDER BY / LIMIT / OFFSET of the LAST arm → whole-set tail
+    last = arms[-1]
+    tail: list[Tok] = []
+    if last and last[0].text != "(":   # parenthesized arm keeps its own
+        ends = [p for p in (_find_clause(last, kw)
+                            for kw in (("ORDER", "BY"), ("LIMIT",),
+                                       ("OFFSET",))) if p >= 0]
+        if ends:
+            cut = min(ends)
+            tail = last[cut:]
+            arms[-1] = last[:cut]
+    arm_texts = [_render(_strip_outer_parens(a)) for a in arms]
+    if any(not a.strip() for a in arm_texts):
+        raise ValueError("empty arm in a set operation")
+    return arm_texts, ops, _render(tail)
+
+
+def execute_set_ops(arms: list[str], ops: list[tuple[str, bool]],
+                    tail: str, run_select,
+                    spark: SparkSession) -> DataFrame:
+    """Combine SELECT arms with UNION/INTERSECT/EXCEPT — positional
+    columns and PG precedence (INTERSECT binds tighter) — then apply the
+    trailing ORDER BY/LIMIT to the whole set result. Each DataFrame-side
+    op maps 1:1 onto a Catalyst set operator (Union/Intersect/Except),
+    so partial aggregation and AQE apply as if the text had been one
+    statement."""
+    from serenedb_spark.plans.dialect import sql_compat
+
+    dfs = [run_select(a) for a in arms]
+    # pass 1: fold INTERSECT runs (higher precedence in PG)
+    vals: list[DataFrame] = [dfs[0]]
+    kept: list[tuple[str, bool]] = []
+    for (op, all_), df in zip(ops, dfs[1:]):
+        if op == "INTERSECT":
+            vals[-1] = (vals[-1].intersectAll(df) if all_
+                        else vals[-1].intersect(df))
+        else:
+            kept.append((op, all_))
+            vals.append(df)
+    # pass 2: UNION / EXCEPT left-to-right
+    out = vals[0]
+    for (op, all_), df in zip(kept, vals[1:]):
+        if op == "UNION":
+            out = out.union(df) if all_ else out.union(df).distinct()
+        else:
+            out = out.exceptAll(df) if all_ else out.subtract(df)
+    if tail:
+        out.createOrReplaceTempView("__serene_setop")
+        return sql_compat(spark, f"SELECT * FROM __serene_setop {tail}")
+    return out

@@ -2371,6 +2371,60 @@ ORDER BY s.score DESC, s.doc_id LIMIT 20
 """)
 
 
+# set operations over search statements (PG query_syntax/setops:
+# `SELECT ... WHERE col @@ q1 UNION SELECT ... WHERE col @@ q2 ORDER BY`)
+# — each arm lowers through the single-relation door, the combine maps
+# 1:1 onto Catalyst Union/Intersect/Except, the trailing ORDER BY/LIMIT
+# applies to the whole set result
+def _fts_sql_setop(name: str, sql_text: str, oracle: str) -> None:
+    def fn(spark: SparkSession, sf_dir: str, _sql=sql_text) -> DataFrame:
+        from serenedb_spark.plans import search_sql as SS
+        from serenedb_spark.plans.search_join import (
+            execute_set_ops, split_set_ops)
+
+        idx = doc_index(spark, sf_dir)
+
+        def run(q_text: str) -> DataFrame:
+            st = SS.parse_select(q_text, lambda t, c: idx.analyzer(c))
+            return SS.execute_select(st, lambda t, c: idx)
+
+        parts = split_set_ops(SS.tokenize(_sql.strip().rstrip(";")))
+        if parts is None:
+            raise ValueError("registered set-op query has no set op")
+        arms, ops, tail = parts
+        return execute_set_ops(arms, ops, tail, run, spark)
+
+    _register(name, fn, oracle)
+
+
+_SETOP_M = {
+    t: O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term(t))
+    for t in ("spark", "stream", "window")
+}
+_fts_sql_setop("fts_sql_union", """
+SELECT doc_id FROM documents WHERE text @@ 'spark'
+UNION
+SELECT doc_id FROM documents WHERE text @@ 'stream'
+ORDER BY doc_id
+""", f"{_SETOP_M['spark']} UNION {_SETOP_M['stream']} ORDER BY doc_id")
+# PG precedence: a UNION b INTERSECT c ≡ a UNION (b INTERSECT c)
+_fts_sql_setop("fts_sql_intersect_precedence", """
+SELECT doc_id FROM documents WHERE text @@ 'window'
+UNION
+SELECT doc_id FROM documents WHERE text @@ 'spark'
+INTERSECT
+SELECT doc_id FROM documents WHERE text @@ 'stream'
+ORDER BY doc_id
+""", f"""{_SETOP_M['window']} UNION
+({_SETOP_M['spark']} INTERSECT {_SETOP_M['stream']}) ORDER BY doc_id""")
+_fts_sql_setop("fts_sql_except", """
+SELECT doc_id FROM documents WHERE text @@ 'spark'
+EXCEPT
+SELECT doc_id FROM documents WHERE text @@ 'stream'
+ORDER BY doc_id
+""", f"{_SETOP_M['spark']} EXCEPT {_SETOP_M['stream']} ORDER BY doc_id")
+
+
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
 # a query over the partial index answers the conjunctive query
 # `text @@ q AND lang='en'` (the claim is valid because the query implies
@@ -5464,6 +5518,7 @@ _register(
 _GATE_WINDOW = [
     # --- new-in-r9 queries (all registered and locally oracle-green) ------
     "fts_sql_join", "fts_sql_join_group", "fts_sql_join_scored",
+    "fts_sql_union", "fts_sql_intersect_precedence", "fts_sql_except",
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
     "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
     "fts_sql_dict", "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",

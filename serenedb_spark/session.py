@@ -133,6 +133,22 @@ class SereneSession:
                 drop_dictionary(name)
             return self.spark.createDataFrame(
                 [(kind, name)], "dropped string, name string")
+        from serenedb_spark.plans.search_join import split_set_ops
+
+        parts = split_set_ops(SS.tokenize(q.strip().rstrip(";")))
+        if parts is not None:
+            return self._run_set_ops(*parts)
+        return self._run_select(q)
+
+    def _run_select(self, q: str) -> DataFrame:
+        """One SELECT statement (no set ops): search-dialect routes, else
+        plain Spark SQL with the dialect shims."""
+        from serenedb_spark.plans import search_sql as SS
+        from serenedb_spark.plans.dialect import sql_compat
+
+        if not SS.has_search_construct(q):
+            self._expose_index_relations(q)
+            return sql_compat(self.spark, q)
         td = SS.parse_ts_dict(q)
         if td is not None:
             return SS.execute_ts_dict(td, self._index_for)
@@ -145,6 +161,13 @@ class SereneSession:
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         return SS.execute_select(stmt, self._index_for, self._relation_for)
+
+    def _run_set_ops(self, arms: list[str], ops: list[tuple[str, bool]],
+                     tail: str) -> DataFrame:
+        from serenedb_spark.plans.search_join import execute_set_ops
+
+        return execute_set_ops(arms, ops, tail, self._run_select,
+                               self.spark)
 
     def _expose_index_relations(self, q: str) -> None:
         """Plain SQL over an index relation (demo6 Q5-Q7: `FROM

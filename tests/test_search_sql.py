@@ -852,3 +852,67 @@ def test_plain_sql_index_relation_group_by(mr_session):
         "FROM doc_idx GROUP BY lang HAVING count(*) >= 2 "
         "ORDER BY n DESC, lang LIMIT 5").collect()
     assert len(rows) > 0 and all(r.p50 is not None for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# set operations over search statements
+# ---------------------------------------------------------------------------
+
+
+def test_setop_intersect_equals_and(mr_session):
+    a = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' "
+        "INTERSECT "
+        "SELECT doc_id FROM documents WHERE text @@ 'stream' "
+        "ORDER BY doc_id").toPandas()
+    b = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ('spark' && 'stream') "
+        "ORDER BY doc_id").toPandas()
+    assert list(a.doc_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_setop_union_equals_or(mr_session):
+    a = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' "
+        "UNION "
+        "SELECT doc_id FROM documents WHERE text @@ 'stream' "
+        "ORDER BY doc_id").toPandas()
+    b = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ('spark' || 'stream') "
+        "ORDER BY doc_id").toPandas()
+    assert list(a.doc_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_setop_union_all_keeps_duplicates(mr_session):
+    n_all = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' "
+        "UNION ALL "
+        "SELECT doc_id FROM documents WHERE text @@ 'spark'").count()
+    n = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark'").count()
+    assert n_all == 2 * n > 0
+
+
+def test_setop_mixed_plain_and_search_arm(mr_session):
+    rows = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE doc_id < 3 "
+        "UNION "
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' AND doc_id < 3 "
+        "ORDER BY doc_id").toPandas()
+    assert list(rows.doc_id) == [0, 1, 2]
+
+
+def test_setop_tail_limit_applies_to_whole(mr_session):
+    rows = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark' "
+        "UNION "
+        "SELECT doc_id FROM documents WHERE text @@ 'stream' "
+        "ORDER BY doc_id DESC LIMIT 3").toPandas()
+    assert len(rows) == 3
+    assert list(rows.doc_id) == sorted(rows.doc_id, reverse=True)
+
+
+def test_setop_star_except_modifier_is_not_a_set_op(mr_session):
+    cols = mr_session.sql(
+        "SELECT * EXCEPT (text, lang) FROM documents LIMIT 1").columns
+    assert "text" not in cols and "doc_id" in cols
