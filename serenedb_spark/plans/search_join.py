@@ -542,3 +542,54 @@ def execute_set_ops(arms: list[str], ops: list[tuple[str, bool]],
         out.createOrReplaceTempView("__serene_setop")
         return sql_compat(spark, f"SELECT * FROM __serene_setop {tail}")
     return out
+
+
+def rewrite_search_subqueries(q_text: str, run_select, spark):
+    """Pre-execute parenthesized SELECT subqueries that contain search
+    constructs — `WHERE doc_id IN (SELECT doc_id FROM idx WHERE text @@
+    ...)` (reference secondary_index.test semi-join shapes): each
+    subquery runs through the search door into a temp view and the outer
+    text references the view, so the outer statement (plain, multirel,
+    or itself searched) plans normally with the match set as an ordinary
+    relation — Catalyst turns IN into a semi-join against the claimed
+    set. Correlated search subqueries are unsupported; the inner run
+    surfaces unresolved outer columns as an analysis error. Returns
+    (new_text, changed)."""
+    from serenedb_spark.plans.search_sql import has_search_construct
+
+    toks = tokenize(q_text.strip().rstrip(";"))
+    out: list[Tok] = []
+    i, n = 0, len(toks)
+    k = 0
+    changed = False
+    while i < n:
+        t = toks[i]
+        if t.text == "(" and i + 1 < n and toks[i + 1].upper == "SELECT":
+            depth = 0
+            j = i
+            while j < n:
+                if toks[j].text == "(":
+                    depth += 1
+                elif toks[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if depth != 0:
+                raise ValueError("unbalanced parens in statement")
+            inner = _render(toks[i + 1:j])
+            if has_search_construct(inner):
+                view = f"__serene_sub{k}"
+                k += 1
+                run_select(inner).createOrReplaceTempView(view)
+                out += [Tok("IDENT", "("), Tok("IDENT", "SELECT"),
+                        Tok("IDENT", "*"), Tok("IDENT", "FROM"),
+                        Tok("IDENT", view), Tok("IDENT", ")")]
+                changed = True
+            else:
+                out.extend(toks[i:j + 1])
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    return _render(out), changed

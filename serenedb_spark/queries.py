@@ -2425,6 +2425,42 @@ ORDER BY doc_id
 """, f"{_SETOP_M['spark']} EXCEPT {_SETOP_M['stream']} ORDER BY doc_id")
 
 
+# search subquery inside a relational statement (reference
+# secondary_index.test semi-join shapes: `WHERE key IN (SELECT ... WHERE
+# col @@ q)`) — the subquery pre-executes to a view and Catalyst turns
+# IN into a semi-join against the claimed match set
+def _fts_sql_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans import search_sql as SS
+    from serenedb_spark.plans.dialect import sql_compat
+    from serenedb_spark.plans.search_join import rewrite_search_subqueries
+
+    idx = doc_index(spark, sf_dir)
+    load_tables(spark, sf_dir)
+
+    def run(q_text: str) -> DataFrame:
+        st = SS.parse_select(q_text, lambda t, c: idx.analyzer(c))
+        return SS.execute_select(st, lambda t, c: idx)
+
+    new_q, changed = rewrite_search_subqueries("""
+        SELECT vec_id, label FROM embeddings
+        WHERE vec_id IN (SELECT doc_id FROM documents
+                         WHERE text @@ ('spark' && 'join'))
+        ORDER BY vec_id
+    """, run, spark)
+    if not changed:
+        raise ValueError("search subquery was not rewritten")
+    return sql_compat(spark, new_q)
+
+
+_register("fts_sql_in_subquery", _fts_sql_in_subquery, f"""
+SELECT vec_id, label FROM embeddings
+WHERE vec_id IN (SELECT doc_id FROM
+    ({O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN,
+                  q.Term("spark") & q.Term("join"))}) m)
+ORDER BY vec_id
+""")
+
+
 # partial index (CREATE INDEX ... WHERE pred): index only english docs;
 # a query over the partial index answers the conjunctive query
 # `text @@ q AND lang='en'` (the claim is valid because the query implies
@@ -5519,6 +5555,7 @@ _GATE_WINDOW = [
     # --- new-in-r9 queries (all registered and locally oracle-green) ------
     "fts_sql_join", "fts_sql_join_group", "fts_sql_join_scored",
     "fts_sql_union", "fts_sql_intersect_precedence", "fts_sql_except",
+    "fts_sql_in_subquery",
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
     "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
     "fts_sql_dict", "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",

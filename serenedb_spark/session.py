@@ -149,6 +149,13 @@ class SereneSession:
         if not SS.has_search_construct(q):
             self._expose_index_relations(q)
             return sql_compat(self.spark, q)
+        from serenedb_spark.plans.search_join import (
+            rewrite_search_subqueries)
+
+        new_q, changed = rewrite_search_subqueries(
+            q, self._run_select, self.spark)
+        if changed:
+            return self._run_select(new_q)
         td = SS.parse_ts_dict(q)
         if td is not None:
             return SS.execute_ts_dict(td, self._index_for)

@@ -916,3 +916,54 @@ def test_setop_star_except_modifier_is_not_a_set_op(mr_session):
     cols = mr_session.sql(
         "SELECT * EXCEPT (text, lang) FROM documents LIMIT 1").columns
     assert "text" not in cols and "doc_id" in cols
+
+
+# ---------------------------------------------------------------------------
+# search subqueries inside relational statements
+# ---------------------------------------------------------------------------
+
+
+def test_subquery_in_semi_join(mr_session):
+    a = mr_session.sql(
+        "SELECT vec_id FROM embeddings WHERE vec_id IN "
+        "(SELECT doc_id FROM documents WHERE text @@ ('spark' && 'join')) "
+        "ORDER BY vec_id").toPandas()
+    b = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ('spark' && 'join') "
+        "ORDER BY doc_id").toPandas()
+    assert list(a.vec_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_subquery_scalar(mr_session):
+    row = mr_session.sql(
+        "SELECT count(*) AS n, "
+        "(SELECT count(*) FROM documents WHERE text @@ 'spark') AS m "
+        "FROM embeddings").first()
+    m = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark'").count()
+    assert row.m == m > 0 and row.n == 500
+
+
+def test_subquery_inside_search_outer(mr_session):
+    a = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'stream' AND doc_id IN "
+        "(SELECT doc_id FROM documents WHERE text @@ 'spark') "
+        "ORDER BY doc_id").toPandas()
+    b = mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ ('stream' && 'spark') "
+        "ORDER BY doc_id").toPandas()
+    assert list(a.doc_id) == list(b.doc_id) and len(a) > 0
+
+
+def test_subquery_not_in_with_multirel_outer(mr_session):
+    rows = mr_session.sql(
+        "SELECT d.doc_id FROM documents d "
+        "JOIN embeddings e ON e.vec_id = d.doc_id "
+        "WHERE d.text @@ 'stream' AND d.doc_id NOT IN "
+        "(SELECT doc_id FROM documents WHERE text @@ 'spark') "
+        "ORDER BY d.doc_id").toPandas()
+    spark_ids = set(mr_session.sql(
+        "SELECT doc_id FROM documents WHERE text @@ 'spark'"
+    ).toPandas().doc_id)
+    assert len(rows) > 0
+    assert not (set(rows.doc_id) & spark_ids)
