@@ -130,3 +130,29 @@ def delete_where(target: DataFrame, cond: Column) -> DataFrame:
     """DELETE FROM target WHERE cond (NULL-safe: NULL cond keeps the row,
     matching SQL DELETE's 3VL)."""
     return target.where(~F.coalesce(cond, F.lit(False)))
+
+
+def update_matching(
+    target: DataFrame, keys: DataFrame, key: str,
+    assignments: dict[str, Column],
+) -> DataFrame:
+    """UPDATE rows whose `key` appears in `keys` (the claimed match set
+    of a search predicate, resolved through the inverted index). One
+    equi-join on the key — distributed at any size, and broadcast by AQE
+    when the match set is small."""
+    marked = target.join(
+        keys.select(F.col(key)).distinct().withColumn("__hit", F.lit(True)),
+        key, "left")
+    hit = F.col("__hit").isNotNull()
+    cols = [
+        F.when(hit, assignments[c]).otherwise(F.col(c)).alias(c)
+        if c in assignments else F.col(c)
+        for c in target.columns
+    ]
+    return marked.select(*cols)
+
+
+def delete_matching(target: DataFrame, keys: DataFrame,
+                    key: str) -> DataFrame:
+    """DELETE rows whose `key` appears in `keys`: one anti-join."""
+    return target.join(keys.select(key).distinct(), key, "left_anti")

@@ -960,7 +960,7 @@ def execute_select(stmt: SearchSelect, get_index,
         if topk is not None:
             out = idx0.docstore.join(topk, "doc_id", "inner").withColumn(
                 "__score", F.col("score")).drop("score")
-            return _finish_select(stmt, out)
+            return _finish_select(stmt, _restore_key_name(idx0, out))
         # sum contributions across all @@ fields (demo3 §7 "ranked by
         # BM25 across all matched terms")
         parts = []
@@ -982,7 +982,18 @@ def execute_select(stmt: SearchSelect, get_index,
         out = out.join(score_df, "doc_id", "left").withColumn(
             "__score", F.coalesce(F.col("score"), F.lit(0.0))
         ).drop("score")
-    return _finish_select(stmt, out)
+    return _finish_select(stmt, _restore_key_name(idx0, out))
+
+
+def _restore_key_name(idx, out: DataFrame) -> DataFrame:
+    """The docstore renames the source key column to ``doc_id``; give it
+    back its table name so ``SELECT a FROM t WHERE b @@ q`` resolves for
+    tables keyed on `a` (reference search tables select their own PK
+    column, search_table.test:70-77)."""
+    key = getattr(idx, "key", "doc_id")
+    if key != "doc_id" and key not in out.columns:
+        return out.withColumnRenamed("doc_id", key)
+    return out
 
 
 #: only the explicitly-rounded form delegates — scored_topk always

@@ -1,0 +1,991 @@
+"""Statement-level SQL door — the rest of the reference's PG surface.
+
+The reference's end-user interface is SQL text only: its sqllogic suites
+drive a live session with CREATE TABLE / INSERT / UPDATE / DELETE /
+BEGIN / SET / SHOW / GRANT / ALTER / EXPLAIN statements
+(tests/sqllogic/sdb/pg/simple/search_table.test,
+tests/sqllogic/sdb/pg/explain/{basic,delete,insert,update}.test,
+tests/sqllogic/any/pg/ddl/, tests/sqllogic/any/pg/txn/). The SELECT
+half of that surface (search dialect, set ops, subqueries, index DDL)
+already lives in plans/search_sql.py; this module parses every other
+statement form and routes it onto the session's existing engine methods
+(constraint-checked DML, transactional catalog snapshots, RBAC,
+engine variables) so a reference user can drive the whole engine through
+``session.sql()`` strings.
+
+Everything stays declarative and distributed: a VALUES list becomes a
+Spark inline ``VALUES`` relation, ``INSERT ... SELECT`` reuses the full
+SELECT door (search constructs included), and UPDATE/DELETE with an
+``@@`` predicate resolve the claimed match set through the inverted
+index and apply it as a primary-key semi-/anti-join — no driver-side
+row loop at any size.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from serenedb_spark.plans.search_sql import (
+    Tok,
+    _find_clause,
+    _render,
+    _rewrite_casts,
+    _split_top,
+    _Stream,
+    _unquote,
+    has_search_construct,
+    tokenize,
+)
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+#: PG type spellings → Spark SQL DDL types (reference sqllogic CREATE
+#: TABLE forms; NUMERIC/DECIMAL keep their (p,s) arguments verbatim)
+_PG_TYPE_MAP = {
+    "INTEGER": "int", "INT": "int", "INT4": "int",
+    "SMALLINT": "smallint", "INT2": "smallint",
+    "BIGINT": "bigint", "INT8": "bigint",
+    "SERIAL": "int", "BIGSERIAL": "bigint",
+    "TEXT": "string", "VARCHAR": "string", "CHAR": "string",
+    "CHARACTER": "string", "BPCHAR": "string", "STRING": "string",
+    "DOUBLE": "double", "FLOAT8": "double", "FLOAT": "double",
+    "REAL": "float", "FLOAT4": "float",
+    "BOOLEAN": "boolean", "BOOL": "boolean",
+    "DATE": "date", "TIMESTAMP": "timestamp", "TIMESTAMPTZ": "timestamp",
+    "NUMERIC": "decimal", "DECIMAL": "decimal",
+    "JSON": "string", "JSONB": "string", "UUID": "string",
+    "BYTEA": "binary",
+}
+
+_DML_VERBS = ("INSERT", "UPDATE", "DELETE", "TRUNCATE")
+
+
+def _rewrite_arrays(toks: list[Tok]) -> list[Tok]:
+    """PG ``ARRAY[a, b]`` → Spark ``array(a, b)`` (bracket-matched, so
+    nested literals and index brackets elsewhere are untouched)."""
+    out: list[Tok] = []
+    stack: list[bool] = []  # True = this '[' came from an ARRAY literal
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.kind == "IDENT" and t.upper == "ARRAY"
+                and i + 1 < len(toks) and toks[i + 1].text == "["):
+            out.append(Tok("IDENT", "array"))
+            out.append(Tok("OP", "("))
+            stack.append(True)
+            i += 2
+            continue
+        if t.text == "[":
+            stack.append(False)
+            out.append(t)
+        elif t.text == "]":
+            if stack and stack.pop():
+                out.append(Tok("OP", ")"))
+            else:
+                out.append(t)
+        else:
+            out.append(t)
+        i += 1
+    return out
+
+
+def _expr_sql(toks: list[Tok]) -> str:
+    """Render an expression token span as Spark-compatible SQL text."""
+    return _render(_rewrite_casts(_rewrite_arrays(toks)))
+
+
+def _plan_df(session, lines: list[str]) -> DataFrame:
+    """Rows of plan text under PG's ``QUERY PLAN`` column name."""
+    schema = StructType([StructField("QUERY PLAN", StringType())])
+    return session.spark.createDataFrame([(ln,) for ln in lines], schema)
+
+
+def _status_df(session, tag: str, detail: str = "") -> DataFrame:
+    return session.spark.createDataFrame(
+        [(tag, detail)], "status string, detail string")
+
+
+def _ident(ts: _Stream) -> str:
+    t = ts.next()
+    if t.kind == "STR":
+        return _unquote(t.text)
+    if t.text.startswith('"') and t.text.endswith('"'):
+        return t.text[1:-1]
+    return t.text
+
+
+def _literal_value(tok: Tok):
+    """A single literal token → python value (SET arguments)."""
+    if tok.kind == "STR":
+        return _unquote(tok.text)
+    if tok.kind == "NUM":
+        return float(tok.text) if "." in tok.text else int(tok.text)
+    low = tok.text.lower()
+    if low in ("on", "true", "yes"):
+        return True
+    if low in ("off", "false", "no"):
+        return False
+    return tok.text
+
+
+# --------------------------------------------------------------------------
+# the router
+# --------------------------------------------------------------------------
+
+def route_statement(session, sql: str) -> DataFrame | None:
+    """Parse-and-execute a non-SELECT statement; None = not ours (the
+    caller falls through to the SELECT/search door)."""
+    s = sql.strip().rstrip(";").strip()
+    if not s:
+        return None
+    head = re.match(r"[A-Za-z_]+", s)
+    if head is None:
+        return None
+    kw = head.group().upper()
+    if kw in ("BEGIN", "START", "COMMIT", "END", "ROLLBACK", "ABORT"):
+        return _txn(session, kw)
+    if kw == "SET":
+        return _set(session, s)
+    if kw == "RESET":
+        return _reset(session, s)
+    if kw == "SHOW":
+        return _show(session, s)
+    if kw == "EXPLAIN":
+        return _explain(session, s)
+    if kw == "INSERT":
+        return _insert(session, s)
+    if kw == "UPDATE":
+        return _update(session, s)
+    if kw == "DELETE":
+        return _delete(session, s)
+    if kw == "TRUNCATE":
+        return _truncate(session, s)
+    if kw == "GRANT":
+        return _grant(session, s, revoke=False)
+    if kw == "REVOKE":
+        return _grant(session, s, revoke=True)
+    if kw == "CREATE":
+        return _create(session, s)
+    if kw == "DROP":
+        return _drop(session, s)
+    if kw == "ALTER":
+        return _alter(session, s)
+    if kw == "ANALYZE":
+        return _analyze(session, s)
+    if kw == "VACUUM":
+        return _vacuum(session, s)
+    if kw == "COMMENT":
+        return _comment(session, s)
+    return None
+
+
+# --------------------------------------------------------------------------
+# transaction control / variables
+# --------------------------------------------------------------------------
+
+def _txn(session, kw: str) -> DataFrame:
+    if kw in ("BEGIN", "START"):
+        session.begin()
+        return _status_df(session, "BEGIN")
+    if kw in ("COMMIT", "END"):
+        session.commit()
+        return _status_df(session, "COMMIT")
+    session.rollback()
+    return _status_df(session, "ROLLBACK")
+
+
+def _set(session, s: str) -> DataFrame | None:
+    ts = _Stream(tokenize(s))
+    ts.expect("SET")
+    if ts.peek() and ts.peek().upper in ("LOCAL", "SESSION"):
+        ts.next()
+    name = _ident(ts)
+    if not name.lower().startswith("sdb_"):
+        return None  # Spark SQL handles its own SET k=v
+    if not (ts.match("=") or ts.match("TO")):
+        raise ValueError("SET expects '=' or 'TO'")
+    session.set_variable(name.lower(), _literal_value(ts.next()))
+    return _status_df(session, "SET", name.lower())
+
+
+def _reset(session, s: str) -> DataFrame | None:
+    ts = _Stream(tokenize(s))
+    ts.expect("RESET")
+    name = _ident(ts).lower()
+    if not name.startswith("sdb_"):
+        return None
+    session.set_variable(name, session._VARIABLE_DEFAULTS[name])
+    return _status_df(session, "RESET", name)
+
+
+def _show(session, s: str) -> DataFrame | None:
+    ts = _Stream(tokenize(s))
+    ts.expect("SHOW")
+    t = ts.peek()
+    if t is None:
+        raise ValueError("SHOW expects a variable name or ALL")
+    if t.upper == "ALL":
+        return session.show_variables()
+    name = _ident(ts).lower()
+    if not name.startswith("sdb_"):
+        return None  # SHOW TABLES etc. stay Spark's
+    val = session.show_variable(name)
+    return session.spark.createDataFrame(
+        [(str(val),)], f"{name} string")
+
+
+# --------------------------------------------------------------------------
+# EXPLAIN [ANALYZE]
+# --------------------------------------------------------------------------
+
+def _explain(session, s: str) -> DataFrame:
+    """EXPLAIN renders the claimed-vs-residual split (plans/explain.py —
+    the IRESEARCH_SCAN visibility of explain/basic.test, plain indented
+    text rather than the reference's box drawing, a documented
+    deviation); EXPLAIN over DML renders the statement head plus the
+    scan that feeds it (explain/{delete,insert,update}.test); EXPLAIN
+    ANALYZE executes the statement — PG semantics: ANALYZE over DML
+    really mutates — and appends actual row counts and wall time."""
+    m = re.match(r"\s*EXPLAIN(\s+ANALYZE)?\s+(.*)$", s,
+                 re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise ValueError("EXPLAIN expects a statement")
+    analyze, inner = bool(m.group(1)), m.group(2).strip()
+    verb = re.match(r"[A-Za-z_]+", inner)
+    verb = verb.group().upper() if verb else ""
+    if verb in _DML_VERBS:
+        lines = _explain_dml(session, inner, verb)
+        if analyze:
+            t0 = time.perf_counter()
+            route_statement(session, inner)
+            lines.append(
+                f"Execution Time: {(time.perf_counter() - t0) * 1e3:.3f} ms")
+        return _plan_df(session, lines)
+    lines = session.explain(inner).splitlines()
+    if analyze:
+        t0 = time.perf_counter()
+        n = session.sql(inner).count()
+        lines += [f"Actual Rows: {n}",
+                  f"Execution Time: {(time.perf_counter() - t0) * 1e3:.3f} ms"]
+    return _plan_df(session, lines)
+
+
+def _explain_dml(session, inner: str, verb: str) -> list[str]:
+    toks = tokenize(inner)
+    table, where_sql = "", None
+    if verb == "DELETE":
+        ts = _Stream(toks)
+        ts.expect("DELETE"); ts.expect("FROM")
+        table = _ident(ts)
+        w = _find_clause(toks, ("WHERE",))
+        if w >= 0:
+            where_sql = _render(toks[w + 1:])
+    elif verb == "UPDATE":
+        ts = _Stream(toks)
+        ts.expect("UPDATE")
+        table = _ident(ts)
+        w = _find_clause(toks, ("WHERE",))
+        if w >= 0:
+            where_sql = _render(toks[w + 1:])
+    elif verb == "INSERT":
+        ts = _Stream(toks)
+        ts.expect("INSERT"); ts.expect("INTO")
+        table = _ident(ts)
+    elif verb == "TRUNCATE":
+        ts = _Stream(toks)
+        ts.expect("TRUNCATE")
+        if ts.peek() and ts.peek().upper == "TABLE":
+            ts.next()
+        table = _ident(ts)
+    lines = [f"{verb} on {table}"]
+    if where_sql is not None:
+        if has_search_construct(where_sql):
+            scan = session.explain(
+                f"SELECT * FROM {table} WHERE {where_sql}")
+            lines += ["  " + ln for ln in scan.splitlines()]
+        else:
+            lines.append(f"  Filter: {where_sql}")
+    return lines
+
+
+# --------------------------------------------------------------------------
+# DML
+# --------------------------------------------------------------------------
+
+def _dml_where(session, table: str, where_toks: list[Tok]):
+    """A WHERE span → either a Column (plain predicate) or a claimed
+    key DataFrame (search predicate, resolved through the index and
+    applied as a PK semi-/anti-join). Returns ('col', Column) or
+    ('keys', DataFrame, pk)."""
+    where_sql = _render(where_toks)
+    if not has_search_construct(where_sql):
+        return ("col", F.expr(_expr_sql(where_toks)))
+    pk = getattr(session, "_pks", {}).get(table)
+    if pk is None:
+        raise ValueError(
+            f"DML with a search predicate needs a PRIMARY KEY on "
+            f"{table!r} (the reference's search tables declare one; it "
+            "is the join key for the claimed match set)")
+    keys = session._run_select(
+        f"SELECT {pk} FROM {table} WHERE {where_sql}")
+    return ("keys", keys, pk)
+
+
+def _insert(session, s: str) -> DataFrame:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("INSERT"); ts.expect("INTO")
+    table = _ident(ts)
+    cols: list[str] | None = None
+    if ts.peek() and ts.peek().text == "(":
+        ts.next()
+        cols = []
+        while True:
+            cols.append(_ident(ts))
+            if ts.match(")"):
+                break
+            ts.expect(",")
+    body = toks[ts.i:]
+    conflict = "error"
+    oc = _find_clause(body, ("ON", "CONFLICT"))
+    if oc >= 0:
+        conflict = _parse_conflict(body[oc:])
+        body = body[:oc]
+    if not body:
+        raise ValueError("INSERT expects VALUES or a SELECT")
+    target = session._tables[table]
+    dtypes = dict(target.dtypes)
+    if body[0].upper == "VALUES":
+        tuples = body[1:]
+        groups = _split_top(tuples, (",",))
+        arity = len(_split_top(groups[0][1:-1], (",",)))
+        use_cols = cols if cols is not None else target.columns[:arity]
+        if arity != len(use_cols):
+            raise ValueError(
+                f"INSERT has {arity} values per row for "
+                f"{len(use_cols)} columns")
+        from serenedb_spark.plans.dialect import sql_compat
+        rows = sql_compat(
+            session.spark,
+            f"SELECT * FROM VALUES {_expr_sql(tuples)} AS __ins"
+            f"({', '.join(use_cols)})")
+    else:
+        rows = session.sql(_render(body))
+        use_cols = (cols if cols is not None
+                    else target.columns[:len(rows.columns)])
+        if len(rows.columns) != len(use_cols):
+            raise ValueError(
+                f"INSERT SELECT produces {len(rows.columns)} columns "
+                f"for {len(use_cols)} target columns")
+        rows = rows.toDF(*use_cols)
+    # align to the target schema: cast provided columns, fill the rest
+    # from column DEFAULTs (pg_attrdef state) or NULL
+    defaults = getattr(session, "_col_defaults", {}).get(table, {})
+    out = []
+    for c in target.columns:
+        if c in use_cols:
+            out.append(F.col(c).cast(dtypes[c]).alias(c))
+        elif c in defaults:
+            d = defaults[c]
+            col = F.expr(d) if isinstance(d, str) else F.lit(d)
+            out.append(col.cast(dtypes[c]).alias(c))
+        else:
+            out.append(F.lit(None).cast(dtypes[c]).alias(c))
+    session.insert(table, rows.select(*out), on_conflict=conflict)
+    return _status_df(session, "INSERT", table)
+
+
+def _parse_conflict(toks: list[Tok]) -> str:
+    """ON CONFLICT [(col)] DO NOTHING → 'nothing'; DO UPDATE SET with
+    every assignment ``c = EXCLUDED.c`` → 'replace' (full-row upsert,
+    dml.insert_rows); partial-row DO UPDATE raises honestly."""
+    ts = _Stream(toks)
+    ts.expect("ON"); ts.expect("CONFLICT")
+    if ts.peek() and ts.peek().text == "(":
+        while ts.next().text != ")":
+            pass
+    ts.expect("DO")
+    if ts.match("NOTHING"):
+        return "nothing"
+    ts.expect("UPDATE"); ts.expect("SET")
+    for asg in _split_top(toks[ts.i:], (",",)):
+        eq = _find_clause(asg, ("=",))
+        rhs = asg[eq + 1:]
+        lhs = _render(asg[:eq])
+        if (len(rhs) != 1
+                or rhs[0].upper != f"EXCLUDED.{lhs}".upper()):
+            raise ValueError(
+                "ON CONFLICT DO UPDATE supports the full-row "
+                "`col = EXCLUDED.col` upsert shape only")
+    return "replace"
+
+
+def _update(session, s: str) -> DataFrame:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("UPDATE")
+    table = _ident(ts)
+    ts.expect("SET")
+    w = _find_clause(toks, ("WHERE",), start=ts.i)
+    set_span = toks[ts.i:w] if w >= 0 else toks[ts.i:]
+    assignments: dict[str, object] = {}
+    for asg in _split_top(set_span, (",",)):
+        eq = _find_clause(asg, ("=",))
+        if eq < 0:
+            raise ValueError(f"bad UPDATE assignment: {_render(asg)!r}")
+        assignments[_render(asg[:eq])] = F.expr(_expr_sql(asg[eq + 1:]))
+    if w < 0:
+        session.update(table, F.lit(True), assignments)
+    else:
+        cond = _dml_where(session, table, toks[w + 1:])
+        if cond[0] == "col":
+            session.update(table, cond[1], assignments)
+        else:
+            session.update_matching(table, cond[1], cond[2], assignments)
+    return _status_df(session, "UPDATE", table)
+
+
+def _delete(session, s: str) -> DataFrame:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("DELETE"); ts.expect("FROM")
+    table = _ident(ts)
+    w = _find_clause(toks, ("WHERE",), start=ts.i)
+    if w < 0:
+        session.delete(table, F.lit(True))
+    else:
+        cond = _dml_where(session, table, toks[w + 1:])
+        if cond[0] == "col":
+            session.delete(table, cond[1])
+        else:
+            session.delete_matching(table, cond[1], cond[2])
+    return _status_df(session, "DELETE", table)
+
+
+def _truncate(session, s: str) -> DataFrame:
+    ts = _Stream(tokenize(s))
+    ts.expect("TRUNCATE")
+    if ts.peek() and ts.peek().upper == "TABLE":
+        ts.next()
+    table = _ident(ts)
+    session._check_privilege(table, "DELETE")
+    session._tables[table] = session._tables[table].limit(0)
+    session._reregister(table)
+    return _status_df(session, "TRUNCATE", table)
+
+
+def _grant(session, s: str, revoke: bool) -> DataFrame:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("REVOKE" if revoke else "GRANT")
+    privs = []
+    while True:
+        privs.append(ts.next().upper)
+        if not ts.match(","):
+            break
+    ts.expect("ON")
+    if ts.peek() and ts.peek().upper == "TABLE":
+        ts.next()
+    table = _ident(ts)
+    ts.expect("FROM" if revoke else "TO")
+    roles = []
+    while True:
+        roles.append(_ident(ts))
+        if not ts.match(","):
+            break
+    for r in roles:
+        for p in privs:
+            ps = (["SELECT", "INSERT", "UPDATE", "DELETE"]
+                  if p == "ALL" else [p])
+            for one in ps:
+                if revoke:
+                    session.revoke(r, table, one)
+                else:
+                    session.grant(r, table, one)
+    return _status_df(session, "REVOKE" if revoke else "GRANT", table)
+
+
+# --------------------------------------------------------------------------
+# DDL
+# --------------------------------------------------------------------------
+
+def _create(session, s: str) -> DataFrame | None:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("CREATE")
+    or_replace = False
+    if ts.peek() and ts.peek().upper == "OR":
+        ts.next(); ts.expect("REPLACE")
+        or_replace = True
+    nxt = ts.peek()
+    if nxt is None:
+        return None
+    if nxt.upper == "TABLE":
+        ts.next()
+        return _create_table(session, s, toks, ts, or_replace)
+    if nxt.upper == "VIEW":
+        ts.next()
+        return _create_view(session, toks, ts, or_replace)
+    return None  # CREATE INDEX / TEXT SEARCH DICTIONARY / MACRO: not ours
+
+
+def _create_view(session, toks, ts, or_replace: bool) -> DataFrame:
+    name = _ident(ts)
+    ts.expect("AS")
+    if name in getattr(session, "_view_defs", {}) and not or_replace:
+        raise ValueError(f"view {name!r} already exists "
+                         "(use CREATE OR REPLACE VIEW)")
+    session.create_view(name, _render(toks[ts.i:]))
+    return _status_df(session, "CREATE VIEW", name)
+
+
+def _create_table(session, s, toks, ts: _Stream,
+                  or_replace: bool) -> DataFrame:
+    if_not_exists = False
+    if ts.peek() and ts.peek().upper == "IF":
+        ts.next(); ts.expect("NOT"); ts.expect("EXISTS")
+        if_not_exists = True
+    name = _ident(ts)
+    nxt = ts.peek()
+    if nxt is not None and nxt.upper == "AS":          # CTAS
+        ts.next()
+        if name in session._tables and if_not_exists:
+            return _status_df(session, "CREATE TABLE", f"{name} (exists)")
+        session.create_table(name, session.sql(_render(toks[ts.i:])),
+                             or_replace=or_replace)
+        return _status_df(session, "CREATE TABLE", name)
+    if nxt is None or nxt.text != "(":
+        raise ValueError("CREATE TABLE expects (column defs) or AS SELECT")
+    # capture the parenthesized coldef group
+    depth = 0
+    start = ts.i
+    while True:
+        t = ts.next()
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if depth == 0:
+                break
+    coldefs = toks[start + 1: ts.i - 1]
+    storage = _parse_with_options(toks[ts.i:])
+    if name in session._tables:
+        if if_not_exists:
+            return _status_df(session, "CREATE TABLE", f"{name} (exists)")
+        if not or_replace:
+            raise ValueError(f"table {name!r} already exists")
+    schema_parts, after = _parse_coldefs(session, coldefs)
+    df = session.spark.createDataFrame([], ", ".join(schema_parts))
+    session.create_table(name, df, or_replace=or_replace)
+    if storage is not None:
+        st = getattr(session, "_storage", None)
+        if st is None:
+            st = session._storage = {}
+        st[name] = storage
+    for apply_constraint in after:
+        apply_constraint(name)
+    return _status_df(session, "CREATE TABLE", name)
+
+
+def _parse_with_options(tail: list[Tok]) -> str | None:
+    """``WITH (storage = '...')`` — validated with the reference's exact
+    error wording (search_table.test:44-55)."""
+    if not tail or tail[0].upper != "WITH":
+        return None
+    ts = _Stream(tail)
+    ts.expect("WITH"); ts.expect("(")
+    storage = None
+    while True:
+        key = _ident(ts).lower()
+        ts.expect("=")
+        val = ts.next()
+        if key == "storage":
+            if val.kind != "STR":
+                raise ValueError(
+                    'WITH option "storage" expects a string literal')
+            storage = _unquote(val.text)
+            if storage.lower() not in ("transactional", "search"):
+                raise ValueError(
+                    'WITH option "storage" must be \'transactional\' or '
+                    f'\'search\', got "{storage}"')
+            storage = storage.lower()
+        # skip to the matching bracket for list-valued options
+        while ts.peek() and ts.peek().text == "[":
+            depth = 0
+            while True:
+                t = ts.next()
+                if t.text == "[":
+                    depth += 1
+                elif t.text == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+        if key == "storage" and val.text == "[":
+            raise ValueError(
+                'WITH option "storage" expects a string literal')
+        if ts.match(")"):
+            break
+        ts.expect(",")
+    return storage
+
+
+def _spark_type(ts: _Stream) -> str:
+    """One PG column type → a Spark DDL type string."""
+    t = ts.next()
+    up = t.upper
+    if up == "DOUBLE" and ts.peek() and ts.peek().upper == "PRECISION":
+        ts.next()
+        base = "double"
+    elif up == "CHARACTER" and ts.peek() and ts.peek().upper == "VARYING":
+        ts.next()
+        base = "string"
+    elif up in _PG_TYPE_MAP:
+        base = _PG_TYPE_MAP[up]
+    else:
+        base = t.text.lower()  # already a Spark type spelling
+    args = ""
+    if ts.peek() and ts.peek().text == "(":
+        ts.next()
+        parts = []
+        while not ts.match(")"):
+            tk = ts.next()
+            if tk.text != ",":
+                parts.append(tk.text)
+        if base == "decimal":
+            args = f"({','.join(parts)})"
+        # varchar(n)/char(n) length args drop: Spark strings are unbounded
+    if base == "decimal" and not args:
+        args = "(38,9)"
+    if (ts.peek() and ts.peek().upper == "WITH"
+            and ts.peek(1) and ts.peek(1).upper == "TIME"):
+        ts.next(); ts.next(); ts.expect("ZONE")
+    out = base + args
+    while ts.peek() and ts.peek().text == "[":
+        ts.next(); ts.expect("]")
+        out = f"array<{out}>"
+    return out
+
+
+def _parse_coldefs(session, coldefs: list[Tok]):
+    """Column/constraint defs → (Spark DDL parts, post-create hooks)."""
+    schema: list[str] = []
+    after: list = []
+    check_i = [0]
+    for item in _split_top(coldefs, (",",)):
+        if not item:
+            continue
+        head = item[0].upper
+        if head in ("PRIMARY", "CONSTRAINT", "CHECK", "FOREIGN", "UNIQUE"):
+            after.append(_table_constraint(session, item))
+            continue
+        ts = _Stream(item)
+        col = _ident(ts)
+        schema.append(f"{col} {_spark_type(ts)}")
+        after.extend(_col_constraints(session, col, ts, check_i))
+    return schema, after
+
+
+def _col_constraints(session, col: str, ts: _Stream, check_i: list):
+    hooks = []
+    while ts.peek() is not None:
+        kw = ts.next().upper
+        if kw == "PRIMARY":
+            ts.expect("KEY")
+            hooks.append(lambda t, c=col: session.set_primary_key(t, c))
+        elif kw == "NOT":
+            ts.expect("NULL")
+            hooks.append(lambda t, c=col: session.alter_set_not_null(t, c))
+        elif kw == "NULL":
+            pass
+        elif kw == "UNIQUE":
+            hooks.append(lambda t, c=col: _unique(session, t, c))
+        elif kw == "DEFAULT":
+            span = []
+            stop = ("PRIMARY", "NOT", "NULL", "UNIQUE", "CHECK",
+                    "REFERENCES", "CONSTRAINT")
+            while ts.peek() is not None and not (
+                    ts.peek().kind == "IDENT" and ts.peek().upper in stop):
+                span.append(ts.next())
+            hooks.append(lambda t, c=col, e=_expr_sql(span):
+                         session.alter_set_default(t, c, e))
+        elif kw == "CHECK":
+            pred = _paren_group(ts)
+            check_i[0] += 1
+            hooks.append(lambda t, n=check_i[0], p=pred:
+                         session.add_check(t, f"{t}_check_{n}", p))
+        elif kw == "REFERENCES":
+            rt = _ident(ts)
+            rc = None
+            if ts.peek() and ts.peek().text == "(":
+                ts.next()
+                rc = _ident(ts)
+                ts.expect(")")
+            hooks.append(lambda t, c=col, r=rt, k=rc:
+                         session.add_foreign_key(t, c, r, k or c))
+        else:
+            raise ValueError(f"unsupported column constraint {kw!r}")
+    return hooks
+
+
+def _unique(session, table: str, col: str) -> None:
+    """UNIQUE enforcement rides the PK machinery (one uniqueness set per
+    table); a second uniqueness constraint raises honestly."""
+    if getattr(session, "_pks", {}).get(table) not in (None, col):
+        raise ValueError(
+            f"{table!r} already has a PRIMARY KEY; only one uniqueness "
+            "constraint per table is enforced")
+    session.set_primary_key(table, col)
+
+
+def _paren_group(ts: _Stream) -> str:
+    ts.expect("(")
+    depth = 1
+    span: list[Tok] = []
+    while depth:
+        t = ts.next()
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        span.append(t)
+    return _expr_sql(span)
+
+
+def _table_constraint(session, item: list[Tok]):
+    ts = _Stream(item)
+    name = None
+    if ts.peek().upper == "CONSTRAINT":
+        ts.next()
+        name = _ident(ts)
+    kw = ts.next().upper
+    if kw == "PRIMARY":
+        ts.expect("KEY"); ts.expect("(")
+        col = _ident(ts)
+        if not ts.match(")"):
+            raise ValueError("composite PRIMARY KEY is not supported; "
+                             "use a derived key column")
+        return lambda t, c=col: session.set_primary_key(t, c)
+    if kw == "UNIQUE":
+        ts.expect("(")
+        col = _ident(ts)
+        ts.expect(")")
+        return lambda t, c=col: _unique(session, t, c)
+    if kw == "CHECK":
+        pred = _paren_group(ts)
+        return lambda t, n=name, p=pred: session.add_check(
+            t, n or f"{t}_check", p)
+    if kw == "FOREIGN":
+        ts.expect("KEY"); ts.expect("(")
+        col = _ident(ts)
+        ts.expect(")"); ts.expect("REFERENCES")
+        rt = _ident(ts)
+        rc = col
+        if ts.peek() and ts.peek().text == "(":
+            ts.next()
+            rc = _ident(ts)
+            ts.expect(")")
+        return lambda t, c=col, r=rt, k=rc, n=name: \
+            session.add_foreign_key(t, c, r, k, name=n)
+    raise ValueError(f"unsupported table constraint {kw!r}")
+
+
+def _drop(session, s: str) -> DataFrame | None:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("DROP")
+    kind = ts.next().upper
+    if kind not in ("TABLE", "VIEW"):
+        return None  # DROP INDEX / TEXT SEARCH DICTIONARY: search_sql's
+    if_exists = False
+    if ts.peek() and ts.peek().upper == "IF":
+        ts.next(); ts.expect("EXISTS")
+        if_exists = True
+    names = []
+    while True:
+        names.append(_ident(ts))
+        if not ts.match(","):
+            break
+    cascade = bool(ts.peek() and ts.peek().upper == "CASCADE")
+    for n in names:
+        if kind == "TABLE":
+            if n not in session._tables:
+                if if_exists:
+                    continue
+                raise ValueError(f"table {n!r} does not exist")
+            session.drop_table(n, cascade=cascade)
+            getattr(session, "_storage", {}).pop(n, None)
+        else:
+            if n not in getattr(session, "_view_defs", {}):
+                if if_exists:
+                    continue
+                raise ValueError(f"view {n!r} does not exist")
+            session.drop_view(n)
+    return _status_df(session, f"DROP {kind}", ", ".join(names))
+
+
+def _alter(session, s: str) -> DataFrame | None:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("ALTER")
+    if ts.peek() is None or ts.peek().upper != "TABLE":
+        return None
+    ts.next()
+    table = _ident(ts)
+    action = ts.next().upper
+    if action == "ADD":
+        return _alter_add(session, table, toks, ts)
+    if action == "DROP":
+        sub = ts.next().upper
+        if sub == "COLUMN":
+            session.alter_drop_column(table, _ident(ts))
+            return _status_df(session, "ALTER TABLE", table)
+        if sub == "CONSTRAINT":
+            session.drop_check(table, _ident(ts))
+            return _status_df(session, "ALTER TABLE", table)
+        raise ValueError(f"unsupported ALTER TABLE DROP {sub}")
+    if action == "RENAME":
+        if ts.peek().upper == "TO":
+            ts.next()
+            _rename_table(session, table, _ident(ts))
+            return _status_df(session, "ALTER TABLE", table)
+        if ts.peek().upper == "COLUMN":
+            ts.next()
+        old = _ident(ts)
+        ts.expect("TO")
+        new = _ident(ts)
+        session._tables[table] = session._tables[table] \
+            .withColumnRenamed(old, new)
+        if getattr(session, "_pks", {}).get(table) == old:
+            session._pks[table] = new
+        nn = getattr(session, "_not_null", {}).get(table)
+        if nn and old in nn:
+            nn.discard(old)
+            nn.add(new)
+        session._reregister(table)
+        return _status_df(session, "ALTER TABLE", table)
+    if action == "ALTER":
+        if ts.peek().upper == "COLUMN":
+            ts.next()
+        col = _ident(ts)
+        sub = ts.next().upper
+        if sub == "SET":
+            what = ts.next().upper
+            if what == "DEFAULT":
+                session.alter_set_default(
+                    table, col, _expr_sql(toks[ts.i:]))
+            elif what == "NOT":
+                ts.expect("NULL")
+                session.alter_set_not_null(table, col)
+            else:
+                raise ValueError(f"unsupported ALTER COLUMN SET {what}")
+        elif sub == "DROP":
+            what = ts.next().upper
+            if what == "DEFAULT":
+                getattr(session, "_col_defaults", {}).get(
+                    table, {}).pop(col, None)
+            elif what == "NOT":
+                ts.expect("NULL")
+                getattr(session, "_not_null", {}).get(
+                    table, set()).discard(col)
+            else:
+                raise ValueError(f"unsupported ALTER COLUMN DROP {what}")
+        elif sub == "TYPE":
+            typ = _spark_type(ts)
+            session._tables[table] = session._tables[table].withColumn(
+                col, F.col(col).cast(typ))
+            session._reregister(table)
+        else:
+            raise ValueError(f"unsupported ALTER COLUMN action {sub}")
+        return _status_df(session, "ALTER TABLE", table)
+    raise ValueError(f"unsupported ALTER TABLE action {action}")
+
+
+def _alter_add(session, table: str, toks, ts: _Stream) -> DataFrame:
+    nxt = ts.peek()
+    if nxt.upper in ("CONSTRAINT", "PRIMARY", "FOREIGN", "CHECK", "UNIQUE"):
+        _table_constraint(session, toks[ts.i:])(table)
+        return _status_df(session, "ALTER TABLE", table)
+    if nxt.upper == "COLUMN":
+        ts.next()
+    col = _ident(ts)
+    typ = _spark_type(ts)
+    default = None
+    if ts.peek() and ts.peek().upper == "DEFAULT":
+        ts.next()
+        default = _expr_sql(toks[ts.i:])
+    if default is not None:
+        session.alter_add_column(table, col,
+                                 expr=F.expr(default).cast(typ))
+        session.alter_set_default(table, col, default)
+    else:
+        session.alter_add_column(table, col,
+                                 expr=F.lit(None).cast(typ))
+    return _status_df(session, "ALTER TABLE", table)
+
+
+def _rename_table(session, old: str, new: str) -> None:
+    if new in session._tables:
+        raise ValueError(f"table {new!r} already exists")
+    session._tables[new] = session._tables.pop(old)
+    for store in ("_pks", "_checks", "_comments", "_analyze_stats",
+                  "_col_defaults", "_not_null", "_col_masks",
+                  "_row_policies", "_storage"):
+        d = getattr(session, store, None)
+        if isinstance(d, dict) and old in d:
+            d[new] = d.pop(old)
+    srcs = getattr(session, "_index_sources", {})
+    for iname, src in list(srcs.items()):
+        if src == old:
+            srcs[iname] = new
+    session.spark.catalog.dropTempView(old)
+    session._reregister(new)
+
+
+def _analyze(session, s: str) -> DataFrame:
+    ts = _Stream(tokenize(s))
+    ts.expect("ANALYZE")
+    table = _ident(ts) if ts.peek() is not None else None
+    session.analyze(table)
+    return _status_df(session, "ANALYZE", table or "")
+
+
+def _vacuum(session, s: str) -> DataFrame:
+    """VACUUM [(REFRESH_TABLE)] [t] — storage here is immutable
+    DataFrames, so plain VACUUM has nothing to reclaim; the
+    REFRESH_TABLE form (search_table.test:70) rebuilds every SQL-created
+    inverted index over the table so DML since CREATE INDEX becomes
+    visible to `@@`."""
+    ts = _Stream(tokenize(s))
+    ts.expect("VACUUM")
+    refresh = False
+    if ts.peek() and ts.peek().text == "(":
+        ts.next()
+        while not ts.match(")"):
+            if ts.next().upper == "REFRESH_TABLE":
+                refresh = True
+    table = _ident(ts) if ts.peek() is not None else None
+    if refresh and table is not None:
+        session.refresh_indexes(table)
+    return _status_df(session, "VACUUM", table or "")
+
+
+def _comment(session, s: str) -> DataFrame:
+    ts = _Stream(tokenize(s))
+    ts.expect("COMMENT"); ts.expect("ON")
+    kind = ts.next().upper
+    obj = _ident(ts)
+    if kind == "COLUMN" and ts.peek() and ts.peek().text == ".":
+        ts.next()
+        obj = f"{obj}.{_ident(ts)}"
+    ts.expect("IS")
+    t = ts.next()
+    session.comment_on(obj, None if t.upper == "NULL" else _unquote(t.text))
+    return _status_df(session, "COMMENT", obj)

@@ -2488,6 +2488,103 @@ ORDER BY doc_id
 """)
 
 
+# --------------------------------------------------------------------------
+# statement-level SQL door (plans/statements.py): the reference drives a
+# session with nothing but SQL text (search_table.test, txn/, ddl/) —
+# these gate rows exercise CTAS + constraint DDL + INSERT/UPDATE/DELETE,
+# transaction control, and search-predicate DML all through session.sql()
+# strings, hash-gated against the equivalent pure-SELECT state in DuckDB
+# --------------------------------------------------------------------------
+
+def _sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS → ADD PRIMARY KEY → INSERT VALUES → UPDATE → DELETE, every
+    step a SQL string (reference search_table.test DML walk)."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("""CREATE OR REPLACE TABLE dml_tgt AS
+              SELECT o_orderkey, o_totalprice, o_orderstatus
+              FROM orders WHERE o_orderkey % 7 = 0""")
+    ss.sql("ALTER TABLE dml_tgt ADD PRIMARY KEY (o_orderkey)")
+    ss.sql("INSERT INTO dml_tgt VALUES (1, 111.11, 'Q'), "
+           "(2, 95000.5, 'F')")
+    ss.sql("UPDATE dml_tgt SET o_totalprice = "
+           "round(o_totalprice * 1.1, 2) WHERE o_orderstatus = 'F'")
+    ss.sql("DELETE FROM dml_tgt WHERE o_totalprice < 5000")
+    return ss.sql("""SELECT o_orderkey, round(o_totalprice, 2) AS price,
+                     o_orderstatus FROM dml_tgt ORDER BY o_orderkey""")
+
+
+_register("sql_dml_lifecycle", _sql_dml_lifecycle, """
+WITH base AS (
+  SELECT o_orderkey, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 7 = 0
+), ins AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT * FROM (VALUES
+    (CAST(1 AS BIGINT), CAST(111.11 AS DOUBLE), 'Q'),
+    (CAST(2 AS BIGINT), CAST(95000.5 AS DOUBLE), 'F')
+  ) v(o_orderkey, o_totalprice, o_orderstatus)
+), upd AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F'
+              THEN round(o_totalprice * 1.1, 2)
+              ELSE o_totalprice END AS o_totalprice,
+         o_orderstatus
+  FROM ins
+), del AS (
+  SELECT * FROM upd WHERE NOT (o_totalprice < 5000)
+)
+SELECT o_orderkey, round(o_totalprice, 2) AS price, o_orderstatus
+FROM del ORDER BY o_orderkey
+""")
+
+
+def _sql_txn_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BEGIN / destructive UPDATE+DELETE / ROLLBACK through SQL text:
+    the final state must be byte-identical to never having run the
+    block (reference txn/ suite; session._txn_copy deep snapshot)."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("""CREATE OR REPLACE TABLE txn_t AS
+              SELECT c_custkey, c_acctbal, c_mktsegment
+              FROM customer WHERE c_custkey <= 500""")
+    ss.sql("BEGIN")
+    ss.sql("UPDATE txn_t SET c_acctbal = 0.0")
+    ss.sql("DELETE FROM txn_t WHERE c_custkey > 100")
+    ss.sql("ROLLBACK")
+    return ss.sql("""SELECT c_custkey, round(c_acctbal, 2) AS bal,
+                     c_mktsegment FROM txn_t ORDER BY c_custkey""")
+
+
+_register("sql_txn_rollback", _sql_txn_rollback, """
+SELECT c_custkey, round(c_acctbal, 2) AS bal, c_mktsegment
+FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
+""")
+
+
+def _sql_search_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE ... WHERE text @@ (...) — the claimed match set resolves
+    through the inverted index and applies as a PK anti-join
+    (statements._dml_where → session.delete_matching), then a plain
+    aggregate over the survivors."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("CREATE OR REPLACE TABLE sdml_docs AS "
+           "SELECT doc_id, lang, text FROM documents")
+    ss.sql("ALTER TABLE sdml_docs ADD PRIMARY KEY (doc_id)")
+    ss.sql("CREATE INDEX sdml_idx ON sdml_docs USING inverted(text simple)")
+    ss.sql("DELETE FROM sdml_docs WHERE text @@ ('spark' || 'stream')")
+    return ss.sql("SELECT lang, count(*) AS n FROM sdml_docs "
+                  "GROUP BY lang ORDER BY lang")
+
+
+_register("sql_search_dml", _sql_search_dml, f"""
+SELECT lang, count(*) AS n FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM (
+  {O.match_sql(_DOC_TABLE, _DOC_COL, "simple",
+               q.Term("spark") | q.Term("stream"))}) m)
+GROUP BY lang ORDER BY lang
+""")
+
+
 # covered (INCLUDE) columns: the docstore materializes included columns
 # without touching the base table — reference INCLUDE / `included` opclass
 def _fts_covered_include(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5556,6 +5653,7 @@ _GATE_WINDOW = [
     "fts_sql_join", "fts_sql_join_group", "fts_sql_join_scored",
     "fts_sql_union", "fts_sql_intersect_precedence", "fts_sql_except",
     "fts_sql_in_subquery",
+    "sql_dml_lifecycle", "sql_txn_rollback", "sql_search_dml",
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
     "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
     "fts_sql_dict", "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",

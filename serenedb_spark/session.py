@@ -98,8 +98,12 @@ class SereneSession:
         else runs as Spark SQL with the dialect shims (QUALIFY)."""
         from serenedb_spark.plans import search_sql as SS
         from serenedb_spark.plans.dialect import sql_compat
+        from serenedb_spark.plans.statements import route_statement
 
         self._last_query = q  # surfaced by pg_stat_activity
+        routed = route_statement(self, q)
+        if routed is not None:
+            return routed
         if not SS.has_search_construct(q):
             self._expose_index_relations(q)
             return sql_compat(self.spark, q)
@@ -267,7 +271,11 @@ class SereneSession:
         df = self.table(ddl.table)
         if ddl.where:
             df = df.where(F.expr(ddl.where))
-        key = "doc_id" if "doc_id" in df.columns else df.columns[0]
+        pk = getattr(self, "_pks", {}).get(ddl.table)
+        if pk in df.columns:
+            key = pk  # reference search tables key the index on the PK
+        else:
+            key = "doc_id" if "doc_id" in df.columns else df.columns[0]
         include = [c for c in df.columns if c != key]
         idx = build_index(df, ddl.fields, key=key, include=include,
                           name=ddl.name)
@@ -275,6 +283,9 @@ class SereneSession:
         if not hasattr(self, "_index_sources"):
             self._index_sources = {}
         self._index_sources[ddl.name] = ddl.table
+        if not hasattr(self, "_index_ddl"):
+            self._index_ddl = {}
+        self._index_ddl[ddl.name] = ddl  # kept for VACUUM (REFRESH_TABLE)
         return self.spark.createDataFrame(
             [(ddl.name, ddl.table, ",".join(
                 f"{c} {a}" for c, a in ddl.fields.items()))],
@@ -1264,6 +1275,42 @@ class SereneSession:
         c = F.expr(cond) if isinstance(cond, str) else cond
         self._tables[table] = delete_where(self._tables[table], c)
         self._reregister(table)
+
+    def update_matching(self, table: str, keys: DataFrame, key: str,
+                        assignments: dict) -> None:
+        """UPDATE rows whose `key` is in the claimed match set `keys`
+        (search-predicate DML through the SQL door): one equi-join, with
+        the same constraint validation as update()."""
+        from serenedb_spark.operators.dml import update_matching
+
+        self._check_privilege(table, "UPDATE")
+        new_state = update_matching(self._tables[table], keys, key,
+                                    assignments)
+        hit = self._tables[table].select(key).join(
+            keys.select(key).distinct(), key, "left_semi")
+        self._validate_rows(table, new_state.join(hit, key, "left_semi"))
+        self._tables[table] = new_state
+        self._reregister(table)
+
+    def delete_matching(self, table: str, keys: DataFrame,
+                        key: str) -> None:
+        """DELETE rows whose `key` is in the claimed match set `keys`:
+        one anti-join (search-predicate DML through the SQL door)."""
+        from serenedb_spark.operators.dml import delete_matching
+
+        self._check_privilege(table, "DELETE")
+        self._tables[table] = delete_matching(self._tables[table], keys,
+                                              key)
+        self._reregister(table)
+
+    def refresh_indexes(self, table: str) -> None:
+        """VACUUM (REFRESH_TABLE) t: rebuild every SQL-created inverted
+        index over `table` from its current state, so DML since CREATE
+        INDEX becomes visible to `@@` (reference search_table.test:70 —
+        its WAL tick analogue for the catalog-DML path)."""
+        for iname, ddl in list(getattr(self, "_index_ddl", {}).items()):
+            if getattr(self, "_index_sources", {}).get(iname) == table:
+                self._create_inverted_index_sql(ddl)
 
     # ---- macros (reference CREATE MACRO, catalog/function.h:30-33:
     # DuckDB scalar AND table macros; Spark 4 SQL UDFs map them directly)
