@@ -121,7 +121,119 @@ def rewrite_fn_renames(sql: str) -> str:
     return "".join(out)
 
 
+#: PG type spellings after `::` → Spark types (Spark 4 parses `::` casts
+#: natively; only the PG-specific type NAMES need renaming)
+_PG_CAST_TYPES = {
+    "numeric": "double", "float4": "float", "float8": "double",
+    "int2": "smallint", "int4": "int", "int8": "bigint",
+    "text": "string", "varchar": "string", "bpchar": "string",
+    "bool": "boolean",
+}
+
+_PG_CAST_RE = re.compile(
+    r"::\s*(" + "|".join(_PG_CAST_TYPES) + r")\b", re.IGNORECASE)
+
+
+def rewrite_pg_casts(sql: str) -> str:
+    """`expr::text` → `expr::string` etc., outside string literals and
+    quoted identifiers (ctas.test `salary::text`)."""
+    if "::" not in sql:
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        m = _PG_CAST_RE.match(sql, i)
+        if m:
+            out.append("::" + _PG_CAST_TYPES[m.group(1).lower()])
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+#: `generate_series(a, b[, step]) [AS] alias(col)` → a range() subquery
+#: (reference limit.test / ctas.test FROM-clause series)
+_GENSERIES_RE = re.compile(
+    r"generate_series\s*\(([^()]*)\)\s*(?:AS\s+)?"
+    r"(?:(\w+)\s*\(\s*(\w+)\s*\)|(\w+))?",
+    re.IGNORECASE)
+
+_GS_KEYWORDS = {"where", "group", "order", "limit", "on", "join", "inner",
+                "left", "right", "full", "cross", "union", "intersect",
+                "except", "qualify", "having", "as"}
+
+
+def rewrite_generate_series(sql: str) -> str:
+    """PG's series TVF as Spark's `range` (end-exclusive → +1). The
+    column name defaults to PG's `generate_series`."""
+    if "generate_series" not in sql.lower():
+        return sql
+
+    def repl(m: re.Match) -> str:
+        args = [a.strip() for a in m.group(1).split(",")]
+        if len(args) == 2:
+            a, b = args
+            rng = f"range({a}, ({b})+1)"
+        elif len(args) == 3:
+            a, b, s = args
+            rng = f"range({a}, ({b})+1, {s})"
+        else:
+            return m.group(0)
+        alias = m.group(2) or m.group(4)
+        col = m.group(3) or "generate_series"
+        if alias is not None and alias.lower() in _GS_KEYWORDS:
+            alias, col = None, "generate_series"
+            trailing = " " + (m.group(2) or m.group(4))
+        else:
+            trailing = ""
+        name = alias or "generate_series"
+        return (f"(SELECT id AS {col} FROM {rng}) AS {name}{trailing}")
+
+    return _GENSERIES_RE.sub(repl, sql)
+
+
+_VALUES_COL_RE = re.compile(r"\bcolumn(\d+)\b")
+
+
+def rewrite_values_columns(sql: str) -> str:
+    """PG names anonymous VALUES columns `column1..N`; Spark names them
+    `col1..N` (limit.test). Applied only when the statement has a bare
+    VALUES relation, so a real user column named columnN elsewhere is
+    untouched."""
+    if not re.search(r"\bVALUES\s*\(", sql, re.IGNORECASE):
+        return sql
+    if re.search(r"\)\s*(AS\s+)?\w+\s*\(", sql):  # aliased VALUES: named
+        return sql
+    return _VALUES_COL_RE.sub(r"col\1", sql)
+
+
+_OFFSET_LIMIT_RE = re.compile(
+    r"\bOFFSET\s+(\d+)\s+LIMIT\s+(\d+)", re.IGNORECASE)
+
+
+def rewrite_offset_limit(sql: str) -> str:
+    """PG accepts `OFFSET n LIMIT m` in either order; Spark only parses
+    LIMIT-then-OFFSET (limit.test)."""
+    return _OFFSET_LIMIT_RE.sub(r"LIMIT \2 OFFSET \1", sql)
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
-    lowered = rewrite_qualify(rewrite_fn_renames(sql))
+    lowered = rewrite_qualify(rewrite_fn_renames(
+        rewrite_generate_series(rewrite_pg_casts(
+            rewrite_values_columns(rewrite_offset_limit(sql))))))
     return spark.sql(lowered)

@@ -182,7 +182,29 @@ def route_statement(session, sql: str) -> DataFrame | None:
         return _vacuum(session, s)
     if kw == "COMMENT":
         return _comment(session, s)
+    if kw == "SELECT" and re.search(r"\bINTO\b", s, re.IGNORECASE):
+        return _select_into(session, s)
     return None
+
+
+def _select_into(session, s: str) -> DataFrame | None:
+    """PG ``SELECT ... INTO t FROM ...`` — CTAS spelled inline
+    (ctas.test:95-135). The INTO span is excised token-wise; the rest
+    runs through the full SELECT door."""
+    toks = tokenize(s)
+    at = _find_clause(toks, ("INTO",))
+    if at < 0:
+        return None
+    name = toks[at + 1].text
+    rest = toks[:at] + toks[at + 2:]
+    if name in session._tables:
+        raise ValueError(f'relation "{name}" already exists')
+    df = session.sql(_render(rest))
+    if len(set(df.columns)) != len(df.columns):
+        dup = sorted({c for c in df.columns if df.columns.count(c) > 1})
+        raise ValueError(f'duplicate column name "{dup[0]}"')
+    session.create_table(name, df)
+    return _status_df(session, "SELECT INTO", name)
 
 
 # --------------------------------------------------------------------------
@@ -193,6 +215,11 @@ def _txn(session, kw: str) -> DataFrame:
     if kw in ("BEGIN", "START"):
         session.begin()
         return _status_df(session, "BEGIN")
+    if getattr(session, "_txn_backup", None) is None:
+        # PG: COMMIT/ROLLBACK outside a block is a WARNING, not an error
+        # (txn/chain.test opens with a bare COMMIT)
+        return _status_df(session, "WARNING",
+                          "there is no transaction in progress")
     if kw in ("COMMIT", "END"):
         session.commit()
         return _status_df(session, "COMMIT")
@@ -361,24 +388,59 @@ def _insert(session, s: str) -> DataFrame:
         raise ValueError("INSERT expects VALUES or a SELECT")
     target = session._tables[table]
     dtypes = dict(target.dtypes)
-    if body[0].upper == "VALUES":
-        tuples = body[1:]
-        groups = _split_top(tuples, (",",))
+    gen_cols = set(getattr(session, "_generated", {}).get(table, {}))
+    if (len(body) == 2 and body[0].upper == "DEFAULT"
+            and body[1].upper == "VALUES"):
+        # INSERT ... DEFAULT VALUES (default_values.test): one row, every
+        # column from its DEFAULT or NULL
+        rows = session.spark.range(1)
+        use_cols = []
+    elif body[0].upper == "VALUES":
+        groups = _split_top(body[1:], (",",))
         arity = len(_split_top(groups[0][1:-1], (",",)))
         use_cols = cols if cols is not None else target.columns[:arity]
         if arity != len(use_cols):
             raise ValueError(
                 f"INSERT has {arity} values per row for "
                 f"{len(use_cols)} columns")
+        defaults = getattr(session, "_col_defaults", {}).get(table, {})
+        tuples_sql = []
+        for g in groups:
+            cells = []
+            for k, cell in enumerate(_split_top(g[1:-1], (",",))):
+                is_default = (len(cell) == 1
+                              and cell[0].upper == "DEFAULT")
+                if use_cols[k] in gen_cols:
+                    # a generated column may be named only as DEFAULT
+                    # (default_values.test:353 vs :368)
+                    if not is_default:
+                        raise ValueError(
+                            "cannot insert a non-DEFAULT value into "
+                            f'column "{use_cols[k]}": it is a generated '
+                            "column")
+                    cells.append("NULL")  # insert() recomputes it
+                elif is_default:
+                    # PG: DEFAULT as a VALUES cell (default_values.test)
+                    d = defaults.get(use_cols[k])
+                    cells.append(f"({d})" if isinstance(d, str)
+                                 else ("NULL" if d is None else repr(d)))
+                else:
+                    cells.append(_expr_sql(cell))
+            tuples_sql.append("(" + ", ".join(cells) + ")")
         from serenedb_spark.plans.dialect import sql_compat
         rows = sql_compat(
             session.spark,
-            f"SELECT * FROM VALUES {_expr_sql(tuples)} AS __ins"
+            f"SELECT * FROM VALUES {', '.join(tuples_sql)} AS __ins"
             f"({', '.join(use_cols)})")
     else:
         rows = session.sql(_render(body))
         use_cols = (cols if cols is not None
                     else target.columns[:len(rows.columns)])
+        if gen_cols & set(use_cols):
+            bad = sorted(gen_cols & set(use_cols))[0]
+            raise ValueError(
+                f'cannot insert a non-DEFAULT value into column "{bad}"'
+                ": it is a generated column")
         if len(rows.columns) != len(use_cols):
             raise ValueError(
                 f"INSERT SELECT produces {len(rows.columns)} columns "
@@ -420,7 +482,7 @@ def _parse_conflict(toks: list[Tok]) -> str:
         lhs = _render(asg[:eq])
         if (len(rhs) != 1
                 or rhs[0].upper != f"EXCLUDED.{lhs}".upper()):
-            raise ValueError(
+            raise NotImplementedError(
                 "ON CONFLICT DO UPDATE supports the full-row "
                 "`col = EXCLUDED.col` upsert shape only")
     return "replace"
@@ -435,11 +497,26 @@ def _update(session, s: str) -> DataFrame:
     w = _find_clause(toks, ("WHERE",), start=ts.i)
     set_span = toks[ts.i:w] if w >= 0 else toks[ts.i:]
     assignments: dict[str, object] = {}
+    defaults = getattr(session, "_col_defaults", {}).get(table, {})
+    dtypes = dict(session._tables[table].dtypes)
     for asg in _split_top(set_span, (",",)):
         eq = _find_clause(asg, ("=",))
         if eq < 0:
             raise ValueError(f"bad UPDATE assignment: {_render(asg)!r}")
-        assignments[_render(asg[:eq])] = F.expr(_expr_sql(asg[eq + 1:]))
+        lhs = _render(asg[:eq])
+        rhs = asg[eq + 1:]
+        if lhs in getattr(session, "_generated", {}).get(table, {}):
+            raise ValueError(
+                f'column "{lhs}" can only be updated to DEFAULT: it is '
+                "a generated column")
+        if len(rhs) == 1 and rhs[0].upper == "DEFAULT":
+            # PG: SET col = DEFAULT (default_values.test)
+            d = defaults.get(lhs)
+            col = (F.expr(d) if isinstance(d, str)
+                   else F.lit(d)).cast(dtypes.get(lhs))
+            assignments[lhs] = col
+        else:
+            assignments[lhs] = F.expr(_expr_sql(rhs))
     if w < 0:
         session.update(table, F.lit(True), assignments)
     else:
@@ -553,12 +630,36 @@ def _create_table(session, s, toks, ts: _Stream,
         if_not_exists = True
     name = _ident(ts)
     nxt = ts.peek()
+    storage = None
+    if (nxt is not None and nxt.upper == "WITH"
+            and ts.peek(1) is not None and ts.peek(1).text == "("):
+        # CTAS spells options BEFORE AS (search_table.test:379)
+        start = ts.i
+        ts.next()
+        depth = 0
+        while True:
+            t = ts.next()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        storage = _parse_with_options(toks[start:ts.i])
+        nxt = ts.peek()
     if nxt is not None and nxt.upper == "AS":          # CTAS
         ts.next()
         if name in session._tables and if_not_exists:
             return _status_df(session, "CREATE TABLE", f"{name} (exists)")
         session.create_table(name, session.sql(_render(toks[ts.i:])),
                              or_replace=or_replace)
+        if storage is not None:
+            st = getattr(session, "_storage", None)
+            if st is None:
+                st = session._storage = {}
+            st[name] = storage
+            if storage == "search":
+                _implicit_search_index(session, name)
         return _status_df(session, "CREATE TABLE", name)
     if nxt is None or nxt.text != "(":
         raise ValueError("CREATE TABLE expects (column defs) or AS SELECT")
@@ -574,7 +675,8 @@ def _create_table(session, s, toks, ts: _Stream,
             if depth == 0:
                 break
     coldefs = toks[start + 1: ts.i - 1]
-    storage = _parse_with_options(toks[ts.i:])
+    if storage is None:
+        storage = _parse_with_options(toks[ts.i:])
     if name in session._tables:
         if if_not_exists:
             return _status_df(session, "CREATE TABLE", f"{name} (exists)")
@@ -583,14 +685,44 @@ def _create_table(session, s, toks, ts: _Stream,
     schema_parts, after = _parse_coldefs(session, coldefs)
     df = session.spark.createDataFrame([], ", ".join(schema_parts))
     session.create_table(name, df, or_replace=or_replace)
+    getattr(session, "_generated", {}).pop(name, None)  # replaced table
     if storage is not None:
         st = getattr(session, "_storage", None)
         if st is None:
             st = session._storage = {}
         st[name] = storage
-    for apply_constraint in after:
-        apply_constraint(name)
+    try:
+        for apply_constraint in after:
+            apply_constraint(name)
+        session.generated_order(name)  # cycle check at CREATE time
+        if storage == "search":
+            _implicit_search_index(session, name)
+    except Exception:
+        session.drop_table(name)  # all-or-nothing CREATE
+        getattr(session, "_generated", {}).pop(name, None)
+        raise
     return _status_df(session, "CREATE TABLE", name)
+
+
+def _implicit_search_index(session, table: str) -> None:
+    """A search-backed table IS its index in the reference (the kSearch
+    shard creates an iresearch directory at CREATE, search_table.test:
+    10-17): mirror that with an implicit inverted index over the text
+    columns, refreshed by VACUUM (REFRESH_TABLE). Explicit CREATE INDEX
+    on the table is refused, matching the reference."""
+    from serenedb_spark.plans.search_sql import CreateInvertedIndex
+
+    fields = {c: "simple" for c, t in session._tables[table].dtypes
+              if t == "string"}
+    if not fields:
+        return
+    ddl = CreateInvertedIndex(name=f"{table}_search", table=table,
+                              fields=fields, includes=[], where=None)
+    session._create_inverted_index_sql(ddl, internal=True)
+    marks = getattr(session, "_internal_indexes", None)
+    if marks is None:
+        marks = session._internal_indexes = set()
+    marks.add(ddl.name)
 
 
 def _parse_with_options(tail: list[Tok]) -> str | None:
@@ -677,6 +809,7 @@ def _parse_coldefs(session, coldefs: list[Tok]):
     schema: list[str] = []
     after: list = []
     check_i = [0]
+    seen: set[str] = set()
     for item in _split_top(coldefs, (",",)):
         if not item:
             continue
@@ -686,6 +819,9 @@ def _parse_coldefs(session, coldefs: list[Tok]):
             continue
         ts = _Stream(item)
         col = _ident(ts)
+        if col.lower() in seen:  # create_table_errors.test
+            raise ValueError(f'duplicate column name "{col}"')
+        seen.add(col.lower())
         schema.append(f"{col} {_spark_type(ts)}")
         after.extend(_col_constraints(session, col, ts, check_i))
     return schema, after
@@ -693,32 +829,58 @@ def _parse_coldefs(session, coldefs: list[Tok]):
 
 def _col_constraints(session, col: str, ts: _Stream, check_i: list):
     hooks = []
+    nullability: str | None = None  # 'null' | 'notnull'
+    saw_default = False
+
+    def set_null(kind: str) -> None:
+        nonlocal nullability
+        if nullability is not None and nullability != kind:
+            # constraint.test:1 — PRIMARY KEY NULL and friends
+            raise ValueError(
+                f"conflicting NULL/NOT NULL declarations for column "
+                f'"{col}"')
+        nullability = kind
+
     while ts.peek() is not None:
         kw = ts.next().upper
+        name = None
+        if kw == "CONSTRAINT":  # alter_table.test inline-named CHECKs
+            name = _ident(ts)
+            kw = ts.next().upper
         if kw == "PRIMARY":
             ts.expect("KEY")
+            set_null("notnull")
             hooks.append(lambda t, c=col: session.set_primary_key(t, c))
         elif kw == "NOT":
             ts.expect("NULL")
+            set_null("notnull")
             hooks.append(lambda t, c=col: session.alter_set_not_null(t, c))
         elif kw == "NULL":
-            pass
+            set_null("null")
         elif kw == "UNIQUE":
             hooks.append(lambda t, c=col: _unique(session, t, c))
         elif kw == "DEFAULT":
+            if saw_default:  # default_values.test
+                raise ValueError(
+                    "multiple default values specified for column "
+                    f'"{col}"')
+            saw_default = True
             span = []
             stop = ("PRIMARY", "NOT", "NULL", "UNIQUE", "CHECK",
-                    "REFERENCES", "CONSTRAINT")
+                    "REFERENCES", "CONSTRAINT", "DEFAULT", "GENERATED")
             while ts.peek() is not None and not (
                     ts.peek().kind == "IDENT" and ts.peek().upper in stop):
                 span.append(ts.next())
+            if any(t.upper == "SELECT" for t in span):
+                raise ValueError(
+                    "cannot use subquery in DEFAULT expression")
             hooks.append(lambda t, c=col, e=_expr_sql(span):
                          session.alter_set_default(t, c, e))
         elif kw == "CHECK":
             pred = _paren_group(ts)
             check_i[0] += 1
-            hooks.append(lambda t, n=check_i[0], p=pred:
-                         session.add_check(t, f"{t}_check_{n}", p))
+            hooks.append(lambda t, n=name, i=check_i[0], p=pred:
+                         session.add_check(t, n or f"{t}_check_{i}", p))
         elif kw == "REFERENCES":
             rt = _ident(ts)
             rc = None
@@ -728,18 +890,53 @@ def _col_constraints(session, col: str, ts: _Stream, check_i: list):
                 ts.expect(")")
             hooks.append(lambda t, c=col, r=rt, k=rc:
                          session.add_foreign_key(t, c, r, k or c))
+        elif kw == "GENERATED":
+            # GENERATED ALWAYS AS (expr) STORED (default_values.test):
+            # recomputed on every INSERT/UPDATE; chains allowed, cycles
+            # rejected at CREATE (session.generated_order)
+            if ts.peek() is not None and ts.peek().upper != "ALWAYS":
+                raise ValueError(  # PG wording, default_values.test:23
+                    "for a generated column, GENERATED ALWAYS must be "
+                    "specified")
+            ts.expect("ALWAYS"); ts.expect("AS")
+            expr = _paren_group(ts)
+            # STORED and VIRTUAL coincide over immutable DataFrames:
+            # both are expressions recomputed in the write lineage
+            if not (ts.match("STORED") or ts.match("VIRTUAL")):
+                raise ValueError(
+                    "generated column requires STORED or VIRTUAL")
+            if "SELECT" in expr.upper().split():
+                raise ValueError(
+                    "cannot use subquery in generation expression")
+            if saw_default:  # default_values.test:17
+                raise ValueError(
+                    "both default and generation expression specified "
+                    f'for column "{col}"')
+            saw_default = True  # a later DEFAULT conflicts the same way
+
+            def _gen(t, c=col, e=expr):
+                g = getattr(session, "_generated", None)
+                if g is None:
+                    g = session._generated = {}
+                g.setdefault(t, {})[c] = e
+            hooks.append(_gen)
         else:
-            raise ValueError(f"unsupported column constraint {kw!r}")
+            raise NotImplementedError(
+                f"unsupported column constraint {kw!r}")
     return hooks
 
 
 def _unique(session, table: str, col: str) -> None:
     """UNIQUE enforcement rides the PK machinery (one uniqueness set per
-    table); a second uniqueness constraint raises honestly."""
+    table). A UNIQUE alongside an existing PK is accepted but not
+    enforced — exactly the reference's behavior for a non-PK UNIQUE add
+    (alter_add_pk_unique.test: 'ADD UNIQUE is accepted')."""
     if getattr(session, "_pks", {}).get(table) not in (None, col):
-        raise ValueError(
-            f"{table!r} already has a PRIMARY KEY; only one uniqueness "
-            "constraint per table is enforced")
+        u = getattr(session, "_uniques", None)
+        if u is None:
+            u = session._uniques = {}
+        u.setdefault(table, set()).add(col)
+        return
     session.set_primary_key(table, col)
 
 
@@ -770,8 +967,9 @@ def _table_constraint(session, item: list[Tok]):
         ts.expect("KEY"); ts.expect("(")
         col = _ident(ts)
         if not ts.match(")"):
-            raise ValueError("composite PRIMARY KEY is not supported; "
-                             "use a derived key column")
+            raise NotImplementedError(
+                "composite PRIMARY KEY is not supported; use a derived "
+                "key column")
         return lambda t, c=col: session.set_primary_key(t, c)
     if kw == "UNIQUE":
         ts.expect("(")
@@ -794,7 +992,7 @@ def _table_constraint(session, item: list[Tok]):
             ts.expect(")")
         return lambda t, c=col, r=rt, k=rc, n=name: \
             session.add_foreign_key(t, c, r, k, name=n)
-    raise ValueError(f"unsupported table constraint {kw!r}")
+    raise NotImplementedError(f"unsupported table constraint {kw!r}")
 
 
 def _drop(session, s: str) -> DataFrame | None:
@@ -838,8 +1036,40 @@ def _alter(session, s: str) -> DataFrame | None:
     if ts.peek() is None or ts.peek().upper != "TABLE":
         return None
     ts.next()
-    table = _ident(ts)
+    if ts.peek() and ts.peek().upper == "IF":
+        ts.next(); ts.expect("EXISTS")
+        name = _ident(ts)
+        if name not in session._tables:
+            return _status_df(session, "ALTER TABLE",
+                              f"{name} (skipped, no such table)")
+        # rewind-free: continue parsing from here with the real table
+        table = name
+    else:
+        table = _ident(ts)
+    if table not in session._tables:
+        if table in getattr(session, "_view_defs", {}):
+            raise ValueError(
+                f'ALTER action cannot be performed on relation '
+                f'"{table}": this operation is not supported for views')
+        raise ValueError(f'relation "{table}" does not exist')
     action = ts.next().upper
+    if getattr(session, "_storage", {}).get(table) == "search":
+        # fixed iresearch schema: structural ALTERs rejected, renames
+        # (catalog-only) allowed (search_table.test:218-252)
+        nxt = ts.peek().upper if ts.peek() else ""
+        form = {("ADD", "COLUMN"): "ADD COLUMN",
+                ("DROP", "COLUMN"): "DROP COLUMN",
+                ("ALTER", "COLUMN"): "ALTER COLUMN TYPE",
+                ("DROP", "CONSTRAINT"): "DROP CONSTRAINT"}.get(
+                    (action, nxt))
+        if action == "ADD" and nxt not in ("CONSTRAINT", "PRIMARY",
+                                           "CHECK", "FOREIGN", "UNIQUE",
+                                           "COLUMN"):
+            form = "ADD COLUMN"  # bare ADD col type
+        if form is not None:
+            raise ValueError(
+                f"ALTER TABLE {form} on a search-backed table is not "
+                "yet supported")
     if action == "ADD":
         return _alter_add(session, table, toks, ts)
     if action == "DROP":
@@ -848,9 +1078,13 @@ def _alter(session, s: str) -> DataFrame | None:
             session.alter_drop_column(table, _ident(ts))
             return _status_df(session, "ALTER TABLE", table)
         if sub == "CONSTRAINT":
-            session.drop_check(table, _ident(ts))
+            if_exists = False
+            if ts.peek() and ts.peek().upper == "IF":
+                ts.next(); ts.expect("EXISTS")
+                if_exists = True
+            session.drop_check(table, _ident(ts), if_exists=if_exists)
             return _status_df(session, "ALTER TABLE", table)
-        raise ValueError(f"unsupported ALTER TABLE DROP {sub}")
+        raise NotImplementedError(f"unsupported ALTER TABLE DROP {sub}")
     if action == "RENAME":
         if ts.peek().upper == "TO":
             ts.next()
@@ -885,7 +1119,7 @@ def _alter(session, s: str) -> DataFrame | None:
                 ts.expect("NULL")
                 session.alter_set_not_null(table, col)
             else:
-                raise ValueError(f"unsupported ALTER COLUMN SET {what}")
+                raise NotImplementedError(f"unsupported ALTER COLUMN SET {what}")
         elif sub == "DROP":
             what = ts.next().upper
             if what == "DEFAULT":
@@ -896,16 +1130,16 @@ def _alter(session, s: str) -> DataFrame | None:
                 getattr(session, "_not_null", {}).get(
                     table, set()).discard(col)
             else:
-                raise ValueError(f"unsupported ALTER COLUMN DROP {what}")
+                raise NotImplementedError(f"unsupported ALTER COLUMN DROP {what}")
         elif sub == "TYPE":
             typ = _spark_type(ts)
             session._tables[table] = session._tables[table].withColumn(
                 col, F.col(col).cast(typ))
             session._reregister(table)
         else:
-            raise ValueError(f"unsupported ALTER COLUMN action {sub}")
+            raise NotImplementedError(f"unsupported ALTER COLUMN action {sub}")
         return _status_df(session, "ALTER TABLE", table)
-    raise ValueError(f"unsupported ALTER TABLE action {action}")
+    raise NotImplementedError(f"unsupported ALTER TABLE action {action}")
 
 
 def _alter_add(session, table: str, toks, ts: _Stream) -> DataFrame:
@@ -945,6 +1179,11 @@ def _rename_table(session, old: str, new: str) -> None:
     for iname, src in list(srcs.items()):
         if src == old:
             srcs[iname] = new
+    import dataclasses
+    ddls = getattr(session, "_index_ddl", {})
+    for iname, ddl in list(ddls.items()):
+        if ddl.table == old:
+            ddls[iname] = dataclasses.replace(ddl, table=new)
     session.spark.catalog.dropTempView(old)
     session._reregister(new)
 

@@ -94,13 +94,36 @@ class SereneSession:
         tsquery` matches, scorer calls in SELECT/ORDER BY, `CREATE INDEX
         ... USING inverted(...)` DDL (reference
         server/connector/functions/search.h:75-132,
-        examples/demo3/demo.sql) — lower onto the index engine; anything
-        else runs as Spark SQL with the dialect shims (QUALIFY)."""
+        examples/demo3/demo.sql) — lower onto the index engine;
+        non-SELECT statements route through plans/statements.py; anything
+        else runs as Spark SQL with the dialect shims (QUALIFY).
+
+        PG aborted-block semantics (txn/aborted_block.test): after an
+        error inside BEGIN, every statement except COMMIT/ROLLBACK is
+        refused with PG's exact wording until the block ends, and COMMIT
+        of an aborted block converts to a rollback."""
+        import re as _re
+
+        self._last_query = q  # surfaced by pg_stat_activity
+        head = _re.match(r"\s*([A-Za-z_]+)", q)
+        head = head.group(1).upper() if head else ""
+        if getattr(self, "_txn_aborted", False) and head not in (
+                "COMMIT", "END", "ROLLBACK", "ABORT"):
+            raise RuntimeError(
+                "current transaction is aborted, commands ignored until "
+                "end of transaction block")
+        try:
+            return self._sql_body(q)
+        except Exception:
+            if getattr(self, "_txn_backup", None) is not None:
+                self._txn_aborted = True
+            raise
+
+    def _sql_body(self, q: str) -> DataFrame:
         from serenedb_spark.plans import search_sql as SS
         from serenedb_spark.plans.dialect import sql_compat
         from serenedb_spark.plans.statements import route_statement
 
-        self._last_query = q  # surfaced by pg_stat_activity
         routed = route_statement(self, q)
         if routed is not None:
             return routed
@@ -264,10 +287,19 @@ class SereneSession:
             blocks.append("\n".join(lines))
         return "\n".join(blocks)
 
-    def _create_inverted_index_sql(self, ddl) -> DataFrame:
+    def _create_inverted_index_sql(self, ddl, internal: bool = False
+                                   ) -> DataFrame:
         """CREATE INDEX ... USING inverted(col analyzer, plain_col) —
         analyzed columns become index fields, bare columns ride the
-        docstore (covered), WHERE builds a partial index."""
+        docstore (covered), WHERE builds a partial index. A search-backed
+        table carries its own implicit index, so explicit CREATE INDEX on
+        one is refused exactly like the reference
+        (search_table.test:205-216)."""
+        if (not internal and getattr(self, "_storage", {}).get(ddl.table)
+                == "search"):
+            raise ValueError(
+                "CREATE INDEX on a search-backed table is not yet "
+                "supported")
         df = self.table(ddl.table)
         if ddl.where:
             df = df.where(F.expr(ddl.where))
@@ -1192,7 +1224,13 @@ class SereneSession:
     # reference's transactional DML)
     def set_primary_key(self, table: str, column: str) -> None:
         """ALTER TABLE ADD PRIMARY KEY: validates existing uniqueness
-        first (rejects like the reference when data violates it)."""
+        first (rejects like the reference when data violates it); a
+        second PK is refused (alter_add_pk_unique.test)."""
+        cur = getattr(self, "_pks", {}).get(table)
+        if cur is not None and cur != column:
+            raise ValueError(
+                f'multiple primary keys for table "{table}" are not '
+                "allowed")
         dup = (
             self._tables[table].groupBy(column).count()
             .where(F.col("count") > 1).limit(1).collect()
@@ -1224,8 +1262,14 @@ class SereneSession:
             checks = self._checks = {}
         checks.setdefault(table, {})[name] = pred
 
-    def drop_check(self, table: str, name: str) -> None:
-        getattr(self, "_checks", {}).get(table, {}).pop(name, None)
+    def drop_check(self, table: str, name: str,
+                   if_exists: bool = False) -> None:
+        checks = getattr(self, "_checks", {}).get(table, {})
+        if name not in checks and not if_exists:
+            raise ValueError(
+                f'constraint "{name}" of relation "{table}" does not '
+                "exist")
+        checks.pop(name, None)
 
     def _validate_rows(self, table: str, rows: DataFrame) -> None:
         for col in getattr(self, "_not_null", {}).get(table, ()):
@@ -1234,21 +1278,61 @@ class SereneSession:
                     f"NULL in NOT NULL column {col!r} of {table!r}")
         for name, pred in getattr(self, "_checks", {}).get(
                 table, {}).items():
-            if rows.where(~F.coalesce(pred, F.lit(False))) \
+            # CHECK fails only when the predicate is FALSE — a NULL
+            # result passes (PG 3VL; constraint.test inserts NULL weight
+            # under CHECK (grade > 22) and expects success)
+            if rows.where(~F.coalesce(pred, F.lit(True))) \
                     .limit(1).collect():
                 raise ValueError(
                     f"new rows violate check constraint {name!r}")
 
+    def generated_order(self, table: str) -> list[tuple[str, str]]:
+        """GENERATED ALWAYS AS columns in dependency order (chains
+        allowed like the reference's serenedb-only default_values.test
+        blocks; a cycle raises)."""
+        gen = dict(getattr(self, "_generated", {}).get(table, {}))
+        cols = set(self._tables[table].columns)
+        resolved = cols - set(gen)
+        out: list[tuple[str, str]] = []
+        import re as _re
+
+        while gen:
+            ready = [c for c, e in gen.items()
+                     if not (set(_re.findall(r"\w+", e)) & cols
+                             - resolved - {c})
+                     and c not in _re.findall(r"\w+", e)]
+            if not ready:
+                raise ValueError(
+                    f"generation expressions of {sorted(gen)} in "
+                    f"{table!r} form a cycle")
+            for c in ready:
+                out.append((c, gen.pop(c)))
+                resolved.add(c)
+        return out
+
+    def _apply_generated(self, table: str, df: DataFrame) -> DataFrame:
+        dtypes = dict(self._tables[table].dtypes)
+        for c, e in self.generated_order(table):
+            df = df.withColumn(c, F.expr(e).cast(dtypes.get(c)))
+        return df
+
     def insert(self, table: str, rows: DataFrame,
                on_conflict: str = "error") -> None:
         """INSERT with full constraint enforcement; nothing is applied on
-        any violation."""
+        any violation. GENERATED ALWAYS AS columns are (re)computed from
+        the incoming row, never taken from it."""
         from serenedb_spark.operators.dml import insert_rows
 
         self._check_privilege(table, "INSERT")
+        rows = self._apply_generated(table, rows)
         self._validate_rows(table, rows)
         pk = getattr(self, "_pks", {}).get(table)
         if pk is not None:
+            # a primary key implies NOT NULL (alter_add_pk_unique.test)
+            if rows.where(F.col(pk).isNull()).limit(1).collect():
+                raise ValueError(
+                    f'null value in column "{pk}" violates not-null '
+                    "constraint")
             new_state = insert_rows(self._tables[table], rows, pk,
                                     on_conflict=on_conflict)
         else:
@@ -1263,9 +1347,17 @@ class SereneSession:
         c = F.expr(cond) if isinstance(cond, str) else cond
         asg = {k: (F.expr(v) if isinstance(v, str) else v)
                for k, v in assignments.items()}
-        new_state = update_where(self._tables[table], c, asg)
-        self._validate_rows(table, new_state.where(c))
-        self._tables[table] = new_state
+        # mark matching rows BEFORE applying assignments: the WHERE
+        # condition must see pre-update values, and validation must see
+        # the post-update rows at exactly those positions
+        # (constraint.test UPDATE ... SET name WHERE name = old)
+        marked = self._tables[table].withColumn(
+            "__upd", F.coalesce(c, F.lit(False)))
+        new_marked = self._apply_generated(
+            table, update_where(marked, F.col("__upd"), asg))
+        self._validate_rows(
+            table, new_marked.where(F.col("__upd")).drop("__upd"))
+        self._tables[table] = new_marked.drop("__upd")
         self._reregister(table)
 
     def delete(self, table: str, cond) -> None:
@@ -1284,8 +1376,9 @@ class SereneSession:
         from serenedb_spark.operators.dml import update_matching
 
         self._check_privilege(table, "UPDATE")
-        new_state = update_matching(self._tables[table], keys, key,
-                                    assignments)
+        new_state = self._apply_generated(
+            table, update_matching(self._tables[table], keys, key,
+                                   assignments))
         hit = self._tables[table].select(key).join(
             keys.select(key).distinct(), key, "left_semi")
         self._validate_rows(table, new_state.join(hit, key, "left_semi"))
@@ -1310,7 +1403,7 @@ class SereneSession:
         its WAL tick analogue for the catalog-DML path)."""
         for iname, ddl in list(getattr(self, "_index_ddl", {}).items()):
             if getattr(self, "_index_sources", {}).get(iname) == table:
-                self._create_inverted_index_sql(ddl)
+                self._create_inverted_index_sql(ddl, internal=True)
 
     # ---- macros (reference CREATE MACRO, catalog/function.h:30-33:
     # DuckDB scalar AND table macros; Spark 4 SQL UDFs map them directly)
@@ -1421,7 +1514,9 @@ class SereneSession:
     _TXN_STATE = ("_tables", "_pks", "_row_policies", "_col_masks",
                   "_grants", "_comments", "_checks", "_not_null",
                   "_indexes", "_index_sources", "_variables",
-                  "_fks", "_col_defaults")
+                  "_fks", "_col_defaults", "_generated", "_uniques",
+                  "_storage", "_index_ddl", "_view_defs",
+                  "_analyze_stats")
 
     @classmethod
     def _txn_copy(cls, v):
@@ -1458,6 +1553,11 @@ class SereneSession:
     def commit(self) -> None:
         if getattr(self, "_txn_backup", None) is None:
             raise ValueError("no transaction in progress")
+        if getattr(self, "_txn_aborted", False):
+            # PG converts COMMIT of an aborted block into a rollback
+            # (txn/aborted_block.test:58-66)
+            self.rollback()
+            return
         self._txn_backup = None
 
     def rollback(self) -> None:
@@ -1477,6 +1577,7 @@ class SereneSession:
         for a, snap in bak.items():
             setattr(self, a, snap)
         self._txn_backup = None
+        self._txn_aborted = False
         for n, v in cur_vars.items():
             restored = bak["_variables"].get(n, self._VARIABLE_DEFAULTS[n])
             if restored != v:
@@ -1546,16 +1647,21 @@ class SereneSession:
 
     def drop_table(self, name: str, cascade: bool = False) -> None:
         """DROP TABLE: refuses while dependent indexes exist unless
-        CASCADE (reference drop_cascade_* semantics)."""
+        CASCADE (reference drop_cascade_* semantics). The implicit index
+        of a search-backed table is part of the table, not a dependent —
+        it drops with it (search_table.test DROPs without CASCADE)."""
         deps = [i for i, src in getattr(self, "_index_sources",
                                         {}).items() if src == name]
-        if deps and not cascade:
+        internal = getattr(self, "_internal_indexes", set())
+        if [d for d in deps if d not in internal] and not cascade:
             raise ValueError(
                 f"cannot drop {name!r}: indexes depend on it "
                 f"({', '.join(sorted(deps))}) — use cascade=True")
         for i in deps:
             self._indexes.pop(i, None)
             self._index_sources.pop(i, None)
+            getattr(self, "_index_ddl", {}).pop(i, None)
+            internal.discard(i)
         self._tables.pop(name, None)
         for store in ("_pks", "_checks", "_comments", "_analyze_stats"):
             getattr(self, store, {}).pop(name, None)

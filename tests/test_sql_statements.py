@@ -95,7 +95,7 @@ def test_insert_on_conflict_nothing_and_replace(ss):
            "ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b, v = EXCLUDED.v")
     r = ss.sql("SELECT b, v FROM t WHERE a = 1").first()
     assert (r.b, r.v) == ("won", 7.0)
-    with pytest.raises(ValueError, match="full-row"):
+    with pytest.raises(NotImplementedError, match="full-row"):
         ss.sql("INSERT INTO t VALUES (1, 'x', 0.0) "
                "ON CONFLICT DO UPDATE SET b = 'literal'")
 
