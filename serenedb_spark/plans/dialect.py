@@ -182,6 +182,7 @@ def rewrite_generate_series(sql: str) -> str:
     column name defaults to PG's `generate_series`."""
     if "generate_series" not in sql.lower():
         return sql
+    k = [0]
 
     def repl(m: re.Match) -> str:
         args = [a.strip() for a in m.group(1).split(",")]
@@ -194,13 +195,16 @@ def rewrite_generate_series(sql: str) -> str:
         else:
             return m.group(0)
         alias = m.group(2) or m.group(4)
-        col = m.group(3) or "generate_series"
         if alias is not None and alias.lower() in _GS_KEYWORDS:
-            alias, col = None, "generate_series"
+            alias = None
             trailing = " " + (m.group(2) or m.group(4))
         else:
             trailing = ""
-        name = alias or "generate_series"
+        # PG names a set-returning function's single column after the
+        # bare table alias (`... AS iq` → column iq)
+        col = m.group(3) or alias or "generate_series"
+        k[0] += 1
+        name = alias or f"__gs{k[0]}"
         return (f"(SELECT id AS {col} FROM {rng}) AS {name}{trailing}")
 
     return _GENSERIES_RE.sub(repl, sql)
@@ -231,9 +235,44 @@ def rewrite_offset_limit(sql: str) -> str:
     return _OFFSET_LIMIT_RE.sub(r"LIMIT \2 OFFSET \1", sql)
 
 
+_PUBLIC_SCHEMA_RE = re.compile(r"\bpublic\.(?=[A-Za-z_])")
+
+
+def rewrite_public_schema(sql: str) -> str:
+    """Strip PG's default-schema qualifier (`public.t` → `t`) — the
+    session catalog is single-schema temp views."""
+    if "public." not in sql.lower():
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        m = _PUBLIC_SCHEMA_RE.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum()
+                                 or sql[i - 1] in "._")):
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
     lowered = rewrite_qualify(rewrite_fn_renames(
         rewrite_generate_series(rewrite_pg_casts(
-            rewrite_values_columns(rewrite_offset_limit(sql))))))
+            rewrite_values_columns(rewrite_offset_limit(
+                rewrite_public_schema(sql)))))))
     return spark.sql(lowered)

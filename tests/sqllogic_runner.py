@@ -54,7 +54,8 @@ def parse_file(path: str) -> list[Block]:
     while i < n:
         line = lines[i].strip()
         if not line or line.startswith("#") or \
-                line.startswith("hash-threshold"):
+                line.startswith("hash-threshold") or \
+                line.startswith("control substitution"):
             i += 1
             continue
         skipped = False
@@ -138,9 +139,15 @@ def run_file(ss, path: str) -> tuple[int, int]:
     """Run blocks until EOF or the first out-of-surface construct.
     Returns (blocks_passed, blocks_total_in_file). Any in-surface
     failure raises AssertionError with the block's file:line."""
+    import tempfile
+
     blocks = parse_file(path)
+    test_dir = tempfile.mkdtemp(prefix="sqllogic_")
     passed = 0
     for b in blocks:
+        # `control substitution on` variables (copy.test file paths)
+        b.sql = b.sql.replace("${__TEST_DIR__}", test_dir) \
+                     .replace("__TEST_DIR__", test_dir)
         # stoppers don't gate expect-error blocks: an out-of-surface
         # statement raises anyway, which is what the block asserts
         # (aborted_block.test's PREPARE/DEALLOCATE expect the 25P02 text)
@@ -190,8 +197,10 @@ def run_file(ss, path: str) -> tuple[int, int]:
             try:
                 if b.count is not None and re.match(
                         r"\s*(INSERT|DELETE)", b.sql, re.IGNORECASE):
-                    tbl = re.search(r"(?:INTO|FROM)\s+(\w+)", b.sql,
+                    tbl = re.search(r"(?:INTO|FROM)\s+([\w.]+)", b.sql,
                                     re.IGNORECASE).group(1)
+                    tbl = re.sub(r"^(public|main)\.", "", tbl,
+                                 flags=re.IGNORECASE)
                     before = ss.table(tbl).count()
                     for s in stmts:
                         ss.sql(s)

@@ -38,6 +38,24 @@ FILES = [
     ("any/pg/simple/join_errors.test", 2),
     ("any/pg/ddl/alter_table.test", 26),
     ("any/pg/ddl/alter_add_pk_unique.test", 13),
+    ("any/pg/ddl/alter_add_check.test", 6),
+    ("any/pg/ddl/drop_cascade_table.test", 9),
+    ("any/pg/ddl/drop_cascade_tables.test", 6),
+    ("any/pg/ddl/drop_cascade_views.test", 6),
+    ("any/pg/ddl/drop_cascade_view_relations.test", 4),
+    ("any/pg/ddl/drop_cascade_complex_graphs.test", 7),
+    ("any/pg/ddl/drop_cascade_edge.test", 2),
+    ("any/pg/txn/deferrable.test", 10),
+    ("any/pg/simple/table_without_pk.test", 29),
+    ("any/pg/simple/nullif.test", 11),
+    ("any/pg/simple/window_extra.test", 10),
+    ("any/pg/simple/multi_statement.test", 8),
+    ("any/pg/simple/sublink_errors.test", 2),
+    ("any/pg/simple/copy.test", 34),
+    ("sdb/pg/simple/copy_parquet.test", 35),
+    ("sdb/pg/simple/truncate.test", 41),
+    ("sdb/pg/simple/error_branding.test", 2),
+    ("sdb/pg/simple/groupby.test", 1),
     ("sdb/pg/simple/search_table.test", 164),
 ]
 
