@@ -233,6 +233,35 @@ def _ngram(n: int):
     return expr, py, duck
 
 
+def _ngram_range(lo: int, hi: int):
+    """Ranged character n-grams (mingram < maxgram): at each offset the
+    lengths lo..hi, in iresearch's position-then-length emission order
+    (ngram_token_stream.cpp)."""
+    def expr(col: Column) -> Column:
+        s = F.lower(col)
+        return F.flatten(F.transform(
+            _seq(1, F.length(s)),
+            lambda i: F.transform(
+                _seq(lo, F.least(F.lit(hi), F.length(s) - i + 1)),
+                lambda k: F.substring(s, i, k))))
+
+    def py(v: str) -> list[str]:
+        s = v.lower()
+        return [s[i:i + k]
+                for i in range(len(s))
+                for k in range(lo, min(hi, len(s) - i) + 1)]
+
+    def duck(e: str) -> str:
+        s = f"lower({e})"
+        inner = (f"list_transform(range({lo},"
+                 f" least({hi}, length({s}) - i + 1) + 1),"
+                 f" k -> substr({s}, CAST(i AS INT), CAST(k AS INT)))")
+        return (f"flatten(list_transform(range(1, length({s}) + 1),"
+                f" i -> {inner}))")
+
+    return expr, py, duck
+
+
 def _shingle(k: int):
     """Word k-shingles over simple tokens — the MinHash/near-dup unit."""
 
@@ -883,6 +912,14 @@ def _minhash(num_hashes: int, base: str = "simple"):
     return expr, py, duck
 
 
+#: wildcard-template analyzers: name -> (gram size, inner tokenizer name
+#: or None). The planner uses this to compile ts_like/ts_starts_with
+#: over gram indexes as anchored-gram claims + an exact LIKE verify
+#: (plans/planner._wildcard_gram_claim) — without it a gram term
+#: matching `sea%` would claim docs merely CONTAINING 'sea'.
+WILDCARD_META: dict[str, tuple[int, str | None]] = {}
+
+
 def _wildcard_grams(n: int = 3):
     """`wildcard` template (create_tsdictionary.cpp:771): boundary-marked
     character n-grams of the whole value ('$spark$' → $sp, spa, …, rk$) —
@@ -992,6 +1029,7 @@ _e, _p, _d = _minhash(4)
 register(Analyzer("minhash4", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _wildcard_grams(3)
 register(Analyzer("wildcard", _e, _p, _d, features=("frequency",)))
+WILDCARD_META["wildcard"] = (3, None)
 for _n in (2, 3, 4):
     _e, _p, _d = _ngram(_n)
     register(Analyzer(f"ngram{_n}", _e, _p, _d, features=("frequency",)))
@@ -1050,23 +1088,45 @@ def make_synonyms(name: str, mapping: dict[str, tuple[str, ...]],
 
 def make_union(name: str, parts: tuple[str, ...]) -> Analyzer:
     """`union` template (create_tsdictionary.cpp:697): run several
-    analyzers, concatenate their token streams."""
+    analyzers and MERGE their token streams by position — token i of
+    every member comes before token i+1 of any (union.test:
+    delimiter+keyword over 'hello world' → {hello,"hello world",world})."""
     ans = [get_analyzer(p) for p in parts]
 
     def expr(col: Column) -> Column:
-        out = ans[0].expr(col)
-        for a in ans[1:]:
-            out = F.concat(out, a.expr(col))
-        return out
+        streams = F.array(*[a.expr(col) for a in ans])
+        return _bind(streams, lambda ms: F.filter(
+            F.flatten(F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.greatest(*[F.size(F.element_at(ms, i + 1))
+                                 for i in range(len(ans))], F.lit(1))),
+                lambda i: F.transform(
+                    F.sequence(F.lit(1), F.lit(len(ans))),
+                    # F.get is 0-based and NULL on out-of-range (ANSI
+                    # element_at would throw past a member's end)
+                    lambda m: F.get(F.element_at(ms, m), i - 1)))),
+            lambda t: t.isNotNull()))
 
     def py(s: str) -> list[str]:
+        streams = [a.tokens(s) for a in ans]
         out = []
-        for a in ans:
-            out.extend(a.tokens(s))
+        for i in range(max(len(st) for st in streams) if streams else 0):
+            for st in streams:
+                if i < len(st):
+                    out.append(st[i])
         return out
 
     def duck(e: str) -> str:
-        return " || ".join(a.duckdb(e) for a in ans)
+        members = ", ".join(a.duckdb(e) for a in ans)
+        picks = ", ".join(f"ms[{m + 1}][CAST(i AS INT)]"
+                          for m in range(len(ans)))
+        lens = ", ".join(f"len(ms[{m + 1}])" for m in range(len(ans)))
+        return (
+            f"list_transform([[{members}]], ms -> list_filter("
+            f"flatten(list_transform(range(1, greatest({lens}, 1) + 1),"
+            f" i -> [{picks}])), t -> t IS NOT NULL))[1]"
+        )
 
     return register(Analyzer(name, expr, py, duck, features=("frequency",)))
 
@@ -1205,33 +1265,376 @@ for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv", "da", "no",
     register(Analyzer(f"text_{_lc}", _e, _p, _d))
 
 
+def _porter2_text():
+    """English joins the locale family with the REAL Porter2 snowball
+    (analysis/porter2.py, tri-path): lowercase word split, English
+    stopword removal, porter2 per token. The legacy `text` analyzer
+    keeps the documented S-stemmer subset for back-compat; `text_en` is
+    the reference-faithful one (create_tsdictionary.cpp:255-340)."""
+    from serenedb_spark.analysis import porter2 as P2
+
+    stop_sql = _STOP_SQL
+
+    def expr(col: Column) -> Column:
+        return P2.stem_expr_list(_nostem_text_expr(col))
+
+    def py(s: str) -> list[str]:
+        return [P2.stem_py(t) for t in _nostem_text_py(s)]
+
+    def duck(e: str) -> str:
+        return P2.stem_sql_list(_nostem_text_duckdb(e))
+
+    return expr, py, duck
+
+
+_e, _p, _d = _porter2_text()
+register(Analyzer("text_en", _e, _p, _d))
+
+
+#: uppercase mirror of the accent-fold map (text template with
+#: case='none'/'upper' must still fold when accent=false)
+_ACC_U_FROM = "ÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝŸÑÇŠŽĀĒĪŌŪ"
+_ACC_U_TO = "AAAAAAEEEEIIIIOOOOOUUUUYYNCSZAEIOU"
+_ACC_ALL_FROM = _ACCENTS_FROM + _ACC_U_FROM
+_ACC_ALL_TO = _ACCENTS_TO + _ACC_U_TO
+
+
+#: word characters for the segmentation/text splitters (ASCII + the
+#:  latin accent range the fold map covers)
+_WORD_CLASS = "a-zA-Z0-9À-ɏ"
+
+
+def _segmentation_config(case: str, brk: str):
+    """`segmentation` template with the documented break modes
+    (create_text_search_dictionary/segmentation.test):
+      alpha   — alphanumeric runs only ('fox-trot.' → fox, trot)
+      all     — every segment, whitespace and punctuation included
+      graphic — visible segments only (punctuation yes, whitespace no)
+    `case` transforms the whole value first ('lower'/'upper'/'none')."""
+    if brk == "alpha":
+        pat = f"[{_WORD_CLASS}]+"
+    elif brk == "all":
+        pat = f"[{_WORD_CLASS}]+|[\\s\\S]"
+    else:  # graphic
+        pat = f"[{_WORD_CLASS}]+|[^\\s]"
+
+    def xform_py(s: str) -> str:
+        return (s.lower() if case == "lower"
+                else s.upper() if case == "upper" else s)
+
+    def expr(col: Column) -> Column:
+        v = (F.lower(col) if case == "lower"
+             else F.upper(col) if case == "upper" else col)
+        return F.regexp_extract_all(v, F.lit(pat))
+
+    def py(s: str) -> list[str]:
+        return re.findall(pat, xform_py(s), flags=re.DOTALL)
+
+    def duck(e: str) -> str:
+        v = (f"lower({e})" if case == "lower"
+             else f"upper({e})" if case == "upper" else e)
+        return f"regexp_extract_all({v}, '{pat}')"
+
+    return expr, py, duck
+
+
+def _as_bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() in ("true", "on", "1", "yes")
+
+
+def _stem_single(locale: str):
+    """`stem` template (stem.test): the whole value, lowercased, stemmed
+    as ONE token — no word split (ts_lexize('stem_dict','running') →
+    {run})."""
+    from serenedb_spark.analysis import snowball as SB
+
+    if locale == "en":
+        from serenedb_spark.analysis import porter2 as P2
+
+        def expr(col: Column) -> Column:
+            return F.array(P2.stem_expr(F.lower(col)))
+
+        def py(s: str) -> list[str]:
+            return [P2.stem_py(s.lower())]
+
+        def duck(e: str) -> str:
+            return f"[{P2.stem_sql(f'lower({e})')}]"
+
+        return expr, py, duck
+    loc = SB.LOCALES.get(locale)
+    if loc is None:
+        raise ValueError(f"no stemmer for locale {locale!r}")
+
+    def expr(col: Column) -> Column:
+        return SB.stem_expr_list(loc, F.array(F.lower(col)))
+
+    def py(s: str) -> list[str]:
+        return [SB.stem_py(loc, s.lower())]
+
+    def duck(e: str) -> str:
+        return SB.stem_sql_list(loc, f"[lower({e})]")
+
+    return expr, py, duck
+
+
+def _parse_stoplist(val, hex_: bool = False) -> tuple[str, ...]:
+    """stopwords option value: `'"the","a","an"'` (stopwords.test); with
+    HEX=true each entry is the utf-8 hex of the word."""
+    items = [w.strip().strip('"') for w in str(val).split(",")
+             if w.strip()]
+    if hex_:
+        items = [bytes.fromhex(w).decode("utf-8") for w in items]
+    return tuple(items)
+
+
+def _text_config(locale: str, case: str, accent: bool, stemming: bool,
+                 stops: tuple[str, ...], lo: int | None, hi: int | None,
+                 preserve: bool):
+    """The reference `text` template's full option set
+    (tokenizer_options.h:88-140; site_docs create_text_search_dictionary/
+    text.test): word split → case transform → accent fold (accent=false)
+    → stopword filter → per-locale stemming → optional per-token edge
+    grams (mingram/maxgram [+ PRESERVEORIGINAL]). English stemming uses
+    the repo's documented S-stemmer subset; other locales run the
+    declarative snowball tables."""
+    from serenedb_spark.analysis import snowball as SB
+
+    loc = SB.LOCALES.get(locale) if stemming and locale != "en" else None
+    if stemming and locale != "en" and loc is None:
+        raise ValueError(f"no stemmer for locale {locale!r}")
+    tr = str.maketrans(_ACC_ALL_FROM, _ACC_ALL_TO)
+    sset = set(stops)
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in stops) + "]"
+
+    def expr(col: Column) -> Column:
+        s = (F.lower(col) if case == "lower"
+             else F.upper(col) if case == "upper" else col)
+        toks = F.filter(F.split(s, _UNI_SPLIT_JVM),
+                        lambda t: t != F.lit(""))
+        if not accent:
+            toks = F.transform(
+                toks, lambda t: F.translate(t, _ACC_ALL_FROM, _ACC_ALL_TO))
+        if stops:
+            stopc = F.array(*[F.lit(w) for w in stops])
+            toks = F.filter(toks, lambda t: ~F.array_contains(stopc, t))
+        if stemming:
+            if locale == "en":
+                from serenedb_spark.analysis import porter2 as P2
+                toks = P2.stem_expr_list(toks)
+            else:
+                toks = SB.stem_expr_list(loc, toks)
+        if lo is not None:
+            def grams(t: Column) -> Column:
+                g = F.transform(_seq(lo, F.least(F.lit(hi), F.length(t))),
+                                lambda i: t.substr(F.lit(1), i))
+                if not preserve:
+                    return g
+                extra = ((F.length(t) > F.lit(hi))
+                         | (F.length(t) < F.lit(lo)))
+                return F.when(extra, F.concat(g, F.array(t))).otherwise(g)
+            toks = F.array_distinct(F.flatten(F.transform(toks, grams)))
+        return toks
+
+    def py(s: str) -> list[str]:
+        v = s.lower() if case == "lower" else (
+            s.upper() if case == "upper" else s)
+        toks = [t for t in re.split(_UNI_SPLIT_PY, v) if t]
+        if not accent:
+            toks = [t.translate(tr) for t in toks]
+        if stops:
+            toks = [t for t in toks if t not in sset]
+        if stemming:
+            if locale == "en":
+                from serenedb_spark.analysis import porter2 as P2
+                toks = [P2.stem_py(t) for t in toks]
+            else:
+                toks = [SB.stem_py(loc, t) for t in toks]
+        if lo is not None:
+            out: list[str] = []
+            for t in toks:
+                g = [t[:i] for i in range(lo, min(hi, len(t)) + 1)]
+                if preserve and (len(t) > hi or len(t) < lo):
+                    g.append(t)
+                out.extend(g)
+            seen: set[str] = set()
+            toks = [t for t in out
+                    if not (t in seen or seen.add(t))]
+        return toks
+
+    def duck(e: str) -> str:
+        v = (f"lower({e})" if case == "lower"
+             else f"upper({e})" if case == "upper" else e)
+        out = (f"list_filter(regexp_split_to_array({v},"
+               f" '{_UNI_SPLIT_JVM}'), t -> t <> '')")
+        if not accent:
+            out = (f"list_transform({out}, t -> translate(t,"
+                   f" '{_ACC_ALL_FROM}', '{_ACC_ALL_TO}'))")
+        if stops:
+            out = (f"list_filter({out},"
+                   f" t -> NOT list_contains({stop_sql}, t))")
+        if stemming:
+            if locale == "en":
+                from serenedb_spark.analysis import porter2 as P2
+                out = P2.stem_sql_list(out)
+            else:
+                out = SB.stem_sql_list(loc, out)
+        if lo is not None:
+            g = (f"list_transform(range({lo},"
+                 f" least({hi}, length(t)) + 1),"
+                 f" i -> substr(t, 1, CAST(i AS INT)))")
+            if preserve:
+                g = (f"CASE WHEN length(t) > {hi} OR length(t) < {lo}"
+                     f" THEN {g} || [t] ELSE {g} END")
+            flat = f"flatten(list_transform({out}, t -> {g}))"
+            out = (f"list_filter({flat},"
+                   f" (t, i) -> list_position({flat}, t) = i)")
+        return out
+
+    return expr, py, duck
+
+
+def _stopwords_template(stops: tuple[str, ...]):
+    """`stopwords` template: the whole value is one token unless it is a
+    stopword (stopwords.test ts_lexize('stop_filter','the') → {})."""
+    sset = set(stops)
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in stops) + "]"
+
+    def expr(col: Column) -> Column:
+        return F.when(col.isin(*stops) if stops else F.lit(False),
+                      F.array().cast("array<string>")) \
+            .otherwise(F.array(col))
+
+    def py(s: str) -> list[str]:
+        return [] if s in sset else [s]
+
+    def duck(e: str) -> str:
+        return (f"CASE WHEN list_contains({stop_sql}, {e}) THEN"
+                f" CAST([] AS VARCHAR[]) ELSE [{e}] END")
+
+    return expr, py, duck
+
+
+def _replace_synonyms(mapping: dict[str, tuple[str, ...]],
+                      empty_on_miss: bool = False):
+    """Replacement-style synonym lookup over the whole value: solr groups
+    expand to the sorted group (solr-synonyms.test); wordnet tokens map
+    to their synset ids, unknown → {} (wordnet-synonyms.test)."""
+    items = sorted(mapping.items())
+
+    def py(s: str) -> list[str]:
+        hit = mapping.get(s)
+        if hit is not None:
+            return list(hit)
+        return [] if empty_on_miss else [s]
+
+    def expr(col: Column) -> Column:
+        miss = (F.array().cast("array<string>") if empty_on_miss
+                else F.array(col))
+        out = miss
+        for w, syns in items:
+            out = F.when(col == F.lit(w),
+                         F.array(*[F.lit(x) for x in syns])).otherwise(out)
+        return out
+
+    def duck(e: str) -> str:
+        miss = "CAST([] AS VARCHAR[])" if empty_on_miss else f"[{e}]"
+        out = miss
+        for w, syns in items:
+            lits = ", ".join("'" + x.replace("'", "''") + "'"
+                             for x in syns)
+            out = (f"CASE WHEN {e} = '{w}' THEN [{lits}]"
+                   f" ELSE {out} END")
+        return out
+
+    return expr, py, duck
+
+
+def _parse_solr_synonyms(text: str) -> dict[str, tuple[str, ...]]:
+    """Solr synonym lines: `a, b, c` = bidirectional group (each maps to
+    the sorted full group); `x => y[, z]` maps left side to the right."""
+    mapping: dict[str, tuple[str, ...]] = {}
+    for line in str(text).splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        if "=>" in line:
+            lhs, rhs = line.split("=>", 1)
+            rights = tuple(sorted(w.strip() for w in rhs.split(",")
+                                  if w.strip()))
+            for w in lhs.split(","):
+                if w.strip():
+                    mapping[w.strip()] = rights
+        else:
+            group = tuple(sorted(w.strip() for w in line.split(",")
+                                 if w.strip()))
+            for w in group:
+                mapping[w] = group
+    return mapping
+
+
+def _parse_wordnet_synonyms(text: str) -> dict[str, tuple[str, ...]]:
+    """WordNet prolog `s(synset_id, ord, 'word', pos, ...)` records:
+    each word maps to the synset ids containing it."""
+    mapping: dict[str, list[str]] = {}
+    for m in re.finditer(r"s\(\s*(\d+)\s*,\s*\d+\s*,\s*'([^']*)'", str(text)):
+        mapping.setdefault(m.group(2), []).append(m.group(1))
+    return {w: tuple(sorted(set(ids))) for w, ids in mapping.items()}
+
+
+def _compose_flatmap(parent: Analyzer, step: Analyzer):
+    """Pipeline composition: the step analyzer re-tokenizes each of the
+    parent's tokens; empty step output drops the token (stopword steps)."""
+    def expr(col: Column) -> Column:
+        return F.flatten(F.transform(parent.expr(col),
+                                     lambda t: step.expr(t)))
+
+    def py(s: str) -> list[str]:
+        return [u for t in parent.tokens(s) for u in step.tokens(t)]
+
+    def duck(e: str) -> str:
+        return (f"flatten(list_transform({parent.duckdb(e)},"
+                f" t -> {step.duckdb('t')}))")
+
+    return expr, py, duck
+
+
+def _sub_opts(opts: dict, prefix: str) -> dict:
+    keys = [k for k in list(opts) if k.startswith(prefix)]
+    return {k[len(prefix):]: opts.pop(k) for k in keys}
+
+
 def create_dictionary(name: str, template: str, **opts) -> Analyzer:
     """CREATE TEXT SEARCH DICTIONARY — instantiate a template with
     options and register it under ``name`` (reference
     create_tsdictionary.cpp: template + option grammar; demo3's
-    `imdb_fts_ngram(template='ngram', mingram=3, maxgram=3, ...)`).
+    `imdb_fts_ngram(template='ngram', mingram=3, maxgram=3, ...)`;
+    the full option set of site_docs/sql/statements/
+    create_text_search_dictionary/: text case/stemming/accent/stopwords/
+    mingram/maxgram, stem locale, stopwords [+HEX], pipeline stepN_*,
+    union tokenizerN_*, wildcard ngramsize + tokenizer_*, solr_synonyms /
+    wordnet_synonyms inline synonym text).
 
     Options consumed per template; `frequency`/`position`/
     `preserveoriginal` map to the Analyzer feature flags. Unknown
     templates or unsupported option combinations raise — never a silent
     fallback analyzer."""
+    opts = {k.lower(): v for k, v in opts.items()}
     tpl = template.lower()
     feats = tuple(
         f for f, on in (
             ("frequency", opts.pop("frequency", True)),
             ("position", opts.pop("position", True)),
             ("norm", opts.pop("norm", False)),
+            ("offset", opts.pop("offset", False)),
         ) if on)
-    opts.pop("preserveoriginal", None)  # accepted, not yet meaningful
+    preserve = bool(opts.pop("preserveoriginal", False))
 
     if tpl == "ngram":
         lo = int(opts.pop("mingram", 3))
         hi = int(opts.pop("maxgram", lo))
-        if lo != hi:
-            raise ValueError(
-                "ngram template: mingram != maxgram is not supported — "
-                "use template='edge_ngram' for ranged prefix grams")
-        e, p, d = _ngram(lo)
+        e, p, d = _ngram(lo) if lo == hi else _ngram_range(lo, hi)
     elif tpl == "edge_ngram":
         e, p, d = _edge_ngram(int(opts.pop("mingram", 2)),
                               int(opts.pop("maxgram", 6)))
@@ -1249,12 +1652,79 @@ def create_dictionary(name: str, template: str, **opts) -> Analyzer:
     elif tpl == "sparse_ngram":
         e, p, d = _sparse_ngram(int(opts.pop("n", 3)))
     elif tpl == "segmentation":
-        e, p, d = _segmentation()
+        case = str(opts.pop("case", "none")).lower()
+        brk = str(opts.pop("break", "alpha")).lower()
+        if brk not in ("alpha", "all", "graphic"):
+            raise ValueError(f"segmentation: unknown break {brk!r}")
+        e, p, d = _segmentation_config(case, brk)
     elif tpl == "text":
         locale = str(opts.pop("locale", "en")).split("_")[0].split(".")[0]
-        src = get_analyzer("text" if locale == "en" else f"text_{locale}")
-        e, p, d = src._expr, src._py, src._duckdb
+        configured = any(k in opts for k in (
+            "case", "stemming", "accent", "stopwords", "mingram",
+            "maxgram")) or preserve
+        if configured:
+            case = str(opts.pop("case", "lower")).lower()
+            lo = opts.pop("mingram", None)
+            hi = opts.pop("maxgram", lo)
+            lo = int(lo) if lo is not None else None
+            hi = int(hi) if hi is not None else lo
+            # stemming defaults ON like the bare template, except in the
+            # gram (autocomplete) form where grams of stems would be
+            # surprising (text.test example_003 pairs grams with case
+            # only)
+            stemming = _as_bool(opts.pop("stemming", lo is None))
+            accent = _as_bool(opts.pop("accent", False))
+            stops = _parse_stoplist(opts.pop("stopwords", ""),
+                                    _as_bool(opts.pop("hex", False)))
+            e, p, d = _text_config(locale, case, accent, stemming, stops,
+                                   lo, hi, preserve)
+        else:
+            src = get_analyzer(
+                "text" if locale == "en" else f"text_{locale}")
+            e, p, d = src._expr, src._py, src._duckdb
+    elif tpl == "stem":
+        locale = str(opts.pop("locale", "en")).split("_")[0].split(".")[0]
+        e, p, d = _stem_single(locale)
+    elif tpl == "stopwords":
+        stops = _parse_stoplist(opts.pop("stopwords", ""),
+                                _as_bool(opts.pop("hex", False)))
+        e, p, d = _stopwords_template(stops)
+    elif tpl == "union":
+        parts = []
+        i = 1
+        while any(k.startswith(f"tokenizer{i}_") for k in opts):
+            sub = _sub_opts(opts, f"tokenizer{i}_")
+            stpl = sub.pop("template", "keyword")
+            parts.append(create_dictionary(
+                f"{name}__t{i}", str(stpl), **sub).name)
+            i += 1
+        if not parts:
+            raise ValueError("union template needs tokenizerN_template")
+        a = make_union(name, tuple(parts))
+        if opts:
+            raise ValueError(f"unknown options for {template!r}: {opts}")
+        return a
     elif tpl == "pipeline":
+        if any(k.startswith("step1_") for k in opts):
+            steps = []
+            i = 1
+            while any(k.startswith(f"step{i}_") for k in opts):
+                sub = _sub_opts(opts, f"step{i}_")
+                stpl = sub.pop("template", "keyword")
+                steps.append(create_dictionary(
+                    f"{name}__s{i}", str(stpl), **sub))
+                i += 1
+            if opts:
+                raise ValueError(
+                    f"unknown options for {template!r}: {opts}")
+            a = steps[0]
+            for step in steps[1:]:
+                e, p, d = _compose_flatmap(a, step)
+                a = Analyzer(name, e, p, d, features=feats)
+            if a.name != name:  # single-step pipeline: rename
+                a = Analyzer(name, a._expr, a._py, a._duckdb,
+                             features=feats)
+            return register(a)
         base = str(opts.pop("base", "simple"))
         filters = opts.pop("filters", "")
         if isinstance(filters, str):
@@ -1263,8 +1733,34 @@ def create_dictionary(name: str, template: str, **opts) -> Analyzer:
         if opts:
             raise ValueError(f"unknown options for {template!r}: {opts}")
         return a
-    elif tpl in ("keyword", "simple", "norm", "collation", "stem",
-                 "geopoint", "geojson", "wildcard"):
+    elif tpl == "wildcard":
+        n = int(opts.pop("ngramsize", 3))
+        sub = _sub_opts(opts, "tokenizer_")
+        e, p, d = _wildcard_grams(n)
+        inner_name = None
+        if sub:
+            stpl = sub.pop("template", "keyword")
+            inner = create_dictionary(f"{name}__tok", str(stpl), **sub)
+            inner_name = inner.name
+            grams = Analyzer(f"{name}__grams", e, p, d)
+            e, p, d = _compose_flatmap(inner, grams)
+        WILDCARD_META[name] = (n, inner_name)
+    elif tpl == "solr_synonyms":
+        mapping = _parse_solr_synonyms(opts.pop("synonyms", ""))
+        e, p, d = _replace_synonyms(mapping, empty_on_miss=False)
+    elif tpl == "wordnet_synonyms":
+        mapping = _parse_wordnet_synonyms(opts.pop("synonyms", ""))
+        e, p, d = _replace_synonyms(mapping, empty_on_miss=True)
+    elif tpl == "norm" and opts:
+        # norm with options (pipeline/index.test): case-transform +
+        # accent fold + word split — the configurable text path with
+        # stemming off and accent folding on
+        opts.pop("locale", None)
+        case = str(opts.pop("case", "lower")).lower()
+        e, p, d = _text_config("en", case, False, False, (), None, None,
+                               False)
+    elif tpl in ("keyword", "simple", "norm", "collation",
+                 "geopoint", "geojson"):
         src = get_analyzer(tpl)
         e, p, d = src._expr, src._py, src._duckdb
     else:

@@ -138,6 +138,55 @@ def is_pure_disjunction(node: q.TSQuery) -> bool:
     return False
 
 
+def _wildcard_gram_claim(idx: InvertedIndex, field: str, node: q.TSQuery,
+                         boost: float) -> "CompiledQuery | None":
+    """ts_like / ts_starts_with over a WILDCARD-template index
+    (create_tsdictionary.cpp:771; site_docs create_text_search_dictionary/
+    wildcard.test): the index terms are boundary-marked value grams, so
+    the pattern compiles to an AND over the anchored grams of its literal
+    runs (the Lucene wildcard-over-ngrams prefilter) followed by an EXACT
+    LIKE verify against the docstore column — a gram term matching
+    'sea%' must not claim docs merely containing 'sea'."""
+    import re as _re
+
+    from serenedb_spark.analysis.analyzers import (WILDCARD_META,
+                                                   get_analyzer)
+
+    meta = WILDCARD_META.get(idx.fields.get(field))
+    if meta is None:
+        return None
+    n, inner = meta
+    pat = (node.pattern if isinstance(node, q.Wildcard)
+           else node.prefix + "%").lower()
+    dec = (("" if pat.startswith(("%", "_")) else "$") + pat
+           + ("" if pat.endswith("%") or pat.endswith("_") else "$"))
+    runs = [r for r in _re.split(r"[%_]", dec) if r]
+    grams = list(dict.fromkeys(
+        g for r in runs for g in
+        (r[i:i + n] for i in range(len(r) - n + 1))))
+    if grams:
+        claim = (
+            _postings_for_terms(idx, field, grams)
+            .groupBy("doc_id")
+            .agg(F.count_distinct("term").alias("m"))
+            .where(F.col("m") >= len(grams))
+            .select("doc_id")
+        )
+    else:  # pattern too short for any gram: verify over the field's docs
+        claim = idx.universe.where(F.col("field") == field) \
+            .select("doc_id")
+    store = idx.docstore.join(claim, "doc_id", "left_semi")
+    if inner is None:
+        ok = F.lower(F.col(field)).like(pat)
+    else:
+        ia = get_analyzer(inner)
+        ok = F.exists(ia.expr(F.lower(F.col(field))),
+                      lambda t: t.like(pat))
+    docs = store.where(ok).select("doc_id")
+    tdf = _terms_df(idx, grams).withColumn("boost", F.lit(boost))
+    return CompiledQuery(docs, tdf)
+
+
 def compile_query(
     idx: InvertedIndex, field: str, node: q.TSQuery, boost: float = 1.0
 ) -> CompiledQuery:
@@ -201,6 +250,11 @@ def compile_query(
             "boost", F.lit(boost)
         )
         return CompiledQuery(docs, tdf)
+
+    if isinstance(node, (q.Prefix, q.Wildcard)):
+        wc = _wildcard_gram_claim(idx, field, node, boost)
+        if wc is not None:
+            return wc
 
     if isinstance(node, (q.Prefix, q.Wildcard, q.Regexp, q.Fuzzy, q.Between)):
         terms = _expand(idx, field, node)

@@ -903,6 +903,10 @@ def has_search_construct(sql: str) -> bool:
            or (t.kind == "IDENT" and t.text.lower().startswith("ts_dict_"))
            for t in toks):
         return True
+    # FROM-less ts_lexize/ts_tokenize inspection (session._scalar_ts_lexize)
+    if (len(toks) >= 2 and toks[0].upper == "SELECT"
+            and toks[1].upper in ("TS_LEXIZE", "TS_TOKENIZE")):
+        return True
     if any(t.text.lower() == "inverted" and i > 0
            and toks[i - 1].upper == "USING"
            for i, t in enumerate(toks)):

@@ -2641,7 +2641,9 @@ def _register_locale_stemmed() -> None:
             O.match_sql(_DOC_TABLE, _DOC_COL, f"text_{lc}", q.Term(term),
                         order="doc_id"))
 
-    for _lc in ("de", "fr", "es", "ru", "it", "pt", "nl", "sv",
+    # en included: the REAL Porter2 snowball (analysis/porter2.py) —
+    # 'table' stems to 'tabl' in all three representations
+    for _lc in ("en", "de", "fr", "es", "ru", "it", "pt", "nl", "sv",
                 "da", "no", "fi", "hu", "tr", "ro", "el",
                 "lt", "id", "ga"):
         make(_lc, "table")
@@ -5654,6 +5656,7 @@ _GATE_WINDOW = [
     "fts_sql_union", "fts_sql_intersect_precedence", "fts_sql_except",
     "fts_sql_in_subquery",
     "sql_dml_lifecycle", "sql_txn_rollback", "sql_search_dml",
+    "fts_stemmed_term_en",
     "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
     "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
     "fts_sql_dict", "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",

@@ -183,6 +183,9 @@ class SereneSession:
             q, self._run_select, self.spark)
         if changed:
             return self._run_select(new_q)
+        scalar = self._scalar_ts_lexize(q)
+        if scalar is not None:
+            return scalar
         td = SS.parse_ts_dict(q)
         if td is not None:
             return SS.execute_ts_dict(td, self._index_for)
@@ -286,6 +289,39 @@ class SereneSession:
                 lines.append(f"  Top-K: {stmt.limit}")
             blocks.append("\n".join(lines))
         return "\n".join(blocks)
+
+    def _scalar_ts_lexize(self, q: str) -> DataFrame | None:
+        """FROM-less ``SELECT ts_lexize('dict', 'text')`` (reference
+        site_docs create_text_search_dictionary/*.test — the documented
+        way to inspect an analyzer): literal args, evaluated through the
+        dictionary's python tokenizer path, one row back under PG's
+        function-name column."""
+        from serenedb_spark.plans import search_sql as SS
+
+        toks = SS.tokenize(q.strip().rstrip(";"))
+        if (len(toks) < 7 or toks[0].upper != "SELECT"
+                or toks[1].upper not in ("TS_LEXIZE", "TS_TOKENIZE")
+                or toks[2].text != "("
+                or toks[3].kind != "STR" or toks[4].text != ","
+                or toks[5].kind != "STR" or toks[6].text != ")"):
+            return None
+        rest = toks[7:]
+        alias = None
+        if rest and rest[0].upper == "AS" and len(rest) == 2:
+            alias = rest[1].text
+        elif rest:
+            return None
+        from pyspark.sql.types import (ArrayType, StringType, StructField,
+                                       StructType)
+
+        from serenedb_spark.analysis.analyzers import get_analyzer
+
+        fn = toks[1].text.lower()
+        an = get_analyzer(toks[3].text[1:-1].replace("''", "'"))
+        tokens = an.tokens(toks[5].text[1:-1].replace("''", "'"))
+        schema = StructType([StructField(alias or fn,
+                                         ArrayType(StringType()))])
+        return self.spark.createDataFrame([(list(tokens),)], schema)
 
     def _create_inverted_index_sql(self, ddl, internal: bool = False
                                    ) -> DataFrame:

@@ -109,8 +109,15 @@ def _norm_cell(v) -> str:
         return "f"
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
-    if isinstance(v, list):  # PG array text form
-        return "{" + ",".join(_norm_cell(x) for x in v) + "}"
+    if isinstance(v, list):  # PG array text form (quotes spacey cells)
+        def cell(x) -> str:
+            c = _norm_cell(x)
+            if x is not None and isinstance(x, str) and (
+                    c == "" or any(ch in c for ch in ' ,{}"\\')):
+                return '"' + c.replace("\\", "\\\\") \
+                    .replace('"', '\\"') + '"'
+            return c
+        return "{" + ",".join(cell(x) for x in v) + "}"
     return str(v)
 
 

@@ -57,6 +57,28 @@ FILES = [
     ("sdb/pg/simple/error_branding.test", 2),
     ("sdb/pg/simple/groupby.test", 1),
     ("sdb/pg/simple/search_table.test", 164),
+    # the documented analyzer-configuration surface, byte-exact
+    # (ts_lexize outputs incl. Porter2 stemming — analysis/porter2.py)
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/index.test", 7),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/text.test", 12),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/stem.test", 4),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/stopwords.test", 6),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/union.test", 4),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/solr-synonyms.test", 5),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/wordnet-synonyms.test", 4),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/wildcard.test", 7),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/segmentation.test", 6),
+    ("sdb/pg/site_docs/sql/statements/"
+     "create_text_search_dictionary/pipeline/index.test", 8),
 ]
 
 pytestmark = pytest.mark.skipif(
