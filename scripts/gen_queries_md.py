@@ -44,6 +44,8 @@ FAMILIES = [
      lambda n: n.startswith("cookbook_")),
     ("Dynamic SQL + catalog introspection",
      lambda n: n.startswith("query_table_") or n == "pg_catalog_introspection"),
+    ("Statement-level SQL door (DML / txn / search DML as SQL text)",
+     lambda n: n.startswith("sql_")),
 ]
 
 

@@ -347,7 +347,11 @@ def _txn(session, kw: str) -> DataFrame:
 
 
 def _set(session, s: str) -> DataFrame | None:
-    ts = _Stream(tokenize(s))
+    try:
+        toks = tokenize(s)
+    except ValueError:
+        return None  # PG-quoted values we don't tokenize: Spark's SET
+    ts = _Stream(toks)
     ts.expect("SET")
     if ts.peek() and ts.peek().upper in ("LOCAL", "SESSION"):
         ts.next()
@@ -1319,7 +1323,7 @@ def _rename_table(session, old: str, new: str) -> None:
     session._tables[new] = session._tables.pop(old)
     for store in ("_pks", "_checks", "_comments", "_analyze_stats",
                   "_col_defaults", "_not_null", "_col_masks",
-                  "_row_policies", "_storage"):
+                  "_row_policies", "_storage", "_generated", "_uniques"):
         d = getattr(session, store, None)
         if isinstance(d, dict) and old in d:
             d[new] = d.pop(old)

@@ -5666,6 +5666,8 @@ _GATE_WINDOW = [
     "fts_tsquery_parse", "fts_websearch",
     # asof_join's window ordering gained the tie_break key path
     "events_asof_join", "events_asof_agg",
+    # the planner's Wildcard/Prefix leaf gained the wildcard-gram branch
+    "fts_wildcard", "fts_prefix",
     # snowball interpreters gained prefix rounds + min_vowels branches
     "fts_stemmed_term_de", "fts_stemmed_term_ru",
     # install_pg_catalog grew tranche 3

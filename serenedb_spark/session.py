@@ -1699,7 +1699,9 @@ class SereneSession:
             getattr(self, "_index_ddl", {}).pop(i, None)
             internal.discard(i)
         self._tables.pop(name, None)
-        for store in ("_pks", "_checks", "_comments", "_analyze_stats"):
+        for store in ("_pks", "_checks", "_comments", "_analyze_stats",
+                      "_col_defaults", "_not_null", "_generated",
+                      "_uniques", "_storage"):
             getattr(self, store, {}).pop(name, None)
         getattr(self, "_col_masks", {}).pop(name, None)
         self._row_policies.pop(name, None)
