@@ -44,13 +44,28 @@ class SequenceCatalog:
         os.replace(tmp, self._path)  # the commit point
 
     # ---- DDL -------------------------------------------------------------
-    def create(self, name: str, start: int = 1, increment: int = 1,
+    def create(self, name: str, start: int | None = None,
+               increment: int = 1,
                minvalue: int | None = None, maxvalue: int | None = None,
                cycle: bool = False) -> None:
         if name in self._seqs:
             raise ValueError(f"sequence {name!r} already exists")
+        if start is None:  # PG: START defaults to MIN (asc) / MAX (desc)
+            start = (minvalue if increment > 0 and minvalue is not None
+                     else maxvalue if increment < 0 and maxvalue
+                     is not None else 1 if increment > 0 else -1)
         if increment == 0:
             raise ValueError("increment must be nonzero")
+        if minvalue is not None and maxvalue is not None \
+                and minvalue >= maxvalue:
+            raise ValueError(
+                f"sequence {name!r}: MINVALUE ({minvalue}) must be less "
+                f"than MAXVALUE ({maxvalue})")
+        if (minvalue is not None and start < minvalue) or \
+                (maxvalue is not None and start > maxvalue):
+            raise ValueError(
+                f"sequence {name!r}: START {start} is outside "
+                f"[{minvalue}, {maxvalue}]")
         self._seqs[name] = {
             "next": start, "increment": increment, "start": start,
             "min": minvalue, "max": maxvalue, "cycle": cycle,
@@ -63,6 +78,26 @@ class SequenceCatalog:
         self._commit()
 
     # ---- the four PG functions ------------------------------------------
+    def _wrap_params(self, name: str) -> tuple[int, int] | None:
+        """(anchor, k) when the sequence CYCLES over a finite range:
+        PG restarts at MIN (asc) / MAX (desc) when the next value would
+        pass the bound, so the value stream is periodic with period k =
+        values per sweep — value(j) = anchor + (j mod k) * increment
+        (sequence.test: inc 3, 1..10 CYCLE → 1,4,7,10,1,...)."""
+        s = self._seqs[name]
+        inc, hi, lo = s["increment"], s["max"], s["min"]
+        if not s["cycle"]:
+            return None
+        if inc > 0 and hi is not None:
+            anchor = lo if lo is not None else 1
+        elif inc < 0 and lo is not None:
+            anchor = hi if hi is not None else -1
+        else:
+            return None
+        limit = hi if inc > 0 else lo
+        k = (limit - anchor) // inc + 1
+        return (anchor, k) if k > 0 else None
+
     def nextval(self, name: str, n: int = 1) -> int:
         """Advance by n steps, return the FIRST allocated value (n > 1 is
         the block-reserve form used by assign_sequence)."""
@@ -71,16 +106,27 @@ class SequenceCatalog:
         inc = s["increment"]
         last = first + inc * (n - 1)
         hi, lo = s["max"], s["min"]
+        wrap = self._wrap_params(name)
+        if wrap is not None:
+            anchor, k = wrap
+            over = (inc > 0 and first > hi) or (inc < 0 and first < lo)
+            if over:
+                first = anchor
+            p = (first - anchor) // inc
+            s["current"] = anchor + ((p + n - 1) % k) * inc
+            s["next"] = anchor + ((p + n) % k) * inc
+            s["called"] = True
+            self._last_used = name
+            self._commit()
+            return first
         if inc > 0 and hi is not None and last > hi:
-            if not s["cycle"]:
-                raise ValueError(f"sequence {name!r} exceeded maxvalue {hi}")
-            first = lo if lo is not None else s["start"]
-            last = first + inc * (n - 1)
+            raise ValueError(
+                f'nextval: reached maximum value of sequence "{name}" '
+                f"({hi})")
         if inc < 0 and lo is not None and last < lo:
-            if not s["cycle"]:
-                raise ValueError(f"sequence {name!r} exceeded minvalue {lo}")
-            first = hi if hi is not None else s["start"]
-            last = first + inc * (n - 1)
+            raise ValueError(
+                f'nextval: reached minimum value of sequence "{name}" '
+                f"({lo})")
         s["next"] = last + inc
         s["current"] = last
         s["called"] = True
@@ -104,6 +150,12 @@ class SequenceCatalog:
 
     def setval(self, name: str, value: int, is_called: bool = True) -> int:
         s = self._seqs[name]
+        lo, hi = s["min"], s["max"]
+        if (lo is not None and value < lo) or \
+                (hi is not None and value > hi):
+            raise ValueError(
+                f'setval: value {value} is out of bounds for sequence '
+                f'"{name}" ({lo}..{hi})')
         s["current"] = value
         s["called"] = is_called
         s["next"] = value + s["increment"] if is_called else value
@@ -125,12 +177,20 @@ class SequenceCatalog:
             return df.withColumn(out_col, F.lit(None).cast("long"))
         first = self.nextval(name, n)
         inc = self._seqs[name]["increment"]
+        wrap = self._wrap_params(name)
+
+        def val(rn0):
+            if wrap is None:
+                return F.lit(first) + rn0 * F.lit(inc)
+            anchor, k = wrap
+            p = (first - anchor) // inc
+            return (F.lit(anchor)
+                    + F.pmod(F.lit(p) + rn0, F.lit(k)) * F.lit(inc))
+
         if order_by is not None:
             w = Window.orderBy(*order_by)
             rn = F.row_number().over(w)  # global order: sort is the cost
-            return df.withColumn(
-                out_col, F.lit(first) + (rn - 1) * F.lit(inc)
-            )
+            return df.withColumn(out_col, val(rn - 1))
         # scale path: per-partition row_number + broadcast offsets — no
         # global sort, no single-reducer window
         pid = F.spark_partition_id()
@@ -151,8 +211,7 @@ class SequenceCatalog:
             with_pid.join(F.broadcast(off_df), "__pid")
             .withColumn(
                 out_col,
-                F.lit(first)
-                + (F.col("__off") + F.row_number().over(w) - 1) * F.lit(inc),
+                val(F.col("__off") + F.row_number().over(w) - 1),
             )
             .drop("__pid", "__off")
         )

@@ -235,13 +235,19 @@ def rewrite_offset_limit(sql: str) -> str:
     return _OFFSET_LIMIT_RE.sub(r"LIMIT \2 OFFSET \1", sql)
 
 
-_PUBLIC_SCHEMA_RE = re.compile(r"\bpublic\.(?=[A-Za-z_])")
+_PUBLIC_SCHEMA_RE = re.compile(
+    r"\b(?:public\.(?=[A-Za-z_])"
+    r"|pg_catalog\.(?=pg_)"
+    r"|information_schema\.(?=[a-z_]))")
 
 
 def rewrite_public_schema(sql: str) -> str:
-    """Strip PG's default-schema qualifier (`public.t` → `t`) — the
-    session catalog is single-schema temp views."""
-    if "public." not in sql.lower():
+    """Schema qualifiers → the session's temp-view names: `public.t` →
+    `t`, `pg_catalog.pg_x` → `pg_x`, `information_schema.columns` →
+    `information_schema_columns` (install_pg_catalog's view names)."""
+    low = sql.lower()
+    if ("public." not in low and "pg_catalog." not in low
+            and "information_schema." not in low):
         return sql
     out: list[str] = []
     i, n = 0, len(sql)
@@ -262,6 +268,8 @@ def rewrite_public_schema(sql: str) -> str:
         m = _PUBLIC_SCHEMA_RE.match(sql, i)
         if m and (i == 0 or not (sql[i - 1].isalnum()
                                  or sql[i - 1] in "._")):
+            if m.group().lower() == "information_schema.":
+                out.append("information_schema_")
             i = m.end()
             continue
         out.append(ch)

@@ -61,7 +61,8 @@ _TOKEN_RE = re.compile(
       | (?P<str>'(?:[^']|'')*')
       | (?P<num>\d+\.\d+|\d+)
       | (?P<op>@@|&&|\|\||!!|\#\#|::|<=>|<->|<\#>|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.])
-      | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*)
+      | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*
+                  |"(?:[^"]|"")*")
     """,
     re.X,
 )
@@ -830,6 +831,7 @@ class CreateInvertedIndex:
     fields: dict[str, str]   # column -> analyzer name
     includes: list[str]      # plain covered columns (demo3: `label`)
     where: str | None        # partial-index predicate
+    exprs: dict | None = None  # expression keys: field name -> expr SQL
 
 
 def parse_create_index(sql: str) -> CreateInvertedIndex | None:
@@ -850,11 +852,30 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
     ts.expect("(")
     fields: dict[str, str] = {}
     includes: list[str] = []
+    exprs: dict[str, str] = {}
     depth = 1
     spec: list[Tok] = []
 
     def flush(spec: list[Tok]) -> None:
         if not spec:
+            return
+        if spec[0].text == "(":
+            # expression key `(expr) [analyzer]` (reference
+            # inverted_index.h expression keys; the field is NAMED by
+            # its expression text so queries over it resolve)
+            d = 0
+            for i, t in enumerate(spec):
+                if t.text == "(":
+                    d += 1
+                elif t.text == ")":
+                    d -= 1
+                    if d == 0:
+                        break
+            expr_sql = _render(spec[1:i])
+            rest = spec[i + 1:]
+            an = rest[0].text if rest else "keyword"
+            fields[expr_sql] = an
+            exprs[expr_sql] = expr_sql
             return
         if len(spec) == 1:
             includes.append(spec[0].text)
@@ -867,14 +888,16 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
         t = ts.next()
         if t.text == "(":
             depth += 1
+            spec.append(t)
         elif t.text == ")":
             depth -= 1
             if depth == 0:
                 break
-        if depth == 1 and t.text == ",":
+            spec.append(t)
+        elif depth == 1 and t.text == ",":
             flush(spec)
             spec = []
-        elif depth >= 1 and t.text != ")":
+        else:
             spec.append(t)
     flush(spec)
     where = None
@@ -883,7 +906,8 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
         where = _render(ts.toks[ts.i:])
     if not fields:
         raise ValueError("USING inverted requires at least one analyzed column")
-    return CreateInvertedIndex(name, table, fields, includes, where)
+    return CreateInvertedIndex(name, table, fields, includes, where,
+                               exprs or None)
 
 
 # ---------------------------------------------------------------------------

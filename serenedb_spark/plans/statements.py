@@ -129,6 +129,8 @@ def _literal_value(tok: Tok):
     """A single literal token → python value (SET arguments)."""
     if tok.kind == "STR":
         return _unquote(tok.text)
+    if tok.text.startswith('"') and tok.text.endswith('"'):
+        return tok.text[1:-1].replace('""', '"')
     if tok.kind == "NUM":
         return float(tok.text) if "." in tok.text else int(tok.text)
     low = tok.text.lower()
@@ -189,9 +191,49 @@ def route_statement(session, sql: str) -> DataFrame | None:
         return _comment(session, s)
     if kw == "COPY":
         return _copy(session, s)
-    if kw == "SELECT" and re.search(r"\bINTO\b", s, re.IGNORECASE):
-        return _select_into(session, s)
+    if kw == "SELECT":
+        sv = _scalar_seq_select(session, s)
+        if sv is not None:
+            return sv
+        if re.search(r"\bINTO\b", s, re.IGNORECASE):
+            return _select_into(session, s)
     return None
+
+
+def _scalar_seq_select(session, s: str) -> DataFrame | None:
+    """FROM-less ``SELECT nextval('s')[, currval('s'), lastval(),
+    setval('s', n)]...`` (reference sequence tests) — driver-side calls
+    on the session's sequence catalog, evaluated LEFT TO RIGHT, PG's
+    function-name columns."""
+    item = (r"(nextval|currval|lastval|setval)\s*\(\s*(?:'([\w.]+)')?"
+            r"\s*(?:,\s*(\d+))?\s*(?:,\s*(true|false))?\s*\)"
+            r"\s*(?:AS\s+(\w+))?")
+    if not re.match(rf"\s*SELECT\s+{item}\s*(?:,\s*{item}\s*)*;?\s*$",
+                    s, re.IGNORECASE):
+        return None
+    cols, vals = [], []
+    for m in re.finditer(item, s, re.IGNORECASE):
+        fn, seq, num, flag, alias = m.groups()
+        fn = fn.lower()
+        seq = seq.split(".")[-1] if seq else None
+        try:
+            if fn == "lastval":
+                val = session.sequences.lastval()
+            elif fn == "setval":
+                val = session.sequences.setval(
+                    seq, int(num),
+                    flag is None or flag.lower() == "true")
+            elif fn == "currval":
+                val = session.sequences.currval(seq)
+            else:
+                val = session.sequences.nextval(seq)
+        except KeyError:
+            raise ValueError(
+                f'sequence "{seq}" does not exist') from None
+        cols.append(alias or fn)
+        vals.append(val)
+    return session.spark.createDataFrame(
+        [tuple(vals)], ", ".join(f"{c} long" for c in cols))
 
 
 #: COPY WITH options the engine honors (copy.test rejects unknown ones)
@@ -236,6 +278,7 @@ def _copy(session, s: str, dry_run: bool = False):
     path = _unquote(path_tok.text)
     fmt = None
     header = True
+    sep = None
     if ts.peek() and ts.peek().upper == "WITH":
         ts.next()
     if ts.peek() and ts.peek().text == "(":
@@ -250,6 +293,8 @@ def _copy(session, s: str, dry_run: bool = False):
                 fmt = _COPY_FORMATS[f]
             elif key == "HEADER":
                 header = val.upper in ("TRUE", "ON", "1")
+            elif key in ("DELIMITER", "SEP", "SEPARATOR"):
+                sep = _unquote(val.text) if val.kind == "STR" else val.text
             else:
                 raise NotImplementedError(
                     f'unsupported COPY option "{key}"')
@@ -272,13 +317,18 @@ def _copy(session, s: str, dry_run: bool = False):
               else session.table(table))
         if cols is not None:
             df = df.select(*cols)
-        write_table(df, path, fmt, single_file=True,
-                    **({"header": str(header).lower()}
-                       if fmt == "csv" else {}))
+        w_opts = {}
+        if fmt == "csv":
+            w_opts["header"] = str(header).lower()
+            if sep is not None:
+                w_opts["sep"] = sep
+        write_table(df, path, fmt, single_file=True, **w_opts)
         return _status_df(session, "COPY", path)
     if table is None:
         raise ValueError("COPY FROM requires a target table")
     opts = {"header": str(header).lower()} if fmt == "csv" else {}
+    if fmt == "csv" and sep is not None:
+        opts["sep"] = sep
     rows = read_table(session.spark, path, fmt, **opts)
     if where_sql is not None:
         rows = rows.where(F.expr(where_sql))
@@ -291,18 +341,7 @@ def _copy(session, s: str, dry_run: bool = False):
             f"COPY FROM file has {len(rows.columns)} columns for "
             f"{len(use_cols)} target columns")
     rows = rows.toDF(*use_cols)
-    defaults = getattr(session, "_col_defaults", {}).get(table, {})
-    out = []
-    for c in target.columns:
-        if c in use_cols:
-            out.append(F.col(c).cast(dtypes[c]).alias(c))
-        elif c in defaults:  # copy.test: absent columns take DEFAULTs
-            d = defaults[c]
-            col = F.expr(d) if isinstance(d, str) else F.lit(d)
-            out.append(col.cast(dtypes[c]).alias(c))
-        else:
-            out.append(F.lit(None).cast(dtypes[c]).alias(c))
-    session.insert(table, rows.select(*out))
+    session.insert(table, _align_rows(session, table, rows, use_cols))
     return _status_df(session, "COPY", table)
 
 
@@ -332,13 +371,24 @@ def _select_into(session, s: str) -> DataFrame | None:
 
 def _txn(session, kw: str) -> DataFrame:
     if kw in ("BEGIN", "START"):
+        if getattr(session, "_txn_backup", None) is not None:
+            # PG: BEGIN inside a block is a WARNING no-op
+            # (settings/txn.test)
+            return _status_df(
+                session, "WARNING",
+                "there is already a transaction in progress")
         session.begin()
+        # each block starts at the session default isolation (PG)
+        _pg_vars(session)["transaction_isolation"] = \
+            _pg_vars(session)["default_transaction_isolation"]
         return _status_df(session, "BEGIN")
     if getattr(session, "_txn_backup", None) is None:
         # PG: COMMIT/ROLLBACK outside a block is a WARNING, not an error
         # (txn/chain.test opens with a bare COMMIT)
         return _status_df(session, "WARNING",
                           "there is no transaction in progress")
+    _pg_vars(session)["transaction_isolation"] = \
+        _pg_vars(session)["default_transaction_isolation"]
     if kw in ("COMMIT", "END"):
         session.commit()
         return _status_df(session, "COMMIT")
@@ -346,22 +396,100 @@ def _txn(session, kw: str) -> DataFrame:
     return _status_df(session, "ROLLBACK")
 
 
+#: PG session variables carried for compatibility (txn/variables.test);
+#: isolation levels are DECLARATIVE here — every read sees the session's
+#: current snapshot, the strongest of the accepted levels
+_PG_VAR_DEFAULTS = {
+    "transaction_isolation": "read committed",
+    "default_transaction_isolation": "read committed",
+    # recorded for SHOW round-trips; the catalog is single-schema, so
+    # the path never changes name resolution
+    "search_path": '"$user", public',
+}
+
+
+def _pg_vars(session) -> dict:
+    v = getattr(session, "_pg_vars_store", None)
+    if v is None:
+        v = session._pg_vars_store = dict(_PG_VAR_DEFAULTS)
+    else:  # a txn snapshot may restore an empty pre-creation dict
+        for k, d in _PG_VAR_DEFAULTS.items():
+            v.setdefault(k, d)
+    return v
+
+
 def _set(session, s: str) -> DataFrame | None:
     try:
         toks = tokenize(s)
     except ValueError:
-        return None  # PG-quoted values we don't tokenize: Spark's SET
+        return None  # values we don't tokenize: Spark's SET
     ts = _Stream(toks)
     ts.expect("SET")
-    if ts.peek() and ts.peek().upper in ("LOCAL", "SESSION"):
+    nxt = ts.peek()
+    if nxt is not None and nxt.upper == "TRANSACTION":
+        # SET TRANSACTION ISOLATION LEVEL x: applies to the current
+        # block; outside one PG only warns (txn/variables.test)
         ts.next()
-    name = _ident(ts)
-    if not name.lower().startswith("sdb_"):
-        return None  # Spark SQL handles its own SET k=v
-    if not (ts.match("=") or ts.match("TO")):
-        raise ValueError("SET expects '=' or 'TO'")
-    session.set_variable(name.lower(), _literal_value(ts.next()))
-    return _status_df(session, "SET", name.lower())
+        level = _isolation_level(ts)
+        if getattr(session, "_txn_backup", None) is not None:
+            _pg_vars(session)["transaction_isolation"] = level
+            return _status_df(session, "SET", "transaction_isolation")
+        return _status_df(
+            session, "WARNING",
+            "SET TRANSACTION can only be used in transaction blocks")
+    if (nxt is not None and nxt.upper == "SESSION"
+            and ts.peek(1) is not None
+            and ts.peek(1).upper == "CHARACTERISTICS"):
+        ts.next(); ts.next(); ts.expect("AS"); ts.expect("TRANSACTION")
+        level = _isolation_level(ts)
+        _pg_vars(session)["default_transaction_isolation"] = level
+        _pg_vars(session)["transaction_isolation"] = level
+        return _status_df(session, "SET",
+                          "default_transaction_isolation")
+    if nxt is not None and nxt.upper in ("LOCAL", "SESSION"):
+        ts.next()
+    name = _ident(ts).lower()
+    if name.startswith("sdb_"):
+        if not (ts.match("=") or ts.match("TO")):
+            raise ValueError("SET expects '=' or 'TO'")
+        session.set_variable(name, _literal_value(ts.next()))
+        return _status_df(session, "SET", name)
+    if name in _PG_VAR_DEFAULTS:
+        if not (ts.match("=") or ts.match("TO")):
+            raise ValueError("SET expects '=' or 'TO'")
+        if name == "search_path":
+            parts = [_ident(ts)]
+            while ts.match(","):
+                parts.append(_ident(ts))
+            _pg_vars(session)["search_path"] = ", ".join(parts)
+            return _status_df(session, "SET", name)
+        val = str(_literal_value(ts.next())).lower()
+        if name.endswith("transaction_isolation") and val not in (
+                "read committed", "repeatable read"):
+            raise ValueError(
+                f'transaction isolation level "{val}" is not supported. '
+                "Available values: repeatable read, read committed.")
+        _pg_vars(session)[name] = val
+        if name == "default_transaction_isolation" and \
+                getattr(session, "_txn_backup", None) is None:
+            _pg_vars(session)["transaction_isolation"] = val
+        return _status_df(session, "SET", name)
+    return None  # Spark SQL handles its own SET k=v
+
+
+def _isolation_level(ts: _Stream) -> str:
+    ts.expect("ISOLATION"); ts.expect("LEVEL")
+    words = []
+    while ts.peek() is not None:
+        words.append(ts.next().text.lower())
+    level = " ".join(words)
+    if level not in ("read committed", "repeatable read"):
+        # the reference supports exactly these two
+        # (txn/variables.test:156)
+        raise ValueError(
+            f'transaction isolation level "{level}" is not supported. '
+            "Available values: repeatable read, read committed.")
+    return level
 
 
 def _reset(session, s: str) -> DataFrame | None:
@@ -383,6 +511,9 @@ def _show(session, s: str) -> DataFrame | None:
     if t.upper == "ALL":
         return session.show_variables()
     name = _ident(ts).lower()
+    if name in _PG_VAR_DEFAULTS:
+        return session.spark.createDataFrame(
+            [(_pg_vars(session)[name],)], f"{name} string")
     if not name.startswith("sdb_"):
         return None  # SHOW TABLES etc. stay Spark's
     val = session.show_variable(name)
@@ -553,8 +684,23 @@ def _insert(session, s: str) -> DataFrame:
                 elif is_default:
                     # PG: DEFAULT as a VALUES cell (default_values.test)
                     d = defaults.get(use_cols[k])
-                    cells.append(f"({d})" if isinstance(d, str)
-                                 else ("NULL" if d is None else repr(d)))
+                    m = (_NEXTVAL_RE.match(str(d))
+                         if isinstance(d, str) else None)
+                    if m:
+                        cells.append(
+                            str(session.sequences.nextval(m.group(1))))
+                    else:
+                        cells.append(
+                            f"({d})" if isinstance(d, str)
+                            else ("NULL" if d is None else repr(d)))
+                elif (len(cell) == 4 and cell[0].upper
+                      in ("NEXTVAL", "CURRVAL") and cell[1].text == "("
+                      and cell[2].kind == "STR"):
+                    # inline sequence call in a VALUES cell: one driver
+                    # call per literal row (VALUES lists are small)
+                    seq = _unquote(cell[2].text).split(".")[-1]
+                    fn = getattr(session.sequences, cell[0].text.lower())
+                    cells.append(str(fn(seq)))
                 else:
                     cells.append(_expr_sql(cell))
             tuples_sql.append("(" + ", ".join(cells) + ")")
@@ -577,20 +723,8 @@ def _insert(session, s: str) -> DataFrame:
                 f"INSERT SELECT produces {len(rows.columns)} columns "
                 f"for {len(use_cols)} target columns")
         rows = rows.toDF(*use_cols)
-    # align to the target schema: cast provided columns, fill the rest
-    # from column DEFAULTs (pg_attrdef state) or NULL
-    defaults = getattr(session, "_col_defaults", {}).get(table, {})
-    out = []
-    for c in target.columns:
-        if c in use_cols:
-            out.append(F.col(c).cast(dtypes[c]).alias(c))
-        elif c in defaults:
-            d = defaults[c]
-            col = F.expr(d) if isinstance(d, str) else F.lit(d)
-            out.append(col.cast(dtypes[c]).alias(c))
-        else:
-            out.append(F.lit(None).cast(dtypes[c]).alias(c))
-    session.insert(table, rows.select(*out), on_conflict=conflict)
+    session.insert(table, _align_rows(session, table, rows, use_cols),
+                   on_conflict=conflict)
     return _status_df(session, "INSERT", table)
 
 
@@ -746,6 +880,87 @@ def _create(session, s: str) -> DataFrame | None:
     if nxt.upper == "VIEW":
         ts.next()
         return _create_view(session, toks, ts, or_replace)
+    if nxt.upper == "SEQUENCE":
+        ts.next()
+        if_not_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("NOT"); ts.expect("EXISTS")
+            if_not_exists = True
+        sname = _ident(ts)
+        kw = {}
+        owned = None
+        while ts.peek() is not None:
+            w = ts.next().upper
+            if w == "START":
+                if ts.peek() and ts.peek().upper == "WITH":
+                    ts.next()
+                kw["start"] = int(ts.next().text)
+            elif w == "INCREMENT":
+                if ts.peek() and ts.peek().upper == "BY":
+                    ts.next()
+                kw["increment"] = int(ts.next().text)
+            elif w == "MINVALUE":
+                kw["minvalue"] = int(ts.next().text)
+            elif w == "MAXVALUE":
+                kw["maxvalue"] = int(ts.next().text)
+            elif w == "CYCLE":
+                kw["cycle"] = True
+            elif w == "NO":
+                nw = ts.next().upper
+                if nw == "CYCLE":
+                    kw["cycle"] = False
+            elif w == "CACHE":
+                ts.next()  # accepted, meaningless for a driver counter
+            elif w == "OWNED":
+                ts.expect("BY")
+                owned = _ident(ts)
+            else:
+                raise NotImplementedError(
+                    f"unsupported CREATE SEQUENCE option {w!r}")
+        if sname in session.sequences._seqs and if_not_exists:
+            return _status_df(session, "CREATE SEQUENCE",
+                              f"{sname} (exists)")
+        session.sequences.create(sname, **kw)
+        if owned is not None:
+            session.own_sequence(owned.split(".")[0], sname)
+        return _status_df(session, "CREATE SEQUENCE", sname)
+    if nxt.upper in ("FUNCTION", "MACRO"):
+        # DuckDB-style scalar macro: CREATE FUNCTION f(x INT) AS x * x
+        # (reference catalog/function.h; session.create_macro)
+        ts.next()
+        fname = _ident(ts)
+        ts.expect("(")
+        params = []
+        while not ts.match(")"):
+            t = ts.next()
+            if t.text != ",":
+                params.append(t.text)
+            else:
+                params.append(",")
+        ts.expect("AS")
+        if ts.peek() and ts.peek().upper == "TABLE":
+            ts.next()
+            session.create_table_macro(fname, " ".join(params), "x int",
+                                       _render(toks[ts.i:]))
+        else:
+            session.create_macro(fname, " ".join(params),
+                                 _expr_sql(toks[ts.i:]))
+        return _status_df(session, "CREATE FUNCTION", fname)
+    if nxt.upper == "UNIQUE" and ts.peek(1) is not None \
+            and ts.peek(1).upper == "INDEX":
+        # CREATE UNIQUE INDEX n ON t(c): a real uniqueness constraint
+        # (constraints_with_index.test) — enforced on every write
+        ts.next(); ts.next()
+        iname = _ident(ts)
+        ts.expect("ON")
+        table = _ident(ts)
+        ts.expect("(")
+        col = _ident(ts)
+        if not ts.match(")"):
+            raise NotImplementedError(
+                "composite UNIQUE indexes are not supported")
+        session.add_unique(table, col, iname)
+        return _status_df(session, "CREATE INDEX", iname)
     if nxt.upper == "INDEX" and not any(
             t.upper == "INVERTED" for t in toks):
         # plain secondary CREATE INDEX: on a search-backed table the
@@ -974,9 +1189,54 @@ def _parse_coldefs(session, coldefs: list[Tok]):
         if col.lower() in seen:  # create_table_errors.test
             raise ValueError(f'duplicate column name "{col}"')
         seen.add(col.lower())
+        serial = (ts.peek() is not None
+                  and ts.peek().upper in ("SERIAL", "BIGSERIAL"))
         schema.append(f"{col} {_spark_type(ts)}")
+        if serial:
+            # SERIAL = owned sequence + nextval default (PG;
+            # drop_cascade_edge.test)
+            def _mkseq(t, c=col):
+                seq = f"{t}_{c}_seq"
+                if seq not in session.sequences._seqs:
+                    session.sequences.create(seq)
+                session.alter_set_default(t, c, f"nextval('{seq}')")
+                session.own_sequence(t, seq)
+            after.append(_mkseq)
         after.extend(_col_constraints(session, col, ts, check_i))
     return schema, after
+
+
+_NEXTVAL_RE = re.compile(
+    r"^\s*nextval\s*\(\s*'(?:\w+\.)?(\w+)'\s*\)\s*$", re.IGNORECASE)
+
+
+def _align_rows(session, table: str, rows: DataFrame,
+                use_cols: list[str]) -> DataFrame:
+    """Cast provided columns to the target schema and fill the rest from
+    column DEFAULTs (nextval defaults via a distributed block-reserved
+    sequences.assign — never a driver row loop) or NULL."""
+    target = session._tables[table]
+    dtypes = dict(target.dtypes)
+    defaults = getattr(session, "_col_defaults", {}).get(table, {})
+    out, seq_cols = [], []
+    for c in target.columns:
+        if c in use_cols:
+            out.append(F.col(c).cast(dtypes[c]).alias(c))
+        elif c in defaults:
+            d = defaults[c]
+            m = _NEXTVAL_RE.match(str(d)) if isinstance(d, str) else None
+            if m:
+                seq_cols.append((c, m.group(1)))
+                continue
+            col = F.expr(d) if isinstance(d, str) else F.lit(d)
+            out.append(col.cast(dtypes[c]).alias(c))
+        else:
+            out.append(F.lit(None).cast(dtypes[c]).alias(c))
+    aligned = rows.select(*out)
+    for c, seq in seq_cols:
+        aligned = session.sequences.assign(aligned, seq, c)
+        aligned = aligned.withColumn(c, F.col(c).cast(dtypes[c]))
+    return aligned.select(*target.columns)
 
 
 def _col_constraints(session, col: str, ts: _Stream, check_i: list):
@@ -1152,6 +1412,29 @@ def _drop(session, s: str) -> DataFrame | None:
     ts = _Stream(toks)
     ts.expect("DROP")
     kind = ts.next().upper
+    if kind in ("FUNCTION", "MACRO"):
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("EXISTS")
+        fname = _ident(ts)
+        if ts.peek() and ts.peek().text == "(":  # signature form
+            while ts.next().text != ")":
+                pass
+        casc = bool(ts.peek() and ts.peek().upper == "CASCADE")
+        session.drop_macro(fname, cascade=casc)
+        return _status_df(session, "DROP FUNCTION", fname)
+    if kind == "SEQUENCE":
+        if_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("EXISTS")
+            if_exists = True
+        sname = _ident(ts)
+        casc = bool(ts.peek() and ts.peek().upper == "CASCADE")
+        if sname not in session.sequences._seqs:
+            if if_exists:
+                return _status_df(session, "DROP SEQUENCE")
+            raise ValueError(f'sequence "{sname}" does not exist')
+        session.drop_sequence_checked(sname, cascade=casc)
+        return _status_df(session, "DROP SEQUENCE", sname)
     if kind not in ("TABLE", "VIEW"):
         return None  # DROP INDEX / TEXT SEARCH DICTIONARY: search_sql's
     if_exists = False
@@ -1177,7 +1460,7 @@ def _drop(session, s: str) -> DataFrame | None:
                 if if_exists:
                     continue
                 raise ValueError(f"view {n!r} does not exist")
-            session.drop_view(n)
+            session.drop_view(n, cascade=cascade)
     return _status_df(session, f"DROP {kind}", ", ".join(names))
 
 
@@ -1261,10 +1544,18 @@ def _alter(session, s: str) -> DataFrame | None:
         if ts.peek().upper == "COLUMN":
             ts.next()
         col = _ident(ts)
+        if col not in session._tables[table].columns:
+            raise ValueError(
+                f'column "{col}" of relation "{table}" does not exist')
         sub = ts.next().upper
         if sub == "SET":
             what = ts.next().upper
             if what == "DEFAULT":
+                if col in getattr(session, "_generated", {}).get(
+                        table, {}):
+                    raise ValueError(
+                        "cannot set a default on generated column "
+                        f'"{col}"')
                 session.alter_set_default(
                     table, col, _expr_sql(toks[ts.i:]))
             elif what == "NOT":
@@ -1304,9 +1595,35 @@ def _alter_add(session, table: str, toks, ts: _Stream) -> DataFrame:
     col = _ident(ts)
     typ = _spark_type(ts)
     default = None
-    if ts.peek() and ts.peek().upper == "DEFAULT":
-        ts.next()
-        default = _expr_sql(toks[ts.i:])
+    not_null = pk = False
+    while ts.peek() is not None:
+        kw = ts.next().upper
+        if kw == "DEFAULT":
+            span = []
+            stop = ("NOT", "NULL", "PRIMARY", "UNIQUE", "CHECK")
+            while ts.peek() is not None and not (
+                    ts.peek().kind == "IDENT"
+                    and ts.peek().upper in stop):
+                span.append(ts.next())
+            default = _expr_sql(span)
+        elif kw == "NOT":
+            ts.expect("NULL")
+            not_null = True
+        elif kw == "PRIMARY":
+            ts.expect("KEY")
+            pk = True
+        elif kw == "NULL":
+            pass
+        else:
+            raise NotImplementedError(
+                f"unsupported ADD COLUMN constraint {kw!r}")
+    if (not_null or pk) and default is None:
+        # existing rows would hold NULLs (add_column_constraints.test)
+        if session._tables[table].limit(1).count():
+            raise ValueError(
+                f'column "{col}" of relation "{table}" contains null '
+                "values: ADD COLUMN NOT NULL/PRIMARY KEY needs a "
+                "DEFAULT on a non-empty table")
     if default is not None:
         session.alter_add_column(table, col,
                                  expr=F.expr(default).cast(typ))
@@ -1314,6 +1631,10 @@ def _alter_add(session, table: str, toks, ts: _Stream) -> DataFrame:
     else:
         session.alter_add_column(table, col,
                                  expr=F.lit(None).cast(typ))
+    if not_null:
+        session.alter_set_not_null(table, col)
+    if pk:
+        session.set_primary_key(table, col)
     return _status_df(session, "ALTER TABLE", table)
 
 
@@ -1344,6 +1665,13 @@ def _analyze(session, s: str) -> DataFrame:
     ts = _Stream(tokenize(s))
     ts.expect("ANALYZE")
     table = _ident(ts) if ts.peek() is not None else None
+    if ts.peek() and ts.peek().text == "(":
+        ts.next()
+        while not ts.match(")"):
+            c = _ident(ts)
+            if c != "," and c not in session._tables[table].columns:
+                raise ValueError(
+                    f'Column with name "{c}" does not exist')
     session.analyze(table)
     return _status_df(session, "ANALYZE", table or "")
 

@@ -59,7 +59,7 @@ def test_pg_catalog_views(ss):
     assert {"orders", "documents"} <= tabs
     cols = ss.sql(
         "SELECT attname, atttypid FROM pg_attribute "
-        "WHERE attrelid = 'orders' ORDER BY attnum"
+        "WHERE attrelid = 'orders'::regclass ORDER BY attnum"
     ).collect()
     names = [r.attname for r in cols]
     assert names[0] == "o_orderkey"

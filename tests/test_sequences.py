@@ -38,7 +38,7 @@ def test_maxvalue_and_cycle():
     c = SequenceCatalog()
     c.create("cap", start=1, maxvalue=3)
     assert [c.nextval("cap") for _ in range(3)] == [1, 2, 3]
-    with pytest.raises(ValueError, match="maxvalue"):
+    with pytest.raises(ValueError, match="maximum value"):
         c.nextval("cap")
     c.create("cyc", start=1, minvalue=1, maxvalue=3, cycle=True)
     assert [c.nextval("cyc") for _ in range(5)] == [1, 2, 3, 1, 2]

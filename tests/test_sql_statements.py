@@ -245,9 +245,8 @@ def test_drop_table_sql(ss):
         ss.sql("DROP TABLE missing")
     ss.sql("DROP TABLE IF EXISTS missing")  # no-op
     ss.sql("CREATE INDEX t_idx ON t USING inverted(b simple)")
-    with pytest.raises(ValueError, match="cannot drop"):
-        ss.sql("DROP TABLE t")
-    ss.sql("DROP TABLE t CASCADE")
+    # PG semantics: indexes are part of the table — bare DROP takes them
+    ss.sql("DROP TABLE t")
     assert "t" not in ss._tables and "t_idx" not in ss._indexes
 
 

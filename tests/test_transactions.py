@@ -238,9 +238,9 @@ def test_create_or_replace_and_drop_cascade(ss, spark):
 
     ss.create_index("scratch", {"v": "keyword"}, key="id",
                     name="scratch_idx2")
-    with pytest.raises(ValueError):
-        ss.drop_table("scratch")                     # dependent index
-    ss.drop_table("scratch", cascade=True)
+    # PG semantics: indexes are part of their table — a bare DROP takes
+    # them along (dml/foreign_key.test drops indexed tables bare)
+    ss.drop_table("scratch")
     assert "scratch" not in ss._tables
     assert "scratch_idx2" not in ss._indexes
 
