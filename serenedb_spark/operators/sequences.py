@@ -81,9 +81,12 @@ class SequenceCatalog:
     def _wrap_params(self, name: str) -> tuple[int, int] | None:
         """(anchor, k) when the sequence CYCLES over a finite range:
         PG restarts at MIN (asc) / MAX (desc) when the next value would
-        pass the bound, so the value stream is periodic with period k =
-        values per sweep — value(j) = anchor + (j mod k) * increment
-        (sequence.test: inc 3, 1..10 CYCLE → 1,4,7,10,1,...)."""
+        pass the bound. After the first wrap the stream is periodic on
+        the anchor grid with period k = values per sweep — but the FIRST
+        sweep advances from the actual current value (which may be
+        off-grid after START/setval: inc 3, 1..10 START 2 CYCLE →
+        2,5,8,1,4,..., PG semantics), so callers combine this with the
+        in-sweep value count m computed from the live position."""
         s = self._seqs[name]
         inc, hi, lo = s["increment"], s["max"], s["min"]
         if not s["cycle"]:
@@ -112,9 +115,18 @@ class SequenceCatalog:
             over = (inc > 0 and first > hi) or (inc < 0 and first < lo)
             if over:
                 first = anchor
-            p = (first - anchor) // inc
-            s["current"] = anchor + ((p + n - 1) % k) * inc
-            s["next"] = anchor + ((p + n) % k) * inc
+            limit = hi if inc > 0 else lo
+            # m values remain in the current sweep (advancing from the
+            # ACTUAL first, not its anchor-grid projection: PG continues
+            # 2,5,8 then wraps to 1,4,... for inc 3, 1..10 START 2)
+            m = (limit - first) // inc + 1
+
+            def _val(j: int) -> int:
+                return (first + j * inc if j < m
+                        else anchor + ((j - m) % k) * inc)
+
+            s["current"] = _val(n - 1)
+            s["next"] = _val(n)
             s["called"] = True
             self._last_used = name
             self._commit()
@@ -176,16 +188,21 @@ class SequenceCatalog:
         if n == 0:
             return df.withColumn(out_col, F.lit(None).cast("long"))
         first = self.nextval(name, n)
-        inc = self._seqs[name]["increment"]
+        s = self._seqs[name]
+        inc = s["increment"]
         wrap = self._wrap_params(name)
 
         def val(rn0):
             if wrap is None:
                 return F.lit(first) + rn0 * F.lit(inc)
             anchor, k = wrap
-            p = (first - anchor) // inc
-            return (F.lit(anchor)
-                    + F.pmod(F.lit(p) + rn0, F.lit(k)) * F.lit(inc))
+            limit = s["max"] if inc > 0 else s["min"]
+            m = (limit - first) // inc + 1  # values left in this sweep
+            return F.when(
+                rn0 < F.lit(m), F.lit(first) + rn0 * F.lit(inc)
+            ).otherwise(
+                F.lit(anchor)
+                + F.pmod(rn0 - F.lit(m), F.lit(k)) * F.lit(inc))
 
         if order_by is not None:
             w = Window.orderBy(*order_by)

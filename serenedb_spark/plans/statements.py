@@ -51,7 +51,7 @@ _PG_TYPE_MAP = {
     "INTEGER": "int", "INT": "int", "INT4": "int",
     "SMALLINT": "smallint", "INT2": "smallint",
     "BIGINT": "bigint", "INT8": "bigint",
-    "SERIAL": "int", "BIGSERIAL": "bigint",
+    "SERIAL": "int", "BIGSERIAL": "bigint", "SMALLSERIAL": "smallint",
     "TEXT": "string", "VARCHAR": "string", "CHAR": "string",
     "CHARACTER": "string", "BPCHAR": "string", "STRING": "string",
     "DOUBLE": "double", "FLOAT8": "double", "FLOAT": "double",
@@ -156,7 +156,13 @@ def route_statement(session, sql: str) -> DataFrame | None:
         return None
     kw = head.group().upper()
     if kw in ("BEGIN", "START", "COMMIT", "END", "ROLLBACK", "ABORT"):
-        return _txn(session, kw)
+        return _txn(session, kw, s)
+    if kw in ("SAVEPOINT", "RELEASE"):
+        # the reference has no savepoint executor and fails these with a
+        # clean syntax error (transaction_control.test:11-28)
+        parts = s.split()
+        near = parts[1] if len(parts) > 1 else parts[0]
+        raise ValueError(f'syntax error at or near "{near}"')
     if kw == "SET":
         return _set(session, s)
     if kw == "RESET":
@@ -307,6 +313,9 @@ def _copy(session, s: str, dry_run: bool = False):
     where_sql = None
     w = _find_clause(toks, ("WHERE",))
     if w >= 0:
+        if direction == "TO":
+            # PG: WHERE is a COPY FROM-only clause
+            raise ValueError("WHERE condition is not allowed with COPY TO")
         where_sql = _expr_sql(toks[w + 1:])
     if dry_run:
         src = query_sql or table
@@ -369,7 +378,24 @@ def _select_into(session, s: str) -> DataFrame | None:
 # transaction control / variables
 # --------------------------------------------------------------------------
 
-def _txn(session, kw: str) -> DataFrame:
+def _txn(session, kw: str, s: str) -> DataFrame:
+    """BEGIN/COMMIT/ROLLBACK with the PG tails the reference accepts:
+    WORK/TRANSACTION noise words, BEGIN READ ONLY/READ WRITE
+    (transaction_control.test), COMMIT/ROLLBACK AND [NO] CHAIN
+    (txn/chain.test — CHAIN re-enters a new block with the same
+    characteristics; AND CHAIN outside a block errors), and ROLLBACK TO
+    refused with the reference's clean syntax error."""
+    words = [w.upper().rstrip(";") for w in s.split()][1:]
+    if kw == "ROLLBACK" and words[:1] == ["TO"]:
+        raise ValueError('syntax error at or near "TO"')
+    while words and words[0] in ("WORK", "TRANSACTION"):
+        words = words[1:]
+    chain = False
+    if words[:2] == ["AND", "CHAIN"]:
+        chain = True
+        words = words[2:]
+    elif words[:3] == ["AND", "NO", "CHAIN"]:
+        words = words[3:]
     if kw in ("BEGIN", "START"):
         if getattr(session, "_txn_backup", None) is not None:
             # PG: BEGIN inside a block is a WARNING no-op
@@ -377,23 +403,38 @@ def _txn(session, kw: str) -> DataFrame:
             return _status_df(
                 session, "WARNING",
                 "there is already a transaction in progress")
+        read_only = words[:2] == ["READ", "ONLY"]
         session.begin()
+        session._txn_read_only = read_only
         # each block starts at the session default isolation (PG)
         _pg_vars(session)["transaction_isolation"] = \
             _pg_vars(session)["default_transaction_isolation"]
         return _status_df(session, "BEGIN")
     if getattr(session, "_txn_backup", None) is None:
+        if chain:
+            # AND CHAIN outside a block has no characteristics to carry
+            raise ValueError(
+                f"{kw} AND CHAIN can only be used in transaction blocks")
         # PG: COMMIT/ROLLBACK outside a block is a WARNING, not an error
         # (txn/chain.test opens with a bare COMMIT)
         return _status_df(session, "WARNING",
                           "there is no transaction in progress")
+    level = _pg_vars(session)["transaction_isolation"]
+    read_only = getattr(session, "_txn_read_only", False)
     _pg_vars(session)["transaction_isolation"] = \
         _pg_vars(session)["default_transaction_isolation"]
     if kw in ("COMMIT", "END"):
         session.commit()
-        return _status_df(session, "COMMIT")
-    session.rollback()
-    return _status_df(session, "ROLLBACK")
+        tag = "COMMIT"
+    else:
+        session.rollback()
+        tag = "ROLLBACK"
+    if chain:
+        # re-enter immediately, carrying the characteristics over
+        session.begin()
+        session._txn_read_only = read_only
+        _pg_vars(session)["transaction_isolation"] = level
+    return _status_df(session, tag)
 
 
 #: PG session variables carried for compatibility (txn/variables.test);
@@ -621,8 +662,9 @@ def _dml_where(session, table: str, where_toks: list[Tok]):
             f"DML with a search predicate needs a PRIMARY KEY on "
             f"{table!r} (the reference's search tables declare one; it "
             "is the join key for the claimed match set)")
+    sel = ", ".join(pk) if isinstance(pk, tuple) else pk
     keys = session._run_select(
-        f"SELECT {pk} FROM {table} WHERE {where_sql}")
+        f"SELECT {sel} FROM {table} WHERE {where_sql}")
     return ("keys", keys, pk)
 
 
@@ -728,29 +770,68 @@ def _insert(session, s: str) -> DataFrame:
     return _status_df(session, "INSERT", table)
 
 
-def _parse_conflict(toks: list[Tok]) -> str:
-    """ON CONFLICT [(col)] DO NOTHING → 'nothing'; DO UPDATE SET with
-    every assignment ``c = EXCLUDED.c`` → 'replace' (full-row upsert,
-    dml.insert_rows); partial-row DO UPDATE raises honestly."""
+def _rewrite_excluded(toks: list[Tok]) -> list[Tok]:
+    """``EXCLUDED.c`` → ``__exc_c`` (the incoming row's columns as
+    dml.upsert_set joins them in)."""
+    out = []
+    for t in toks:
+        if t.kind == "IDENT" and t.upper.startswith("EXCLUDED."):
+            out.append(Tok("IDENT", "__exc_" + t.text.split(".", 1)[1]))
+        else:
+            out.append(t)
+    return out
+
+
+def _parse_conflict(toks: list[Tok]) -> dict:
+    """ON CONFLICT [(cols) [WHERE pred] | ON CONSTRAINT name] DO
+    NOTHING/UPDATE SET ... [WHERE pred] → a spec dict for
+    session.insert: {'action': 'nothing'|'replace'|'update',
+    'target': [col,...] | ('constraint', name) | None,
+    'set': {col: expr_sql}, 'where': expr_sql | None}. Every DO UPDATE
+    goes through the assignment-list form (dml.upsert_set): columns not
+    assigned keep the TARGET row's value — PG semantics, which a
+    full-row replace would get wrong on tables wider than the
+    assignment list (insert_conflict.test t3: SET a = 99 keeps b)."""
     ts = _Stream(toks)
     ts.expect("ON"); ts.expect("CONFLICT")
+    target = None
     if ts.peek() and ts.peek().text == "(":
-        while ts.next().text != ")":
-            pass
+        ts.next()
+        target = []
+        while True:
+            target.append(_ident(ts))
+            if ts.match(")"):
+                break
+            ts.expect(",")
+        if ts.peek() and ts.peek().upper == "WHERE":
+            # partial-index arbiter inference: no partial indexes here —
+            # the predicate narrows WHICH index arbitrates, never the
+            # match set, so it is accepted and dropped
+            while ts.peek() and ts.peek().upper != "DO":
+                ts.next()
+    elif ts.peek() and ts.peek().upper == "ON":
+        ts.next(); ts.expect("CONSTRAINT")
+        target = ("constraint", _ident(ts))
     ts.expect("DO")
     if ts.match("NOTHING"):
-        return "nothing"
+        return {"action": "nothing", "target": target}
     ts.expect("UPDATE"); ts.expect("SET")
-    for asg in _split_top(toks[ts.i:], (",",)):
+    body = toks[ts.i:]
+    where_sql = None
+    w = _find_clause(body, ("WHERE",))
+    if w >= 0:
+        where_sql = _expr_sql(_rewrite_excluded(body[w + 1:]))
+        body = body[:w]
+    set_sql: dict[str, str] = {}
+    for asg in _split_top(body, (",",)):
         eq = _find_clause(asg, ("=",))
-        rhs = asg[eq + 1:]
+        if eq < 0:
+            raise ValueError(
+                f"bad ON CONFLICT assignment: {_render(asg)!r}")
         lhs = _render(asg[:eq])
-        if (len(rhs) != 1
-                or rhs[0].upper != f"EXCLUDED.{lhs}".upper()):
-            raise NotImplementedError(
-                "ON CONFLICT DO UPDATE supports the full-row "
-                "`col = EXCLUDED.col` upsert shape only")
-    return "replace"
+        set_sql[lhs] = _expr_sql(_rewrite_excluded(asg[eq + 1:]))
+    return {"action": "update", "target": target, "set": set_sql,
+            "where": where_sql}
 
 
 def _update(session, s: str) -> DataFrame:
@@ -769,6 +850,9 @@ def _update(session, s: str) -> DataFrame:
         if eq < 0:
             raise ValueError(f"bad UPDATE assignment: {_render(asg)!r}")
         lhs = _render(asg[:eq])
+        if lhs in assignments:  # PG (update_pk.test:60)
+            raise ValueError(
+                f'multiple assignments to same column "{lhs}"')
         rhs = asg[eq + 1:]
         if lhs in getattr(session, "_generated", {}).get(table, {}):
             raise ValueError(
@@ -1190,15 +1274,27 @@ def _parse_coldefs(session, coldefs: list[Tok]):
             raise ValueError(f'duplicate column name "{col}"')
         seen.add(col.lower())
         serial = (ts.peek() is not None
-                  and ts.peek().upper in ("SERIAL", "BIGSERIAL"))
+                  and ts.peek().upper in ("SERIAL", "BIGSERIAL",
+                                          "SMALLSERIAL"))
+        # the implicit sequence caps at the column type's max so nextval
+        # errors "reached maximum value" instead of an INSERT cast
+        # failure burning ids (serial.test:528)
+        serial_cap = {"SMALLSERIAL": 32767, "SERIAL": 2147483647,
+                      "BIGSERIAL": 9223372036854775807}.get(
+                          ts.peek().upper if serial else "")
         schema.append(f"{col} {_spark_type(ts)}")
         if serial:
             # SERIAL = owned sequence + nextval default (PG;
             # drop_cascade_edge.test)
-            def _mkseq(t, c=col):
-                seq = f"{t}_{c}_seq"
-                if seq not in session.sequences._seqs:
-                    session.sequences.create(seq)
+            def _mkseq(t, c=col, cap=serial_cap):
+                # PG name mangling: a pre-existing sequence with the
+                # natural name pushes the implicit one to a `_seq1`
+                # suffix instead of reusing or failing (serial.test:380)
+                seq, n = f"{t}_{c}_seq", 0
+                while seq in session.sequences._seqs:
+                    n += 1
+                    seq = f"{t}_{c}_seq{n}"
+                session.sequences.create(seq, maxvalue=cap)
                 session.alter_set_default(t, c, f"nextval('{seq}')")
                 session.own_sequence(t, seq)
             after.append(_mkseq)
@@ -1339,17 +1435,13 @@ def _col_constraints(session, col: str, ts: _Stream, check_i: list):
 
 
 def _unique(session, table: str, col: str) -> None:
-    """UNIQUE enforcement rides the PK machinery (one uniqueness set per
-    table). A UNIQUE alongside an existing PK is accepted but not
-    enforced — exactly the reference's behavior for a non-PK UNIQUE add
-    (alter_add_pk_unique.test: 'ADD UNIQUE is accepted')."""
-    if getattr(session, "_pks", {}).get(table) not in (None, col):
-        u = getattr(session, "_uniques", None)
-        if u is None:
-            u = session._uniques = {}
-        u.setdefault(table, set()).add(col)
-        return
-    session.set_primary_key(table, col)
+    """UNIQUE goes through session.add_unique — the NULL-tolerant
+    _uniques path (PG allows any number of NULLs in a UNIQUE column;
+    hijacking the PK slot would reject them, constraint.test). The
+    column still arbitrates ON CONFLICT targets via _uniques."""
+    if getattr(session, "_pks", {}).get(table) == col:
+        return  # already the PK: UNIQUE is implied
+    session.add_unique(table, col)
 
 
 def _paren_group(ts: _Stream) -> str:
@@ -1377,12 +1469,14 @@ def _table_constraint(session, item: list[Tok]):
     kw = ts.next().upper
     if kw == "PRIMARY":
         ts.expect("KEY"); ts.expect("(")
-        col = _ident(ts)
-        if not ts.match(")"):
-            raise NotImplementedError(
-                "composite PRIMARY KEY is not supported; use a derived "
-                "key column")
-        return lambda t, c=col: session.set_primary_key(t, c)
+        cols = []
+        while True:
+            cols.append(_ident(ts))
+            if ts.match(")"):
+                break
+            ts.expect(",")
+        return lambda t, c=tuple(cols): session.set_primary_key(
+            t, c[0] if len(c) == 1 else c)
     if kw == "UNIQUE":
         ts.expect("(")
         col = _ident(ts)
@@ -1530,15 +1624,10 @@ def _alter(session, s: str) -> DataFrame | None:
         old = _ident(ts)
         ts.expect("TO")
         new = _ident(ts)
-        session._tables[table] = session._tables[table] \
-            .withColumnRenamed(old, new)
-        if getattr(session, "_pks", {}).get(table) == old:
-            session._pks[table] = new
-        nn = getattr(session, "_not_null", {}).get(table)
-        if nn and old in nn:
-            nn.discard(old)
-            nn.add(new)
-        session._reregister(table)
+        if old not in session._tables[table].columns:
+            raise ValueError(
+                f'column "{old}" of relation "{table}" does not exist')
+        session.alter_rename_column(table, old, new)
         return _status_df(session, "ALTER TABLE", table)
     if action == "ALTER":
         if ts.peek().upper == "COLUMN":

@@ -688,10 +688,11 @@ class SereneSession:
             nn = getattr(self, "_not_null", {}).get(t, set())
             dfl = getattr(self, "_col_defaults", {}).get(t, {})
             pk = getattr(self, "_pks", {}).get(t)
+            pkc = set(pk) if isinstance(pk, tuple) else {pk}
             rid = self.relid(t)
             for i, (c, typ) in enumerate(df.dtypes, start=1):
                 attrs.append((rid, c, i, format_type(typ),
-                              c in nn or c == pk, c in dfl, False))
+                              c in nn or c in pkc, c in dfl, False))
         self.spark.createDataFrame(
             attrs or [(0, "", 0, "", False, False, False)],
             "attrelid int, attname string, attnum int,"
@@ -827,9 +828,12 @@ class SereneSession:
         cons, kcu = [], []
         for t, col in getattr(self, "_pks", {}).items():
             rid = self.relid(t)
-            attnum = [c for c, _ in self._tables[t].dtypes].index(col) + 1
-            cons.append((f"{t}_pkey", rid, "p", [attnum], None))
-            kcu.append((f"{t}_pkey", "public", t, col, 1))
+            names = [c for c, _ in self._tables[t].dtypes]
+            cols = list(col) if isinstance(col, tuple) else [col]
+            cons.append((f"{t}_pkey", rid, "p",
+                         [names.index(c) + 1 for c in cols], None))
+            for i, c in enumerate(cols, start=1):
+                kcu.append((f"{t}_pkey", "public", t, c, i))
         for t, checks in getattr(self, "_checks", {}).items():
             rid = self.relid(t)
             for name, pred in checks.items():
@@ -1184,6 +1188,13 @@ class SereneSession:
         return getattr(self, "_current_user", None)
 
     def _check_privilege(self, table: str, privilege: str) -> None:
+        if privilege.upper() != "SELECT" and \
+                getattr(self, "_txn_read_only", False):
+            # BEGIN READ ONLY (transaction_control.test) — the
+            # reference's exact store wording
+            raise ValueError(
+                'Cannot write to database "__sdb_store" - transaction '
+                "is launched in read-only mode")
         u = self.current_user
         if u is None:
             return
@@ -1288,7 +1299,65 @@ class SereneSession:
         return getattr(self, "_comments", {}).get(obj)
 
     def alter_rename_column(self, table: str, old: str, new: str) -> None:
+        """RENAME COLUMN migrates every column-scoped catalog store, as
+        _rename_table does for table-scoped ones: PK/NOT NULL/UNIQUE
+        membership, column DEFAULTs, CHECK and GENERATED expressions
+        (rewritten word-boundary when stored as SQL text; a Column-object
+        CHECK referencing the column is refused honestly), FK endpoints,
+        column masks, and column comments."""
+        import re as _re
+
+        word = _re.compile(rf"\b{_re.escape(old)}\b")
+
+        def rewrite(expr: str) -> str:
+            return word.sub(new, expr)
+
+        checks = getattr(self, "_checks", {}).get(table, {})
+        for cname, pred in checks.items():
+            if not isinstance(pred, str) and word.search(str(pred)):
+                raise ValueError(
+                    f'cannot rename column "{old}": check constraint '
+                    f'"{cname}" references it and was registered as a '
+                    "Column object; drop the constraint first")
         self._tables[table] = self._tables[table].withColumnRenamed(old, new)
+        pks = getattr(self, "_pks", {})
+        if pks.get(table) == old:
+            pks[table] = new
+        elif isinstance(pks.get(table), tuple):
+            pks[table] = tuple(new if c == old else c for c in pks[table])
+        for store in ("_not_null", "_uniques"):
+            s = getattr(self, store, {}).get(table)
+            if s and old in s:
+                s.discard(old)
+                s.add(new)
+        d = getattr(self, "_col_defaults", {}).get(table)
+        if d and old in d:
+            d[new] = d.pop(old)
+        gen = getattr(self, "_generated", {}).get(table)
+        if gen:
+            self._generated[table] = {
+                (new if c == old else c): rewrite(e)
+                for c, e in gen.items()}
+        for cname, pred in list(checks.items()):
+            if isinstance(pred, str):
+                checks[cname] = rewrite(pred)
+        fks = getattr(self, "_fks", {})
+        for cname, (t, col, rt, rc) in list(fks.items()):
+            if t == table and col == old:
+                col = new
+            if rt == table and rc == old:
+                rc = new
+            fks[cname] = (t, col, rt, rc)
+        masks = getattr(self, "_col_masks", {}).get(table)
+        if masks and old in masks:
+            masks[new] = masks.pop(old)
+        comments = getattr(self, "_comments", {})
+        if f"{table}.{old}" in comments:
+            comments[f"{table}.{new}"] = comments.pop(f"{table}.{old}")
+        ui = getattr(self, "_unique_indexes", {})
+        for iname, (t, col) in list(ui.items()):
+            if t == table and col == old:
+                ui[iname] = (t, new)
         self._reregister(table)
 
     def alter_drop_column(self, table: str, name: str) -> None:
@@ -1332,23 +1401,28 @@ class SereneSession:
     # table state; INSERT/UPDATE/DELETE validate PK, CHECK and NOT NULL
     # before the new state becomes visible (all-or-nothing, like the
     # reference's transactional DML)
-    def set_primary_key(self, table: str, column: str) -> None:
+    def set_primary_key(self, table: str, column) -> None:
         """ALTER TABLE ADD PRIMARY KEY: validates existing uniqueness
         first (rejects like the reference when data violates it); a
-        second PK is refused (alter_add_pk_unique.test)."""
+        second PK is refused (alter_add_pk_unique.test). ``column`` is a
+        single name or a list/tuple for a composite key
+        (update_pk.test multi_pk: PRIMARY KEY(a, b))."""
+        if isinstance(column, (list, tuple)):
+            column = column[0] if len(column) == 1 else tuple(column)
         cur = getattr(self, "_pks", {}).get(table)
         if cur is not None and cur != column:
             raise ValueError(
                 f'multiple primary keys for table "{table}" are not '
                 "allowed")
+        cols = list(column) if isinstance(column, tuple) else [column]
         dup = (
-            self._tables[table].groupBy(column).count()
+            self._tables[table].groupBy(*cols).count()
             .where(F.col("count") > 1).limit(1).collect()
         )
         if dup:
             raise ValueError(
-                f"cannot add primary key: duplicate {column}="
-                f"{dup[0][0]!r} in {table}"
+                f"cannot add primary key: duplicate {cols}="
+                f"{tuple(dup[0][:len(cols)])!r} in {table}"
             )
         pk = getattr(self, "_pks", None)
         if pk is None:
@@ -1370,7 +1444,9 @@ class SereneSession:
         checks = getattr(self, "_checks", None)
         if checks is None:
             checks = self._checks = {}
-        checks.setdefault(table, {})[name] = pred
+        # SQL-text predicates are stored as TEXT so RENAME COLUMN can
+        # rewrite them; Column predicates keep the object
+        checks.setdefault(table, {})[name] = predicate
 
     def drop_check(self, table: str, name: str,
                    if_exists: bool = False) -> None:
@@ -1404,23 +1480,53 @@ class SereneSession:
             ui[name] = (table, column)
 
     def _validate_rows(self, table: str, rows: DataFrame,
-                       mode: str = "insert") -> None:
+                       mode: str = "insert",
+                       full_state: DataFrame | None = None) -> None:
+        """Constraint gate for DML. `rows` are the new/changed rows; for
+        mode="update" the caller also passes the FULL post-update state
+        so uniqueness (PK included) is validated globally — the table
+        snapshot still holds the pre-update versions of the changed rows,
+        so clash-checking `rows` against it would be unsound in both
+        directions (false positives on unchanged keys, false negatives on
+        collisions with non-updated rows)."""
         for col in getattr(self, "_not_null", {}).get(table, ()):
             if rows.where(F.col(col).isNull()).limit(1).collect():
                 raise ValueError(
                     f"NULL in NOT NULL column {col!r} of {table!r}")
-        for col in getattr(self, "_uniques", {}).get(table, ()):
+        uniq_cols = list(getattr(self, "_uniques", {}).get(table, ()))
+        pk = getattr(self, "_pks", {}).get(table)
+        if mode == "update" and pk is not None:
+            # UPDATE may rewrite the PK column; re-check it like PG does
+            pk_cols = list(pk) if isinstance(pk, tuple) else [pk]
+            for c in pk_cols:
+                if rows.where(F.col(c).isNull()).limit(1).collect():
+                    raise ValueError(
+                        f'null value in column "{c}" violates not-null '
+                        "constraint")
+            if full_state is not None:
+                dup = (full_state.groupBy(*pk_cols).count()
+                       .where(F.col("count") > 1).limit(1).collect())
+                if dup:
+                    raise ValueError(
+                        f'PRIMARY KEY or UNIQUE constraint violation on '
+                        f'table "{table}": duplicate key '
+                        f"{tuple(dup[0][:len(pk_cols)])!r}")
+        for col in uniq_cols:
             nn = rows.where(F.col(col).isNotNull())
             dup = (nn.groupBy(col).count().where(F.col("count") > 1)
                    .limit(1).collect())
             clash = None
             if not dup and mode == "insert":
-                # UPDATE validates intra-batch only: the old versions of
-                # the updated rows are still in the table snapshot
                 clash = (nn.join(self._tables[table]
                                  .where(F.col(col).isNotNull())
                                  .select(col), col, "left_semi")
                          .limit(1).collect())
+            if not dup and not clash and mode == "update" \
+                    and full_state is not None:
+                # global post-update uniqueness over the full new state
+                dup = (full_state.where(F.col(col).isNotNull())
+                       .groupBy(col).count().where(F.col("count") > 1)
+                       .limit(1).collect())
             if dup or clash:
                 v = (dup or clash)[0][0]
                 raise ValueError(
@@ -1428,6 +1534,7 @@ class SereneSession:
                     f"duplicate {col}={v!r}")
         for name, pred in getattr(self, "_checks", {}).get(
                 table, {}).items():
+            pred = F.expr(pred) if isinstance(pred, str) else pred
             # CHECK fails only when the predicate is FALSE — a NULL
             # result passes (PG 3VL; constraint.test inserts NULL weight
             # under CHECK (grade > 22) and expects success)
@@ -1481,23 +1588,126 @@ class SereneSession:
             df = df.withColumn(c, F.expr(e).cast(dtypes.get(c)))
         return df
 
+    def _bind_conflict_target(self, table: str, target):
+        """Resolve an ON CONFLICT target to the arbitrating column: the
+        PK or a UNIQUE column (insert_conflict.test t3 — the target must
+        bind to the unique constraint's index, not only to the PK)."""
+        if target is None:
+            return None
+        pk = getattr(self, "_pks", {}).get(table)
+        uniques = set(getattr(self, "_uniques", {}).get(table, ()))
+        if isinstance(target, tuple) and target[0] == "constraint":
+            name = target[1]
+            if name == f"{table}_pkey" and pk is not None:
+                return pk
+            ui = getattr(self, "_unique_indexes", {}).get(name)
+            if ui is not None and ui[0] == table:
+                return ui[1]
+            raise ValueError(
+                f'constraint "{name}" for table "{table}" does not exist')
+        if len(target) == 1 and (target[0] == pk or target[0] in uniques):
+            return target[0]
+        if isinstance(pk, tuple) and tuple(target) == pk:
+            return pk
+        raise ValueError(
+            "there is no unique or exclusion constraint matching the "
+            "ON CONFLICT specification")
+
+    def _skip_conflicts(self, table: str, rows: DataFrame,
+                        arbiters: list) -> DataFrame:
+        """ON CONFLICT DO NOTHING: drop incoming rows conflicting with
+        the table or with an EARLIER row of the same batch on any
+        arbiter column. NULL keys never conflict (PG)."""
+        from pyspark.sql import Window
+
+        for col in arbiters:
+            cols = list(col) if isinstance(col, tuple) else [col]
+            existing = self._tables[table]
+            for c in cols:
+                existing = existing.where(F.col(c).isNotNull())
+            conds = [rows[c].eqNullSafe(F.col(f"__t_{c}")) for c in cols]
+            tgt = existing.select(
+                *[F.col(c).alias(f"__t_{c}") for c in cols]).distinct()
+            cond = conds[0]
+            for x in conds[1:]:
+                cond = cond & x
+            rows = rows.join(tgt, cond, "left_anti")
+            w = Window.partitionBy(*cols).orderBy(
+                F.monotonically_increasing_id())
+            nullf = F.lit(False)
+            for c in cols:
+                nullf = nullf | F.col(c).isNull()
+            rows = (rows.withColumn("__rn", F.row_number().over(w))
+                    .where(nullf | (F.col("__rn") == 1)).drop("__rn"))
+        return rows
+
     def insert(self, table: str, rows: DataFrame,
-               on_conflict: str = "error") -> None:
+               on_conflict="error") -> None:
         """INSERT with full constraint enforcement; nothing is applied on
         any violation. GENERATED ALWAYS AS columns are (re)computed from
-        the incoming row, never taken from it."""
-        from serenedb_spark.operators.dml import insert_rows
+        the incoming row, never taken from it. ``on_conflict`` is either
+        a legacy string ('error'|'nothing'|'replace', arbitrated by the
+        PK) or a spec dict from the SQL door's ON CONFLICT clause
+        ({'action', 'target', 'set', 'where'}) — targets bind to the PK
+        OR any UNIQUE column, and DO UPDATE applies a partial assignment
+        list with EXCLUDED.* references (PG semantics)."""
+        from serenedb_spark.operators.dml import insert_rows, upsert_set
 
         self._check_privilege(table, "INSERT")
         rows = self._apply_generated(table, rows)
-        self._validate_rows(table, rows)
         pk = getattr(self, "_pks", {}).get(table)
+        uniques = set(getattr(self, "_uniques", {}).get(table, ()))
+        spec = on_conflict if isinstance(on_conflict, dict) else None
+        if spec is not None:
+            key = self._bind_conflict_target(table, spec.get("target"))
+            action = spec["action"]
+            if action == "nothing":
+                arbiters = ([key] if key is not None else
+                            ([pk] if pk is not None else [])
+                            + sorted(uniques))
+                rows = self._skip_conflicts(table, rows, arbiters)
+                self._validate_rows(table, rows)
+                if pk is not None:
+                    new_state = insert_rows(self._tables[table], rows,
+                                            pk, on_conflict="error")
+                else:
+                    new_state = self._tables[table].unionByName(rows)
+            elif action == "update":
+                if key is None:
+                    key = pk
+                if key is None:
+                    raise ValueError(
+                        "ON CONFLICT DO UPDATE requires a conflict "
+                        "target or a PRIMARY KEY")
+                # the reference accepts the same key twice in one batch
+                # (DuckDB semantics, do_update_clause.test: VALUES
+                # (1,52),(1,62) ON CONFLICT DO UPDATE — last wins; PG
+                # would raise "cannot affect row a second time")
+                from pyspark.sql import Window
+                w = Window.partitionBy(key).orderBy(
+                    F.monotonically_increasing_id().desc())
+                rows = (rows.withColumn("__rn", F.row_number().over(w))
+                        .where(F.col(key).isNull() | (F.col("__rn") == 1))
+                        .drop("__rn"))
+                new_state = upsert_set(self._tables[table], rows, key,
+                                       spec["set"], spec.get("where"))
+                # post-state validation: assignments may touch any
+                # column, so NOT NULL/CHECK/uniqueness re-check globally
+                self._validate_rows(table, new_state, mode="update",
+                                    full_state=new_state)
+            else:
+                raise ValueError(f"unknown ON CONFLICT action {action!r}")
+            self._tables[table] = new_state
+            self._reregister(table)
+            return
+        self._validate_rows(table, rows)
         if pk is not None:
             # a primary key implies NOT NULL (alter_add_pk_unique.test)
-            if rows.where(F.col(pk).isNull()).limit(1).collect():
-                raise ValueError(
-                    f'null value in column "{pk}" violates not-null '
-                    "constraint")
+            for c in (pk if isinstance(pk, tuple) else (pk,)):
+                if rows.where(F.col(c).isNull()).limit(1).collect():
+                    raise ValueError(
+                        f'null value in column "{c}" violates not-null '
+                        "constraint")
             new_state = insert_rows(self._tables[table], rows, pk,
                                     on_conflict=on_conflict)
         else:
@@ -1522,7 +1732,7 @@ class SereneSession:
             table, update_where(marked, F.col("__upd"), asg))
         self._validate_rows(
             table, new_marked.where(F.col("__upd")).drop("__upd"),
-            mode="update")
+            mode="update", full_state=new_marked.drop("__upd"))
         self._tables[table] = new_marked.drop("__upd")
         self._reregister(table)
 
@@ -1565,10 +1775,11 @@ class SereneSession:
         new_state = self._apply_generated(
             table, update_matching(self._tables[table], keys, key,
                                    assignments))
-        hit = self._tables[table].select(key).join(
-            keys.select(key).distinct(), key, "left_semi")
-        self._validate_rows(table, new_state.join(hit, key, "left_semi"),
-                            mode="update")
+        kc = list(key) if isinstance(key, (list, tuple)) else [key]
+        hit = self._tables[table].select(*kc).join(
+            keys.select(*kc).distinct(), kc, "left_semi")
+        self._validate_rows(table, new_state.join(hit, kc, "left_semi"),
+                            mode="update", full_state=new_state)
         self._tables[table] = new_state
         self._reregister(table)
 
@@ -1579,10 +1790,11 @@ class SereneSession:
         from serenedb_spark.operators.dml import delete_matching
 
         self._check_privilege(table, "DELETE")
+        kc = list(key) if isinstance(key, (list, tuple)) else [key]
         if getattr(self, "_fks", None):
             self._check_fk_restrict(
                 table, self._tables[table].join(
-                    keys.select(key).distinct(), key, "left_semi"))
+                    keys.select(*kc).distinct(), kc, "left_semi"))
         self._tables[table] = delete_matching(self._tables[table], keys,
                                               key)
         self._reregister(table)
@@ -1797,6 +2009,7 @@ class SereneSession:
             self.rollback()
             return
         self._txn_backup = None
+        self._txn_read_only = False
 
     def rollback(self) -> None:
         """ROLLBACK: restore every snapshotted dict and re-register the
@@ -1816,6 +2029,7 @@ class SereneSession:
             setattr(self, a, snap)
         self._txn_backup = None
         self._txn_aborted = False
+        self._txn_read_only = False
         for n, v in cur_vars.items():
             restored = bak["_variables"].get(n, self._VARIABLE_DEFAULTS[n])
             if restored != v:

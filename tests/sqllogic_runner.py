@@ -10,10 +10,10 @@ Directives handled (the dialect the reference's suites use):
   skipif X / onlyif X   (we mirror the `serenedb` engine tag)
 
 Execution stops at the first block using a feature outside this
-engine's surface (multi-connection isolation, composite PRIMARY KEYs,
-PREPARE, CREATE DATABASE/SCHEMA/FUNCTION, generate_series) — every
-earlier block must PASS, and each curated file pins exactly how many
-blocks that is, so a regression that shortens the run fails loudly.
+engine's surface (multi-connection isolation, PREPARE, CREATE
+DATABASE/SCHEMA/TYPE, SAVEPOINT, COMMIT AND CHAIN) — every earlier
+block must PASS, and each curated file pins exactly how many blocks
+that is, so a regression that shortens the run fails loudly.
 """
 
 from __future__ import annotations
@@ -25,11 +25,8 @@ from dataclasses import dataclass, field
 #: blocks may depend on this one's state, so skipping would lie)
 STOPPERS = (
     re.compile(r"^\s*connection\b", re.IGNORECASE | re.MULTILINE),
-    re.compile(r"PRIMARY\s+KEY\s*\([^)]*,", re.IGNORECASE),
     re.compile(r"^\s*PREPARE\b", re.IGNORECASE),
     re.compile(r"CREATE\s+(DATABASE|SCHEMA|TYPE)", re.IGNORECASE),
-    re.compile(r"\bSAVEPOINT\b", re.IGNORECASE),
-    re.compile(r"\bAND\s+CHAIN\b", re.IGNORECASE),
 )
 
 

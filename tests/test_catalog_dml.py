@@ -74,3 +74,30 @@ def test_dml_respects_grants(ss, spark):
             ss.delete("t", "k = 7")
     finally:
         ss.set_user(None)
+
+
+def test_update_cannot_violate_pk(ss, spark):
+    # ADVICE r9 (high): UPDATE re-checks PK uniqueness over the FULL
+    # post-update state — `SET k = 1 WHERE k = 2` must reject, PG-style
+    ss.set_primary_key("t", "k")
+    with pytest.raises(ValueError, match="duplicate"):
+        ss.update("t", "k = 2", {"k": "1"})
+    got = sorted(r.k for r in ss.table("t").collect())
+    assert got == [1, 2, 3], "failed UPDATE applied nothing"
+    # setting the PK to NULL is a not-null violation
+    with pytest.raises(ValueError, match="not-null"):
+        ss.update("t", "k = 2", {"k": "NULL"})
+    # a PK-moving update to a FREE value is fine
+    ss.update("t", "k = 2", {"k": "20"})
+    assert sorted(r.k for r in ss.table("t").collect()) == [1, 3, 20]
+
+
+def test_update_cannot_violate_unique(ss, spark):
+    ss.add_unique("t", "v")
+    with pytest.raises(ValueError, match="UNIQUE"):
+        ss.update("t", "k = 2", {"v": "10.0"})
+    # NULLs never collide (PG UNIQUE)
+    ss.update("t", "k = 2", {"v": "NULL"})
+    ss.update("t", "k = 3", {"v": "NULL"})
+    vals = sorted((r.v is None) for r in ss.table("t").collect())
+    assert vals == [False, True, True]

@@ -44,6 +44,36 @@ def test_maxvalue_and_cycle():
     assert [c.nextval("cyc") for _ in range(5)] == [1, 2, 3, 1, 2]
 
 
+def test_cycle_off_grid_start():
+    # PG advances from the ACTUAL value and wraps to MIN only when the
+    # bound is passed: inc 3, 1..10 START 2 → 2,5,8,1,4 (ADVICE r9 —
+    # not the anchor-grid projection 2,4,7,10,1)
+    c = SequenceCatalog()
+    c.create("g", start=2, increment=3, minvalue=1, maxvalue=10,
+             cycle=True)
+    vals = [c.nextval("g") for _ in range(6)]
+    assert vals == [2, 5, 8, 1, 4, 7]
+    assert c.currval("g") == 7
+    # setval to an off-grid value: same continue-then-wrap rule
+    c.setval("g", 3)
+    assert [c.nextval("g") for _ in range(4)] == [6, 9, 1, 4]
+    # descending twin
+    c.create("d", start=9, increment=-3, minvalue=1, maxvalue=10,
+             cycle=True)
+    assert [c.nextval("d") for _ in range(5)] == [9, 6, 3, 10, 7]
+
+
+def test_cycle_off_grid_assign(spark):
+    # the distributed block-assignment stamps the same stream
+    c = SequenceCatalog()
+    c.create("g", start=2, increment=3, minvalue=1, maxvalue=10,
+             cycle=True)
+    df = spark.createDataFrame([(i,) for i in range(6)], "i int")
+    out = c.assign(df, "g", "n", order_by=[F.col("i")])
+    got = [r.n for r in out.orderBy("i").collect()]
+    assert got == [2, 5, 8, 1, 4, 7]
+
+
 def test_durability(tmp_path):
     p = str(tmp_path / "seqs.json")
     c = SequenceCatalog(p)

@@ -95,9 +95,15 @@ def test_insert_on_conflict_nothing_and_replace(ss):
            "ON CONFLICT (a) DO UPDATE SET b = EXCLUDED.b, v = EXCLUDED.v")
     r = ss.sql("SELECT b, v FROM t WHERE a = 1").first()
     assert (r.b, r.v) == ("won", 7.0)
-    with pytest.raises(NotImplementedError, match="full-row"):
-        ss.sql("INSERT INTO t VALUES (1, 'x', 0.0) "
-               "ON CONFLICT DO UPDATE SET b = 'literal'")
+    # partial assignment list: unassigned columns keep the TARGET value
+    ss.sql("INSERT INTO t VALUES (1, 'x', 0.0) "
+           "ON CONFLICT (a) DO UPDATE SET b = 'literal'")
+    r = ss.sql("SELECT b, v FROM t WHERE a = 1").first()
+    assert (r.b, r.v) == ("literal", 7.0)
+    # the target must bind to a unique constraint (PG)
+    with pytest.raises(ValueError, match="no unique or exclusion"):
+        ss.sql("INSERT INTO t VALUES (9, 'y', 1.0) "
+               "ON CONFLICT (b) DO NOTHING")
 
 
 # ---- UPDATE / DELETE / TRUNCATE ------------------------------------------
@@ -288,8 +294,53 @@ def test_foreign_key_in_create_table(ss):
                "FOREIGN KEY (k) REFERENCES t (a)")
 
 
-def test_unique_rides_pk_machinery(ss):
+def test_unique_null_tolerant(ss):
+    # UNIQUE is the NULL-tolerant _uniques path, NOT the PK slot: PG
+    # allows any number of NULLs in a UNIQUE column (ADVICE r9)
     ss.sql("CREATE TABLE u (k INT UNIQUE, x TEXT)")
     ss.sql("INSERT INTO u VALUES (1, 'a')")
-    with pytest.raises(ValueError, match="duplicate key"):
+    with pytest.raises(ValueError, match="duplicate"):
         ss.sql("INSERT INTO u VALUES (1, 'b')")
+    ss.sql("INSERT INTO u VALUES (NULL, 'n1')")
+    ss.sql("INSERT INTO u VALUES (NULL, 'n2')")
+    assert ss.table("u").count() == 3
+    # ON CONFLICT binds to the UNIQUE column (insert_conflict.test t3)
+    ss.sql("INSERT INTO u VALUES (1, 'skip') ON CONFLICT (k) DO NOTHING")
+    assert ss.sql("SELECT x FROM u WHERE k = 1").first().x == "a"
+    ss.sql("INSERT INTO u VALUES (1, 'z') "
+           "ON CONFLICT (k) DO UPDATE SET x = EXCLUDED.x")
+    assert ss.sql("SELECT x FROM u WHERE k = 1").first().x == "z"
+
+
+def test_rename_column_migrates_catalog(ss):
+    # ADVICE r9: RENAME COLUMN must re-key defaults/checks/generated/
+    # uniques/FKs — a CHECK on the renamed column kept working and the
+    # DEFAULT survives
+    ss.sql("""CREATE TABLE rc (id INT PRIMARY KEY, qty INT DEFAULT 7
+              CHECK (qty >= 0), twice INT GENERATED ALWAYS AS
+              (qty * 2) STORED, tag TEXT UNIQUE)""")
+    ss.sql("INSERT INTO rc (id, qty, tag) VALUES (1, 3, 'a')")
+    ss.sql("ALTER TABLE rc RENAME COLUMN qty TO amount")
+    # DEFAULT migrated: omitted column fills with 7
+    ss.sql("INSERT INTO rc (id, tag) VALUES (2, 'b')")
+    r = ss.sql("SELECT amount, twice FROM rc WHERE id = 2").first()
+    assert (r.amount, r.twice) == (7, 14)
+    # CHECK migrated and still enforces under the new name
+    with pytest.raises(ValueError, match="CHECK"):
+        ss.sql("INSERT INTO rc (id, amount, tag) VALUES (3, -1, 'c')")
+    # UNIQUE membership migrated
+    ss.sql("ALTER TABLE rc RENAME COLUMN tag TO label")
+    with pytest.raises(ValueError, match="duplicate"):
+        ss.sql("INSERT INTO rc (id, amount, label) VALUES (4, 1, 'a')")
+    # FK endpoints migrate on both sides
+    ss.sql("CREATE TABLE child (fk INT REFERENCES rc(id))")
+    ss.sql("ALTER TABLE rc RENAME COLUMN id TO rcid")
+    with pytest.raises(ValueError, match="foreign key"):
+        ss.sql("INSERT INTO child VALUES (99)")
+    ss.sql("INSERT INTO child VALUES (1)")
+
+
+def test_copy_to_where_rejected(ss, tmp_path):
+    # PG: WHERE is COPY FROM-only
+    with pytest.raises(ValueError, match="not allowed with COPY TO"):
+        ss.sql(f"COPY t TO '{tmp_path}/x.csv' WHERE a = 1")
