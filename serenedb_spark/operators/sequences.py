@@ -77,6 +77,17 @@ class SequenceCatalog:
         del self._seqs[name]
         self._commit()
 
+    def resolve(self, name: str) -> str:
+        """Schema-qualified lookups (drop_cascade_cross_schema.test:
+        nextval('schema.seq')): the full name wins, else the bare tail
+        (a public-schema sequence referenced unqualified)."""
+        if name in self._seqs:
+            return name
+        tail = name.split(".")[-1]
+        if tail in self._seqs:
+            return tail
+        raise KeyError(name)
+
     # ---- the four PG functions ------------------------------------------
     def _wrap_params(self, name: str) -> tuple[int, int] | None:
         """(anchor, k) when the sequence CYCLES over a finite range:
@@ -104,6 +115,7 @@ class SequenceCatalog:
     def nextval(self, name: str, n: int = 1) -> int:
         """Advance by n steps, return the FIRST allocated value (n > 1 is
         the block-reserve form used by assign_sequence)."""
+        name = self.resolve(name)
         s = self._seqs[name]
         first = s["next"]
         inc = s["increment"]
@@ -147,6 +159,7 @@ class SequenceCatalog:
         return first
 
     def currval(self, name: str) -> int:
+        name = self.resolve(name)
         s = self._seqs[name]
         if not s["called"]:
             raise ValueError(
@@ -161,6 +174,7 @@ class SequenceCatalog:
         return self.currval(self._last_used)
 
     def setval(self, name: str, value: int, is_called: bool = True) -> int:
+        name = self.resolve(name)
         s = self._seqs[name]
         lo, hi = s["min"], s["max"]
         if (lo is not None and value < lo) or \
@@ -187,6 +201,7 @@ class SequenceCatalog:
         n = df.count()
         if n == 0:
             return df.withColumn(out_col, F.lit(None).cast("long"))
+        name = self.resolve(name)
         first = self.nextval(name, n)
         s = self._seqs[name]
         inc = s["increment"]

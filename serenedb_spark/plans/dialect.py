@@ -80,7 +80,11 @@ def rewrite_qualify(sql: str) -> str:
 #: only (identifier immediately followed by `(`), never inside string
 #: literals or quoted identifiers — demo6 Q5/Q7 aggregate with
 #: approx_quantile through the plain-SQL door
-_FN_RENAMES = {"approx_quantile": "approx_percentile"}
+_FN_RENAMES = {"approx_quantile": "approx_percentile",
+               # PG/DuckDB spellings → Spark (prepared_statements.test)
+               "starts_with": "startswith", "ends_with": "endswith",
+               # PG composite constructor (ddl/composite.test)
+               "row": "struct"}
 
 
 def rewrite_fn_renames(sql: str) -> str:

@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+|--[^\n]*)
       | (?P<str>'(?:[^']|'')*')
       | (?P<num>\d+\.\d+|\d+)
-      | (?P<op>@@|&&|\|\||!!|\#\#|::|<=>|<->|<\#>|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.])
+      | (?P<op>@@|&&|\|\||!!|\#\#|::|:=|<=>|<->|<\#>|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.:])
       | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*
                   |"(?:[^"]|"")*")
     """,

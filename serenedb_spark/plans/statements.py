@@ -95,9 +95,53 @@ def _rewrite_arrays(toks: list[Tok]) -> list[Tok]:
     return out
 
 
-def _expr_sql(toks: list[Tok]) -> str:
+def _rewrite_usertypes(toks: list[Tok], session) -> list[Tok]:
+    """ROW(...) → struct(...), `x::enumtype` → x, `x::composite` →
+    `x::struct<...>` (ddl/composite.test INSERT bodies)."""
+    if session is None:
+        return toks
+    etypes = getattr(session, "_enum_types", {}) or {}
+    ctypes = getattr(session, "_composite_types", {}) or {}
+    out: list[Tok] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.kind == "IDENT" and t.upper == "ROW"
+                and i + 1 < len(toks) and toks[i + 1].text == "("):
+            out.append(Tok("IDENT", "struct"))
+            i += 1
+            continue
+        if (t.text == "::" and i + 1 < len(toks)
+                and toks[i + 1].kind == "IDENT"):
+            nm = toks[i + 1].text
+            nm = nm if (nm in etypes or nm in ctypes) else nm.lower()
+            if nm in etypes:
+                i += 2  # enum cast: the label string IS the value
+                continue
+            if nm in ctypes:
+                out.append(t)
+                out.append(Tok("IDENT", _composite_ddl(session, nm)))
+                i += 2
+                continue
+        out.append(t)
+        i += 1
+    return out
+
+
+def _pg_literals(toks: list[Tok]) -> list[Tok]:
+    """PG string literals are RAW (no backslash escapes); Spark treats
+    backslash as an escape — double them so `'path\\to'` survives
+    verbatim (composite.test messy_record rows)."""
+    return [Tok("STR", t.text.replace("\\", "\\\\"))
+            if t.kind == "STR" and "\\" in t.text else t
+            for t in toks]
+
+
+def _expr_sql(toks: list[Tok], session=None) -> str:
     """Render an expression token span as Spark-compatible SQL text."""
-    return _render(_rewrite_casts(_rewrite_arrays(toks)))
+    return _render(_rewrite_casts(
+        _rewrite_usertypes(_rewrite_arrays(_pg_literals(toks)),
+                           session)))
 
 
 def _plan_df(session, lines: list[str]) -> DataFrame:
@@ -157,6 +201,27 @@ def route_statement(session, sql: str) -> DataFrame | None:
     kw = head.group().upper()
     if kw in ("BEGIN", "START", "COMMIT", "END", "ROLLBACK", "ABORT"):
         return _txn(session, kw, s)
+    if kw == "PREPARE":
+        return _prepare(session, s)
+    if kw == "EXECUTE":
+        return _execute(session, s)
+    if kw == "DEALLOCATE":
+        return _deallocate(session, s)
+    if kw == "DISCARD":
+        # pooled-driver reset (settings/discard.test): every variant
+        # collapses to DEALLOCATE ALL — the engine has no temp tables or
+        # session sequences, so the prepared cache is the only state
+        target = (s.split(None, 1)[1].strip().upper()
+                  if len(s.split(None, 1)) > 1 else "")
+        if target not in ("ALL", "PLANS", "SEQUENCES", "TEMP",
+                          "TEMPORARY"):
+            raise ValueError(f'syntax error at or near "{target}"')
+        _prepared_store(session).clear()
+        return _status_df(session, "DISCARD", target)
+    if kw == "USE":
+        # single-database engine: USE is an accepted no-op (the
+        # reference's docs tests emit USE $__DATABASE__)
+        return _status_df(session, "USE", s.split(None, 1)[-1])
     if kw in ("SAVEPOINT", "RELEASE"):
         # the reference has no savepoint executor and fails these with a
         # clean syntax error (transaction_control.test:11-28)
@@ -201,9 +266,53 @@ def route_statement(session, sql: str) -> DataFrame | None:
         sv = _scalar_seq_select(session, s)
         if sv is not None:
             return sv
+        sv = _inline_seq_select(session, s)
+        if sv is not None:
+            return sv
         if re.search(r"\bINTO\b", s, re.IGNORECASE):
             return _select_into(session, s)
     return None
+
+
+_SEQFN_RE = re.compile(
+    r"\b(nextval|currval|setval|lastval)\s*\(\s*(?:'([\w.]+)')?"
+    r"\s*(?:,\s*(\d+))?\s*(?:,\s*(true|false))?\s*\)", re.IGNORECASE)
+
+
+def _inline_seq_select(session, s: str):
+    """FROM-less SELECTs MIXING sequence calls with other expressions
+    (drop_cascade_view_sequence.test: SELECT nextval('s') AS x,
+    'hello'::TEXT AS payload): evaluate each call driver-side ONCE,
+    substitute the value, run the rest as plain SQL. Per-ROW advancement
+    (a FROM clause) stays an honest refusal — that path is
+    sequences.assign, reachable through the DataFrame API."""
+    if not _SEQFN_RE.search(s):
+        return None
+    try:
+        toks = tokenize(s)
+    except ValueError:
+        return None
+    if _find_clause(toks, ("FROM",)) >= 0:
+        return None
+
+    def repl(m: re.Match) -> str:
+        fn, seq, num, flag = m.groups()
+        fn = fn.lower()
+        try:
+            if fn == "lastval":
+                return str(session.sequences.lastval())
+            if fn == "setval":
+                return str(session.sequences.setval(
+                    seq, int(num),
+                    flag is None or flag.lower() == "true"))
+            if fn == "currval":
+                return str(session.sequences.currval(seq))
+            return str(session.sequences.nextval(seq))
+        except KeyError:
+            raise ValueError(
+                f'sequence "{seq}" does not exist') from None
+
+    return session.sql(_SEQFN_RE.sub(repl, s))
 
 
 def _scalar_seq_select(session, s: str) -> DataFrame | None:
@@ -221,7 +330,6 @@ def _scalar_seq_select(session, s: str) -> DataFrame | None:
     for m in re.finditer(item, s, re.IGNORECASE):
         fn, seq, num, flag, alias = m.groups()
         fn = fn.lower()
-        seq = seq.split(".")[-1] if seq else None
         try:
             if fn == "lastval":
                 val = session.sequences.lastval()
@@ -375,6 +483,156 @@ def _select_into(session, s: str) -> DataFrame | None:
 
 
 # --------------------------------------------------------------------------
+# prepared statements (reference pg_wire_session.cpp:539-586 rebinds the
+# plan on EVERY execution — parameters become constants and the full
+# planner runs again, which is what lets ANN claims fire on a $1 vector
+# and RBAC revokes take effect between EXECUTEs)
+# --------------------------------------------------------------------------
+
+def _prepared_store(session) -> dict:
+    p = getattr(session, "_prepared", None)
+    if p is None:
+        p = session._prepared = {}
+    return p
+
+
+def _prepare(session, s: str) -> DataFrame:
+    m = re.match(
+        r"\s*PREPARE\s+(\w+)\s*(?:\(([^()]*)\))?\s+AS\s+(.+)$",
+        s, re.IGNORECASE | re.DOTALL)
+    if m is None:
+        raise ValueError("PREPARE expects: PREPARE name [(types)] AS stmt")
+    name, types, body = m.group(1), m.group(2), m.group(3).strip()
+    tlist = [t.strip() for t in types.split(",")] if types else None
+    _prepared_store(session)[name] = (body, tlist)
+    return _status_df(session, "PREPARE", name)
+
+
+def _deallocate(session, s: str) -> DataFrame:
+    ts = _Stream(tokenize(s))
+    ts.expect("DEALLOCATE")
+    if ts.peek() and ts.peek().upper == "PREPARE":
+        ts.next()
+    store = _prepared_store(session)
+    if ts.peek() is None:
+        raise ValueError("DEALLOCATE expects a statement name or ALL")
+    if ts.peek().upper == "ALL":
+        store.clear()
+        return _status_df(session, "DEALLOCATE", "ALL")
+    name = _ident(ts)
+    if name not in store:
+        raise ValueError(
+            f'prepared statement "{name}" does not exist')
+    del store[name]
+    return _status_df(session, "DEALLOCATE", name)
+
+
+def _substitute_params(body: str, pos: list[str],
+                       named: dict[str, str], types) -> str:
+    """Replace ?, $N and $name parameter markers with argument SQL text
+    — a quote-aware scan, so markers inside string literals and quoted
+    identifiers survive verbatim."""
+    out: list[str] = []
+    i, n = 0, len(body)
+    next_pos = 0
+
+    def wrap(a: str) -> str:
+        # bare literals stay bare — downstream rewrites (enum
+        # definition-order comparisons) pattern-match on them
+        if re.fullmatch(r"\s*(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?"
+                        r"|true|false|null)\s*", a, re.IGNORECASE):
+            return a.strip()
+        return f"({a})"
+
+    def arg(idx: int) -> str:
+        if idx >= len(pos):
+            raise ValueError(
+                f"prepared statement requires at least {idx + 1} "
+                f"parameters, {len(pos)} given")
+        a = wrap(pos[idx])
+        if types and idx < len(types):
+            a = f"CAST({a} AS {types[idx]})"
+        return a
+
+    while i < n:
+        ch = body[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if body[j] == "'" and j + 1 < n and body[j + 1] == "'":
+                    j += 2
+                elif body[j] == "'":
+                    break
+                else:
+                    j += 1
+            out.append(body[i:j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = body.find('"', i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(body[i:j + 1])
+            i = j + 1
+        elif ch == "?":
+            out.append(arg(next_pos))
+            next_pos += 1
+            i += 1
+        elif ch == "$":
+            m = re.match(r"\$(\d+|\w+)", body[i:])
+            if m is None:
+                out.append(ch)
+                i += 1
+                continue
+            tok = m.group(1)
+            if tok.isdigit():
+                out.append(arg(int(tok) - 1))
+            elif tok in named:
+                out.append(wrap(named[tok]))
+            else:
+                raise ValueError(f'unbound parameter "${tok}"')
+            i += m.end()
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
+def _execute(session, s: str) -> DataFrame:
+    toks = tokenize(s)
+    ts = _Stream(toks)
+    ts.expect("EXECUTE")
+    name = _ident(ts)
+    store = _prepared_store(session)
+    if name not in store:
+        raise ValueError(f'prepared statement "{name}" does not exist')
+    body, types = store[name]
+    pos: list[str] = []
+    named: dict[str, str] = {}
+    if ts.peek() and ts.peek().text == "(":
+        depth, start = 0, ts.i
+        while True:
+            t = ts.next()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        for span in _split_top(toks[start + 1: ts.i - 1], (",",)):
+            if (len(span) >= 3 and span[1].text == ":"
+                    and span[2].text == "="):
+                named[span[0].text] = _expr_sql(span[3:])
+            elif len(span) >= 2 and span[1].text == ":=":
+                named[span[0].text] = _expr_sql(span[2:])
+            else:
+                pos.append(_expr_sql(span))
+        # DuckDB allows positional args to satisfy $name params in
+        # declaration order — not needed by the reference's tests; named
+        # params bind by name only
+    # full re-plan on every execution (the reference's rebind semantics)
+    return session.sql(_substitute_params(body, pos, named, types))
+
+
+# --------------------------------------------------------------------------
 # transaction control / variables
 # --------------------------------------------------------------------------
 
@@ -490,6 +748,11 @@ def _set(session, s: str) -> DataFrame | None:
     if nxt is not None and nxt.upper in ("LOCAL", "SESSION"):
         ts.next()
     name = _ident(ts).lower()
+    if name == "role":
+        ts.match("=") or ts.match("TO")
+        who = _ident(ts)
+        session.set_user(None if who.lower() == "none" else who)
+        return _status_df(session, "SET ROLE", who)
     if name.startswith("sdb_"):
         if not (ts.match("=") or ts.match("TO")):
             raise ValueError("SET expects '=' or 'TO'")
@@ -537,6 +800,9 @@ def _reset(session, s: str) -> DataFrame | None:
     ts = _Stream(tokenize(s))
     ts.expect("RESET")
     name = _ident(ts).lower()
+    if name == "role":
+        session.set_user(None)
+        return _status_df(session, "RESET ROLE")
     if not name.startswith("sdb_"):
         return None
     session.set_variable(name, session._VARIABLE_DEFAULTS[name])
@@ -655,7 +921,7 @@ def _dml_where(session, table: str, where_toks: list[Tok]):
     ('keys', DataFrame, pk)."""
     where_sql = _render(where_toks)
     if not has_search_construct(where_sql):
-        return ("col", F.expr(_expr_sql(where_toks)))
+        return ("col", F.expr(_expr_sql(where_toks, session)))
     pk = getattr(session, "_pks", {}).get(table)
     if pk is None:
         raise ValueError(
@@ -740,17 +1006,25 @@ def _insert(session, s: str) -> DataFrame:
                       and cell[2].kind == "STR"):
                     # inline sequence call in a VALUES cell: one driver
                     # call per literal row (VALUES lists are small)
-                    seq = _unquote(cell[2].text).split(".")[-1]
+                    seq = _unquote(cell[2].text)
                     fn = getattr(session.sequences, cell[0].text.lower())
                     cells.append(str(fn(seq)))
                 else:
-                    cells.append(_expr_sql(cell))
+                    cells.append(_expr_sql(cell, session))
             tuples_sql.append("(" + ", ".join(cells) + ")")
         from serenedb_spark.plans.dialect import sql_compat
-        rows = sql_compat(
-            session.spark,
-            f"SELECT * FROM VALUES {', '.join(tuples_sql)} AS __ins"
-            f"({', '.join(use_cols)})")
+        if len(use_cols) == 1:
+            # Spark's inline-table parser reads `VALUES (struct(1,2))`
+            # as a TWO-column row (the outer parens are the row): build
+            # single-column rows as a UNION ALL of scalar SELECTs
+            body_sql = " UNION ALL ".join(
+                f"SELECT {t[1:-1]} AS {use_cols[0]}" for t in tuples_sql)
+            rows = sql_compat(session.spark, body_sql)
+        else:
+            rows = sql_compat(
+                session.spark,
+                f"SELECT * FROM VALUES {', '.join(tuples_sql)} AS __ins"
+                f"({', '.join(use_cols)})")
     else:
         rows = session.sql(_render(body))
         use_cols = (cols if cols is not None
@@ -865,7 +1139,7 @@ def _update(session, s: str) -> DataFrame:
                    else F.lit(d)).cast(dtypes.get(lhs))
             assignments[lhs] = col
         else:
-            assignments[lhs] = F.expr(_expr_sql(rhs))
+            assignments[lhs] = F.expr(_expr_sql(rhs, session))
     if w < 0:
         session.update(table, F.lit(True), assignments)
     else:
@@ -919,6 +1193,11 @@ def _grant(session, s: str, revoke: bool) -> DataFrame:
     privs = []
     while True:
         privs.append(ts.next().upper)
+        if ts.peek() and ts.peek().text == "(":
+            # column-list grant `SELECT (id, amt)` — recorded at table
+            # granularity (rbac/prep_statement_rbac.test setup blocks)
+            while ts.next().text != ")":
+                pass
         if not ts.match(","):
             break
     ts.expect("ON")
@@ -1008,6 +1287,109 @@ def _create(session, s: str) -> DataFrame | None:
         if owned is not None:
             session.own_sequence(owned.split(".")[0], sname)
         return _status_df(session, "CREATE SEQUENCE", sname)
+    if nxt.upper == "TYPE":
+        # CREATE TYPE name AS ENUM (labels | SELECT ...) (ddl/enum.test,
+        # site_docs/sql/data_types/enum.test). Enum columns map to
+        # constrained strings (SURVEY §1.2) with definition-order
+        # comparison/sorting restored by plans/enums.rewrite_enums.
+        ts.next()
+        tname = _ident(ts)
+        if "." in tname:
+            tsch = tname.split(".", 1)[0]
+            if tsch not in getattr(session, "_schemas", set()):
+                raise ValueError(f'schema "{tsch}" does not exist')
+        ts.expect("AS")
+        etypes = getattr(session, "_enum_types", None)
+        if etypes is None or not isinstance(etypes, dict):
+            etypes = session._enum_types = {}
+        ctypes = getattr(session, "_composite_types", None)
+        if ctypes is None or not isinstance(ctypes, dict):
+            ctypes = session._composite_types = {}
+        if tname in etypes or tname in ctypes:
+            raise ValueError(f'type "{tname}" already exists')
+        if ts.peek() is not None and ts.peek().text == "(":
+            # CREATE TYPE name AS (field type, ...) — a composite type
+            # (ddl/composite.test), mapped to a Spark struct
+            ts.next()
+            fields: list[tuple[str, str]] = []
+            while True:
+                fname = _ident(ts)
+                if fname in {f for f, _ in fields}:
+                    raise ValueError(
+                        f'duplicate field name "{fname}" in composite '
+                        "type")
+                fields.append((fname, _user_type_ddl(session, ts)))
+                if ts.match(")"):
+                    break
+                ts.expect(",")
+            ctypes[tname] = fields
+            return _status_df(session, "CREATE TYPE", tname)
+        kindw = ts.next().upper
+        if kindw != "ENUM":
+            raise NotImplementedError(
+                f"CREATE TYPE AS {kindw} is not supported "
+                "(ENUM and composite only)")
+        ts.expect("(")
+        labels: list[str] = []
+        if ts.peek() and ts.peek().upper == "SELECT":
+            depth, start = 1, ts.i
+            while depth:
+                t = ts.next()
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    depth -= 1
+            df = session.sql(_render(toks[start:ts.i - 1]))
+            seen = set()
+            for r in df.collect():
+                v = r[0]
+                if v is not None and v not in seen:
+                    seen.add(v)
+                    labels.append(str(v))
+        else:
+            while not ts.match(")"):
+                t = ts.next()
+                if t.text == ",":
+                    continue
+                if t.kind != "STR":
+                    raise ValueError(
+                        "enum labels must be string literals")
+                lab = _unquote(t.text)
+                if lab in labels:
+                    raise ValueError(
+                        f'enum label "{lab}" used more than once')
+                labels.append(lab)
+        etypes[tname] = labels
+        return _status_df(session, "CREATE TYPE", tname)
+    if nxt.upper == "SCHEMA":
+        # user schemas (schema.test): catalog keys become `schema.table`
+        # and temp views mangle the dot (session._view_name); SQL-text
+        # references map over via session._schema_rewrite
+        ts.next()
+        if_not_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("NOT"); ts.expect("EXISTS")
+            if_not_exists = True
+        sch = _ident(ts)
+        schemas = session._set_store("_schemas", ("public",))
+        if sch in schemas:
+            if if_not_exists:
+                return _status_df(session, "CREATE SCHEMA",
+                                  f"{sch} (exists)")
+            raise ValueError(f'schema "{sch}" already exists')
+        schemas.add(sch)
+        return _status_df(session, "CREATE SCHEMA", sch)
+    if nxt.upper in ("ROLE", "USER"):
+        # RBAC principals (rbac/prep_statement_rbac.test): the engine's
+        # grants are keyed by principal name; LOGIN/PASSWORD options are
+        # accepted connection metadata with no in-library meaning
+        ts.next()
+        rname = _ident(ts)
+        roles = session._set_store("_roles")
+        if rname in roles:
+            raise ValueError(f'role "{rname}" already exists')
+        roles.add(rname)
+        return _status_df(session, "CREATE ROLE", rname)
     if nxt.upper in ("FUNCTION", "MACRO"):
         # DuckDB-style scalar macro: CREATE FUNCTION f(x INT) AS x * x
         # (reference catalog/function.h; session.create_macro)
@@ -1021,6 +1403,51 @@ def _create(session, s: str) -> DataFrame | None:
                 params.append(t.text)
             else:
                 params.append(",")
+        if ts.peek() and ts.peek().upper == "RETURNS":
+            # PG-standard SQL function (alter_rename.test): CREATE
+            # FUNCTION f() RETURNS TABLE(a int, b text) LANGUAGE SQL
+            # BEGIN ATOMIC <select>; END  |  ... RETURN <expr>
+            ts.next()
+            ret_schema = None
+            if ts.peek() and ts.peek().upper == "TABLE":
+                ts.next(); ts.expect("(")
+                parts, start = [], ts.i
+                depth = 1
+                while depth:
+                    t = ts.next()
+                    if t.text == "(":
+                        depth += 1
+                    elif t.text == ")":
+                        depth -= 1
+                cols = _split_top(toks[start:ts.i - 1], (",",))
+                defs = []
+                for cdef in cols:
+                    cts = _Stream(cdef)
+                    defs.append(f"{_ident(cts)} {_spark_type(cts)}")
+                ret_schema = ", ".join(defs)
+            else:
+                _spark_type(ts)  # scalar return type, recorded only
+            if ts.peek() and ts.peek().upper == "LANGUAGE":
+                ts.next(); ts.next()
+            if ts.peek() and ts.peek().upper == "BEGIN":
+                ts.next(); ts.expect("ATOMIC")
+                body = toks[ts.i:]
+                e = _find_clause(body, ("END",))
+                if e >= 0:
+                    body = body[:e]
+                body_sql = _render(body).rstrip("; ")
+            elif ts.peek() and ts.peek().upper == "RETURN":
+                ts.next()
+                body_sql = _render(toks[ts.i:])
+            else:
+                ts.expect("AS")
+                body_sql = _render(toks[ts.i:])
+            if ret_schema is not None:
+                session.create_table_macro(fname, " ".join(params),
+                                           ret_schema, body_sql)
+            else:
+                session.create_macro(fname, " ".join(params), body_sql)
+            return _status_df(session, "CREATE FUNCTION", fname)
         ts.expect("AS")
         if ts.peek() and ts.peek().upper == "TABLE":
             ts.next()
@@ -1043,23 +1470,54 @@ def _create(session, s: str) -> DataFrame | None:
         if not ts.match(")"):
             raise NotImplementedError(
                 "composite UNIQUE indexes are not supported")
-        session.add_unique(table, col, iname)
+        session.add_unique(table, col, iname, constraint=False)
         return _status_df(session, "CREATE INDEX", iname)
     if nxt.upper == "INDEX" and not any(
             t.upper == "INVERTED" for t in toks):
-        # plain secondary CREATE INDEX: on a search-backed table the
-        # reference's wording applies (search_table.test:205); elsewhere
-        # only inverted indexes exist here
+        # plain secondary CREATE INDEX (alter_rename.test, ART-index
+        # analogue): a CATALOG object only — Spark's physical access
+        # path is the parquet scan with pushdown/zonemaps, so the index
+        # carries no structure; recorded for pg_index/DROP INDEX parity.
+        # On a search-backed table the reference's wording applies
+        # (search_table.test:205).
         ts.next()
-        _ident(ts)          # index name
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("NOT"); ts.expect("EXISTS")
+        iname = _ident(ts)
         ts.expect("ON")
         table = _ident(ts)
         if getattr(session, "_storage", {}).get(table) == "search":
             raise ValueError(
                 "CREATE INDEX on a search-backed table is not yet "
                 "supported")
-        raise NotImplementedError(
-            "only CREATE INDEX ... USING inverted(...) is supported")
+        if table not in session._tables:
+            raise ValueError(f'relation "{table}" does not exist')
+        cols = []
+        expr_index = False
+        if ts.peek() and ts.peek().text == "(":
+            ts.next()
+            depth = 1
+            while depth:
+                t = ts.next()
+                if t.text == "(":
+                    depth += 1
+                    expr_index = True  # e.g. CREATE INDEX ON t(abs(x))
+                elif t.text == ")":
+                    depth -= 1
+                elif t.text != ",":
+                    cols.append(t.text)
+        if not expr_index:
+            for c in cols:
+                if c.isidentifier() and c not in session._tables[
+                        table].columns:
+                    raise ValueError(f'column "{c}" does not exist')
+        si = getattr(session, "_secondary_indexes", None)
+        if not isinstance(si, dict):
+            si = session._secondary_indexes = {}
+        if iname in si:
+            raise ValueError(f'index "{iname}" already exists')
+        si[iname] = (table, tuple(cols))
+        return _status_df(session, "CREATE INDEX", iname)
     return None  # CREATE INDEX / TEXT SEARCH DICTIONARY / MACRO: not ours
 
 
@@ -1080,6 +1538,10 @@ def _create_table(session, s, toks, ts: _Stream,
         ts.next(); ts.expect("NOT"); ts.expect("EXISTS")
         if_not_exists = True
     name = _ident(ts)
+    if "." in name:
+        sch = name.split(".", 1)[0]
+        if sch not in getattr(session, "_schemas", set()):
+            raise ValueError(f'schema "{sch}" does not exist')
     nxt = ts.peek()
     storage = None
     if (nxt is not None and nxt.upper == "WITH"
@@ -1184,10 +1646,20 @@ def _parse_with_options(tail: list[Tok]) -> str | None:
     ts = _Stream(tail)
     ts.expect("WITH"); ts.expect("(")
     storage = None
+    interval_keys = []
     while True:
         key = _ident(ts).lower()
+        if key.endswith("_interval"):
+            interval_keys.append(key)
         ts.expect("=")
         val = ts.next()
+        if key in ("refresh_interval", "commit_interval",
+                   "consolidation_interval"):
+            # search-table background-tick options (search_table.test):
+            # accepted, must be integer literals
+            if val.kind != "NUM" or "." in val.text:
+                raise ValueError(
+                    f'WITH option "{key}" expects an integer literal')
         if key == "storage":
             if val.kind != "STR":
                 raise ValueError(
@@ -1215,7 +1687,42 @@ def _parse_with_options(tail: list[Tok]) -> str | None:
         if ts.match(")"):
             break
         ts.expect(",")
+    if interval_keys and storage != "search":
+        # tick intervals are search-storage options (search_table.test)
+        raise ValueError(
+            f'unrecognized parameter "{interval_keys[0]}"')
     return storage
+
+
+def _composite_ddl(session, tname: str) -> str:
+    """A registered composite type name → its Spark struct DDL."""
+    fields = session._composite_types[tname]
+    return "struct<" + ",".join(f"{f}:{t}" for f, t in fields) + ">"
+
+
+def _user_type_ddl(session, ts: _Stream) -> str:
+    """One column/field type, resolving USER types first: composite →
+    struct DDL (nested composites recurse through the registry), enum →
+    string; everything else through _spark_type. A trailing `[]` makes
+    an array (pudge_place[])."""
+    t = ts.peek()
+    out = None
+    if t is not None and t.kind == "IDENT":
+        name = t.text if t.text in getattr(
+            session, "_composite_types", {}) else t.text.lower()
+        if name in getattr(session, "_composite_types", {}):
+            ts.next()
+            out = _composite_ddl(session, name)
+        elif (t.text in getattr(session, "_enum_types", {})
+              or t.text.lower() in getattr(session, "_enum_types", {})):
+            ts.next()
+            out = "string"
+    if out is None:
+        return _spark_type(ts)
+    while ts.peek() and ts.peek().text == "[":
+        ts.next(); ts.expect("]")
+        out = f"array<{out}>"
+    return out
 
 
 def _spark_type(ts: _Stream) -> str:
@@ -1273,6 +1780,48 @@ def _parse_coldefs(session, coldefs: list[Tok]):
         if col.lower() in seen:  # create_table_errors.test
             raise ValueError(f'duplicate column name "{col}"')
         seen.add(col.lower())
+        etypes = getattr(session, "_enum_types", {})
+        ctypes = getattr(session, "_composite_types", {})
+        tpk = ts.peek()
+        if tpk is not None and tpk.kind == "IDENT" and (
+                tpk.text in ctypes or tpk.text.lower() in ctypes):
+            cty = tpk.text if tpk.text in ctypes else tpk.text.lower()
+            ts.next()
+            ddl = _composite_ddl(session, cty)
+            while ts.peek() and ts.peek().text == "[":
+                ts.next(); ts.expect("]")
+                ddl = f"array<{ddl}>"
+            schema.append(f"{col} {ddl}")
+
+            def _mkcompcol(t, c=col, ty=cty):
+                cc = getattr(session, "_composite_cols", None)
+                if not isinstance(cc, dict):
+                    cc = session._composite_cols = {}
+                cc.setdefault(t, {})[c] = ty
+            after.append(_mkcompcol)
+            after.extend(_col_constraints(session, col, ts, check_i))
+            continue
+        if tpk is not None and (tpk.text in etypes
+                                or tpk.text.lower() in etypes):
+            # enum-typed column → constrained string + membership CHECK
+            ety = tpk.text if tpk.text in etypes else tpk.text.lower()
+            ts.next()
+            schema.append(f"{col} string")
+
+            def _mkenumcol(t, c=col, ty=ety):
+                ec = getattr(session, "_enum_cols", None)
+                if not isinstance(ec, dict):
+                    ec = session._enum_cols = {}
+                ec.setdefault(t, {})[c] = ty
+                labels = session._enum_types[ty]
+                quoted = ", ".join(
+                    "'" + lab.replace("'", "''") + "'" for lab in labels)
+                pred = (f"{c} IN ({quoted})" if labels
+                        else f"{c} IS NULL")
+                session.add_check(t, f"{t}_{c}_enum_check", pred)
+            after.append(_mkenumcol)
+            after.extend(_col_constraints(session, col, ts, check_i))
+            continue
         serial = (ts.peek() is not None
                   and ts.peek().upper in ("SERIAL", "BIGSERIAL",
                                           "SMALLSERIAL"))
@@ -1303,7 +1852,7 @@ def _parse_coldefs(session, coldefs: list[Tok]):
 
 
 _NEXTVAL_RE = re.compile(
-    r"^\s*nextval\s*\(\s*'(?:\w+\.)?(\w+)'\s*\)\s*$", re.IGNORECASE)
+    r"^\s*nextval\s*\(\s*'([\w.]+)'\s*\)\s*$", re.IGNORECASE)
 
 
 def _align_rows(session, table: str, rows: DataFrame,
@@ -1358,15 +1907,19 @@ def _col_constraints(session, col: str, ts: _Stream, check_i: list):
         if kw == "PRIMARY":
             ts.expect("KEY")
             set_null("notnull")
-            hooks.append(lambda t, c=col: session.set_primary_key(t, c))
+            hooks.append(lambda t, c=col, n=name:
+                         session.set_primary_key(t, c, constraint_name=n))
         elif kw == "NOT":
             ts.expect("NULL")
             set_null("notnull")
-            hooks.append(lambda t, c=col: session.alter_set_not_null(t, c))
+            hooks.append(lambda t, c=col, n=name:
+                         session.alter_set_not_null(t, c,
+                                                    constraint_name=n))
         elif kw == "NULL":
             set_null("null")
         elif kw == "UNIQUE":
-            hooks.append(lambda t, c=col: _unique(session, t, c))
+            hooks.append(lambda t, c=col, n=name:
+                         _unique(session, t, c, n))
         elif kw == "DEFAULT":
             if saw_default:  # default_values.test
                 raise ValueError(
@@ -1387,8 +1940,16 @@ def _col_constraints(session, col: str, ts: _Stream, check_i: list):
         elif kw == "CHECK":
             pred = _paren_group(ts)
             check_i[0] += 1
-            hooks.append(lambda t, n=name, i=check_i[0], p=pred:
-                         session.add_check(t, n or f"{t}_check_{i}", p))
+            def _addcheck(t, n=name, c=col, p=pred):
+                if n is None:
+                    # PG auto-name shape (constraint_index_catalog.test)
+                    n = f"{t}_{c}_check"
+                    k = 1
+                    while n in getattr(session, "_checks", {}).get(t, {}):
+                        k += 1
+                        n = f"{t}_{c}_check{k}"
+                session.add_check(t, n, p)
+            hooks.append(_addcheck)
         elif kw == "REFERENCES":
             rt = _ident(ts)
             rc = None
@@ -1396,8 +1957,9 @@ def _col_constraints(session, col: str, ts: _Stream, check_i: list):
                 ts.next()
                 rc = _ident(ts)
                 ts.expect(")")
-            hooks.append(lambda t, c=col, r=rt, k=rc:
-                         session.add_foreign_key(t, c, r, k or c))
+            hooks.append(lambda t, c=col, r=rt, k=rc, n=name:
+                         session.add_foreign_key(t, c, r, k or c,
+                                                 name=n))
         elif kw == "GENERATED":
             # GENERATED ALWAYS AS (expr) STORED (default_values.test):
             # recomputed on every INSERT/UPDATE; chains allowed, cycles
@@ -1434,14 +1996,15 @@ def _col_constraints(session, col: str, ts: _Stream, check_i: list):
     return hooks
 
 
-def _unique(session, table: str, col: str) -> None:
+def _unique(session, table: str, col: str,
+            name: str | None = None) -> None:
     """UNIQUE goes through session.add_unique — the NULL-tolerant
     _uniques path (PG allows any number of NULLs in a UNIQUE column;
     hijacking the PK slot would reject them, constraint.test). The
     column still arbitrates ON CONFLICT targets via _uniques."""
     if getattr(session, "_pks", {}).get(table) == col:
         return  # already the PK: UNIQUE is implied
-    session.add_unique(table, col)
+    session.add_unique(table, col, name=name)
 
 
 def _paren_group(ts: _Stream) -> str:
@@ -1471,17 +2034,22 @@ def _table_constraint(session, item: list[Tok]):
         ts.expect("KEY"); ts.expect("(")
         cols = []
         while True:
-            cols.append(_ident(ts))
+            c = _ident(ts)
+            if c in cols:  # create_table_errors.test PRIMARY KEY(y, y)
+                raise ValueError(
+                    f'column "{c}" appears twice in primary key '
+                    "constraint")
+            cols.append(c)
             if ts.match(")"):
                 break
             ts.expect(",")
-        return lambda t, c=tuple(cols): session.set_primary_key(
-            t, c[0] if len(c) == 1 else c)
+        return lambda t, c=tuple(cols), n=name: session.set_primary_key(
+            t, c[0] if len(c) == 1 else c, constraint_name=n)
     if kw == "UNIQUE":
         ts.expect("(")
         col = _ident(ts)
         ts.expect(")")
-        return lambda t, c=col: _unique(session, t, c)
+        return lambda t, c=col, n=name: _unique(session, t, c, n)
     if kw == "CHECK":
         pred = _paren_group(ts)
         return lambda t, n=name, p=pred: session.add_check(
@@ -1506,10 +2074,91 @@ def _drop(session, s: str) -> DataFrame | None:
     ts = _Stream(toks)
     ts.expect("DROP")
     kind = ts.next().upper
-    if kind in ("FUNCTION", "MACRO"):
+    if kind == "TYPE":
+        if_exists = False
         if ts.peek() and ts.peek().upper == "IF":
             ts.next(); ts.expect("EXISTS")
+            if_exists = True
+        tname = _ident(ts)
+        cascade = bool(ts.peek() and ts.peek().upper == "CASCADE")
+        etypes = getattr(session, "_enum_types", {})
+        ctypes = getattr(session, "_composite_types", {})
+        if tname not in etypes and tname not in ctypes:
+            if if_exists:
+                return _status_df(session, "DROP TYPE")
+            raise ValueError(f'type "{tname}" does not exist')
+        store = ("_enum_cols" if tname in etypes else "_composite_cols")
+        deps = [(t, c) for t, cols in getattr(session, store,
+                                              {}).items()
+                for c, ty in cols.items() if ty == tname
+                and t in session._tables]
+        if deps and not cascade:
+            raise ValueError(
+                f'cannot drop type {tname} because other objects '
+                "depend on it")
+        for t, c in deps:
+            # PG: DROP TYPE CASCADE drops the dependent COLUMNS
+            session.alter_drop_column(t, c)
+            getattr(session, store)[t].pop(c, None)
+            getattr(session, "_checks", {}).get(t, {}).pop(
+                f"{t}_{c}_enum_check", None)
+        (etypes if tname in etypes else ctypes).pop(tname)
+        return _status_df(session, "DROP TYPE", tname)
+    if kind == "SCHEMA":
+        if_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("EXISTS")
+            if_exists = True
+        sch = _ident(ts)
+        cascade = bool(ts.peek() and ts.peek().upper == "CASCADE")
+        schemas = session._set_store("_schemas", ("public",))
+        if sch not in schemas or sch == "public":
+            if if_exists:
+                return _status_df(session, "DROP SCHEMA")
+            raise ValueError(f'schema "{sch}" does not exist')
+        members = [t for t in session._tables
+                   if t.startswith(sch + ".")]
+        vmembers = [v for v in getattr(session, "_view_defs", {})
+                    if v.startswith(sch + ".")]
+        smembers = [q for q in session.sequences._seqs
+                    if q.startswith(sch + ".")]
+        if (members or vmembers or smembers) and not cascade:
+            raise ValueError(
+                f'cannot drop schema "{sch}" because other objects '
+                "depend on it")
+        for v in vmembers:
+            session.drop_view(v, cascade=True)
+        for t in members:
+            if t in session._tables:
+                session.drop_table(t, cascade=True)
+        for q in smembers:
+            if q in session.sequences._seqs:
+                session.drop_sequence_checked(q, cascade=True)
+        schemas.discard(sch)
+        return _status_df(session, "DROP SCHEMA", sch)
+    if kind in ("ROLE", "USER"):
+        if_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("EXISTS")
+            if_exists = True
+        rname = _ident(ts)
+        roles = session._set_store("_roles")
+        if rname not in roles:
+            if if_exists:
+                return _status_df(session, "DROP ROLE")
+            raise ValueError(f'role "{rname}" does not exist')
+        roles.discard(rname)
+        getattr(session, "_grants", {}).pop(rname, None)
+        return _status_df(session, "DROP ROLE", rname)
+    if kind in ("FUNCTION", "MACRO"):
+        if_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("EXISTS")
+            if_exists = True
         fname = _ident(ts)
+        if fname not in session._macros_meta and not if_exists:
+            raise ValueError(
+                f'could not find a function named "{fname}"')
         if ts.peek() and ts.peek().text == "(":  # signature form
             while ts.next().text != ")":
                 pass
@@ -1529,6 +2178,19 @@ def _drop(session, s: str) -> DataFrame | None:
             raise ValueError(f'sequence "{sname}" does not exist')
         session.drop_sequence_checked(sname, cascade=casc)
         return _status_df(session, "DROP SEQUENCE", sname)
+    if kind == "INDEX":
+        if_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("EXISTS")
+            if_exists = True
+        iname = _ident(ts)
+        si = getattr(session, "_secondary_indexes", {})
+        if iname in si:
+            del si[iname]
+            return _status_df(session, "DROP INDEX", iname)
+        if if_exists and iname not in session._indexes:
+            return _status_df(session, "DROP INDEX")
+        return None  # inverted indexes: search_sql's DROP INDEX
     if kind not in ("TABLE", "VIEW"):
         return None  # DROP INDEX / TEXT SEARCH DICTIONARY: search_sql's
     if_exists = False
@@ -1544,6 +2206,12 @@ def _drop(session, s: str) -> DataFrame | None:
     for n in names:
         if kind == "TABLE":
             if n not in session._tables:
+                if n in getattr(session, "_secondary_indexes", {}) \
+                        or n in session._indexes:
+                    # drop.test: even with IF EXISTS, PG names the kind
+                    raise ValueError(
+                        f'"{n}" is not a table. Use DROP INDEX to '
+                        "remove an index")
                 if if_exists:
                     continue
                 raise ValueError(f"table {n!r} does not exist")
@@ -1558,11 +2226,93 @@ def _drop(session, s: str) -> DataFrame | None:
     return _status_df(session, f"DROP {kind}", ", ".join(names))
 
 
+def _rename_any(session, kindw: str, name: str, new: str) -> DataFrame:
+    """RENAME for any relation kind (alter_rename.test — DuckDB routes
+    ALTER TABLE/INDEX through one relation-rename path, so each works on
+    tables, views and indexes; ALTER VIEW insists on a view)."""
+    vd = getattr(session, "_view_defs", {})
+    si = getattr(session, "_secondary_indexes", {})
+    is_view = name in vd
+    is_table = name in session._tables
+    is_index = name in si or name in session._indexes
+    if kindw == "VIEW":
+        if is_table or is_index:
+            raise ValueError(f'"{name}" is not a view')
+        if not is_view:
+            raise ValueError(f"View with name {name} does not exist!")
+    elif not (is_table or is_view or is_index):
+        raise ValueError(f"Table with name {name} does not exist!")
+    if new in session._tables or new in vd or new in si:
+        raise ValueError(f'relation "{new}" already exists')
+    if is_table:
+        _rename_table(session, name, new)
+    elif is_view:
+        d = vd.pop(name)
+        vd[new] = d
+        lazy = getattr(session, "_lazy_views", set())
+        if name in lazy:
+            lazy.discard(name)
+            lazy.add(new)
+        else:
+            session.spark.catalog.dropTempView(session._view_name(name))
+            if isinstance(d, str):
+                session.sql(d).createOrReplaceTempView(
+                    session._view_name(new))
+    elif name in si:
+        si[new] = si.pop(name)
+    else:  # inverted index
+        session._indexes[new] = session._indexes.pop(name)
+        srcs = getattr(session, "_index_sources", {})
+        if name in srcs:
+            srcs[new] = srcs.pop(name)
+        ddls = getattr(session, "_index_ddl", {})
+        if name in ddls:
+            ddls[new] = ddls.pop(name)
+    return _status_df(session, f"ALTER {kindw}", new)
+
+
 def _alter(session, s: str) -> DataFrame | None:
     toks = tokenize(s)
     ts = _Stream(toks)
     ts.expect("ALTER")
-    if ts.peek() is None or ts.peek().upper != "TABLE":
+    kindw = ts.peek().upper if ts.peek() else ""
+    if kindw in ("VIEW", "INDEX", "FUNCTION", "MACRO"):
+        # only the RENAME TO form is ours; ALTER VIEW ... AS stays Spark
+        ts.next()
+        if_exists = False
+        if ts.peek() and ts.peek().upper == "IF":
+            ts.next(); ts.expect("EXISTS")
+            if_exists = True
+        name = _ident(ts)
+        if if_exists and name not in session._tables \
+                and name not in getattr(session, "_view_defs", {}) \
+                and name not in getattr(session, "_secondary_indexes",
+                                        {}) \
+                and name not in session._indexes:
+            return _status_df(session, f"ALTER {kindw}",
+                              f"{name} (skipped, no such relation)")
+        if not (ts.peek() and ts.peek().upper == "RENAME"):
+            return None
+        ts.next(); ts.expect("TO")
+        new = _ident(ts)
+        if kindw in ("FUNCTION", "MACRO"):
+            meta = session._macros_meta
+            if name not in meta:
+                raise ValueError(
+                    f'could not find a function named "{name}"')
+            if new in meta or new in session._tables:
+                raise ValueError(f'relation "{new}" already exists')
+            params, is_table, body, *rest = meta.pop(name)
+            session.spark.sql(
+                f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
+            if is_table:
+                session.create_table_macro(
+                    new, params, rest[0] if rest else "x int", body)
+            else:
+                session.create_macro(new, params, body)
+            return _status_df(session, "ALTER FUNCTION", new)
+        return _rename_any(session, kindw, name, new)
+    if kindw != "TABLE":
         return None
     ts.next()
     if ts.peek() and ts.peek().upper == "IF":
@@ -1576,11 +2326,28 @@ def _alter(session, s: str) -> DataFrame | None:
     else:
         table = _ident(ts)
     if table not in session._tables:
+        if (ts.peek() and ts.peek().upper == "RENAME"
+                and ts.peek(1) and ts.peek(1).upper == "TO"):
+            # DuckDB routes ALTER TABLE RENAME through the generic
+            # relation path: views and indexes rename too
+            # (alter_rename.test:99-108)
+            ts.next(); ts.next()
+            return _rename_any(session, "TABLE", table, _ident(ts))
         if table in getattr(session, "_view_defs", {}):
+            if (ts.peek() and ts.peek().upper == "RENAME"
+                    and ts.peek(1) and ts.peek(1).upper == "COLUMN"):
+                raise ValueError(
+                    "cannot rename columns of a non-table relation")
+            if (ts.peek() and ts.peek().upper == "RENAME"
+                    and ts.peek(1) and ts.peek(1).upper == "CONSTRAINT"):
+                cname = toks[ts.i + 2].text
+                raise ValueError(
+                    f'constraint "{cname}" for table "{table}" does '
+                    "not exist")
             raise ValueError(
                 f'ALTER action cannot be performed on relation '
                 f'"{table}": this operation is not supported for views')
-        raise ValueError(f'relation "{table}" does not exist')
+        raise ValueError(f"Table with name {table} does not exist!")
     action = ts.next().upper
     if getattr(session, "_storage", {}).get(table) == "search":
         # fixed iresearch schema: structural ALTERs rejected, renames
@@ -1617,7 +2384,42 @@ def _alter(session, s: str) -> DataFrame | None:
     if action == "RENAME":
         if ts.peek().upper == "TO":
             ts.next()
-            _rename_table(session, table, _ident(ts))
+            new = _ident(ts)
+            if "." in table and "." not in new:
+                # PG: RENAME TO keeps the relation in its schema
+                new = table.rsplit(".", 1)[0] + "." + new
+            _rename_table(session, table, new)
+            return _status_df(session, "ALTER TABLE", table)
+        if ts.peek().upper == "CONSTRAINT":
+            # ALTER TABLE ... RENAME CONSTRAINT old TO new
+            # (alter_rename.test:292)
+            ts.next()
+            old = _ident(ts)
+            ts.expect("TO")
+            new = _ident(ts)
+            checks = getattr(session, "_checks", {}).get(table, {})
+            fks = getattr(session, "_fks", {})
+            uq = getattr(session, "_uq_names", {}).get(table, {})
+            nn = getattr(session, "_nn_names", {}).get(table, {})
+            pkn = getattr(session, "_pk_names", {})
+            if old in checks:
+                checks[new] = checks.pop(old)
+            elif old in fks and fks[old][0] == table:
+                fks[new] = fks.pop(old)
+            elif old in uq.values():
+                for c, n in list(uq.items()):
+                    if n == old:
+                        uq[c] = new
+            elif old in nn.values():
+                for c, n in list(nn.items()):
+                    if n == old:
+                        nn[c] = new
+            elif pkn.get(table) == old:
+                pkn[table] = new
+            else:
+                raise ValueError(
+                    f'constraint "{old}" for table "{table}" does not '
+                    "exist")
             return _status_df(session, "ALTER TABLE", table)
         if ts.peek().upper == "COLUMN":
             ts.next()
@@ -1627,6 +2429,9 @@ def _alter(session, s: str) -> DataFrame | None:
         if old not in session._tables[table].columns:
             raise ValueError(
                 f'column "{old}" of relation "{table}" does not exist')
+        if new in session._tables[table].columns:
+            raise ValueError(
+                f'column "{new}" of relation "{table}" already exists')
         session.alter_rename_column(table, old, new)
         return _status_df(session, "ALTER TABLE", table)
     if action == "ALTER":
@@ -1733,7 +2538,9 @@ def _rename_table(session, old: str, new: str) -> None:
     session._tables[new] = session._tables.pop(old)
     for store in ("_pks", "_checks", "_comments", "_analyze_stats",
                   "_col_defaults", "_not_null", "_col_masks",
-                  "_row_policies", "_storage", "_generated", "_uniques"):
+                  "_row_policies", "_storage", "_generated", "_uniques",
+                  "_pk_names", "_nn_names", "_uq_names", "_enum_cols",
+                  "_composite_cols"):
         d = getattr(session, store, None)
         if isinstance(d, dict) and old in d:
             d[new] = d.pop(old)
@@ -1741,12 +2548,16 @@ def _rename_table(session, old: str, new: str) -> None:
     for iname, src in list(srcs.items()):
         if src == old:
             srcs[iname] = new
+    si = getattr(session, "_secondary_indexes", {})
+    for iname, (t, cols) in list(si.items()):
+        if t == old:
+            si[iname] = (new, cols)
     import dataclasses
     ddls = getattr(session, "_index_ddl", {})
     for iname, ddl in list(ddls.items()):
         if ddl.table == old:
             ddls[iname] = dataclasses.replace(ddl, table=new)
-    session.spark.catalog.dropTempView(old)
+    session.spark.catalog.dropTempView(session._view_name(old))
     session._reregister(new)
 
 

@@ -25,8 +25,7 @@ from dataclasses import dataclass, field
 #: blocks may depend on this one's state, so skipping would lie)
 STOPPERS = (
     re.compile(r"^\s*connection\b", re.IGNORECASE | re.MULTILINE),
-    re.compile(r"^\s*PREPARE\b", re.IGNORECASE),
-    re.compile(r"CREATE\s+(DATABASE|SCHEMA|TYPE)", re.IGNORECASE),
+    re.compile(r"CREATE\s+DATABASE", re.IGNORECASE),
 )
 
 
@@ -104,6 +103,8 @@ def parse_file(path: str) -> list[Block]:
 
 
 def _norm_cell(v) -> str:
+    from pyspark.sql import Row
+
     if v is None:
         return "NULL"
     if v is True:
@@ -112,11 +113,29 @@ def _norm_cell(v) -> str:
         return "f"
     if isinstance(v, float) and v.is_integer():
         return str(int(v))
+    if isinstance(v, Row):  # PG composite record text (composite.test)
+        def field(x) -> str:
+            if x is None:
+                return ""          # NULL field renders empty in records
+            c = _norm_cell(x)
+            if c == "" or any(ch in c for ch in ' ,()"\\'):
+                # the reference's record serializer doubles the
+                # backslash escape (composite.test:273 expects \\\\
+                # for one source backslash); quotes double PG-style
+                return '"' + c.replace("\\", "\\\\\\\\") \
+                    .replace('"', '""') + '"'
+            return c
+        return "(" + ",".join(field(x) for x in v) + ")"
     if isinstance(v, list):  # PG array text form (quotes spacey cells)
         def cell(x) -> str:
             c = _norm_cell(x)
+            if isinstance(x, Row):
+                # the reference serializes a record element's quotes
+                # with a doubled backslash (composite.test:114)
+                return '"' + c.replace("\\", "\\\\") \
+                    .replace('"', '\\\\"') + '"'
             if x is not None and isinstance(x, str) and (
-                    c == "" or any(ch in c for ch in ' ,{}"\\')):
+                    c == "" or any(ch in c for ch in ' ,{}()"\\')):
                 return '"' + c.replace("\\", "\\\\") \
                     .replace('"', '\\"') + '"'
             return c
@@ -155,9 +174,11 @@ def run_file(ss, path: str) -> tuple[int, int]:
     test_dir = tempfile.mkdtemp(prefix="sqllogic_")
     passed = 0
     for b in blocks:
-        # `control substitution on` variables (copy.test file paths)
+        # `control substitution on` variables (copy.test file paths;
+        # prepared_statements.test's USE $__DATABASE__)
         b.sql = b.sql.replace("${__TEST_DIR__}", test_dir) \
-                     .replace("__TEST_DIR__", test_dir)
+                     .replace("__TEST_DIR__", test_dir) \
+                     .replace("$__DATABASE__", "serene")
         # stoppers don't gate expect-error blocks: an out-of-surface
         # statement raises anyway, which is what the block asserts
         # (aborted_block.test's PREPARE/DEALLOCATE expect the 25P02 text)
@@ -189,6 +210,7 @@ def run_file(ss, path: str) -> tuple[int, int]:
                 refusal = any(w in str(e).lower() for w in
                               ("unsupported", "not supported",
                                "unresolved", "cannot be resolved",
+                               "could not resolve",
                                "undefined function", "requires"))
                 if b.expected and b.expected[0].startswith("re:"):
                     pat = b.expected[0][3:]
@@ -255,7 +277,10 @@ def run_file(ss, path: str) -> tuple[int, int]:
             passed += 1
             continue
         # query block: compare header + rows
-        df = ss.sql(b.sql)
+        try:
+            df = ss.sql(b.sql)
+        except NotImplementedError:
+            break  # honest out-of-surface refusal: stop the file
         hm = (re.match(r"(\d+) values hashing to ([0-9a-f]{32})",
                        b.expected[0])
               if len(b.expected) == 1 else None)
@@ -284,6 +309,9 @@ def run_file(ss, path: str) -> tuple[int, int]:
             e == "?column?" or a == e
             or a == re.sub(r"^column(\d+)$", r"col\1", e)
             or a.lower().startswith(e.lower() + "(")
+            # ROW(...) lowers to struct(...): same value, Spark's
+            # display name (composite.test:151)
+            or (e.lower() == "row" and a.lower().startswith("struct("))
             for a, e in zip(df.columns, header)), (
             f"{where}: columns {df.columns} != expected {header}")
         act_rows = [[_norm_cell(v) for v in row] for row in df.collect()]

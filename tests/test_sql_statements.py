@@ -344,3 +344,88 @@ def test_copy_to_where_rejected(ss, tmp_path):
     # PG: WHERE is COPY FROM-only
     with pytest.raises(ValueError, match="not allowed with COPY TO"):
         ss.sql(f"COPY t TO '{tmp_path}/x.csv' WHERE a = 1")
+
+
+# ---- prepared statements / schemas / user types ----------------------------
+
+def test_prepare_execute_deallocate(ss):
+    ss.sql("PREPARE q1 AS SELECT a, b FROM t WHERE a >= $1 ORDER BY a")
+    got = [r.a for r in ss.sql("EXECUTE q1(2)").collect()]
+    assert got == [2, 3]
+    # ? positional and named := forms
+    ss.sql("PREPARE q2 AS SELECT count(*) AS n FROM t WHERE a >= ?")
+    assert ss.sql("EXECUTE q2(3)").first().n == 1
+    ss.sql("PREPARE q3 AS SELECT count(*) AS n FROM t WHERE a >= $lo")
+    assert ss.sql("EXECUTE q3(lo := 2)").first().n == 2
+    # re-plan per EXECUTE: sees data changes without re-prepare
+    ss.sql("INSERT INTO t VALUES (9, 'nine', 0.0)")
+    assert ss.sql("EXECUTE q2(3)").first().n == 2
+    ss.sql("DEALLOCATE q1")
+    with pytest.raises(ValueError, match="does not exist"):
+        ss.sql("EXECUTE q1(1)")
+    ss.sql("DISCARD ALL")
+    with pytest.raises(ValueError, match="does not exist"):
+        ss.sql("EXECUTE q2(1)")
+
+
+def test_create_schema_qualified_tables(ss):
+    ss.sql("CREATE SCHEMA s1")
+    ss.sql("CREATE TABLE s1.t (x INT)")
+    ss.sql("INSERT INTO s1.t VALUES (1), (2)")
+    assert ss.sql("SELECT count(*) AS n FROM s1.t").first().n == 2
+    # same bare name in public is a different relation
+    assert "a" in ss.table("t").columns
+    with pytest.raises(ValueError, match="does not exist"):
+        ss.sql("CREATE TABLE nosuch.t (x INT)")
+    with pytest.raises(ValueError, match="depend"):
+        ss.sql("DROP SCHEMA s1")
+    ss.sql("DROP SCHEMA s1 CASCADE")
+    assert "s1.t" not in ss._tables
+
+
+def test_enum_type_order_semantics(ss):
+    ss.sql("CREATE TYPE mood AS ENUM ('sad', 'ok', 'happy')")
+    ss.sql("CREATE TABLE m (id INT PRIMARY KEY, mo mood)")
+    ss.sql("INSERT INTO m VALUES (1,'happy'), (2,'sad'), (3,'ok'), "
+           "(4, NULL)")
+    with pytest.raises(ValueError, match="CHECK|enum"):
+        ss.sql("INSERT INTO m VALUES (9, 'angry')")
+    # definition order, not lexicographic
+    got = [r.mo for r in ss.sql(
+        "SELECT mo FROM m WHERE mo IS NOT NULL ORDER BY mo").collect()]
+    assert got == ["sad", "ok", "happy"]
+    assert [r.id for r in ss.sql(
+        "SELECT id FROM m WHERE mo > 'sad' ORDER BY id").collect()] \
+        == [1, 3]
+    r = ss.sql("SELECT MIN(mo), MAX(mo) FROM m").first()
+    assert (r[0], r[1]) == ("sad", "happy")
+    with pytest.raises(ValueError, match="depend"):
+        ss.sql("DROP TYPE mood")
+    ss.sql("DROP TYPE mood CASCADE")
+    assert "mo" not in ss.table("m").columns
+
+
+def test_composite_type_struct_columns(ss):
+    ss.sql("CREATE TYPE addr AS (street VARCHAR, zip INTEGER)")
+    ss.sql("CREATE TABLE loc (id INT PRIMARY KEY, a addr)")
+    ss.sql("INSERT INTO loc VALUES (1, ROW('main st', 12345))")
+    row = ss.sql("SELECT a FROM loc").first().a
+    assert (row.street, row.zip) == ("main st", 12345)
+    # field access through Spark struct syntax
+    assert ss.sql("SELECT a.zip AS z FROM loc").first().z == 12345
+    ss.sql("DROP TABLE loc")
+    ss.sql("DROP TYPE addr")
+
+
+def test_roles_and_set_role(ss):
+    ss.sql("CREATE ROLE alice")
+    with pytest.raises(ValueError, match="already exists"):
+        ss.sql("CREATE ROLE alice")
+    ss.sql("GRANT SELECT ON t TO alice")
+    ss.sql("SET ROLE alice")
+    assert ss.current_user == "alice"
+    with pytest.raises(PermissionError):
+        ss.sql("DELETE FROM t WHERE a = 1")
+    ss.sql("RESET ROLE")
+    assert ss.current_user is None
+    ss.sql("DROP ROLE alice")
