@@ -1023,6 +1023,41 @@ _e, _p, _d = _geopoint()
 register(Analyzer("geopoint", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _geojson()
 register(Analyzer("geojson", _e, _p, _d, features=("frequency",)))
+
+
+def _encint_expr(col: Column) -> Column:
+    from serenedb_spark.functions.key_encoding import encode_int
+
+    # guarded cast (ANSI-safe): non-numeric input → empty token array
+    s = F.trim(col.cast("string"))
+    ok = s.rlike(r"^-?\d+(\.\d+)?$")
+    return F.when(
+        ok, F.array(encode_int(s.cast("double").cast("long")))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _encint_py(s) -> list[str]:
+    from serenedb_spark.functions.key_encoding import py_encode_int
+
+    try:
+        return [py_encode_int(int(float(s)))]
+    except (TypeError, ValueError):
+        return []  # non-numeric input: no encoded key
+
+
+def _encint_duckdb(e: str) -> str:
+    from serenedb_spark.functions.key_encoding import duckdb_encode_int
+
+    return (f"CASE WHEN try_cast(trim({e}) AS DOUBLE) IS NOT NULL THEN "
+            f"[{duckdb_encode_int(f'try_cast(trim({e}) AS DOUBLE)')}]"
+            " ELSE [] END")
+
+
+# numeric index fields store the memcmp-ordered encoded key so range
+# claims (`id @@ ts_between(2, 3)`, full_text_search.test:283) answer
+# from the term dictionary — the reference's key_encoding.h contract
+register(Analyzer("encoded_int", _encint_expr, _encint_py,
+                  _encint_duckdb, features=("frequency",)))
 _e, _p, _d = _segmentation()
 register(Analyzer("segmentation", _e, _p, _d))
 _e, _p, _d = _minhash(4)
@@ -1761,6 +1796,13 @@ def create_dictionary(name: str, template: str, **opts) -> Analyzer:
                                False)
     elif tpl in ("keyword", "simple", "norm", "collation",
                  "geopoint", "geojson"):
+        if tpl in ("geopoint", "geojson"):
+            # reference geo dictionaries take a storage `coding`
+            # (s2point/source/vpack, full_text_search.test:100) — how
+            # the ORIGINAL value is stored, not how cells tokenize;
+            # this engine late-materializes from the docstore, so the
+            # option is declarative
+            opts.pop("coding", None)
         src = get_analyzer(tpl)
         e, p, d = src._expr, src._py, src._duckdb
     else:

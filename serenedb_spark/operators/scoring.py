@@ -11,7 +11,9 @@ symbol-for-symbol so scores hash-match):
   BM25(k1, b):      idf = ln(1 + (N - df + 0.5)/(df + 0.5))
                     tfn = freq*(k1+1) / (freq + k1*(1 - b + b*dl/avgdl))
                     contribution = boost * idf * tfn
-  TFIDF:            contribution = boost * sqrt(freq) * (1 + ln(N/(df+1)))
+  TFIDF:            contribution = boost * sqrt(freq) *
+                    ln(1 + (N+1)/(df+1))   — the reference's idf
+                    (full_text_search.test:535 pins ln(2.5) at N=5,df=3)
   LM-Dirichlet(mu): contribution = boost *
                     max(0, ln(1 + freq/(mu * ctf/total_dl)) + ln(mu/(dl+mu))/|q|)
                     — Zhai & Lafferty smoothing; the per-doc length penalty
@@ -63,23 +65,29 @@ def _bm25_contrib(k1: float, b: float) -> Column:
 
 
 def _tfidf_contrib() -> Column:
-    idf = F.lit(1.0) + F.log(F.col("n_docs") / (F.col("df") + F.lit(1.0)))
+    idf = F.log(F.lit(1.0)
+                + (F.col("n_docs") + F.lit(1.0))
+                / (F.col("df") + F.lit(1.0)))
     return F.col("boost") * F.sqrt(F.col("freq")) * idf
 
 
 def _lm_dirichlet_contrib(mu: float, n_query_terms: Column) -> Column:
-    p_c = F.col("ctf") / F.col("total_dl")
+    # add-one smoothed collection probability, like lm_jm
+    # (full_text_search.test:561 pins p_c = (ctf+1)/(C+1) at mu=2000)
+    p_c = (F.col("ctf") + F.lit(1.0)) / (F.col("total_dl") + F.lit(1.0))
     per_term = F.log(F.lit(1.0) + F.col("freq") / (F.lit(mu) * p_c))
     dl_penalty = F.log(F.lit(mu) / (F.col("dl") + F.lit(mu))) / n_query_terms
     return F.col("boost") * F.greatest(per_term + dl_penalty, F.lit(0.0))
 
 
 def _lm_jm_contrib(lam: float) -> Column:
-    """Jelinek-Mercer smoothing (reference lm_jm scorer,
-    libs/iresearch/search/lm_jelinek_mercer): per-term
-    ln(1 + ((1-λ)·tf/dl) / (λ·ctf/total_dl))."""
+    """Jelinek-Mercer smoothing (reference lm_jm scorer): per-term
+    ln(1 + ((1-λ)·tf/dl) / (λ·(ctf+1)/(total_dl+1))) — the
+    collection probability is add-one smoothed and λ defaults to 0.1:
+    full_text_search.test:548 pins ln(1 + 9·(tf/dl)·(C+1)/(ctf+1))
+    exactly (doc2 3.1570003 at tf=3, dl=6, ctf=5, C=29)."""
     p_d = F.col("freq") / F.col("dl")
-    p_c = F.col("ctf") / F.col("total_dl")
+    p_c = (F.col("ctf") + F.lit(1.0)) / (F.col("total_dl") + F.lit(1.0))
     return F.col("boost") * F.log(
         F.lit(1.0) + (F.lit(1.0 - lam) * p_d) / (F.lit(lam) * p_c)
     )
@@ -206,14 +214,15 @@ def _contrib_expr_n(scorer, n_terms_col, params):
     elif scorer == "lm_dirichlet":
         contrib = _lm_dirichlet_contrib(params.get("mu", 2000.0), n_terms_col)
     elif scorer == "lm_jm":
-        contrib = _lm_jm_contrib(params.get("lam", 0.3))
+        contrib = _lm_jm_contrib(params.get("lam", 0.1))
     elif scorer == "dfi":
         contrib = _dfi_contrib()
     elif scorer == "indri_dirichlet":
         # Indri's variant: log of the smoothed probability itself
         # (no reference-length normalization), always negative
         mu = params.get("mu", 2000.0)
-        p_c = F.col("ctf") / F.col("total_dl")
+        p_c = (F.col("ctf") + F.lit(1.0)) / (F.col("total_dl")
+                                             + F.lit(1.0))
         contrib = F.col("boost") * F.log(
             (F.col("freq") + F.lit(mu) * p_c) / (F.col("dl") + F.lit(mu))
         )
@@ -296,11 +305,11 @@ def _term_upper_bound(scorer: str, st: dict, g, n_terms: int,
         )
         return boost * idf * tfn
     if scorer == "tfidf":
-        idf = 1.0 + math.log(g.n_docs / (st["df"] + 1.0))
+        idf = math.log(1.0 + (g.n_docs + 1.0) / (st["df"] + 1.0))
         return boost * math.sqrt(st["max_freq"]) * idf
     if scorer == "lm_dirichlet":
         mu = params.get("mu", 2000.0)
-        p_c = st["ctf"] / g.total_dl
+        p_c = (st["ctf"] + 1.0) / (g.total_dl + 1.0)
         per_term = math.log(1.0 + st["max_freq"] / (mu * p_c))
         penalty = math.log(mu / (g.min_dl + mu)) / n_terms
         return boost * max(per_term + penalty, 0.0)

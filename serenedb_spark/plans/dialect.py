@@ -281,10 +281,100 @@ def rewrite_public_schema(sql: str) -> str:
     return "".join(out)
 
 
+def rewrite_array_literals(sql: str) -> str:
+    """PG/DuckDB ``ARRAY[a, b]`` literals → ``array(a, b)`` and 1-based
+    subscripts ``expr[i]`` → ``element_at(expr, i)`` (Spark's [] is
+    0-based; element_at is 1-based like PG). Token-level, bracket
+    matched; applied only when the statement contains '['."""
+    if "[" not in sql:
+        return sql
+    from serenedb_spark.plans.search_sql import Tok, _render, tokenize
+
+    try:
+        toks = tokenize(sql.strip().rstrip(";"))
+    except ValueError:
+        return sql
+    out: list[Tok] = []
+    # each stack frame: 'lit' (ARRAY literal → close with ')'),
+    # 'sub' (subscript → close with ', ... )' via element_at), or
+    # 'idx' (untouched bracket)
+    stack: list[str] = []
+    i = 0
+    while i < len(toks):
+        t = toks[i]
+        if (t.kind == "IDENT" and t.upper == "ARRAY"
+                and i + 1 < len(toks) and toks[i + 1].text == "["):
+            out.append(Tok("IDENT", "array"))
+            out.append(Tok("OP", "("))
+            stack.append("lit")
+            i += 2
+            continue
+        if t.text == "[":
+            prev = out[-1] if out else None
+            if (prev is not None and prev.kind == "IDENT"
+                    and len(out) >= 2 and out[-2].text == "::"):
+                # `x::FLOAT[3]` — sized array cast, not a subscript
+                j = i + 1
+                if j < len(toks) and toks[j].kind == "NUM":
+                    j += 1
+                if j < len(toks) and toks[j].text == "]":
+                    base = prev.text.lower()
+                    out[-1] = Tok(
+                        "IDENT",
+                        f"array<{_PG_CAST_TYPES.get(base, base)}>")
+                    i = j + 1
+                    continue
+            if prev is not None and (prev.kind in ("IDENT", "STR")
+                                     or prev.text in (")", "]")):
+                # subscript: find the operand start and wrap element_at
+                if prev.text == ")":
+                    depth, j = 0, len(out) - 1
+                    while j >= 0:
+                        if out[j].text == ")":
+                            depth += 1
+                        elif out[j].text == "(":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        j -= 1
+                    if j > 0 and out[j - 1].kind == "IDENT":
+                        j -= 1
+                else:
+                    j = len(out) - 1
+                operand = out[j:]
+                del out[j:]
+                out.extend([Tok("IDENT", "element_at"), Tok("OP", "(")]
+                           + operand
+                           + [Tok("OP", ","), Tok("IDENT", "CAST"),
+                              Tok("OP", "(")])
+                stack.append("sub")
+                i += 1
+                continue
+            out.append(Tok("IDENT", "array"))
+            out.append(Tok("OP", "("))
+            stack.append("lit")
+            i += 1
+            continue
+        if t.text == "]" and stack:
+            kind = stack.pop()
+            if kind == "sub":
+                # element_at needs an INT ordinal (bigint from range()
+                # would fail the resolver): close the CAST then the call
+                out.extend([Tok("IDENT", "AS"), Tok("IDENT", "INT"),
+                            Tok("OP", ")"), Tok("OP", ")")])
+            else:
+                out.append(Tok("OP", ")") if kind == "lit" else t)
+            i += 1
+            continue
+        out.append(t)
+        i += 1
+    return _render(out)
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
     lowered = rewrite_qualify(rewrite_fn_renames(
         rewrite_generate_series(rewrite_pg_casts(
             rewrite_values_columns(rewrite_offset_limit(
-                rewrite_public_schema(sql)))))))
+                rewrite_public_schema(rewrite_array_literals(sql))))))))
     return spark.sql(lowered)

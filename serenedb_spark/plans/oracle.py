@@ -303,17 +303,18 @@ _SCORE_EXPRS = {
         " * (p.freq * {k1_plus_1}) / (p.freq + {k1} *"
         " (1.0 - {b} + {b} * d.dl / g.avgdl))"
     ),
-    "tfidf": "sqrt(p.freq) * (1.0 + ln(g.n_docs / (s.df + 1.0)))",
+    "tfidf": "sqrt(p.freq) * ln(1.0 + (g.n_docs + 1.0) / (s.df + 1.0))",
     "raw_tf": "p.freq",
     # Zhai-Lafferty Dirichlet smoothing, dl-penalty folded per term —
     # mirrors operators/scoring.py::_lm_dirichlet_contrib symbol-for-symbol
     "lm_dirichlet": (
-        "greatest(ln(1.0 + p.freq / ({mu} * (s.ctf / g.total_dl)))"
+        "greatest(ln(1.0 + p.freq / ({mu} *"
+        " ((s.ctf + 1.0) / (g.total_dl + 1.0))))"
         " + ln({mu} / (d.dl + {mu})) / (SELECT count(*) FROM qterms), 0.0)"
     ),
     "lm_jm": (
         "ln(1.0 + ((1.0 - {lam}) * (p.freq / d.dl))"
-        " / ({lam} * (s.ctf / g.total_dl)))"
+        " / ({lam} * ((s.ctf + 1.0) / (g.total_dl + 1.0))))"
     ),
     "dfi": (
         "CASE WHEN p.freq > s.ctf * d.dl / g.total_dl THEN"
@@ -321,7 +322,8 @@ _SCORE_EXPRS = {
         " / sqrt(s.ctf * d.dl / g.total_dl)) ELSE 0.0 END"
     ),
     "indri_dirichlet": (
-        "ln((p.freq + {mu} * (s.ctf / g.total_dl)) / (d.dl + {mu}))"
+        "ln((p.freq + {mu} * ((s.ctf + 1.0) / (g.total_dl + 1.0)))"
+        " / (d.dl + {mu}))"
     ),
     "raw_dl": "d.dl",
     # frequency-independent: contribution is the boost alone (×q.boost in
@@ -366,7 +368,7 @@ def scored_sql(
     k1: float = 1.2,
     b: float = 0.75,
     mu: float = 2000.0,
-    lam: float = 0.3,
+    lam: float = 0.1,
 ) -> str:
     """Full DuckDB query mirroring SereneSession.search(): matched docs +
     rounded score, ordered by (score desc, key), optional LIMIT."""

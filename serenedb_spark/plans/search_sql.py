@@ -60,7 +60,7 @@ _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+|--[^\n]*)
       | (?P<str>'(?:[^']|'')*')
       | (?P<num>\d+\.\d+|\d+)
-      | (?P<op>@@|&&|\|\||!!|\#\#|::|:=|<=>|<->|<\#>|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.:])
+      | (?P<op>@@|&&|\|\||!!|\#\#|::|:=|<=>|<->|<\#>|<\+>|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.:])
       | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*
                   |"(?:[^"]|"")*")
     """,
@@ -164,10 +164,29 @@ def _parse_array(ts: _Stream) -> list:
     return vals
 
 
-def _scalar_arg(ts: _Stream):
+def _scalar_arg(ts: _Stream, an=None):
     t = ts.peek()
     if t is None:
         raise ValueError("unexpected end of argument list")
+    if (an is not None and t.kind == "IDENT"
+            and t.text.lower().startswith("ts_")
+            and t.text.lower() != "ts_tokenize"
+            and ts.peek(1) is not None and ts.peek(1).text == "("):
+        # nested tsquery node argument: ts_compound(ts_phrase('a'), ...)
+        # (full_text_search.test:345)
+        name = ts.next().text
+        return _parse_call(name, ts, an)
+    if t.text == "[" and an is not None:
+        # bare list argument, possibly of nested nodes:
+        # ts_all([ts_phrase('quick'), ts_phrase('brown')])
+        ts.next()
+        vals = []
+        while not ts.match("]"):
+            if ts.peek().text == ",":
+                ts.next()
+                continue
+            vals.append(_scalar_arg(ts, an))
+        return vals
     if (t.kind == "IDENT" and t.text.lower() == "ts_tokenize"
             and ts.peek(1) is not None and ts.peek(1).text == "("):
         # demo6: ts_all(ts_tokenize(ARRAY['...'], 'analyzer')) — analyze
@@ -184,7 +203,15 @@ def _scalar_arg(ts: _Stream):
         an = get_analyzer(str(an_name))
         return [tok for s in texts for tok in an.tokens(s)]
     if t.kind == "STR":
-        return _unquote(ts.next().text)
+        val = _unquote(ts.next().text)
+        if (an is not None and ts.peek() is not None
+                and ts.peek().text == "::" and ts.peek(1) is not None
+                and ts.peek(1).upper == "TSQUERY"):
+            # 'quick'::TSQUERY inside a function argument
+            # (full_text_search.test tsquery_phrase)
+            ts.next(); ts.next()
+            return q.to_tsquery(val)
+        return val
     if t.kind == "NUM":
         txt = ts.next().text
         return float(txt) if "." in txt else int(txt)
@@ -203,11 +230,11 @@ def _scalar_arg(ts: _Stream):
     raise ValueError(f"unsupported function argument: {t.text!r}")
 
 
-def _parse_args(ts: _Stream) -> list:
+def _parse_args(ts: _Stream, an=None) -> list:
     ts.expect("(")
     args = []
     while not ts.match(")"):
-        args.append(_scalar_arg(ts))
+        args.append(_scalar_arg(ts, an))
         if not ts.match(","):
             ts.expect(")")
             break
@@ -247,8 +274,19 @@ def _phrase_from_args(args: list, an) -> q.TSQuery:
 
 
 def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
-    args = _parse_args(ts)
+    args = _parse_args(ts, an)
     n = name.lower()
+    if getattr(an, "name", "") == "encoded_int" and n in (
+            "ts_between", "ts_lt", "ts_le", "ts_gt", "ts_ge"):
+        # numeric fields index the memcmp-encoded key: encode the range
+        # bounds the same way (key_encoding contract)
+        from serenedb_spark.functions.key_encoding import py_encode_int
+        args = [py_encode_int(int(float(a)))
+                if isinstance(a, (int, float)) or (
+                    isinstance(a, str)
+                    and a.replace(".", "", 1).lstrip("-").isdigit())
+                else a
+                for a in args]
     if n == "to_tsquery":
         return q.to_tsquery(args[0])
     if n == "plainto_tsquery":
@@ -273,9 +311,47 @@ def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
         return q.NgramSim(args[0], float(args[1]))
     if n == "ts_any":
         mm = int(args[1]) if len(args) > 1 else 1
-        return q.AnyOf(args[0], mm)
+        items = args[0] if isinstance(args[0], list) else [args[0]]
+        if any(isinstance(x, q.TSQuery) for x in items):
+            # node list: ES dis-max-ish should with min_should_match
+            nodes = tuple(x if isinstance(x, q.TSQuery)
+                          else _text_leaf(x, an) for x in items)
+            return q.Compound(should=nodes, min_should_match=mm)
+        return q.AnyOf(items, mm)
     if n == "ts_all":
-        return q.AllOf(args[0])
+        items = args[0] if isinstance(args[0], list) else [args[0]]
+        if any(isinstance(x, q.TSQuery) for x in items):
+            nodes = [x if isinstance(x, q.TSQuery)
+                     else _text_leaf(x, an) for x in items]
+            out = nodes[0]
+            for x in nodes[1:]:
+                out = q.And((out, x)) if not isinstance(out, q.And) \
+                    else q.And(tuple(out.parts) + (x,))
+            return out
+        return q.AllOf(items)
+    if n == "tsquery_phrase":
+        # PG tsquery_phrase(q1, q2[, distance]): lexemes at exactly
+        # `distance` positions apart (<N> followed-by)
+        dist = int(args[2]) if len(args) > 2 else 1
+        parts = []
+        for a in args[:2]:
+            node = a if isinstance(a, q.TSQuery) else _text_leaf(
+                str(a), an)
+            parts.extend(_seq_parts_of(node))
+        return q.PhraseSeq(parts, gaps=[(dist, dist)] * (len(parts) - 1))
+    if n == "ts_compound":
+        def _nodes(a) -> tuple:
+            if a is None:
+                return ()
+            items = a if isinstance(a, list) else [a]
+            return tuple(x if isinstance(x, q.TSQuery)
+                         else _text_leaf(str(x), an) for x in items)
+        msm = int(args[3]) if len(args) > 3 and args[3] is not None else 0
+        return q.Compound(
+            must=_nodes(args[0] if len(args) > 0 else None),
+            must_not=_nodes(args[1] if len(args) > 1 else None),
+            should=_nodes(args[2] if len(args) > 2 else None),
+            min_should_match=msm)
     if n == "ts_between":
         li = bool(args[2]) if len(args) > 2 else True
         hi = bool(args[3]) if len(args) > 3 else True
@@ -288,6 +364,12 @@ def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
         return q.Between(lo=args[0], lo_inclusive=False)
     if n == "ts_ge":
         return q.Between(lo=args[0])
+    if n == "ts_tokenize":
+        # `body @@ ts_tokenize('text', 'analyzer')`
+        # (full_text_search.test:229): analyze with the NAMED analyzer
+        # (defaulting to the field's) and match every produced term
+        return q.plainto_tsquery(
+            args[0], args[1] if len(args) > 1 else an.name)
     raise ValueError(f"unknown tsquery function {name!r}")
 
 
@@ -444,7 +526,10 @@ class SearchSelect:
 #: PG type spellings → Spark CAST targets (the rest pass through)
 _CAST_TYPES = {"numeric": "double", "float4": "float", "float8": "double",
                "int4": "int", "int8": "bigint", "text": "string",
-               "varchar": "string", "bool": "boolean"}
+               "varchar": "string", "bool": "boolean",
+               # geometry/tsvector carry text here (WKT / lexeme text)
+               "geometry": "string", "geography": "string",
+               "tsvector": "string", "tsquery": "string"}
 
 
 def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
@@ -460,6 +545,36 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
                 and toks[i + 1].kind == "IDENT"):
             typ = toks[i + 1].text.lower()
             typ = _CAST_TYPES.get(typ, typ)
+            # `::FLOAT[3]` — sized array type (full_text_search.test):
+            # absorb the bracket suffix; size is declarative metadata.
+            # `::GEOMETRY('OGC:CRS84')` — a type ARGUMENT (the CRS):
+            # declarative too, absorbed.
+            extra = 0
+            j = i + 2
+            if (j < len(toks) and toks[j].text == "("
+                    and toks[i + 1].text.lower() in
+                    ("geometry", "geography")):
+                depth = 0
+                while j < len(toks):
+                    if toks[j].text == "(":
+                        depth += 1
+                    elif toks[j].text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            j += 1
+                            break
+                    j += 1
+                extra = j - (i + 2)
+            while (j < len(toks) and toks[j].text == "["):
+                k = j + 1
+                if k < len(toks) and toks[k].kind == "NUM":
+                    k += 1
+                if k < len(toks) and toks[k].text == "]":
+                    typ = f"array<{typ}>"
+                    extra += k + 1 - j
+                    j = k + 1
+                else:
+                    break
             # find the operand start in `out`
             if out[-1].text == ")":
                 depth = 0
@@ -482,7 +597,7 @@ def _rewrite_casts(toks: list[Tok]) -> list[Tok]:
             out.extend([Tok("IDENT", "CAST"), Tok("OP", "(")] + operand
                        + [Tok("IDENT", "AS"), Tok("IDENT", typ),
                           Tok("OP", ")")])
-            i += 2
+            i += 2 + extra
         else:
             out.append(t)
             i += 1
@@ -692,7 +807,8 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
 # ORDER BY / SELECT (ANN top-k) and `col <=> qvec < r` in WHERE (range)
 # ---------------------------------------------------------------------------
 
-_VEC_OPS = {"<=>": "cosine", "<->": "l2", "<#>": "neg_ip"}
+_VEC_OPS = {"<=>": "cosine", "<->": "l2", "<#>": "neg_ip",
+            "<+>": "l1"}
 
 
 def _parse_vec_literal(ts: _Stream) -> list[float]:
@@ -701,6 +817,12 @@ def _parse_vec_literal(ts: _Stream) -> list[float]:
     demo5 Q4-Q5 — ai_embed on the query string runs ONCE driver-side,
     exactly like the reference folds the bind-parameter cast)."""
     t = ts.next()
+    if t.text == "(":
+        # parenthesized operand (a substituted PREPARE parameter wraps
+        # its argument): unwrap and continue
+        vals = _parse_vec_literal(ts)
+        ts.expect(")")
+        return vals
     if t.kind == "IDENT" and t.text.lower() == "ai_embed":
         from serenedb_spark.functions.embedding import _resolve_provider
 
@@ -711,6 +833,18 @@ def _parse_vec_literal(ts: _Stream) -> list[float]:
         vals = [float(x) for x in _resolve_provider(key)([str(args[0])])[0]]
     elif t.upper == "ARRAY":
         vals = [float(v) for v in _parse_array(ts)]
+    elif t.text == "[":
+        # bare DuckDB list literal `[1, 0, 0]::FLOAT[3]`
+        # (full_text_search.test:811)
+        vals = []
+        while not ts.match("]"):
+            tk = ts.next()
+            if tk.text == ",":
+                continue
+            if tk.text == "-":
+                vals.append(-float(ts.next().text))
+            else:
+                vals.append(float(tk.text))
     else:
         raise ValueError(
             f"vector operand must be ARRAY[...] or ai_embed(...), "
@@ -805,11 +939,31 @@ def _rewrite_proj_calls(toks: list[Tok], out_calls: list) -> list[Tok]:
                     f"{t.text}() first argument must be a column")
             args = []
             while ts.match(","):
+                nxt = ts.peek()
+                if (nxt is not None and nxt.kind == "IDENT"
+                        and nxt.text.lower() == "ts_offsets"
+                        and ts.peek(1) is not None
+                        and ts.peek(1).text == "("):
+                    # ts_highlight(body, ts_offsets(body)): highlight at
+                    # the match offsets = full-text mode
+                    # (full_text_search.test:665)
+                    depth = 0
+                    while True:
+                        t2 = ts.next()
+                        if t2.text == "(":
+                            depth += 1
+                        elif t2.text == ")":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                    args.append("__OFFSETS__")
+                    continue
                 args.append(_scalar_arg(ts))
             ts.expect(")")
             ph = f"__proj{len(out_calls)}"
             out_calls.append(
-                (ph, "offsets" if low != "ts_highlight" else "ts_highlight",
+                (ph, {"ts_highlight": "ts_highlight",
+                      "ts_offsets": "ts_offsets"}.get(low, "offsets"),
                  col_tok.text.split(".")[-1], args))
             out.append(Tok("IDENT", ph))
             i += 1 + ts.i
@@ -832,6 +986,8 @@ class CreateInvertedIndex:
     includes: list[str]      # plain covered columns (demo3: `label`)
     where: str | None        # partial-index predicate
     exprs: dict | None = None  # expression keys: field name -> expr SQL
+    vectors: dict | None = None  # vector cols: col -> options SQL
+    #   (full_text_search.test: `emb ivf (metric = 'l2')`)
 
 
 def parse_create_index(sql: str) -> CreateInvertedIndex | None:
@@ -853,11 +1009,21 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
     fields: dict[str, str] = {}
     includes: list[str] = []
     exprs: dict[str, str] = {}
+    vectors: dict[str, str] = {}
     depth = 1
     spec: list[Tok] = []
 
     def flush(spec: list[Tok]) -> None:
         if not spec:
+            return
+        if (len(spec) >= 3 and spec[0].kind == "IDENT"
+                and spec[1].kind == "IDENT"
+                and spec[1].text.lower() in ("ivf", "hnsw", "flat")
+                and spec[2].text == "("):
+            # vector column spec: `emb ivf (metric = 'l2')` — the ANN
+            # method and options are declarative; scans compute exact
+            # distances (full_text_search.test vecs_* indexes)
+            vectors[spec[0].text] = _render(spec[1:])
             return
         if spec[0].text == "(":
             # expression key `(expr) [analyzer]` (reference
@@ -904,10 +1070,16 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
     if ts.peek() is not None and ts.peek().upper == "WHERE":
         ts.next()
         where = _render(ts.toks[ts.i:])
-    if not fields:
+    if not fields and not vectors:
+        # `inverted(t)` with no analyzer anywhere: every listed column
+        # is analyzed with the default analyzer
+        # (core_sql_setup_claims.test sc_idx_part)
+        fields = {c: "simple" for c in includes}
+        includes = []
+    if not fields and not vectors:
         raise ValueError("USING inverted requires at least one analyzed column")
     return CreateInvertedIndex(name, table, fields, includes, where,
-                               exprs or None)
+                               exprs or None, vectors or None)
 
 
 # ---------------------------------------------------------------------------
@@ -1078,6 +1250,8 @@ def _vec_dist_col(col: str, metric: str, qvec) -> "F.Column":
         return V.cosine_distance(c, qc)
     if metric == "l2":
         return V.l2_distance(c, qc)
+    if metric == "l1":
+        return V.l1_distance(c, qc)  # pgvector's <+>
     return V.negative_inner_product(c, qc)  # neg_ip, pgvector's <#>
 
 
@@ -1208,6 +1382,14 @@ def _proj_expr(func: str, col: str, args: list, matches: dict):
     from serenedb_spark.functions.highlight import (highlight_parts,
                                                     term_offsets_col)
 
+    full_mode = "__OFFSETS__" in args
+    args = [a for a in args if a != "__OFFSETS__"]
+    opt_args = [a for a in args if isinstance(a, str) and "=" in a]
+    if opt_args:
+        # option strings imply the full-text PG form
+        # (full_text_search.test:678 StartSel/StopSel)
+        full_mode = True
+        args = [a for a in args if not (isinstance(a, str) and "=" in a)]
     str_args = [a for a in args if isinstance(a, str)]
     num_args = [a for a in args
                 if isinstance(a, (int, float)) and not isinstance(a, bool)]
@@ -1233,10 +1415,51 @@ def _proj_expr(func: str, col: str, args: list, matches: dict):
             arr = F.slice(arr, 1, int(num_args[0]))
         return arr
 
+    if func == "ts_offsets":
+        # the reference's shape (offsets.test: `{6,9}`): a FLAT int
+        # array of 0-based [start, end) pairs, sorted by start
+        def to_pairs(t):
+            n = len(t)
+            return F.transform(
+                term_offsets_col(F.col(col), t),
+                lambda i: F.array(i - 1, i - 1 + F.lit(n)))
+
+        arr = F.flatten(F.array_sort(
+            F.concat(*[to_pairs(t) for t in terms])))
+        if num_args:
+            arr = F.slice(arr, 1, 2 * int(num_args[0]))
+        return arr
+
     # ts_highlight
     tag_open, tag_close = "<b>", "</b>"
+    for o in opt_args:
+        for part in o.split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                k = k.strip().lower()
+                if k == "startsel":
+                    tag_open = v.strip()
+                elif k == "stopsel":
+                    tag_close = v.strip()
     if len(str_args) >= 3:
         tag_open, tag_close = str_args[1], str_args[2]
+    if full_mode:
+        # tag every occurrence in place (case preserved), then return
+        # the SENTENCE(S) containing a match — the reference's default
+        # fragmenting (full_text_search.test ts_highlight_pipeline:
+        # multi-sentence doc 3 yields only its matching sentence)
+        import re as _re
+        out = F.col(col)
+        for t in terms:
+            out = F.regexp_replace(
+                out, f"(?i)\\b({_re.escape(t)})\\b",
+                f"{tag_open}$1{tag_close}")
+        sentences = F.split(out, r"\.\s+")
+        hit = F.filter(sentences,
+                       lambda x: x.contains(F.lit(tag_open)))
+        picked = F.when(F.size(hit) > 0,
+                        F.array_join(hit, " ... ")).otherwise(out)
+        return F.regexp_replace(picked, r"\.$", "")
     window = int(num_args[0]) if num_args else 40
     first, snippet = highlight_parts(
         F.col(col), terms[0], tag_open=tag_open, tag_close=tag_close,

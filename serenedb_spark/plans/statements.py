@@ -61,14 +61,20 @@ _PG_TYPE_MAP = {
     "NUMERIC": "decimal", "DECIMAL": "decimal",
     "JSON": "string", "JSONB": "string", "UUID": "string",
     "BYTEA": "binary",
+    # geometry carries WKT/GeoJSON text (functions/geometry.py parses)
+    "GEOMETRY": "string", "GEOGRAPHY": "string",
+    "TSQUERY": "string", "TSVECTOR": "string",
 }
 
 _DML_VERBS = ("INSERT", "UPDATE", "DELETE", "TRUNCATE")
 
 
 def _rewrite_arrays(toks: list[Tok]) -> list[Tok]:
-    """PG ``ARRAY[a, b]`` → Spark ``array(a, b)`` (bracket-matched, so
-    nested literals and index brackets elsewhere are untouched)."""
+    """PG ``ARRAY[a, b]`` and DuckDB bare ``[a, b]`` literals → Spark
+    ``array(a, b)`` (bracket-matched, so nested literals and index
+    brackets elsewhere are untouched). A ``[`` is a LITERAL opener when
+    it does not follow a value (identifier/literal/closing bracket) —
+    otherwise it is indexing."""
     out: list[Tok] = []
     stack: list[bool] = []  # True = this '[' came from an ARRAY literal
     i = 0
@@ -81,6 +87,15 @@ def _rewrite_arrays(toks: list[Tok]) -> list[Tok]:
             stack.append(True)
             i += 2
             continue
+        if t.text == "[":
+            prev = out[-1] if out else None
+            if prev is None or (prev.kind == "OP"
+                                and prev.text not in (")", "]")):
+                out.append(Tok("IDENT", "array"))
+                out.append(Tok("OP", "("))
+                stack.append(True)
+                i += 1
+                continue
         if t.text == "[":
             stack.append(False)
             out.append(t)
@@ -266,12 +281,124 @@ def route_statement(session, sql: str) -> DataFrame | None:
         sv = _scalar_seq_select(session, s)
         if sv is not None:
             return sv
+        sv = _scalar_highlight(session, s)
+        if sv is not None:
+            return sv
+        sv = _scalar_ts_offsets(session, s)
+        if sv is not None:
+            return sv
         sv = _inline_seq_select(session, s)
         if sv is not None:
             return sv
         if re.search(r"\bINTO\b", s, re.IGNORECASE):
             return _select_into(session, s)
     return None
+
+
+def _scalar_highlight(session, s: str):
+    """FROM-less ``SELECT ts_highlight('text', [pairs...][, opts])``
+    (full_text_search.test:640,690,701): wrap each [start, stop) span
+    with the PG selectors; adjacent spans (gap ≤ 1) merge into one tag;
+    MaxFragments=N extracts the sentence fragments holding the spans,
+    joined by ' ... '."""
+    m = re.match(
+        r"\s*SELECT\s+ts_highlight\(\s*'((?:[^']|'')*)'\s*,\s*"
+        r"\[\s*([\d\s,]+)\s*\]\s*"
+        r"(?:,\s*'((?:[^']|'')*)')?\s*\)\s*(?:AS\s+(\w+))?\s*;?\s*$",
+        s, re.IGNORECASE | re.DOTALL)
+    if m is None:
+        return None
+    text = m.group(1).replace("''", "'")
+    nums = [int(x) for x in m.group(2).replace(",", " ").split()]
+    pairs = list(zip(nums[::2], nums[1::2]))
+    start_sel, stop_sel, max_frag = "<b>", "</b>", None
+    if m.group(3):
+        for part in m.group(3).split(","):
+            if "=" in part:
+                k, v = part.split("=", 1)
+                k = k.strip().lower()
+                if k == "startsel":
+                    start_sel = v.strip()
+                elif k == "stopsel":
+                    stop_sel = v.strip()
+                elif k == "maxfragments":
+                    max_frag = int(v)
+    # merge adjacent spans into one tag (gap of at most one separator)
+    merged: list[list[int]] = []
+    for a, b in sorted(pairs):
+        if merged and a - merged[-1][1] <= 1:
+            merged[-1][1] = b
+        else:
+            merged.append([a, b])
+
+    def tag(t: str, spans, base: int) -> str:
+        out, pos = [], 0
+        for a, b in spans:
+            out.append(t[pos:a - base])
+            out.append(start_sel + t[a - base:b - base] + stop_sel)
+            pos = b - base
+        out.append(t[pos:])
+        return "".join(out)
+
+    if max_frag is None:
+        return session.spark.createDataFrame(
+            [(tag(text, merged, 0),)],
+            f"{m.group(4) or 'ts_highlight'} string")
+    # fragment mode: each merged span expands to its sentence, trailing
+    # period trimmed; fragments joined by ' ... '
+    frags = []
+    for a, b in merged[:max_frag]:
+        lo = text.rfind(". ", 0, a)
+        lo = 0 if lo < 0 else lo + 2
+        hi = text.find(".", b)
+        hi = len(text) if hi < 0 else hi
+        frags.append(tag(text[lo:hi], [[a, b]], lo))
+    return session.spark.createDataFrame(
+        [(" ... ".join(frags),)],
+        f"{m.group(4) or 'ts_highlight'} string")
+
+
+def _scalar_ts_offsets(session, s: str):
+    """FROM-less ``SELECT ts_offsets('analyzer', 'text', 'q'::TSQUERY)``
+    (full_text_search.test:715): offsets of the query's terms in the
+    literal text, as the flat [start, end) int array."""
+    m = re.match(
+        r"\s*SELECT\s+ts_offsets\(\s*'([\w.]+)'\s*,\s*"
+        r"'((?:[^']|'')*)'\s*,\s*'((?:[^']|'')*)'\s*::\s*TSQUERY\s*\)"
+        r"\s*(?:AS\s+(\w+))?\s*;?\s*$", s, re.IGNORECASE)
+    if m is None:
+        return None
+    from serenedb_spark.analysis.analyzers import get_analyzer
+    from serenedb_spark.plans import tsquery as q
+
+    get_analyzer(m.group(1))  # named analyzer must exist
+    text = m.group(2).replace("''", "'")
+    node = q.to_tsquery(m.group(3).replace("''", "'"))
+    terms = []
+
+    def walk(n):
+        if isinstance(n, q.Term):
+            terms.append(n.term)
+        for f in ("parts", "part", "terms"):
+            v = getattr(n, f, None)
+            if isinstance(v, tuple):
+                for x in v:
+                    walk(x) if isinstance(x, q.TSQuery) else None
+            elif isinstance(v, q.TSQuery):
+                walk(v)
+    walk(node)
+    spans = []
+    low = text.lower()
+    for t in terms:
+        start = 0
+        while True:
+            i = low.find(t, start)
+            if i < 0:
+                break
+            spans.extend([i, i + len(t)])
+            start = i + 1
+    return session.spark.createDataFrame(
+        [(spans,)], f"{m.group(4) or 'ts_offsets'} array<int>")
 
 
 _SEQFN_RE = re.compile(
@@ -949,6 +1076,11 @@ def _insert(session, s: str) -> DataFrame:
                 break
             ts.expect(",")
     body = toks[ts.i:]
+    returning = None
+    rc = _find_clause(body, ("RETURNING",))
+    if rc >= 0:
+        returning = _render(body[rc + 1:])
+        body = body[:rc]
     conflict = "error"
     oc = _find_clause(body, ("ON", "CONFLICT"))
     if oc >= 0:
@@ -1039,8 +1171,14 @@ def _insert(session, s: str) -> DataFrame:
                 f"INSERT SELECT produces {len(rows.columns)} columns "
                 f"for {len(use_cols)} target columns")
         rows = rows.toDF(*use_cols)
-    session.insert(table, _align_rows(session, table, rows, use_cols),
-                   on_conflict=conflict)
+    aligned = _align_rows(session, table, rows, use_cols)
+    session.insert(table, aligned, on_conflict=conflict)
+    if returning is not None:
+        # PG RETURNING: project the clause over the inserted rows
+        # (core_sql_setup_claims.test INSERT ... RETURNING *)
+        sel = "*" if returning.strip() == "*" else returning
+        aligned.createOrReplaceTempView("__returning")
+        return session.spark.sql(f"SELECT {sel} FROM __returning")
     return _status_df(session, "INSERT", table)
 
 
@@ -1173,17 +1311,32 @@ def _truncate(session, s: str) -> DataFrame:
     ts.expect("TRUNCATE")
     if ts.peek() and ts.peek().upper == "TABLE":
         ts.next()
-    table = _ident(ts)
-    if table not in session._tables:
-        if table in getattr(session, "_view_defs", {}):
+    if ts.peek() and ts.peek().upper == "ONLY":
+        ts.next()  # no inheritance: ONLY is a no-op (truncate.test:443)
+    tables = [_ident(ts)]
+    while ts.peek() is not None and (ts.match(",") or ts.match("*")):
+        if ts.peek() is not None and ts.peek().upper == "ONLY":
+            ts.next()  # per-relation ONLY (truncate.test:514)
+        if ts.peek() is not None and ts.peek().kind == "IDENT" \
+                and ts.peek().upper not in ("RESTART", "CONTINUE",
+                                            "CASCADE", "RESTRICT",
+                                            "IDENTITY"):
+            tables.append(_ident(ts))
+    # trailing `*` / RESTART|CONTINUE IDENTITY / CASCADE|RESTRICT are
+    # accepted PG noise here (no inheritance, no identity columns)
+    for table in tables:
+        if table not in session._tables:
+            if table in getattr(session, "_view_defs", {}):
+                raise ValueError(
+                    f'Can only delete from base table: "{table}" is a '
+                    "view")
             raise ValueError(
-                f'Can only delete from base table: "{table}" is a view')
-        raise ValueError(
-            f"Table with name {table} does not exist")
-    session._check_privilege(table, "DELETE")
-    session._tables[table] = session._tables[table].limit(0)
-    session._reregister(table)
-    return _status_df(session, "TRUNCATE", table)
+                f"Table with name {table} does not exist")
+    for table in tables:
+        session._check_privilege(table, "DELETE")
+        session._tables[table] = session._tables[table].limit(0)
+        session._reregister(table)
+    return _status_df(session, "TRUNCATE", ", ".join(tables))
 
 
 def _grant(session, s: str, revoke: bool) -> DataFrame:
@@ -1507,10 +1660,19 @@ def _create(session, s: str) -> DataFrame | None:
                 elif t.text != ",":
                     cols.append(t.text)
         if not expr_index:
+            mods = {"ASC", "DESC", "NULLS", "FIRST", "LAST"}
             for c in cols:
+                if c.upper() in mods:
+                    continue
                 if c.isidentifier() and c not in session._tables[
                         table].columns:
                     raise ValueError(f'column "{c}" does not exist')
+        if ts.peek() and ts.peek().upper == "WHERE":
+            # the reference scopes partial indexes to inverted ones
+            # (core_sql_setup_claims.test)
+            raise ValueError(
+                "partial indexes are only supported for inverted "
+                "indexes")
         si = getattr(session, "_secondary_indexes", None)
         if not isinstance(si, dict):
             si = session._secondary_indexes = {}
@@ -1757,7 +1919,10 @@ def _spark_type(ts: _Stream) -> str:
         ts.next(); ts.next(); ts.expect("ZONE")
     out = base + args
     while ts.peek() and ts.peek().text == "[":
-        ts.next(); ts.expect("]")
+        ts.next()
+        if ts.peek() and ts.peek().kind == "NUM":
+            ts.next()  # FLOAT[3]: fixed size is metadata, arrays unbound
+        ts.expect("]")
         out = f"array<{out}>"
     return out
 

@@ -294,7 +294,8 @@ def to_tsquery(s: str) -> TSQuery:
     import re as _re
 
     tokens = _re.findall(
-        r"\(|\)|&|\||!|<->|-(?=[\"'\w])|'[^']*'|\"[^\"]*\"|[^\s()&|!\"']+", s)
+        r"\(|\)|&|\||!|<->|[-+](?=[\"'\w])|'[^']*'|\"[^\"]*\""
+        r"|[^\s()&|!\"']+", s)
     pos = 0
 
     def _is_or(t: str) -> bool:
@@ -324,6 +325,8 @@ def to_tsquery(s: str) -> TSQuery:
         if tokens[pos] in ("!", "-") or tokens[pos].upper() == "NOT":
             pos += 1
             return ~parse_not()
+        if tokens[pos] == "+":
+            pos += 1  # Lucene `+must`: bare words already AND by default
         return parse_atom()
 
     def parse_atom():

@@ -2561,6 +2561,200 @@ FROM customer WHERE c_custkey <= 500 ORDER BY c_custkey
 """)
 
 
+def _sql_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite PRIMARY KEY through SQL text (update_pk.test multi_pk):
+    2-column key enforced on INSERT (ON CONFLICT DO NOTHING skips a
+    composite clash), and a key-moving UPDATE re-validated over the full
+    post-update state."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("""CREATE OR REPLACE TABLE cpk AS
+              SELECT l_orderkey, l_linenumber, l_quantity
+              FROM lineitem WHERE l_orderkey <= 200""")
+    ss.sql("ALTER TABLE cpk ADD PRIMARY KEY (l_orderkey, l_linenumber)")
+    ss.sql("INSERT INTO cpk VALUES (1, 1, 99.0), (999999, 1, 42.0) "
+           "ON CONFLICT DO NOTHING")  # (1,1) clashes, skipped
+    ss.sql("UPDATE cpk SET l_linenumber = l_linenumber + 100 "
+           "WHERE l_orderkey = 3")
+    return ss.sql("""SELECT l_orderkey, l_linenumber,
+                     round(l_quantity, 2) AS qty FROM cpk
+                     ORDER BY l_orderkey, l_linenumber""")
+
+
+_register("sql_composite_pk", _sql_composite_pk, """
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_quantity
+  FROM lineitem WHERE l_orderkey <= 200
+), ins AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT CAST(999999 AS BIGINT), CAST(1 AS INT), CAST(42.0 AS DOUBLE)
+), upd AS (
+  SELECT l_orderkey,
+         CASE WHEN l_orderkey = 3 THEN l_linenumber + 100
+              ELSE l_linenumber END AS l_linenumber,
+         l_quantity
+  FROM ins
+)
+SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS qty
+FROM upd ORDER BY l_orderkey, l_linenumber
+""")
+
+
+def _sql_conflict_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ON CONFLICT binding to a UNIQUE (non-PK) column with a PARTIAL
+    DO UPDATE SET using EXCLUDED.* (insert_conflict.test t3): unassigned
+    columns keep the target row's values."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("""CREATE OR REPLACE TABLE ocu AS
+              SELECT n_nationkey, n_name, n_regionkey
+              FROM nation""")
+    ss.sql("ALTER TABLE ocu ADD PRIMARY KEY (n_nationkey)")
+    ss.sql("CREATE UNIQUE INDEX ocu_name ON ocu(n_name)")
+    ss.sql("INSERT INTO ocu VALUES (100, 'CANADA', 9), "
+           "(101, 'ATLANTIS', 8) "
+           "ON CONFLICT (n_name) DO UPDATE SET "
+           "n_regionkey = EXCLUDED.n_regionkey + 50")
+    return ss.sql("""SELECT n_nationkey, n_name, n_regionkey FROM ocu
+                     ORDER BY n_nationkey""")
+
+
+_register("sql_conflict_update", _sql_conflict_update, """
+WITH upd AS (
+  SELECT n_nationkey, n_name,
+         CASE WHEN n_name = 'CANADA' THEN CAST(59 AS BIGINT)
+              ELSE n_regionkey END AS n_regionkey
+  FROM nation
+), ins AS (
+  SELECT * FROM upd
+  UNION ALL
+  SELECT CAST(101 AS BIGINT), 'ATLANTIS', CAST(8 AS BIGINT)
+)
+SELECT n_nationkey, n_name, n_regionkey FROM ins ORDER BY n_nationkey
+""")
+
+
+def _sql_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREPARE/EXECUTE with $n parameters — the statement re-plans per
+    EXECUTE with the parameter as a constant (prepared_statements.test;
+    pg_wire_session rebind semantics), so two executions with different
+    arguments produce independent plans."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("PREPARE seg_count AS SELECT c_mktsegment, count(*) AS n "
+           "FROM customer WHERE c_acctbal >= $1 AND c_mktsegment = $2 "
+           "GROUP BY c_mktsegment")
+    a = ss.sql("EXECUTE seg_count(0, 'BUILDING')")
+    b = ss.sql("EXECUTE seg_count(5000, 'MACHINERY')")
+    return a.unionByName(b).orderBy("c_mktsegment")
+
+
+_register("sql_prepared_exec", _sql_prepared_exec, """
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE c_acctbal >= 0 AND c_mktsegment = 'BUILDING'
+GROUP BY c_mktsegment
+UNION ALL
+SELECT c_mktsegment, count(*) AS n FROM customer
+WHERE c_acctbal >= 5000 AND c_mktsegment = 'MACHINERY'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""")
+
+
+
+
+
+def _sql_enum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum definition-order semantics end-to-end (ddl/enum.test): a
+    CHECK-backed constrained-string column whose comparisons, BETWEEN
+    and ORDER BY follow CREATE TYPE label order via plans/enums."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("CREATE TYPE sev AS ENUM ('low', 'medium', 'high', "
+           "'critical')")
+    ss.sql("CREATE TABLE alerts (id INT PRIMARY KEY, s sev)")
+    ss.sql("INSERT INTO alerts VALUES (1,'high'), (2,'low'), "
+           "(3,'critical'), (4,'medium'), (5,'high'), (6, NULL)")
+    return ss.sql("""SELECT id, s FROM alerts
+                     WHERE s >= 'medium' ORDER BY s DESC, id""")
+
+
+_register("sql_enum_order", _sql_enum_order, """
+WITH vals(id, s) AS (VALUES
+  (1,'high'), (2,'low'), (3,'critical'), (4,'medium'), (5,'high'),
+  (6, NULL)
+), ranked AS (
+  SELECT id, s, CASE s WHEN 'low' THEN 1 WHEN 'medium' THEN 2
+                       WHEN 'high' THEN 3 WHEN 'critical' THEN 4
+                END AS r
+  FROM vals
+)
+SELECT id, s FROM ranked WHERE r >= 2 ORDER BY r DESC, id
+""")
+
+
+def _sql_schema_namespace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-qualified relations through the SQL door (schema.test):
+    same bare table name in two namespaces, cross-schema join."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("CREATE SCHEMA staging")
+    ss.sql("CREATE TABLE staging.region AS "
+           "SELECT r_regionkey, upper(r_name) AS r_name FROM region")
+    return ss.sql("""SELECT a.r_regionkey, a.r_name AS pub,
+                            b.r_name AS stg
+                     FROM region a JOIN staging.region b
+                       ON a.r_regionkey = b.r_regionkey
+                     ORDER BY a.r_regionkey""")
+
+
+_register("sql_schema_namespace", _sql_schema_namespace, """
+SELECT a.r_regionkey, a.r_name AS pub, upper(b.r_name) AS stg
+FROM region a JOIN region b ON a.r_regionkey = b.r_regionkey
+ORDER BY a.r_regionkey
+""")
+
+
+def _sql_composite_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TYPE AS (fields) → Spark struct columns with ROW()
+    constructors and field access (ddl/composite.test)."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("CREATE TYPE money_t AS (amount DOUBLE, currency TEXT)")
+    ss.sql("CREATE TABLE wallets (id INT PRIMARY KEY, bal money_t)")
+    ss.sql("INSERT INTO wallets VALUES (1, ROW(10.5, 'EUR')), "
+           "(2, ROW(99.25, 'USD')), (3, NULL)")
+    return ss.sql("""SELECT id, bal.amount AS amount,
+                            bal.currency AS currency
+                     FROM wallets ORDER BY id""")
+
+
+_register("sql_composite_type", _sql_composite_type, """
+SELECT * FROM (VALUES
+  (1, CAST(10.5 AS DOUBLE), 'EUR'),
+  (2, CAST(99.25 AS DOUBLE), 'USD'),
+  (3, CAST(NULL AS DOUBLE), CAST(NULL AS TEXT))
+) v(id, amount, currency) ORDER BY id
+""")
+
+
+def _fts_sql_numeric_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric range claim against the ENCODED-KEY dictionary through
+    the SQL door (full_text_search.test:283 `id @@ ts_between(...)`):
+    the bare INTEGER column in the USING list indexes its memcmp key,
+    and ts_between bounds encode the same way."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql("CREATE OR REPLACE TABLE nrdocs AS "
+           "SELECT doc_id, n_chars, text FROM documents")
+    ss.sql("ALTER TABLE nrdocs ADD PRIMARY KEY (doc_id)")
+    ss.sql("CREATE INDEX nr_idx ON nrdocs "
+           "USING inverted(n_chars, text simple)")
+    return ss.sql("SELECT doc_id, n_chars FROM nr_idx "
+                  "WHERE n_chars @@ ts_between(100, 220) "
+                  "ORDER BY doc_id")
+
+
+_register("fts_sql_numeric_range", _fts_sql_numeric_range, """
+SELECT doc_id, n_chars FROM documents
+WHERE n_chars BETWEEN 100 AND 220 ORDER BY doc_id
+""")
+
+
 def _sql_search_dml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DELETE ... WHERE text @@ (...) — the claimed match set resolves
     through the inverted index and applies as a PK anti-join
@@ -3622,6 +3816,28 @@ ORDER BY vec_id
 SELECT vec_id FROM embeddings
 WHERE {V.duckdb_cosine_distance("embedding", V.duckdb_lit_vector(QUERY_VEC))} < 0.95
 ORDER BY vec_id
+""")
+
+
+def _vec_sql_knn_prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with the query vector as a $1 PREPARE parameter — the
+    reference rebinds every EXECUTE so the claim fires on the
+    parameter constant (iresearch_plan.cpp:272-276 parity)."""
+    ss = _session_over(spark, sf_dir)
+    ss.sql(f"""PREPARE vq AS
+        SELECT vec_id, round(embedding <=> $1, 6) AS distance
+        FROM embeddings
+        ORDER BY round(embedding <=> $1, 6), vec_id
+        LIMIT 10""")
+    return ss.sql(f"EXECUTE vq({_QVEC_SQL})")
+
+
+_register("vec_sql_knn_prepared", _vec_sql_knn_prepared, f"""
+SELECT vec_id,
+  round({V.duckdb_cosine_distance("embedding",
+                                  V.duckdb_lit_vector(QUERY_VEC))}, 6)
+  AS distance
+FROM embeddings ORDER BY distance, vec_id LIMIT 10
 """)
 
 

