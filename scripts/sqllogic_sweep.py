@@ -65,23 +65,14 @@ def main() -> None:
             continue
         ss = SereneSession(spark)
         try:
-            passed, total = run_file(ss, path)
+            stop: dict = {}
+            passed, total = run_file(ss, path, stop_info=stop)
             reason = ""
-            if passed < total:
-                # name the construct the run stopped at
-                done = 0
-                for b in blocks:
-                    if b.skipped:
-                        continue
-                    hit = [p.pattern for p in STOPPERS if p.search(b.sql)]
-                    if b.kind == "stop" or (hit and not b.expect_error):
-                        reason = (f"stop@{b.lineno}: "
-                                  f"{(hit or [b.sql[:60]])[0][:60]}")
-                        break
-                    done += 1
-                    if done > passed:
-                        break
-                reason = reason or "stopped (refusal or explain box)"
+            if passed < total and stop:
+                reason = (f"stop@{stop['lineno']} [{stop['reason'][:80]}] "
+                          f"{stop['sql'][:80]!r}")
+            elif passed < total:
+                reason = "stopped"
             flag = ""
             if pins.get(path) is not None and passed < pins[path]:
                 flag = f"  !! SHRANK (pinned {pins[path]})"

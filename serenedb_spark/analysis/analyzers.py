@@ -60,8 +60,12 @@ class Analyzer:
     _expr: Callable[[Column], Column]
     _py: Callable[[str], list[str]]
     _duckdb: Callable[[str], str]
-    # feature flags mirroring tokenizer_options.h:63-77
-    features: tuple[str, ...] = ("frequency", "position")
+    # feature flags mirroring tokenizer_options.h:63-77; built-in
+    # analyzers ship with norms (document lengths) so the DataFrame-API
+    # scoring surface is fully length-normalized — CREATE TEXT SEARCH
+    # DICTIONARY dictionaries opt in via `norm = true` (reference
+    # default false, tokenizer_options.h:64)
+    features: tuple[str, ...] = ("frequency", "position", "norm")
 
     def expr(self, col: Column) -> Column:
         """tokens as a JVM-side array<string> expression."""
@@ -726,8 +730,11 @@ def get_analyzer(name: str) -> Analyzer:
     try:
         return _REGISTRY[name]
     except KeyError:
+        # the reference words this "tokenizer not found in catalog"
+        # (tsquery_match.test:1775 pins the phrase)
         raise KeyError(
-            f"unknown analyzer {name!r}; known: {sorted(_REGISTRY)}"
+            f"tokenizer not found in catalog: unknown analyzer {name!r}; "
+            f"known: {sorted(_REGISTRY)}"
         ) from None
 
 

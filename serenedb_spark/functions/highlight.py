@@ -65,6 +65,92 @@ def _abbr_list(locale: str) -> tuple[tuple[str, ...], int]:
     return abbr, max(len(a) for a in abbr)
 
 
+def py_match_offsets(text: str, groups: list) -> list[int]:
+    """Flat [start, end) offsets of every occurrence of each word-group
+    in `text`, sorted ascending by start.  A group is a list of slots;
+    a slot is either a bare word (adjacent to the previous slot) or a
+    ``(words, lo, hi)`` tuple — any of `words` at token-distance
+    lo..hi from the previous slot (## gap phrases, headline.test:982).
+    Each group occurrence emits ONE span covering the whole run."""
+    import re as _re
+
+    toks = [(m.start(), m.end(), m.group(0).lower())
+            for m in _re.finditer(r"\w+", text)]
+    spans: set[tuple[int, int]] = set()
+    for grp in groups:
+        slots = [(_slot_matcher({it} if isinstance(it, str) else it),
+                  1, 1) if isinstance(it, (str, dict))
+                 else (_slot_matcher(it[0]), int(it[1]), int(it[2]))
+                 for it in grp]
+        m0 = slots[0][0]
+        for i in range(len(toks)):
+            if not m0(toks[i][2]):
+                continue
+            frontier = [i]
+            for match, lo, hi in slots[1:]:
+                frontier = [p + d for p in frontier
+                            for d in range(lo, hi + 1)
+                            if p + d < len(toks)
+                            and match(toks[p + d][2])]
+            if frontier:
+                spans.add((toks[i][0], toks[min(frontier)][1]))
+    out: list[int] = []
+    for a, b in sorted(spans):
+        out += [a, b]
+    return out
+
+
+def _slot_matcher(spec):
+    """Token predicate from a slot spec: a word collection, or a dict
+    describing a term-expansion leaf (the no-index mini-segment path —
+    headline.test ts_like over literal text)."""
+    import re as _re
+
+    if isinstance(spec, dict):
+        kind = spec["kind"]
+        if kind == "prefix":
+            p = spec["p"]
+            return lambda t: t.startswith(p)
+        if kind == "like":
+            pat = _re.escape(spec["p"]).replace("%", ".*").replace(
+                "_", ".").replace("\\%", "%").replace("\\_", "_")
+            rx = _re.compile(f"^(?:{pat})$")
+            return lambda t: rx.match(t) is not None
+        if kind == "regexp":
+            rx = _re.compile(f"^(?:{spec['p']})$")
+            return lambda t: rx.match(t) is not None
+        if kind == "fuzzy":
+            w, d = spec["w"], int(spec["d"])
+            pre = spec.get("prefix", "")
+
+            def _fz(t: str) -> bool:
+                if pre:
+                    if not t.startswith(pre):
+                        return False
+                    t = t[len(pre):]
+                if abs(len(t) - len(w)) > d:
+                    return False
+                from serenedb_spark.plans.statements import (
+                    _osa_distance,
+                )
+                return _osa_distance(t, w) <= d
+            return _fz
+        if kind == "between":
+            lo, hi = spec.get("lo"), spec.get("hi")
+            li, hc = spec.get("li", True), spec.get("hi_inc", True)
+
+            def _bt(t: str) -> bool:
+                if lo is not None and (t < lo or (t == lo and not li)):
+                    return False
+                if hi is not None and (t > hi or (t == hi and not hc)):
+                    return False
+                return True
+            return _bt
+        raise ValueError(f"unknown slot matcher {kind!r}")
+    words = set(spec)
+    return lambda t: t in words
+
+
 def term_offsets_col(text: Column, term: str) -> Column:
     """1-based char offsets of whole-token occurrences of `term`:
     positions i where lower(substr(text,i,len)) = term and both neighbours

@@ -44,11 +44,23 @@ def _scored_base(idx: InvertedIndex, field: str, score_terms: DataFrame) -> Data
     g = idx.globals_.where(F.col("field") == field).select(
         "n_docs", "avgdl", "total_dl"
     )
-    return (
+    out = (
         matched.join(F.broadcast(ts), "term")
         .join(ds, "doc_id")
         .crossJoin(F.broadcast(g))
     )
+    try:
+        features = idx.analyzer(field).features
+    except Exception:
+        features = ("norm",)
+    if "norm" not in features:
+        # the reference stores document lengths only when the field's
+        # dictionary declares the `norm` feature (tokenizer_options.h:63,
+        # default false); without norms the BM25 length term is the
+        # constant 1 (bm25.cpp:353-359 fills norm[i]=1) — headline.test
+        # ranks tf-3 docs of different lengths as TIES
+        out = out.withColumn("dl", F.col("avgdl"))
+    return out
 
 
 def _bm25_contrib(k1: float, b: float) -> Column:

@@ -83,6 +83,9 @@ def rewrite_qualify(sql: str) -> str:
 _FN_RENAMES = {"approx_quantile": "approx_percentile",
                # PG/DuckDB spellings → Spark (prepared_statements.test)
                "starts_with": "startswith", "ends_with": "endswith",
+               # DuckDB string-claim aliases (tsquery_match.test:2506+)
+               "suffix": "endswith", "prefix": "startswith",
+               "regexp_matches": "regexp_like",
                # PG composite constructor (ddl/composite.test)
                "row": "struct"}
 
@@ -371,10 +374,53 @@ def rewrite_array_literals(sql: str) -> str:
     return _render(out)
 
 
+#: PG regex operators: `x ~ 'p'` is an ANCHORED full match (DuckDB
+#: rewrites ~ into regexp_full_match, tsquery_match.test:1508-1563);
+#: `~*` case-insensitive, `!~`/`!~*` negated (3VL: NULL stays NULL)
+_PG_REGEX_OP_RE = re.compile(
+    r"([\w.\"]+|\([^()]*\))\s*(!~\*|!~|~\*|~)\s*'((?:[^']|'')*)'")
+
+
+#: `x ^@ 'p'` — PG/DuckDB starts-with operator
+_CARET_AT_RE = re.compile(r"([\w.\"]+|\([^()]*\))\s*\^@\s*('(?:[^']|'')*')")
+
+
+def rewrite_pg_regex_ops(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        lhs, op, pat = m.group(1), m.group(2), m.group(3)
+        flags = "(?i)" if op.endswith("*") else ""
+        expr = f"{lhs} RLIKE '{flags}^(?:{pat})$'"
+        return f"NOT ({expr})" if op.startswith("!") else expr
+
+    sql = _CARET_AT_RE.sub(r"startswith(\1, \2)", sql)
+    return _PG_REGEX_OP_RE.sub(sub, sql)
+
+
+#: PG/DuckDB `^` is exponentiation (Spark's is XOR) — rewrite simple
+#: operand forms; tsquery boost `^` never reaches this path (search
+#: statements route through the search parser first)
+_CARET_POW_RE = re.compile(
+    r"((?:\d+(?:\.\d+)?|[\w.\"]+|\([^()]*\)))\s*\^\s*"
+    r"((?:-?\d+(?:\.\d+)?|[\w.\"]+|\([^()]*\)))")
+
+
+def rewrite_caret_power(sql: str) -> str:
+    # quote-aware: only segments outside string literals rewrite
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for i in range(0, len(parts), 2):
+        seg, prev = parts[i], None
+        while prev != seg:
+            prev = seg
+            seg = _CARET_POW_RE.sub(r"power(\1, \2)", seg)
+        parts[i] = seg
+    return "".join(parts)
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
     lowered = rewrite_qualify(rewrite_fn_renames(
         rewrite_generate_series(rewrite_pg_casts(
             rewrite_values_columns(rewrite_offset_limit(
-                rewrite_public_schema(rewrite_array_literals(sql))))))))
+                rewrite_public_schema(rewrite_array_literals(
+                    rewrite_pg_regex_ops(rewrite_caret_power(sql))))))))))
     return spark.sql(lowered)

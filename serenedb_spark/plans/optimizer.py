@@ -44,6 +44,7 @@ def _rewrite(node: q.TSQuery) -> q.TSQuery:
 
     if isinstance(node, q.Or):
         parts = _flatten([_rewrite(p) for p in node.parts], q.Or)
+        parts = _sum_duplicate_boosts(parts)
         parts = _dedupe(parts)
         merged = _merge_or_terms(parts)
         if len(merged) == 1:
@@ -96,6 +97,26 @@ def _flatten(parts: list[q.TSQuery], kind: type) -> list[q.TSQuery]:
             out.extend(p.parts)
         else:
             out.append(p)
+    return out
+
+
+def _sum_duplicate_boosts(parts: list[q.TSQuery]) -> list[q.TSQuery]:
+    """Identical disjuncts merge with SUMMED boosts — a disjunction's
+    score is the sum of its matching clauses, so `(x)^2 || (x)^3` is one
+    clause boosted 5 (filter_optimizer_boost.test:36-55 pins the merged
+    `Boost: 5` filter).  A plain node is boost 1.0."""
+    merged: dict[str, tuple[q.TSQuery, float, bool]] = {}
+    for p in parts:
+        inner, b = (p.part, p.factor) if isinstance(p, q.Boost) else (p, 1.0)
+        k = repr(inner)
+        if k in merged:
+            prev, pb, _ = merged[k]
+            merged[k] = (prev, pb + b, True)
+        else:
+            merged[k] = (inner, b, isinstance(p, q.Boost))
+    out: list[q.TSQuery] = []
+    for inner, b, boosted in merged.values():
+        out.append(q.Boost(inner, b) if boosted else inner)
     return out
 
 

@@ -65,9 +65,20 @@ def match_fragment(node: q.TSQuery, toks: str = "toks") -> str:
 
     if isinstance(node, q.Fuzzy):
         w, d = node.term, node.distance
+        fn = ("damerau_levenshtein"
+              if getattr(node, "transpositions", True) else "levenshtein")
+        pre = ""
+        if getattr(node, "prefix", ""):
+            p = node.prefix
+            pre = (f" AND starts_with(t, {_sq(p)})")
+            return (
+                f"len(list_filter({toks}, t ->"
+                f" abs(length(t) - {len(p) + len(w)}) <= {d}{pre}"
+                f" AND {fn}(t[{len(p) + 1}:], {_sq(w)}) <= {d})) > 0"
+            )
         return (
             f"len(list_filter({toks}, t -> abs(length(t) - {len(w)}) <= {d}"
-            f" AND levenshtein(t, {_sq(w)}) <= {d})) > 0"
+            f" AND {fn}(t, {_sq(w)}) <= {d})) > 0"
         )
 
     if isinstance(node, q.Between):
@@ -172,9 +183,11 @@ def _seq_part_token_pred(part: q.TSQuery, t: str) -> str:
         return f"regexp_full_match({t}, {_sq(part.pattern)})"
     if isinstance(part, q.Fuzzy):
         w, d = part.term, part.distance
+        fn = ("damerau_levenshtein"
+              if getattr(part, "transpositions", True) else "levenshtein")
         return (
             f"(abs(length({t}) - {len(w)}) <= {d}"
-            f" AND levenshtein({t}, {_sq(w)}) <= {d})"
+            f" AND {fn}({t}, {_sq(w)}) <= {d})"
         )
     if isinstance(part, q.Between):
         conds = []

@@ -82,6 +82,54 @@ def _empty_terms(idx: InvertedIndex) -> DataFrame:
     return spark.createDataFrame([], "term string, boost double")
 
 
+_POSIX_CLASSES = {
+    "alpha": r"\p{Alpha}", "digit": r"\p{Digit}", "alnum": r"\p{Alnum}",
+    "upper": r"\p{Upper}", "lower": r"\p{Lower}", "space": r"\s",
+    "punct": r"\p{Punct}", "xdigit": r"\p{XDigit}", "blank": r"\p{Blank}",
+    "cntrl": r"\p{Cntrl}", "graph": r"\p{Graph}", "print": r"\p{Print}",
+}
+
+
+def _posix_classes_to_java(pat: str) -> str:
+    def sub(m: re.Match) -> str:
+        return _POSIX_CLASSES.get(m.group(1), m.group(0))
+
+    # inside a bracket expression `[[:alpha:]]` the class expands to the
+    # bare \p{...}; Java accepts it both inside and outside brackets
+    return re.sub(r"\[:([a-z]+):\]", sub, pat)
+
+
+def _damerau_le(col, w: str, d: int):
+    """Column predicate: optimal-string-alignment Damerau-Levenshtein
+    distance(col, w) <= d.  Runs only on the length- and 2d-Levenshtein-
+    pruned candidate slice of the term dictionary, batched via Arrow."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("boolean", PandasUDFType.SCALAR)
+    def _ok(s):
+        def dist(a: str) -> int:
+            if a is None:
+                return d + 1
+            la, lb = len(a), len(w)
+            prev2: list[int] = []
+            prev = list(range(lb + 1))
+            for i in range(1, la + 1):
+                cur = [i] + [0] * lb
+                for j in range(1, lb + 1):
+                    cost = 0 if a[i - 1] == w[j - 1] else 1
+                    cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                                 prev[j - 1] + cost)
+                    if (i > 1 and j > 1 and a[i - 1] == w[j - 2]
+                            and a[i - 2] == w[j - 1]):
+                        cur[j] = min(cur[j], prev2[j - 2] + 1)
+                prev2, prev = prev, cur
+            return prev[lb]
+
+        return s.map(lambda a: dist(a) <= d)
+
+    return _ok(col)
+
+
 def _expand(idx: InvertedIndex, field: str, node: q.TSQuery) -> DataFrame:
     """Term-dictionary expansion for multi-term leaves → DataFrame[term]."""
     td = idx.term_dict(field)
@@ -90,16 +138,36 @@ def _expand(idx: InvertedIndex, field: str, node: q.TSQuery) -> DataFrame:
     if isinstance(node, q.Wildcard):
         return td.where(F.col("term").like(node.pattern)).select("term")
     if isinstance(node, q.Regexp):
+        pat = node.pattern
+        if getattr(node, "syntax", "perl") == "posix":
+            # Java regex lacks POSIX bracket classes — translate
+            # [[:alpha:]] etc. to the \p{...} US-ASCII classes
+            pat = _posix_classes_to_java(pat)
         return td.where(
-            F.col("term").rlike(f"^(?:{node.pattern})$")
+            F.col("term").rlike(f"^(?:{pat})$")
         ).select("term")
     if isinstance(node, q.Fuzzy):
         # prune by |len(term) - len(w)| <= d before the edit-distance check —
-        # the poor man's Levenshtein automaton (SURVEY §7 hard part (c))
-        w, d = node.term, node.distance
+        # the poor man's Levenshtein automaton (SURVEY §7 hard part (c)).
+        # An exact `prefix` pins the start of the candidate; the distance
+        # is measured on the remainder (ts_levenshtein.cpp prefix arg).
+        w, d, pre = node.term, node.distance, node.prefix
+        rest = F.col("term")
+        if pre:
+            td = td.where(F.col("term").startswith(pre))
+            rest = F.substring(F.col("term"), len(pre) + 1, 2 ** 30)
         cand = td.where(
-            (F.length("term") >= len(w) - d) & (F.length("term") <= len(w) + d)
-        ).where(F.levenshtein(F.col("term"), F.lit(w)) <= d)
+            (F.length(rest) >= len(w) - d) & (F.length(rest) <= len(w) + d))
+        lev = F.levenshtein(rest, F.lit(w))
+        if node.transpositions:
+            # Damerau ≤ plain Levenshtein, and a transposition costs at
+            # most 2 plain edits — so lev ≤ d accepts outright, lev > 2d
+            # rejects outright, and only the ring in between needs the
+            # exact Damerau check (Arrow-batched, tiny candidate set)
+            cand = cand.where(lev <= 2 * d)
+            cand = cand.where((lev <= d) | _damerau_le(rest, w, d))
+        else:
+            cand = cand.where(lev <= d)
         cap = node.max_terms
         if LEVENSHTEIN_MAX_TERMS is not None:
             cap = min(cap, LEVENSHTEIN_MAX_TERMS)
@@ -311,6 +379,12 @@ def compile_query(
         must_not = [compile_query(idx, field, p, boost) for p in node.must_not]
         should = [compile_query(idx, field, p, boost) for p in node.should]
 
+        if not (must or must_not or should):
+            # ts_compound(NULL, NULL, NULL) compiles to the Empty filter —
+            # no clauses match nothing (null_semantics.test:500)
+            return CompiledQuery(
+                _postings_for_terms(idx, field, []).select("doc_id"),
+                _empty_terms(idx), [])
         if must:
             docs = must[0].doc_ids
             for p in must[1:]:

@@ -19,9 +19,14 @@ shapes this parser does not cover raises, never silently misparses.
 
 Grammar (token-level, paren-aware):
 
-    select   := SELECT items FROM name [WHERE conj (AND conj)*]
+    select   := SELECT items FROM name [WHERE bool]
                 [ORDER BY key [ASC|DESC] (, key [ASC|DESC])*] [LIMIT n]
-    conj     := ident @@ tsexpr          -- claimed, any number of fields
+    bool     := bool_and (OR bool_and)*   -- full SQL boolean algebra over
+    bool_and := bool_not (AND bool_not)*  -- claims (filter_optimizer_*.test)
+    bool_not := NOT bool_not | '(' bool ')' ['::' boost '(' num ')']
+              | leaf
+    leaf     := ident @@ tsexpr          -- claimed match
+              | ident vecop vec cmp num  -- claimed vector range
               | <any SQL span>           -- residual, evaluated post-match
     tsexpr   := ts_or
     ts_or    := ts_and ('||' ts_and)*
@@ -59,7 +64,7 @@ from serenedb_spark.plans import tsquery as q
 _TOKEN_RE = re.compile(
     r"""(?P<ws>\s+|--[^\n]*)
       | (?P<str>'(?:[^']|'')*')
-      | (?P<num>\d+\.\d+|\d+)
+      | (?P<num>(?:\d+\.\d+|\d+)(?:[eE][+-]?\d+)?)
       | (?P<op>@@|&&|\|\||!!|\#\#|::|:=|<=>|<->|<\#>|<\+>|<=|>=|<>|!=|[(),\[\]^*;=<>+\-/%.:])
       | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*(?:\.[A-Za-z_][A-Za-z_0-9$]*)*
                   |"(?:[^"]|"")*")
@@ -134,18 +139,32 @@ class _Stream:
 
 def _text_leaf(s: str, an) -> q.TSQuery:
     """Bare 'string literal': analyzed through the column analyzer —
-    one token → Term, several → adjacent Phrase (demo3 §1/§2a)."""
+    one token → Term, several → ANY-of the tokens, min_match=1 (the
+    plan's `col @@ 'Quick Fox' ≡ ANY_OF(tokens)` rule,
+    search_filter_builder.cpp:1896, tsquery_match.test:79)."""
     toks = an.tokens(s)
     if not toks:
-        raise ValueError(f"query text {s!r} analyzes to no tokens")
-    return q.Term(toks[0]) if len(toks) == 1 else q.Phrase(toks)
+        # '' tokenizes to nothing → the Empty filter: FALSE on every
+        # non-NULL value, so NOT(col @@ '') is exactly the non-NULL rows
+        # (null_semantics.test:459-527 degenerate-match family)
+        return q.AnyOf([])
+    return q.Term(toks[0]) if len(toks) == 1 else q.AnyOf(toks)
 
 
 def _parse_array(ts: _Stream) -> list:
-    """ARRAY[a, b, ...] of scalars (negative numbers included)."""
+    """ARRAY[a, b, ...] of scalars (negative numbers included);
+    per-element `::type` casts are declarative and absorbed
+    (headline.test ARRAY['quick'::tsquery, ...])."""
     ts.expect("[")
     vals = []
     while not ts.match("]"):
+        t = ts.peek()
+        if (t is not None and t.text == "::"
+                and ts.peek(1) is not None
+                and ts.peek(1).kind == "IDENT"):
+            ts.next()
+            ts.next()
+            continue
         t = ts.next()
         if t.kind == "STR":
             vals.append(_unquote(t.text))
@@ -164,18 +183,54 @@ def _parse_array(ts: _Stream) -> list:
     return vals
 
 
+class _PreTokenized(list):
+    """Token list already produced by ts_tokenize — ts_any/ts_all must
+    not re-analyze its elements."""
+
+
+def _absorb_boost_suffix(node: q.TSQuery, ts: _Stream) -> q.TSQuery:
+    """Consume trailing `^ K` / `::boost(K)` after a node-valued
+    argument (per-clause boosts inside list arguments)."""
+    while ts.peek() is not None:
+        if (ts.peek().text == "^" and ts.peek(1) is not None
+                and ts.peek(1).kind == "NUM"):
+            ts.next()
+            node = node.boost(float(ts.next().text))
+        elif (ts.peek().text == "::" and ts.peek(1) is not None
+                and ts.peek(1).upper == "BOOST"):
+            ts.next()
+            ts.next()
+            (f,) = _parse_args(ts)
+            node = node.boost(float(f))
+        else:
+            break
+    return node
+
+
 def _scalar_arg(ts: _Stream, an=None):
     t = ts.peek()
     if t is None:
         raise ValueError("unexpected end of argument list")
     if (an is not None and t.kind == "IDENT"
-            and t.text.lower().startswith("ts_")
+            and (t.text.lower().startswith("ts_")
+                 or t.text.lower() in (
+                     "tsquery_phrase", "to_tsquery", "plainto_tsquery",
+                     "phraseto_tsquery", "websearch_to_tsquery"))
             and t.text.lower() != "ts_tokenize"
             and ts.peek(1) is not None and ts.peek(1).text == "("):
         # nested tsquery node argument: ts_compound(ts_phrase('a'), ...)
-        # (full_text_search.test:345)
+        # (full_text_search.test:345); a trailing `^ K` / ::boost(K)
+        # boosts the clause (tsquery_match.test:2021)
         name = ts.next().text
-        return _parse_call(name, ts, an)
+        return _absorb_boost_suffix(_parse_call(name, ts, an), ts)
+    if t.text == "(" and an is not None:
+        # parenthesized tsquery expression argument:
+        # tsquery_phrase((ts_phrase('quick') ## ts_phrase('brown')), ...)
+        # (tsquery_match.test:862)
+        ts.next()
+        node = parse_tsquery_tokens(ts, an)
+        ts.expect(")")
+        return node
     if t.text == "[" and an is not None:
         # bare list argument, possibly of nested nodes:
         # ts_all([ts_phrase('quick'), ts_phrase('brown')])
@@ -186,6 +241,17 @@ def _scalar_arg(ts: _Stream, an=None):
                 ts.next()
                 continue
             vals.append(_scalar_arg(ts, an))
+        # absorb a `::TSQUERY[n]` fixed-size array cast on the list —
+        # declarative metadata (tsquery_match.test TSQUERY[2] ARRAY form)
+        if (ts.peek() is not None and ts.peek().text == "::"
+                and ts.peek(1) is not None and ts.peek(1).kind == "IDENT"):
+            ts.next()
+            ts.next()
+            if ts.peek() is not None and ts.peek().text == "[":
+                ts.next()
+                if ts.peek() is not None and ts.peek().kind == "NUM":
+                    ts.next()
+                ts.expect("]")
         return vals
     if (t.kind == "IDENT" and t.text.lower() == "ts_tokenize"
             and ts.peek(1) is not None and ts.peek(1).text == "("):
@@ -194,14 +260,17 @@ def _scalar_arg(ts: _Stream, an=None):
         from serenedb_spark.analysis.analyzers import get_analyzer
 
         ts.next()
-        args = _parse_args(ts)
-        if len(args) != 2:
-            raise ValueError("ts_tokenize(texts, analyzer_name)")
-        texts, an_name = args
+        args = _parse_args(ts, an)
+        if not 1 <= len(args) <= 2:
+            raise ValueError("ts_tokenize(texts[, analyzer_name])")
+        texts = args[0]
         if isinstance(texts, str):
             texts = [texts]
-        an = get_analyzer(str(an_name))
-        return [tok for s in texts for tok in an.tokens(s)]
+        # analyzer defaults to the column's ambient one
+        # (tsquery_match.test:1654 "Ambient (1-arg) form")
+        a2 = get_analyzer(str(args[1])) if len(args) > 1 else an
+        return _PreTokenized(
+            tok for s in texts for tok in a2.tokens(s))
     if t.kind == "STR":
         val = _unquote(ts.next().text)
         if (an is not None and ts.peek() is not None
@@ -214,7 +283,14 @@ def _scalar_arg(ts: _Stream, an=None):
         return val
     if t.kind == "NUM":
         txt = ts.next().text
-        return float(txt) if "." in txt else int(txt)
+        # absorb a width cast (`1::INTEGER`, `100::BIGINT`) — constant
+        # folding renders the literal back (tsquery_match.test:523)
+        if (ts.peek() is not None and ts.peek().text == "::"
+                and ts.peek(1) is not None and ts.peek(1).kind == "IDENT"):
+            ts.next()
+            ts.next()
+        return (float(txt) if "." in txt or "e" in txt.lower()
+                else int(txt))
     if t.upper == "ARRAY":
         ts.next()
         return _parse_array(ts)
@@ -249,7 +325,13 @@ def _phrase_from_args(args: list, an) -> q.TSQuery:
     gaps: list[tuple[int, int]] = []
     pending: tuple[int, int] | None = None
     for a in args:
-        if isinstance(a, list):
+        if isinstance(a, (int, float)) and not isinstance(a, bool):
+            # bare integer gap: ts_phrase('quick', 1, 'fox') = exactly
+            # one token between (tsquery_match.test:2056)
+            if not words:
+                raise ValueError(f"misplaced gap spec in ts_phrase: {a!r}")
+            pending = (int(a) + 1, int(a) + 1)
+        elif isinstance(a, list):
             if len(a) != 2 or words == []:
                 raise ValueError(f"misplaced gap spec in ts_phrase: {a!r}")
             pending = (int(a[0]) + 1, int(a[1]) + 1)
@@ -276,17 +358,67 @@ def _phrase_from_args(args: list, an) -> q.TSQuery:
 def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
     args = _parse_args(ts, an)
     n = name.lower()
-    if getattr(an, "name", "") == "encoded_int" and n in (
-            "ts_between", "ts_lt", "ts_le", "ts_gt", "ts_ge"):
-        # numeric fields index the memcmp-encoded key: encode the range
-        # bounds the same way (key_encoding contract)
-        from serenedb_spark.functions.key_encoding import py_encode_int
-        args = [py_encode_int(int(float(a)))
-                if isinstance(a, (int, float)) or (
-                    isinstance(a, str)
-                    and a.replace(".", "", 1).lstrip("-").isdigit())
-                else a
-                for a in args]
+    if n in ("ts_between", "ts_lt", "ts_le", "ts_gt", "ts_ge"):
+        nb = 2 if n == "ts_between" else 1
+        for f in args[nb:]:
+            if not isinstance(f, bool):
+                raise ValueError(
+                    f"{n} inclusivity flags must be BOOLEAN constants")
+
+        def _cls(v):
+            if v is None:
+                return None
+            if isinstance(v, bool):
+                return "boolean"
+            if isinstance(v, (int, float)):
+                return "numeric"
+            return "varchar"
+
+        if n != "ts_between" and (not args or args[0] is None):
+            raise ValueError(
+                f"{n} bound must not be NULL — use ts_between(NULL, ...) "
+                "for an unbounded side")  # tsquery_match.test:667
+        classes = {c for c in map(_cls, args[:nb]) if c is not None}
+        if len(classes) > 1:
+            # bind-time error: min and max must agree on their value
+            # class (tsquery_match.test:506-520)
+            raise ValueError(
+                f"{n} bounds must agree on their value class, got "
+                f"{sorted(classes)}")
+        numeric_col = getattr(an, "name", "") == "encoded_int"
+        want = {"numeric"} if numeric_col else {"varchar"}
+        if classes and classes != want:
+            # bounds must match the column's type family
+            # (tsquery_match.test:537-551, 620-623)
+            raise ValueError(
+                f"{n} bound type {sorted(classes)} is incompatible with "
+                f"the column's type family {sorted(want)}")
+        if (classes == {"varchar"} and n != "ts_between"
+                and not _is_raw_analyzer(an)):
+            # single-bound shortcuts tokenize the bound through the
+            # ambient analyzer (ts_between.cpp:139-178): zero tokens →
+            # the Empty filter, several → bind-time error
+            toks = an.tokens(str(args[0]))
+            if not toks:
+                return q.AnyOf([])
+            if len(toks) > 1:
+                raise ValueError(
+                    f"{n} bound produced multiple tokens; range "
+                    "comparison requires a single token")
+            args = [toks[0], *args[1:]]
+        if numeric_col:
+            # numeric fields index the memcmp-encoded key: encode the
+            # range bounds the same way (key_encoding contract); the
+            # trailing inclusivity flags are booleans, and bool is an
+            # int subclass, so they stay (tsquery_match.test:421)
+            from serenedb_spark.functions.key_encoding import (
+                py_encode_int,
+            )
+            args = [py_encode_int(int(float(a)))
+                    if pi < nb and isinstance(a, (int, float))
+                    and not isinstance(a, bool)
+                    else a
+                    for pi, a in enumerate(args)]
     if n == "to_tsquery":
         return q.to_tsquery(args[0])
     if n == "plainto_tsquery":
@@ -302,23 +434,70 @@ def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
     if n == "ts_like":
         return q.Wildcard(args[0])
     if n == "ts_regexp":
-        return q.Regexp(args[0])
+        if getattr(an, "name", "") == "encoded_int":
+            raise ValueError(
+                "ts_regexp requires a VARCHAR column")  # bind-time error
+        syntax = str(args[1]).lower() if len(args) > 1 else "perl"
+        if syntax not in ("perl", "posix"):
+            raise ValueError(
+                f"ts_regexp syntax must be one of [Perl, Posix], "
+                f"got '{args[1]}'")
+        return q.Regexp(args[0], syntax)
     if n == "ts_levenshtein":
-        d = int(args[1]) if len(args) > 1 else 1
-        mt = int(args[2]) if len(args) > 2 else 50
-        return q.Fuzzy(args[0], d, mt)
+        # ts_levenshtein(text[, distance[, transpositions[, prefix]]]) —
+        # distance defaults by term length (ts_levenshtein.cpp:50-52)
+        txt = str(args[0])
+        if len(args) > 1:
+            d = int(args[1])
+        else:
+            d = 0 if len(txt) <= 2 else (1 if len(txt) <= 5 else 2)
+        trans = bool(args[2]) if len(args) > 2 else True
+        prefix = str(args[3]) if len(args) > 3 else ""
+        if not 0 <= d <= 4:
+            raise ValueError(
+                f"ts_levenshtein distance must be between 0 and 4, got {d}")
+        if trans and d > 3:
+            raise ValueError(
+                "ts_levenshtein distance must be between 0 and 3 when "
+                f"transpositions is true, got {d}")
+        return q.Fuzzy(txt, d, transpositions=trans, prefix=prefix)
     if n == "ts_ngram":
-        return q.NgramSim(args[0], float(args[1]))
+        thr = float(args[1]) if len(args) > 1 else 0.7  # ts_ngram.cpp:49
+        if not 0.0 <= thr <= 1.0:
+            raise ValueError(
+                f"ts_ngram threshold must be between 0 and 1, got {thr}")
+        return q.NgramSim(args[0], thr)
     if n == "ts_any":
         mm = int(args[1]) if len(args) > 1 else 1
         items = args[0] if isinstance(args[0], list) else [args[0]]
         if any(isinstance(x, q.TSQuery) for x in items):
+            if mm > max(len(items), 1):
+                raise ValueError(
+                    f"ts_any min_match {mm} exceeds the "
+                    f"{len(items)}-element clause list")
             # node list: ES dis-max-ish should with min_should_match
             nodes = tuple(x if isinstance(x, q.TSQuery)
                           else _text_leaf(x, an) for x in items)
             return q.Compound(should=nodes, min_should_match=mm)
-        return q.AnyOf(items, mm)
+        # string items tokenize through the ambient analyzer and flatten
+        # into one ByTerms (tsquery_match.test:2165 'Quick Turtle',
+        # :2184 single string + min_match over its tokens); ts_tokenize
+        # output is already analyzed and passes through
+        if isinstance(args[0], _PreTokenized):
+            toks = list(items)
+        else:
+            toks = [t for s in items for t in an.tokens(str(s))]
+        if mm > max(len(toks), 1):
+            # bind-time error (tsquery_match.test:233); an empty token
+            # flatten with the default min_match stays the Empty filter
+            raise ValueError(
+                f"ts_any min_match {mm} exceeds the {len(toks)}-element "
+                "clause list")
+        return q.AnyOf(toks, mm)
     if n == "ts_all":
+        if len(args) > 1:
+            # no `(list, int)` overload exists (tsquery_match.test:237)
+            raise ValueError("ts_all takes a single list argument")
         items = args[0] if isinstance(args[0], list) else [args[0]]
         if any(isinstance(x, q.TSQuery) for x in items):
             nodes = [x if isinstance(x, q.TSQuery)
@@ -328,17 +507,24 @@ def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
                 out = q.And((out, x)) if not isinstance(out, q.And) \
                     else q.And(tuple(out.parts) + (x,))
             return out
-        return q.AllOf(items)
+        if isinstance(args[0], _PreTokenized):
+            return q.AllOf(list(items))
+        return q.AllOf([t for s in items for t in an.tokens(str(s))])
     if n == "tsquery_phrase":
-        # PG tsquery_phrase(q1, q2[, distance]): lexemes at exactly
-        # `distance` positions apart (<N> followed-by)
+        # PG tsquery_phrase(q1, q2[, distance]): the two FRAGMENTS sit
+        # `distance` positions apart; each fragment keeps its own inner
+        # gap structure (tsquery_match.test:826,873)
         dist = int(args[2]) if len(args) > 2 else 1
-        parts = []
-        for a in args[:2]:
-            node = a if isinstance(a, q.TSQuery) else _text_leaf(
-                str(a), an)
-            parts.extend(_seq_parts_of(node))
-        return q.PhraseSeq(parts, gaps=[(dist, dist)] * (len(parts) - 1))
+        if dist < 1:
+            # PG's `<0>` is invalid, `<1>` is adjacent
+            # (tsquery_match.test:912-916)
+            raise ValueError(
+                f"tsquery_phrase distance must be at least 1, got {dist}")
+        frags = [(_seq_frag(a if isinstance(a, q.TSQuery)
+                            else _text_leaf(str(a), an)))
+                 for a in args[:2]]
+        (p1, g1), (p2, g2) = frags
+        return q.PhraseSeq(p1 + p2, gaps=g1 + [(dist, dist)] + g2)
     if n == "ts_compound":
         def _nodes(a) -> tuple:
             if a is None:
@@ -347,15 +533,25 @@ def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
             return tuple(x if isinstance(x, q.TSQuery)
                          else _text_leaf(str(x), an) for x in items)
         msm = int(args[3]) if len(args) > 3 and args[3] is not None else 0
+        should = _nodes(args[2] if len(args) > 2 else None)
+        if len(args) > 3 and args[3] is not None:
+            if not should:
+                raise ValueError(
+                    "min_should_match makes no sense without should "
+                    "clauses")  # tsquery_match.test:2004
+            if not 1 <= msm <= len(should):
+                raise ValueError(
+                    f"min_should_match must be in [1, {len(should)}], "
+                    f"got {msm}")
         return q.Compound(
             must=_nodes(args[0] if len(args) > 0 else None),
             must_not=_nodes(args[1] if len(args) > 1 else None),
-            should=_nodes(args[2] if len(args) > 2 else None),
+            should=should,
             min_should_match=msm)
     if n == "ts_between":
         li = bool(args[2]) if len(args) > 2 else True
         hi = bool(args[3]) if len(args) > 3 else True
-        return q.Between(args[0], args[1], li, hi)
+        return q.Between(args[0], args[1], li, hi, strict=True)
     if n == "ts_lt":
         return q.Between(hi=args[0], hi_inclusive=False)
     if n == "ts_le":
@@ -365,38 +561,55 @@ def _parse_call(name: str, ts: _Stream, an) -> q.TSQuery:
     if n == "ts_ge":
         return q.Between(lo=args[0])
     if n == "ts_tokenize":
-        # `body @@ ts_tokenize('text', 'analyzer')`
-        # (full_text_search.test:229): analyze with the NAMED analyzer
-        # (defaulting to the field's) and match every produced term
-        return q.plainto_tsquery(
-            args[0], args[1] if len(args) > 1 else an.name)
-    raise ValueError(f"unknown tsquery function {name!r}")
+        # `body @@ ts_tokenize('text'[, 'analyzer'])` — the explicit form
+        # of the bare-string promotion: analyze with the NAMED analyzer
+        # (defaulting to the field's), ANY-of the tokens
+        # (tsquery_match.test:88, full_text_search.test:229)
+        from serenedb_spark.analysis.analyzers import get_analyzer
+        a2 = get_analyzer(str(args[1])) if len(args) > 1 else an
+        return _text_leaf(str(args[0]), a2)
+    # the reference surfaces unknown ts_* calls as missing scalar
+    # functions (null_semantics.test:283 pins this wording)
+    raise ValueError(
+        f"Scalar Function with name {name} does not exist!")
 
 
-_SEQ_PART_TYPES = (q.Term, q.AnyOf, q.Prefix, q.Wildcard, q.Regexp,
+#: regex is NOT a supported phrase part — the emitter accepts
+#: term-shaped parts only (tsquery_match.test:808-811)
+_SEQ_PART_TYPES = (q.Term, q.AnyOf, q.Prefix, q.Wildcard,
                    q.Fuzzy, q.Between)
 
 
-def _seq_parts_of(node: q.TSQuery) -> list[q.TSQuery]:
-    """A ## operand contributes its parts: term-set leaves pass through,
-    an adjacent Phrase (from a multi-word string / ts_phrase) splices as
-    consecutive Terms (full_text_search.test:379 `ts_phrase('quick') ##
-    1 ## 'fox'`)."""
+
+def _seq_frag(node: q.TSQuery) -> tuple[list[q.TSQuery], list]:
+    """A phrase fragment as (parts, inner gaps) — splicing a nested
+    PhraseSeq preserves its own gap structure (tsquery_match.test:873
+    nested tsquery_phrase distances)."""
+    if isinstance(node, q.AnyOf) and node.min_match > 1:
+        # a single phrase position holds at most one token
+        # (tsquery_match.test:1016)
+        raise ValueError(
+            "ts_any with min_match > 1 is unsatisfiable at a single "
+            "phrase position")
     if isinstance(node, _SEQ_PART_TYPES):
-        return [node]
+        return [node], []
     if isinstance(node, q.Phrase) and all(g == (1, 1) for g in node.gaps):
-        return [q.Term(w) for w in node.words]
+        terms = [q.Term(w) for w in node.words]
+        return terms, [(1, 1)] * (len(terms) - 1)
     if isinstance(node, q.PhraseSeq):
-        return list(node.parts)
-    raise ValueError(f"unsupported ## operand: {node!r}")
+        return list(node.parts), list(node.gaps)
+    kind = "^" if isinstance(node, q.Boost) else type(node).__name__
+    raise ValueError(
+        f"## part type not supported yet: {kind}. Supported phrase "
+        "parts: bare 'word', ts_starts_with, ts_like, ts_levenshtein, "
+        "ts_phrase, ts_any, ts_between.")
 
 
 def _parse_ts_seq(ts: _Stream, an) -> q.TSQuery:
     first = _parse_ts_unary(ts, an)
     if ts.peek() is None or ts.peek().text != "##":
         return first
-    parts = _seq_parts_of(first)
-    gaps: list[tuple[int, int]] = [(1, 1)] * (len(parts) - 1)
+    parts, gaps = _seq_frag(first)
     while ts.match("##"):
         t = ts.peek()
         pending: tuple[int, int] | None = None
@@ -405,15 +618,32 @@ def _parse_ts_seq(ts: _Stream, an) -> q.TSQuery:
             n = int(ts.next().text)
             pending = (n + 1, n + 1)
             ts.expect("##")
-        elif t is not None and t.upper == "ARRAY":
-            ts.next()
+        elif t is not None and (t.upper == "ARRAY" or t.text == "["):
+            # ARRAY[lo,hi] or the bare-list spelling [lo,hi], optionally
+            # with an ::INTEGER[2] cast (tsquery_match.test:703-720)
+            if t.upper == "ARRAY":
+                ts.next()
             lo, hi = _parse_array(ts)
+            if (ts.peek() is not None and ts.peek().text == "::"
+                    and ts.peek(1) is not None
+                    and ts.peek(1).kind == "IDENT"):
+                ts.next()
+                ts.next()
+                if ts.peek() is not None and ts.peek().text == "[":
+                    ts.next()
+                    if ts.peek() is not None and ts.peek().kind == "NUM":
+                        ts.next()
+                    ts.expect("]")
+            if int(lo) < 0 or int(lo) > int(hi):
+                raise ValueError(
+                    f"## gap interval [{lo}, {hi}] requires "
+                    "0 <= min <= max")  # tsquery_match.test:1363
             pending = (int(lo) + 1, int(hi) + 1)
             ts.expect("##")
-        sub = _seq_parts_of(_parse_ts_unary(ts, an))
+        sub_p, sub_g = _seq_frag(_parse_ts_unary(ts, an))
         gaps.append(pending if pending is not None else (1, 1))
-        gaps.extend([(1, 1)] * (len(sub) - 1))
-        parts.extend(sub)
+        gaps.extend(sub_g)
+        parts.extend(sub_p)
     return q.PhraseSeq(parts, gaps=gaps)
 
 
@@ -431,27 +661,184 @@ def _parse_ts_unary(ts: _Stream, an) -> q.TSQuery:
         elif t.text == "::":
             ts.next()
             nxt = ts.next()
-            if nxt.upper == "TSQUERY":
-                continue  # '...'::TSQUERY cast — no-op here
+            if nxt.upper in ("TSQUERY", "TEXT"):
+                # transit casts through the TSQUERY/text family are
+                # no-ops on an already-built node (UnwrapTSQueryCast;
+                # tsquery_match.test:2712 (node)::text::tsquery)
+                continue
             if nxt.upper == "SLOP":
                 (n,) = _parse_args(ts)
                 if not isinstance(node, q.PhraseSeq):
                     raise ValueError("::slop(n) applies to a ## chain")
                 node = node.with_slop(int(n))
+            elif nxt.upper == "BOOST":
+                # `ts_phrase('quick')::boost(2.0)` — composable analogue
+                # of ^ K (tsquery_match.test:1790)
+                (f,) = _parse_args(ts)
+                if f is None or float(f) < 0:
+                    raise ValueError(
+                        f"boost factor must be a non-negative number, "
+                        f"got {f!r}")
+                node = node.boost(float(f))
+            elif nxt.upper == "TOKENIZE":
+                # node-level ::tokenize('name') re-analyzes the node's
+                # text through the named analyzer
+                # (tsquery_match.test:1809-1816)
+                from serenedb_spark.analysis.analyzers import get_analyzer
+                (name,) = _parse_args(ts)
+                an2 = get_analyzer(
+                    str(name) if name is not None else "keyword")
+                node = _retokenize(node, an2)
             else:
                 raise ValueError(f"unsupported cast ::{nxt.text}")
         else:
             return node
 
 
+#: structured tsquery value text starts with a whitelisted constructor
+#: (possibly under redundant parens); anything else stays leaf tokens
+_STRUCT_TSQ_RE = re.compile(
+    r"^[\s(]*(ts_[a-z_]+|tsquery_phrase|to_tsquery|plainto_tsquery|"
+    r"phraseto_tsquery|websearch_to_tsquery)\s*\(")
+
+#: structured-text size cap (the reference caps and falls back to leaf
+#: tokens, tsquery_match.test:2738)
+_STRUCT_TSQ_MAX = 65536
+
+
+def _tsquery_text_cast(raw: str, an) -> q.TSQuery:
+    """'ts_phrase(''quick'')'::tsquery — a string whose text is a
+    whitelisted constructor expression compiles structurally; anything
+    else (plain words, non-whitelisted names, oversized text) tokenizes
+    as leaf text."""
+    if len(raw) <= _STRUCT_TSQ_MAX and _STRUCT_TSQ_RE.match(raw):
+        try:
+            return parse_tsquery_text(raw, an)
+        except Exception:
+            pass
+    return _text_leaf(raw, an)
+
+
+def _retokenize(node: q.TSQuery, an2) -> q.TSQuery:
+    """Re-analyze a text-leaf node through another analyzer (the
+    ::tokenize cast modifier on constructor results)."""
+    if isinstance(node, q.Boost):
+        return q.Boost(_retokenize(node.part, an2), node.factor)
+    if isinstance(node, q.Term):
+        return _text_leaf(node.term, an2)
+    if isinstance(node, q.Phrase):
+        toks = [w2 for w in node.words for w2 in an2.tokens(w)]
+        return (q.Phrase(toks) if len(toks) > 1
+                else q.Term(toks[0]) if toks else q.AnyOf([]))
+    if isinstance(node, q.AnyOf):
+        toks = [w2 for w in node.terms for w2 in an2.tokens(w)]
+        return q.AnyOf(toks, node.min_match)
+    raise ValueError(
+        f"::tokenize does not apply to {type(node).__name__}")
+
+
+def _try_const_string_fold(ts: _Stream, an):
+    """`('lit' || repeat('c', n))::tsquery` — a constant VARCHAR concat
+    expression folds driver-side before the tsquery cast
+    (tsquery_match.test:2736-2745).  Called with ts positioned just
+    after the opening paren; returns a node and consumes through the
+    cast, or None leaving the stream untouched."""
+    j, depth = ts.i, 1
+    span: list[Tok] = []
+    while j < len(ts.toks):
+        tk = ts.toks[j]
+        if tk.text == "(":
+            depth += 1
+        elif tk.text == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        span.append(tk)
+        j += 1
+    if depth != 0 or not span:
+        return None
+    allowed = {"||", "(", ")", ","}
+    uses_fn = False
+    for tk in span:
+        if tk.kind in ("STR", "NUM") or tk.text in allowed:
+            continue
+        if tk.kind == "IDENT" and tk.text.lower() == "repeat":
+            uses_fn = True
+            continue
+        return None
+    if not uses_fn:
+        return None  # pure-literal `'a' || 'b'` stays tsquery OR
+    # fold: evaluate the tiny concat grammar
+    sub = _Stream(span)
+
+    def atom() -> str:
+        tk = sub.next()
+        if tk.kind == "STR":
+            return _unquote(tk.text)
+        if tk.kind == "IDENT" and tk.text.lower() == "repeat":
+            args = _parse_args(sub)
+            return str(args[0]) * int(args[1])
+        raise ValueError(f"not a constant string: {tk.text!r}")
+
+    try:
+        val = atom()
+        while sub.match("||"):
+            val += atom()
+        if sub.peek() is not None:
+            return None
+    except ValueError:
+        return None
+    ts.i = j + 1  # past the close paren
+    if (ts.peek() is not None and ts.peek().text == "::"
+            and ts.peek(1) is not None and ts.peek(1).upper == "TSQUERY"):
+        ts.next()
+        ts.next()
+    return _tsquery_text_cast(val, an)
+
+
 def _parse_ts_primary(ts: _Stream, an) -> q.TSQuery:
     t = ts.next()
     if t.text == "(":
+        folded = _try_const_string_fold(ts, an)
+        if folded is not None:
+            return folded
         node = parse_tsquery_tokens(ts, an)
         ts.expect(")")
         return node
+    if t.kind == "IDENT" and t.upper in ("TRUE", "FALSE", "NULL") and (
+            ts.peek() is None or ts.peek().text != "("):
+        # trivial constants in TSQUERY context: true → All, false →
+        # Empty, NULL folds the predicate to NULL → 0 rows
+        # (tsquery_match.test:1893-1906)
+        if t.upper == "TRUE":
+            return q.Not(q.AnyOf([]))
+        return q.AnyOf([])
     if t.kind == "STR":
-        return _text_leaf(_unquote(t.text), an)
+        raw = _unquote(t.text)
+        # 'text'::tokenize('name') — the cast modifier bypasses the
+        # column analyzer (tsquery_match.test:97, UnwrapTSQueryCast's
+        # modifier-bearing casts)
+        if (ts.peek() is not None and ts.peek().text == "::"
+                and ts.peek(1) is not None
+                and ts.peek(1).text.lower() == "tokenize"):
+            from serenedb_spark.analysis.analyzers import get_analyzer
+            ts.next()
+            ts.next()
+            (name,) = _parse_args(ts)
+            # ::tokenize(NULL) is sugar for ::tokenize('keyword')
+            # (tsquery_match.test:121)
+            return _text_leaf(raw, get_analyzer(
+                str(name) if name is not None else "keyword"))
+        # 'ts_phrase(...)'::tsquery — structured value text compiles
+        # structurally; non-whitelisted or oversized text stays leaf
+        # tokens (tsquery_match.test:2689-2745)
+        if (ts.peek() is not None and ts.peek().text == "::"
+                and ts.peek(1) is not None
+                and ts.peek(1).upper == "TSQUERY"):
+            ts.next()
+            ts.next()
+            return _tsquery_text_cast(raw, an)
+        return _text_leaf(raw, an)
     if t.kind == "IDENT" and ts.peek() is not None and ts.peek().text == "(":
         return _parse_call(t.text, ts, an)
     raise ValueError(f"unexpected token in tsquery expression: {t.text!r}")
@@ -521,6 +908,9 @@ class SearchSelect:
     #: WHERE `col <=> qvec < r` range conjuncts (demo4 Q2):
     #: (column, metric, qvec, cmp, radius)
     vector_ranges: list = field(default_factory=list)
+    #: top-level OR conjuncts mixing columns / residuals (BoolNode trees;
+    #: filter_optimizer_*.test) — lowered by doc-id set algebra
+    or_groups: list = field(default_factory=list)
 
 
 #: PG type spellings → Spark CAST targets (the rest pass through)
@@ -699,6 +1089,228 @@ def _rewrite_scorers(toks: list[Tok]) -> tuple[list[Tok], str | None, dict]:
     return out, scorer, params
 
 
+# ---------------------------------------------------------------------------
+# WHERE boolean tree: AND/OR/NOT over claimed leaves (filter_optimizer_*.test,
+# null_semantics.test).  Same-column subtrees fold into one tsquery node so
+# the per-field planner optimizes them; cross-column / residual-mixed
+# disjunctions survive as BoolNode groups lowered by doc-id set algebra.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class MatchLeaf:
+    col: str
+    node: q.TSQuery
+
+
+@dataclass
+class VecLeaf:
+    vr: tuple  # (col, metric, qvec, cmp, radius)
+
+
+@dataclass
+class ResidualLeaf:
+    sql: str
+
+
+@dataclass
+class BoolNode:
+    op: str  # 'and' | 'or'
+    children: list
+
+
+def _is_raw_analyzer(an) -> bool:
+    """True when the analyzer stores terms byte-identical to the source
+    (keyword/identity) or uses the memcmp numeric encoding — the cases
+    where range bounds compare meaningfully against indexed terms."""
+    if getattr(an, "name", "") == "encoded_int":
+        return True
+    try:
+        return an.tokens("AbZ.qX9") == ["AbZ.qX9"]
+    except Exception:
+        return False
+
+
+def _check_standalone_ranges(node: q.TSQuery, an) -> None:
+    """A standalone RANGE with string bounds over a transforming text
+    analyzer is rejected at bind time — the indexed tokens don't match
+    the raw bound bytes meaningfully; inside `##` the bounds compare
+    against analyzed terms at a phrase position and are allowed
+    (tsquery_match.test:451-458)."""
+    if isinstance(node, q.Between):
+        bounds = [b for b in (node.lo, node.hi) if b is not None]
+        if (node.strict and bounds
+                and all(isinstance(b, str) for b in bounds)
+                and not _is_raw_analyzer(an)):
+            raise ValueError(
+                "ts_between on VARCHAR field requires keyword-analyzed "
+                "column; use ts_lt/ts_le/ts_gt/ts_ge for analyzed-text "
+                "bounds, or wrap the range in a ## phrase position")
+        return
+    if isinstance(node, (q.PhraseSeq, q.Phrase)):
+        return  # ## positions interpret bounds against analyzed terms
+    for sub in (getattr(node, "parts", ()) or ()):
+        _check_standalone_ranges(sub, an)
+    for attr in ("part",):
+        sub = getattr(node, attr, None)
+        if isinstance(sub, q.TSQuery):
+            _check_standalone_ranges(sub, an)
+    if isinstance(node, q.Compound):
+        for grp in (node.must, node.must_not, node.should):
+            for sub in grp:
+                _check_standalone_ranges(sub, an)
+
+
+def _has_search(toks: list[Tok]) -> bool:
+    return any(t.text == "@@" or t.text in _VEC_OPS for t in toks)
+
+
+def _split_top_kw(toks: list[Tok], kw: str) -> list[list[Tok]]:
+    """Split on a top-level boolean keyword; the AND that closes a
+    BETWEEN ... AND ... span is part of the operand, not a separator."""
+    out: list[list[Tok]] = [[]]
+    depth = 0
+    pending_between = 0
+    for t in toks:
+        if t.text in ("(", "["):
+            depth += 1
+        elif t.text in (")", "]"):
+            depth -= 1
+        if depth == 0 and t.upper == "BETWEEN":
+            pending_between += 1
+        if depth == 0 and t.upper == kw:
+            if kw == "AND" and pending_between:
+                pending_between -= 1
+                out[-1].append(t)
+                continue
+            out.append([])
+        else:
+            out[-1].append(t)
+    return out
+
+
+def _negate_tree(tree):
+    if isinstance(tree, MatchLeaf):
+        if isinstance(tree.node, q.Not):  # NOT(NOT x) = x
+            return MatchLeaf(tree.col, tree.node.part)
+        return MatchLeaf(tree.col, q.Not(tree.node))
+    if isinstance(tree, ResidualLeaf):
+        return ResidualLeaf(f"NOT ({tree.sql})")
+    if isinstance(tree, VecLeaf):
+        col, metric, qvec, cmp, r = tree.vr
+        flip = {"<": ">=", "<=": ">", ">": "<=", ">=": "<"}[cmp]
+        return VecLeaf((col, metric, qvec, flip, r))
+    assert isinstance(tree, BoolNode)
+    kinds = {type(c).__name__ for c in tree.children}
+    if "MatchLeaf" in kinds and kinds - {"MatchLeaf", "VecLeaf"}:
+        # the reference refuses this shape rather than risk an unsound
+        # row-filter under negation (null_semantics.test:489)
+        raise ValueError(
+            "negated group over nullable columns mixes index-only search "
+            "predicates with a shape that must stay a row filter; rewrite "
+            "the negation as a strict disjunction, or add IS NOT NULL "
+            "conjuncts on the nullable columns")
+    op = "and" if tree.op == "or" else "or"  # De Morgan
+    return BoolNode(op, [_negate_tree(c) for c in tree.children])
+
+
+def _fold_tree(tree):
+    """Bottom-up: flatten nested same-op nodes; an all-one-column boolean
+    subtree folds into a single tsquery node (the planner's per-field
+    optimizer then sees the whole expression, filter_optimizer parity);
+    an all-residual subtree folds back into one SQL span."""
+    if not isinstance(tree, BoolNode):
+        return tree
+    flat: list = []
+    for c in (_fold_tree(c) for c in tree.children):
+        if isinstance(c, BoolNode) and c.op == tree.op:
+            flat.extend(c.children)
+        else:
+            flat.append(c)
+    if (all(isinstance(c, MatchLeaf) for c in flat)
+            and len({c.col for c in flat}) == 1):
+        comb = q.Or if tree.op == "or" else q.And
+        return MatchLeaf(flat[0].col, comb([c.node for c in flat]))
+    if all(isinstance(c, ResidualLeaf) for c in flat):
+        sep = " OR " if tree.op == "or" else " AND "
+        return ResidualLeaf(sep.join(f"({c.sql})" for c in flat))
+    return BoolNode(tree.op, flat)
+
+
+def _parse_bool_or(toks: list[Tok], an_of):
+    parts = [_parse_bool_and(p, an_of) for p in _split_top_kw(toks, "OR")]
+    return parts[0] if len(parts) == 1 else BoolNode("or", parts)
+
+
+def _parse_bool_and(toks: list[Tok], an_of):
+    parts = [_parse_bool_unary(p, an_of)
+             for p in _split_top_kw(toks, "AND")]
+    return parts[0] if len(parts) == 1 else BoolNode("and", parts)
+
+
+def _parse_bool_unary(toks: list[Tok], an_of):
+    if not toks:
+        raise ValueError("empty boolean operand in WHERE")
+    if not _has_search(toks):
+        return ResidualLeaf(_render(_rewrite_casts(toks)))
+    if toks[0].upper == "NOT":
+        return _negate_tree(_parse_bool_unary(toks[1:], an_of))
+    if toks[0].text == "(":
+        depth = 0
+        close = None
+        for j, t in enumerate(toks):
+            if t.text in ("(", "["):
+                depth += 1
+            elif t.text in (")", "]"):
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close == len(toks) - 1:
+            return _parse_bool_or(toks[1:-1], an_of)
+        rest = toks[close + 1:]
+        # (col @@ q)::boost(f) — boost cast over a match predicate
+        # (filter_optimizer_boost.test:36)
+        if (len(rest) == 5 and rest[0].text == "::"
+                and rest[1].text.lower() == "boost"
+                and rest[2].text == "(" and rest[3].kind == "NUM"
+                and rest[4].text == ")"):
+            sub = _parse_bool_or(toks[1:close], an_of)
+            if not isinstance(sub, MatchLeaf):
+                raise ValueError("::boost applies to a single @@ match")
+            return MatchLeaf(sub.col, q.Boost(sub.node,
+                                              float(rest[3].text)))
+    return _parse_search_leaf(toks, an_of)
+
+
+def _parse_search_leaf(toks: list[Tok], an_of):
+    at = next((k for k, t in enumerate(toks) if t.text == "@@"), None)
+    if at is None:
+        vr = _parse_vector_range(toks)
+        if vr is not None:
+            return VecLeaf(vr)
+        return ResidualLeaf(_render(_rewrite_casts(toks)))
+    left = toks[:at]
+    right = toks[at + 1:]
+    if (len(left) != 1 or left[0].kind != "IDENT") \
+            and len(right) == 1 and right[0].kind == "IDENT":
+        # mirrored form: `'quick'::tokenize('keyword') @@ b`
+        # (tsquery_match.test:1146) — the column may sit on either side
+        left, right = right, left
+    if len(left) != 1 or left[0].kind != "IDENT":
+        raise ValueError(
+            f"@@ left side must be a column, got {_render(left)!r}")
+    col = left[0].text.split(".")[-1]
+    an = an_of(col)
+    ts = _Stream(right)
+    node = parse_tsquery_tokens(ts, an)
+    _check_standalone_ranges(node, an)
+    if ts.peek() is not None:
+        raise ValueError(
+            f"trailing tokens after tsquery: {ts.peek().text!r}")
+    return MatchLeaf(col, node)
+
+
 def parse_select(sql: str, analyzer_of) -> SearchSelect:
     """Parse the restricted search-SELECT shape. ``analyzer_of(from_name,
     column)`` resolves the analyzer used for bare-string query terms."""
@@ -724,35 +1336,29 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
     residuals: list[str] = []
     vec_holder: dict = {}
     vector_ranges: list = []
+    or_groups: list = []
+
+    def _route(tree) -> None:
+        if isinstance(tree, MatchLeaf):
+            matches.append((tree.col, tree.node))
+        elif isinstance(tree, VecLeaf):
+            vector_ranges.append(tree.vr)
+        elif isinstance(tree, ResidualLeaf):
+            residuals.append(tree.sql)
+        elif isinstance(tree, BoolNode) and tree.op == "and":
+            for c in tree.children:
+                _route(c)
+        else:
+            or_groups.append(tree)
+
     if wpos >= 0:
         wend = min(x for x in (opos, lpos, len(toks)) if x >= 0)
-        for conj in _split_top(toks[wpos + 1:wend], ("AND",)):
-            at = next((k for k, t in enumerate(conj) if t.text == "@@"), None)
-            # unwrap a fully-parenthesized conjunct: ( col @@ ... )
-            while (at is None and len(conj) >= 2 and conj[0].text == "("
-                   and conj[-1].text == ")"):
-                conj = conj[1:-1]
-                at = next((k for k, t in enumerate(conj)
-                           if t.text == "@@"), None)
-            if at is None:
-                vr = _parse_vector_range(conj)
-                if vr is not None:
-                    vector_ranges.append(vr)
-                else:
-                    residuals.append(_render(_rewrite_casts(conj)))
+        an_of = lambda col: analyzer_of(from_name, col)  # noqa: E731
+        for conj in _split_top_kw(toks[wpos + 1:wend], "AND"):
+            if not _has_search(conj):
+                residuals.append(_render(_rewrite_casts(conj)))
                 continue
-            left = conj[:at]
-            if len(left) != 1 or left[0].kind != "IDENT":
-                raise ValueError(
-                    f"@@ left side must be a column, got {_render(left)!r}")
-            col = left[0].text.split(".")[-1]
-            an = analyzer_of(from_name, col)
-            ts = _Stream(conj[at + 1:])
-            node = parse_tsquery_tokens(ts, an)
-            if ts.peek() is not None:
-                raise ValueError(
-                    f"trailing tokens after tsquery: {ts.peek().text!r}")
-            matches.append((col, node))
+            _route(_fold_tree(_parse_bool_or(conj, an_of)))
 
     order: list[tuple[str, bool]] = []
     scorer: str | None = None
@@ -790,7 +1396,14 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
     for item in _split_top(sel_toks, (",",)):
         item, s, p = _rewrite_scorers(item)
         _merge(s, p)
+        before = len(proj_calls)
         item = _rewrite_proj_calls(item, proj_calls)
+        if (len(item) == 1 and item[0].text.startswith("__proj")
+                and len(proj_calls) == before + 1):
+            # unaliased projection call: PG titles the column by the
+            # bare function name (headline.test:272)
+            fn = proj_calls[-1][1]
+            item = item + [Tok("IDENT", "AS"), Tok("IDENT", fn.lower())]
         item = _rewrite_vector_dist(item, vec_holder)
         items.append(_render(_rewrite_casts(item)))
 
@@ -799,7 +1412,8 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
                         order, limit, scorer, params,
                         proj_calls=proj_calls,
                         vector_dist=vec_holder.get("ref"),
-                        vector_ranges=vector_ranges)
+                        vector_ranges=vector_ranges,
+                        or_groups=or_groups)
 
 
 # ---------------------------------------------------------------------------
@@ -823,6 +1437,20 @@ def _parse_vec_literal(ts: _Stream) -> list[float]:
         vals = _parse_vec_literal(ts)
         ts.expect(")")
         return vals
+    if t.kind == "IDENT" and t.upper == "CAST":
+        # CAST(ARRAY[...] AS array<float>) — the statement door's cast
+        # rewrite of a substituted parameter; the target type is
+        # declarative metadata
+        ts.expect("(")
+        vals = _parse_vec_literal(ts)
+        depth = 1
+        while depth > 0:
+            nt = ts.next()
+            if nt.text == "(":
+                depth += 1
+            elif nt.text == ")":
+                depth -= 1
+        return vals
     if t.kind == "IDENT" and t.text.lower() == "ai_embed":
         from serenedb_spark.functions.embedding import _resolve_provider
 
@@ -831,6 +1459,20 @@ def _parse_vec_literal(ts: _Stream) -> list[float]:
             raise ValueError("ai_embed(text, model[, provider])")
         key = str(args[2]) if len(args) == 3 else str(args[1])
         vals = [float(x) for x in _resolve_provider(key)([str(args[0])])[0]]
+    elif t.upper == "ARRAY" and ts.peek() is not None \
+            and ts.peek().text == "(":
+        # Spark call syntax `array(0.1, ...)` — what _rewrite_arrays
+        # renders a substituted ARRAY[...] parameter into
+        ts.next()
+        vals = []
+        while not ts.match(")"):
+            tk = ts.next()
+            if tk.text == ",":
+                continue
+            if tk.text == "-":
+                vals.append(-float(ts.next().text))
+            else:
+                vals.append(float(tk.text))
     elif t.upper == "ARRAY":
         vals = [float(v) for v in _parse_array(ts)]
     elif t.text == "[":
@@ -874,9 +1516,10 @@ def _parse_vector_range(conj: list[Tok]):
     ts = _Stream(conj[at + 1:])
     qvec = _parse_vec_literal(ts)
     cmp_tok = ts.next()
-    if cmp_tok.text not in ("<", "<="):
+    if cmp_tok.text not in ("<", "<=", ">", ">="):
         raise ValueError(
-            f"vector range comparator must be < or <=, got {cmp_tok.text!r}")
+            f"vector range comparator must be one of < <= > >=, "
+            f"got {cmp_tok.text!r}")
     r_tok = ts.next()
     if r_tok.kind != "NUM":
         raise ValueError("vector range radius must be a number")
@@ -1133,14 +1776,18 @@ def execute_select(stmt: SearchSelect, get_index,
     from serenedb_spark.operators.scoring import score as _score
     from serenedb_spark.plans.planner import compile_query, is_pure_disjunction
 
-    if not stmt.matches:
-        if not (stmt.vector_dist or stmt.vector_ranges):
+    group_has_match = any(_tree_match_cols(g) for g in stmt.or_groups)
+    if not stmt.matches and not group_has_match:
+        if not (stmt.vector_dist or stmt.vector_ranges
+                or stmt.or_groups):
             raise ValueError(
                 "search SELECT requires an @@ conjunct or a vector "
                 "distance operator")
         if get_table is None:
             raise ValueError("pure vector SELECT needs a table resolver")
         out = get_table(stmt.from_name)
+        for g in stmt.or_groups:  # match-free trees filter as columns
+            out = out.where(_group_predicate(g))
         return _finish_select(stmt, out)
 
     compiled = []
@@ -1149,18 +1796,39 @@ def execute_select(stmt: SearchSelect, get_index,
         idx = get_index(stmt.from_name, col)
         idx0 = idx0 or idx
         compiled.append((idx, col, node, compile_query(idx, col, node)))
+    if idx0 is None:  # all matches live inside or_groups
+        col0 = next(c for g in stmt.or_groups
+                    for c in _tree_match_cols(g))
+        idx0 = get_index(stmt.from_name, col0)
 
-    doc_ids = compiled[0][3].doc_ids
-    for _, _, _, c in compiled[1:]:
-        doc_ids = doc_ids.join(c.doc_ids, "doc_id", "left_semi")
+    group_docs = []
+    if stmt.or_groups:
+        ds = idx0.docstore
+        key = getattr(idx0, "key", "doc_id")
+        if key != "doc_id" and key not in ds.columns:
+            ds = ds.withColumn(key, F.col("doc_id"))
+        for g in stmt.or_groups:
+            group_docs.append(
+                _group_doc_ids(g, ds, get_index, stmt.from_name,
+                               compiled, compile_query))
+
+    if compiled and stmt.matches:
+        doc_ids = compiled[0][3].doc_ids
+        for _, _, _, c in compiled[1:len(stmt.matches)]:
+            doc_ids = doc_ids.join(c.doc_ids, "doc_id", "left_semi")
+    else:
+        doc_ids = group_docs.pop(0)
+    for g in group_docs:
+        doc_ids = doc_ids.join(g, "doc_id", "left_semi")
 
     score_df = None
     if stmt.scorer is not None:
-        topk = _try_wand_topk(stmt, compiled)
+        topk = None if stmt.or_groups else _try_wand_topk(stmt, compiled)
         if topk is not None:
             out = idx0.docstore.join(topk, "doc_id", "inner").withColumn(
                 "__score", F.col("score")).drop("score")
-            return _finish_select(stmt, _restore_key_name(idx0, out))
+            return _finish_select(stmt, _restore_key_name(idx0, out),
+                                  idx=idx0)
         # sum contributions across all @@ fields (demo3 §7 "ranked by
         # BM25 across all matched terms")
         parts = []
@@ -1173,7 +1841,8 @@ def execute_select(stmt: SearchSelect, get_index,
                 score_df.unionByName(p)
                 .groupBy("doc_id").agg(F.sum("score").alias("score"))
             )
-        if len(compiled) == 1 and is_pure_disjunction(compiled[0][2]):
+        if (len(compiled) == 1 and not stmt.or_groups
+                and is_pure_disjunction(compiled[0][2])):
             # scorer-reuse: the score relation's keys ARE the match set
             doc_ids = score_df.select("doc_id")
 
@@ -1182,7 +1851,68 @@ def execute_select(stmt: SearchSelect, get_index,
         out = out.join(score_df, "doc_id", "left").withColumn(
             "__score", F.coalesce(F.col("score"), F.lit(0.0))
         ).drop("score")
-    return _finish_select(stmt, _restore_key_name(idx0, out))
+    return _finish_select(stmt, _restore_key_name(idx0, out), idx=idx0)
+
+
+def _tree_match_cols(tree) -> list[str]:
+    """Columns of every @@ match leaf in a boolean tree."""
+    if isinstance(tree, MatchLeaf):
+        return [tree.col]
+    if isinstance(tree, BoolNode):
+        return [c for ch in tree.children for c in _tree_match_cols(ch)]
+    return []
+
+
+def _vec_leaf_pred(vr):
+    col, metric, qvec, cmp, r = vr
+    d = _vec_dist_col(col, metric, list(qvec))
+    return {"<": d < r, "<=": d <= r, ">": d > r, ">=": d >= r}[cmp]
+
+
+def _group_predicate(tree):
+    """Lower a match-free boolean tree to a Column predicate (the
+    no-index path: residual + vector leaves filter the table scan)."""
+    if isinstance(tree, ResidualLeaf):
+        return F.expr(tree.sql)
+    if isinstance(tree, VecLeaf):
+        return _vec_leaf_pred(tree.vr)
+    if isinstance(tree, BoolNode):
+        parts = [_group_predicate(c) for c in tree.children]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out | p) if tree.op == "or" else (out & p)
+        return out
+    raise ValueError("@@ match requires an index on the relation")
+
+
+def _group_doc_ids(tree, ds: DataFrame, get_index, from_name: str,
+                   compiled: list, compile_query) -> DataFrame:
+    """Lower a boolean tree to a doc-id relation by set algebra: match
+    leaves come from postings (compile_query — appended to `compiled` so
+    their terms feed the scorer), residual / vector leaves filter the
+    docstore; OR = distinct union, AND = semi-join chain.  NOT was pushed
+    onto the leaves at parse time (q.Not keeps the per-field non-null
+    universe — the reference's local null exclusion under disjunction,
+    null_semantics.test)."""
+    if isinstance(tree, MatchLeaf):
+        idx = get_index(from_name, tree.col)
+        c = compile_query(idx, tree.col, tree.node)
+        compiled.append((idx, tree.col, tree.node, c))
+        return c.doc_ids
+    if isinstance(tree, (ResidualLeaf, VecLeaf)):
+        pred = (F.expr(tree.sql) if isinstance(tree, ResidualLeaf)
+                else _vec_leaf_pred(tree.vr))
+        return ds.where(pred).select("doc_id")
+    parts = [_group_doc_ids(c, ds, get_index, from_name,
+                            compiled, compile_query)
+             for c in tree.children]
+    out = parts[0]
+    for p in parts[1:]:
+        if tree.op == "or":
+            out = out.unionByName(p)
+        else:
+            out = out.join(p, "doc_id", "left_semi")
+    return out.distinct() if tree.op == "or" else out
 
 
 def _restore_key_name(idx, out: DataFrame) -> DataFrame:
@@ -1276,12 +2006,12 @@ def _order_keys(stmt_order, select_items):
     ]
 
 
-def _finish_select(stmt: SearchSelect, out: DataFrame) -> DataFrame:
+def _finish_select(stmt: SearchSelect, out: DataFrame,
+                   idx=None) -> DataFrame:
     """The post-match tail shared by indexed and pure-vector statements:
     vector ranges/distance, residual SQL, projections, order, limit."""
-    for col, metric, qvec, cmp, radius in stmt.vector_ranges:
-        dist = _vec_dist_col(col, metric, qvec)
-        out = out.where(dist < radius if cmp == "<" else dist <= radius)
+    for vr in stmt.vector_ranges:
+        out = out.where(_vec_leaf_pred(vr))
     if stmt.vector_dist is not None:
         col, metric, qvec = stmt.vector_dist
         out = out.withColumn("__vdist", _vec_dist_col(col, metric, qvec))
@@ -1289,7 +2019,15 @@ def _finish_select(stmt: SearchSelect, out: DataFrame) -> DataFrame:
         out = out.where(F.expr(stmt.residual))
     for ph, func, col, args in stmt.proj_calls:
         out = out.withColumn(
-            ph, _proj_expr(func, col, args, dict(stmt.matches)))
+            ph, _proj_expr(func, col, args, dict(stmt.matches),
+                           idx=idx))
+        if func in ("offsets", "ts_offsets"):
+            # DuckDB length() over a list = cardinality
+            # (headline.test:330 length(ts_offsets(body)))
+            stmt.select_items[:] = [
+                re.sub(rf"\blength\s*\(\s*{ph}\s*\)",
+                       f"cardinality({ph})", it)
+                for it in stmt.select_items]
     if stmt.order:
         out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
     if stmt.limit is not None:
@@ -1377,7 +2115,8 @@ def _literal_terms(node: q.TSQuery) -> list[str]:
     return [t for t in out if not (t in seen or seen.add(t))]
 
 
-def _proj_expr(func: str, col: str, args: list, matches: dict):
+def _proj_expr(func: str, col: str, args: list, matches: dict,
+               idx=None):
     """Build the Column for an OFFSETS/ts_highlight projection call."""
     from serenedb_spark.functions.highlight import (highlight_parts,
                                                     term_offsets_col)
@@ -1393,13 +2132,32 @@ def _proj_expr(func: str, col: str, args: list, matches: dict):
     str_args = [a for a in args if isinstance(a, str)]
     num_args = [a for a in args
                 if isinstance(a, (int, float)) and not isinstance(a, bool)]
+    if func == "ts_highlight" and not str_args:
+        # virtual-column form ts_highlight(col[, opts]) — the optimizer
+        # synthesizes ts_offsets(col) (headline.test:448)
+        full_mode = True
     node = matches.get(col)
+    groups = (_match_groups(node)
+              if node is not None and not str_args else [])
     terms = ([str_args[0]] if str_args
              else (_literal_terms(node) if node is not None else []))
-    if not terms:
+    if not groups:
+        groups = [[t] for t in terms]
+    if (not groups and node is not None and idx is not None
+            and isinstance(node, (q.Prefix, q.Wildcard, q.Regexp,
+                                  q.Fuzzy, q.Between))):
+        # term-dict-expanded leaves (ts_like/ts_starts_with/…): the
+        # highlight terms are the dictionary expansion — a tiny
+        # driver-side collect over term_stats (headline.test ts_like)
+        from serenedb_spark.plans.planner import _expand
+        groups = [[r[0]] for r in _expand(idx, col, node).collect()]
+    if not groups:
         raise ValueError(
             f"{func}({col}): no literal query terms — pass the term "
             f"explicitly, e.g. {func}({col}, 'word')")
+    if not terms:
+        terms = [" ".join(x for x in g if isinstance(x, str))
+                 for g in groups if all(isinstance(x, str) for x in g)]
 
     if func == "offsets":
         def to_ranges(t):
@@ -1417,15 +2175,9 @@ def _proj_expr(func: str, col: str, args: list, matches: dict):
 
     if func == "ts_offsets":
         # the reference's shape (offsets.test: `{6,9}`): a FLAT int
-        # array of 0-based [start, end) pairs, sorted by start
-        def to_pairs(t):
-            n = len(t)
-            return F.transform(
-                term_offsets_col(F.col(col), t),
-                lambda i: F.array(i - 1, i - 1 + F.lit(n)))
-
-        arr = F.flatten(F.array_sort(
-            F.concat(*[to_pairs(t) for t in terms])))
+        # array of 0-based [start, end) pairs, sorted by start; a
+        # phrase emits ONE pair covering its run (headline.test:300)
+        arr = _match_offsets_udf(groups)(F.col(col))
         if num_args:
             arr = F.slice(arr, 1, 2 * int(num_args[0]))
         return arr
@@ -1444,27 +2196,96 @@ def _proj_expr(func: str, col: str, args: list, matches: dict):
     if len(str_args) >= 3:
         tag_open, tag_close = str_args[1], str_args[2]
     if full_mode:
-        # tag every occurrence in place (case preserved), then return
-        # the SENTENCE(S) containing a match — the reference's default
-        # fragmenting (full_text_search.test ts_highlight_pipeline:
-        # multi-sentence doc 3 yields only its matching sentence)
-        import re as _re
-        out = F.col(col)
-        for t in terms:
-            out = F.regexp_replace(
-                out, f"(?i)\\b({_re.escape(t)})\\b",
-                f"{tag_open}$1{tag_close}")
-        sentences = F.split(out, r"\.\s+")
-        hit = F.filter(sentences,
-                       lambda x: x.contains(F.lit(tag_open)))
-        picked = F.when(F.size(hit) > 0,
-                        F.array_join(hit, " ... ")).otherwise(out)
-        return F.regexp_replace(picked, r"\.$", "")
+        # render through the shared py_highlight contract: spans from
+        # the match groups, sentence-passage selection, merged adjacent
+        # spans (headline.test end-to-end pipeline)
+        opts = f"StartSel={tag_open}, StopSel={tag_close}"
+        extra = [o for o in opt_args
+                 if not re.search(r"(?i)(start|stop)sel", o)]
+        if extra:
+            opts += ", " + ", ".join(extra)
+        return _highlight_udf(groups, opts)(F.col(col))
     window = int(num_args[0]) if num_args else 40
     first, snippet = highlight_parts(
         F.col(col), terms[0], tag_open=tag_open, tag_close=tag_close,
         window=window)
     return F.when(first.isNotNull(), snippet)
+
+
+def _match_groups(node) -> list[list[str]]:
+    """Word groups for offset/highlight rendering: single terms are
+    1-element groups; adjacent phrases one group (their span renders as
+    one pair)."""
+    if isinstance(node, q.Term):
+        return [[node.term]]
+    if isinstance(node, q.Phrase):
+        slots: list = [([w], 1, 1) if i == 0
+                       else ([w], *node.gaps[i - 1])
+                       for i, w in enumerate(node.words)]
+        if all(g == (1, 1) for g in node.gaps):
+            return [list(node.words)]
+        return [slots]
+    if isinstance(node, q.NgramSim):
+        # the mini-segment path matches ts_ngram terms exactly
+        # (headline.test:1397)
+        return [[node.text]]
+    if isinstance(node, q.PhraseSeq) and all(
+            isinstance(p, (q.Term, q.AnyOf)) for p in node.parts):
+        slots: list = []
+        for i, p in enumerate(node.parts):
+            words = ([p.term] if isinstance(p, q.Term)
+                     else list(p.terms))
+            lo, hi = (1, 1) if i == 0 else node.gaps[i - 1]
+            slots.append((words, lo, hi))
+        return [slots]
+    if isinstance(node, q.AnyOf):
+        return [[t] for t in node.terms]
+    if isinstance(node, q.AllOf):
+        return [[t] for t in node.terms]
+    if isinstance(node, q.Prefix):
+        return [[{"kind": "prefix", "p": node.prefix}]]
+    if isinstance(node, q.Wildcard):
+        return [[{"kind": "like", "p": node.pattern}]]
+    if isinstance(node, q.Regexp):
+        return [[{"kind": "regexp", "p": node.pattern}]]
+    if isinstance(node, q.Fuzzy):
+        return [[{"kind": "fuzzy", "w": node.term, "d": node.distance,
+                  "prefix": node.prefix}]]
+    if isinstance(node, (q.And, q.Or)):
+        return [g for p in node.parts for g in _match_groups(p)]
+    if isinstance(node, q.Boost):
+        return _match_groups(node.part)
+    if isinstance(node, q.Compound):
+        return [g for grp in (node.must, node.should)
+                for p in grp for g in _match_groups(p)]
+    return []
+
+
+def _match_offsets_udf(groups: list):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from serenedb_spark.functions.highlight import py_match_offsets
+
+    @pandas_udf("array<int>", PandasUDFType.SCALAR)
+    def _off(s):
+        return s.map(lambda t: None if t is None
+                     else py_match_offsets(t, groups))
+
+    return _off
+
+
+def _highlight_udf(groups: list, opts: str):
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    from serenedb_spark.functions.highlight import py_match_offsets
+    from serenedb_spark.plans.statements import py_highlight
+
+    @pandas_udf("string", PandasUDFType.SCALAR)
+    def _hl(s):
+        return s.map(lambda t: None if t is None else py_highlight(
+            t, py_match_offsets(t, groups), opts))
+
+    return _hl
 
 
 # ---------------------------------------------------------------------------
@@ -1652,10 +2473,18 @@ def tsquery_to_sql(node: q.TSQuery) -> str:
     if isinstance(node, q.Wildcard):
         return f"ts_like({_q(node.pattern)})"
     if isinstance(node, q.Regexp):
+        if getattr(node, "syntax", "perl") != "perl":
+            return f"ts_regexp({_q(node.pattern)}, {_q(node.syntax)})"
         return f"ts_regexp({_q(node.pattern)})"
     if isinstance(node, q.Fuzzy):
-        return (f"ts_levenshtein({_q(node.term)}, {node.distance},"
-                f" {node.max_terms})")
+        bits = [_q(node.term), str(node.distance)]
+        if not node.transpositions or node.prefix:
+            # transpositions default TRUE — spell it out only when it
+            # deviates or a prefix needs the positional slot
+            bits.append("true" if node.transpositions else "false")
+        if node.prefix:
+            bits.append(_q(node.prefix))
+        return f"ts_levenshtein({', '.join(bits)})"
     if isinstance(node, q.NgramSim):
         return f"ts_ngram({_q(node.text)}, {node.threshold!r})"
     if isinstance(node, q.Between):

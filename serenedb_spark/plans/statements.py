@@ -284,9 +284,21 @@ def route_statement(session, sql: str) -> DataFrame | None:
         sv = _scalar_highlight(session, s)
         if sv is not None:
             return sv
+        sv = _scalar_highlight_dict(session, s)
+        if sv is not None:
+            return sv
         sv = _scalar_ts_offsets(session, s)
         if sv is not None:
             return sv
+        if _hl_nonconst_opts(s):
+            # per-row options would silently fall through to defaults —
+            # refuse at bind time (headline.test:195)
+            raise ValueError(
+                "ts_highlight: options must be a constant expression")
+        if _hl_nonconst_dict(s):
+            raise ValueError(
+                "ts_highlight: dictionary name must be a constant "
+                "expression")  # headline.test:932
         sv = _inline_seq_select(session, s)
         if sv is not None:
             return sv
@@ -295,41 +307,214 @@ def route_statement(session, sql: str) -> DataFrame | None:
     return None
 
 
+#: a ts_highlight text argument: quoted literals and chr(n) calls joined
+#: by || (headline.test 'kraan' || chr(10) || '...')
+_HL_TEXT = (r"(?:'(?:[^']|'')*'|chr\(\d+\)|NULL)"
+            r"(?:\s*\|\|\s*(?:'(?:[^']|'')*'|chr\(\d+\)))*")
+
+#: ICU/UAX#29-ish sentence boundary: . ! ? followed by whitespace and a
+#: non-lowercase continuation (SB8 suppresses the break before
+#: lowercase — 'here. tail' is ONE sentence, headline.test:1274), or
+#: end-of-text, or a newline; ':' is NOT a boundary (headline.test:95)
+_HL_BOUND = re.compile(r"[.!?](?=\s+[^\sa-z]|\s*$)\s*|\n")
+
+
+def _hl_nonconst_opts(s: str) -> bool:
+    """True when a ts_highlight call's 3rd (options) argument is a bare
+    identifier — a per-row expression the bind-time parse refuses."""
+    for m in re.finditer(r"ts_highlight\s*\(", s, re.IGNORECASE):
+        depth, args, cur = 1, [], []
+        for ch in s[m.end():]:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                args.append("".join(cur).strip())
+                cur = []
+                continue
+            cur.append(ch)
+        args.append("".join(cur).strip())
+        if (len(args) == 3
+                and re.fullmatch(r"[A-Za-z_]\w*", args[2] or "")):
+            return True
+    return False
+
+
+def _hl_nonconst_dict(s: str) -> bool:
+    """True when a dict-standalone ts_highlight call's dictionary-name
+    argument is a bare identifier (per-row) — refused at bind time."""
+    for m in re.finditer(r"ts_highlight\s*\(", s, re.IGNORECASE):
+        parsed = _split_call_args(s[m.end():])
+        if parsed is None:
+            continue
+        args, _ = parsed
+        if (len(args) >= 3
+                and re.fullmatch(r"[A-Za-z_]\w*", args[0] or "")
+                and re.fullmatch(r"'(?:[^']|'')*'", args[1] or "")
+                and re.search(r"\b(ts_\w+|to_tsquery|tsquery)\b",
+                              args[2] or "")):
+            # 3rd arg shaped like a TSQUERY filter distinguishes the
+            # dict-standalone overload from the legacy
+            # (col, term, open, close) form
+            return True
+    return False
+
+
+def _osa_distance(a: str, b: str) -> int:
+    """Optimal-string-alignment distance for the option-typo hint."""
+    la, lb = len(a), len(b)
+    prev2: list[int] = []
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (i > 1 and j > 1 and a[i - 1] == b[j - 2]
+                    and a[i - 2] == b[j - 1]):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _hl_fold_text(expr: str):
+    """Fold the constant text expression to a Python string (None for
+    NULL)."""
+    if expr.strip().upper() == "NULL":
+        return None
+    out = []
+    for part in re.findall(r"'(?:[^']|'')*'|chr\(\d+\)", expr):
+        if part.startswith("'"):
+            out.append(part[1:-1].replace("''", "'"))
+        else:
+            out.append(chr(int(part[4:-1])))
+    return "".join(out)
+
+
 def _scalar_highlight(session, s: str):
-    """FROM-less ``SELECT ts_highlight('text', [pairs...][, opts])``
-    (full_text_search.test:640,690,701): wrap each [start, stop) span
-    with the PG selectors; adjacent spans (gap ≤ 1) merge into one tag;
-    MaxFragments=N extracts the sentence fragments holding the spans,
-    joined by ' ... '."""
+    """FROM-less ``SELECT ts_highlight(text, offsets[, opts])``
+    (full_text_search.test:640, headline.test): wrap each [start, stop)
+    span with the PG selectors; adjacent spans (gap ≤ 1) merge into one
+    tag; the rendered output is the sentence passage(s) holding the
+    hits (trailing boundary punctuation trimmed — V1 behavior), the
+    whole document with HighlightAll=true, or the first MaxWords tokens
+    when there are no hits."""
     m = re.match(
-        r"\s*SELECT\s+ts_highlight\(\s*'((?:[^']|'')*)'\s*,\s*"
-        r"\[\s*([\d\s,]+)\s*\]\s*"
+        r"\s*SELECT\s+ts_highlight\(\s*(" + _HL_TEXT + r")\s*,\s*"
+        r"(?:(?:ARRAY\s*)?\[([^\]]*)\]\s*(?:::\s*INTEGER\s*\[\s*\])?"
+        r"|(NULL))\s*"
         r"(?:,\s*'((?:[^']|'')*)')?\s*\)\s*(?:AS\s+(\w+))?\s*;?\s*$",
         s, re.IGNORECASE | re.DOTALL)
     if m is None:
         return None
-    text = m.group(1).replace("''", "'")
-    nums = [int(x) for x in m.group(2).replace(",", " ").split()]
+    col = f"{m.group(5) or 'ts_highlight'} string"
+    text = _hl_fold_text(m.group(1))
+    if text is None or m.group(3) is not None:
+        # NULL document or NULL offsets → NULL output
+        return session.spark.createDataFrame([(None,)], col)
+    # elements may carry ::INTEGER casts and parenthesized negatives
+    # (headline.test ARRAY form)
+    nums = [int(x) for x in re.findall(r"(?<![\w])-?\d+(?!\w)",
+                                       m.group(2))
+            ] if m.group(2).strip() else []
+    return session.spark.createDataFrame(
+        [(py_highlight(text, nums, m.group(4)),)], col)
+
+
+def py_highlight(text: str | None, nums, opts: str | None) -> str | None:
+    """The ts_highlight rendering contract (headline.test): validate the
+    flat [start, stop) offset array, merge adjacent spans, then render
+    the sentence passage(s) holding the hits (V1 trims the trailing
+    boundary punctuation), the whole document with HighlightAll=true,
+    or the first MaxWords tokens when there are no hits."""
+    if text is None or nums is None:
+        return None
+    nums = [int(x) for x in nums]
+    if len(nums) % 2:
+        raise ValueError(
+            "ts_highlight: offsets array must contain an even number "
+            "of elements")
     pairs = list(zip(nums[::2], nums[1::2]))
+    prev_start = None
+    for a, b in pairs:
+        if a < 0 or b < a:
+            raise ValueError(
+                f"ts_highlight: malformed offset pair [{a}, {b})")
+        if a > len(text):
+            raise ValueError(
+                f"ts_highlight: start offset {a} is past document "
+                f"size {len(text)}")
+        if prev_start is not None and a < prev_start:
+            raise ValueError(
+                "ts_highlight: offsets array must be sorted ascending "
+                f"by start; saw start={a} after start={prev_start}")
+        prev_start = a
     start_sel, stop_sel, max_frag = "<b>", "</b>", None
-    if m.group(3):
-        for part in m.group(3).split(","):
-            if "=" in part:
-                k, v = part.split("=", 1)
-                k = k.strip().lower()
-                if k == "startsel":
-                    start_sel = v.strip()
-                elif k == "stopsel":
-                    stop_sel = v.strip()
-                elif k == "maxfragments":
-                    max_frag = int(v)
-    # merge adjacent spans into one tag (gap of at most one separator)
-    merged: list[list[int]] = []
-    for a, b in sorted(pairs):
-        if merged and a - merged[-1][1] <= 1:
-            merged[-1][1] = b
-        else:
-            merged.append([a, b])
+    highlight_all, max_words = False, 35
+    frag_delim = " ... "
+    known_opts = ("startsel", "stopsel", "maxwords", "minwords",
+                  "shortword", "highlightall", "maxfragments",
+                  "fragmentdelimiter", "maxoffsets")
+
+    def _as_int(k: str, v: str) -> int:
+        try:
+            return int(v)
+        except ValueError:
+            raise ValueError(
+                f'invalid value for ts_highlight parameter "{k}": '
+                f'"{v}"') from None
+
+    if opts:
+        for part in opts.split(","):
+            if "=" not in part:
+                continue
+            k, v = part.split("=", 1)
+            kl, v = k.strip().lower(), v.strip()
+            if kl not in known_opts:
+                sug = min(known_opts,
+                          key=lambda w: _osa_distance(kl, w))
+                hint = (f'; did you mean "{sug}"?'
+                        if _osa_distance(kl, sug) <= 2 else "")
+                raise ValueError(
+                    f'ts_highlight: option "{k.strip()}" not '
+                    f"recognized{hint}")
+            if kl == "startsel":
+                start_sel = v
+            elif kl == "stopsel":
+                stop_sel = v
+            elif kl == "maxfragments":
+                max_frag = _as_int(kl, v)
+            elif kl == "highlightall":
+                highlight_all = v.lower() == "true"
+            elif kl == "maxwords":
+                max_words = _as_int(kl, v)
+                if max_words <= 0:
+                    raise ValueError(
+                        'ts_highlight: "maxwords" must be a positive '
+                        "integer")
+            elif kl == "maxoffsets":
+                n = _as_int(kl, v)
+                if n <= 0:
+                    raise ValueError(
+                        'ts_highlight: "maxoffsets" must be a positive '
+                        "integer")
+                pairs = pairs[:n]
+            elif kl == "fragmentdelimiter":
+                frag_delim = v
+            elif kl in ("minwords", "shortword"):
+                _as_int(kl, v)
+    def _merge(ps, adjacent: bool) -> list[list[int]]:
+        out: list[list[int]] = []
+        for a, b in sorted(ps):
+            if out and (a - out[-1][1] <= 1 if adjacent
+                        else a < out[-1][1]):
+                out[-1][1] = max(out[-1][1], b)
+            else:
+                out.append([a, b])
+        return out
 
     def tag(t: str, spans, base: int) -> str:
         out, pos = [], 0
@@ -340,22 +525,134 @@ def _scalar_highlight(session, s: str):
         out.append(t[pos:])
         return "".join(out)
 
-    if max_frag is None:
-        return session.spark.createDataFrame(
-            [(tag(text, merged, 0),)],
-            f"{m.group(4) or 'ts_highlight'} string")
-    # fragment mode: each merged span expands to its sentence, trailing
-    # period trimmed; fragments joined by ' ... '
-    frags = []
-    for a, b in merged[:max_frag]:
-        lo = text.rfind(". ", 0, a)
-        lo = 0 if lo < 0 else lo + 2
-        hi = text.find(".", b)
-        hi = len(text) if hi < 0 else hi
-        frags.append(tag(text[lo:hi], [[a, b]], lo))
+    if not pairs:
+        # PG fallback: the doc prefix through the MaxWords-th token
+        # (TokenizeDocPrefix, headline.test:1290)
+        toks = []
+        for i, mt in enumerate(re.finditer(r"\w+", text)):
+            toks.append(mt)
+            if i + 1 >= max_words:
+                break
+        return text[:toks[-1].end()].strip() if toks else ""
+    if highlight_all:
+        # whole-document render: overlapping hits coalesce into one
+        # span, merely-adjacent hits keep their own tag pairs
+        # (headline.test:856 vs :1137)
+        return tag(text, _merge(pairs, adjacent=False), 0)
+
+    # passage mode merges adjacent hits too (doc 5's run of ten 'fox')
+    merged = _merge(pairs, adjacent=True)
+
+    def sentence_of(a: int, b: int) -> tuple[int, int]:
+        lo = 0
+        for mb in _HL_BOUND.finditer(text, 0, a):
+            lo = mb.end()
+        mh = _HL_BOUND.search(text, b)
+        hi = mh.start() if mh else len(text)
+        return lo, hi
+
+    # group merged spans by containing sentence; each passage renders
+    # once with all of its spans tagged
+    passages: list[tuple[int, int, list[list[int]]]] = []
+    for sp in merged:
+        lo, hi = sentence_of(sp[0], sp[1])
+        if passages and passages[-1][0] == lo:
+            passages[-1][2].append(sp)
+        else:
+            passages.append((lo, hi, [sp]))
+    k = max_frag if max_frag is not None else 1
+    if len(passages) > k:
+        # the fragmenter scores passages by how early the first hit
+        # sits in its sentence (SloppyWeight bias, headline.test:1085),
+        # keeps the top-K, and renders them in document order
+        def first_hit_tokens(p) -> int:
+            lo, _, sps = p
+            return len(re.findall(r"\w+", text[lo:sps[0][0]]))
+
+        ranked = sorted(passages,
+                        key=lambda p: (first_hit_tokens(p), p[0]))[:k]
+        passages = sorted(ranked, key=lambda p: p[0])
+    return frag_delim.join(
+        tag(text[lo:hi], sps, lo) for lo, hi, sps in passages)
+
+
+def _split_call_args(rest: str) -> tuple[list[str], int] | None:
+    """Split the argument text of a call (given the text AFTER the
+    opening paren) into top-level arguments; returns (args, idx past the
+    closing paren) or None if unbalanced."""
+    depth, args, cur = 1, [], []
+    in_str = False
+    i = 0
+    while i < len(rest):
+        ch = rest[i]
+        if in_str:
+            if ch == "'":
+                if i + 1 < len(rest) and rest[i + 1] == "'":
+                    cur.append("''")
+                    i += 2
+                    continue
+                in_str = False
+            cur.append(ch)
+            i += 1
+            continue
+        if ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth == 0:
+                args.append("".join(cur).strip())
+                return args, i + 1
+        elif ch == "," and depth == 1:
+            args.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    return None
+
+
+def _scalar_highlight_dict(session, s: str):
+    """Dict-standalone ``SELECT ts_highlight('dict', 'text', filter
+    [, opts])`` (headline.test:870+): analyze the literal text through
+    the named dictionary, match the filter in place, highlight — no
+    SearchScan involved."""
+    m = re.match(r"\s*SELECT\s+ts_highlight\s*\(", s, re.IGNORECASE)
+    if m is None:
+        return None
+    parsed = _split_call_args(s[m.end():])
+    if parsed is None:
+        return None
+    args, end = parsed
+    tail = s[m.end() + end:].strip().rstrip(";").strip()
+    alias = "ts_highlight"
+    tm = re.fullmatch(r"AS\s+(\w+)", tail, re.IGNORECASE)
+    if tm:
+        alias = tm.group(1)
+    elif tail:
+        return None
+    if len(args) < 3 or not re.fullmatch(r"'\w+'", args[0]):
+        return None
+    from serenedb_spark.analysis.analyzers import get_analyzer
+    from serenedb_spark.functions.highlight import py_match_offsets
+    from serenedb_spark.plans.search_sql import (_match_groups,
+                                                 parse_tsquery_text)
+
+    an = get_analyzer(args[0][1:-1])
+    text = _hl_fold_text(args[1])
+    col = f"{alias} string"
+    if text is None:
+        return session.spark.createDataFrame([(None,)], col)
+    node = parse_tsquery_text(args[2], an)
+    groups = _match_groups(node)
+    offs = py_match_offsets(text, groups)
+    opts = None
+    if len(args) > 3 and re.fullmatch(r"'(?:[^']|'')*'", args[3]):
+        opts = args[3][1:-1].replace("''", "'")
     return session.spark.createDataFrame(
-        [(" ... ".join(frags),)],
-        f"{m.group(4) or 'ts_highlight'} string")
+        [(py_highlight(text, offs, opts),)], col)
 
 
 def _scalar_ts_offsets(session, s: str):

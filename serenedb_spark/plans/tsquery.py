@@ -135,23 +135,33 @@ class Wildcard(TSQuery):
 
 @dataclass(frozen=True)
 class Regexp(TSQuery):
-    """ts_regexp(re) — anchored regex over whole tokens (regexp_filter.hpp).
+    """ts_regexp(re[, syntax]) — anchored regex over whole tokens
+    (regexp_filter.hpp); syntax is 'perl' (default, RE2 feature set) or
+    'posix' (ERE) per irs::RegexpSyntax (regexp_utils.hpp:42-50).
 
     Keep patterns in the RE2 ∩ Java-regex common dialect — the Spark side
     evaluates with Java regex, the oracle with RE2.
     """
 
     pattern: str
+    syntax: str = "perl"
 
 
 @dataclass(frozen=True)
 class Fuzzy(TSQuery):
-    """ts_levenshtein(w, d) — edit distance ≤ d (levenshtein_filter.hpp).
-    max_terms caps term expansion like SET sdb_levenshtein_max_terms."""
+    """ts_levenshtein(w[, d[, transpositions[, prefix]]]) — edit distance
+    ≤ d (levenshtein_filter.hpp, ts_levenshtein.cpp ParseLevenshteinArgs).
+    `transpositions` switches to Damerau distance; `prefix` matches
+    exactly with the distance measured on the remainder. max_terms caps
+    term expansion like SET sdb_levenshtein_max_terms."""
 
     term: str
     distance: int = 1
     max_terms: int = 50
+    #: Damerau (adjacent-transposition) distance is the reference's
+    #: DEFAULT (ts_common.hpp:242 with_transpositions = true)
+    transpositions: bool = True
+    prefix: str = ""
 
 
 @dataclass(frozen=True)
@@ -163,6 +173,10 @@ class Between(TSQuery):
     hi: str | None = None
     lo_inclusive: bool = True
     hi_inclusive: bool = True
+    #: True when spelled ts_between(...) — the two-bound RANGE form is
+    #: keyword-column-only standalone (ts_between.cpp:258), while as a
+    #: ## phrase part its bounds compare against analyzed terms
+    strict: bool = False
 
 
 @dataclass(frozen=True)
@@ -229,7 +243,7 @@ def plainto_tsquery(s: str, analyzer_name: str = "simple") -> TSQuery:
 
     toks = get_analyzer(analyzer_name).tokens(s)
     if not toks:
-        raise ValueError(f"no tokens in {s!r}")
+        return AnyOf([])  # Empty filter (null_semantics.test:459-527)
     return AllOf(toks) if len(toks) > 1 else Term(toks[0])
 
 
@@ -239,7 +253,7 @@ def phraseto_tsquery(s: str, analyzer_name: str = "simple") -> TSQuery:
 
     toks = get_analyzer(analyzer_name).tokens(s)
     if not toks:
-        raise ValueError(f"no tokens in {s!r}")
+        return AnyOf([])  # Empty filter (null_semantics.test:459-527)
     return Phrase(toks) if len(toks) > 1 else Term(toks[0])
 
 
@@ -278,7 +292,7 @@ def websearch_to_tsquery(s: str, analyzer_name: str = "simple") -> TSQuery:
             continue
         parts.append(g[0] if len(g) == 1 else And(g))
     if not parts:
-        raise ValueError(f"no positive terms in {s!r}")
+        return AnyOf([])  # Empty filter (null_semantics.test:509)
     return parts[0] if len(parts) == 1 else Or(parts)
 
 
@@ -294,12 +308,12 @@ def to_tsquery(s: str) -> TSQuery:
     import re as _re
 
     tokens = _re.findall(
-        r"\(|\)|&|\||!|<->|[-+](?=[\"'\w])|'[^']*'|\"[^\"]*\""
+        r"\(|\)|&&|\|\||&|\||!|<->|[-+](?=[\"'\w])|'[^']*'|\"[^\"]*\""
         r"|[^\s()&|!\"']+", s)
     pos = 0
 
     def _is_or(t: str) -> bool:
-        return t == "|" or t.upper() == "OR"
+        return t in ("|", "||") or t.upper() == "OR"
 
     def parse_or():
         nonlocal pos
@@ -313,7 +327,7 @@ def to_tsquery(s: str) -> TSQuery:
         nonlocal pos
         node = parse_not()
         while pos < len(tokens) and tokens[pos] != ")" and not _is_or(tokens[pos]):
-            if tokens[pos] == "&" or tokens[pos].upper() == "AND":
+            if tokens[pos] in ("&", "&&") or tokens[pos].upper() == "AND":
                 pos += 1
             node = node & parse_not()
         return node
@@ -347,6 +361,8 @@ def to_tsquery(s: str) -> TSQuery:
             return Phrase(words) if len(words) > 1 else Term(words[0])
         if t.endswith(":*"):
             return Prefix(t[:-2])
+        if t.endswith("*") and len(t) > 1:
+            return Prefix(t[:-1].lower())  # Lucene `turt*`
         return Term(t.lower())
 
     node = parse_or()

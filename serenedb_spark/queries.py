@@ -2242,12 +2242,15 @@ def _fts_sql_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fts_sql_highlight_oracle() -> str:
-    from serenedb_spark.functions.highlight import duckdb_ts_highlight_sql
-
+    # the SQL door's ts_highlight(col) renders the sentence passage
+    # (whole doc here — the corpus has no sentence punctuation) with
+    # every hit tagged and ADJACENT hits merged into one span
+    # (headline.test semantics)
     m = O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, q.Term("window"),
                     select="doc_id, text")
-    return (duckdb_ts_highlight_sql(f"({m}) m", "text", "window")
-            + " ORDER BY doc_id")
+    return (f"SELECT doc_id, replace(regexp_replace(text, "
+            f"'\\b(window)\\b', '<b>\\1</b>', 'g'), '</b> <b>', ' ') "
+            f"AS snippet FROM ({m}) m ORDER BY doc_id")
 
 
 _register("fts_sql_highlight", _fts_sql_highlight,
@@ -2567,9 +2570,13 @@ def _sql_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite clash), and a key-moving UPDATE re-validated over the full
     post-update state."""
     ss = _session_over(spark, sf_dir)
+    # the synthetic lineitem does not guarantee (orderkey, linenumber)
+    # uniqueness at every sf — aggregate to a genuinely unique key
     ss.sql("""CREATE OR REPLACE TABLE cpk AS
-              SELECT l_orderkey, l_linenumber, l_quantity
-              FROM lineitem WHERE l_orderkey <= 200""")
+              SELECT l_orderkey, l_linenumber,
+                     max(l_quantity) AS l_quantity
+              FROM lineitem WHERE l_orderkey <= 200
+              GROUP BY l_orderkey, l_linenumber""")
     ss.sql("ALTER TABLE cpk ADD PRIMARY KEY (l_orderkey, l_linenumber)")
     ss.sql("INSERT INTO cpk VALUES (1, 1, 99.0), (999999, 1, 42.0) "
            "ON CONFLICT DO NOTHING")  # (1,1) clashes, skipped
@@ -2582,12 +2589,19 @@ def _sql_composite_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _register("sql_composite_pk", _sql_composite_pk, """
 WITH base AS (
-  SELECT l_orderkey, l_linenumber, l_quantity
+  SELECT l_orderkey, l_linenumber, max(l_quantity) AS l_quantity
   FROM lineitem WHERE l_orderkey <= 200
+  GROUP BY l_orderkey, l_linenumber
 ), ins AS (
   SELECT * FROM base
   UNION ALL
-  SELECT CAST(999999 AS BIGINT), CAST(1 AS INT), CAST(42.0 AS DOUBLE)
+  SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), CAST(1 AS INT), CAST(99.0 AS DOUBLE)),
+      (CAST(999999 AS BIGINT), CAST(1 AS INT), CAST(42.0 AS DOUBLE))
+    ) v(l_orderkey, l_linenumber, l_quantity)
+  WHERE NOT EXISTS (SELECT 1 FROM base b
+                    WHERE b.l_orderkey = v.l_orderkey
+                      AND b.l_linenumber = v.l_linenumber)
 ), upd AS (
   SELECT l_orderkey,
          CASE WHEN l_orderkey = 3 THEN l_linenumber + 100
@@ -2610,7 +2624,9 @@ def _sql_conflict_update(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM nation""")
     ss.sql("ALTER TABLE ocu ADD PRIMARY KEY (n_nationkey)")
     ss.sql("CREATE UNIQUE INDEX ocu_name ON ocu(n_name)")
-    ss.sql("INSERT INTO ocu VALUES (100, 'CANADA', 9), "
+    # NATION_3 exists at every sf (synthetic names are NATION_<k>);
+    # ATLANTIS never does — one deterministic conflict, one insert
+    ss.sql("INSERT INTO ocu VALUES (100, 'NATION_3', 9), "
            "(101, 'ATLANTIS', 8) "
            "ON CONFLICT (n_name) DO UPDATE SET "
            "n_regionkey = EXCLUDED.n_regionkey + 50")
@@ -2621,7 +2637,7 @@ def _sql_conflict_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 _register("sql_conflict_update", _sql_conflict_update, """
 WITH upd AS (
   SELECT n_nationkey, n_name,
-         CASE WHEN n_name = 'CANADA' THEN CAST(59 AS BIGINT)
+         CASE WHEN n_name = 'NATION_3' THEN CAST(59 AS BIGINT)
               ELSE n_regionkey END AS n_regionkey
   FROM nation
 ), ins AS (

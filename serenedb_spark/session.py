@@ -57,6 +57,36 @@ NS_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+def _pad_highlight_calls(q: str) -> str:
+    """Pad 2-argument ``ts_highlight(doc, offs)`` calls with a NULL
+    options argument so the single registered 3-ary UDF serves both
+    arities."""
+    import re as _re
+
+    out = []
+    pos = 0
+    for m in _re.finditer(r"\bts_highlight\s*\(", q, _re.IGNORECASE):
+        if m.start() < pos:
+            continue
+        depth, commas, i = 1, 0, m.end()
+        while i < len(q) and depth:
+            ch = q[i]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            elif ch == "," and depth == 1:
+                commas += 1
+            i += 1
+        out.append(q[pos:i - 1])
+        if commas == 1:
+            out.append(", CAST(NULL AS STRING)")
+        out.append(")")
+        pos = i
+    out.append(q[pos:])
+    return "".join(out)
+
+
 class SereneSession:
     def __init__(self, spark: SparkSession):
         self.spark = spark
@@ -197,7 +227,7 @@ class SereneSession:
             # reference match-function sugar (truncate.test,
             # full_text_search.test): X_matches(col, args...) ≡
             # col @@ <equivalent tsquery fn>(args...)
-            sugar = {"phrase_matches": "phraseto_tsquery",
+            sugar = {"phrase_matches": "ts_phrase",
                      "ngram_matches": "ts_ngram",
                      "levenshtein_matches": "ts_levenshtein",
                      "starts_with_matches": "ts_starts_with",
@@ -239,9 +269,7 @@ class SereneSession:
                 "ST_* geometry predicates are not yet supported as SQL "
                 "text — use the functions.geometry DataFrame API")
         if not SS.has_search_construct(q):
-            self._expose_index_relations(q)
-            return sql_compat(
-                self.spark, self._schema_rewrite(self._enum_rewrite(q)))
+            return self._plain_sql(q)
         ddl = SS.parse_create_index(q)
         if ddl is not None:
             return self._create_inverted_index_sql(ddl)
@@ -290,9 +318,7 @@ class SereneSession:
         from serenedb_spark.plans.dialect import sql_compat
 
         if not SS.has_search_construct(q):
-            self._expose_index_relations(q)
-            return sql_compat(
-                self.spark, self._schema_rewrite(self._enum_rewrite(q)))
+            return self._plain_sql(q)
         from serenedb_spark.plans.search_join import (
             rewrite_search_subqueries)
 
@@ -315,6 +341,113 @@ class SereneSession:
         stmt = SS.parse_select(
             q, lambda tbl, col: self._index_for(tbl, col).analyzer(col))
         return SS.execute_select(stmt, self._index_for, self._relation_for)
+
+    def _plain_sql(self, q: str) -> DataFrame:
+        """Plain (non-search) SQL: expose index relations named in the
+        FROM, register per-row function shims, apply the dialect
+        rewrites, run through Spark."""
+        from serenedb_spark.plans.dialect import sql_compat
+
+        self._expose_index_relations(q)
+        import re as _re
+
+        if _re.search(r"\bts_highlight\s*\(", q, _re.IGNORECASE):
+            # virtual-column 1-arg form outside a search scan has no
+            # offsets to synthesize (headline.test:501-516)
+            for mm in _re.finditer(
+                    r"\bts_highlight\s*\(\s*([^(),]*?)\s*\)", q,
+                    _re.IGNORECASE):
+                arg = mm.group(1)
+                if _re.fullmatch(r"'(?:[^']|'')*'", arg):
+                    raise ValueError(
+                        "ts_offsets() first argument must be a column "
+                        "reference")
+                raise ValueError(
+                    "ts_highlight requires an inverted index scan")
+            # dict-standalone ts_highlight('dict', col, filter[, opts])
+            # over table columns: parse the constant filter driver-side,
+            # register a per-call Arrow-batched UDF (headline.test
+            # hl_inplace_docs)
+            q = self._rewrite_dict_highlight_calls(q)
+            # per-row ts_highlight(doc, offs[, opts]) over table columns
+            # (headline.test hl_dyn): a registered Arrow-batched UDF
+            self._ensure_highlight_udf()
+            q = _pad_highlight_calls(q)
+        return sql_compat(
+            self.spark, self._schema_rewrite(self._enum_rewrite(q)))
+
+    def _rewrite_dict_highlight_calls(self, q: str) -> str:
+        import re as _re
+
+        from serenedb_spark.plans.statements import _split_call_args
+
+        out, pos, n = [], 0, 0
+        for m in _re.finditer(r"\bts_highlight\s*\(", q, _re.IGNORECASE):
+            if m.start() < pos:
+                continue
+            parsed = _split_call_args(q[m.end():])
+            if parsed is None:
+                continue
+            args, end = parsed
+            if not (len(args) >= 3
+                    and _re.fullmatch(r"'\w+'", args[0] or "")):
+                continue
+            from serenedb_spark.analysis.analyzers import get_analyzer
+            from serenedb_spark.functions.highlight import (
+                py_match_offsets,
+            )
+            from serenedb_spark.plans.search_sql import (
+                _match_groups, parse_tsquery_text,
+            )
+            from serenedb_spark.plans.statements import py_highlight
+            from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+            an = get_analyzer(args[0][1:-1])
+            groups = _match_groups(parse_tsquery_text(args[2], an))
+            opts = None
+            if (len(args) > 3
+                    and _re.fullmatch(r"'(?:[^']|'')*'", args[3])):
+                opts = args[3][1:-1].replace("''", "'")
+
+            def _make(groups=groups, opts=opts):
+                @pandas_udf("string", PandasUDFType.SCALAR)
+                def _hl(s):
+                    return s.map(
+                        lambda t: None if t is None else py_highlight(
+                            t, py_match_offsets(t, groups), opts))
+                return _hl
+
+            fname = f"__ts_hl_{n}"
+            n += 1
+            self.spark.udf.register(fname, _make())
+            out.append(q[pos:m.start()])
+            repl = f"{fname}({args[1]})"
+            tail = q[m.end() + end:]
+            if _re.match(r"\s*(,|FROM\b|$)", tail,
+                         _re.IGNORECASE):
+                # keep PG's display name for the unaliased call
+                repl += " AS ts_highlight"
+            out.append(repl)
+            pos = m.end() + end
+        out.append(q[pos:])
+        return "".join(out)
+
+    def _ensure_highlight_udf(self) -> None:
+        if getattr(self, "_hl_udf_registered", False):
+            return
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        from serenedb_spark.plans.statements import py_highlight
+
+        @pandas_udf("string", PandasUDFType.SCALAR)
+        def _hl(doc, offs, opts):
+            import pandas as pd
+            return pd.Series([
+                py_highlight(d, o, p)
+                for d, o, p in zip(doc, offs, opts)])
+
+        self.spark.udf.register("ts_highlight", _hl)
+        self._hl_udf_registered = True
 
     def _run_set_ops(self, arms: list[str], ops: list[tuple[str, bool]],
                      tail: str) -> DataFrame:

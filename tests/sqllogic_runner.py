@@ -191,11 +191,18 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]],
         for e, a in zip(expected, actual))
 
 
-def run_file(ss, path: str) -> tuple[int, int]:
+def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
     """Run blocks until EOF or the first out-of-surface construct.
     Returns (blocks_passed, blocks_total_in_file). Any in-surface
-    failure raises AssertionError with the block's file:line."""
+    failure raises AssertionError with the block's file:line.  When the
+    run stops early, ``stop_info`` (if given) records the stopping
+    block's lineno/sql/reason for the sweep tool."""
     import tempfile
+
+    def _note(b, reason: str) -> None:
+        if stop_info is not None:
+            stop_info.update(lineno=b.lineno, sql=b.sql[:200],
+                             reason=reason)
 
     blocks = parse_file(path)
     test_dir = tempfile.mkdtemp(prefix="sqllogic_")
@@ -211,12 +218,14 @@ def run_file(ss, path: str) -> tuple[int, int]:
         # (aborted_block.test's PREPARE/DEALLOCATE expect the 25P02 text)
         if b.kind == "stop" or (not b.expect_error and any(
                 p.search(b.sql) for p in STOPPERS)):
+            _note(b, "stopper")
             break
         if any("╭" in ln for ln in b.expected):
             # box-drawing EXPLAIN rendering is out of surface; EXPLAIN is
             # read-only, so skipping it cannot desync later blocks
             if re.match(r"\s*EXPLAIN\b", b.sql, re.IGNORECASE):
                 continue
+            _note(b, "non-EXPLAIN box block")
             break
         if b.skipped:
             continue
@@ -302,14 +311,16 @@ def run_file(ss, path: str) -> tuple[int, int]:
                 else:
                     for s in stmts:
                         ss.sql(s)
-            except NotImplementedError:
+            except NotImplementedError as e:
+                _note(b, f"refusal: {e}")
                 break  # honest out-of-surface refusal: stop the file
             passed += 1
             continue
         # query block: compare header + rows
         try:
             df = ss.sql(b.sql)
-        except NotImplementedError:
+        except NotImplementedError as e:
+            _note(b, f"refusal: {e}")
             break  # honest out-of-surface refusal: stop the file
         hm = (re.match(r"(\d+) values hashing to ([0-9a-f]{32})",
                        b.expected[0])

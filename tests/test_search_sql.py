@@ -47,8 +47,10 @@ def test_boost_binds_tighter_than_or():
     assert node == q.Term("fox") | q.Term("quick").boost(2.0)
 
 
-def test_bare_multiword_string_is_adjacent_phrase():
-    assert _parse_ts("'hash join'") == q.Phrase(["hash", "join"])
+def test_bare_multiword_string_is_any_of_tokens():
+    # `col @@ 'Quick Fox' ≡ ANY_OF(tokens)` min_match=1
+    # (search_filter_builder.cpp:1896, tsquery_match.test:79)
+    assert _parse_ts("'hash join'") == q.AnyOf(["hash", "join"])
 
 
 def test_seq_chain_exact_gap_int():
@@ -91,7 +93,7 @@ def test_func_leaves():
     assert _parse_ts("ts_ngram('directur', 0.6)") == q.NgramSim(
         "directur", 0.6)
     assert _parse_ts("ts_between('a', 'b', true, false)") == q.Between(
-        "a", "b", True, False)
+        "a", "b", True, False, strict=True)
     assert _parse_ts("ts_lt('m')") == q.Between(hi="m", hi_inclusive=False)
     assert _parse_ts("ts_ge('m')") == q.Between(lo="m")
 
@@ -606,9 +608,11 @@ def _leaf_nodes():
         st.tuples(_WORD, st.integers(1, 2)).map(lambda t: q.Fuzzy(*t)),
         st.tuples(_WORD, st.floats(0.1, 0.9).map(
             lambda f: round(f, 2))).map(lambda t: q.NgramSim(*t)),
+        # two-bounded ranges render as ts_between(...), whose reparse is
+        # the strict (keyword-column-only) form
         st.tuples(_WORD, _WORD, st.booleans(), st.booleans()).map(
             lambda t: q.Between(min(t[0], t[1]), max(t[0], t[1]),
-                                t[2], t[3])),
+                                t[2], t[3], strict=True)),
         _WORD.map(lambda w: q.Between(lo=w, lo_inclusive=False)),
         _WORD.map(lambda w: q.Between(hi=w)),
     )
@@ -622,9 +626,14 @@ _NODES = st.recursive(
         kids.map(q.Not),
         st.tuples(kids, st.floats(0.5, 4.0).map(
             lambda f: round(f, 2))).map(lambda t: q.Boost(*t)),
+        # phrase parts: term-shaped only; a single phrase position holds
+        # at most one token, so AnyOf needs min_match <= 1
+        # (tsquery_match.test:1016)
         st.lists(kids.filter(lambda n: isinstance(
             n, (q.Term, q.AnyOf, q.Prefix, q.Wildcard, q.Fuzzy,
-                q.Between))), min_size=2, max_size=3).map(q.PhraseSeq),
+                q.Between))
+            and not (isinstance(n, q.AnyOf) and n.min_match > 1)),
+            min_size=2, max_size=3).map(q.PhraseSeq),
     ),
     max_leaves=8,
 )
