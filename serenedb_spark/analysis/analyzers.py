@@ -1801,6 +1801,39 @@ def create_dictionary(name: str, template: str, **opts) -> Analyzer:
         case = str(opts.pop("case", "lower")).lower()
         e, p, d = _text_config("en", case, False, False, (), None, None,
                                False)
+    elif tpl == "geopoint" and ("latitude" in opts
+                                or "longitude" in opts):
+        # JSON-keyed geopoint (inverted_index_matrix_geopoint.test):
+        # coordinates read from configured JSON paths, then the same
+        # grid-cell terms as the "lat,lon" form
+        opts.pop("coding", None)
+        lat_key = str(opts.pop("latitude", "lat"))
+        lng_key = str(opts.pop("longitude", "lng"))
+        base_e, base_p, base_d = _geopoint()
+
+        def p(s: str, _bp=base_p) -> list[str]:
+            import json as _json
+            try:
+                o = _json.loads(s)
+                la, lo = o.get(lat_key), o.get(lng_key)
+                if la is None or lo is None:
+                    return []
+                return _bp(f"{la},{lo}")
+            except Exception:
+                return []
+
+        def e(col, _be=base_e):
+            from pyspark.sql import functions as F
+            return _be(F.concat_ws(
+                ",", F.get_json_object(col, f"$.{lat_key}"),
+                F.get_json_object(col, f"$.{lng_key}")))
+
+        def d(x: str, _bd=base_d) -> str:
+            return _bd(f"concat(json_extract_string({x}, "
+                       f"'$.{lat_key}'), ',', json_extract_string({x},"
+                       f" '$.{lng_key}'))")
+
+        e, p, d = e, p, d
     elif tpl in ("keyword", "simple", "norm", "collation",
                  "geopoint", "geojson"):
         if tpl in ("geopoint", "geojson"):

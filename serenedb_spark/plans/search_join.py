@@ -503,6 +503,21 @@ def split_set_ops(toks: list[Tok]):
             cut = min(ends)
             tail = last[cut:]
             arms[-1] = last[:cut]
+    elif last and last[0].text == "(":
+        # `(SELECT ...) UNION ALL (SELECT ...) ORDER BY ...` — anything
+        # after the close of a parenthesized last arm is the whole-set
+        # tail (inverted_index_score.test:327)
+        depth = 0
+        for i, t in enumerate(last):
+            if t.text in ("(", "["):
+                depth += 1
+            elif t.text in (")", "]"):
+                depth -= 1
+                if depth == 0:
+                    if i + 1 < len(last):
+                        tail = last[i + 1:]
+                        arms[-1] = last[:i + 1]
+                    break
     arm_texts = [_render(_strip_outer_parens(a)) for a in arms]
     if any(not a.strip() for a in arm_texts):
         raise ValueError("empty arm in a set operation")

@@ -1046,7 +1046,9 @@ def _rewrite_scorers(toks: list[Tok]) -> tuple[list[Tok], str | None, dict]:
             name, pnames = SCORER_FUNCS[low]
             if scorer is not None and scorer != name:
                 raise ValueError(
-                    f"mixed scorers in one statement: {scorer} vs {name}")
+                    "Only one scorer function is allowed per inverted "
+                    "index; use UNION to combine different score "
+                    f"functions (saw {scorer} and {name})")
             scorer = name
             # consume through the matching close paren
             depth = 0
@@ -1297,10 +1299,17 @@ def _parse_search_leaf(toks: list[Tok], an_of):
         # mirrored form: `'quick'::tokenize('keyword') @@ b`
         # (tsquery_match.test:1146) — the column may sit on either side
         left, right = right, left
-    if len(left) != 1 or left[0].kind != "IDENT":
-        raise ValueError(
-            f"@@ left side must be a column, got {_render(left)!r}")
-    col = left[0].text.split(".")[-1]
+    if len(left) == 1 and left[0].kind == "IDENT":
+        col = left[0].text.split(".")[-1]
+    else:
+        # expression-indexed field: the field is NAMED by its expression
+        # text at CREATE INDEX time, so the same rendering resolves it
+        # (inverted_index_matrix_varchar.test upper(v) @@ ...)
+        exp = left
+        while (len(exp) >= 2 and exp[0].text == "("
+               and exp[-1].text == ")"):
+            exp = exp[1:-1]
+        col = _render(exp)
     an = an_of(col)
     ts = _Stream(right)
     node = parse_tsquery_tokens(ts, an)
@@ -1337,6 +1346,22 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
     vec_holder: dict = {}
     vector_ranges: list = []
     or_groups: list = []
+    scorer: str | None = None
+    params: dict = {}
+
+    def _merge(s: str | None, p: dict) -> None:
+        nonlocal scorer, params
+        if s is None:
+            return
+        if scorer is not None and (
+                scorer != s or (p and params and p != params)):
+            # inverted_index_score.test:310 pins this wording
+            raise ValueError(
+                "Only one scorer function is allowed per inverted "
+                "index; use UNION to combine different score functions "
+                f"(saw {scorer}{params or ''} and {s}{p or ''})")
+        scorer = s
+        params = {**params, **p}
 
     def _route(tree) -> None:
         if isinstance(tree, MatchLeaf):
@@ -1354,24 +1379,17 @@ def parse_select(sql: str, analyzer_of) -> SearchSelect:
     if wpos >= 0:
         wend = min(x for x in (opos, lpos, len(toks)) if x >= 0)
         an_of = lambda col: analyzer_of(from_name, col)  # noqa: E731
-        for conj in _split_top_kw(toks[wpos + 1:wend], "AND"):
+        # a scorer call in WHERE (BM25(idx.tableoid) > 0) evaluates
+        # against the computed __score (inverted_index_score.test)
+        wtoks, ws, wp = _rewrite_scorers(toks[wpos + 1:wend])
+        _merge(ws, wp)
+        for conj in _split_top_kw(wtoks, "AND"):
             if not _has_search(conj):
                 residuals.append(_render(_rewrite_casts(conj)))
                 continue
             _route(_fold_tree(_parse_bool_or(conj, an_of)))
 
     order: list[tuple[str, bool]] = []
-    scorer: str | None = None
-    params: dict = {}
-
-    def _merge(s: str | None, p: dict) -> None:
-        nonlocal scorer, params
-        if s is None:
-            return
-        if scorer is not None and scorer != s:
-            raise ValueError(f"mixed scorers in one statement: {scorer} vs {s}")
-        scorer = s
-        params = {**params, **p}
 
     if opos >= 0:
         oend = lpos if lpos >= 0 else len(toks)
@@ -1631,6 +1649,7 @@ class CreateInvertedIndex:
     exprs: dict | None = None  # expression keys: field name -> expr SQL
     vectors: dict | None = None  # vector cols: col -> options SQL
     #   (full_text_search.test: `emb ivf (metric = 'l2')`)
+    if_not_exists: bool = False
 
 
 def parse_create_index(sql: str) -> CreateInvertedIndex | None:
@@ -1643,10 +1662,16 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
     upos = _find_clause(toks, ("USING",))
     if upos < 0 or toks[upos + 1].text.lower() != "inverted":
         return None
-    name = toks[2].text
-    if toks[3].upper != "ON":
+    npos = 2
+    if_not_exists = False
+    if (toks[2].upper == "IF" and len(toks) > 4
+            and toks[3].upper == "NOT" and toks[4].upper == "EXISTS"):
+        if_not_exists = True
+        npos = 5
+    name = toks[npos].text
+    if toks[npos + 1].upper != "ON":
         raise ValueError("CREATE INDEX requires ON <table>")
-    table = toks[4].text
+    table = toks[npos + 2].text
     ts = _Stream(toks[upos + 2:])
     ts.expect("(")
     fields: dict[str, str] = {}
@@ -1683,14 +1708,50 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
             expr_sql = _render(spec[1:i])
             rest = spec[i + 1:]
             an = rest[0].text if rest else "keyword"
+            if re.search(r"CAST\s*\(.*\bAS\s+(\w+)", expr_sql,
+                         re.IGNORECASE):
+                cast_t = re.search(r"\bAS\s+(\w+)\s*\)?$", expr_sql,
+                                   re.IGNORECASE)
+                if cast_t and cast_t.group(1).lower() not in (
+                        "string", "text", "varchar", "int", "integer",
+                        "bigint", "double", "float", "boolean", "date",
+                        "timestamp", "decimal", "numeric", "blob"):
+                    # user-defined types in indexed expressions: the
+                    # inverted sink can't slice arbitrary user-type
+                    # values (index_expr_user_refs_rejected.test)
+                    raise ValueError(
+                        f"unsupported type {cast_t.group(1)!r}: the "
+                        "expression result can not be indexed")
             fields[expr_sql] = an
             exprs[expr_sql] = expr_sql
             return
+        if (spec[0].kind == "IDENT"
+                and spec[0].text.lower() == "ts_lexize"
+                and len(spec) > 1 and spec[1].text == "("):
+            # ts_lexize('dict', col) as an index key: the reference
+            # resolves the dictionary first (basic.test:270)
+            dic = next((t.text for t in spec if t.kind == "STR"), "''")
+            raise ValueError(
+                f"text search dictionary \"{_unquote(dic)}\" does not "
+                "exist")
         if len(spec) == 1:
             includes.append(spec[0].text)
         elif len(spec) == 2:
             fields[spec[0].text] = spec[1].text
         else:
+            if any(t.text == "(" for t in spec):
+                inner = spec[3:-1] if len(spec) > 4 else []
+                if any(t.kind == "IDENT" and "=" not in t.text
+                       for t in inner if t.text not in ("=", ",")):
+                    # `(foo=bar)` — a non-constant option value
+                    # (basic.test:262)
+                    raise ValueError(
+                        "Opclass option must be a constant value")
+                # `col analyzer ()` — parens imply an opclass, and the
+                # only built-in opclasses are included/ivf (basic.test:24)
+                raise ValueError(
+                    f"Unknown built-in opclass '{spec[1].text}' on "
+                    f"'{spec[0].text}' (known: included, ivf)")
             raise ValueError(f"bad index column spec: {_render(spec)!r}")
 
     while True:
@@ -1722,7 +1783,8 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
     if not fields and not vectors:
         raise ValueError("USING inverted requires at least one analyzed column")
     return CreateInvertedIndex(name, table, fields, includes, where,
-                               exprs or None, vectors or None)
+                               exprs or None, vectors or None,
+                               if_not_exists)
 
 
 # ---------------------------------------------------------------------------

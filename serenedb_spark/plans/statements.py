@@ -59,6 +59,11 @@ _PG_TYPE_MAP = {
     "BOOLEAN": "boolean", "BOOL": "boolean",
     "DATE": "date", "TIMESTAMP": "timestamp", "TIMESTAMPTZ": "timestamp",
     "NUMERIC": "decimal", "DECIMAL": "decimal",
+    "HUGEINT": "decimal(38,0)", "UBIGINT": "decimal(20,0)",
+    "UINTEGER": "bigint", "USMALLINT": "int", "UTINYINT": "smallint",
+    "TINYINT": "tinyint", "INT1": "tinyint",
+    "BLOB": "binary",
+    "INTERVAL": "string", "TIME": "string",
     "JSON": "string", "JSONB": "string", "UUID": "string",
     "BYTEA": "binary",
     # geometry carries WKT/GeoJSON text (functions/geometry.py parses)
@@ -810,6 +815,11 @@ def _copy(session, s: str, dry_run: bool = False):
     direction = ts.next().upper
     if direction not in ("TO", "FROM"):
         raise ValueError(f"COPY expects TO or FROM, got {direction!r}")
+    if direction == "FROM" and table is not None:
+        _require_base_table(session, table, "{t} is not an table")
+        if (table not in session._tables
+                and table in getattr(session, "_indexes", {})):
+            table = session._index_sources[table]
     path_tok = ts.next()
     if path_tok.kind != "STR":
         raise ValueError("COPY expects a quoted file path")
@@ -870,6 +880,11 @@ def _copy(session, s: str, dry_run: bool = False):
     opts = {"header": str(header).lower()} if fmt == "csv" else {}
     if fmt == "csv" and sep is not None:
         opts["sep"] = sep
+    import os as _os
+    if ("://" not in path and "*" not in path
+            and not _os.path.exists(path)):
+        raise ValueError(
+            f'No files found that match the pattern "{path}"')
     rows = read_table(session.spark, path, fmt, **opts)
     if where_sql is not None:
         rows = rows.where(F.expr(where_sql))
@@ -1358,11 +1373,40 @@ def _dml_where(session, table: str, where_toks: list[Tok]):
     return ("keys", keys, pk)
 
 
+def _refuse_index_relation(session, table: str) -> None:
+    if (table not in session._tables
+            and table in getattr(session, "_indexes", {})):
+        raise ValueError(
+            f'cannot open relation "{table}"\nDETAIL: This operation '
+            "is not supported for indexes.")
+
+
+def _require_base_table(session, table: str, msg: str) -> None:
+    """DML targets must be base tables — a view resolves as a relation
+    but refuses writes (basic.test:363-385)."""
+    if table in session._tables:
+        return
+    base = table.split(".")[-1]
+    if base in session._tables:
+        return
+    try:
+        session.spark.table(table)
+    except Exception:
+        return  # unknown relation: let the handler's own error surface
+    raise ValueError(msg.format(t=table))
+
+
 def _insert(session, s: str) -> DataFrame:
     toks = tokenize(s)
     ts = _Stream(toks)
     ts.expect("INSERT"); ts.expect("INTO")
     table = _ident(ts)
+    _require_base_table(session, table, "{t} is not an table")
+    if (table not in session._tables
+            and table in getattr(session, "_indexes", {})):
+        # INSERT INTO an index relation writes through to its source
+        # table (basic.test:403)
+        table = session._index_sources[table]
     cols: list[str] | None = None
     if ts.peek() and ts.peek().text == "(":
         ts.next()
@@ -1469,7 +1513,19 @@ def _insert(session, s: str) -> DataFrame:
                 f"for {len(use_cols)} target columns")
         rows = rows.toDF(*use_cols)
     aligned = _align_rows(session, table, rows, use_cols)
-    session.insert(table, aligned, on_conflict=conflict)
+    try:
+        session.insert(table, aligned, on_conflict=conflict)
+    except Exception as e:
+        mm = re.search(r"(?:For input string|CAST_INVALID_INPUT.*?value)"
+                       r"[:\s]*['\"]([^'\"]+)['\"]", str(e))
+        if mm and ("NumberFormatException" in str(e)
+                   or "CAST_INVALID_INPUT" in str(e)):
+            # PG/DuckDB wording for a failed literal coercion
+            # (basic.test:403)
+            raise ValueError(
+                f"Could not convert string '{mm.group(1)}' to INT32"
+            ) from None
+        raise
     if returning is not None:
         # PG RETURNING: project the clause over the inserted rows
         # (core_sql_setup_claims.test INSERT ... RETURNING *)
@@ -1548,6 +1604,8 @@ def _update(session, s: str) -> DataFrame:
     ts = _Stream(toks)
     ts.expect("UPDATE")
     table = _ident(ts)
+    _refuse_index_relation(session, table)
+    _require_base_table(session, table, "Can only update base table")
     ts.expect("SET")
     w = _find_clause(toks, ("WHERE",), start=ts.i)
     set_span = toks[ts.i:w] if w >= 0 else toks[ts.i:]
@@ -1591,6 +1649,9 @@ def _delete(session, s: str) -> DataFrame:
     ts = _Stream(toks)
     ts.expect("DELETE"); ts.expect("FROM")
     table = _ident(ts)
+    _refuse_index_relation(session, table)
+    _require_base_table(session, table,
+                        "Can only delete from base table")
     w = _find_clause(toks, ("WHERE",), start=ts.i)
     if w < 0:
         session.delete(table, F.lit(True))
@@ -3054,6 +3115,10 @@ def _vacuum(session, s: str) -> DataFrame:
                 refresh = True
     table = _ident(ts) if ts.peek() is not None else None
     if refresh and table is not None:
+        if table not in session._tables:
+            # a missing table — or an index name, which is not a table
+            # relation here (basic.test:61-68)
+            raise ValueError(f'relation "{table}" does not exist')
         session.refresh_indexes(table)
     return _status_df(session, "VACUUM", table or "")
 

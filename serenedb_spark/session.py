@@ -294,13 +294,26 @@ class SereneSession:
                 if name in vi:
                     vi.pop(name)
                 elif name not in self._indexes:
-                    raise ValueError(f"no such index {name!r}")
+                    raise ValueError(
+                        f"Index with name {name} does not exist!")
                 else:
                     self._indexes.pop(name)
                     getattr(self, "_index_sources", {}).pop(name, None)
             else:
                 from serenedb_spark.analysis.analyzers import drop_dictionary
 
+                dependents = [
+                    iname for iname, idx in self._indexes.items()
+                    if name in idx.fields.values()]
+                if dependents:
+                    # dependency protection (basic.test:30): an index
+                    # bound to the dictionary blocks the drop
+                    raise ValueError(
+                        f"cannot drop text search dictionary {name} "
+                        f"because other objects depend on it\nDETAIL: "
+                        f"index {dependents[0]} depends on text search "
+                        f"dictionary {name}\nHINT: Use DROP ... CASCADE "
+                        "to drop the dependent objects too.")
                 drop_dictionary(name)
             return self.spark.createDataFrame(
                 [(kind, name)], "dropped string, name string")
@@ -627,6 +640,74 @@ class SereneSession:
             raise ValueError(
                 "CREATE INDEX on a search-backed table is not yet "
                 "supported")
+        if not internal:
+            if "." in ddl.table and "." not in ddl.name:
+                # indexes are schema-scoped: s1.idx and s2.idx coexist
+                # (basic.test:512-517)
+                ddl.name = f"{ddl.table.rsplit('.', 1)[0]}.{ddl.name}"
+            if (ddl.name in self._indexes
+                    or ddl.name in getattr(self, "_vector_indexes", {})):
+                if getattr(ddl, "if_not_exists", False):
+                    return self.spark.createDataFrame(
+                        [(ddl.name, ddl.table, "exists")],
+                        "index_name string, table_name string, "
+                        "fields string")
+                raise ValueError(
+                    f'Index with name "{ddl.name}" already exists!')
+            if ddl.table in self._indexes:
+                raise ValueError(
+                    f'cannot open relation "{ddl.table}"\nDETAIL: This '
+                    "operation is not supported for indexes.")
+            try:
+                src = self.table(ddl.table)
+            except Exception:
+                try:
+                    src = self.spark.table(ddl.table)  # a session view
+                except Exception:
+                    # DuckDB-shaped missing-table error (basic.test:128)
+                    raise ValueError(
+                        f"Table with name {ddl.table} does not exist!"
+                    ) from None
+            cols = set(src.columns)
+            dts = dict(src.dtypes)
+            for c in list(ddl.fields) + list(ddl.includes or ()):
+                if c in (ddl.exprs or {}):
+                    continue
+                if c not in cols:
+                    if not cols:
+                        # zero-column table (basic.test:540)
+                        raise ValueError(
+                            f'Referenced column "{c}" was not found '
+                            "because the FROM clause is missing")
+                    raise ValueError(
+                        f'Referenced column "{c}" not found in FROM '
+                        f"clause! Candidate bindings: "
+                        + ", ".join(f'"{x}"' for x in sorted(cols)))
+                dt = dts.get(c, "")
+                if dt.startswith("decimal"):
+                    # fixed-point values have no memcmp term encoding
+                    # (basic.test:226-232)
+                    pg = ("HUGEINT" if dt == "decimal(38,0)"
+                          else dt.upper())
+                    raise ValueError(
+                        f"Column '{c}' has unsupported type {pg} and "
+                        "can not be indexed")
+            from serenedb_spark.analysis.analyzers import _REGISTRY
+            tbl_schema = (ddl.table.rsplit(".", 1)[0]
+                          if "." in ddl.table else None)
+            for c, an_name in ddl.fields.items():
+                if "." in an_name:
+                    an_schema = an_name.rsplit(".", 1)[0]
+                    if tbl_schema is not None and an_schema != tbl_schema:
+                        # basic.test:505
+                        raise ValueError(
+                            "Accessing text dictionary from different "
+                            "schema is not supported")
+                if an_name not in _REGISTRY:
+                    raise ValueError(
+                        f"Unknown opclass '{an_name}' on column '{c}': "
+                        "no text dictionary by that name in schema "
+                        "'public'")
         if getattr(ddl, "vectors", None) and not ddl.fields:
             # vector-only index (full_text_search.test vecs_*): the ANN
             # method/options are declarative — the index name becomes a
@@ -640,7 +721,10 @@ class SereneSession:
                 [(ddl.name, ddl.table, ",".join(
                     f"{c} {o}" for c, o in ddl.vectors.items()))],
                 "index_name string, table_name string, fields string")
-        df = self.table(ddl.table)
+        try:
+            df = self.table(ddl.table)
+        except KeyError:
+            df = self.spark.table(ddl.table)  # a session view
         if ddl.where:
             df = df.where(F.expr(ddl.where))
         pk = getattr(self, "_pks", {}).get(ddl.table)

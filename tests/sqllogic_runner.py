@@ -165,6 +165,17 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]],
     def cell_eq(e: str, a: str) -> bool:
         if e == a:
             return True
+        if "<slt:ignore>" in e:
+            # wildcard cell (oids, run-dependent values); any text
+            # around it must still appear
+            parts = [p for p in e.split("<slt:ignore>") if p]
+            pos = 0
+            for p in parts:
+                k = a.find(p, pos)
+                if k < 0:
+                    return False
+                pos = k + len(p)
+            return True
         if (e.startswith("{") and e.endswith("}") and '"' not in e
                 and a.startswith("{") and a.endswith("}")
                 and '"' not in a):

@@ -367,7 +367,7 @@ def test_create_dictionary_unknown_template_raises(session):
 
 
 def test_drop_missing_index_raises(session):
-    with pytest.raises(ValueError, match="no such index"):
+    with pytest.raises(ValueError, match="does not exist"):
         session.sql("DROP INDEX never_created")
 
 
