@@ -5883,47 +5883,58 @@ _register(
 #: Every query, windowed or not, still runs in tests/test_differential.py
 #: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
-    # --- new-in-r9 queries (all registered and locally oracle-green) ------
-    "fts_sql_join", "fts_sql_join_group", "fts_sql_join_scored",
-    "fts_sql_union", "fts_sql_intersect_precedence", "fts_sql_except",
-    "fts_sql_in_subquery",
-    "sql_dml_lifecycle", "sql_txn_rollback", "sql_search_dml",
-    "fts_stemmed_term_en",
-    "fts_sql_entry", "fts_sql_bm25_topk", "fts_sql_websearch",
-    "fts_sql_highlight", "vec_sql_knn", "vec_sql_radius", "fts_sql_agg",
-    "fts_sql_dict", "events_asof_agg_preagg", "vec_rabitq_middim", "geo_polygon_vs_polygon",
-    "fts_stemmed_term_lt", "fts_stemmed_term_id", "fts_stemmed_term_ga",
-    # --- re-gates: implementation changed in r9 ----------------------------
-    # to_tsquery gained AND/OR/NOT word forms + "quoted"/-term lowering
-    "fts_tsquery_parse", "fts_websearch",
-    # asof_join's window ordering gained the tie_break key path
-    "events_asof_join", "events_asof_agg",
-    # the planner's Wildcard/Prefix leaf gained the wildcard-gram branch
-    "fts_wildcard", "fts_prefix",
-    # snowball interpreters gained prefix rounds + min_vowels branches
-    "fts_stemmed_term_de", "fts_stemmed_term_ru",
-    # install_pg_catalog grew tranche 3
-    "pg_catalog_introspection",
-    # --- green sentinels: one per major family (all driver-green r1-r8) ---
+    # --- new-in-r10 queries (never driver-gated; verdict r10 finding #3) --
+    "sql_composite_pk", "sql_conflict_update", "sql_prepared_exec",
+    "sql_enum_order", "sql_schema_namespace", "sql_composite_type",
+    "fts_sql_numeric_range", "vec_sql_knn_prepared",
+    # --- new-in-r11 queries (added as the round lands them) ---------------
+    "fts_sql_dict_raw",
+    "sql_multi_session_visibility",
+    "sql_create_database",
+    "fts_sql_explain_box",
+    "text_classifier_real_model",
+    # --- re-gates: implementation changed in r10 ---------------------------
+    # ts_between/key-encoding bool-flag fix; numeric-range claims
+    "fts_sql_highlight",          # highlighter rewritten as passages in r10
+    "fts_websearch", "fts_tsquery_parse",  # tsquery phrase gap preservation
+    "fts_sql_dict", "fts_sql_agg",  # ts_dict facet surface (r11 raw fix)
+    "fts_dict_facets",
+    "fts_fuzzy",                  # Damerau distance rewrite in r10
+    "fts_bool", "fts_bm25_topk",  # boolean WHERE trees over @@ leaves
+    "fts_sql_join", "fts_sql_union", "fts_sql_in_subquery",
+    "vec_sql_knn", "vec_sql_radius",  # WAND delegation shape check
+    "pg_catalog_introspection",   # tranche 6 in r10, tail-to-93 in r11
+    "orders_range_join",          # perf watch: bucketed-join drift
+    # --- green sentinels: one per major family (driver-green r1-r10) ------
     "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9_profit",
-    "top_customers", "window_rank", "grouping_sets", "exists_semi_join",
+    "top_customers", "window_rank", "grouping_sets",
     "dml_merge_into", "recursive_cte_hierarchy", "lateral_topn_per_key",
     "events_pivot", "approx_aggregates",
-    "fts_bool", "fts_bm25_topk", "fts_phrase_slop", "fts_compound",
-    "fts_highlight", "fts_fuzzy", "fts_ngram_sim_term",
-    "es_terms_facet", "es_multi_match", "es_dis_max", "fts_dict_facets",
+    "events_asof_join", "events_asof_agg_preagg",
+    "fts_phrase_slop", "fts_compound", "fts_highlight",
+    "es_terms_facet", "es_multi_match",
     "vec_knn_cosine", "vec_ivf_sq8_knn", "vec_pq_adc_knn",
+    "vec_rabitq_middim",
     "embedding_dup_pairs_lsh", "dedup_minhash_pairs", "dedup_clusters",
-    "text_quality", "text_lang_id", "text_gopher_rules", "text_chunk",
-    "geo_indexed_radius", "inet6_battery",
-    "orders_range_join", "skew_salted_agg",
+    "text_quality", "text_lang_id", "text_gopher_rules",
+    "geo_indexed_radius", "geo_polygon_vs_polygon", "inet6_battery",
+    "skew_salted_agg",
+    "sql_dml_lifecycle", "sql_txn_rollback",
+    "fts_stemmed_term_de", "fts_stemmed_term_ru",
 ]
 
 #: Window names allowed to be absent from REGISTRY at import time — the
 #: documented not-yet-landed set ONLY. Any other skipped name is a typo
 #: and must fail loudly, not be silently padded over.
-#: empty as of r9 — every name declared in the r8 window is registered
-_GATE_PENDING: set = set()
+#: new-in-r11 names declared in the window before they land; each is
+#: removed from this set in the same commit that registers the query.
+_GATE_PENDING: set = {
+    "fts_sql_dict_raw",
+    "sql_multi_session_visibility",
+    "sql_create_database",
+    "fts_sql_explain_box",
+    "text_classifier_real_model",
+}
 
 
 def _apply_gate_window() -> None:

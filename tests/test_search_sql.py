@@ -138,7 +138,7 @@ def test_parse_select_scorer_params():
 
 
 def test_parse_select_mixed_scorers_raise():
-    with pytest.raises(ValueError, match="mixed scorers"):
+    with pytest.raises(ValueError, match="Only one scorer function"):
         SS.parse_select(
             "SELECT BM25(d.x) FROM d WHERE t @@ 'a' "
             "ORDER BY TFIDF(d.x) DESC", _an_of)
