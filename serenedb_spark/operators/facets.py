@@ -22,14 +22,25 @@ from serenedb_spark.operators.indexing import InvertedIndex
 
 def ts_dict(idx: InvertedIndex, field: str | None = None) -> DataFrame:
     """(term, doc_count, total_freq) straight from term stats —
-    ts_dict_agg/ts_dict_count/ts_dict_freq in one relation."""
+    ts_dict_agg/ts_dict_count/ts_dict_freq in one relation. doc_count
+    is live-exact; total_freq is the RAW index statistic (deleted docs
+    stay counted until compaction — ts_dict_deletes.test:125)."""
     field = field or idx.default_field()
+    live = idx.term_stats.where(F.col("field") == field).select(
+        "term",
+        F.col("df").alias("doc_count"),
+        F.col("ctf").alias("total_freq"),
+    )
+    raw = getattr(idx, "term_stats_raw", None)
+    if raw is None:
+        return live
+    raw_f = raw.where(F.col("field") == field).select(
+        "term", F.col("ctf").alias("__raw_ctf"))
     return (
-        idx.term_stats.where(F.col("field") == field)
+        live.join(raw_f, "term", "left")
         .select(
-            "term",
-            F.col("df").alias("doc_count"),
-            F.col("ctf").alias("total_freq"),
+            "term", "doc_count",
+            F.coalesce("__raw_ctf", "total_freq").alias("total_freq"),
         )
     )
 

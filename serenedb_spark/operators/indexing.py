@@ -53,6 +53,11 @@ class InvertedIndex:
     doc_stats: DataFrame  # (field, doc_id, dl)
     globals_: DataFrame  # (field, n_docs, avgdl, total_dl)
     universe: DataFrame  # (field, doc_id) where the source column IS NOT NULL
+    #: raw per-term total frequency carried across refreshes: deleted
+    #: docs stay counted until compaction — the reference's "freq keeps
+    #: the raw index value" (ts_dict_deletes.test:125). None = same as
+    #: term_stats (freshly built/compacted index).
+    term_stats_raw: DataFrame | None = None
 
     def analyzer(self, field: str) -> Analyzer:
         return get_analyzer(self.fields[field])
@@ -95,11 +100,22 @@ def build_index(
     include = include if include is not None else [c for c in df.columns if c != key]
     exprs = exprs or {}
 
+    dtypes = dict(df.dtypes)
     per_field = []
     for col, analyzer_name in fields.items():
         an = get_analyzer(analyzer_name)
         src = exprs[col] if col in exprs else F.col(col)
-        toks = an.expr(src)
+        if col not in exprs and dtypes.get(col, "").startswith("array"):
+            # LIST/ARRAY columns index element-wise: analyze each
+            # element and concatenate the token streams — the term
+            # dictionary then serves the same aggregates as a scalar
+            # column (reference ts_dict_list.test; iresearch indexes
+            # array values as repeated field instances)
+            toks = F.flatten(F.filter(
+                F.transform(src, lambda e: an.expr(e)),
+                lambda a: a.isNotNull()))
+        else:
+            toks = an.expr(src)
         tokenized = df.select(
             F.col(key).alias("doc_id"),
             F.lit(col).alias("field"),

@@ -86,6 +86,9 @@ _FN_RENAMES = {"approx_quantile": "approx_percentile",
                # DuckDB string-claim aliases (tsquery_match.test:2506+)
                "suffix": "endswith", "prefix": "startswith",
                "regexp_matches": "regexp_like",
+               # DuckDB list fns (ts_dict_minmax_count.test list_sort)
+               "list_sort": "array_sort", "list_distinct": "array_distinct",
+               "list_contains": "array_contains",
                # PG composite constructor (ddl/composite.test)
                "row": "struct"}
 
@@ -385,6 +388,162 @@ _PG_REGEX_OP_RE = re.compile(
 _CARET_AT_RE = re.compile(r"([\w.\"]+|\([^()]*\))\s*\^@\s*('(?:[^']|'')*')")
 
 
+def _match_paren(s: str, k: int) -> int:
+    """Index of the ')' matching the '(' at s[k], quote-aware; -1 if
+    unbalanced."""
+    depth = 0
+    i = k
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+_ORDERED_AGG_FNS = ("list", "array_agg", "string_agg")
+
+_ORDER_BY_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+
+def rewrite_ordered_aggs(sql: str) -> str:
+    """DuckDB/PG ordered aggregates — ``list(e ORDER BY k [DESC])``,
+    ``array_agg(e ORDER BY k)``, ``string_agg(e, sep ORDER BY k)``
+    (ts_dict.test:105) — have no Spark spelling. Lower to collecting
+    (key, value) structs and sorting the array: struct comparison is
+    field-by-field, so ``array_sort`` orders by the key. Bare ``list(e)``
+    maps to ``collect_list(e)``."""
+    low = sql.lower()
+    if not any(f + "(" in low.replace(" (", "(") for f in _ORDERED_AGG_FNS):
+        return sql
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if sql[j] == ch:
+                    if ch == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i:j + 1])
+            i = j + 1
+            continue
+        if ch.isalpha() or ch == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            word = sql[i:j].lower()
+            k = j
+            while k < n and sql[k] in " \t\n":
+                k += 1
+            qualified = i > 0 and sql[i - 1] == "."
+            if (word in _ORDERED_AGG_FNS and not qualified
+                    and k < n and sql[k] == "("):
+                close = _match_paren(sql, k)
+                if close < 0:
+                    out.append(sql[i:j])
+                    i = j
+                    continue
+                inner = rewrite_ordered_aggs(sql[k + 1:close])
+                m = None
+                depth = 0
+                for om in _ORDER_BY_RE.finditer(inner):
+                    if inner[:om.start()].count("(") == \
+                            inner[:om.start()].count(")"):
+                        m = om
+                        break
+                if m is None:
+                    fn = "collect_list" if word == "list" else (
+                        "collect_list" if word == "array_agg"
+                        else "string_agg")
+                    out.append(f"{fn}({inner})")
+                else:
+                    head = inner[:m.start()].rstrip().rstrip(",")
+                    key = inner[m.end():].strip()
+                    desc = False
+                    if key.upper().endswith(" DESC"):
+                        desc, key = True, key[:-5].rstrip()
+                    elif key.upper().endswith(" ASC"):
+                        key = key[:-4].rstrip()
+                    sep = None
+                    if word == "string_agg":
+                        head, sep = [p.strip() for p in
+                                     head.rsplit(",", 1)]
+                    sorted_arr = (
+                        f"array_sort(collect_list("
+                        f"struct({key} AS _ob, {head} AS _v)))")
+                    if desc:
+                        sorted_arr = f"reverse({sorted_arr})"
+                    expr = f"transform({sorted_arr}, _s -> _s._v)"
+                    if word == "string_agg":
+                        expr = f"array_join({expr}, {sep})"
+                    out.append(expr)
+                i = close + 1
+                continue
+            out.append(sql[i:j])
+            i = j
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_TS_SPLIT_RE = re.compile(r"\bts_split_by_non_alpha\s*\(", re.IGNORECASE)
+
+
+def rewrite_ts_split(sql: str) -> str:
+    """``ts_split_by_non_alpha(col[, to_lower])`` — the reference's cheap
+    tokenizer fn (server/connector/functions/split_by_non_alpha.cpp:164)
+    — as a pure column expression: split on non-alpha runs, drop
+    empties, optionally lowercase."""
+    while True:
+        m = _TS_SPLIT_RE.search(sql)
+        if m is None:
+            return sql
+        close = _match_paren(sql, m.end() - 1)
+        if close < 0:
+            return sql
+        inner = sql[m.end():close]
+        depth = 0
+        split_at = None
+        for i, c in enumerate(inner):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 0:
+                split_at = i
+                break
+        if split_at is None:
+            col, to_lower = inner.strip(), False
+        else:
+            col = inner[:split_at].strip()
+            to_lower = inner[split_at + 1:].strip().lower() in (
+                "true", "1", "t")
+        expr = f"filter(split({col}, '[^A-Za-z]+'), _t -> _t != '')"
+        if to_lower:
+            expr = f"transform({expr}, _t -> lower(_t))"
+        sql = sql[:m.start()] + expr + sql[close + 1:]
+
+
 def rewrite_pg_regex_ops(sql: str) -> str:
     def sub(m: re.Match) -> str:
         lhs, op, pat = m.group(1), m.group(2), m.group(3)
@@ -392,26 +551,86 @@ def rewrite_pg_regex_ops(sql: str) -> str:
         expr = f"{lhs} RLIKE '{flags}^(?:{pat})$'"
         return f"NOT ({expr})" if op.startswith("!") else expr
 
-    sql = _CARET_AT_RE.sub(r"startswith(\1, \2)", sql)
-    return _PG_REGEX_OP_RE.sub(sub, sql)
+    # quote-aware: a literal like 'a ~ ''x''' must not be rewritten —
+    # only segments outside string literals are candidates. The regex
+    # RHS pattern ('...') sits in the segment FOLLOWING the operator
+    # split, so re-join operator-segment with its literal before sub.
+    if not re.search(r"[~^]", sql):
+        return sql
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    out: list[str] = []
+    i = 0
+    while i < len(parts):
+        seg = parts[i]
+        if i % 2 == 1:                 # a string literal segment
+            out.append(seg)
+            i += 1
+            continue
+        # does this non-literal segment END with a regex/startswith
+        # operator whose RHS is the next literal segment?
+        m = re.search(r"(!~\*|!~|~\*|~|\^@)\s*$", seg)
+        if m and i + 1 < len(parts):
+            combined = seg + parts[i + 1]
+            combined = _CARET_AT_RE.sub(r"startswith(\1, \2)", combined)
+            combined = _PG_REGEX_OP_RE.sub(sub, combined)
+            out.append(combined)
+            i += 2
+            continue
+        out.append(seg)
+        i += 1
+    return "".join(out)
 
 
 #: PG/DuckDB `^` is exponentiation (Spark's is XOR) — rewrite simple
 #: operand forms; tsquery boost `^` never reaches this path (search
 #: statements route through the search parser first)
-_CARET_POW_RE = re.compile(
-    r"((?:\d+(?:\.\d+)?|[\w.\"]+|\([^()]*\)))\s*\^\s*"
-    r"((?:-?\d+(?:\.\d+)?|[\w.\"]+|\([^()]*\)))")
+#: one exponent operand: number, simple call `abs(x)`, identifier, or a
+#: bare paren group NOT preceded by an identifier (so `abs(x)^2` binds
+#: the whole call, never just `(x)`)
+_POW_OPERAND = (r"(?:\d+(?:\.\d+)?"
+                r"|[\w.\"]+\([^()]*\)"
+                r"|[\w.\"]+"
+                r"|(?<![\w.\"])\([^()]*\))")
+
+_CARET_CHAIN_RE = re.compile(
+    rf"({_POW_OPERAND})(?:\s*\^\s*-?{_POW_OPERAND})+")
+
+
+def _fold_pow_chain(m: re.Match) -> str:
+    """`a^b^c` → left-associative `power(power(a, b), c)`; split on `^`
+    at paren depth 0 so `(a^b)^2`'s inner caret stays for the next
+    fixpoint pass."""
+    text = m.group(0)
+    parts: list[str] = []
+    depth = 0
+    start = 0
+    for i, c in enumerate(text):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "^" and depth == 0:
+            parts.append(text[start:i].strip())
+            start = i + 1
+    parts.append(text[start:].strip())
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = f"power({acc}, {p})"
+    return acc
 
 
 def rewrite_caret_power(sql: str) -> str:
-    # quote-aware: only segments outside string literals rewrite
+    # quote-aware: only segments outside string literals rewrite; the
+    # fixpoint loop lets carets nested inside paren operands rewrite on
+    # a later pass
+    if "^" not in sql:
+        return sql
     parts = re.split(r"('(?:[^']|'')*')", sql)
     for i in range(0, len(parts), 2):
         seg, prev = parts[i], None
         while prev != seg:
             prev = seg
-            seg = _CARET_POW_RE.sub(r"power(\1, \2)", seg)
+            seg = _CARET_CHAIN_RE.sub(_fold_pow_chain, seg)
         parts[i] = seg
     return "".join(parts)
 
@@ -422,5 +641,6 @@ def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
         rewrite_generate_series(rewrite_pg_casts(
             rewrite_values_columns(rewrite_offset_limit(
                 rewrite_public_schema(rewrite_array_literals(
-                    rewrite_pg_regex_ops(rewrite_caret_power(sql))))))))))
+                    rewrite_ordered_aggs(rewrite_ts_split(
+                        rewrite_pg_regex_ops(rewrite_caret_power(sql))))))))))))
     return spark.sql(lowered)

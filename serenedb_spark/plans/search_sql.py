@@ -2362,99 +2362,260 @@ def _highlight_udf(groups: list, opts: str):
 # ---------------------------------------------------------------------------
 
 _TSDICT_MAP = {"ts_dict_agg": "term", "ts_dict_raw_agg": "term",
-               "ts_dict_count": "doc_count", "ts_dict_freq": "total_freq"}
+               "ts_dict_count": "doc_count", "ts_dict_freq": "total_freq",
+               "ts_dict_score": "score"}
+
+#: select-item forms a ts_dict call can appear in
+#:   unnest  — one output row per term (column of the dict relation)
+#:   list    — list_sort(ts_dict_X(f)): sorted list, single row
+#:   bare    — ts_dict_X(f): term-order-aligned list, single row
+#:   scalar  — ts_dict_min/max(f): scalar over the dictionary
+_TSDICT_KEYWORDS = {
+    "AND", "OR", "NOT", "LIKE", "ILIKE", "BETWEEN", "IN", "IS", "NULL",
+    "TRUE", "FALSE", "ESCAPE", "ASC", "DESC", "CASE", "WHEN", "THEN",
+    "ELSE", "END", "DISTINCT", "AS",
+}
+
+
+@dataclass
+class TsDictCall:
+    ph: str                 # placeholder column __tsdN
+    fn: str                 # agg | raw_agg | count | freq | score | min | max
+    field: str
+    form: str               # unnest | list | bare | scalar
+    hexcast: bool = False   # raw_agg ::VARCHAR → \x-hex text
 
 
 @dataclass
 class TsDictSelect:
     select_items: list[str]
     from_name: str
-    field: str
-    residual: str | None
+    field: str                       # first enumerated field
+    residual: str | None             # legacy single-field term residual
     order: list[tuple[str, bool]]
     limit: int | None
+    calls: list = field(default_factory=list)
+    #: per-field TERM-level predicates (SQL over `term`)
+    term_residuals: list = field(default_factory=list)
+    #: DOC-level WHERE text (original column names; @@ claims allowed)
+    doc_where: str | None = None
+    #: (column_alias → matcher TSQuery leaf) pushed down from an outer
+    #: subquery filter — drives fuzzy completion scoring
+    term_matcher: object | None = None
+
+
+def _tsdict_expr(call: TsDictCall, term_col: str = "term") -> str:
+    """The dict-relation SQL expression one call projects."""
+    base = {"agg": term_col, "raw_agg": term_col,
+            "count": "doc_count", "freq": "total_freq",
+            "score": "score"}[call.fn]
+    if call.fn == "raw_agg":
+        # raw term BYTES; ::VARCHAR renders the blob PG-style as \x-hex
+        # (reference ts_dict.test:59)
+        if call.hexcast:
+            return f"concat('\\\\x', lower(hex({term_col})))"
+        return f"encode({term_col}, 'UTF-8')"
+    return base
 
 
 def parse_ts_dict(sql: str) -> TsDictSelect | None:
-    """Parse the ts_dict_* statement shape; None when the statement
-    contains no ts_dict_* call."""
+    """Parse the ts_dict_* statement family (reference
+    server/connector/optimizer/ts_dict_plan.cpp; sqllogic
+    sdb/pg/index/ts_dict*.test):
+
+      SELECT unnest(ts_dict_agg(col)) ... FROM idx
+      SELECT list_sort(ts_dict_X(col)), ts_dict_min(col) ... FROM idx
+      [WHERE <term-level predicates on col | doc-level @@/other-column>]
+      [ORDER BY ...] [LIMIT n]
+
+    WHERE conjuncts referencing only the enumerated column are TERM
+    acceptors/post-filters (ts_dict.test:118); conjuncts with `@@` or
+    other columns filter DOCUMENTS (ts_dict_doc_restricted.test).
+    Returns None when no ts_dict_* call is present."""
     toks = tokenize(sql.strip().rstrip(";"))
     if not any(t.kind == "IDENT" and t.text.lower().startswith("ts_dict_")
                for t in toks):
         return None
+    if any(_find_clause(toks, (op,)) >= 0
+           for op in ("UNION", "INTERSECT", "EXCEPT")):
+        return None     # set-op arms parse individually (ts_dict_compose)
     if not toks or toks[0].upper != "SELECT":
         raise ValueError("ts_dict_* only supported in SELECT")
     fpos = _find_clause(toks, ("FROM",))
     if fpos < 0:
-        raise ValueError("ts_dict SELECT requires FROM")
+        # scalar-subquery items (`SELECT (SELECT ts_dict_agg..) AS b`):
+        # the subquery machinery owns these (ts_dict_compose.test:88)
+        return None
     sel_toks = toks[1:fpos]
     wpos = _find_clause(toks, ("WHERE",), fpos)
     opos = _find_clause(toks, ("ORDER", "BY"), fpos)
     lpos = _find_clause(toks, ("LIMIT",), fpos)
     from_end = min(x for x in (wpos, opos, lpos, len(toks)) if x >= 0)
     from_toks = toks[fpos + 1:from_end]
-    if len(from_toks) != 1 or from_toks[0].kind != "IDENT":
+    if not from_toks or from_toks[0].kind != "IDENT":
+        return None     # FROM (subquery): extracted by the rewriter
+    if len(from_toks) == 2 and from_toks[1].kind == "IDENT":
+        pass                        # FROM idx alias — alias ignored
+    elif len(from_toks) != 1:
         raise ValueError("ts_dict SELECT supports a single FROM relation")
     from_name = from_toks[0].text
 
-    field: str | None = None
+    calls: list[TsDictCall] = []
 
-    def rewrite(span: list[Tok]) -> list[Tok]:
-        """unnest(ts_dict_X(col)) → mapped column; ts_dict_min/max(col)
-        → min/max(term); then any bare reference to the field ident
-        means the term itself."""
-        nonlocal field
+    def add_call(fn: str, col: str, form: str,
+                 hexcast: bool = False) -> str:
+        ph = f"__tsd{len(calls)}"
+        calls.append(TsDictCall(ph, fn, col.split(".")[-1], form, hexcast))
+        return ph
+
+    def rewrite(span: list[Tok], in_agg_ctx: bool = False) -> list[Tok]:
+        """Replace every ts_dict call form with its placeholder ident."""
         out: list[Tok] = []
         i = 0
-        while i < len(span):
+        n = len(span)
+        while i < n:
             t = span[i]
             low = t.text.lower()
-            if (low == "unnest" and i + 7 < len(span) + 1
-                    and i + 1 < len(span) and span[i + 1].text == "("
+            # unnest( [list_sort(] ts_dict_X(col) [)] ) [::type]
+            if low == "unnest" and i + 1 < n and span[i + 1].text == "(":
+                j = i + 2
+                wrapped = False
+                if (j + 1 < n and span[j].text.lower() == "list_sort"
+                        and span[j + 1].text == "("):
+                    wrapped = True
+                    j += 2
+                if (j + 4 < n + 1 and j + 3 < n
+                        and span[j].text.lower() in _TSDICT_MAP
+                        and span[j + 1].text == "("
+                        and span[j + 2].kind == "IDENT"
+                        and span[j + 3].text == ")"):
+                    fn = span[j].text.lower().replace("ts_dict_", "")
+                    col = span[j + 2].text
+                    k = j + 4
+                    if wrapped:
+                        if k < n and span[k].text == ")":
+                            k += 1
+                    if k < n and span[k].text == ")":
+                        k += 1
+                    hexcast = False
+                    if (fn == "raw_agg" and k + 1 < n
+                            and span[k].text == "::"
+                            and span[k + 1].text.lower() in
+                            ("varchar", "text", "string")):
+                        hexcast = True
+                        k += 2
+                    out.append(Tok("IDENT", add_call(fn, col, "unnest",
+                                                     hexcast)))
+                    i = k
+                    continue
+            # list_sort( ts_dict_X(col) )  (not inside unnest)
+            if (low == "list_sort" and i + 5 < n
+                    and span[i + 1].text == "("
                     and span[i + 2].text.lower() in _TSDICT_MAP
                     and span[i + 3].text == "("
                     and span[i + 4].kind == "IDENT"
                     and span[i + 5].text == ")"
-                    and span[i + 6].text == ")"):
-                field = field or span[i + 4].text.split(".")[-1]
-                out.append(Tok("IDENT", _TSDICT_MAP[span[i + 2].text.lower()]))
+                    and i + 6 < n and span[i + 6].text == ")"):
+                fn = span[i + 2].text.lower().replace("ts_dict_", "")
+                out.append(Tok("IDENT",
+                               add_call(fn, span[i + 4].text, "list")))
                 i += 7
-            elif (low in ("ts_dict_min", "ts_dict_max")
-                  and i + 3 < len(span) and span[i + 1].text == "("
-                  and span[i + 2].kind == "IDENT"
-                  and span[i + 3].text == ")"):
-                field = field or span[i + 2].text.split(".")[-1]
-                fn = "min" if low == "ts_dict_min" else "max"
-                out.extend([Tok("IDENT", fn), Tok("OP", "("),
-                            Tok("IDENT", "term"), Tok("OP", ")")])
+                continue
+            # ts_dict_min/max(col)
+            if (low in ("ts_dict_min", "ts_dict_max")
+                    and i + 3 < n and span[i + 1].text == "("
+                    and span[i + 2].kind == "IDENT"
+                    and span[i + 3].text == ")"):
+                fn = low.replace("ts_dict_", "")
+                out.append(Tok("IDENT",
+                               add_call(fn, span[i + 2].text, "scalar")))
                 i += 4
-            elif low == "ts_dict_count" and i + 1 < len(span) \
-                    and span[i + 1].text == "(":
-                # bare ts_dict_count(col) = number of distinct terms
-                field = field or span[i + 2].text.split(".")[-1]
-                out.extend([Tok("IDENT", "count"), Tok("OP", "("),
-                            Tok("IDENT", "term"), Tok("OP", ")")])
+                continue
+            # bare ts_dict_X(col) — aligned-list aggregate
+            if (low in _TSDICT_MAP and i + 3 < n
+                    and span[i + 1].text == "("
+                    and span[i + 2].kind == "IDENT"
+                    and span[i + 3].text == ")"):
+                fn = low.replace("ts_dict_", "")
+                out.append(Tok("IDENT",
+                               add_call(fn, span[i + 2].text, "bare")))
                 i += 4
-            else:
-                out.append(t)
-                i += 1
+                continue
+            out.append(t)
+            i += 1
         return out
 
-    items = [_render(_rewrite_casts(rewrite(it)))
-             for it in _split_top(sel_toks, (",",))]
-    if field is None:
+    raw_items = _split_top(sel_toks, (",",))
+    items = []
+    for it in raw_items:
+        rendered = _render(_rewrite_casts(rewrite(it)))
+        if (it and not any(t.upper == "AS" for t in it)
+                and re.fullmatch(r"__tsd\d+", rendered)):
+            # no alias: PG names the output after the outermost call
+            # (ts_dict_doc_restricted.test header `list_sort`)
+            rendered = f"{rendered} AS {it[0].text.lower()}"
+        items.append(rendered)
+    if not calls:
         raise ValueError("no ts_dict_*(column) call found")
+    field0 = calls[0].field
+    fields = {c.field for c in calls}
 
-    def field_to_term(span: list[Tok]) -> list[Tok]:
-        return [Tok("IDENT", "term")
-                if (t.kind == "IDENT" and t.text.split(".")[-1] == field)
-                else t for t in span]
+    # ---- WHERE classification -------------------------------------------
+    def _split_and(span: list[Tok]) -> list[list[Tok]]:
+        """Split on top-level AND, keeping BETWEEN ... AND ... intact."""
+        parts: list[list[Tok]] = [[]]
+        depth = 0
+        pending_between = 0
+        for t in span:
+            if t.text in ("(", "["):
+                depth += 1
+            elif t.text in (")", "]"):
+                depth -= 1
+            if depth == 0 and t.upper == "BETWEEN":
+                pending_between += 1
+            elif depth == 0 and t.upper == "AND":
+                if pending_between:
+                    pending_between -= 1
+                else:
+                    parts.append([])
+                    continue
+            parts[-1].append(t)
+        return parts
 
-    residual = None
+    term_residuals: list[tuple[str, str]] = []
+    doc_parts: list[str] = []
     if wpos >= 0:
         wend = min(x for x in (opos, lpos, len(toks)) if x >= 0)
-        residual = _render(_rewrite_casts(
-            field_to_term(toks[wpos + 1:wend])))
+        for conj in _split_and(toks[wpos + 1:wend]):
+            if not conj:
+                continue
+            has_atat = any(t.text == "@@" for t in conj)
+            col_refs = set()
+            for k2, t in enumerate(conj):
+                if t.kind != "IDENT" or t.upper in _TSDICT_KEYWORDS:
+                    continue
+                nxt = conj[k2 + 1].text if k2 + 1 < len(conj) else ""
+                if nxt == "(":
+                    continue        # a function name
+                col_refs.add(t.text.split(".")[-1])
+            if (not has_atat and col_refs
+                    and col_refs <= fields):
+                # TERM-level: every referenced column is an enumerated
+                # dict field — the predicate ranges over its terms
+                f = next(iter(col_refs & fields), field0)
+                mapped = [Tok("IDENT", "term")
+                          if (t.kind == "IDENT"
+                              and t.text.split(".")[-1] in fields)
+                          else t for t in conj]
+                term_residuals.append(
+                    (f, _render(_rewrite_casts(mapped))))
+            else:
+                doc_parts.append(_render(conj))
+    doc_where = " AND ".join(f"({p})" for p in doc_parts) or None
+
+    # legacy single-field residual text (kept for callers that read it)
+    residual = term_residuals[0][1] if term_residuals else None
+
     order: list[tuple[str, bool]] = []
     if opos >= 0:
         oend = lpos if lpos >= 0 else len(toks)
@@ -2463,27 +2624,292 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
             if key and key[-1].upper in ("ASC", "DESC"):
                 desc = key[-1].upper == "DESC"
                 key = key[:-1]
-            order.append((_render(field_to_term(rewrite(key))), desc))
+            mapped = [Tok("IDENT", "term")
+                      if (t.kind == "IDENT"
+                          and t.text.split(".")[-1] in fields)
+                      else t for t in key]
+            order.append((_render(_rewrite_casts(rewrite(mapped))), desc))
     limit = None
     if lpos >= 0:
         limit = int(toks[lpos + 1].text)
-    return TsDictSelect(items, from_name, field, residual, order, limit)
+    return TsDictSelect(items, from_name, field0, residual, order, limit,
+                        calls=calls, term_residuals=term_residuals,
+                        doc_where=doc_where)
 
 
-def execute_ts_dict(stmt: TsDictSelect, get_index) -> DataFrame:
-    """The claimed term-dictionary aggregate: answered from term_stats,
-    never touching rows (reference ts_dict_plan.cpp)."""
+def _tsdict_relation(idx, f: str, doc_ids, need_score: bool):
+    """The dict relation (term, doc_count, total_freq[, score]) for one
+    field — from term_stats when unrestricted, postings ⋉ doc set when a
+    doc-level WHERE narrows the corpus (delete-aware live counts)."""
     from serenedb_spark.operators import facets as FC
 
+    if doc_ids is not None:
+        df = FC.ts_dict_filtered(idx, doc_ids, f)
+    else:
+        df = FC.ts_dict(idx, f)
+    if need_score:
+        # a plain enumeration carries no per-term match score — every
+        # term scores 1; a fuzzy/term matcher overrides this
+        # (ts_dict_fuzzy.test:133 'doc-level fuzzy WHERE has no
+        # per-term score')
+        df = df.withColumn("score", F.lit(1.0))
+    return df
+
+
+def execute_ts_dict(stmt: TsDictSelect, get_index,
+                    doc_ids_for=None) -> DataFrame:
+    """The claimed term-dictionary aggregate: answered from term stats /
+    postings, never scanning document text (reference ts_dict_plan.cpp).
+
+    ``doc_ids_for(from_name, where_sql) -> DataFrame[key]`` evaluates a
+    doc-level WHERE (``@@`` claims and plain predicates) to the matched
+    doc-id set; postings are then semi-joined to it
+    (ts_dict_doc_restricted.test).
+
+    Multi-field unnests ZIP positionally with NULL padding — DuckDB's
+    multi-unnest semantics, preserved by the reference
+    (ts_dict_multi_field.test:81) — so the general path aggregates each
+    field's dictionary to a term-sorted struct array, zips across
+    fields, and re-explodes. The common single-field all-unnest shape
+    skips the collect entirely and stays a flat distributed relation."""
+    calls = stmt.calls
+    if not calls:   # pre-r11 callers constructed TsDictSelect directly
+        raise ValueError("TsDictSelect without calls")
     idx = get_index(stmt.from_name, stmt.field)
-    df = FC.ts_dict(idx, stmt.field)
-    if stmt.residual:
-        df = df.where(F.expr(stmt.residual))
+    for c in calls:
+        if c.field not in idx.fields:
+            raise ValueError(
+                f"ts_dict_{c.fn}(): column has no text term dictionary")
+        an_name = idx.fields[c.field]
+        if an_name == "encoded_int":
+            # numeric columns index granular-encoded keys, not text
+            # terms (ts_dict_numeric.test:24)
+            raise ValueError(
+                f"ts_dict_{c.fn}(): column has no text term dictionary")
+    doc_ids = None
+    if stmt.doc_where is not None:
+        if doc_ids_for is None:
+            raise ValueError(
+                "doc-level WHERE under ts_dict requires a session "
+                "(doc_ids_for) to evaluate the document filter")
+        doc_ids = doc_ids_for(stmt.from_name, stmt.doc_where)
+
+    need_score = any(c.fn == "score" for c in calls)
+    fields_in_order: list[str] = []
+    for c in calls:
+        if c.field not in fields_in_order:
+            fields_in_order.append(c.field)
+
+    residual_by_field: dict[str, list[str]] = {}
+    for f, pred in stmt.term_residuals:
+        residual_by_field.setdefault(f, []).append(pred)
+
+    enum_fields = {c.field for c in calls}
+    if len(enum_fields) > 1:
+        for f, pred in stmt.term_residuals:
+            if re.search(r"\w\s*\(", pred):
+                # scalar residues cannot post-filter multi-field rows
+                # (other fields' term columns are NULL on them) —
+                # ts_dict_multi_field.test:219
+                raise ValueError(
+                    "multi-field ts_dict_agg() WHERE accepts indexed "
+                    "document predicates and keyword term acceptors "
+                    "only")
+
+    def dict_rel(f: str) -> DataFrame:
+        D = _tsdict_relation(idx, f, doc_ids, need_score)
+        for pred in residual_by_field.get(f, ()):
+            D = D.where(F.expr(pred))
+        if stmt.term_matcher is not None:
+            D = _apply_term_matcher(D, idx, f, stmt.term_matcher)
+        return D
+
+    unnest_calls = [c for c in calls if c.form == "unnest"]
+    unnest_fields: list[str] = []
+    for c in unnest_calls:
+        if c.field not in unnest_fields:
+            unnest_fields.append(c.field)
+
+    if unnest_calls and len(calls) == len(unnest_calls) \
+            and len(unnest_fields) == 1:
+        # fast path: one enumerated field, every item row-wise — the
+        # dict relation IS the result shape, no collect, stays
+        # distributed (the reference's unnest→scan collapse,
+        # ts_dict.test:168 plan check)
+        D = dict_rel(unnest_fields[0])
+        out = D.selectExpr(
+            *[f"{_tsdict_expr(c)} AS {c.ph}" for c in calls])
+        if stmt.order:
+            out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
+        if stmt.limit is not None:
+            out = out.limit(stmt.limit)
+        return out.selectExpr(*stmt.select_items)
+
+    # general path: per-field single-row aggregation, zip + re-explode
+    # for the unnest calls
+    per_field: list[DataFrame] = []
+    for f in fields_in_order:
+        D = dict_rel(f)
+        exprs: list[str] = []
+        fu = [c for c in unnest_calls if c.field == f]
+        if fu:
+            inner = ", ".join(
+                f"{_tsdict_expr(c)} AS {c.ph}" for c in fu)
+            exprs.append(
+                f"array_sort(collect_list(struct(term AS _t, {inner})))"
+                f" AS __arr_{f}")
+        for c in calls:
+            if c.field != f or c.form == "unnest":
+                continue
+            if c.form == "list":
+                exprs.append(
+                    f"sort_array(collect_list({_tsdict_expr(c)})) "
+                    f"AS {c.ph}")
+            elif c.form == "bare":
+                # align every bare list by sorting on the term —
+                # cross-segment emission order is unspecified
+                # (ts_dict.test:100 comment)
+                exprs.append(
+                    f"transform(array_sort(collect_list(struct("
+                    f"term AS _t, {_tsdict_expr(c)} AS _v))), "
+                    f"_s -> _s._v) AS {c.ph}")
+            else:  # scalar min/max
+                mm = "min" if c.fn == "min" else "max"
+                exprs.append(f"{mm}(term) AS {c.ph}")
+        per_field.append(D.selectExpr(*exprs))
+
+    out = per_field[0]
+    for D in per_field[1:]:
+        out = out.crossJoin(D)     # single rows: a 1×1 join
+    if unnest_calls:
+        if len(unnest_fields) == 1:
+            zip_expr = f"__arr_{unnest_fields[0]}"
+            proj = {c.ph: f"__z.{c.ph}" for c in unnest_calls}
+        else:
+            zip_expr = "arrays_zip(" + ", ".join(
+                f"__arr_{f}" for f in unnest_fields) + ")"
+            proj = {c.ph: f"__z.__arr_{c.field}.{c.ph}"
+                    for c in unnest_calls}
+        keep = [c.ph for c in calls if c.form != "unnest"]
+        out = (out.selectExpr(f"explode({zip_expr}) AS __z", *keep)
+               .selectExpr(*[f"{src} AS {ph}"
+                             for ph, src in proj.items()], *keep))
     if stmt.order:
-        df = df.orderBy(*_order_keys(stmt.order, stmt.select_items))
+        out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
     if stmt.limit is not None:
-        df = df.limit(stmt.limit)
-    return df.selectExpr(*stmt.select_items)
+        out = out.limit(stmt.limit)
+    return out.selectExpr(*stmt.select_items)
+
+
+def _apply_term_matcher(D: DataFrame, idx, f: str, matcher) -> DataFrame:
+    """Push an outer `term @@ <matcher>` filter into the enumeration:
+    restrict to matched terms and carry the per-term similarity score
+    (reference levenshtein_filter.cpp:49 — 1 - d/min(|term|, |query|))."""
+    from serenedb_spark.plans import planner as PL
+    from serenedb_spark.plans import tsquery as q
+
+    if isinstance(matcher, q.Fuzzy):
+        w, d = matcher.term, matcher.distance
+        cand = D.where(
+            (F.length("term") >= len(w) - d)
+            & (F.length("term") <= len(w) + d))
+        lev = F.levenshtein(F.col("term"), F.lit(w))
+        cand = cand.where(lev <= d)
+        sim = (F.lit(1.0) - lev.cast("double")
+               / F.least(F.length("term"), F.lit(len(w))).cast("double"))
+        if "score" in cand.columns:
+            cand = cand.withColumn("score", sim)
+        return cand
+    terms = PL._expand(idx, f, matcher).withColumnRenamed("term", "__mt")
+    return D.join(terms, D["term"] == terms["__mt"], "left_semi")
+
+
+def parse_tsdict_outer(sql: str):
+    """``SELECT ... FROM ( <ts_dict select> ) alias WHERE <pred>`` —
+    fuzzy/prefix completion over the emitted terms. The reference pushes
+    the outer term filter down into the dictionary enumeration, and an
+    ``@@`` matcher there carries its per-term similarity score
+    (ts_dict_fuzzy.test:58-66). Returns (TsDictSelect, outer_items,
+    matcher_leaf|None, plain_preds, order, limit) or None."""
+    toks = tokenize(sql.strip().rstrip(";"))
+    if not any(t.kind == "IDENT" and t.text.lower().startswith("ts_dict_")
+               for t in toks):
+        return None
+    if not toks or toks[0].upper != "SELECT":
+        return None
+    fpos = _find_clause(toks, ("FROM",))
+    if fpos < 0 or fpos + 1 >= len(toks) or toks[fpos + 1].text != "(":
+        return None
+    depth = 0
+    j = fpos + 1
+    while j < len(toks):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    inner = toks[fpos + 2:j]
+    if any(_find_clause(inner, (op,)) >= 0
+           for op in ("UNION", "INTERSECT", "EXCEPT")):
+        return None     # set-op composition: the subquery path owns it
+    td = parse_ts_dict(_render(inner))
+    if td is None:
+        return None
+    k = j + 1
+    if (k < len(toks) and toks[k].kind == "IDENT"
+            and toks[k].upper not in ("WHERE", "ORDER", "LIMIT")):
+        k += 1                      # subquery alias, positional binding
+    outer_items = [_render(x) for x in _split_top(toks[1:fpos], (",",))]
+    wpos = _find_clause(toks, ("WHERE",), k)
+    opos = _find_clause(toks, ("ORDER", "BY"), k)
+    lpos = _find_clause(toks, ("LIMIT",), k)
+    matcher = None
+    plain: list[str] = []
+    if wpos >= 0:
+        wend = min(x for x in (opos, lpos, len(toks)) if x >= 0)
+        for conj in _split_top(toks[wpos + 1:wend], ("AND",)):
+            ats = [i for i, t in enumerate(conj) if t.text == "@@"]
+            if ats:
+                a = ats[0]
+                name = conj[a + 1].text.lower()
+                ts = _Stream(conj[a + 2:])
+                matcher = _parse_call(name, ts, None)
+            else:
+                plain.append(_render(conj))
+    order: list[tuple[str, bool]] = []
+    if opos >= 0:
+        oend = lpos if lpos >= 0 else len(toks)
+        for key in _split_top(toks[opos + 2:oend], (",",)):
+            desc = False
+            if key and key[-1].upper in ("ASC", "DESC"):
+                desc = key[-1].upper == "DESC"
+                key = key[:-1]
+            order.append((_render(key), desc))
+    limit = int(toks[lpos + 1].text) if lpos >= 0 else None
+    if matcher is None:
+        # no @@ term matcher to push down: the generic subquery
+        # machinery serves plain outer filters/aggregates better
+        return None
+    return td, outer_items, matcher, plain, order, limit
+
+
+def execute_tsdict_outer(parsed, get_index, doc_ids_for=None) -> DataFrame:
+    """Run a parse_tsdict_outer statement: the inner dictionary select
+    executes with the matcher pushed into its enumeration, then the
+    outer projection/filter/order apply over the aliased result."""
+    td, outer_items, matcher, plain, order, limit = parsed
+    if matcher is not None:
+        td.term_matcher = matcher
+    df = execute_ts_dict(td, get_index, doc_ids_for)
+    for p in plain:
+        df = df.where(F.expr(p))
+    if order:
+        df = df.orderBy(*_order_keys(order, outer_items))
+    if limit is not None:
+        df = df.limit(limit)
+    return df.selectExpr(*outer_items)
 
 
 # ---------------------------------------------------------------------------

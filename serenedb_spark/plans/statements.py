@@ -819,7 +819,12 @@ def _copy(session, s: str, dry_run: bool = False):
         _require_base_table(session, table, "{t} is not an table")
         if (table not in session._tables
                 and table in getattr(session, "_indexes", {})):
-            table = session._index_sources[table]
+            src = getattr(session, "_index_sources", {}).get(table)
+            if not src:
+                # indexes built via the DataFrame API have no source
+                # table registered — nothing to write through to
+                raise ValueError(f"cannot open relation {table}")
+            table = src
     path_tok = ts.next()
     if path_tok.kind != "STR":
         raise ValueError("COPY expects a quoted file path")
@@ -1406,7 +1411,10 @@ def _insert(session, s: str) -> DataFrame:
             and table in getattr(session, "_indexes", {})):
         # INSERT INTO an index relation writes through to its source
         # table (basic.test:403)
-        table = session._index_sources[table]
+        src = getattr(session, "_index_sources", {}).get(table)
+        if not src:
+            raise ValueError(f"cannot open relation {table}")
+        table = src
     cols: list[str] | None = None
     if ts.peek() and ts.peek().text == "(":
         ts.next()
@@ -1521,9 +1529,17 @@ def _insert(session, s: str) -> DataFrame:
         if mm and ("NumberFormatException" in str(e)
                    or "CAST_INVALID_INPUT" in str(e)):
             # PG/DuckDB wording for a failed literal coercion
-            # (basic.test:403)
+            # (basic.test:403) — the target type comes from the Spark
+            # exception (CAST_INVALID_INPUT names it), INT32 only as
+            # the NumberFormatException fallback
+            tm = re.search(r'cannot be cast to "([A-Z_]+)"', str(e))
+            spark_t = tm.group(1) if tm else "INT"
+            pg_t = {"INT": "INT32", "BIGINT": "INT64",
+                    "SMALLINT": "INT16", "TINYINT": "INT8",
+                    "FLOAT": "FLOAT", "DOUBLE": "DOUBLE"}.get(
+                        spark_t, spark_t)
             raise ValueError(
-                f"Could not convert string '{mm.group(1)}' to INT32"
+                f"Could not convert string '{mm.group(1)}' to {pg_t}"
             ) from None
         raise
     if returning is not None:

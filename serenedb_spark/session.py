@@ -71,7 +71,16 @@ def _pad_highlight_calls(q: str) -> str:
         depth, commas, i = 1, 0, m.end()
         while i < len(q) and depth:
             ch = q[i]
-            if ch in "([":
+            if ch == "'":           # skip string literals ('' escapes)
+                i += 1
+                while i < len(q):
+                    if q[i] == "'":
+                        if i + 1 < len(q) and q[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif ch in "([":
                 depth += 1
             elif ch in ")]":
                 depth -= 1
@@ -332,9 +341,21 @@ class SereneSession:
 
         if not SS.has_search_construct(q):
             return self._plain_sql(q)
+        from serenedb_spark.plans.search_join import split_set_ops
+
+        # a subquery extracted by rewrite_search_subqueries can itself
+        # be a UNION/INTERSECT/EXCEPT of search statements
+        # (ts_dict_compose.test) — re-split on re-entry
+        parts = split_set_ops(SS.tokenize(q.strip().rstrip(";")))
+        if parts is not None:
+            return self._run_set_ops(*parts)
         from serenedb_spark.plans.search_join import (
             rewrite_search_subqueries)
 
+        to = SS.parse_tsdict_outer(q)
+        if to is not None:
+            return SS.execute_tsdict_outer(to, self._index_for,
+                                           self._tsdict_doc_ids)
         new_q, changed = rewrite_search_subqueries(
             q, self._run_select, self.spark)
         if changed:
@@ -342,9 +363,22 @@ class SereneSession:
         scalar = self._scalar_ts_lexize(q)
         if scalar is not None:
             return scalar
+        import re as _re
+        _td_fn = _re.search(r"\bts_dict_\w+(?=\s*\()", q)
+        if _td_fn is not None:
+            _frm = _re.search(r"\bFROM\s+([A-Za-z_][\w.]*)", q,
+                              _re.IGNORECASE)
+            if _frm is not None and _frm.group(1) not in self._indexes:
+                # the reference binds ts_dict aggregates to the index
+                # RELATION only; a base table has no term dictionary to
+                # claim (ts_dict.test:222)
+                raise ValueError(
+                    f"{_td_fn.group(0)}() requires an inverted index "
+                    f"scan in the same sub-query")
         td = SS.parse_ts_dict(q)
         if td is not None:
-            return SS.execute_ts_dict(td, self._index_for)
+            return SS.execute_ts_dict(td, self._index_for,
+                                      self._tsdict_doc_ids)
         from serenedb_spark.plans.search_join import (
             execute_multirel, needs_multirel)
 
@@ -741,7 +775,9 @@ class SereneSession:
             # `category` matches via @@ without an analyzer spec); the
             # key column and non-strings stay stored-only
             if c != key and c not in fields \
-                    and dtypes.get(c) == "string":
+                    and dtypes.get(c) in ("string", "array<string>"):
+                # arrays index element-wise into the same field shape
+                # as a scalar keyword column (ts_dict_list.test)
                 fields[c] = "keyword"
             elif c not in fields and dtypes.get(c) in (
                     "int", "bigint", "smallint"):
@@ -749,10 +785,35 @@ class SereneSession:
                 # range claims hit the dictionary (key_encoding.h;
                 # full_text_search.test id @@ ts_between)
                 fields[c] = "encoded_int"
-        exprs = {name: F.expr(self._inline_macros(e))
+        from serenedb_spark.plans.dialect import rewrite_ts_split
+        exprs = {name: F.expr(rewrite_ts_split(self._inline_macros(e)))
                  for name, e in (getattr(ddl, "exprs", None) or {}).items()}
+        old = self._indexes.get(ddl.name)
         idx = build_index(df, fields, key=key, include=include,
                           name=ddl.name, exprs=exprs or None)
+        if old is not None:
+            # a refresh over an existing index: carry RAW term totals —
+            # docs deleted since the last refresh stay counted in ctf
+            # until compaction, exactly like the reference's per-segment
+            # masks (ts_dict_deletes.test:125 "freq keeps the raw index
+            # value"). New docs (ids outside the old universe) add their
+            # stats on top.
+            old_raw = (old.term_stats_raw
+                       if old.term_stats_raw is not None
+                       else old.term_stats).select("field", "term", "ctf")
+            added = (
+                idx.postings
+                .join(old.universe.select("field", "doc_id").distinct()
+                      .withColumnRenamed("doc_id", "__od")
+                      .withColumnRenamed("field", "__of"),
+                      (F.col("field") == F.col("__of"))
+                      & (F.col("doc_id") == F.col("__od")), "left_anti")
+                .groupBy("field", "term")
+                .agg(F.sum("freq").cast("long").alias("ctf")))
+            idx.term_stats_raw = (
+                old_raw.unionByName(added)
+                .groupBy("field", "term")
+                .agg(F.sum("ctf").cast("long").alias("ctf")))
         self._indexes[ddl.name] = idx
         if not hasattr(self, "_index_sources"):
             self._index_sources = {}
@@ -764,6 +825,24 @@ class SereneSession:
             [(ddl.name, ddl.table, ",".join(
                 f"{c} {a}" for c, a in ddl.fields.items()))],
             "index_name string, table_name string, fields string")
+
+    def _tsdict_doc_ids(self, from_name: str, where_sql: str):
+        """Evaluate a ts_dict doc-level WHERE to the matched doc-id set
+        (ts_dict_doc_restricted.test): ``@@`` claims run through the
+        search planner; plain predicates run on the relation directly."""
+        from serenedb_spark.plans import search_sql as SS
+
+        idx = self._indexes.get(from_name)
+        key = idx.key if idx is not None else "doc_id"
+        sub = f"SELECT {key} FROM {from_name} WHERE {where_sql}"
+        if "@@" in where_sql or SS.has_search_construct(sub):
+            stmt = SS.parse_select(
+                sub, lambda t, c: self._index_for(t, c).analyzer(c))
+            df = SS.execute_select(stmt, self._index_for,
+                                   self._relation_for)
+        else:
+            df = self._plain_sql(sub)
+        return df.select(F.col(df.columns[0]).alias("doc_id")).distinct()
 
     def _index_for(self, from_name: str, column: str):
         """Resolve the index serving `FROM from_name ... column @@ ...`:
