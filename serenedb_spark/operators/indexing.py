@@ -105,7 +105,12 @@ def build_index(
     for col, analyzer_name in fields.items():
         an = get_analyzer(analyzer_name)
         src = exprs[col] if col in exprs else F.col(col)
-        if col not in exprs and dtypes.get(col, "").startswith("array"):
+        if col in exprs:
+            src_type = df.select(src.alias("__t")).schema[0].dataType \
+                .simpleString()
+        else:
+            src_type = dtypes.get(col, "")
+        if src_type.startswith("array"):
             # LIST/ARRAY columns index element-wise: analyze each
             # element and concatenate the token streams — the term
             # dictionary then serves the same aggregates as a scalar

@@ -471,12 +471,34 @@ def rewrite_ordered_aggs(sql: str) -> str:
                         m = om
                         break
                 if m is None:
-                    fn = "collect_list" if word == "list" else (
-                        "collect_list" if word == "array_agg"
-                        else "string_agg")
-                    out.append(f"{fn}({inner})")
+                    if word == "string_agg":
+                        out.append(f"string_agg({inner})")
+                    elif word == "array_agg":
+                        # PG array_agg KEEPS NULL elements (Spark's
+                        # drops them) — collect non-null structs and
+                        # unwrap (ts_dict_mixing.test:156 {x,y,NULL})
+                        body = inner
+                        distinct = False
+                        dm = re.match(r"\s*DISTINCT\b(.*)$", body,
+                                      re.IGNORECASE | re.DOTALL)
+                        if dm:
+                            distinct = True
+                            body = dm.group(1)
+                        e = (f"transform(collect_list(struct({body} "
+                             f"AS _v)), _s -> _s._v)")
+                        if distinct:
+                            e = f"array_distinct({e})"
+                        out.append(e)
+                    else:
+                        out.append(f"collect_list({inner})")
                 else:
                     head = inner[:m.start()].rstrip().rstrip(",")
+                    distinct = False
+                    dm = re.match(r"\s*DISTINCT\b(.*)$", head,
+                                  re.IGNORECASE | re.DOTALL)
+                    if dm:
+                        distinct = True
+                        head = dm.group(1).strip()
                     key = inner[m.end():].strip()
                     desc = False
                     if key.upper().endswith(" DESC"):
@@ -487,12 +509,17 @@ def rewrite_ordered_aggs(sql: str) -> str:
                     if word == "string_agg":
                         head, sep = [p.strip() for p in
                                      head.rsplit(",", 1)]
+                    # leading null-flag gives PG's NULLS LAST on ASC
+                    # (struct fields with NULL would sort first)
                     sorted_arr = (
-                        f"array_sort(collect_list("
-                        f"struct({key} AS _ob, {head} AS _v)))")
+                        f"array_sort(collect_list(struct("
+                        f"({key}) IS NULL AS _nn, {key} AS _ob, "
+                        f"{head} AS _v)))")
                     if desc:
                         sorted_arr = f"reverse({sorted_arr})"
                     expr = f"transform({sorted_arr}, _s -> _s._v)"
+                    if distinct:
+                        expr = f"array_distinct({expr})"
                     if word == "string_agg":
                         expr = f"array_join({expr}, {sep})"
                     out.append(expr)
@@ -635,12 +662,87 @@ def rewrite_caret_power(sql: str) -> str:
     return "".join(parts)
 
 
+_ORDER_BY_POS_RE = re.compile(r"\bORDER\s+BY\b", re.IGNORECASE)
+
+_ORDER_TERMINATORS = {"LIMIT", "OFFSET", "FETCH", "FOR", "UNION",
+                      "INTERSECT", "EXCEPT", "ROWS", "RANGE", "GROUPS"}
+
+
+def rewrite_order_nulls(sql: str) -> str:
+    """PG sorts NULLS LAST on ASC and NULLS FIRST on DESC; Spark does
+    the opposite (ts_dict_view.test:56 `ORDER BY n DESC, b`). Make the
+    PG default explicit on every ORDER BY key that doesn't already
+    state a NULLS direction."""
+    if "order" not in sql.lower():
+        return sql
+    for m in reversed(list(_ORDER_BY_POS_RE.finditer(sql))):
+        start = m.end()
+        n = len(sql)
+        depth = 0
+        i = start
+        end = n
+        while i < n:
+            c = sql[i]
+            if c == "'":
+                i += 1
+                while i < n:
+                    if sql[i] == "'":
+                        if i + 1 < n and sql[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0 and (c.isalpha() or c == "_"):
+                w = re.match(r"[A-Za-z_]+", sql[i:]).group(0)
+                if w.upper() in _ORDER_TERMINATORS:
+                    end = i
+                    break
+                i += len(w) - 1
+            i += 1
+        clause = sql[start:end]
+        items: list[str] = []
+        d2 = 0
+        cur = []
+        for ch in clause:
+            if ch == "(":
+                d2 += 1
+            elif ch == ")":
+                d2 -= 1
+            if ch == "," and d2 == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        items.append("".join(cur))
+        out_items = []
+        for it in items:
+            s = it.strip()
+            if not s or re.search(r"\bNULLS\s+(FIRST|LAST)\b", s,
+                                  re.IGNORECASE):
+                out_items.append(s)
+            elif re.search(r"\bDESC\s*$", s, re.IGNORECASE):
+                out_items.append(s + " NULLS FIRST")
+            else:
+                out_items.append(s + " NULLS LAST")
+        sql = (sql[:start] + " " + ", ".join(out_items)
+               + (" " if end < n else "") + sql[end:])
+    return sql
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
     lowered = rewrite_qualify(rewrite_fn_renames(
         rewrite_generate_series(rewrite_pg_casts(
             rewrite_values_columns(rewrite_offset_limit(
                 rewrite_public_schema(rewrite_array_literals(
-                    rewrite_ordered_aggs(rewrite_ts_split(
-                        rewrite_pg_regex_ops(rewrite_caret_power(sql))))))))))))
+                    rewrite_order_nulls(rewrite_ordered_aggs(
+                        rewrite_ts_split(rewrite_pg_regex_ops(
+                            rewrite_caret_power(sql)))))))))))))
     return spark.sql(lowered)

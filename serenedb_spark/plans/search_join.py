@@ -227,12 +227,20 @@ def _plan(sql_text: str, get_index) -> _MRPlan:
             if at is None:
                 continue
             left = toks[cs:at]
-            if len(left) != 1 or left[0].kind != "IDENT":
+            if len(left) == 1 and left[0].kind == "IDENT":
+                parts = left[0].text.split(".")
+                qual = parts[0] if len(parts) > 1 else None
+                col = parts[-1]
+            elif (len(left) > 2 and left[0].kind == "IDENT"
+                  and left[1].text == "("):
+                # expression-key field: the index names the field by its
+                # expression text (ts_dict_view.test
+                # `ts_split_by_non_alpha(Body, true) @@ ...`)
+                qual = None
+                col = _render(left)
+            else:
                 raise ValueError(
                     f"@@ left side must be a column, got {_render(left)!r}")
-            parts = left[0].text.split(".")
-            qual = parts[0] if len(parts) > 1 else None
-            col = parts[-1]
             rel = _resolve_rel(qual, col, rels, byq, get_index)
             an = get_index(rel.name, col).analyzer(col)
             ts = _Stream(toks[at + 1:ce])

@@ -2061,9 +2061,11 @@ def _alias_map(select_items: list[str]) -> dict[str, str]:
 
 def _order_keys(stmt_order, select_items):
     amap = _alias_map(select_items)
+    # PG null ordering: ASC → NULLS LAST, DESC → NULLS FIRST (Spark
+    # defaults are the opposite)
     return [
-        (F.expr(amap.get(k, k)).desc() if d
-         else F.expr(amap.get(k, k)).asc())
+        (F.expr(amap.get(k, k)).desc_nulls_first() if d
+         else F.expr(amap.get(k, k)).asc_nulls_last())
         for k, d in stmt_order
     ]
 
@@ -2395,6 +2397,9 @@ class TsDictSelect:
     order: list[tuple[str, bool]]
     limit: int | None
     calls: list = field(default_factory=list)
+    #: sibling DOCUMENT-row aggregates (count(*)/min/sum over the doc
+    #: scan, cross-joined — ts_dict_mixing.test:223): (placeholder, sql)
+    row_aggs: list = field(default_factory=list)
     #: per-field TERM-level predicates (SQL over `term`)
     term_residuals: list = field(default_factory=list)
     #: DOC-level WHERE text (original column names; @@ claims allowed)
@@ -2441,6 +2446,31 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
         return None     # set-op arms parse individually (ts_dict_compose)
     if not toks or toks[0].upper != "SELECT":
         raise ValueError("ts_dict_* only supported in SELECT")
+    for i2, t2 in enumerate(toks):
+        if (t2.kind == "IDENT" and t2.text.lower().startswith("ts_dict_")
+                and i2 + 1 < len(toks) and toks[i2 + 1].text == "("):
+            d2 = 0
+            j2 = i2 + 1
+            while j2 < len(toks):
+                if toks[j2].text == "(":
+                    d2 += 1
+                elif toks[j2].text == ")":
+                    d2 -= 1
+                    if d2 == 0:
+                        break
+                j2 += 1
+            if j2 + 1 < len(toks) and toks[j2 + 1].upper == "OVER":
+                # ts_dict_mixing.test:252 — no dictionary scan under a
+                # per-row window frame
+                raise ValueError(
+                    f"{t2.text.lower()}() cannot be used as a window "
+                    "function")
+    if _find_clause(toks, ("GROUP",)) >= 0:
+        # grouped mixed aggregates stay rejected
+        # (ts_dict_mixing.test:245)
+        raise ValueError(
+            "ts_dict_* aggregates cannot be combined with other "
+            "aggregates over the same scan")
     fpos = _find_clause(toks, ("FROM",))
     if fpos < 0:
         # scalar-subquery items (`SELECT (SELECT ts_dict_agg..) AS b`):
@@ -2545,16 +2575,43 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
             i += 1
         return out
 
+    _ROW_AGG_FNS = {"count", "sum", "min", "max", "avg", "stddev",
+                    "variance", "array_agg", "string_agg", "list"}
     raw_items = _split_top(sel_toks, (",",))
     items = []
+    row_aggs: list[tuple[str, str]] = []
     for it in raw_items:
+        before = len(calls)
         rendered = _render(_rewrite_casts(rewrite(it)))
-        if (it and not any(t.upper == "AS" for t in it)
-                and re.fullmatch(r"__tsd\d+", rendered)):
-            # no alias: PG names the output after the outermost call
-            # (ts_dict_doc_restricted.test header `list_sort`)
-            rendered = f"{rendered} AS {it[0].text.lower()}"
-        items.append(rendered)
+        if len(calls) > before or "__tsd" in rendered:
+            if (it and not any(t.upper == "AS" for t in it)
+                    and re.fullmatch(r"__tsd\d+", rendered)):
+                # no alias: PG names the output after the outermost call
+                # (ts_dict_doc_restricted.test header `list_sort`)
+                rendered = f"{rendered} AS {it[0].text.lower()}"
+            items.append(rendered)
+            continue
+        is_row_agg = any(
+            t.kind == "IDENT" and t.text.lower() in _ROW_AGG_FNS
+            and k + 1 < len(it) and it[k + 1].text == "("
+            for k, t in enumerate(it))
+        if is_row_agg:
+            # a sibling DOCUMENT aggregate: computed over the doc scan
+            # and cross-joined (ts_dict_mixing.test:223)
+            ph = f"__tsr{len(row_aggs)}"
+            alias = None
+            apos = next((k for k, t in enumerate(it)
+                         if t.upper == "AS"), None)
+            if apos is not None:
+                alias = _render(it[apos + 1:])
+                expr_txt = _render(_rewrite_casts(it[:apos]))
+            else:
+                alias = it[0].text.lower()
+                expr_txt = rendered
+            row_aggs.append((ph, expr_txt))
+            items.append(f"{ph} AS {alias}")
+        else:
+            items.append(rendered)
     if not calls:
         raise ValueError("no ts_dict_*(column) call found")
     field0 = calls[0].field
@@ -2633,7 +2690,8 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
     if lpos >= 0:
         limit = int(toks[lpos + 1].text)
     return TsDictSelect(items, from_name, field0, residual, order, limit,
-                        calls=calls, term_residuals=term_residuals,
+                        calls=calls, row_aggs=row_aggs,
+                        term_residuals=term_residuals,
                         doc_where=doc_where)
 
 
@@ -2724,6 +2782,19 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
             D = _apply_term_matcher(D, idx, f, stmt.term_matcher)
         return D
 
+    row_df = None
+    if stmt.row_aggs:
+        R = idx.docstore
+        key = getattr(idx, "key", "doc_id")
+        if key != "doc_id" and key not in R.columns:
+            R = R.withColumnRenamed("doc_id", key)
+        if doc_ids is not None:
+            R = R.join(
+                doc_ids.select(F.col("doc_id").alias(key)).distinct(),
+                key, "left_semi")
+        row_df = R.selectExpr(
+            *[f"{e} AS {ph}" for ph, e in stmt.row_aggs])
+
     unnest_calls = [c for c in calls if c.form == "unnest"]
     unnest_fields: list[str] = []
     for c in unnest_calls:
@@ -2739,6 +2810,8 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
         D = dict_rel(unnest_fields[0])
         out = D.selectExpr(
             *[f"{_tsdict_expr(c)} AS {c.ph}" for c in calls])
+        if row_df is not None:
+            out = out.crossJoin(F.broadcast(row_df))
         if stmt.order:
             out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
         if stmt.limit is not None:
@@ -2781,6 +2854,8 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
     out = per_field[0]
     for D in per_field[1:]:
         out = out.crossJoin(D)     # single rows: a 1×1 join
+    if row_df is not None:
+        out = out.crossJoin(row_df)
     if unnest_calls:
         if len(unnest_fields) == 1:
             zip_expr = f"__arr_{unnest_fields[0]}"
@@ -2790,7 +2865,8 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
                 f"__arr_{f}" for f in unnest_fields) + ")"
             proj = {c.ph: f"__z.__arr_{c.field}.{c.ph}"
                     for c in unnest_calls}
-        keep = [c.ph for c in calls if c.form != "unnest"]
+        keep = [c.ph for c in calls if c.form != "unnest"] \
+            + [ph for ph, _ in stmt.row_aggs]
         out = (out.selectExpr(f"explode({zip_expr}) AS __z", *keep)
                .selectExpr(*[f"{src} AS {ph}"
                              for ph, src in proj.items()], *keep))

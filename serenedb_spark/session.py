@@ -368,10 +368,14 @@ class SereneSession:
         if _td_fn is not None:
             _frm = _re.search(r"\bFROM\s+([A-Za-z_][\w.]*)", q,
                               _re.IGNORECASE)
-            if _frm is not None and _frm.group(1) not in self._indexes:
+            frm = _frm.group(1) if _frm is not None else None
+            if (frm is not None and frm not in self._indexes
+                    and any(src == frm for src in
+                            getattr(self, "_index_sources", {}).values())):
                 # the reference binds ts_dict aggregates to the index
                 # RELATION only; a base table has no term dictionary to
-                # claim (ts_dict.test:222)
+                # claim (ts_dict.test:222). DataFrame-API sessions keep
+                # the table-name fallback (no SQL catalog to honor).
                 raise ValueError(
                     f"{_td_fn.group(0)}() requires an inverted index "
                     f"scan in the same sub-query")

@@ -559,17 +559,19 @@ def test_explain_vector_scan(vec_session):
 
 
 def test_sql_ts_dict_statement(session):
+    # the reference binds ts_dict to the index RELATION (ts_dict.test:222
+    # errors on the base table), so query FROM doc_idx
     rows = session.sql(
         "SELECT unnest(ts_dict_agg(text)) AS term, "
         "unnest(ts_dict_count(text)) AS docs, "
         "unnest(ts_dict_freq(text)) AS freq "
-        "FROM documents WHERE text LIKE 's%' ORDER BY term LIMIT 10"
+        "FROM doc_idx WHERE text LIKE 's%' ORDER BY term LIMIT 10"
     ).collect()
     assert rows and all(r.term.startswith("s") for r in rows)
     assert all(r.freq >= r.docs > 0 for r in rows)
     mm = session.sql(
         "SELECT ts_dict_min(text) AS lo, ts_dict_max(text) AS hi "
-        "FROM documents").first()
+        "FROM doc_idx").first()
     assert mm.lo <= mm.hi
 
 
