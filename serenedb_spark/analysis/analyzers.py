@@ -1065,6 +1065,40 @@ def _encint_duckdb(e: str) -> str:
 # from the term dictionary — the reference's key_encoding.h contract
 register(Analyzer("encoded_int", _encint_expr, _encint_py,
                   _encint_duckdb, features=("frequency",)))
+
+
+def _encts_expr(col: Column) -> Column:
+    from serenedb_spark.functions.key_encoding import encode_int
+
+    # timestamps index their epoch-micros memcmp key (granular range
+    # claims, filter_optimizer_boolean.test ts BETWEEN TIMESTAMP ...)
+    return F.when(
+        col.isNull(), F.array().cast("array<string>")
+    ).otherwise(F.array(encode_int(F.unix_micros(col.cast("timestamp")))))
+
+
+def _encts_py(v) -> list[str]:
+    import datetime as _dt
+
+    from serenedb_spark.functions.key_encoding import py_encode_int
+
+    if v is None:
+        return []
+    if isinstance(v, str):
+        v = _dt.datetime.fromisoformat(v)
+    epoch = _dt.datetime(1970, 1, 1)
+    micros = int((v - epoch).total_seconds()) * 1_000_000 + v.microsecond
+    return [py_encode_int(micros)]
+
+
+def _encts_duckdb(e: str) -> str:
+    from serenedb_spark.functions.key_encoding import duckdb_encode_int
+
+    return f"[{duckdb_encode_int(f'epoch_us({e})')}]"
+
+
+register(Analyzer("encoded_ts", _encts_expr, _encts_py,
+                  _encts_duckdb, features=("frequency",)))
 _e, _p, _d = _segmentation()
 register(Analyzer("segmentation", _e, _p, _d))
 _e, _p, _d = _minhash(4)

@@ -1,0 +1,694 @@
+"""Box-drawing EXPLAIN rendering — the reference's plan layout.
+
+The reference renders EXPLAIN as rounded boxes (``╭─ NAME ─…─╮``) with
+the claimed index filter as a tree of typed leaf boxes laid out side by
+side under their parent, connected with ``┬``/``┴``/``├`` ticks
+(tests/sqllogic/sdb/pg/index/filter_optimizer_*.test; the writer lives
+in the reference's explain formatter, server/connector/explain). This
+module re-creates that layout from this engine's parsed boolean tree
+(plans/search_sql MatchLeaf/BoolNode) so the reference's EXPLAIN
+expectations compare verbatim instead of being skipped.
+
+Layout rules (derived from the reference's expected outputs):
+- leaf box width  = max(len(title) + 7, widest content line + 4)
+- a parent composite's box is title-only; its WIDTH equals its first
+  child's width, with ``┬`` at the center column ``1 + (w - 2) // 2``
+- every child gets ``┴`` at its own center column in its top border;
+  since the parent is exactly as wide as the first child, the parent's
+  ``┬`` lines up with the first child's ``┴``
+- siblings sit side by side separated by two spaces; a connector row
+  runs from the parent's ``┬`` (as ``├``) through each later child's
+  center (``┬``, final ``╮``)
+- single-child composites stack directly (no connector row)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from dataclasses import field as dc_field
+
+
+@dataclass
+class FBox:
+    title: str
+    lines: list = field(default_factory=list)
+    children: list = field(default_factory=list)
+
+
+def _center(w: int) -> int:
+    return 1 + (w - 2) // 2
+
+
+def _leaf_rows(b: FBox, tick: int | None) -> tuple[list[str], int]:
+    # min width 10 with at least one trailing dash (All → 10, Empty → 11)
+    w = max(10, len(b.title) + 6,
+            max((len(ln) for ln in b.lines), default=0) + 4)
+    top = list("╭─ " + b.title + " " + "─" * (w - len(b.title) - 5) + "╮")
+    if tick is not None:
+        top[tick] = "┴"
+    rows = ["".join(top)]
+    for ln in b.lines:
+        rows.append("│ " + ln.ljust(w - 4) + " │")
+    rows.append("╰" + "─" * (w - 2) + "╯")
+    return rows, w
+
+
+def render_filter(b: FBox, tick: int | None = None) -> list[str]:
+    """Render one filter box (and its subtree); every row is padded to
+    the subtree's full width."""
+    if not b.children:
+        rows, w = _leaf_rows(b, tick)
+        return rows
+    kid_rows: list[list[str]] = []
+    kid_w: list[int] = []
+    for ch in b.children:
+        kr = render_filter(ch, tick=_center(_kid_width(ch)))
+        kid_rows.append(kr)
+        kid_w.append(len(kr[0]))
+    pw = kid_w[0]
+    top = list("╭─ " + b.title + " "
+               + "─" * (pw - len(b.title) - 5) + "╮")
+    if tick is not None:
+        top[tick] = "┴"
+    bottom = list("╰" + "─" * (pw - 2) + "╯")
+    bottom[_center(pw)] = "┬"
+    rows = ["".join(top), "".join(bottom)]
+    total_w = sum(kid_w) + 2 * (len(kid_w) - 1)
+    if len(kid_rows) > 1:
+        conn = [" "] * total_w
+        x = 0
+        ticks = []
+        for i, w in enumerate(kid_w):
+            ticks.append(x + _center(w))
+            x += w + 2
+        for c in range(ticks[0], ticks[-1] + 1):
+            conn[c] = "─"
+        conn[ticks[0]] = "├"
+        for t in ticks[1:-1]:
+            conn[t] = "┬"
+        conn[ticks[-1]] = "╮"
+        rows.append("".join(conn).rstrip())
+    depth = max(len(kr) for kr in kid_rows)
+    for r in range(depth):
+        parts = []
+        for i, kr in enumerate(kid_rows):
+            parts.append(kr[r] if r < len(kr) else " " * kid_w[i])
+        rows.append("  ".join(parts))
+    w_all = max(len(r) for r in rows)
+    return [r.ljust(w_all) for r in rows]
+
+
+def _kid_width(b: FBox) -> int:
+    if not b.children:
+        _, w = _leaf_rows(b, None)
+        return w
+    return _kid_width(b.children[0])
+
+
+# ---------------------------------------------------------------------------
+# outer plan nodes
+# ---------------------------------------------------------------------------
+
+#: text lines longer than this wrap (Values / Projections lists —
+#: 'afternoon','lunch','morning' fits at 39, the 4-value lists at 41
+#: wrap)
+_WRAP = 39
+
+
+def wrap_kv(label: str, text: str, cont_indent: int | None = None
+            ) -> list[str]:
+    """``Label: a, b, c`` — on one line when it fits, else label-only
+    line + the value (Values:) or continuation-indented items
+    (Projections:)."""
+    one = f"{label}: {text}"
+    if len(one) <= _WRAP:
+        return [one]
+    if cont_indent is None:
+        return [f"{label}:", text]
+    # Projections style: break after each comma, continuation aligned
+    # under the first value
+    parts = [p.strip() for p in text.split(",")]
+    lines = [f"{label}: {parts[0]},"]
+    pad = " " * (len(label) + 2)
+    for p in parts[1:-1]:
+        lines.append(f"{pad}{p},")
+    lines.append(f"{pad}{parts[-1]}")
+    return lines
+
+
+def render_node(title: str, lines: list[str],
+                child: list[str] | None = None) -> list[str]:
+    """One outer plan node box; `child` is a rendered node below it —
+    connected with ┬/┴ at the center of the shared width."""
+    w = max(len(title) + 7,
+            max((len(ln) for ln in lines), default=0) + 4)
+    if child:
+        w = max(w, len(child[0]))
+    out = ["╭─ " + title + " " + "─" * (w - len(title) - 5) + "╮"]
+    for ln in lines:
+        out.append("│ " + ln.ljust(w - 4) + " │")
+    if child is None:
+        out.append("╰" + "─" * (w - 2) + "╯")
+        return out
+    bottom = list("╰" + "─" * (w - 2) + "╯")
+    c = _center(w)
+    bottom[c] = "┬"
+    out.append("".join(bottom))
+    # widen the child to the same width and put ┴ in its top border
+    cw = len(child[0])
+    child2 = []
+    for i, ln in enumerate(child):
+        if i == 0:
+            ln = ln[:-1] + "─" * (w - cw) + ln[-1]
+            ln = list(ln)
+            ln[c] = "┴"
+            ln = "".join(ln)
+        elif ln.endswith("│"):
+            ln = ln[:-1] + " " * (w - cw) + ln[-1]
+        elif ln.endswith("╯"):
+            ln = ln[:-1] + "─" * (w - cw) + ln[-1]
+        child2.append(ln)
+    return out + child2
+
+
+# ---------------------------------------------------------------------------
+# parsed-tree → reference filter boxes
+# ---------------------------------------------------------------------------
+
+class _Bail(Exception):
+    """Plan shape outside the renderable surface — caller falls back to
+    the indented-text EXPLAIN."""
+
+
+def _ftype(idx, col: str) -> str:
+    an = idx.fields.get(col)
+    if an is None:
+        raise _Bail(col)
+    return "numeric" if an in ("encoded_int", "encoded_ts") else "string"
+
+
+def _decode_int(s) -> int:
+    from serenedb_spark.functions.key_encoding import _SIGN_BIT
+
+    v = int(str(s), 16) ^ _SIGN_BIT
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def _fmt_boost(b: float) -> str:
+    return f"{b:g}"
+
+
+@dataclass
+class RF:
+    """Reference-filter IR node."""
+    kind: str                   # term terms all empty and or not phrase
+    #                            range gran lev prefix automaton
+    field: str | None = None
+    boost: float = 1.0
+    values: list = dc_field(default_factory=list)  # terms: [(value, boost)]
+    mm: int = 0
+    data: dict = dc_field(default_factory=dict)
+    children: list = dc_field(default_factory=list)
+    #: lowered (non-@@) claims sort after @@ claims inside And
+    lowered: bool = False
+
+
+def _demote(c: RF) -> RF:
+    """A one-value min-match-1 Terms is displayed as a plain Term."""
+    if (c.kind == "terms" and len(c.values) == 1 and c.mm == 1
+            and c.values[0][1] is None and c.boost == 1.0):
+        return RF("term", c.field, data={"value": c.values[0][0]},
+                  lowered=c.lowered)
+    return c
+
+
+def _simplify_and(children: list[RF], scored: bool) -> RF:
+    flat: list[RF] = []
+    for c in children:
+        if c.kind == "and":
+            flat.extend(c.children)
+        else:
+            flat.append(c)
+    children = flat
+    if any(c.kind == "empty" for c in children):
+        f = next(c.field for c in children if c.kind == "empty")
+        return RF("empty", f)
+    kept: list[RF] = []
+    dropped_all = 0
+    for c in children:
+        if c.kind == "all" and not scored:
+            dropped_all += 1
+        else:
+            kept.append(c)
+    if not kept:
+        return RF("all", children[0].field)
+    if len(kept) == 1:
+        one = kept[0]
+        # the reference sums the boosts of merged AND branches
+        # (filter_optimizer_boolean.test:242 Term+All → Boost: 2)
+        one.boost += dropped_all
+        return one
+    # merge same-field conjunctive term claims (unboosted Term / Terms
+    # with full min-match) into one Terms with summed min-match
+    merged: list[RF] = []
+    by_field: dict[str, int] = {}
+    for c in kept:
+        conj_terms = (
+            c.boost == 1.0 and (
+                c.kind == "term"
+                or (c.kind == "terms" and c.mm == len(c.values)
+                    and all(b is None for _, b in c.values))))
+        if conj_terms:
+            vals = ([(v, b) for v, b in c.values] if c.kind == "terms"
+                    else [(c.data["value"], None)])
+            if c.field in by_field:
+                tgt = merged[by_field[c.field]]
+                tgt.values.extend(vals)
+                tgt.mm += len(vals)
+                tgt.values.sort(key=lambda x: x[0])
+                continue
+            node = RF("terms", c.field, values=sorted(vals),
+                      mm=len(vals), lowered=c.lowered)
+            by_field[c.field] = len(merged)
+            merged.append(node)
+            continue
+        # merge same-field range claims (BETWEEN lowered to two
+        # conjuncts re-merges, boosts summed — boolean.test:323 Boost: 2)
+        if c.kind in ("range", "gran"):
+            prev = next((m for m in merged
+                         if m.kind == c.kind and m.field == c.field), None)
+            if prev is not None:
+                for k in ("lo", "lo_inc", "hi", "hi_inc"):
+                    if c.data.get(k) is not None:
+                        prev.data[k] = c.data[k]
+                prev.boost += c.boost
+                continue
+        merged.append(c)
+    merged = [_demote(c) for c in merged]
+    if len(merged) == 1:
+        one = merged[0]
+        one.boost += dropped_all
+        return one
+    # @@-originated claims render before lowered equality claims
+    # (boolean.test:156 [Term t, Term s])
+    merged.sort(key=lambda c: c.lowered)
+    return RF("and", children=merged)
+
+
+def _simplify_or(children: list[RF], scored: bool) -> RF:
+    flat: list[RF] = []
+    for c in children:
+        if c.kind == "or":
+            flat.extend(c.children)
+        else:
+            flat.append(c)
+    children = flat
+    kept = [c for c in children if c.kind != "empty"]
+    if not kept:
+        return RF("empty", children[0].field)
+    if not scored and any(c.kind == "all" for c in kept):
+        return RF("all", next(c.field for c in kept if c.kind == "all"))
+    if scored and all(c.kind == "all" for c in kept):
+        return RF("all", kept[0].field)
+    if len(kept) == 1:
+        return kept[0]
+    # merge same-field disjunctive claims (Term / Terms mm=1)
+    merged: list[RF] = []
+    by_field: dict[str, int] = {}
+    for c in kept:
+        disj = (c.boost == 1.0 and (
+            c.kind == "term"
+            or (c.kind == "terms" and c.mm == 1)))
+        if disj:
+            vals = ([(v, b) for v, b in c.values] if c.kind == "terms"
+                    else [(c.data["value"], None)])
+            if c.field in by_field:
+                tgt = merged[by_field[c.field]]
+                tgt.values.extend(vals)
+                tgt.values.sort(key=lambda x: x[0])
+                continue
+            node = RF("terms", c.field, values=sorted(vals), mm=1,
+                      lowered=c.lowered)
+            by_field[c.field] = len(merged)
+            merged.append(node)
+            continue
+        merged.append(c)
+    merged = [_demote(c) for c in merged]
+    if len(merged) == 1:
+        return merged[0]
+    return RF("or", children=merged)
+
+
+def _conv_ts(node, col: str, idx, boost: float = 1.0) -> RF:
+    """One field's TSQuery AST → reference-filter IR."""
+    from serenedb_spark.plans import tsquery as q
+
+    ft = _ftype(idx, col)
+
+    def dec(v):
+        # numeric claims carry memcmp-encoded bounds; the reference
+        # displays the decoded value (range_terms.test Value: 2)
+        if ft == "numeric" and v is not None:
+            try:
+                return _decode_int(v)
+            except ValueError:
+                return v
+        return v
+
+    if isinstance(node, q.Boost):
+        return _conv_ts(node.part, col, idx, boost * node.factor)
+    if isinstance(node, q.Term):
+        return RF("term", col, boost, data={"value": node.term})
+    if isinstance(node, q.Phrase):
+        if len(node.words) == 1:
+            return RF("term", col, boost, data={"value": node.words[0]})
+        parts = []
+        pos = 0
+        for i, w in enumerate(node.words):
+            if i > 0:
+                lo, hi = node.gaps[i - 1]
+                parts.append((w, pos + lo, pos + hi - 1 + lo - lo))
+                pos += lo
+            else:
+                parts.append((w, 0, 0))
+        # positions: exact phrase → (i, i); a gap (lo, hi) widens the
+        # window (lowering.test Parts: Term:alpha(0, 0); Term:beta(1, 1))
+        txt = []
+        pmin = pmax = 0
+        txt.append(f"Term:{node.words[0]}(0, 0);")
+        for i, w in enumerate(node.words[1:]):
+            lo, hi = node.gaps[i]
+            pmin += lo
+            pmax += hi
+            txt.append(f"Term:{w}({pmin}, {pmax});")
+        return RF("phrase", col, boost,
+                  data={"parts": " ".join(txt) + " "})
+    if isinstance(node, q.AnyOf):
+        if not node.terms:
+            return RF("empty", col)
+        if len(node.terms) == 1 and node.min_match == 1:
+            return RF("term", col, boost,
+                      data={"value": dec(node.terms[0])})
+        return RF("terms", col, boost,
+                  values=sorted((str(dec(t)), None) for t in node.terms),
+                  mm=node.min_match)
+    if isinstance(node, q.AllOf):
+        return RF("terms", col, boost,
+                  values=sorted((str(dec(t)), None) for t in node.terms),
+                  mm=len(node.terms))
+    if isinstance(node, q.And):
+        return _simplify_and(
+            [_conv_ts(p, col, idx) for p in node.parts], False) \
+            if boost == 1.0 else _with_boost(_simplify_and(
+                [_conv_ts(p, col, idx) for p in node.parts], False),
+                boost)
+    if isinstance(node, q.Or):
+        r = _simplify_or([_conv_ts(p, col, idx) for p in node.parts],
+                         False)
+        return _with_boost(r, boost)
+    if isinstance(node, q.Not):
+        inner = _conv_ts(node.part, col, idx)
+        return _make_not(inner, col)
+    if isinstance(node, q.Between):
+        lo, hi = node.lo, node.hi
+        if lo is None and hi is None:
+            return RF("all", col, boost)
+        if (lo is not None and hi is not None and lo == hi):
+            if node.lo_inclusive and node.hi_inclusive:
+                return RF("term", col, boost, data={"value": dec(lo)})
+            return RF("empty", col)
+        kind = "gran" if ft == "numeric" else "range"
+        return RF(kind, col, boost, data={
+            "lo": dec(lo), "lo_inc": node.lo_inclusive,
+            "hi": dec(hi), "hi_inc": node.hi_inclusive})
+    if isinstance(node, q.Fuzzy):
+        lines = {"target": node.term, "max_terms": node.max_terms}
+        if node.prefix:
+            lines["prefix"] = node.prefix
+        return RF("lev", col, boost, data=lines)
+    if isinstance(node, q.Prefix):
+        return RF("prefix", col, boost, data={"prefix": node.prefix})
+    if isinstance(node, q.Wildcard):
+        return RF("automaton", col, boost,
+                  data={"pattern": node.pattern})
+    if isinstance(node, q.Regexp):
+        return RF("automaton", col, boost,
+                  data={"pattern": node.pattern})
+    raise _Bail(type(node).__name__)
+
+
+def _with_boost(r: RF, boost: float) -> RF:
+    r.boost *= boost
+    return r
+
+
+def _make_not(inner: RF, col: str) -> RF:
+    null_marker = RF("term", col, data={"value": ""},
+                     lowered=False)
+    null_marker.data["null_marker"] = True
+    if inner.kind == "empty":
+        # NOT over an empty claim = every doc with a non-null field
+        # value (negation.test:112 Not(Term n(null)))
+        return RF("not", col, children=[null_marker])
+    if inner.kind == "all":
+        return RF("empty", col)
+    return RF("not", col, children=[inner, null_marker])
+
+
+def rf_to_box(r: RF, idx) -> FBox:
+    ft = "null" if r.data.get("null_marker") else _ftype(idx, r.field) \
+        if r.field is not None else None
+
+    def fieldline():
+        return f"Field: {r.field}({ft})"
+
+    boostline = ([f"Boost: {_fmt_boost(r.boost)}"]
+                 if r.boost != 1.0 else [])
+    if r.kind == "term":
+        v = r.data.get("value", "")
+        return FBox("Term", [fieldline(), f"Value: {v}"] + boostline)
+    if r.kind == "terms":
+        vals = ", ".join(
+            f"'{v}'" + (f"({_fmt_boost(b)})" if b is not None else "")
+            for v, b in r.values)
+        lines = [fieldline()] + wrap_kv("Values", vals) \
+            + [f"Min Match: {r.mm}"] + boostline
+        return FBox("Terms", lines)
+    if r.kind == "all":
+        return FBox("All", [])
+    if r.kind == "empty":
+        return FBox("Empty", [])
+    if r.kind == "phrase":
+        return FBox("Phrase", [fieldline(), "Parts:", r.data["parts"]]
+                    + boostline)
+    if r.kind in ("range", "gran"):
+        lo, hi = r.data.get("lo"), r.data.get("hi")
+        lo_s = "*" if lo is None else \
+            f"{'>=' if r.data.get('lo_inc') else '>'}{lo}"
+        hi_s = "*" if hi is None else \
+            f"{'<=' if r.data.get('hi_inc') else '<'}{hi}"
+        rng = f"{lo_s}, {hi_s}"
+        title = "Granular Range" if r.kind == "gran" else "Range"
+        return FBox(title, [fieldline()] + wrap_kv("Range", rng)
+                    + boostline)
+    if r.kind == "lev":
+        lines = [fieldline(), f"Target: {r.data['target']}"]
+        if "prefix" in r.data:
+            lines.append(f"Prefix: {r.data['prefix']}")
+        lines.append(f"Max Terms: {r.data['max_terms']}")
+        return FBox("Levenshtein", lines + boostline)
+    if r.kind == "prefix":
+        return FBox("Starts With", [
+            fieldline(), f"Prefix: {r.data['prefix']}", "Limit: 1024"]
+            + boostline)
+    if r.kind == "automaton":
+        return FBox("Automaton", [fieldline(),
+                                  f"Pattern: {r.data['pattern']}"]
+                    + boostline)
+    if r.kind in ("and", "or", "not"):
+        title = {"and": "And", "or": "Or", "not": "Not"}[r.kind]
+        return FBox(title, [],
+                    children=[rf_to_box(c, idx) for c in r.children])
+    raise _Bail(r.kind)
+
+
+# ---------------------------------------------------------------------------
+# statement → full plan text
+# ---------------------------------------------------------------------------
+
+_EQ_RE = re.compile(
+    r"^\(*\s*([A-Za-z_]\w*)\s*=\s*(?:'((?:[^']|'')*)'|(-?\d+))\s*\)*$")
+_TS_LIT_RE = re.compile(
+    r"^\(*\s*([A-Za-z_]\w*)\s+BETWEEN\s+TIMESTAMP\s+'([^']+)'\s+AND\s+"
+    r"TIMESTAMP\s+'([^']+)'\s*\)*$", re.IGNORECASE)
+_NUM_CMP_RE = re.compile(
+    r"^\(*\s*([A-Za-z_]\w*)\s*(<=|>=|<|>)\s*(-?\d+)\s*\)*$")
+
+
+def _micros(ts_text: str) -> int:
+    import datetime as dt
+
+    t = dt.datetime.fromisoformat(ts_text)
+    epoch = dt.datetime(1970, 1, 1)
+    return int((t - epoch).total_seconds()) * 1_000_000 \
+        + t.microsecond % 1_000_000
+
+
+def _conv_residual(sql: str, idx) -> RF:
+    """A lowered (non-@@) conjunct the optimizer claims: equality on an
+    indexed column, numeric comparison, BETWEEN over timestamps."""
+    m = _EQ_RE.match(sql.strip())
+    if m:
+        col = m.group(1)
+        ft = _ftype(idx, col)
+        val = m.group(2) if m.group(2) is not None else m.group(3)
+        if m.group(2) is not None:
+            val = val.replace("''", "'")
+        r = RF("term", col, data={"value": val}, lowered=True)
+        return r
+    m = _TS_LIT_RE.match(sql.strip())
+    if m:
+        col = m.group(1)
+        if _ftype(idx, col) != "numeric":
+            raise _Bail(sql)
+        # BETWEEN lowers to two AND'd bounds that re-merge — the
+        # reference sums their boosts (boolean.test:323 Boost: 2)
+        r = RF("gran", col, boost=2.0, lowered=True, data={
+            "lo": _micros(m.group(2)), "lo_inc": True,
+            "hi": _micros(m.group(3)), "hi_inc": True})
+        return r
+    m = _NUM_CMP_RE.match(sql.strip())
+    if m:
+        col, op, v = m.group(1), m.group(2), int(m.group(3))
+        if _ftype(idx, col) != "numeric":
+            raise _Bail(sql)
+        d = {"lo": None, "lo_inc": None, "hi": None, "hi_inc": None}
+        if op in (">", ">="):
+            d["lo"], d["lo_inc"] = v, op == ">="
+        else:
+            d["hi"], d["hi_inc"] = v, op == "<="
+        return RF("gran", col, lowered=True, data=d)
+    raise _Bail(sql)
+
+
+def _conv_tree(tree, idx, scored: bool) -> RF:
+    from serenedb_spark.plans import search_sql as SS
+
+    if isinstance(tree, SS.MatchLeaf):
+        return _conv_ts(tree.node, tree.col, idx)
+    if isinstance(tree, SS.ResidualLeaf):
+        return _conv_residual(tree.sql, idx)
+    if isinstance(tree, SS.BoolNode):
+        kids = [_conv_tree(c, idx, scored) for c in tree.children]
+        if tree.op == "and":
+            return _simplify_and(kids, scored)
+        return _simplify_or(kids, scored)
+    raise _Bail(type(tree).__name__)
+
+
+def try_explain_box(session, inner_sql: str):
+    """Render `EXPLAIN SELECT ... FROM <idx> WHERE <claims>` in the
+    reference's box layout; None when the statement is outside the
+    renderable surface (the caller falls back to the indented text)."""
+    from serenedb_spark.plans import search_sql as SS
+
+    try:
+        toks = SS.tokenize(inner_sql.strip().rstrip(";"))
+        if not toks or toks[0].upper != "SELECT":
+            return None
+        if any(t.text.lower().startswith("ts_dict_") for t in toks):
+            return None
+        fpos = SS._find_clause(toks, ("FROM",))
+        if fpos < 0:
+            return None
+        sel_toks = toks[1:fpos]
+        wpos = SS._find_clause(toks, ("WHERE",), fpos)
+        opos = SS._find_clause(toks, ("ORDER", "BY"), fpos)
+        lpos = SS._find_clause(toks, ("LIMIT",), fpos)
+        if lpos >= 0 or wpos < 0:
+            return None
+        from_end = min(x for x in (wpos, opos, lpos, len(toks))
+                       if x >= 0)
+        from_toks = toks[fpos + 1:from_end]
+        if len(from_toks) != 1 or from_toks[0].kind != "IDENT":
+            return None
+        from_name = from_toks[0].text
+        idx = session._indexes.get(from_name)
+        if idx is None:
+            return None
+        if any(t.text in SS._VEC_OPS for t in toks):
+            return None
+
+        def an_of(tbl, col):
+            return session._index_for(from_name, col).analyzer(col)
+
+        # scorer in select list / order?
+        sel2, scorer, params = SS._rewrite_scorers(sel_toks)
+        scored = scorer is not None
+        order_scored = False
+        if opos >= 0:
+            oend = len(toks)
+            okeys, oscorer, _op = SS._rewrite_scorers(toks[opos + 2:oend])
+            if oscorer is not None:
+                scorer = scorer or oscorer
+                scored = True
+                order_scored = True
+            elif opos >= 0:
+                return None      # plain ORDER BY: not rendered yet
+        wend = opos if opos >= 0 else len(toks)
+        tree = SS._parse_bool_or(
+            toks[wpos + 1:wend],
+            lambda c: session._index_for(from_name, c).analyzer(c))
+        rf = _conv_tree(tree, idx, scored)
+
+        projections = []
+        for it in SS._split_top(sel2, (",",)):
+            if not it:
+                continue
+            if len(it) == 1 and it[0].kind == "IDENT" \
+                    and it[0].text != "__score":
+                projections.append(it[0].text.split(".")[-1])
+            elif any(t.text == "__score" for t in it):
+                continue
+            else:
+                return None
+        if scored:
+            projections.append("sdb_inverted_index_score")
+
+        filter_rows = render_filter(rf_to_box(rf, idx))
+        if rf.kind == "empty":
+            est = "~0 rows"
+        elif rf.kind == "all":
+            n = session._relation_for(from_name).count()
+            est = f"~{n} row" + ("s" if n != 1 else "")
+        else:
+            est = "~1 row"
+        lines = [f"Index: {from_name}", "Lookup: table",
+                 "Index Filter:"] + filter_rows
+        if scored:
+            nm, pnames = SS.SCORER_FUNCS.get(scorer, (scorer, ()))
+            defaults = {"bm25": "bm25(k1=1.2, b=0.75)"}
+            lines.append(f"Score: {defaults.get(scorer, scorer)}")
+        # Projections wrap only when they exceed the width the other
+        # content already establishes (boolean.test:366 single line in
+        # a wide box vs scorer.test:138 wrapped in a narrow one)
+        thresh = max(_WRAP, max((len(ln) for ln in lines), default=0))
+        proj_line = "Projections: " + ", ".join(projections)
+        if len(proj_line) <= thresh:
+            lines.append(proj_line)
+        else:
+            lines += wrap_kv("Projections", ", ".join(projections),
+                             cont_indent=True)
+        lines.append(est)
+        scan = render_node("IRESEARCH_SCAN", lines)
+        if order_scored:
+            return render_node("ORDER_BY", ["Order By: #1 ASC", est],
+                               child=scan)
+        return scan
+    except _Bail:
+        return None
+    except (ValueError, KeyError):
+        return None

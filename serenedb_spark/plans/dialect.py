@@ -736,6 +736,95 @@ def rewrite_order_nulls(sql: str) -> str:
     return sql
 
 
+def rewrite_bare_fn_alias(sql: str) -> str:
+    """PG titles an unaliased single-call select item by the function's
+    name (`SELECT list_sort(...)` → column ``list_sort``,
+    ts_dict_array_agg.test:80); Spark titles it by the full expression
+    text — which the expression rewrites then mangle further. Alias such
+    items up front."""
+    mm = re.match(r"(\s*SELECT\s+)(.*)$", sql, re.IGNORECASE | re.DOTALL)
+    if mm is None or re.match(r"\s*DISTINCT\b", mm.group(2),
+                              re.IGNORECASE):
+        return sql
+    head, rest = mm.group(1), mm.group(2)
+    depth = 0
+    i = 0
+    n = len(rest)
+    frm = n
+    while i < n:
+        c = rest[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if rest[i] == "'":
+                    if i + 1 < n and rest[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (depth == 0 and rest[i:i + 4].upper() == "FROM"
+              and (i == 0 or not (rest[i - 1].isalnum()
+                                  or rest[i - 1] == "_"))
+              and (i + 4 >= n or not (rest[i + 4].isalnum()
+                                      or rest[i + 4] == "_"))):
+            frm = i
+            break
+        i += 1
+    items_txt = rest[:frm]
+    parts: list[str] = []
+    depth = 0
+    cur: list[str] = []
+    j = 0
+    while j < len(items_txt):
+        c = items_txt[j]
+        if c == "'":
+            k = j + 1
+            while k < len(items_txt):
+                if items_txt[k] == "'":
+                    if k + 1 < len(items_txt) and items_txt[k + 1] == "'":
+                        k += 2
+                        continue
+                    break
+                k += 1
+            cur.append(items_txt[j:k + 1])
+            j = k + 1
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+        j += 1
+    parts.append("".join(cur))
+    out_parts: list[str] = []
+    for p in parts:
+        s = p.strip()
+        m2 = re.match(r"([A-Za-z_]\w*)\s*\(", s)
+        if (m2 and m2.group(1).lower() not in ("cast",)
+                and _match_paren(s, s.index("(", m2.start())) ==
+                len(s) - 1):
+            out_parts.append(f"{p.rstrip()} AS {m2.group(1).lower()}")
+        else:
+            out_parts.append(p)
+    return head + ",".join(out_parts) + " " + rest[frm:]
+
+
+def compat_fragment(sql: str) -> str:
+    """The expression-level dialect shims (fn renames, casts, regex
+    ops, caret power, ordered aggs) for SQL fragments that run through
+    F.expr/selectExpr instead of sql_compat (ts_dict residuals)."""
+    return rewrite_ordered_aggs(rewrite_ts_split(rewrite_pg_regex_ops(
+        rewrite_caret_power(rewrite_pg_casts(rewrite_fn_renames(sql))))))
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
     lowered = rewrite_qualify(rewrite_fn_renames(
@@ -744,5 +833,6 @@ def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
                 rewrite_public_schema(rewrite_array_literals(
                     rewrite_order_nulls(rewrite_ordered_aggs(
                         rewrite_ts_split(rewrite_pg_regex_ops(
-                            rewrite_caret_power(sql)))))))))))))
+                            rewrite_caret_power(
+                                rewrite_bare_fn_alias(sql))))))))))))))
     return spark.sql(lowered)

@@ -1277,7 +1277,7 @@ def _parse_bool_unary(toks: list[Tok], an_of):
                 and rest[1].text.lower() == "boost"
                 and rest[2].text == "(" and rest[3].kind == "NUM"
                 and rest[4].text == ")"):
-            sub = _parse_bool_or(toks[1:close], an_of)
+            sub = _fold_tree(_parse_bool_or(toks[1:close], an_of))
             if not isinstance(sub, MatchLeaf):
                 raise ValueError("::boost applies to a single @@ match")
             return MatchLeaf(sub.col, q.Boost(sub.node,
@@ -2386,6 +2386,8 @@ class TsDictCall:
     field: str
     form: str               # unnest | list | bare | scalar
     hexcast: bool = False   # raw_agg ::VARCHAR → \x-hex text
+    wrap: str = "sort"      # list form: list_sort → sorted list,
+                            # list_sum → scalar sum (ts_dict_minmax_matrix)
 
 
 @dataclass
@@ -2538,8 +2540,9 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
                                                      hexcast)))
                     i = k
                     continue
-            # list_sort( ts_dict_X(col) )  (not inside unnest)
-            if (low == "list_sort" and i + 5 < n
+            # list_sort/list_sum/len( ts_dict_X(col) ) (not inside unnest)
+            if (low in ("list_sort", "list_sum", "len", "length",
+                        "cardinality") and i + 5 < n
                     and span[i + 1].text == "("
                     and span[i + 2].text.lower() in _TSDICT_MAP
                     and span[i + 3].text == "("
@@ -2547,8 +2550,12 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
                     and span[i + 5].text == ")"
                     and i + 6 < n and span[i + 6].text == ")"):
                 fn = span[i + 2].text.lower().replace("ts_dict_", "")
-                out.append(Tok("IDENT",
-                               add_call(fn, span[i + 4].text, "list")))
+                ph = add_call(fn, span[i + 4].text, "list")
+                calls[-1].wrap = ("sum" if low == "list_sum" else
+                                  "len" if low in ("len", "length",
+                                                   "cardinality")
+                                  else "sort")
+                out.append(Tok("IDENT", ph))
                 i += 7
                 continue
             # ts_dict_min/max(col)
@@ -2581,37 +2588,44 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
     items = []
     row_aggs: list[tuple[str, str]] = []
     for it in raw_items:
-        before = len(calls)
-        rendered = _render(_rewrite_casts(rewrite(it)))
-        if len(calls) > before or "__tsd" in rendered:
-            if (it and not any(t.upper == "AS" for t in it)
-                    and re.fullmatch(r"__tsd\d+", rendered)):
-                # no alias: PG names the output after the outermost call
-                # (ts_dict_doc_restricted.test header `list_sort`)
-                rendered = f"{rendered} AS {it[0].text.lower()}"
-            items.append(rendered)
-            continue
-        is_row_agg = any(
-            t.kind == "IDENT" and t.text.lower() in _ROW_AGG_FNS
-            and k + 1 < len(it) and it[k + 1].text == "("
-            for k, t in enumerate(it))
-        if is_row_agg:
-            # a sibling DOCUMENT aggregate: computed over the doc scan
-            # and cross-joined (ts_dict_mixing.test:223)
-            ph = f"__tsr{len(row_aggs)}"
-            alias = None
-            apos = next((k for k, t in enumerate(it)
-                         if t.upper == "AS"), None)
-            if apos is not None:
-                alias = _render(it[apos + 1:])
-                expr_txt = _render(_rewrite_casts(it[:apos]))
-            else:
-                alias = it[0].text.lower()
-                expr_txt = rendered
-            row_aggs.append((ph, expr_txt))
-            items.append(f"{ph} AS {alias}")
-        else:
-            items.append(rendered)
+        toks2 = rewrite(it)
+        # extract sibling DOCUMENT aggregates (count(*)/min/array_agg
+        # over the doc scan) into their own placeholders — they compute
+        # over the document relation and cross-join in
+        # (ts_dict_mixing.test:223, ts_dict_array_agg.test:323)
+        out2: list[Tok] = []
+        k = 0
+        while k < len(toks2):
+            t = toks2[k]
+            if (t.kind == "IDENT" and t.text.lower() in _ROW_AGG_FNS
+                    and k + 1 < len(toks2)
+                    and toks2[k + 1].text == "("):
+                depth = 0
+                j2 = k + 1
+                while j2 < len(toks2):
+                    if toks2[j2].text == "(":
+                        depth += 1
+                    elif toks2[j2].text == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j2 += 1
+                span = toks2[k:j2 + 1]
+                if not any(x.text.startswith("__tsd") for x in span):
+                    ph = f"__tsr{len(row_aggs)}"
+                    row_aggs.append((ph, _render(_rewrite_casts(span))))
+                    out2.append(Tok("IDENT", ph))
+                    k = j2 + 1
+                    continue
+            out2.append(t)
+            k += 1
+        rendered = _render(_rewrite_casts(out2))
+        if (it and not any(t2.upper == "AS" for t2 in it)
+                and re.fullmatch(r"__ts[dr]\d+", rendered)):
+            # no alias: PG names the output after the outermost call
+            # (ts_dict_doc_restricted.test header `list_sort`)
+            rendered = f"{rendered} AS {it[0].text.lower()}"
+        items.append(rendered)
     if not calls:
         raise ValueError("no ts_dict_*(column) call found")
     field0 = calls[0].field
@@ -2744,6 +2758,8 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
             # terms (ts_dict_numeric.test:24)
             raise ValueError(
                 f"ts_dict_{c.fn}(): column has no text term dictionary")
+    from serenedb_spark.plans.dialect import compat_fragment
+
     doc_ids = None
     if stmt.doc_where is not None:
         if doc_ids_for is None:
@@ -2777,7 +2793,7 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
     def dict_rel(f: str) -> DataFrame:
         D = _tsdict_relation(idx, f, doc_ids, need_score)
         for pred in residual_by_field.get(f, ()):
-            D = D.where(F.expr(pred))
+            D = D.where(F.expr(compat_fragment(pred)))
         if stmt.term_matcher is not None:
             D = _apply_term_matcher(D, idx, f, stmt.term_matcher)
         return D
@@ -2793,7 +2809,8 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
                 doc_ids.select(F.col("doc_id").alias(key)).distinct(),
                 key, "left_semi")
         row_df = R.selectExpr(
-            *[f"{e} AS {ph}" for ph, e in stmt.row_aggs])
+            *[f"{compat_fragment(e)} AS {ph}"
+              for ph, e in stmt.row_aggs])
 
     unnest_calls = [c for c in calls if c.form == "unnest"]
     unnest_fields: list[str] = []
@@ -2816,7 +2833,8 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
             out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
         if stmt.limit is not None:
             out = out.limit(stmt.limit)
-        return out.selectExpr(*stmt.select_items)
+        return out.selectExpr(
+            *[compat_fragment(i) for i in stmt.select_items])
 
     # general path: per-field single-row aggregation, zip + re-explode
     # for the unnest calls
@@ -2835,9 +2853,15 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
             if c.field != f or c.form == "unnest":
                 continue
             if c.form == "list":
-                exprs.append(
-                    f"sort_array(collect_list({_tsdict_expr(c)})) "
-                    f"AS {c.ph}")
+                if c.wrap == "sum":
+                    exprs.append(f"sum({_tsdict_expr(c)}) AS {c.ph}")
+                elif c.wrap == "len":
+                    # len(ts_dict_X(col)) = the dictionary's term count
+                    exprs.append(f"count({_tsdict_expr(c)}) AS {c.ph}")
+                else:
+                    exprs.append(
+                        f"sort_array(collect_list({_tsdict_expr(c)})) "
+                        f"AS {c.ph}")
             elif c.form == "bare":
                 # align every bare list by sorting on the term —
                 # cross-segment emission order is unspecified
@@ -2874,7 +2898,8 @@ def execute_ts_dict(stmt: TsDictSelect, get_index,
         out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
     if stmt.limit is not None:
         out = out.limit(stmt.limit)
-    return out.selectExpr(*stmt.select_items)
+    return out.selectExpr(
+        *[compat_fragment(i) for i in stmt.select_items])
 
 
 def _apply_term_matcher(D: DataFrame, idx, f: str, matcher) -> DataFrame:

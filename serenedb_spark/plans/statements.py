@@ -1307,6 +1307,14 @@ def _explain(session, s: str) -> DataFrame:
             lines.append(
                 f"Execution Time: {(time.perf_counter() - t0) * 1e3:.3f} ms")
         return _plan_df(session, lines)
+    if not analyze:
+        try:
+            from serenedb_spark.plans.boxplan import try_explain_box
+            box = try_explain_box(session, inner)
+        except Exception:
+            box = None
+        if box is not None:
+            return _plan_df(session, box)
     lines = session.explain(inner).splitlines()
     if analyze:
         t0 = time.perf_counter()

@@ -789,6 +789,11 @@ class SereneSession:
                 # range claims hit the dictionary (key_encoding.h;
                 # full_text_search.test id @@ ts_between)
                 fields[c] = "encoded_int"
+            elif c not in fields and dtypes.get(c, "").startswith(
+                    "timestamp"):
+                # timestamps index epoch-micros keys for granular
+                # range claims (filter_optimizer_boolean.test:323)
+                fields[c] = "encoded_ts"
         from serenedb_spark.plans.dialect import rewrite_ts_split
         exprs = {name: F.expr(rewrite_ts_split(self._inline_macros(e)))
                  for name, e in (getattr(ddl, "exprs", None) or {}).items()}
