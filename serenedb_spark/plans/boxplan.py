@@ -45,7 +45,9 @@ def _leaf_rows(b: FBox, tick: int | None) -> tuple[list[str], int]:
     w = max(10, len(b.title) + 6,
             max((len(ln) for ln in b.lines), default=0) + 4)
     top = list("╭─ " + b.title + " " + "─" * (w - len(b.title) - 5) + "╮")
-    if tick is not None:
+    if tick is not None and tick < len(top) and top[tick] == "─":
+        # the tick is skipped when it would land on the title text
+        # (lowering.test:234 Starts With under And)
         top[tick] = "┴"
     rows = ["".join(top)]
     for ln in b.lines:
@@ -66,10 +68,13 @@ def render_filter(b: FBox, tick: int | None = None) -> list[str]:
         kr = render_filter(ch, tick=_center(_kid_width(ch)))
         kid_rows.append(kr)
         kid_w.append(len(kr[0]))
-    pw = kid_w[0]
+    # the parent's box is as wide as its first child's BOX (not the
+    # child's whole rendered subtree — negation.test:204 Exclusion over
+    # a nested And)
+    pw = _kid_width(b.children[0])
     top = list("╭─ " + b.title + " "
                + "─" * (pw - len(b.title) - 5) + "╮")
-    if tick is not None:
+    if tick is not None and tick < len(top) and top[tick] == "─":
         top[tick] = "┴"
     bottom = list("╰" + "─" * (pw - 2) + "╯")
     bottom[_center(pw)] = "┬"
@@ -80,7 +85,7 @@ def render_filter(b: FBox, tick: int | None = None) -> list[str]:
         x = 0
         ticks = []
         for i, w in enumerate(kid_w):
-            ticks.append(x + _center(w))
+            ticks.append(x + _center(_kid_width(b.children[i])))
             x += w + 2
         for c in range(ticks[0], ticks[-1] + 1):
             conn[c] = "─"
@@ -189,9 +194,7 @@ def _ftype(idx, col: str) -> str:
 
 
 def _decode_int(s) -> int:
-    from serenedb_spark.functions.key_encoding import _SIGN_BIT
-
-    v = int(str(s), 16) ^ _SIGN_BIT
+    v = int(str(s), 16) ^ (1 << 63)
     if v >= 1 << 63:
         v -= 1 << 64
     return v
@@ -251,10 +254,25 @@ def _simplify_and(children: list[RF], scored: bool) -> RF:
         # (filter_optimizer_boolean.test:242 Term+All → Boost: 2)
         one.boost += dropped_all
         return one
+    # a Starts With whose prefix pins a sibling Levenshtein target
+    # folds into the automaton and disappears
+    # (lowering.test:261,286 — levenshtein_prefix_rules.cpp)
+    lev_targets = [c.data["target"] for c in kept if c.kind == "lev"]
+    if lev_targets:
+        kept = [c for c in kept
+                if not (c.kind == "prefix"
+                        and c.data.get("keyword_field")
+                        and any(t.startswith(c.data["prefix"])
+                                for t in lev_targets))]
+        if len(kept) == 1:
+            one = kept[0]
+            one.boost += dropped_all
+            return one
     # merge same-field conjunctive term claims (unboosted Term / Terms
     # with full min-match) into one Terms with summed min-match
     merged: list[RF] = []
     by_field: dict[str, int] = {}
+    range_merged = [False]
     for c in kept:
         conj_terms = (
             c.boost == 1.0 and (
@@ -277,24 +295,98 @@ def _simplify_and(children: list[RF], scored: bool) -> RF:
             continue
         # merge same-field range claims (BETWEEN lowered to two
         # conjuncts re-merges, boosts summed — boolean.test:323 Boost: 2)
-        if c.kind in ("range", "gran"):
+        if c.kind in ("range", "gran") and c.data.get("mergeable", True):
             prev = next((m for m in merged
-                         if m.kind == c.kind and m.field == c.field), None)
+                         if m.kind == c.kind and m.field == c.field
+                         and m.data.get("mergeable", True)), None)
             if prev is not None:
-                for k in ("lo", "lo_inc", "hi", "hi_inc"):
-                    if c.data.get(k) is not None:
-                        prev.data[k] = c.data[k]
+                if c.data.get("lo") is not None:
+                    prev.data["lo"] = c.data["lo"]
+                    prev.data["lo_inc"] = c.data.get("lo_inc")
+                if c.data.get("hi") is not None:
+                    prev.data["hi"] = c.data["hi"]
+                    prev.data["hi_inc"] = c.data.get("hi_inc")
                 prev.boost += c.boost
+                range_merged[0] = True
                 continue
         merged.append(c)
-    merged = [_demote(c) for c in merged]
+    if range_merged[0]:
+        # once some range pair merged, leftover unmergeable same-field
+        # range claims come out in reverse order
+        # (range_terms.test:339 [<gamma, >alpha] after the k merge)
+        out2: list[RF] = []
+        i2 = 0
+        while i2 < len(merged):
+            c2 = merged[i2]
+            if c2.kind in ("range", "gran") \
+                    and not c2.data.get("mergeable", True):
+                j2 = i2
+                while (j2 < len(merged)
+                       and merged[j2].kind == c2.kind
+                       and merged[j2].field == c2.field
+                       and not merged[j2].data.get("mergeable", True)):
+                    j2 += 1
+                out2.extend(reversed(merged[i2:j2]))
+                i2 = j2
+            else:
+                out2.append(c2)
+                i2 += 1
+        merged = out2
+
+    def _degenerate(c: RF) -> RF:
+        # a range whose merged bounds collapse: =v inclusive → Term,
+        # crossing/exclusive-equal → Empty (range_terms.test:176,193)
+        if c.kind in ("range", "gran"):
+            lo, hi = c.data.get("lo"), c.data.get("hi")
+            if lo is not None and hi is not None and lo == hi:
+                if c.data.get("lo_inc") and c.data.get("hi_inc"):
+                    return RF("term", c.field, c.boost,
+                              data={"value": lo}, lowered=c.lowered)
+                return RF("empty", c.field)
+        return c
+
+    merged = [_degenerate(_demote(c)) for c in merged]
+    if any(c.kind == "empty" for c in merged):
+        return RF("empty",
+                  next(c.field for c in merged if c.kind == "empty"))
     if len(merged) == 1:
         one = merged[0]
         one.boost += dropped_all
         return one
-    # @@-originated claims render before lowered equality claims
-    # (boolean.test:156 [Term t, Term s])
-    merged.sort(key=lambda c: c.lowered)
+    # AND children render @@ claims in textual order, then lowered
+    # (equality/range) claims in reverse textual order
+    # (boolean.test:60 vs :156; negation.test:204 [n, s])
+    merged = ([c for c in merged if not c.lowered]
+              + list(reversed([c for c in merged if c.lowered])))
+    nots = [c for c in merged if c.kind == "not"]
+    pos = [c for c in merged if c.kind != "not"]
+    if nots and pos:
+        # A AND NOT B → Exclusion(A, B…) (negation.test:125). The
+        # excluded field keeps its null-marker branch only when no
+        # positive branch constrains that field (negation.test:204 vs
+        # :164).
+        nf = {n.field for n in nots}
+        covered = any(p.field in nf for p in pos)
+        pos_node = pos[0] if len(pos) == 1 else RF("and", children=pos)
+        if covered:
+            # markers dropped; excluded branches in reverse textual
+            # order (negation.test:164 [gamma, beta])
+            excl = [n.children[0] for n in reversed(nots)]
+        else:
+            inners = [n.children[0] for n in nots]
+            marker = next(
+                (c for n in nots for c in n.children[1:]), None)
+            excl = [inners[0]] + ([marker] if marker else []) \
+                + inners[1:]
+        return RF("exclusion", children=[pos_node] + excl)
+    if nots and not pos and len(nots) > 1:
+        # AND of NOTs merges into one Not: textual inner order with a
+        # single null-marker after the first (negation.test:184)
+        inners = [n.children[0] for n in nots]
+        marker = next((c for n in nots for c in n.children[1:]), None)
+        return RF("not", nots[0].field,
+                  children=[inners[0]]
+                  + ([marker] if marker else []) + inners[1:])
     return RF("and", children=merged)
 
 
@@ -313,6 +405,22 @@ def _simplify_or(children: list[RF], scored: bool) -> RF:
         return RF("all", next(c.field for c in kept if c.kind == "all"))
     if scored and all(c.kind == "all" for c in kept):
         return RF("all", kept[0].field)
+    if len(kept) == 1:
+        return kept[0]
+    # duplicate OR branches over the same term sum their boosts
+    # (filter_optimizer_boost.test:41 → one Term, Boost: 5)
+    dedup: list[RF] = []
+    for c in kept:
+        if c.kind == "term":
+            prev = next((d for d in dedup if d.kind == "term"
+                         and d.field == c.field
+                         and d.data.get("value") == c.data.get("value")),
+                        None)
+            if prev is not None:
+                prev.boost += c.boost
+                continue
+        dedup.append(c)
+    kept = dedup
     if len(kept) == 1:
         return kept[0]
     # merge same-field disjunctive claims (Term / Terms mm=1)
@@ -342,7 +450,8 @@ def _simplify_or(children: list[RF], scored: bool) -> RF:
     return RF("or", children=merged)
 
 
-def _conv_ts(node, col: str, idx, boost: float = 1.0) -> RF:
+def _conv_ts(node, col: str, idx, boost: float = 1.0,
+             scored: bool = False) -> RF:
     """One field's TSQuery AST → reference-filter IR."""
     from serenedb_spark.plans import tsquery as q
 
@@ -359,7 +468,8 @@ def _conv_ts(node, col: str, idx, boost: float = 1.0) -> RF:
         return v
 
     if isinstance(node, q.Boost):
-        return _conv_ts(node.part, col, idx, boost * node.factor)
+        return _conv_ts(node.part, col, idx, boost * node.factor,
+                        scored)
     if isinstance(node, q.Term):
         return RF("term", col, boost, data={"value": node.term})
     if isinstance(node, q.Phrase):
@@ -400,14 +510,13 @@ def _conv_ts(node, col: str, idx, boost: float = 1.0) -> RF:
                   values=sorted((str(dec(t)), None) for t in node.terms),
                   mm=len(node.terms))
     if isinstance(node, q.And):
-        return _simplify_and(
-            [_conv_ts(p, col, idx) for p in node.parts], False) \
-            if boost == 1.0 else _with_boost(_simplify_and(
-                [_conv_ts(p, col, idx) for p in node.parts], False),
-                boost)
+        return _with_boost(_simplify_and(
+            [_conv_ts(p, col, idx, scored=scored) for p in node.parts],
+            scored), boost)
     if isinstance(node, q.Or):
-        r = _simplify_or([_conv_ts(p, col, idx) for p in node.parts],
-                         False)
+        r = _simplify_or(
+            [_conv_ts(p, col, idx, scored=scored) for p in node.parts],
+            scored)
         return _with_boost(r, boost)
     if isinstance(node, q.Not):
         inner = _conv_ts(node.part, col, idx)
@@ -423,18 +532,46 @@ def _conv_ts(node, col: str, idx, boost: float = 1.0) -> RF:
         kind = "gran" if ft == "numeric" else "range"
         return RF(kind, col, boost, data={
             "lo": dec(lo), "lo_inc": node.lo_inclusive,
-            "hi": dec(hi), "hi_inc": node.hi_inclusive})
+            "hi": dec(hi), "hi_inc": node.hi_inclusive,
+            # AND'd range claims re-merge on keyword/encoded fields
+            # only; a tokenized field keeps separate Range clauses
+            # (range_terms.test:142 vs :287)
+            "mergeable": idx.fields.get(col) in (
+                "keyword", "encoded_int", "encoded_ts")})
     if isinstance(node, q.Fuzzy):
-        lines = {"target": node.term, "max_terms": node.max_terms}
-        if node.prefix:
-            lines["prefix"] = node.prefix
-        return RF("lev", col, boost, data=lines)
+        if node.distance == 0:
+            # distance 0 is an exact term (lowering.test:104)
+            return RF("term", col, boost,
+                      data={"value": (node.prefix or "") + node.term})
+        # an exact prefix folds into the displayed target
+        # (lowering.test:261 ts_levenshtein('lpha',1,false,'a') →
+        # Target: alpha)
+        return RF("lev", col, boost, data={
+            "target": (node.prefix or "") + node.term,
+            "max_terms": node.max_terms})
     if isinstance(node, q.Prefix):
-        return RF("prefix", col, boost, data={"prefix": node.prefix})
+        # the prefix-into-fuzzy fold applies to keyword fields only —
+        # a tokenized field keeps its Starts With clause
+        # (lowering.test:209 name/keyword folds vs :429 t/text doesn't)
+        return RF("prefix", col, boost, data={
+            "prefix": node.prefix,
+            "keyword_field": idx.fields.get(col) == "keyword"})
     if isinstance(node, q.Wildcard):
+        pat = node.pattern
+        if "%" not in pat and "_" not in pat:
+            # no metacharacters: a plain term (lowering.test:23)
+            return RF("term", col, boost, data={"value": pat})
+        if pat.endswith("%") and "%" not in pat[:-1] \
+                and "_" not in pat[:-1]:
+            return RF("prefix", col, boost,
+                      data={"prefix": pat[:-1]})
         return RF("automaton", col, boost,
-                  data={"pattern": node.pattern})
+                  data={"pattern": pat})
     if isinstance(node, q.Regexp):
+        if not re.search(r"[.*+?\[\](){}|^$\\]", node.pattern):
+            # no metacharacters: a plain term (lowering.test:72)
+            return RF("term", col, boost,
+                      data={"value": node.pattern})
         return RF("automaton", col, boost,
                   data={"pattern": node.pattern})
     raise _Bail(type(node).__name__)
@@ -486,19 +623,18 @@ def rf_to_box(r: RF, idx) -> FBox:
                     + boostline)
     if r.kind in ("range", "gran"):
         lo, hi = r.data.get("lo"), r.data.get("hi")
-        lo_s = "*" if lo is None else \
-            f"{'>=' if r.data.get('lo_inc') else '>'}{lo}"
-        hi_s = "*" if hi is None else \
-            f"{'<=' if r.data.get('hi_inc') else '<'}{hi}"
-        rng = f"{lo_s}, {hi_s}"
+        parts = []
+        if lo is not None:
+            parts.append(f"{'>=' if r.data.get('lo_inc') else '>'}{lo}")
+        if hi is not None:
+            parts.append(f"{'<=' if r.data.get('hi_inc') else '<'}{hi}")
+        rng = ", ".join(parts) if parts else "*"
         title = "Granular Range" if r.kind == "gran" else "Range"
         return FBox(title, [fieldline()] + wrap_kv("Range", rng)
                     + boostline)
     if r.kind == "lev":
-        lines = [fieldline(), f"Target: {r.data['target']}"]
-        if "prefix" in r.data:
-            lines.append(f"Prefix: {r.data['prefix']}")
-        lines.append(f"Max Terms: {r.data['max_terms']}")
+        lines = [fieldline(), f"Target: {r.data['target']}",
+                 f"Max Terms: {r.data['max_terms']}"]
         return FBox("Levenshtein", lines + boostline)
     if r.kind == "prefix":
         return FBox("Starts With", [
@@ -508,8 +644,9 @@ def rf_to_box(r: RF, idx) -> FBox:
         return FBox("Automaton", [fieldline(),
                                   f"Pattern: {r.data['pattern']}"]
                     + boostline)
-    if r.kind in ("and", "or", "not"):
-        title = {"and": "And", "or": "Or", "not": "Not"}[r.kind]
+    if r.kind in ("and", "or", "not", "exclusion"):
+        title = {"and": "And", "or": "Or", "not": "Not",
+                 "exclusion": "Exclusion"}[r.kind]
         return FBox(title, [],
                     children=[rf_to_box(c, idx) for c in r.children])
     raise _Bail(r.kind)
@@ -549,6 +686,25 @@ def _conv_residual(sql: str, idx) -> RF:
             val = val.replace("''", "'")
         r = RF("term", col, data={"value": val}, lowered=True)
         return r
+    m = re.match(
+        r"^\(*\s*([A-Za-z_]\w*)\s+IN\s*\(([^()]*)\)\s*\)*$",
+        sql.strip(), re.IGNORECASE)
+    if m:
+        col = m.group(1)
+        _ftype(idx, col)
+        vals = []
+        for part in m.group(2).split(","):
+            part = part.strip()
+            if re.fullmatch(r"'(?:[^']|'')*'", part):
+                vals.append(part[1:-1].replace("''", "'"))
+            elif re.fullmatch(r"-?\d+", part):
+                vals.append(part)
+            else:
+                raise _Bail(sql)
+        if len(vals) == 1:
+            return RF("term", col, data={"value": vals[0]}, lowered=True)
+        return RF("terms", col, values=sorted((v, None) for v in vals),
+                  mm=1, lowered=True)
     m = _TS_LIT_RE.match(sql.strip())
     if m:
         col = m.group(1)
@@ -578,7 +734,7 @@ def _conv_tree(tree, idx, scored: bool) -> RF:
     from serenedb_spark.plans import search_sql as SS
 
     if isinstance(tree, SS.MatchLeaf):
-        return _conv_ts(tree.node, tree.col, idx)
+        return _conv_ts(tree.node, tree.col, idx, scored=scored)
     if isinstance(tree, SS.ResidualLeaf):
         return _conv_residual(tree.sql, idx)
     if isinstance(tree, SS.BoolNode):
@@ -675,13 +831,16 @@ def try_explain_box(session, inner_sql: str):
         # Projections wrap only when they exceed the width the other
         # content already establishes (boolean.test:366 single line in
         # a wide box vs scorer.test:138 wrapped in a narrow one)
-        thresh = max(_WRAP, max((len(ln) for ln in lines), default=0))
+        thresh = max((len(ln) for ln in lines), default=0)
         proj_line = "Projections: " + ", ".join(projections)
         if len(proj_line) <= thresh:
             lines.append(proj_line)
         else:
-            lines += wrap_kv("Projections", ", ".join(projections),
-                             cont_indent=True)
+            wrapped = wrap_kv("Projections", ", ".join(projections),
+                              cont_indent=True)
+            # a wrapped projection list pads the box to the fixed wrap
+            # width (scorer.test:72 — every wrapped box is 42 wide)
+            lines += [wrapped[0]] + [w.ljust(38) for w in wrapped[1:]]
         lines.append(est)
         scan = render_node("IRESEARCH_SCAN", lines)
         if order_scored:

@@ -1774,13 +1774,7 @@ def parse_create_index(sql: str) -> CreateInvertedIndex | None:
     if ts.peek() is not None and ts.peek().upper == "WHERE":
         ts.next()
         where = _render(ts.toks[ts.i:])
-    if not fields and not vectors:
-        # `inverted(t)` with no analyzer anywhere: every listed column
-        # is analyzed with the default analyzer
-        # (core_sql_setup_claims.test sc_idx_part)
-        fields = {c: "simple" for c in includes}
-        includes = []
-    if not fields and not vectors:
+    if not fields and not vectors and not includes:
         raise ValueError("USING inverted requires at least one analyzed column")
     return CreateInvertedIndex(name, table, fields, includes, where,
                                exprs or None, vectors or None,

@@ -157,7 +157,8 @@ class Fuzzy(TSQuery):
 
     term: str
     distance: int = 1
-    max_terms: int = 50
+    max_terms: int = 64   # SET sdb_levenshtein_max_terms default
+    #                       (search_filter_builder.cpp:2033)
     #: Damerau (adjacent-transposition) distance is the reference's
     #: DEFAULT (ts_common.hpp:242 with_transpositions = true)
     transpositions: bool = True

@@ -794,6 +794,9 @@ class SereneSession:
                 # timestamps index epoch-micros keys for granular
                 # range claims (filter_optimizer_boolean.test:323)
                 fields[c] = "encoded_ts"
+        if not fields and not getattr(ddl, "vectors", None):
+            raise ValueError(
+                "USING inverted requires at least one analyzed column")
         from serenedb_spark.plans.dialect import rewrite_ts_split
         exprs = {name: F.expr(rewrite_ts_split(self._inline_macros(e)))
                  for name, e in (getattr(ddl, "exprs", None) or {}).items()}
