@@ -307,6 +307,7 @@ def _simplify_and(children: list[RF], scored: bool) -> RF:
                     prev.data["hi"] = c.data["hi"]
                     prev.data["hi_inc"] = c.data.get("hi_inc")
                 prev.boost += c.boost
+                prev.data["merged"] = True
                 range_merged[0] = True
                 continue
         merged.append(c)
@@ -355,9 +356,21 @@ def _simplify_and(children: list[RF], scored: bool) -> RF:
         return one
     # AND children render @@ claims in textual order, then lowered
     # (equality/range) claims in reverse textual order
-    # (boolean.test:60 vs :156; negation.test:204 [n, s])
-    merged = ([c for c in merged if not c.lowered]
-              + list(reversed([c for c in merged if c.lowered])))
+    # (boolean.test:60 vs :156; negation.test:204 [n, s]); a claim
+    # formed by MERGING several @@ members goes after the lowered ones
+    # (scorer.test:420 [Gran n, Range s])
+    atats = [c for c in merged if not c.lowered]
+    lows = list(reversed([c for c in merged if c.lowered]))
+    if not atats or not lows:
+        merged = atats + lows
+    elif atats[0].data.get("merged"):
+        # a leading merged claim pushes the lowered ones in front
+        # (scorer.test:420 [Gran n, Range s])
+        merged = lows + atats
+    else:
+        # lowered claims slot in after the first @@ claim
+        # (scorer.test:442 [t, n, s]; boolean.test:156 [t, s])
+        merged = atats[:1] + lows + atats[1:]
     nots = [c for c in merged if c.kind == "not"]
     pos = [c for c in merged if c.kind != "not"]
     if nots and pos:
@@ -716,6 +729,16 @@ def _conv_residual(sql: str, idx) -> RF:
             "lo": _micros(m.group(2)), "lo_inc": True,
             "hi": _micros(m.group(3)), "hi_inc": True})
         return r
+    m = re.match(
+        r"^\(*\s*([A-Za-z_]\w*)\s+BETWEEN\s+(-?\d+)\s+AND\s+"
+        r"(-?\d+)\s*\)*$", sql.strip(), re.IGNORECASE)
+    if m:
+        col = m.group(1)
+        if _ftype(idx, col) != "numeric":
+            raise _Bail(sql)
+        return RF("gran", col, boost=2.0, lowered=True, data={
+            "lo": int(m.group(2)), "lo_inc": True,
+            "hi": int(m.group(3)), "hi_inc": True})
     m = _NUM_CMP_RE.match(sql.strip())
     if m:
         col, op, v = m.group(1), m.group(2), int(m.group(3))
