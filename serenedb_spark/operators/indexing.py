@@ -60,7 +60,14 @@ class InvertedIndex:
     term_stats_raw: DataFrame | None = None
 
     def analyzer(self, field: str) -> Analyzer:
-        return get_analyzer(self.fields[field])
+        # resolved once and cached ON the index: the index embeds its
+        # dictionary, so a later DROP TEXT SEARCH DICTIONARY cannot
+        # break a pinned snapshot still reading it
+        # (ts_offsets_isolation.test:50)
+        cache = self.__dict__.setdefault("_an_cache", {})
+        if field not in cache:
+            cache[field] = get_analyzer(self.fields[field])
+        return cache[field]
 
     def default_field(self) -> str:
         return next(iter(self.fields))
@@ -102,8 +109,9 @@ def build_index(
 
     dtypes = dict(df.dtypes)
     per_field = []
+    an_cache: dict[str, Analyzer] = {}
     for col, analyzer_name in fields.items():
-        an = get_analyzer(analyzer_name)
+        an = an_cache[col] = get_analyzer(analyzer_name)
         src = exprs[col] if col in exprs else F.col(col)
         if col in exprs:
             src_type = df.select(src.alias("__t")).schema[0].dataType \
@@ -190,7 +198,7 @@ def build_index(
 
     docstore = df.select(F.col(key).alias("doc_id"), *include)
 
-    return InvertedIndex(
+    idx = InvertedIndex(
         name=name,
         fields=dict(fields),
         key=key,
@@ -201,6 +209,11 @@ def build_index(
         globals_=globals_,
         universe=universe,
     )
+    # pre-resolve every field's analyzer: the index must keep working
+    # from a pinned snapshot after DROP TEXT SEARCH DICTIONARY
+    # (ts_offsets_isolation.test:50)
+    idx.__dict__["_an_cache"] = an_cache
+    return idx
 
 
 def term_bucket(term, n_buckets: int = DEFAULT_TERM_BUCKETS):

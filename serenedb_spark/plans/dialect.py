@@ -817,6 +817,19 @@ def rewrite_bare_fn_alias(sql: str) -> str:
     return head + ",".join(out_parts) + " " + rest[frm:]
 
 
+_READ_PARQUET_RE = re.compile(
+    r"\bread_parquet\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+_READ_CSV_RE = re.compile(
+    r"\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+
+
+def rewrite_read_files(sql: str) -> str:
+    """DuckDB's file-reading TVFs → Spark's path-table syntax
+    (inverted_index_view_isolation.test read_parquet)."""
+    sql = _READ_PARQUET_RE.sub(lambda m: f"parquet.`{m.group(1)}`", sql)
+    return _READ_CSV_RE.sub(lambda m: f"csv.`{m.group(1)}`", sql)
+
+
 def compat_fragment(sql: str) -> str:
     """The expression-level dialect shims (fn renames, casts, regex
     ops, caret power, ordered aggs) for SQL fragments that run through
@@ -833,6 +846,6 @@ def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
                 rewrite_public_schema(rewrite_array_literals(
                     rewrite_order_nulls(rewrite_ordered_aggs(
                         rewrite_ts_split(rewrite_pg_regex_ops(
-                            rewrite_caret_power(
-                                rewrite_bare_fn_alias(sql))))))))))))))
+                            rewrite_caret_power(rewrite_read_files(
+                                rewrite_bare_fn_alias(sql)))))))))))))))
     return spark.sql(lowered)

@@ -2082,10 +2082,20 @@ def _finish_select(stmt: SearchSelect, out: DataFrame,
         if func in ("offsets", "ts_offsets"):
             # DuckDB length() over a list = cardinality
             # (headline.test:330 length(ts_offsets(body)))
-            stmt.select_items[:] = [
-                re.sub(rf"\blength\s*\(\s*{ph}\s*\)",
-                       f"cardinality({ph})", it)
-                for it in stmt.select_items]
+            def _card(it: str) -> str:
+                new_it = re.sub(rf"\blength\s*\(\s*{ph}\s*\)",
+                                f"cardinality({ph})", it)
+                if (new_it != it
+                        and not re.search(r"\bAS\b", it, re.IGNORECASE)
+                        and re.fullmatch(
+                            rf"\s*length\s*\(\s*{ph}\s*\)\s*", it)):
+                    # PG titles the unaliased call by its name
+                    # (ts_offsets_isolation.test:36 column `length`)
+                    new_it += " AS length"
+                return new_it
+
+            stmt.select_items[:] = [_card(it)
+                                    for it in stmt.select_items]
     if stmt.order:
         out = out.orderBy(*_order_keys(stmt.order, stmt.select_items))
     if stmt.limit is not None:

@@ -1105,12 +1105,18 @@ def _txn(session, kw: str, s: str) -> DataFrame:
             return _status_df(
                 session, "WARNING",
                 "there is already a transaction in progress")
+        isolation = None
+        if words[:2] == ["ISOLATION", "LEVEL"]:
+            n_lvl = 1 if words[2:3] == ["SERIALIZABLE"] else 2
+            isolation = " ".join(words[2:2 + n_lvl])
+            words = words[2 + n_lvl:]
         read_only = words[:2] == ["READ", "ONLY"]
-        session.begin()
+        session.begin(isolation=isolation)
         session._txn_read_only = read_only
         # each block starts at the session default isolation (PG)
         _pg_vars(session)["transaction_isolation"] = \
-            _pg_vars(session)["default_transaction_isolation"]
+            (isolation.lower() if isolation
+             else _pg_vars(session)["default_transaction_isolation"])
         return _status_df(session, "BEGIN")
     if getattr(session, "_txn_backup", None) is None:
         if chain:

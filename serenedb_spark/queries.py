@@ -2313,6 +2313,80 @@ def _fts_sql_dict_oracle() -> str:
 _register("fts_sql_dict", _fts_sql_dict, _fts_sql_dict_oracle())
 
 
+# ts_dict.test:59 raw-byte variant: ts_dict_raw_agg yields the raw term
+# BYTES; the ::VARCHAR cast renders PG bytea text form (\x-hex)
+def _fts_sql_dict_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.plans import search_sql as SS
+
+    idx = doc_index(spark, sf_dir)
+    st = SS.parse_ts_dict("""
+        SELECT unnest(ts_dict_agg(text)) AS term,
+               unnest(ts_dict_raw_agg(text))::VARCHAR AS raw,
+               unnest(ts_dict_count(text)) AS docs
+        FROM documents WHERE text LIKE 'q%' ORDER BY term
+    """)
+    return SS.execute_ts_dict(st, lambda t, c: idx)
+
+
+def _fts_sql_dict_raw_oracle() -> str:
+    base = FC.duckdb_ts_dict_sql(
+        _DOC_TABLE, _DOC_COL,
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
+        " t -> t <> '')",
+    )
+    return (f"SELECT term, '\\x' || lower(hex(term)) AS raw, "
+            f"doc_count AS docs "
+            f"FROM ({base}) d WHERE term LIKE 'q%' ORDER BY term")
+
+
+_register("fts_sql_dict_raw", _fts_sql_dict_raw,
+          _fts_sql_dict_raw_oracle())
+
+
+# The reference's box-drawing EXPLAIN layout (plans/boxplan.py renders
+# IRESEARCH_SCAN claimed-filter plans verbatim; pinned line-for-line
+# against the layout contract of filter_optimizer_*.test)
+_EXPLAIN_BOX_LINES = [
+    "╭─ IRESEARCH_SCAN ─────────────────────────────────╮",
+    "│ Index: eb_idx                                    │",
+    "│ Lookup: table                                    │",
+    "│ Index Filter:                                    │",
+    "│ ╭─ And ───────────────╮                          │",
+    "│ ╰──────────┬──────────╯                          │",
+    "│            ├────────────────────────╮            │",
+    "│ ╭─ Term ───┴──────────╮  ╭─ Term ───┴──────────╮ │",
+    "│ │ Field: text(string) │  │ Field: lang(string) │ │",
+    "│ │ Value: gamma        │  │ Value: en           │ │",
+    "│ ╰─────────────────────╯  ╰─────────────────────╯ │",
+    "│ Projections: doc_id                              │",
+    "│ ~1 row                                           │",
+    "╰──────────────────────────────────────────────────╯",
+]
+
+
+def _fts_sql_explain_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    ss.load_dir(sf_dir, tables=("documents",))
+    ss.sql("CREATE INDEX eb_idx ON documents "
+           "USING inverted(text simple, lang)")
+    return ss.sql(
+        "EXPLAIN SELECT doc_id FROM eb_idx "
+        "WHERE text @@ ts_phrase('gamma') AND lang = 'en'"
+    ).toDF("plan")
+
+
+def _fts_sql_explain_box_oracle() -> str:
+    rows = ", ".join("(" + "'" + ln.replace("'", "''") + "'" + ")"
+                     for ln in _EXPLAIN_BOX_LINES)
+    return f"SELECT * FROM (VALUES {rows}) AS t(plan)"
+
+
+_register("fts_sql_explain_box", _fts_sql_explain_box,
+          _fts_sql_explain_box_oracle())
+
+
 # demo6 Q2/Q7 shapes: multi-relation search statements through the SQL
 # text door (examples/demo6/demo.sql:36-46,87-99;
 # tests/sqllogic/any/pg/index/secondary_index.test:1014). The @@-claimed
@@ -5929,10 +6003,8 @@ _GATE_WINDOW = [
 #: new-in-r11 names declared in the window before they land; each is
 #: removed from this set in the same commit that registers the query.
 _GATE_PENDING: set = {
-    "fts_sql_dict_raw",
     "sql_multi_session_visibility",
     "sql_create_database",
-    "fts_sql_explain_box",
     "text_classifier_real_model",
 }
 

@@ -402,6 +402,36 @@ class SereneSession:
         self._expose_index_relations(q)
         import re as _re
 
+        if getattr(self, "_txn_detached", False):
+            # a REPEATABLE READ block reads its own snapshot: re-register
+            # referenced tables from the snapshot dicts (Spark temp views
+            # are per-SparkSession, so another session's DDL may have
+            # redefined or dropped them), run, then put the shared
+            # state's views back (drop_table_snapshot_pinning.test)
+            touched = [t for t in self._tables
+                       if _re.search(
+                           rf"\b{_re.escape(self._view_name(t))}\b", q)]
+            for t in touched:
+                self._reregister(t)
+            try:
+                return self._plain_sql_body(q)
+            finally:
+                base = self._shared_base
+                for t in touched:
+                    if t in base._tables:
+                        base._reregister(t)
+                    else:
+                        try:
+                            self.spark.catalog.dropTempView(
+                                self._view_name(t))
+                        except Exception:
+                            pass
+        return self._plain_sql_body(q)
+
+    def _plain_sql_body(self, q: str) -> DataFrame:
+        from serenedb_spark.plans.dialect import sql_compat
+        import re as _re
+
         if _re.search(r"\bts_highlight\s*\(", q, _re.IGNORECASE):
             # virtual-column 1-arg form outside a search scan has no
             # offsets to synthesize (headline.test:501-516)
@@ -2906,6 +2936,23 @@ class SereneSession:
     # _prepared is deliberately absent: PG prepared statements are
     # session-scoped, not transactional — ROLLBACK keeps them
 
+    #: attrs shared between attached sessions (multi-connection mode)
+    _SHARED_STATE = _TXN_STATE + (
+        "_sequences", "_vector_indexes", "_internal_indexes",
+        "_defined_dictionaries")
+
+    def attach_shared(self, base: "SereneSession") -> None:
+        """Share ``base``'s catalog/data store: DDL and committed DML in
+        either session are visible to the other — the reference's
+        multi-connection READ COMMITTED default (sqllogic `connection`
+        directive; basic.test:563)."""
+        self._shared_base = base
+        for a in self._SHARED_STATE:
+            if getattr(base, a, None) is None:
+                setattr(base, a,
+                        set() if a == "_internal_indexes" else {})
+            setattr(self, a, getattr(base, a))
+
     @classmethod
     def _txn_copy(cls, v):
         """Structural deep copy of the container layer only: dicts /
@@ -2923,7 +2970,7 @@ class SereneSession:
             return [cls._txn_copy(x) for x in v]
         return v
 
-    def begin(self) -> None:
+    def begin(self, isolation: str | None = None) -> None:
         """BEGIN: snapshot the session's mutable catalog/data state.
         Nested blocks are refused exactly as PG warns-and-ignores —
         except we make it an error rather than silently flattening.
@@ -2931,12 +2978,25 @@ class SereneSession:
         sets included): _grants / _checks / _col_masks are mutated in
         place by GRANT / ADD CHECK on pre-existing keys, so a one-level
         dict() copy would alias them and ROLLBACK would not undo
-        security-relevant state."""
+        security-relevant state.
+
+        In shared (multi-connection) mode, REPEATABLE READ /
+        SERIALIZABLE additionally DETACHES this session onto its own
+        snapshot copy: other sessions' commits stay invisible until
+        this block ends (inverted_index_isolation.test — the
+        reference's pinned index snapshot)."""
         if getattr(self, "_txn_backup", None) is not None:
             raise ValueError("already inside a transaction block")
         self._txn_backup = {
             a: self._txn_copy(getattr(self, a, {}) or {})
             for a in self._TXN_STATE}
+        self._txn_detached = False
+        if (isolation in ("REPEATABLE READ", "SERIALIZABLE")
+                and getattr(self, "_shared_base", None) is not None):
+            for a in self._SHARED_STATE:
+                setattr(self, a, self._txn_copy(
+                    getattr(self, a, {}) or {}))
+            self._txn_detached = True
 
     def commit(self) -> None:
         if getattr(self, "_txn_backup", None) is None:
@@ -2946,6 +3006,29 @@ class SereneSession:
             # (txn/aborted_block.test:58-66)
             self.rollback()
             return
+        if getattr(self, "_txn_detached", False):
+            # re-attach to the shared store, carrying this block's own
+            # catalog changes over (last-writer-wins per key)
+            base = self._shared_base
+            for a in self._SHARED_STATE:
+                local = getattr(self, a, {}) or {}
+                snap = self._txn_backup.get(a) if a in self._TXN_STATE \
+                    else None
+                shared = getattr(base, a, None)
+                if shared is None:
+                    setattr(base, a, {})
+                    shared = getattr(base, a)
+                if isinstance(shared, dict) and isinstance(local, dict):
+                    if snap is not None:
+                        for k, v in local.items():
+                            if snap.get(k) is not v:
+                                shared[k] = v
+                        for k in set(snap) - set(local):
+                            shared.pop(k, None)
+                    setattr(self, a, shared)
+                else:
+                    setattr(self, a, shared)
+            self._txn_detached = False
         self._txn_backup = None
         self._txn_read_only = False
 
@@ -2963,8 +3046,26 @@ class SereneSession:
         # with module-level consumers must have their side effects
         # re-applied, not just the dict restored.
         cur_vars = dict(getattr(self, "_variables", {}) or {})
-        for a, snap in bak.items():
-            setattr(self, a, snap)
+        if (getattr(self, "_shared_base", None) is not None
+                and not getattr(self, "_txn_detached", False)):
+            # shared READ COMMITTED mode: restore IN PLACE so the other
+            # sessions keep seeing the same dict objects — and never
+            # resurrect a key another session deleted meanwhile
+            # (basic.test:578 conn2 DROP during conn1's block)
+            for a, snap in bak.items():
+                cur = getattr(self, a, None)
+                if isinstance(cur, dict) and isinstance(snap, dict):
+                    for k, v in snap.items():
+                        if k in cur and cur[k] is not v:
+                            cur[k] = v
+                    for k in set(cur) - set(snap):
+                        del cur[k]
+                else:
+                    setattr(self, a, snap)
+        else:
+            for a, snap in bak.items():
+                setattr(self, a, snap)
+        self._txn_detached = False
         self._txn_backup = None
         self._txn_aborted = False
         self._txn_read_only = False

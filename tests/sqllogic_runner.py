@@ -41,7 +41,6 @@ DEVIATIONS = {
 #: constructs outside the engine's surface: the run STOPS here (later
 #: blocks may depend on this one's state, so skipping would lie)
 STOPPERS = (
-    re.compile(r"^\s*connection\b", re.IGNORECASE | re.MULTILINE),
     re.compile(r"CREATE\s+DATABASE", re.IGNORECASE),
 )
 
@@ -56,6 +55,7 @@ class Block:
     skipped: bool = False     # skipif/onlyif said so
     lineno: int = 0
     sort: str | None = None   # rowsort | valuesort | nosort
+    conn: str | None = None   # `connection <name>` directive target
 
 
 def parse_file(path: str) -> list[Block]:
@@ -63,11 +63,22 @@ def parse_file(path: str) -> list[Block]:
     blocks: list[Block] = []
     i = 0
     n = len(lines)
+    pending_conn = None
     while i < n:
         line = lines[i].strip()
         if not line or line.startswith("#") or \
                 line.startswith("hash-threshold") or \
                 line.startswith("control substitution"):
+            i += 1
+            continue
+        cm = re.match(r"connection\s+(\w+)$", line)
+        if cm:
+            pending_conn = cm.group(1)
+            i += 1
+            continue
+        if re.match(r"(wait|sleep)\b", line):
+            # async statements execute synchronously here, so barriers
+            # are no-ops
             i += 1
             continue
         skipped = False
@@ -82,6 +93,7 @@ def parse_file(path: str) -> list[Block]:
             line = lines[i].strip()
         lineno = i + 1
         inline_pat = None
+        line = re.sub(r"^(statement|query)\s+async\b", r"\1", line)
         em = re.match(r"(statement|query)\s+error\s+(\S.*)$", line)
         if em:  # duckdb-style inline error REGEX on the directive line
             inline_pat = em.group(2)
@@ -115,7 +127,9 @@ def parse_file(path: str) -> list[Block]:
             expected = ["re:" + inline_pat]
         blocks.append(Block(kind, expect_error, count,
                             "\n".join(sql_lines).strip().rstrip(";"),
-                            expected, skipped, lineno, sort))
+                            expected, skipped, lineno, sort,
+                            pending_conn))
+        pending_conn = None
     return blocks
 
 
@@ -223,7 +237,20 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
     blocks = parse_file(path)
     test_dir = tempfile.mkdtemp(prefix="sqllogic_")
     passed = 0
+    sessions = {None: ss}
+    base_ss = ss
     for b in blocks:
+        if b.conn is not None:
+            if b.conn not in sessions:
+                # a named connection: a fresh session ATTACHED to the
+                # first one's catalog store (read-committed visibility;
+                # basic.test:563 multi-connection section)
+                s2 = type(base_ss)(base_ss.spark)
+                s2.attach_shared(base_ss)
+                sessions[b.conn] = s2
+            ss = sessions[b.conn]
+        else:
+            ss = base_ss
         # `control substitution on` variables (copy.test file paths;
         # prepared_statements.test's USE $__DATABASE__)
         b.sql = b.sql.replace("${__TEST_DIR__}", test_dir) \

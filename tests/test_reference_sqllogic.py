@@ -91,6 +91,36 @@ FILES = [
     ("sdb/pg/dml/delete_all_rows.test", 12),
     ("sdb/pg/index/search_table_isnull_validity.test", 24),
     ("sdb/pg/index/search_table_stats_propagation.test", 16),
+    # --- r11: filter_optimizer family incl. box-drawing EXPLAIN blocks
+    # (plans/boxplan.py renders the reference's plan layout verbatim)
+    ("sdb/pg/index/filter_optimizer_boolean.test", 26),
+    ("sdb/pg/index/filter_optimizer_boost.test", 9),
+    ("sdb/pg/index/filter_optimizer_lowering.test", 40),
+    ("sdb/pg/index/filter_optimizer_negation.test", 16),
+    ("sdb/pg/index/filter_optimizer_range_terms.test", 33),
+    ("sdb/pg/index/filter_optimizer_scorer.test", 29),
+    ("sdb/pg/index/filter_optimizer_semantics.test", 20),
+    # --- r11: ts_dict tranche (term-dictionary aggregates — raw bytes,
+    # doc-restricted enumeration, multi-field zip, fuzzy completion,
+    # deletes keep raw freq)
+    ("sdb/pg/index/ts_dict.test", 23),
+    ("sdb/pg/index/ts_dict_compose.test", 13),
+    ("sdb/pg/index/ts_dict_deletes.test", 36),
+    ("sdb/pg/index/ts_dict_doc_restricted.test", 27),
+    ("sdb/pg/index/ts_dict_fuzzy.test", 16),
+    ("sdb/pg/index/ts_dict_joins.test", 21),
+    ("sdb/pg/index/ts_dict_list.test", 19),
+    ("sdb/pg/index/ts_dict_minmax_count.test", 17),
+    ("sdb/pg/index/ts_dict_mixing.test", 43),
+    ("sdb/pg/index/ts_dict_more.test", 24),
+    ("sdb/pg/index/ts_dict_multi_field.test", 19),
+    ("sdb/pg/index/ts_dict_numeric.test", 11),
+    ("sdb/pg/index/ts_dict_segment_merge.test", 17),
+    ("sdb/pg/index/ts_dict_view.test", 27),
+    ("sdb/pg/index/ts_dict_where_deletes.test", 58),
+    ("sdb/pg/index/ts_dict_cartesian_multi.test", 11),
+    ("sdb/pg/index/ts_dict_residual_filter_aggs.test", 22),
+    ("sdb/pg/index/ts_dict_minmax_matrix.test", 82),
     ("sdb/pg/settings/txn.test", 15),
     ("sdb/pg/simple/copy_parquet.test", 35),
     ("sdb/pg/simple/error_branding.test", 2),
