@@ -239,9 +239,47 @@ def route_statement(session, sql: str) -> DataFrame | None:
         _prepared_store(session).clear()
         return _status_df(session, "DISCARD", target)
     if kw == "USE":
-        # single-database engine: USE is an accepted no-op (the
-        # reference's docs tests emit USE $__DATABASE__)
-        return _status_df(session, "USE", s.split(None, 1)[-1])
+        target = s.split(None, 1)[-1].strip().rstrip(";")
+        if target in ("serene", "$__DATABASE__") \
+                and "_databases" not in session.__dict__:
+            # single-database default: the docs tests' USE $__DATABASE__
+            return _status_df(session, "USE", target)
+        if "." in target:
+            db, schema = target.split(".", 1)
+            session.use_database(db)
+            if schema not in getattr(session, "_schemas", {}):
+                raise ValueError(f'schema "{schema}" does not exist')
+            session._current_schema = schema
+            _pg_vars(session)["search_path"] = schema
+        elif target in getattr(session, "_schemas", {}):
+            # a schema in the current database wins over a database of
+            # the same name (use/index.test example_005)
+            session._current_schema = target
+            _pg_vars(session)["search_path"] = target
+        else:
+            session.use_database(target)
+            session._current_schema = "public"
+            _pg_vars(session)["search_path"] = '"$user", public'
+        return _status_df(session, "USE", target)
+    if kw in ("CREATE", "DROP") and re.match(
+            r"\s*(CREATE|DROP)\s+DATABASE\b", s, re.IGNORECASE):
+        toks2 = s.split()
+        j = 2
+        if_clause = False
+        if kw == "CREATE" and [w.upper() for w in toks2[2:5]] == \
+                ["IF", "NOT", "EXISTS"]:
+            if_clause = True
+            j = 5
+        elif kw == "DROP" and [w.upper() for w in toks2[2:4]] == \
+                ["IF", "EXISTS"]:
+            if_clause = True
+            j = 4
+        name = toks2[j].rstrip(";")
+        if kw == "CREATE":
+            session.create_database(name, if_not_exists=if_clause)
+        else:
+            session.drop_database(name, if_exists=if_clause)
+        return _status_df(session, f"{kw} DATABASE", name)
     if kw in ("SAVEPOINT", "RELEASE"):
         # the reference has no savepoint executor and fails these with a
         # clean syntax error (transaction_control.test:11-28)

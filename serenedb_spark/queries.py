@@ -2387,6 +2387,79 @@ _register("fts_sql_explain_box", _fts_sql_explain_box,
           _fts_sql_explain_box_oracle())
 
 
+# Multi-connection catalog sharing + REPEATABLE READ snapshot pinning
+# (reference multi-connection suites: sdb/pg/index/basic.test:563,
+# inverted_index_isolation.test): two sessions attached to one catalog
+# see each other's committed writes; an RR block keeps reading its
+# snapshot while the other session deletes.
+def _sql_multi_session_visibility(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    from serenedb_spark.session import SereneSession
+
+    ss1 = SereneSession(spark)
+    ss1.load_dir(sf_dir, tables=("nation",))
+    ss2 = SereneSession(spark)
+    ss2.attach_shared(ss1)
+    ss1.sql("CREATE TABLE msv(k INTEGER PRIMARY KEY, v VARCHAR)")
+    ss1.sql("INSERT INTO msv SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey < 10")
+    ss2.sql("INSERT INTO msv SELECT n_nationkey, n_name FROM nation "
+            "WHERE n_nationkey >= 10")
+    ss2.sql("BEGIN TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+    pinned = ss2.sql("SELECT count(*) AS n FROM msv").first()[0]
+    ss1.sql("DELETE FROM msv WHERE k >= 20")
+    during = ss2.sql("SELECT count(*) AS n FROM msv").first()[0]
+    ss2.sql("COMMIT")
+    after = ss2.sql("SELECT count(*) AS n FROM msv").first()[0]
+    ss1.sql("DROP TABLE msv")
+    return spark.createDataFrame(
+        [(int(pinned), int(during), int(after))],
+        "pinned_n bigint, during_n bigint, after_n bigint")
+
+
+def _sql_multi_session_visibility_oracle() -> str:
+    return """
+SELECT (SELECT count(*) FROM nation) AS pinned_n,
+       (SELECT count(*) FROM nation) AS during_n,
+       (SELECT count(*) FROM nation WHERE n_nationkey < 20) AS after_n
+"""
+
+
+_register("sql_multi_session_visibility", _sql_multi_session_visibility,
+          _sql_multi_session_visibility_oracle())
+
+
+# CREATE/DROP DATABASE + USE — the namespace level above schemas; each
+# database owns an independent catalog store
+# (site_docs/sql/statements/create_database/index.test, use/index.test)
+def _sql_create_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from serenedb_spark.session import SereneSession
+
+    ss = SereneSession(spark)
+    ss.sql("CREATE DATABASE appdb")
+    ss.sql("CREATE DATABASE IF NOT EXISTS appdb")
+    ss.sql("USE appdb")
+    ss.sql("CREATE TABLE dbt(a INTEGER PRIMARY KEY, b VARCHAR)")
+    ss.sql("INSERT INTO dbt VALUES (1, 'x'), (2, 'y')")
+    ss.sql("USE serene")
+    isolated = "dbt" not in ss._tables    # invisible outside appdb
+    ss.sql("USE appdb")
+    n = ss.sql("SELECT count(*) AS n FROM dbt").first()[0]
+    db = ss.sql("SELECT current_database() AS db").first()[0]
+    return spark.createDataFrame(
+        [(int(n), bool(isolated), db)],
+        "n bigint, isolated boolean, db string")
+
+
+def _sql_create_database_oracle() -> str:
+    return ("SELECT CAST(2 AS BIGINT) AS n, true AS isolated, "
+            "'appdb' AS db")
+
+
+_register("sql_create_database", _sql_create_database,
+          _sql_create_database_oracle())
+
+
 # demo6 Q2/Q7 shapes: multi-relation search statements through the SQL
 # text door (examples/demo6/demo.sql:36-46,87-99;
 # tests/sqllogic/any/pg/index/secondary_index.test:1014). The @@-claimed
@@ -6003,8 +6076,6 @@ _GATE_WINDOW = [
 #: new-in-r11 names declared in the window before they land; each is
 #: removed from this set in the same commit that registers the query.
 _GATE_PENDING: set = {
-    "sql_multi_session_visibility",
-    "sql_create_database",
     "text_classifier_real_model",
 }
 

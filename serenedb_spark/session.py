@@ -997,6 +997,21 @@ class SereneSession:
         itself (query_and_query_table_functions.test via EXECUTE)."""
         import re as _re
 
+        if _re.search(r"\bcurrent_(database|schema)\s*\(", q,
+                      _re.IGNORECASE):
+            # session introspection functions (use/index.test) — alias
+            # bare select items FIRST so the literal keeps PG's column
+            # title, then substitute
+            from serenedb_spark.plans.dialect import rewrite_bare_fn_alias
+
+            q = rewrite_bare_fn_alias(q)
+            db = getattr(self, "_current_db", "serene")
+            sch = getattr(self, "_current_schema", "public")
+            q = _re.sub(r"\bcurrent_database\s*\(\s*\)", f"'{db}'", q,
+                        flags=_re.IGNORECASE)
+            q = _re.sub(r"\bcurrent_schema\s*\(\s*\)", f"'{sch}'", q,
+                        flags=_re.IGNORECASE)
+
         for v in list(getattr(self, "_lazy_views", ())):
             # a side-effecting (nextval) view body executes PER READ —
             # materialize just-in-time when the query references it
@@ -2940,6 +2955,72 @@ class SereneSession:
     _SHARED_STATE = _TXN_STATE + (
         "_sequences", "_vector_indexes", "_internal_indexes",
         "_defined_dictionaries")
+
+    # ---- databases: a namespace level ABOVE schemas. Each database
+    # owns an independent catalog store; USE swaps the session's live
+    # dicts (site_docs/sql/statements/create_database/index.test).
+    def _db_registry(self) -> dict:
+        dbs = self.__dict__.get("_databases")
+        if dbs is None:
+            dbs = self._databases = {"serene": None}
+            self._current_db = "serene"
+        return dbs
+
+    def create_database(self, name: str,
+                        if_not_exists: bool = False) -> None:
+        dbs = self._db_registry()
+        if name in dbs:
+            if if_not_exists:
+                return
+            raise ValueError(f'database "{name}" already exists')
+        dbs[name] = {a: (set() if a == "_internal_indexes" else {})
+                     for a in self._SHARED_STATE}
+        self._refresh_pg_database()
+
+    def drop_database(self, name: str, if_exists: bool = False) -> None:
+        dbs = self._db_registry()
+        if name not in dbs:
+            if if_exists:
+                return
+            raise ValueError(f'database "{name}" does not exist')
+        if name == getattr(self, "_current_db", "serene"):
+            raise ValueError(
+                f'cannot drop the currently open database "{name}"')
+        dbs.pop(name)
+        self._refresh_pg_database()
+
+    def use_database(self, name: str) -> None:
+        dbs = self._db_registry()
+        cur = getattr(self, "_current_db", "serene")
+        if name == cur:
+            return
+        if name not in dbs:
+            raise ValueError(f'database "{name}" does not exist')
+        # park the current store, unregister its table views
+        dbs[cur] = {a: getattr(self, a, None) for a in self._SHARED_STATE}
+        for t in list(getattr(self, "_tables", {}) or {}):
+            try:
+                self.spark.catalog.dropTempView(self._view_name(t))
+            except Exception:
+                pass
+        store = dbs[name] or {
+            a: (set() if a == "_internal_indexes" else {})
+            for a in self._SHARED_STATE}
+        for a in self._SHARED_STATE:
+            setattr(self, a, store.get(a)
+                    if store.get(a) is not None
+                    else (set() if a == "_internal_indexes" else {}))
+        self._current_db = name
+        for t in list(self._tables or {}):
+            self._reregister(t)
+
+    def _refresh_pg_database(self) -> None:
+        dbs = self._db_registry()
+        rows = [(i + 1, n, 1000000, "UTF8")
+                for i, n in enumerate(sorted(dbs))]
+        self.spark.createDataFrame(
+            rows, "oid int, datname string, datdba int, encoding string",
+        ).createOrReplaceTempView("pg_database")
 
     def attach_shared(self, base: "SereneSession") -> None:
         """Share ``base``'s catalog/data store: DDL and committed DML in

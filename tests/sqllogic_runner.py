@@ -40,9 +40,7 @@ DEVIATIONS = {
 
 #: constructs outside the engine's surface: the run STOPS here (later
 #: blocks may depend on this one's state, so skipping would lie)
-STOPPERS = (
-    re.compile(r"CREATE\s+DATABASE", re.IGNORECASE),
-)
+STOPPERS = ()   # every previously-stopping construct now executes
 
 
 @dataclass

@@ -225,6 +225,16 @@ FILES = [
     ("sdb/pg/system/pg_attribute_alter.test", 9),
     ("sdb/pg/system/pg_class_owner.test", 12),
     ("sdb/pg/system/system_views.test", 145),
+    # --- r11: multi-connection isolation + databases (STOPPERS gone)
+    ("sdb/pg/index/basic.test", 113),
+    ("sdb/pg/index/inverted_index_isolation.test", 22),
+    ("sdb/pg/index/vector_search_isolation.test", 16),
+    ("sdb/pg/index/ts_offsets_isolation.test", 11),
+    ("sdb/pg/index/iresearch_snapshot_pinning.test", 9),
+    ("sdb/pg/index/drop_table_snapshot_pinning.test", 7),
+    ("sdb/pg/index/inverted_index_view_isolation.test", 9),
+    ("sdb/pg/site_docs/sql/statements/create_database/index.test", 4),
+    ("sdb/pg/site_docs/sql/statements/use/index.test", 26),
 ]
 
 pytestmark = pytest.mark.skipif(
