@@ -20,6 +20,7 @@ same property via its index-scan ≡ full-scan fuzz oracle
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 from typing import Callable
@@ -1020,8 +1021,102 @@ _e, _p, _d = _norm()
 register(Analyzer("norm", _e, _p, _d))
 _e, _p, _d = _collation()
 register(Analyzer("collation", _e, _p, _d, features=()))
+#: shipped REAL fastText-format model (trained offline by
+#: scripts/train_langid_model.py — softmax over averaged word vectors,
+#: the published fastText supervised objective)
+_LANGID_MODEL = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "models",
+    "langid_tiny.bin")
+
+_FT_SCORE_CACHE: dict = {}
+
+
+def _ft_scores(path: str):
+    """(labels, {word: [per-label score]}) for a supervised fastText
+    model. argmax_c(out_c · mean(emb_w)) = argmax_c Σ_w (out_c · emb_w),
+    so per-word per-class scores make the classifier expressible in all
+    three representations (Column expr via lookup map, Python, DuckDB
+    join-aggregate twin)."""
+    if path in _FT_SCORE_CACHE:
+        return _FT_SCORE_CACHE[path]
+    from serenedb_spark.functions.fasttext_io import FastTextModel
+
+    m = FastTextModel.load(path)
+    labels = [lb[len("__label__"):] if lb.startswith("__label__") else lb
+              for lb in m.labels]
+    scores = {}
+    for w, wid in zip(m.words, range(len(m.words))):
+        emb = m.input[wid]
+        scores[w] = [sum(o[i] * emb[i] for i in range(m.dim))
+                     for o in m.output]
+    _FT_SCORE_CACHE[path] = (labels, scores)
+    return labels, scores
+
+
+def _classification_model(path: str, top_k: int = 1):
+    """`classification` template with a model_location
+    (create_tsdictionary.cpp:535): REAL fastText supervised inference —
+    top-k argmax of the softmax linear model over averaged word vectors.
+    Executed via an Arrow-batched pandas UDF; the DuckDB oracle twin
+    computes the identical per-word score-sum join-aggregate."""
+    labels, scores = _ft_scores(path)
+
+    def classify_py(text):
+        if text is None:
+            return None
+        toks = [t for t in str(text).lower().split() if t in scores]
+        if not toks:
+            return []
+        totals = [0.0] * len(labels)
+        for t in toks:
+            sc = scores[t]
+            for i in range(len(labels)):
+                totals[i] += sc[i]
+        order = sorted(range(len(labels)),
+                       key=lambda j: (-totals[j], j))[:top_k]
+        return [labels[j] for j in order]
+
+    def expr(col: Column) -> Column:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def _cls(sr):
+            return sr.map(classify_py)
+
+        return _cls(col)
+
+    def py(s: str) -> list[str]:
+        return classify_py(s) or []
+
+    def duck(e: str) -> str:
+        rows = ", ".join(
+            "('" + w.replace("'", "''") + "', "
+            + ", ".join(f"{v!r}" for v in sc) + ")"
+            for w, sc in sorted(scores.items()))
+        cols = ", ".join(f"s{i}" for i in range(len(labels)))
+        sums = ", ".join(f"sum(s{i}) AS t{i}" for i in range(len(labels)))
+        lbl_arr = "[" + ", ".join(f"'{lb}'" for lb in labels) + "]"
+        tot_arr = "[" + ", ".join(f"t{i}" for i in range(len(labels)))             + "]"
+        structs = ", ".join(
+            f"{{'k': -t{i}, 'i': {i + 1}}}" for i in range(len(labels)))
+        return (
+            f"CASE WHEN {e} IS NULL THEN NULL ELSE coalesce((SELECT "
+            f"list_transform(list_slice(list_sort([{structs}]), 1, "
+            f"{top_k}), p -> list_extract({lbl_arr}, p.i)) "
+            f"FROM (SELECT {sums} FROM (SELECT unnest(string_split("
+            f"lower({e}), ' ')) AS w) toks "
+            f"JOIN (VALUES {rows}) vocab(w, {cols}) USING (w) "
+            f"HAVING count(*) > 0)), []) END"
+        )
+
+    return expr, py, duck
+
+
 _e, _p, _d = _classification()
 register(Analyzer("classification", _e, _p, _d, features=("frequency",)))
+_e, _p, _d = _classification_model(_LANGID_MODEL)
+register(Analyzer("classification_model", _e, _p, _d,
+                  features=("frequency",)))
 _e, _p, _d = _classification(num_classes=8, top_k=2)
 register(Analyzer("classification_top2", _e, _p, _d, features=("frequency",)))
 _e, _p, _d = _nearest_neighbors()
@@ -1707,6 +1802,18 @@ def create_dictionary(name: str, template: str, **opts) -> Analyzer:
         ) if on)
     preserve = bool(opts.pop("preserveoriginal", False))
 
+    if tpl in ("classification", "nearest_neighbors"):
+        loc = opts.pop("model_location", opts.pop("model", None))
+        top_k = int(opts.pop("top_k", 1))
+        opts.pop("threshold", None)
+        if loc:
+            e, p, d = _classification_model(str(loc), top_k)
+        else:
+            e, p, d = _classification(top_k=top_k)
+        if opts:
+            raise ValueError(
+                f"unknown options for {template!r}: {opts}")
+        return register(Analyzer(name, e, p, d, features=feats))
     if tpl == "ngram":
         lo = int(opts.pop("mingram", 3))
         hi = int(opts.pop("maxgram", lo))

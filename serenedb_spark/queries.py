@@ -3070,6 +3070,30 @@ def _register_model_analyzer_entries() -> None:
 _register_model_analyzer_entries()
 
 
+# REAL trained fastText-format model (scripts/train_langid_model.py →
+# analysis/models/langid_tiny.bin): the classification_model analyzer
+# runs real inference — softmax over averaged trained word vectors —
+# through the same index plumbing; the oracle computes the identical
+# per-word score-sum join-aggregate in DuckDB
+def _text_classifier_real_model(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    idx = doc_index(spark, sf_dir, analyzer="classification_model")
+    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+
+
+def _text_classifier_real_model_oracle() -> str:
+    from serenedb_spark.analysis.analyzers import get_analyzer
+
+    return FC.duckdb_ts_dict_sql(
+        _DOC_TABLE, _DOC_COL,
+        get_analyzer("classification_model").duckdb(_DOC_COL)
+    ) + " ORDER BY term"
+
+
+_register("text_classifier_real_model", _text_classifier_real_model,
+          _text_classifier_real_model_oracle())
+
+
 # synonym-expanded index: querying 'quick' must hit docs saying 'fast'
 def _fts_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="synonyms_demo")
@@ -6075,9 +6099,7 @@ _GATE_WINDOW = [
 #: and must fail loudly, not be silently padded over.
 #: new-in-r11 names declared in the window before they land; each is
 #: removed from this set in the same commit that registers the query.
-_GATE_PENDING: set = {
-    "text_classifier_real_model",
-}
+_GATE_PENDING: set = set()
 
 
 def _apply_gate_window() -> None:
