@@ -1166,10 +1166,12 @@ def _encts_expr(col: Column) -> Column:
     from serenedb_spark.functions.key_encoding import encode_int
 
     # timestamps index their epoch-micros memcmp key (granular range
-    # claims, filter_optimizer_boolean.test ts BETWEEN TIMESTAMP ...)
+    # claims, filter_optimizer_boolean.test ts BETWEEN TIMESTAMP ...);
+    # try_cast: a malformed string yields no token, not an ANSI error
+    t = col.try_cast("timestamp")
     return F.when(
-        col.isNull(), F.array().cast("array<string>")
-    ).otherwise(F.array(encode_int(F.unix_micros(col.cast("timestamp")))))
+        col.isNull() | t.isNull(), F.array().cast("array<string>")
+    ).otherwise(F.array(encode_int(F.unix_micros(t))))
 
 
 def _encts_py(v) -> list[str]:
@@ -1180,7 +1182,10 @@ def _encts_py(v) -> list[str]:
     if v is None:
         return []
     if isinstance(v, str):
-        v = _dt.datetime.fromisoformat(v)
+        try:
+            v = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return []
     epoch = _dt.datetime(1970, 1, 1)
     micros = int((v - epoch).total_seconds()) * 1_000_000 + v.microsecond
     return [py_encode_int(micros)]
@@ -1189,7 +1194,9 @@ def _encts_py(v) -> list[str]:
 def _encts_duckdb(e: str) -> str:
     from serenedb_spark.functions.key_encoding import duckdb_encode_int
 
-    return f"[{duckdb_encode_int(f'epoch_us({e})')}]"
+    enc = duckdb_encode_int(f"epoch_us(try_cast({e} AS TIMESTAMP))")
+    return (f"CASE WHEN try_cast({e} AS TIMESTAMP) IS NULL "
+            f"THEN [] ELSE [{enc}] END")
 
 
 register(Analyzer("encoded_ts", _encts_expr, _encts_py,
