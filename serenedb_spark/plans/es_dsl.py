@@ -354,6 +354,46 @@ def _dis_max(idx: InvertedIndex, spec: dict[str, Any],
     )
 
 
+def to_search_sql(index_name: str, idx: InvertedIndex,
+                  body: dict[str, Any],
+                  default_field: str | None = None) -> str | None:
+    """Render an ES search body as the engine's dialect SQL — the
+    reference's one-path design (server/connector/dsl.cpp translates
+    DSL to SQL text and feeds PendingQuery). Returns None for shapes
+    that keep their direct DataFrame plan (multi_match / dis_max /
+    cross-field bool / match_all / pagination)."""
+    from serenedb_spark.plans.search_sql import tsquery_to_sql
+
+    query = body.get("query", {"match_all": {}})
+    if body.get("from") or body.get("sort"):
+        return None
+    size = int(body.get("size", 10))
+    field = default_field or idx.default_field()
+    kind = next(iter(query)) if query else None
+    if kind in (None, "match_all", "multi_match", "dis_max"):
+        return None
+    if kind == "bool" and len(
+            _bool_clause_fields(query["bool"], field)) > 1:
+        return None
+    try:
+        f, node = parse_query(query, idx.analyzer(field))
+    except Exception:
+        return None
+    field = f or field
+    try:
+        qtext = tsquery_to_sql(node)
+    except Exception:
+        return None
+    key = getattr(idx, "key", "doc_id")
+    return (
+        f"SELECT {key} AS doc_id, "
+        f"round(BM25({index_name}.tableoid)::numeric, 4) AS score "
+        f"FROM {index_name} WHERE {field} @@ ({qtext}) "
+        f"ORDER BY BM25({index_name}.tableoid) DESC, {key} "
+        f"LIMIT {size}"
+    )
+
+
 def es_search(
     idx: InvertedIndex,
     body: dict[str, Any],

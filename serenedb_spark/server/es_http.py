@@ -49,6 +49,13 @@ class EsShim:
         self.spark = spark
         self.tables: dict[str, object] = {}   # index name -> SearchTable
         self._snapshots: dict[str, object] = {}  # index name -> InvertedIndex
+        # the reference feeds ES DSL through the ONE engine path
+        # (dsl.cpp → SQL text → PendingQuery); the shim mirrors that by
+        # rendering the parsed query back to dialect SQL and running it
+        # through SereneSession.sql
+        from serenedb_spark.session import SereneSession
+
+        self.session = SereneSession(spark)
 
     def create_index(self, name: str, source, fields: dict[str, str],
                      key: str = "doc_id") -> None:
@@ -59,15 +66,23 @@ class EsShim:
 
     def _index(self, name: str):
         if name not in self._snapshots:
-            self._snapshots[name] = self.tables[name].index()
+            idx = self.tables[name].index()
+            self._snapshots[name] = idx
+            self.session._indexes[name] = idx
         return self._snapshots[name]
 
     # ---- route implementations ------------------------------------------
     def search(self, index: str, body: dict) -> dict:
-        from serenedb_spark.plans.es_dsl import es_search
+        from serenedb_spark.plans.es_dsl import es_search, to_search_sql
 
         idx = self._index(index)
-        rows = es_search(idx, body).collect()
+        sql = to_search_sql(index, idx, body)
+        if sql is not None:
+            # one engine path: the translated dialect SQL runs through
+            # the same session.sql planner as every other statement
+            rows = self.session.sql(sql).collect()
+        else:
+            rows = es_search(idx, body).collect()
         return {
             "took": 0,
             "hits": {
