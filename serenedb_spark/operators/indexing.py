@@ -118,7 +118,7 @@ def build_index(
                 .simpleString()
         else:
             src_type = dtypes.get(col, "")
-        if src_type.startswith("array"):
+        if src_type.startswith("array") and analyzer_name != "array":
             # LIST/ARRAY columns index element-wise: analyze each
             # element and concatenate the token streams — the term
             # dictionary then serves the same aggregates as a scalar
