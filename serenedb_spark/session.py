@@ -209,6 +209,12 @@ class SereneSession:
             raise RuntimeError(
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block")
+        if getattr(self, "_txn_snapshot_pending", False) and head not in (
+                "COMMIT", "END", "ROLLBACK", "ABORT", "BEGIN", "START"):
+            self._take_txn_snapshot()
+        if getattr(self, "_txn_detached", False) \
+                and getattr(self, "_txn_rc", False):
+            self._rc_sync()
         try:
             return self._sql_body(q)
         except Exception as e:
@@ -402,24 +408,29 @@ class SereneSession:
         self._expose_index_relations(q)
         import re as _re
 
-        if getattr(self, "_txn_detached", False):
-            # a REPEATABLE READ block reads its own snapshot: re-register
-            # referenced tables from the snapshot dicts (Spark temp views
-            # are per-SparkSession, so another session's DDL may have
-            # redefined or dropped them), run, then put the shared
-            # state's views back (drop_table_snapshot_pinning.test)
+        if getattr(self, "_shared_store", None) is not None:
+            # shared sessions race on the ONE SparkSession temp-view
+            # namespace: re-register referenced tables from THIS
+            # session's dicts before running (a peer's detached block
+            # may have registered its snapshot), and put the store's
+            # version back afterwards when this session is detached
+            # (drop_table_snapshot_pinning.test; txn/basic.test:102)
             touched = [t for t in self._tables
                        if _re.search(
                            rf"\b{_re.escape(self._view_name(t))}\b", q)]
             for t in touched:
                 self._reregister(t)
+            if not getattr(self, "_txn_detached", False):
+                return self._plain_sql_body(q)
             try:
                 return self._plain_sql_body(q)
             finally:
-                base = self._shared_base
+                store_tables = self._shared_store["_tables"]
                 for t in touched:
-                    if t in base._tables:
-                        base._reregister(t)
+                    if t in store_tables:
+                        self._apply_masks(
+                            t, store_tables[t]).createOrReplaceTempView(
+                            self._view_name(t))
                     else:
                         try:
                             self.spark.catalog.dropTempView(
@@ -852,8 +863,25 @@ class SereneSession:
                       & (F.col("doc_id") == F.col("__od")), "left_anti")
                 .groupBy("field", "term")
                 .agg(F.sum("freq").cast("long").alias("ctf")))
+            parts = [old_raw, added]
+            dirty = getattr(self, "_dirty_rows", {}).get(ddl.table)
+            if dirty is not None:
+                # rows rewritten since the last refresh: their new copy
+                # adds to the raw stats while the masked old copy stays
+                # counted (the reference's mask+reinsert,
+                # ts_dict_deletes_matrix.test:283)
+                dk = dirty.toDF("__dk").distinct()
+                parts.append(
+                    idx.postings
+                    .join(dk, F.col("doc_id") == F.col("__dk"),
+                          "left_semi")
+                    .groupBy("field", "term")
+                    .agg(F.sum("freq").cast("long").alias("ctf")))
+            merged_raw = parts[0]
+            for pR in parts[1:]:
+                merged_raw = merged_raw.unionByName(pR)
             idx.term_stats_raw = (
-                old_raw.unionByName(added)
+                merged_raw
                 .groupBy("field", "term")
                 .agg(F.sum("ctf").cast("long").alias("ctf")))
         self._indexes[ddl.name] = idx
@@ -2698,8 +2726,73 @@ class SereneSession:
         self._validate_rows(
             table, new_marked.where(F.col("__upd")).drop("__upd"),
             mode="update", full_state=new_marked.drop("__upd"))
+        pk = getattr(self, "_pks", {}).get(table)
+        if pk in marked.columns:
+            # track rewritten row ids: a refresh counts an updated
+            # row's reinserted copy in the RAW term stats just like the
+            # reference's mask+reinsert (ts_dict_deletes_matrix.test:283)
+            self._mark_dirty(table, marked.where(F.col("__upd"))
+                             .select(pk))
         self._tables[table] = new_marked.drop("__upd")
         self._reregister(table)
+
+    #: attrs freshened per-statement inside a READ COMMITTED block
+    _RC_SYNC_STATE = ("_tables", "_indexes", "_index_sources", "_pks",
+                      "_storage", "_schemas", "_sequences")
+
+    def _rc_sync(self) -> None:
+        """READ COMMITTED visibility inside a shared-session block:
+        before each statement, keys this block has NOT written are
+        refreshed from the store (peers' commits appear), and keys a
+        peer dropped disappear — including ones this block wrote, which
+        is how a concurrent DROP TABLE surfaces as a conflict
+        (sdb/pg/index/basic.test:595)."""
+        store = self._shared_store
+        pre = getattr(self, "_txn_prebegin", None) or {}
+        for a in self._RC_SYNC_STATE:
+            shared = store.get(a)
+            local = getattr(self, a, None)
+            if not isinstance(shared, dict) or not isinstance(
+                    local, dict) or local is shared:
+                continue
+            snap = pre.get(a, {})
+            for k, v in shared.items():
+                if local.get(k) is snap.get(k):
+                    local[k] = v
+                    snap[k] = v       # refreshed, still "not mine"
+            for k in list(local):
+                if k not in shared and k in snap:
+                    del local[k]
+                    del snap[k]
+
+    def _merge_table_rows(self, table: str, snap: DataFrame,
+                          local: DataFrame, current: DataFrame
+                          ) -> DataFrame:
+        """Row-level 3-way commit merge: apply this block's row changes
+        (vs its BEGIN snapshot) onto the store's CURRENT state, keyed by
+        the table's PK — concurrent inserts from two blocks both
+        survive (txn/basic.test:157). Without a PK the block's version
+        wins whole."""
+        pk = getattr(self, "_pks", {}).get(table)
+        if pk is None or pk not in local.columns:
+            return local
+        added = local.join(snap.select(pk), pk, "left_anti")
+        removed = snap.select(pk).join(local.select(pk), pk,
+                                       "left_anti")
+        # rows this block UPDATED: present in both snap and local with
+        # any difference — replace them in current wholesale (cheap,
+        # exact: current minus (removed ∪ updated-pks) plus local rows)
+        upd = (local.join(snap.select(pk), pk, "left_semi")
+               .exceptAll(snap))
+        drop_keys = removed.unionByName(upd.select(pk))
+        return (current.join(drop_keys, pk, "left_anti")
+                .unionByName(upd)
+                .unionByName(added))
+
+    def _mark_dirty(self, table: str, keys: DataFrame) -> None:
+        dr = self.__dict__.setdefault("_dirty_rows", {})
+        prev = dr.get(table)
+        dr[table] = keys if prev is None else prev.unionByName(keys)
 
     def _check_fk_restrict(self, table: str, removed: DataFrame) -> None:
         """Default RESTRICT (dml/foreign_key.test): deleting parent rows
@@ -2745,6 +2838,10 @@ class SereneSession:
             keys.select(*kc).distinct(), kc, "left_semi")
         self._validate_rows(table, new_state.join(hit, kc, "left_semi"),
                             mode="update", full_state=new_state)
+        pk = getattr(self, "_pks", {}).get(table)
+        if pk in self._tables[table].columns:
+            self._mark_dirty(table, hit.select(F.col(kc[0]).alias(pk))
+                             if kc != [pk] else hit.select(pk))
         self._tables[table] = new_state
         self._reregister(table)
 
@@ -2772,6 +2869,7 @@ class SereneSession:
         for iname, ddl in list(getattr(self, "_index_ddl", {}).items()):
             if getattr(self, "_index_sources", {}).get(iname) == table:
                 self._create_inverted_index_sql(ddl, internal=True)
+        getattr(self, "_dirty_rows", {}).pop(table, None)
 
     # ---- macros (reference CREATE MACRO, catalog/function.h:30-33:
     # DuckDB scalar AND table macros; Spark 4 SQL UDFs map them directly)
@@ -3026,13 +3124,36 @@ class SereneSession:
         """Share ``base``'s catalog/data store: DDL and committed DML in
         either session are visible to the other — the reference's
         multi-connection READ COMMITTED default (sqllogic `connection`
-        directive; basic.test:563)."""
+        directive; basic.test:563). Both sessions keep a handle on the
+        STORE dicts so a transaction can detach onto a snapshot and
+        merge back at COMMIT."""
+        store = base._ensure_shared_store()
         self._shared_base = base
+        self._shared_store = store
         for a in self._SHARED_STATE:
-            if getattr(base, a, None) is None:
-                setattr(base, a,
-                        set() if a == "_internal_indexes" else {})
-            setattr(self, a, getattr(base, a))
+            setattr(self, a, store[a])
+
+    def _ensure_shared_store(self) -> dict:
+        """Create (or return) this session's shared catalog store —
+        called eagerly by the sqllogic runner when a file uses
+        `connection`, so a BEGIN that precedes the first attach still
+        detaches properly."""
+        store = getattr(self, "_shared_store", None)
+        if store is None:
+            from serenedb_spark.operators.sequences import (
+                SequenceCatalog)
+
+            store = self._shared_store = {}
+            for a in self._SHARED_STATE:
+                if getattr(self, a, None) is None:
+                    if a == "_internal_indexes":
+                        setattr(self, a, set())
+                    elif a == "_sequences":
+                        setattr(self, a, SequenceCatalog())
+                    else:
+                        setattr(self, a, {})
+                store[a] = getattr(self, a)
+        return store
 
     @classmethod
     def _txn_copy(cls, v):
@@ -3072,12 +3193,32 @@ class SereneSession:
             a: self._txn_copy(getattr(self, a, {}) or {})
             for a in self._TXN_STATE}
         self._txn_detached = False
-        if (isolation in ("REPEATABLE READ", "SERIALIZABLE")
-                and getattr(self, "_shared_base", None) is not None):
-            for a in self._SHARED_STATE:
-                setattr(self, a, self._txn_copy(
-                    getattr(self, a, {}) or {}))
-            self._txn_detached = True
+        self._txn_rc = False
+        self._txn_snapshot_pending = False
+        store = getattr(self, "_shared_store", None)
+        if store is not None:
+            # shared mode: EVERY block detaches onto a snapshot — a
+            # peer must never see this block's uncommitted writes
+            # (read_committed.test:93 no-dirty-reads). READ COMMITTED
+            # additionally re-syncs unwritten keys from the store
+            # before each statement (_rc_sync), so peers' commits stay
+            # visible mid-block; REPEATABLE READ keeps the snapshot.
+            # PG takes the snapshot at the FIRST data access, not at
+            # BEGIN (repeatable_read.test:538) — defer the copy.
+            self._txn_snapshot_pending = True
+            self._txn_rc = isolation not in ("REPEATABLE READ",
+                                             "SERIALIZABLE")
+
+    def _take_txn_snapshot(self) -> None:
+        store = self._shared_store
+        self._txn_prebegin = {
+            a: dict(store[a])
+            for a in self._SHARED_STATE
+            if isinstance(store[a], dict)}
+        for a in self._SHARED_STATE:
+            setattr(self, a, self._txn_copy(store[a]))
+        self._txn_detached = True
+        self._txn_snapshot_pending = False
 
     def commit(self) -> None:
         if getattr(self, "_txn_backup", None) is None:
@@ -3088,28 +3229,49 @@ class SereneSession:
             self.rollback()
             return
         if getattr(self, "_txn_detached", False):
-            # re-attach to the shared store, carrying this block's own
-            # catalog changes over (last-writer-wins per key)
-            base = self._shared_base
+            # merge this block's own changes into the shared store
+            # (last-writer-wins per key) and re-attach
+            store = self._shared_store
+            pre = getattr(self, "_txn_prebegin", {})
+            changed_tables = set()
             for a in self._SHARED_STATE:
-                local = getattr(self, a, {}) or {}
-                snap = self._txn_backup.get(a) if a in self._TXN_STATE \
-                    else None
-                shared = getattr(base, a, None)
-                if shared is None:
-                    setattr(base, a, {})
-                    shared = getattr(base, a)
+                local = getattr(self, a, {})
+                shared = store[a]
+                snap = pre.get(a, {})
                 if isinstance(shared, dict) and isinstance(local, dict):
-                    if snap is not None:
-                        for k, v in local.items():
-                            if snap.get(k) is not v:
+                    for k, v in local.items():
+                        if snap.get(k) is not v:
+                            if (a == "_tables"
+                                    and shared.get(k) is not None
+                                    and snap.get(k) is not None
+                                    and shared[k] is not snap[k]):
+                                # a peer committed to the same table
+                                # during this block: row-level 3-way
+                                # merge on the PK (txn/basic.test:157 —
+                                # both inserts survive)
+                                shared[k] = self._merge_table_rows(
+                                    k, snap[k], v, shared[k])
+                            else:
                                 shared[k] = v
-                        for k in set(snap) - set(local):
+                            if a == "_tables":
+                                changed_tables.add(k)
+                    for k in (set(snap) - set(local)):
+                        if k in shared and shared[k] is snap.get(k):
                             shared.pop(k, None)
-                    setattr(self, a, shared)
-                else:
-                    setattr(self, a, shared)
+                            if a == "_tables":
+                                changed_tables.add(k)
+                setattr(self, a, shared)
             self._txn_detached = False
+            self._txn_prebegin = None
+            for t in changed_tables:
+                if t in self._tables:
+                    self._reregister(t)
+                else:
+                    try:
+                        self.spark.catalog.dropTempView(
+                            self._view_name(t))
+                    except Exception:
+                        pass
         self._txn_backup = None
         self._txn_read_only = False
 
@@ -3127,6 +3289,29 @@ class SereneSession:
         # with module-level consumers must have their side effects
         # re-applied, not just the dict restored.
         cur_vars = dict(getattr(self, "_variables", {}) or {})
+        if getattr(self, "_txn_detached", False):
+            # shared mode: the block's writes never reached the store —
+            # discard the local snapshot and re-attach
+            store = self._shared_store
+            local_tables = dict(getattr(self, "_tables", {}) or {})
+            for a in self._SHARED_STATE:
+                setattr(self, a, store[a])
+            self._txn_detached = False
+            self._txn_prebegin = None
+            self._txn_backup = None
+            self._txn_aborted = False
+            self._txn_read_only = False
+            for t in set(local_tables) | set(self._tables):
+                if self._tables.get(t) is not local_tables.get(t):
+                    if t in self._tables:
+                        self._reregister(t)
+                    else:
+                        try:
+                            self.spark.catalog.dropTempView(
+                                self._view_name(t))
+                        except Exception:
+                            pass
+            return
         if (getattr(self, "_shared_base", None) is not None
                 and not getattr(self, "_txn_detached", False)):
             # shared READ COMMITTED mode: restore IN PLACE so the other

@@ -237,6 +237,9 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
     passed = 0
     sessions = {None: ss}
     base_ss = ss
+    if any(b.conn for b in blocks) and hasattr(ss,
+                                               "_ensure_shared_store"):
+        ss._ensure_shared_store()
     for b in blocks:
         if b.conn is not None:
             if b.conn not in sessions:
