@@ -31,13 +31,44 @@ def ts_dict(idx: InvertedIndex, field: str | None = None) -> DataFrame:
         F.col("df").alias("doc_count"),
         F.col("ctf").alias("total_freq"),
     )
-    raw = getattr(idx, "term_stats_raw", None)
-    if raw is None:
+    segs = getattr(idx, "_segments", None)
+    if not segs or len(segs) == 1:
         return live
-    raw_f = raw.where(F.col("field") == field).select(
-        "term", F.col("ctf").alias("__raw_ctf"))
+    # per-segment RAW totals: a segment contributes a term's raw ctf
+    # while the term still has a live LATEST-copy doc in it — a doc
+    # rewritten later is masked here, a deleted doc keeps counting in
+    # ctf but no longer keeps the term alive
+    # (ts_dict_deletes_matrix.test:300)
+    live_ids = (idx.universe.where(F.col("field") == field)
+                .select("doc_id").distinct())
+    n = len(segs)
+    laters: list = [None] * n
+    acc = None
+    for i in range(n - 1, -1, -1):
+        laters[i] = acc
+        ids_i = segs[i][0]
+        acc = ids_i if acc is None else \
+            acc.unionByName(ids_i).distinct()
+    contribs = []
+    for i, (ids_i, post_i) in enumerate(segs):
+        latest_live = ids_i.join(live_ids, "doc_id", "left_semi")
+        if laters[i] is not None:
+            latest_live = latest_live.join(laters[i], "doc_id",
+                                           "left_anti")
+        p = post_i.where(F.col("field") == field)
+        alive_terms = (p.join(latest_live, "doc_id", "left_semi")
+                       .select("term").distinct())
+        contribs.append(
+            p.groupBy("term")
+            .agg(F.sum("freq").cast("long").alias("__raw_ctf"))
+            .join(alive_terms, "term", "left_semi"))
+    raw = contribs[0]
+    for c in contribs[1:]:
+        raw = raw.unionByName(c)
+    raw = raw.groupBy("term").agg(
+        F.sum("__raw_ctf").cast("long").alias("__raw_ctf"))
     return (
-        live.join(raw_f, "term", "left")
+        live.join(raw, "term", "left")
         .select(
             "term", "doc_count",
             F.coalesce("__raw_ctf", "total_freq").alias("total_freq"),

@@ -844,46 +844,31 @@ class SereneSession:
         old = self._indexes.get(ddl.name)
         idx = build_index(df, fields, key=key, include=include,
                           name=ddl.name, exprs=exprs or None)
-        if old is not None:
-            # a refresh over an existing index: carry RAW term totals —
-            # docs deleted since the last refresh stay counted in ctf
-            # until compaction, exactly like the reference's per-segment
-            # masks (ts_dict_deletes.test:125 "freq keeps the raw index
-            # value"). New docs (ids outside the old universe) add their
-            # stats on top.
-            old_raw = (old.term_stats_raw
-                       if old.term_stats_raw is not None
-                       else old.term_stats).select("field", "term", "ctf")
-            added = (
-                idx.postings
-                .join(old.universe.select("field", "doc_id").distinct()
-                      .withColumnRenamed("doc_id", "__od")
-                      .withColumnRenamed("field", "__of"),
-                      (F.col("field") == F.col("__of"))
-                      & (F.col("doc_id") == F.col("__od")), "left_anti")
-                .groupBy("field", "term")
-                .agg(F.sum("freq").cast("long").alias("ctf")))
-            parts = [old_raw, added]
+        # segment model: each refresh freezes a segment holding the
+        # docs ADDED or REWRITTEN since the previous refresh (the
+        # reference's mask+reinsert — an updated row's old copy stays
+        # masked in its dirty segment while the fresh copy lands in a
+        # clean one). ts_dict raw frequencies come from per-segment
+        # stats: a term's segment contributes its RAW ctf only while it
+        # still has a live latest-copy doc there
+        # (ts_dict_deletes_matrix.test:300).
+        if old is not None and getattr(old, "_segments", None):
+            prev_ids = None
+            for ids_i, _p in old._segments:
+                prev_ids = ids_i if prev_ids is None \
+                    else prev_ids.unionByName(ids_i)
+            prev_ids = prev_ids.distinct()
+            new_ids = (df.select(F.col(key).alias("doc_id")).distinct()
+                       .join(prev_ids, "doc_id", "left_anti"))
             dirty = getattr(self, "_dirty_rows", {}).get(ddl.table)
             if dirty is not None:
-                # rows rewritten since the last refresh: their new copy
-                # adds to the raw stats while the masked old copy stays
-                # counted (the reference's mask+reinsert,
-                # ts_dict_deletes_matrix.test:283)
-                dk = dirty.toDF("__dk").distinct()
-                parts.append(
-                    idx.postings
-                    .join(dk, F.col("doc_id") == F.col("__dk"),
-                          "left_semi")
-                    .groupBy("field", "term")
-                    .agg(F.sum("freq").cast("long").alias("ctf")))
-            merged_raw = parts[0]
-            for pR in parts[1:]:
-                merged_raw = merged_raw.unionByName(pR)
-            idx.term_stats_raw = (
-                merged_raw
-                .groupBy("field", "term")
-                .agg(F.sum("ctf").cast("long").alias("ctf")))
+                new_ids = new_ids.unionByName(
+                    dirty.toDF("doc_id").distinct()).distinct()
+            seg_post = idx.postings.join(new_ids, "doc_id", "left_semi")
+            idx._segments = list(old._segments) + [(new_ids, seg_post)]
+        else:
+            idx._segments = [(df.select(F.col(key).alias("doc_id"))
+                              .distinct(), idx.postings)]
         self._indexes[ddl.name] = idx
         if not hasattr(self, "_index_sources"):
             self._index_sources = {}

@@ -70,11 +70,11 @@ FILES = [
     ("any/pg/simple/update_pk.test", 106),
     ("any/pg/simple/window_extra.test", 10),
     ("any/pg/txn/aborted_block.test", 11),
-    ("any/pg/txn/basic.test", 17),
+    ("any/pg/txn/basic.test", 36),
     ("any/pg/txn/chain.test", 12),
     ("any/pg/txn/deferrable.test", 10),
-    ("any/pg/txn/read_committed.test", 20),
-    ("any/pg/txn/repeatable_read.test", 20),
+    ("any/pg/txn/read_committed.test", 109),
+    ("any/pg/txn/repeatable_read.test", 100),
     ("sdb/pg/ddl/add_column_constraints.test", 12),
     ("sdb/pg/ddl/alter_add_column_sequence_default.test", 3),
     ("sdb/pg/ddl/alter_rename.test", 76),
