@@ -89,6 +89,9 @@ _FN_RENAMES = {"approx_quantile": "approx_percentile",
                # DuckDB list fns (ts_dict_minmax_count.test list_sort)
                "list_sort": "array_sort", "list_distinct": "array_distinct",
                "list_contains": "array_contains",
+               # PG set-returning unnest over an array expression
+               # (ts_dict_array_agg.test:351) — Spark's generator
+               "unnest": "explode",
                # PG composite constructor (ddl/composite.test)
                "row": "struct"}
 
@@ -533,6 +536,39 @@ def rewrite_ordered_aggs(sql: str) -> str:
     return "".join(out)
 
 
+_SIMILAR_RE = re.compile(
+    r"(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'", re.IGNORECASE)
+
+
+def rewrite_similar_to(sql: str) -> str:
+    """PG ``expr SIMILAR TO 'pat'`` — an ANCHORED regex where % and _
+    carry LIKE semantics (ts_dict_residual_filter_complex.test:848)."""
+    if "similar" not in sql.lower():
+        return sql
+
+    def sub(m: re.Match) -> str:
+        pat = m.group(2).replace("%", ".*").replace("_", ".")
+        neg = "NOT " if m.group(1) else ""
+        return f"{neg}RLIKE '^(?:{pat})$'"
+
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    # operate on operator-then-literal pairs like the regex-op rewrite
+    out = []
+    i = 0
+    while i < len(parts):
+        seg = parts[i]
+        if (i % 2 == 0 and i + 1 < len(parts)
+                and re.search(r"SIMILAR\s+TO\s*$", seg,
+                              re.IGNORECASE)):
+            combined = _SIMILAR_RE.sub(sub, seg + parts[i + 1])
+            out.append(combined)
+            i += 2
+            continue
+        out.append(seg)
+        i += 1
+    return "".join(out)
+
+
 _TS_SPLIT_RE = re.compile(r"\bts_split_by_non_alpha\s*\(", re.IGNORECASE)
 
 
@@ -575,7 +611,10 @@ def rewrite_pg_regex_ops(sql: str) -> str:
     def sub(m: re.Match) -> str:
         lhs, op, pat = m.group(1), m.group(2), m.group(3)
         flags = "(?i)" if op.endswith("*") else ""
-        expr = f"{lhs} RLIKE '{flags}^(?:{pat})$'"
+        # PG `~` matches ANYWHERE in the string (unanchored), exactly
+        # like Spark's RLIKE (ts_dict_residual_filter_complex.test:803
+        # `svc ~ '^front'` is a prefix match)
+        expr = f"{lhs} RLIKE '{flags}{pat}'"
         return f"NOT ({expr})" if op.startswith("!") else expr
 
     # quote-aware: a literal like 'a ~ ''x''' must not be rewritten —
@@ -846,6 +885,8 @@ def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
                 rewrite_public_schema(rewrite_array_literals(
                     rewrite_order_nulls(rewrite_ordered_aggs(
                         rewrite_ts_split(rewrite_pg_regex_ops(
-                            rewrite_caret_power(rewrite_read_files(
-                                rewrite_bare_fn_alias(sql)))))))))))))))
+                            rewrite_similar_to(
+                                rewrite_caret_power(rewrite_read_files(
+                                    rewrite_bare_fn_alias(
+                                        sql))))))))))))))))
     return spark.sql(lowered)

@@ -106,6 +106,14 @@ FILES = [
     ("sdb/pg/index/ts_dict.test", 23),
     ("sdb/pg/index/ts_dict_compose.test", 13),
     ("sdb/pg/index/ts_dict_deletes.test", 36),
+    ("sdb/pg/index/ts_dict_deletes_matrix.test", 63),
+    ("sdb/pg/index/ts_dict_facets.test", 130),
+    ("sdb/pg/index/ts_dict_aggs.test", 44),
+    ("sdb/pg/index/ts_dict_array_agg.test", 26),
+    ("sdb/pg/index/ts_dict_cartesian.test", 27),
+    ("sdb/pg/index/ts_dict_predicates.test", 31),
+    ("sdb/pg/index/ts_dict_residual_filter.test", 48),
+    ("sdb/pg/index/ts_dict_residual_filter_complex.test", 90),
     ("sdb/pg/index/ts_dict_doc_restricted.test", 27),
     ("sdb/pg/index/ts_dict_fuzzy.test", 16),
     ("sdb/pg/index/ts_dict_joins.test", 21),
