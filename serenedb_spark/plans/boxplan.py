@@ -750,6 +750,50 @@ def _conv_residual(sql: str, idx) -> RF:
         else:
             d["hi"], d["hi_inc"] = v, op == "<="
         return RF("gran", col, lowered=True, data=d)
+    m = re.match(
+        r"^\(*\s*([A-Za-z_]\w*)\s+LIKE\s+'((?:[^']|'')*)'\s*\)*$",
+        sql.strip(), re.IGNORECASE)
+    if m:
+        col, pat = m.group(1), m.group(2).replace("''", "'")
+        _ftype(idx, col)
+        if "%" not in pat and "_" not in pat:
+            return RF("term", col, data={"value": pat}, lowered=True)
+        if pat.endswith("%") and "%" not in pat[:-1] \
+                and "_" not in pat[:-1]:
+            return RF("prefix", col, lowered=True,
+                      data={"prefix": pat[:-1]})
+        return RF("automaton", col, lowered=True,
+                  data={"pattern": pat})
+    m = re.match(
+        r"^\(*\s*regexp_matches\s*\(\s*([A-Za-z_]\w*)\s*,\s*"
+        r"'((?:[^']|'')*)'\s*\)\s*\)*$", sql.strip(), re.IGNORECASE)
+    if m:
+        col, pat = m.group(1), m.group(2).replace("''", "'")
+        _ftype(idx, col)
+        return RF("automaton", col, lowered=True,
+                  data={"pattern": pat})
+    m = re.match(
+        r"^\(*\s*([A-Za-z_]\w*)\s+BETWEEN\s+'((?:[^']|'')*)'\s+AND"
+        r"\s+'((?:[^']|'')*)'\s*\)*$", sql.strip(), re.IGNORECASE)
+    if m:
+        col = m.group(1)
+        _ftype(idx, col)
+        return RF("range", col, lowered=True, data={
+            "lo": m.group(2).replace("''", "'"), "lo_inc": True,
+            "hi": m.group(3).replace("''", "'"), "hi_inc": True})
+    m = re.match(
+        r"^\(*\s*([A-Za-z_]\w*)\s*(<=|>=|<|>)\s*'((?:[^']|'')*)'"
+        r"\s*\)*$", sql.strip(), re.IGNORECASE)
+    if m:
+        col, op, v = m.group(1), m.group(2), \
+            m.group(3).replace("''", "'")
+        _ftype(idx, col)
+        d = {"lo": None, "lo_inc": None, "hi": None, "hi_inc": None}
+        if op in (">", ">="):
+            d["lo"], d["lo_inc"] = v, op == ">="
+        else:
+            d["hi"], d["hi_inc"] = v, op == "<="
+        return RF("range", col, lowered=True, data=d)
     raise _Bail(sql)
 
 
@@ -874,3 +918,215 @@ def try_explain_box(session, inner_sql: str):
         return None
     except (ValueError, KeyError):
         return None
+
+
+# ---------------------------------------------------------------------------
+# TsDict EXPLAIN — the claimed term-dictionary plan chains
+# (ts_dict*.test: [ORDER_BY] [PROJECTION…] HASH_GROUP_BY IRESEARCH_SCAN)
+# ---------------------------------------------------------------------------
+
+def _tsd_scan_col(fn: str, field: str) -> str:
+    base = {"agg": "term", "raw_agg": "term_raw", "count": "term_count",
+            "freq": "term_freq", "score": "term_score",
+            "min": "term", "max": "term"}[fn]
+    return f"sdb_inverted_index_{base}${field}"
+
+
+def _proj_lines(items: list[str]) -> list[str]:
+    """The reference's projection-list layout: single item inline; a
+    multi-item list of long scan columns splits one per line with
+    trailing commas; short alias lists stay inline."""
+    if len(items) == 1:
+        return [f"Projections: {items[0]}"]
+    one = "Projections: " + ", ".join(items)
+    if max(len(i) for i in items) <= 12 and len(one) <= 46:
+        return [one]
+    # the reference's layout reserves the comma slot on the last item
+    # too (ts_dict_cartesian.test:61 box width)
+    return ["Projections:"] + [i + "," for i in items[:-1]] \
+        + [items[-1] + " "]
+
+
+def _rows_line(n: int) -> str:
+    return f"~{n} row" + ("s" if n != 1 else "")
+
+
+def render_chain(nodes: list[tuple[str, list[str]]]) -> list[str]:
+    """A vertical plan chain at ONE shared width (the reference's
+    EXPLAIN dump gives every node in a chain the same box width)."""
+    w = max(max((len(ln) for _t, lines in nodes for ln in lines),
+                default=0) + 4,
+            max(len(t) for t, _l in nodes) + 7)
+    c = _center(w)
+    out: list[str] = []
+    for i, (title, lines) in enumerate(nodes):
+        top = list("╭─ " + title + " " + "─" * (w - len(title) - 5)
+                   + "╮")
+        if i > 0 and top[c] == "─":
+            top[c] = "┴"
+        out.append("".join(top))
+        for ln in lines:
+            out.append("│ " + ln.ljust(w - 4) + " │")
+        bottom = list("╰" + "─" * (w - 2) + "╯")
+        if i < len(nodes) - 1:
+            bottom[c] = "┬"
+        out.append("".join(bottom))
+    return out
+
+
+def try_tsdict_explain(session, inner_sql: str):
+    """Render EXPLAIN over a ts_dict statement in the reference's box
+    layout (ts_dict_plan.cpp's claimed aggregate). None when the shape
+    is outside the rendered set — the caller falls back."""
+    from serenedb_spark.plans import search_sql as SS
+
+    try:
+        stmt = SS.parse_ts_dict(inner_sql)
+    except Exception:
+        return None
+    if stmt is None:
+        return None
+    idx = session._indexes.get(stmt.from_name)
+    if idx is None:
+        return None
+    segs = getattr(idx, "_segments", None)
+    if not segs:
+        return None
+    try:
+        return _render_tsdict(session, stmt, idx, segs)
+    except _Bail:
+        return None
+
+
+def _render_tsdict(session, stmt, idx, segs):
+    import pyspark.sql.functions as F
+
+    calls = stmt.calls
+    if stmt.row_aggs or stmt.term_matcher:
+        raise _Bail("restricted ts_dict explain not rendered")
+    fields = {c.field for c in calls}
+    if len(fields) != 1:
+        raise _Bail("multi-field")
+    f = calls[0].field
+
+    # per-segment distinct terms — the scan's row estimate
+    d = [int(p.where(F.col("field") == f).select("term").distinct()
+             .count()) for _ids, p in segs]
+    scan_raw = sum(d)
+
+    # WHERE handling: a claimable term acceptor renders as the scan's
+    # Index Filter and takes DuckDB's 20% selectivity guess
+    # (ts_dict_cartesian.test:109 19 = 96·0.2); a scalar term predicate
+    # becomes a FILTER plan node; a doc-level @@ claim renders as the
+    # Index Filter with NO row reduction (the doc set narrows documents,
+    # not the enumerated dictionary)
+    filter_boxes: list[str] = []
+    filter_node_pred = None
+    scan_sum = scan_raw
+    if stmt.term_residuals:
+        if len(stmt.term_residuals) > 1:
+            raise _Bail("multi-residual")
+        _rf_field, mapped = stmt.term_residuals[0]
+        orig = re.sub(r"\bterm\b", f, mapped)
+        orig = re.sub(r"\s+", " ", orig).strip()
+        try:
+            rf = _conv_residual(orig, idx)
+            filter_boxes = render_filter(rf_to_box(rf, idx))
+            scan_sum = max(1, int(scan_raw * 0.2))
+        except _Bail:
+            # scalar post-filter (length(body) = 5): a FILTER node
+            scan_col = _tsd_scan_col("agg", f)
+            filter_node_pred = re.sub(
+                rf"\b{re.escape(f)}\b", scan_col, orig)
+    if stmt.doc_where is not None:
+        from serenedb_spark.plans import search_sql as SS
+
+        toks = SS.tokenize(stmt.doc_where)
+        tree = SS._parse_bool_or(
+            toks, lambda c: idx.analyzer(c))
+        rf = _conv_tree(tree, idx, False)
+        filter_boxes = render_filter(rf_to_box(rf, idx))
+    group_est = scan_sum // 2
+
+    forms = {c.form for c in calls}
+    fns = [c.fn for c in calls]
+
+    # ---- pure min/max: UNGROUPED over the scan, first-term stops
+    if forms == {"scalar"} and (filter_boxes or filter_node_pred):
+        raise _Bail("filtered scalar explain")
+    if forms == {"scalar"}:
+        aggs = ", ".join(f"{fn}(#0)" for fn in fns)
+        return render_chain([
+            ("UNGROUPED_AGGREGATE",
+             [f"Aggregates: {aggs}", _rows_line(1)]),
+            ("IRESEARCH_SCAN",
+             [f"Index: {stmt.from_name}", f"TsDict: {f}"]
+             + _proj_lines([_tsd_scan_col("agg", f)])
+             + [_rows_line(len(segs))]),
+        ])
+
+    if not forms <= {"unnest", "bare", "list"}:
+        raise _Bail("mixed forms")
+
+    scan_cols = [_tsd_scan_col(c.fn, f) for c in calls]
+    metric_calls = [c for c in calls if c.fn in ("count", "freq",
+                                                 "score")]
+    key_calls = [c for c in calls if c.fn in ("agg", "raw_agg")]
+
+    nodes: list = []
+    if forms == {"unnest"}:
+        if stmt.order:
+            keys = ", ".join(
+                f"{stmt.from_name}.{f})) {'DESC' if dsc else 'ASC'}"
+                for _k, dsc in stmt.order)
+            nodes.append(("ORDER_BY",
+                          [f"Order By: {keys}", _rows_line(group_est)]))
+        # alias projection when the raw ::VARCHAR cast is in play
+        if any(c.fn == "raw_agg" and c.hexcast for c in calls):
+            aliases = []
+            for it in stmt.select_items:
+                m = re.search(r"\bAS\s+(\w+)\s*$", it, re.IGNORECASE)
+                aliases.append(m.group(1) if m else "?column?")
+            nodes.append(("PROJECTION",
+                          _proj_lines(aliases)
+                          + [_rows_line(group_est)]))
+
+    # cast projection when metrics are present (count→INTEGER,
+    # freq→BIGINT)
+    cast = {"count": "INTEGER", "freq": "BIGINT"}
+    if metric_calls:
+        items = []
+        for c in calls:
+            col = _tsd_scan_col(c.fn, f)
+            if c.fn in cast:
+                items.append(f"CAST({col} AS {cast[c.fn]})")
+            else:
+                items.append(col)
+        nodes.append(("PROJECTION",
+                      _proj_lines(items) + [_rows_line(group_est)]))
+
+    group_keys = ", ".join(f"#{i}" for i in range(len(key_calls)))
+    group_lines = [f"Groups: {group_keys or '#0'}"]
+    if metric_calls:
+        aggfn = {"count": "sum", "freq": "sum", "score": "max"}
+        aggs = ", ".join(
+            f"{aggfn[c.fn]}(#{len(key_calls) + i})"
+            for i, c in enumerate(metric_calls))
+        group_lines.append(f"Aggregates: {aggs}")
+    group_lines.append(_rows_line(group_est))
+    nodes.append(("HASH_GROUP_BY", group_lines))
+
+    if filter_node_pred is not None:
+        nodes.append(("FILTER",
+                      ["Expression:", filter_node_pred,
+                       _rows_line(max(1, int(scan_raw * 0.2)))]))
+    scan_lines = [f"Index: {stmt.from_name}"]
+    if filter_boxes:
+        scan_lines += ["Index Filter:"] + filter_boxes
+    scan_lines += [f"TsDict: {f}"] + _proj_lines(scan_cols) \
+        + [_rows_line(scan_raw if filter_node_pred is not None
+                      else scan_sum)]
+    nodes.append(("IRESEARCH_SCAN", scan_lines))
+    if forms == {"unnest"}:
+        return render_chain(nodes)
+    raise _Bail("aggregate-form explain not rendered yet")

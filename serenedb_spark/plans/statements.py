@@ -1353,8 +1353,11 @@ def _explain(session, s: str) -> DataFrame:
         return _plan_df(session, lines)
     if not analyze:
         try:
-            from serenedb_spark.plans.boxplan import try_explain_box
-            box = try_explain_box(session, inner)
+            from serenedb_spark.plans.boxplan import (
+                try_explain_box, try_tsdict_explain)
+            box = try_tsdict_explain(session, inner)
+            if box is None:
+                box = try_explain_box(session, inner)
         except Exception:
             box = None
         if box is not None:
