@@ -1186,8 +1186,14 @@ def _encts_py(v) -> list[str]:
             v = _dt.datetime.fromisoformat(v)
         except ValueError:
             return []
-    epoch = _dt.datetime(1970, 1, 1)
-    micros = int((v - epoch).total_seconds()) * 1_000_000 + v.microsecond
+    if v.tzinfo is not None:
+        v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    # integer math keeps pre-1970 values exact (total_seconds()
+    # truncation toward zero + microsecond add would mis-encode
+    # 1969-12-31 23:59:59.5 as +500000µs instead of -500000µs)
+    delta = v - _dt.datetime(1970, 1, 1)
+    micros = ((delta.days * 86_400 + delta.seconds) * 1_000_000
+              + delta.microseconds)
     return [py_encode_int(micros)]
 
 

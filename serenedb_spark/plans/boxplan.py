@@ -579,7 +579,7 @@ def _conv_ts(node, col: str, idx, boost: float = 1.0,
             return RF("prefix", col, boost,
                       data={"prefix": pat[:-1]})
         return RF("automaton", col, boost,
-                  data={"pattern": pat})
+                  data={"pattern": pat, "like": True})
     if isinstance(node, q.Regexp):
         if not re.search(r"[.*+?\[\](){}|^$\\]", node.pattern):
             # no metacharacters: a plain term (lowering.test:72)
@@ -613,7 +613,8 @@ def rf_to_box(r: RF, idx) -> FBox:
         if r.field is not None else None
 
     def fieldline():
-        return f"Field: {r.field}({ft})"
+        # catalog-folded lowercase, like every reference plan
+        return f"Field: {(r.field or '').lower()}({ft})"
 
     boostline = ([f"Boost: {_fmt_boost(r.boost)}"]
                  if r.boost != 1.0 else [])
@@ -763,7 +764,7 @@ def _conv_residual(sql: str, idx) -> RF:
             return RF("prefix", col, lowered=True,
                       data={"prefix": pat[:-1]})
         return RF("automaton", col, lowered=True,
-                  data={"pattern": pat})
+                  data={"pattern": pat, "like": True})
     m = re.match(
         r"^\(*\s*regexp_matches\s*\(\s*([A-Za-z_]\w*)\s*,\s*"
         r"'((?:[^']|'')*)'\s*\)\s*\)*$", sql.strip(), re.IGNORECASE)
@@ -778,9 +779,22 @@ def _conv_residual(sql: str, idx) -> RF:
     if m:
         col = m.group(1)
         _ftype(idx, col)
-        return RF("range", col, lowered=True, data={
-            "lo": m.group(2).replace("''", "'"), "lo_inc": True,
-            "hi": m.group(3).replace("''", "'"), "hi_inc": True})
+        lo = m.group(2).replace("''", "'")
+        hi = m.group(3).replace("''", "'")
+        try:
+            tokenized = len(idx.analyzer(col).tokens("a b")) != 1
+        except Exception:
+            tokenized = False
+        if tokenized:
+            # a tokenized field lowers BETWEEN to the interval
+            # automaton (ts_dict_aggs.test:411 `[c..]&[..g]`)
+            return RF("automaton", col, lowered=True,
+                      data={"pattern": f"[{lo}..]&[..{hi}]"})
+        # keyword fields re-merge the two AND'd bounds — boosts
+        # summed, same as the numeric/timestamp twins
+        # (ts_dict_where_deletes.test:209 Boost: 2)
+        return RF("range", col, boost=2.0, lowered=True, data={
+            "lo": lo, "lo_inc": True, "hi": hi, "hi_inc": True})
     m = re.match(
         r"^\(*\s*([A-Za-z_]\w*)\s*(<=|>=|<|>)\s*'((?:[^']|'')*)'"
         r"\s*\)*$", sql.strip(), re.IGNORECASE)
@@ -929,7 +943,10 @@ def _tsd_scan_col(fn: str, field: str) -> str:
     base = {"agg": "term", "raw_agg": "term_raw", "count": "term_count",
             "freq": "term_freq", "score": "term_score",
             "min": "term", "max": "term"}[fn]
-    return f"sdb_inverted_index_{base}${field}"
+    # the reference's catalog folds unquoted identifiers to lowercase
+    # (PG semantics) — plans never show mixed case
+    # (ts_dict_view.test:412 Tags → tags)
+    return f"sdb_inverted_index_{base}${field.lower()}"
 
 
 def _proj_lines(items: list[str]) -> list[str]:
@@ -937,7 +954,16 @@ def _proj_lines(items: list[str]) -> list[str]:
     multi-item list of long scan columns splits one per line with
     trailing commas; short alias lists stay inline."""
     if len(items) == 1:
-        return [f"Projections: {items[0]}"]
+        one = f"Projections: {items[0]}"
+        # a single item stays inline up to 40 chars; longer splits to
+        # label + item lines (ts_dict.test:177 term$body at 42 wraps,
+        # ts_dict_array_agg.test:76 term$cat at 40 stays)
+        if len(one) <= 40:
+            return [one]
+        # the wrapped item reserves the comma slot + space, like the
+        # multi-item layout (ts_dict.test:177 box width 34 for a
+        # 28-char item)
+        return ["Projections:", items[0] + "  "]
     one = "Projections: " + ", ".join(items)
     if max(len(i) for i in items) <= 12 and len(one) <= 46:
         return [one]
@@ -998,6 +1024,66 @@ def try_tsdict_explain(session, inner_sql: str):
         return None
 
 
+class _Skip(Exception):
+    """Internal control flow: residual already rendered."""
+
+
+def _or_union_frag(r: RF) -> str | None:
+    """The regex fragment one acceptor contributes to a TS_DICT OR
+    union automaton (ts_dict_predicates.test:246 `(?:ax.*)|(?:ban.*)`,
+    :431 LIKE/term mix) — None if the claim can't join a union."""
+    if r.boost != 1.0:
+        return None
+    if r.kind == "prefix":
+        return r.data["prefix"] + ".*"
+    if r.kind == "term":
+        return r.data["value"]
+    if r.kind == "automaton":
+        p = r.data["pattern"]
+        if r.data.get("like"):
+            p = p.replace("%", ".*").replace("_", ".")
+        return p
+    return None
+
+
+def _fold_tsdict_or(r: RF) -> RF:
+    """Under a TS_DICT scan a pure disjunction of term acceptors on one
+    field compiles into a single union Automaton."""
+    r.children = [_fold_tsdict_or(c) for c in r.children]
+    if r.kind == "or" and r.children:
+        frags = [_or_union_frag(c) for c in r.children]
+        flds = {c.field for c in r.children}
+        if len(flds) == 1 and all(f is not None for f in frags):
+            return RF("automaton", next(iter(flds)), lowered=True,
+                      data={"pattern": "|".join(
+                          f"(?:{f})" for f in frags)})
+    return r
+
+
+def _and_intersect_frag(r: RF) -> str | None:
+    """The fragment one claim contributes to a TS_DICT AND intersection
+    automaton (ts_dict_predicates.test:104 `a%&[ap..az]`)."""
+    if r.boost not in (1.0, 2.0):
+        return None
+    if r.kind == "automaton":
+        return r.data["pattern"]        # LIKE pattern verbatim
+    if (r.kind == "range" and r.data.get("lo") is not None
+            and r.data.get("hi") is not None
+            and r.data.get("lo_inc") and r.data.get("hi_inc")):
+        return f"[{r.data['lo']}..{r.data['hi']}]"
+    return None
+
+
+def _tsdict_unlimit_lev(r: RF) -> None:
+    """Under a TS_DICT enumeration the fuzzy claim runs uncapped —
+    Max Terms: 0 (ts_dict_aggs.test:925), unlike the scored search
+    default of 64 (filter_optimizer_lowering.test:147)."""
+    if r.kind == "lev":
+        r.data["max_terms"] = 0
+    for c in r.children:
+        _tsdict_unlimit_lev(c)
+
+
 def _render_tsdict(session, stmt, idx, segs):
     import pyspark.sql.functions as F
 
@@ -1025,19 +1111,97 @@ def _render_tsdict(session, stmt, idx, segs):
     scan_sum = scan_raw
     if stmt.term_residuals:
         if len(stmt.term_residuals) > 1:
-            raise _Bail("multi-residual")
+            # AND'd acceptors fold into ONE intersection automaton —
+            # LIKE pattern & interval (ts_dict_predicates.test:104
+            # `a%&[ap..az]`); anything else stays out of surface
+            frags = []
+            for _rf_f, mp in stmt.term_residuals:
+                o = re.sub(r"\bterm\b", f, mp)
+                o = re.sub(r"\s+", " ", o).strip()
+                frags.append(_and_intersect_frag(_conv_residual(o, idx)))
+            if any(fr is None for fr in frags):
+                raise _Bail("multi-residual")
+            rf = RF("automaton", f, lowered=True,
+                    data={"pattern": "&".join(frags)})
+            filter_boxes = render_filter(rf_to_box(rf, idx))
+            scan_sum = max(1, int(scan_raw * 0.2))
+            stmt_residual_done = True
+        else:
+            stmt_residual_done = False
         _rf_field, mapped = stmt.term_residuals[0]
         orig = re.sub(r"\bterm\b", f, mapped)
         orig = re.sub(r"\s+", " ", orig).strip()
         try:
-            rf = _conv_residual(orig, idx)
+            if stmt_residual_done:
+                raise _Skip()
+            if re.fullmatch(
+                    r"\(*\s*[A-Za-z_]\w*\s*(?:!=|<>)\s*'(?:[^']|'')*'"
+                    r"\s*\)*", orig):
+                # a negated term acceptor claims INVISIBLY: the scan
+                # estimate drops but no Index Filter box appears
+                # (ts_dict_doc_restricted.test:225)
+                scan_sum = max(1, int(scan_raw * 0.2))
+                raise _Skip()
+            try:
+                rf = _conv_residual(orig, idx)
+            except _Bail:
+                # a pure OR of acceptors folds into one union automaton
+                # (ts_dict_predicates.test:431)
+                parts2 = re.split(r"\s+OR\s+", orig, flags=re.IGNORECASE)
+                if len(parts2) < 2:
+                    raise
+                kids = [_conv_residual(p2, idx) for p2 in parts2]
+                fr2 = [_or_union_frag(k) for k in kids]
+                if all(x is not None for x in fr2):
+                    # all automaton-representable → one union automaton
+                    rf = RF("automaton", f, lowered=True,
+                            data={"pattern": "|".join(
+                                f"(?:{x})" for x in fr2)})
+                else:
+                    # a range keeps the Or tree
+                    # (ts_dict_predicates.test:462)
+                    rf = RF("or", f, children=kids)
             filter_boxes = render_filter(rf_to_box(rf, idx))
             scan_sum = max(1, int(scan_raw * 0.2))
+        except _Skip:
+            pass
         except _Bail:
             # scalar post-filter (length(body) = 5): a FILTER node
             scan_col = _tsd_scan_col("agg", f)
             filter_node_pred = re.sub(
                 rf"\b{re.escape(f)}\b", scan_col, orig)
+            # token-stream spacing tightens to call syntax
+            # (ts_dict_where_deletes.test:260 `length(...) = 4`)
+            filter_node_pred = re.sub(r"\s*\(\s*", "(",
+                                      filter_node_pred)
+            filter_node_pred = re.sub(r"\s*\)", ")", filter_node_pred)
+            # top-level OR operands print parenthesized
+            # (where_deletes.test:363 `(a) OR (b)`)
+            parts = []
+            depth = 0
+            start = 0
+            i2 = 0
+            up = filter_node_pred.upper()
+            while i2 < len(filter_node_pred):
+                c2 = filter_node_pred[i2]
+                if c2 == "'":
+                    i2 += 1
+                    while (i2 < len(filter_node_pred)
+                           and filter_node_pred[i2] != "'"):
+                        i2 += 1
+                elif c2 == "(":
+                    depth += 1
+                elif c2 == ")":
+                    depth -= 1
+                elif (depth == 0 and up.startswith(" OR ", i2)):
+                    parts.append(filter_node_pred[start:i2])
+                    start = i2 + 4
+                    i2 += 3
+                i2 += 1
+            if parts:
+                parts.append(filter_node_pred[start:])
+                filter_node_pred = " OR ".join(
+                    f"({p.strip()})" for p in parts)
     if stmt.doc_where is not None:
         from serenedb_spark.plans import search_sql as SS
 
@@ -1045,8 +1209,14 @@ def _render_tsdict(session, stmt, idx, segs):
         tree = SS._parse_bool_or(
             toks, lambda c: idx.analyzer(c))
         rf = _conv_tree(tree, idx, False)
+        _tsdict_unlimit_lev(rf)
+        rf = _fold_tsdict_or(rf)
         filter_boxes = render_filter(rf_to_box(rf, idx))
     group_est = scan_sum // 2
+    if filter_node_pred is not None:
+        # grouping runs on the FILTER's output, not the raw scan
+        # (where_deletes.test:260 ~1 = (11·0.2)//2)
+        group_est = max(1, int(scan_raw * 0.2)) // 2
 
     forms = {c.form for c in calls}
     fns = [c.fn for c in calls]
@@ -1060,9 +1230,12 @@ def _render_tsdict(session, stmt, idx, segs):
             ("UNGROUPED_AGGREGATE",
              [f"Aggregates: {aggs}", _rows_line(1)]),
             ("IRESEARCH_SCAN",
-             [f"Index: {stmt.from_name}", f"TsDict: {f}"]
+             [f"Index: {stmt.from_name}", f"TsDict: {f.lower()}"]
+             # one first/last-term read per scalar aggregate — min→1,
+             # min+max→2 (ts_dict_minmax_count.test:96 vs
+             # ts_dict_aggs.test:85), independent of segment count
              + _proj_lines([_tsd_scan_col("agg", f)])
-             + [_rows_line(len(segs))]),
+             + [_rows_line(len(fns))]),
         ])
 
     if not forms <= {"unnest", "bare", "list"}:
@@ -1091,10 +1264,11 @@ def _render_tsdict(session, stmt, idx, segs):
                           _proj_lines(aliases)
                           + [_rows_line(group_est)]))
 
-    # cast projection when metrics are present (count→INTEGER,
-    # freq→BIGINT)
+    # cast projection only when a metric actually needs one
+    # (count→INTEGER, freq→BIGINT; score doesn't — ts_dict.test:197
+    # "no redundant projection")
     cast = {"count": "INTEGER", "freq": "BIGINT"}
-    if metric_calls:
+    if any(c.fn in cast for c in metric_calls):
         items = []
         for c in calls:
             col = _tsd_scan_col(c.fn, f)
@@ -1123,7 +1297,7 @@ def _render_tsdict(session, stmt, idx, segs):
     scan_lines = [f"Index: {stmt.from_name}"]
     if filter_boxes:
         scan_lines += ["Index Filter:"] + filter_boxes
-    scan_lines += [f"TsDict: {f}"] + _proj_lines(scan_cols) \
+    scan_lines += [f"TsDict: {f.lower()}"] + _proj_lines(scan_cols) \
         + [_rows_line(scan_raw if filter_node_pred is not None
                       else scan_sum)]
     nodes.append(("IRESEARCH_SCAN", scan_lines))

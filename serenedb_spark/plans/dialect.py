@@ -384,7 +384,8 @@ def rewrite_array_literals(sql: str) -> str:
 #: rewrites ~ into regexp_full_match, tsquery_match.test:1508-1563);
 #: `~*` case-insensitive, `!~`/`!~*` negated (3VL: NULL stays NULL)
 _PG_REGEX_OP_RE = re.compile(
-    r"([\w.\"]+|\([^()]*\))\s*(!~\*|!~|~\*|~)\s*'((?:[^']|'')*)'")
+    r"('(?:[^']|'')*'|[\w.\"]+|\([^()]*\))\s*(!~\*|!~|~\*|~)"
+    r"\s*'((?:[^']|'')*)'")
 
 
 #: `x ^@ 'p'` — PG/DuckDB starts-with operator
@@ -510,8 +511,36 @@ def rewrite_ordered_aggs(sql: str) -> str:
                         key = key[:-4].rstrip()
                     sep = None
                     if word == "string_agg":
-                        head, sep = [p.strip() for p in
-                                     head.rsplit(",", 1)]
+                        # quote-aware depth-0 scan for the LAST
+                        # argument comma — the separator literal
+                        # usually contains one itself (', ')
+                        depth0 = 0
+                        split_at = None
+                        k = 0
+                        while k < len(head):
+                            c = head[k]
+                            if c == "'":
+                                k += 1
+                                while k < len(head):
+                                    if head[k] == "'":
+                                        if (k + 1 < len(head)
+                                                and head[k + 1] == "'"):
+                                            k += 2
+                                            continue
+                                        break
+                                    k += 1
+                            elif c == "(":
+                                depth0 += 1
+                            elif c == ")":
+                                depth0 -= 1
+                            elif c == "," and depth0 == 0:
+                                split_at = k
+                            k += 1
+                        if split_at is None:
+                            raise ValueError(
+                                "string_agg requires a separator")
+                        head, sep = (head[:split_at].strip(),
+                                     head[split_at + 1:].strip())
                     # leading null-flag gives PG's NULLS LAST on ASC
                     # (struct fields with NULL would sort first)
                     sorted_arr = (
@@ -537,22 +566,150 @@ def rewrite_ordered_aggs(sql: str) -> str:
 
 
 _SIMILAR_RE = re.compile(
-    r"(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'", re.IGNORECASE)
+    r"(NOT\s+)?SIMILAR\s+TO\s+'((?:[^']|'')*)'"
+    r"(?:\s+ESCAPE\s+'((?:[^']|'')*)')?", re.IGNORECASE)
+
+
+def similar_to_regex_body(pat: str, esc: str | None = "\\") -> str:
+    """PG's similar_escape_internal (regexp.c) re-expressed: SIMILAR TO
+    pattern → regex body, in the reference's DISPLAY form where every
+    regex-escaping backslash is doubled (similar.test pins the exact
+    text, e.g. '....' → ``\\\\.\\\\.\\\\.\\\\.``). % and _ carry LIKE
+    semantics, ``(`` opens a non-capturing group, ``[...]`` classes pass
+    through, ``.`` ``\\`` ``^`` ``$`` are literals, the escape char
+    quotes the next char, and escape-double-quote emits the SQL99
+    substring segment markers."""
+    if esc is not None and len(esc) > 1:
+        raise ValueError("invalid escape string")
+    if esc == "":
+        esc = None
+    out: list[str] = []
+    incls = False
+    afterescape = False
+    nquotes = 0
+    for ch in pat:
+        if afterescape:
+            if ch == '"' and not incls:
+                out.append("){1,1}?(" if nquotes % 2 == 0
+                           else "){1,1}(")
+                nquotes += 1
+            else:
+                out.append("\\\\" + ("\\\\" if ch == "\\" else ch))
+            afterescape = False
+            continue
+        if esc is not None and ch == esc:
+            afterescape = True
+            continue
+        if incls:
+            out.append(ch)
+            if ch == "]":
+                incls = False
+            continue
+        if ch == "[":
+            incls = True
+            out.append(ch)
+        elif ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        elif ch == "(":
+            out.append("(?:")
+        elif ch in ".\\^$":
+            out.append("\\\\" + ("\\\\" if ch == "\\" else ch))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _decode_spark_literal(text: str) -> str:
+    """Literal text → its string VALUE under Spark's escape rules for
+    the escapes the raw-literal pre-pass produces ('' and doubled
+    backslashes)."""
+    return text.replace("''", "'").replace("\\\\", "\\")
+
+
+def rewrite_raw_literals(sql: str) -> str:
+    """PG string literals are RAW (backslash is an ordinary char);
+    Spark's parser processes escapes. Double every backslash inside
+    single-quoted literals so values survive verbatim through
+    spark.sql (similar.test:162 'Serene\\DB'). Applied once at the
+    plain-SQL door — rewrites that DECODE literal text afterwards use
+    ``_decode_spark_literal``."""
+    if "\\" not in sql:
+        return sql
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    return "".join(
+        p.replace("\\", "\\\\") if i % 2 == 1 else p
+        for i, p in enumerate(parts))
+
+
+_SIMILAR_ESCAPE_FN_RE = re.compile(
+    r"\bsimilar_to_escape\s*\(\s*'((?:[^']|'')*)'"
+    r"(?:\s*,\s*'((?:[^']|'')*)')?\s*\)",
+    re.IGNORECASE)
+
+
+def rewrite_similar_to_escape(sql: str) -> str:
+    """Constant-fold ``similar_to_escape('pat'[, 'esc'])`` — PG's
+    pattern→regex rendering function (similar.test) — into a string
+    literal. The display form's backslashes double again so the Spark
+    literal parses back to the pinned text."""
+    if "similar_to_escape" not in sql.lower():
+        return sql
+
+    def sub(m: re.Match) -> str:
+        pat = _decode_spark_literal(m.group(1))
+        esc = m.group(2)
+        esc = "\\" if esc is None else _decode_spark_literal(esc)
+        body = f"^(?:{similar_to_regex_body(pat, esc)})$"
+        lit = body.replace("\\", "\\\\").replace("'", "''")
+        return f"'{lit}' AS similar_to_escape"
+
+    # only fold when the call is a bare top-level SELECT item (needs
+    # the alias); inside an expression fold without the alias
+    def sub_inner(m: re.Match) -> str:
+        pat = _decode_spark_literal(m.group(1))
+        esc = m.group(2)
+        esc = "\\" if esc is None else _decode_spark_literal(esc)
+        body = f"^(?:{similar_to_regex_body(pat, esc)})$"
+        lit = body.replace("\\", "\\\\").replace("'", "''")
+        return f"'{lit}'"
+
+    out = []
+    last = 0
+    for m in _SIMILAR_ESCAPE_FN_RE.finditer(sql):
+        out.append(sql[last:m.start()])
+        before = sql[:m.start()].rstrip()
+        after = sql[m.end():].lstrip()
+        bare = (re.search(r"(SELECT|,)\s*$", before, re.IGNORECASE)
+                and re.match(r"($|,|FROM\b|;)", after, re.IGNORECASE))
+        out.append(sub(m) if bare else sub_inner(m))
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def rewrite_similar_to(sql: str) -> str:
-    """PG ``expr SIMILAR TO 'pat'`` — an ANCHORED regex where % and _
-    carry LIKE semantics (ts_dict_residual_filter_complex.test:848)."""
+    """PG ``expr SIMILAR TO 'pat' [ESCAPE 'e']`` — an ANCHORED regex
+    where % and _ carry LIKE semantics
+    (ts_dict_residual_filter_complex.test:848, similar.test)."""
     if "similar" not in sql.lower():
         return sql
 
     def sub(m: re.Match) -> str:
-        pat = m.group(2).replace("%", ".*").replace("_", ".")
+        esc = m.group(3)
+        esc = "\\" if esc is None else _decode_spark_literal(esc)
+        pat = similar_to_regex_body(
+            _decode_spark_literal(m.group(2)), esc)
+        # the display form's doubled backslashes parse back to single
+        # at Spark's literal layer — exactly the regex PG would run
+        pat = pat.replace("'", "''")
         neg = "NOT " if m.group(1) else ""
         return f"{neg}RLIKE '^(?:{pat})$'"
 
     parts = re.split(r"('(?:[^']|'')*')", sql)
-    # operate on operator-then-literal pairs like the regex-op rewrite
+    # operate on operator-then-literal runs like the regex-op rewrite;
+    # an ESCAPE clause spans two more segments (` ESCAPE `, literal)
     out = []
     i = 0
     while i < len(parts):
@@ -560,8 +717,84 @@ def rewrite_similar_to(sql: str) -> str:
         if (i % 2 == 0 and i + 1 < len(parts)
                 and re.search(r"SIMILAR\s+TO\s*$", seg,
                               re.IGNORECASE)):
-            combined = _SIMILAR_RE.sub(sub, seg + parts[i + 1])
+            combined = seg + parts[i + 1]
+            step = 2
+            if (i + 3 < len(parts)
+                    and re.fullmatch(r"\s*ESCAPE\s*", parts[i + 2],
+                                     re.IGNORECASE)):
+                combined += parts[i + 2] + parts[i + 3]
+                step = 4
+            combined = _SIMILAR_RE.sub(sub, combined)
             out.append(combined)
+            i += step
+            continue
+        out.append(seg)
+        i += 1
+    return "".join(out)
+
+
+_GLOB_OP_RE = re.compile(
+    r"('(?:[^']|'')*'|[\w.\"]+|\([^()]*\))\s+GLOB\s+'((?:[^']|'')*)'",
+    re.IGNORECASE)
+
+
+def glob_to_regex_body(pat: str) -> str:
+    """DuckDB GLOB pattern → regex body: ``*`` any run, ``?`` one char,
+    ``[!a-z]`` negated class, other regex metas literal (backslashes
+    doubled for the Spark literal layer)."""
+    out: list[str] = []
+    k = 0
+    n = len(pat)
+    while k < n:
+        ch = pat[k]
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch == "[":
+            j = k + 1
+            neg = j < n and pat[j] == "!"
+            if neg:
+                j += 1
+            body_start = j
+            while j < n and pat[j] != "]":
+                j += 1
+            cls = pat[body_start:j]
+            out.append("[^" + cls + "]" if neg else "[" + cls + "]")
+            k = j
+        elif ch in ".\\^$+(){}|":
+            out.append("\\\\" + ("\\\\" if ch == "\\" else ch))
+        else:
+            out.append(ch)
+        k += 1
+    return "".join(out)
+
+
+def rewrite_glob_op(sql: str) -> str:
+    """``expr GLOB 'pattern'`` (DuckDB/SQLite) → anchored RLIKE
+    (site_docs/sql/functions/pattern_matching)."""
+    if not re.search(r"\bGLOB\b", sql, re.IGNORECASE):
+        return sql
+
+    def sub(m: re.Match) -> str:
+        pat = glob_to_regex_body(
+            _decode_spark_literal(m.group(2))).replace("'", "''")
+        return f"{m.group(1)} RLIKE '^(?:{pat})$'"
+
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    out = []
+    i = 0
+    while i < len(parts):
+        seg = parts[i]
+        if (i % 2 == 0 and i + 1 < len(parts)
+                and re.search(r"\bGLOB\s*$", seg, re.IGNORECASE)):
+            prefix = ""
+            if (re.fullmatch(r"\s*GLOB\s*", seg, re.IGNORECASE)
+                    and out and i >= 2):
+                # literal LHS sits in the PREVIOUS segment
+                prefix = out.pop()
+            combined = prefix + seg + parts[i + 1]
+            out.append(_GLOB_OP_RE.sub(sub, combined))
             i += 2
             continue
         out.append(seg)
@@ -636,7 +869,13 @@ def rewrite_pg_regex_ops(sql: str) -> str:
         # operator whose RHS is the next literal segment?
         m = re.search(r"(!~\*|!~|~\*|~|\^@)\s*$", seg)
         if m and i + 1 < len(parts):
-            combined = seg + parts[i + 1]
+            prefix = ""
+            if (re.fullmatch(r"\s*(!~\*|!~|~\*|~|\^@)\s*", seg)
+                    and out and i >= 2):
+                # a string-literal LHS sits in the PREVIOUS segment
+                # ('Serene.DB' ~ 'Serene\.DB', similar.test)
+                prefix = out.pop()
+            combined = prefix + seg + parts[i + 1]
             combined = _CARET_AT_RE.sub(r"startswith(\1, \2)", combined)
             combined = _PG_REGEX_OP_RE.sub(sub, combined)
             out.append(combined)
@@ -862,11 +1101,34 @@ _READ_CSV_RE = re.compile(
     r"\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
 
 
+_GLOB_TVF_RE = re.compile(
+    r"\bglob\s*\(\s*'([^']+)'\s*\)", re.IGNORECASE)
+
+
+def _glob_tvf(m: re.Match) -> str:
+    """``FROM glob('pattern')`` → inline VALUES of matching paths, one
+    ``file`` column (site_docs pattern_matching example_011). The glob
+    itself is driver-side metadata work — the same listing Spark's own
+    file sources do on the driver."""
+    import glob as _glob
+
+    files = sorted(_glob.glob(m.group(1), recursive=True))
+    if not files:
+        return ("(SELECT CAST(NULL AS STRING) AS file "
+                "WHERE false) AS glob")
+    vals = ", ".join(
+        "('" + f.replace("'", "''") + "')" for f in files)
+    return f"(VALUES {vals}) AS glob(file)"
+
+
 def rewrite_read_files(sql: str) -> str:
     """DuckDB's file-reading TVFs → Spark's path-table syntax
     (inverted_index_view_isolation.test read_parquet)."""
     sql = _READ_PARQUET_RE.sub(lambda m: f"parquet.`{m.group(1)}`", sql)
-    return _READ_CSV_RE.sub(lambda m: f"csv.`{m.group(1)}`", sql)
+    sql = _READ_CSV_RE.sub(lambda m: f"csv.`{m.group(1)}`", sql)
+    if re.search(r"\bFROM\s+glob\s*\(", sql, re.IGNORECASE):
+        sql = _GLOB_TVF_RE.sub(_glob_tvf, sql)
+    return sql
 
 
 def compat_fragment(sql: str) -> str:
@@ -885,8 +1147,10 @@ def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
                 rewrite_public_schema(rewrite_array_literals(
                     rewrite_order_nulls(rewrite_ordered_aggs(
                         rewrite_ts_split(rewrite_pg_regex_ops(
-                            rewrite_similar_to(
-                                rewrite_caret_power(rewrite_read_files(
-                                    rewrite_bare_fn_alias(
-                                        sql))))))))))))))))
+                            rewrite_similar_to(rewrite_glob_op(
+                                rewrite_similar_to_escape(
+                                    rewrite_caret_power(
+                                        rewrite_read_files(
+                                            rewrite_bare_fn_alias(
+                                                sql))))))))))))))))))
     return spark.sql(lowered)

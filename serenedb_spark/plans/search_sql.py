@@ -2699,10 +2699,36 @@ def parse_ts_dict(sql: str) -> TsDictSelect | None:
             if key and key[-1].upper in ("ASC", "DESC"):
                 desc = key[-1].upper == "DESC"
                 key = key[:-1]
+            # resolve ts_dict_X(col) to the SELECT list's existing
+            # placeholder (never a fresh call — a duplicate would
+            # change the execution shape); only THEN map remaining
+            # bare field idents to the term axis (mapping first would
+            # turn ts_dict_freq(body) into ts_dict_freq(term) and
+            # register field='term')
+            resolved: list[Tok] = []
+            k2 = 0
+            while k2 < len(key):
+                t = key[k2]
+                low2 = t.text.lower()
+                if (low2 in _TSDICT_MAP and k2 + 3 < len(key)
+                        and key[k2 + 1].text == "("
+                        and key[k2 + 2].kind == "IDENT"
+                        and key[k2 + 3].text == ")"):
+                    fn2 = low2.replace("ts_dict_", "")
+                    f2 = key[k2 + 2].text.split(".")[-1]
+                    hit = next(
+                        (c for c in calls
+                         if c.fn == fn2 and c.field == f2), None)
+                    if hit is not None:
+                        resolved.append(Tok("IDENT", hit.ph))
+                        k2 += 4
+                        continue
+                resolved.append(t)
+                k2 += 1
             mapped = [Tok("IDENT", "term")
                       if (t.kind == "IDENT"
                           and t.text.split(".")[-1] in fields)
-                      else t for t in key]
+                      else t for t in resolved]
             order.append((_render(_rewrite_casts(rewrite(mapped))), desc))
     limit = None
     if lpos >= 0:

@@ -465,8 +465,15 @@ class SereneSession:
             # (headline.test hl_dyn): a registered Arrow-batched UDF
             self._ensure_highlight_udf()
             q = _pad_highlight_calls(q)
+        from serenedb_spark.plans.dialect import rewrite_raw_literals
+
+        # PG string literals are RAW — encode them for Spark's
+        # escape-processing parser so 'Serene\DB' keeps its backslash
+        # (similar.test:162); the DML door does the same via
+        # statements._pg_literals
         return sql_compat(
-            self.spark, self._schema_rewrite(self._enum_rewrite(q)))
+            self.spark, self._schema_rewrite(self._enum_rewrite(
+                rewrite_raw_literals(q))))
 
     def _rewrite_dict_highlight_calls(self, q: str) -> str:
         import re as _re
@@ -3049,6 +3056,21 @@ class SereneSession:
             self._current_db = "serene"
         return dbs
 
+    @classmethod
+    def _fresh_store(cls) -> dict:
+        """A brand-new catalog store with every shared attr in its
+        proper empty form (_sequences must be a SequenceCatalog, not a
+        dict — the `sequences` property returns the attr as-is)."""
+        from serenedb_spark.operators.sequences import SequenceCatalog
+
+        def blank(a):
+            if a == "_internal_indexes":
+                return set()
+            if a == "_sequences":
+                return SequenceCatalog()
+            return {}
+        return {a: blank(a) for a in cls._SHARED_STATE}
+
     def create_database(self, name: str,
                         if_not_exists: bool = False) -> None:
         dbs = self._db_registry()
@@ -3056,8 +3078,7 @@ class SereneSession:
             if if_not_exists:
                 return
             raise ValueError(f'database "{name}" already exists')
-        dbs[name] = {a: (set() if a == "_internal_indexes" else {})
-                     for a in self._SHARED_STATE}
+        dbs[name] = self._fresh_store()
         self._refresh_pg_database()
 
     def drop_database(self, name: str, if_exists: bool = False) -> None:
@@ -3086,13 +3107,12 @@ class SereneSession:
                 self.spark.catalog.dropTempView(self._view_name(t))
             except Exception:
                 pass
-        store = dbs[name] or {
-            a: (set() if a == "_internal_indexes" else {})
-            for a in self._SHARED_STATE}
+        store = dbs[name] or self._fresh_store()
+        fresh = self._fresh_store()
         for a in self._SHARED_STATE:
             setattr(self, a, store.get(a)
                     if store.get(a) is not None
-                    else (set() if a == "_internal_indexes" else {}))
+                    else fresh[a])
         self._current_db = name
         for t in list(self._tables or {}):
             self._reregister(t)

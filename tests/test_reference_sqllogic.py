@@ -64,6 +64,7 @@ FILES = [
     ("any/pg/simple/multi_statement.test", 8),
     ("any/pg/simple/nullif.test", 11),
     ("any/pg/simple/sequence.test", 106),
+    ("any/pg/simple/similar.test", 31),
     ("any/pg/simple/serial.test", 106),
     ("any/pg/simple/sublink_errors.test", 2),
     ("any/pg/simple/table_without_pk.test", 29),
@@ -103,18 +104,18 @@ FILES = [
     # --- r11: ts_dict tranche (term-dictionary aggregates — raw bytes,
     # doc-restricted enumeration, multi-field zip, fuzzy completion,
     # deletes keep raw freq)
-    ("sdb/pg/index/ts_dict.test", 23),
+    ("sdb/pg/index/ts_dict.test", 25),
     ("sdb/pg/index/ts_dict_compose.test", 13),
     ("sdb/pg/index/ts_dict_deletes.test", 36),
-    ("sdb/pg/index/ts_dict_deletes_matrix.test", 63),
+    ("sdb/pg/index/ts_dict_deletes_matrix.test", 65),
     ("sdb/pg/index/ts_dict_facets.test", 130),
-    ("sdb/pg/index/ts_dict_aggs.test", 44),
+    ("sdb/pg/index/ts_dict_aggs.test", 55),
     ("sdb/pg/index/ts_dict_array_agg.test", 26),
-    ("sdb/pg/index/ts_dict_cartesian.test", 27),
-    ("sdb/pg/index/ts_dict_predicates.test", 31),
+    ("sdb/pg/index/ts_dict_cartesian.test", 40),
+    ("sdb/pg/index/ts_dict_predicates.test", 36),
     ("sdb/pg/index/ts_dict_residual_filter.test", 48),
     ("sdb/pg/index/ts_dict_residual_filter_complex.test", 90),
-    ("sdb/pg/index/ts_dict_doc_restricted.test", 27),
+    ("sdb/pg/index/ts_dict_doc_restricted.test", 28),
     ("sdb/pg/index/ts_dict_fuzzy.test", 16),
     ("sdb/pg/index/ts_dict_joins.test", 21),
     ("sdb/pg/index/ts_dict_list.test", 19),
@@ -124,8 +125,8 @@ FILES = [
     ("sdb/pg/index/ts_dict_multi_field.test", 19),
     ("sdb/pg/index/ts_dict_numeric.test", 11),
     ("sdb/pg/index/ts_dict_segment_merge.test", 17),
-    ("sdb/pg/index/ts_dict_view.test", 27),
-    ("sdb/pg/index/ts_dict_where_deletes.test", 58),
+    ("sdb/pg/index/ts_dict_view.test", 28),
+    ("sdb/pg/index/ts_dict_where_deletes.test", 65),
     ("sdb/pg/index/ts_dict_cartesian_multi.test", 11),
     ("sdb/pg/index/ts_dict_residual_filter_aggs.test", 22),
     ("sdb/pg/index/ts_dict_minmax_matrix.test", 82),
@@ -161,6 +162,7 @@ FILES = [
     ("sdb/pg/site_docs/sql/dialect/postgresql_compatibility/"
      "functional_dependencies.test", 2),
     ("sdb/pg/site_docs/sql/functions/full_text_search.test", 118),
+    ("sdb/pg/site_docs/sql/functions/pattern_matching/index.test", 38),
     ("sdb/pg/site_docs/sql/indexes/inverted/"
      "migrating-from-elasticsearch.test", 6),
     ("sdb/pg/site_docs/sql/indexes/inverted/text-analysis.test", 14),
