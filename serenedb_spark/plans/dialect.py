@@ -144,7 +144,8 @@ _PG_CAST_TYPES = {
 }
 
 _PG_CAST_RE = re.compile(
-    r"::\s*(" + "|".join(_PG_CAST_TYPES) + r")\b", re.IGNORECASE)
+    r"::\s*(" + "|".join(_PG_CAST_TYPES)
+    + r")\s*(?:\(\s*\d+\s*\))?", re.IGNORECASE)
 
 
 def rewrite_pg_casts(sql: str) -> str:
@@ -618,6 +619,133 @@ def similar_to_regex_body(pat: str, esc: str | None = "\\") -> str:
             out.append("\\\\" + ("\\\\" if ch == "\\" else ch))
         else:
             out.append(ch)
+    return "".join(out)
+
+
+#: cast spelling → PG type name, for pg_typeof's syntactic fold
+_PG_TYPEOF_NAMES = {
+    "bool": "boolean", "boolean": "boolean",
+    "int2": "smallint", "smallint": "smallint",
+    "int4": "integer", "int": "integer", "integer": "integer",
+    "int8": "bigint", "bigint": "bigint",
+    "float4": "real", "real": "real",
+    "float8": "double precision",
+    "double precision": "double precision",
+    "text": "text", "varchar": "character varying",
+    "bytea": "bytea", "date": "date",
+    "timestamp": "timestamp without time zone",
+    "timestamptz": "timestamp with time zone",
+    "numeric": "numeric", "decimal": "numeric",
+    "interval": "interval", "uuid": "uuid", "json": "json",
+}
+
+#: Spark typeof() result → PG name, for the non-literal fallback
+_SPARK_TO_PG = [
+    ("int", "integer"), ("string", "text"), ("float", "real"),
+    ("double", "double precision"), ("binary", "bytea"),
+    ("timestamp", "timestamp without time zone"),
+    ("timestamp_ntz", "timestamp without time zone"),
+]
+
+
+def rewrite_pg_typeof(sql: str) -> str:
+    """PG's ``pg_typeof(expr)`` (system/pg_typeof.test). A literal with
+    an explicit PG cast folds to the PG type name at rewrite time
+    (before the ::type renames lose the PG identity); anything else
+    lowers to a CASE over Spark's typeof()."""
+    if "pg_typeof" not in sql.lower():
+        return sql
+    out = []
+    pos = 0
+    low = sql.lower()
+    while True:
+        k = low.find("pg_typeof", pos)
+        if k < 0:
+            out.append(sql[pos:])
+            break
+        if k > 0 and (sql[k - 1].isalnum() or sql[k - 1] in "_."):
+            out.append(sql[pos:k + 9])
+            pos = k + 9
+            continue
+        p = sql.find("(", k + 9)
+        if p < 0 or sql[k + 9:p].strip():
+            out.append(sql[pos:k + 9])
+            pos = k + 9
+            continue
+        close = _match_paren(sql, p)
+        if close < 0:
+            out.append(sql[pos:])
+            break
+        inner = sql[p + 1:close].strip()
+        out.append(sql[pos:k])
+        name = None
+        if re.match(r"pg_typeof\s*\(", inner, re.IGNORECASE):
+            # pg_typeof returns regtype (pg_typeof.test:180)
+            name = "regtype"
+            m = None
+        else:
+            m = re.search(r"::\s*([a-z_]+(?:\s+precision)?)\s*$",
+                          inner, re.IGNORECASE)
+        if m:
+            name = _PG_TYPEOF_NAMES.get(" ".join(
+                m.group(1).lower().split()))
+        elif re.match(r"^ARRAY\s*\[", inner, re.IGNORECASE):
+            elems = inner[inner.index("[") + 1:inner.rindex("]")]
+            first = elems.split(",")[0].strip()
+            em = re.search(r"::\s*([a-z_]+(?:\s+precision)?)\s*$",
+                           first, re.IGNORECASE)
+            if em:
+                base = _PG_TYPEOF_NAMES.get(" ".join(
+                    em.group(1).lower().split()))
+            elif re.fullmatch(r"(true|false)", first, re.IGNORECASE):
+                base = "boolean"
+            elif re.fullmatch(r"-?\d+", first):
+                base = "integer"
+            elif re.fullmatch(r"-?\d*\.\d+", first):
+                base = "numeric"
+            elif first.startswith("'"):
+                base = "text"
+            else:
+                base = None
+            name = base + "[]" if base else None
+        elif re.fullmatch(r"(true|false)", inner, re.IGNORECASE):
+            name = "boolean"
+        elif re.fullmatch(r"-?\d+", inner):
+            name = "integer"
+        elif re.fullmatch(r"-?\d*\.\d+", inner):
+            name = "numeric"
+        elif re.fullmatch(r"'(?:[^']|'')*'", inner):
+            name = "unknown"
+        if name is not None:
+            out.append(f"'{name}'")
+        else:
+            # runtime fallback over Spark's typeof()
+            branches = " ".join(
+                f"WHEN '{s}' THEN '{p2}'" for s, p2 in _SPARK_TO_PG)
+            out.append(
+                f"(CASE typeof({inner}) {branches} "
+                f"WHEN 'decimal(38,18)' THEN 'numeric' ELSE "
+                f"CASE WHEN typeof({inner}) LIKE 'decimal%' "
+                f"THEN 'numeric' WHEN typeof({inner}) LIKE 'array<%' "
+                f"THEN concat(regexp_replace(regexp_replace("
+                f"regexp_replace(regexp_replace(substring("
+                f"typeof({inner}), 7, length(typeof({inner})) - 7), "
+                f"'^int$', 'integer'), '^string$', 'text'), "
+                f"'^double$', 'double precision'), "
+                f"'^float$', 'real'), '[]') "
+                f"ELSE typeof({inner}) END END)")
+        # a bare SELECT item gets PG's default output name — a trailing
+        # ::cast keeps it (PG titles through casts)
+        pos = close + 1
+        cm = re.match(r"\s*::\s*[a-z_0-9]+", sql[pos:], re.IGNORECASE)
+        if cm:
+            out.append(cm.group(0))
+            pos += cm.end()
+        after = sql[pos:].lstrip()
+        before2 = sql[:k].rstrip()
+        if (re.search(r"(SELECT|,)\s*$", before2, re.IGNORECASE)
+                and re.match(r"($|,|;|FROM\b)", after, re.IGNORECASE)):
+            out.append(" AS pg_typeof")
     return "".join(out)
 
 
@@ -1152,5 +1280,6 @@ def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
                                     rewrite_caret_power(
                                         rewrite_read_files(
                                             rewrite_bare_fn_alias(
-                                                sql))))))))))))))))))
+                                                rewrite_pg_typeof(
+                                                    sql)))))))))))))))))))
     return spark.sql(lowered)

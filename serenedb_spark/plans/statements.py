@@ -240,9 +240,14 @@ def route_statement(session, sql: str) -> DataFrame | None:
         return _status_df(session, "DISCARD", target)
     if kw == "USE":
         target = s.split(None, 1)[-1].strip().rstrip(";")
-        if target in ("serene", "$__DATABASE__") \
-                and "_databases" not in session.__dict__:
-            # single-database default: the docs tests' USE $__DATABASE__
+        if (target in ("serene", "$__DATABASE__",
+                       getattr(session, "_current_db", "serene"))
+                and target not in getattr(session, "_schemas", ())
+                and (("_databases" not in session.__dict__)
+                     or target == getattr(session, "_current_db",
+                                          "serene"))):
+            # single-database default / USE of the CURRENT database
+            # (the docs tests' USE $__DATABASE__): a no-op
             return _status_df(session, "USE", target)
         if "." in target:
             db, schema = target.split(".", 1)
@@ -1250,10 +1255,52 @@ def _set(session, s: str) -> DataFrame | None:
         if not (ts.match("=") or ts.match("TO")):
             raise ValueError("SET expects '=' or 'TO'")
         if name == "search_path":
-            parts = [_ident(ts)]
+            # PG entry forms (any/pg/system/functions.test):
+            #   bare ident          → case-folded schema name
+            #   "quoted,ident"      → ONE atomic entry, verbatim
+            #   'string literal'    → ONE atomic entry ('' = empty path)
+            #   db.schema           → catalog-qualified entry
+            #   DEFAULT             → reset to '"$user", public'
+            def _one_entry() -> str | None:
+                t = ts.next()
+                if t.kind == "STR":
+                    v = _unquote(t.text)
+                    return v if v else None
+                txt = t.text
+                if txt.startswith('"') and txt.endswith('"'):
+                    base = txt[1:-1]
+                else:
+                    if txt.upper() == "DEFAULT":
+                        return '"$user", public'
+                    base = txt.lower()
+                if ts.peek() and ts.peek().text == ".":
+                    ts.next()
+                    nxt = ts.next().text
+                    sch2 = (nxt[1:-1] if nxt.startswith('"')
+                            else nxt.lower())
+                    return f"{base}.{sch2}"
+                return base
+
+            entries = []
+            first = _one_entry()
+            if first == '"$user", public':
+                _pg_vars(session)["search_path"] = first
+                return _status_df(session, "SET", name)
+            if first is not None:
+                entries.append(first)
             while ts.match(","):
-                parts.append(_ident(ts))
-            _pg_vars(session)["search_path"] = ", ".join(parts)
+                e = _one_entry()
+                if e is not None:
+                    entries.append(e)
+
+            def _q(e: str) -> str:
+                tail = e.split(".")[-1]
+                if re.fullmatch(r"[a-z_][a-z0-9_]*", tail):
+                    return e
+                head = e[:-len(tail)]
+                return f'{head}"{tail}"'
+            _pg_vars(session)["search_path"] = ", ".join(
+                _q(e) for e in entries)
             return _status_df(session, "SET", name)
         val = str(_literal_value(ts.next())).lower()
         if name.endswith("transaction_isolation") and val not in (
@@ -1307,8 +1354,21 @@ def _show(session, s: str) -> DataFrame | None:
         return session.show_variables()
     name = _ident(ts).lower()
     if name in _PG_VAR_DEFAULTS:
+        val = _pg_vars(session)[name]
+        if name == "search_path":
+            # SHOW strips catalog prefixes that name the current DB
+            # (any/pg/system/functions.test: postgres.public → public;
+            # 'postgres' is PG's connection-default catalog)
+            db = getattr(session, "_current_db", "serene")
+            parts = []
+            for e in _split_search_path(val):
+                head, _, tail = e.rpartition(".")
+                if head.strip('"') in (db, "postgres"):
+                    e = tail
+                parts.append(e)
+            val = ", ".join(parts)
         return session.spark.createDataFrame(
-            [(_pg_vars(session)[name],)], f"{name} string")
+            [(val,)], f"{name} string")
     if not name.startswith("sdb_"):
         return None  # SHOW TABLES etc. stay Spark's
     val = session.show_variable(name)
@@ -1319,6 +1379,26 @@ def _show(session, s: str) -> DataFrame | None:
 # --------------------------------------------------------------------------
 # EXPLAIN [ANALYZE]
 # --------------------------------------------------------------------------
+
+def _split_search_path(val: str) -> list[str]:
+    """Split a search_path display string on commas OUTSIDE quoted
+    identifiers ('"a,b", z' → ['"a,b"', 'z'])."""
+    parts: list[str] = []
+    cur: list[str] = []
+    inq = False
+    for ch in val:
+        if ch == '"':
+            inq = not inq
+        if ch == "," and not inq:
+            if "".join(cur).strip():
+                parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur).strip())
+    return parts
+
 
 def _explain(session, s: str) -> DataFrame:
     """EXPLAIN renders the claimed-vs-residual split (plans/explain.py —
@@ -1953,8 +2033,16 @@ def _create(session, s: str) -> DataFrame | None:
             ts.next(); ts.expect("NOT"); ts.expect("EXISTS")
             if_not_exists = True
         sch = _ident(ts)
+        if sch.startswith("pg_"):
+            if if_not_exists and sch == "pg_catalog":
+                return _status_df(session, "CREATE SCHEMA",
+                                  f"{sch} (exists)")
+            raise ValueError(
+                f'unacceptable schema name "{sch}"\n'
+                'DETAIL: The prefix "pg_" is reserved for system '
+                "schemas.")
         schemas = session._set_store("_schemas", ("public",))
-        if sch in schemas:
+        if sch in schemas or sch == "information_schema":
             if if_not_exists:
                 return _status_df(session, "CREATE SCHEMA",
                                   f"{sch} (exists)")
@@ -2705,11 +2793,25 @@ def _drop(session, s: str) -> DataFrame | None:
             if_exists = True
         sch = _ident(ts)
         cascade = bool(ts.peek() and ts.peek().upper == "CASCADE")
+        if sch in ("pg_catalog", "information_schema", "pg_toast"):
+            # system schemas are undroppable (system/schema.test)
+            raise ValueError(
+                f"cannot drop schema {sch} because it is required by "
+                "the database system")
         schemas = session._set_store("_schemas", ("public",))
-        if sch not in schemas or sch == "public":
+        if sch not in schemas:
             if if_exists:
                 return _status_df(session, "DROP SCHEMA")
             raise ValueError(f'schema "{sch}" does not exist')
+        if sch == "public":
+            # PG allows dropping public; bare-named tables live there
+            bare = [t for t in session._tables if "." not in t]
+            if bare and not cascade:
+                raise ValueError(
+                    'cannot drop schema "public" because other '
+                    "objects depend on it\n"
+                    "HINT: Use DROP ... CASCADE to drop the dependent "
+                    "objects too.")
         members = [t for t in session._tables
                    if t.startswith(sch + ".")]
         vmembers = [v for v in getattr(session, "_view_defs", {})
@@ -2799,6 +2901,7 @@ def _drop(session, s: str) -> DataFrame | None:
     cascade = bool(ts.peek() and ts.peek().upper == "CASCADE")
     for n in names:
         if kind == "TABLE":
+            n = session.resolve_relation(n)
             if n not in session._tables:
                 if n in getattr(session, "_secondary_indexes", {}) \
                         or n in session._indexes:

@@ -2896,6 +2896,34 @@ SELECT * FROM (VALUES
 """)
 
 
+def _sql_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG pattern-matching battery through the SQL door: SIMILAR TO
+    with LIKE-style wildcards (PG semantics — '.' literal), the GLOB
+    operator, the ~ regex operator, and constant-folded
+    similar_to_escape (any/pg/simple/similar.test,
+    site_docs/sql/functions/pattern_matching)."""
+    ss = _session_over(spark, sf_dir)
+    return ss.sql("""
+        SELECT n_name,
+               n_name SIMILAR TO 'I%' AS sim_pre,
+               n_name ~ '^[A-E]' AS re_pre,
+               similar_to_escape('IR%') AS esc
+        FROM nation
+        WHERE n_name SIMILAR TO '%A' OR n_name GLOB 'C*'
+        ORDER BY n_name""")
+
+
+_register("sql_pattern_match", _sql_pattern_match, """
+SELECT n_name,
+       regexp_full_match(n_name, '^(?:I.*)$') AS sim_pre,
+       regexp_matches(n_name, '^[A-E]') AS re_pre,
+       '^(?:IR.*)$' AS esc
+FROM nation
+WHERE regexp_full_match(n_name, '^(?:.*A)$') OR n_name GLOB 'C*'
+ORDER BY n_name
+""")
+
+
 def _fts_sql_numeric_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric range claim against the ENCODED-KEY dictionary through
     the SQL door (full_text_search.test:283 `id @@ ts_between(...)`):
@@ -6054,35 +6082,31 @@ _register(
 #: Every query, windowed or not, still runs in tests/test_differential.py
 #: and scripts/check_correctness.py over the full registry.
 _GATE_WINDOW = [
-    # --- new-in-r10 queries (never driver-gated; verdict r10 finding #3) --
+    # --- new-in-r12 queries (added as the round lands them) ---------------
+    "sql_pattern_match",          # SIMILAR TO/ESCAPE, GLOB, ~, escape fold
+    # --- re-gates: implementation changed in r12 ---------------------------
+    "sql_create_database",        # fresh-DB stores get real SequenceCatalog
+    "fts_sql_dict", "fts_sql_agg", "fts_sql_dict_raw",  # ts_dict ORDER BY
+    "fts_sql_explain_box",        # boxplan width/fold/estimate batch
+    "fts_sql_numeric_range",      # encoded_ts integer-micros fix
+    "fts_sql_highlight",          # rides the raw-literal door pre-pass
+    "fts_sql_join", "fts_sql_union", "fts_sql_in_subquery",  # door rewrites
+    "vec_sql_knn", "vec_sql_radius", "vec_sql_knn_prepared",
+    "sql_multi_session_visibility",
+    # --- r10/r11 queries kept on gate (recent landings) -------------------
     "sql_composite_pk", "sql_conflict_update", "sql_prepared_exec",
     "sql_enum_order", "sql_schema_namespace", "sql_composite_type",
-    "fts_sql_numeric_range", "vec_sql_knn_prepared",
-    # --- new-in-r11 queries (added as the round lands them) ---------------
-    "fts_sql_dict_raw",
-    "sql_multi_session_visibility",
-    "sql_create_database",
-    "fts_sql_explain_box",
     "text_classifier_real_model",
-    # --- re-gates: implementation changed in r10 ---------------------------
-    # ts_between/key-encoding bool-flag fix; numeric-range claims
-    "fts_sql_highlight",          # highlighter rewritten as passages in r10
-    "fts_websearch", "fts_tsquery_parse",  # tsquery phrase gap preservation
-    "fts_sql_dict", "fts_sql_agg",  # ts_dict facet surface (r11 raw fix)
-    "fts_dict_facets",
-    "fts_fuzzy",                  # Damerau distance rewrite in r10
-    "fts_bool", "fts_bm25_topk",  # boolean WHERE trees over @@ leaves
-    "fts_sql_join", "fts_sql_union", "fts_sql_in_subquery",
-    "vec_sql_knn", "vec_sql_radius",  # WAND delegation shape check
-    "pg_catalog_introspection",   # tranche 6 in r10, tail-to-93 in r11
+    "pg_catalog_introspection",
     "orders_range_join",          # perf watch: bucketed-join drift
-    # --- green sentinels: one per major family (driver-green r1-r10) ------
+    # --- green sentinels: one per major family -----------------------------
     "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q9_profit",
     "top_customers", "window_rank", "grouping_sets",
     "dml_merge_into", "recursive_cte_hierarchy", "lateral_topn_per_key",
     "events_pivot", "approx_aggregates",
     "events_asof_join", "events_asof_agg_preagg",
-    "fts_phrase_slop", "fts_compound", "fts_highlight",
+    "fts_phrase_slop", "fts_compound", "fts_highlight", "fts_fuzzy",
+    "fts_bool", "fts_bm25_topk", "fts_websearch",
     "es_terms_facet", "es_multi_match",
     "vec_knn_cosine", "vec_ivf_sq8_knn", "vec_pq_adc_knn",
     "vec_rabitq_middim",

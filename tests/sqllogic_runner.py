@@ -18,6 +18,7 @@ that is, so a regression that shortens the run fails loudly.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -177,6 +178,9 @@ def _rows_match(expected: list[list[str]], actual: list[list[str]],
     def cell_eq(e: str, a: str) -> bool:
         if e == a:
             return True
+        if e == "(empty)" and a == "":
+            # duckdb-sqllogic's empty-string rendering
+            return True
         if "\\\\" in e and e.replace("\\\\", "\\") == a:
             # the reference's sqllogic writer escapes backslashes in
             # plain cells (ts_dict.test:64 expects \\x-hex for the
@@ -234,6 +238,23 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
 
     blocks = parse_file(path)
     test_dir = tempfile.mkdtemp(prefix="sqllogic_")
+    # the reference harness names each run's database after the test
+    # file — functions-info.test pins the fragment via
+    # <slt:ignore>info_test<slt:ignore>; mirror that naming
+    dbname = "serene"
+    if hasattr(ss, "_db_registry"):
+        dbname = re.sub(r"[^A-Za-z0-9]+", "_",
+                        os.path.basename(path)).strip("_")
+        dbs = ss._db_registry()
+        cur = getattr(ss, "_current_db", "serene")
+        if dbname not in dbs:
+            dbs[dbname] = dbs.pop(cur, None)
+            ss._current_db = dbname
+            if hasattr(ss, "_refresh_pg_database"):
+                try:
+                    ss._refresh_pg_database()
+                except Exception:
+                    pass
     passed = 0
     sessions = {None: ss}
     base_ss = ss
@@ -256,7 +277,7 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
         # prepared_statements.test's USE $__DATABASE__)
         b.sql = b.sql.replace("${__TEST_DIR__}", test_dir) \
                      .replace("__TEST_DIR__", test_dir) \
-                     .replace("$__DATABASE__", "serene")
+                     .replace("$__DATABASE__", dbname)
         # stoppers don't gate expect-error blocks: an out-of-surface
         # statement raises anyway, which is what the block asserts
         # (aborted_block.test's PREPARE/DEALLOCATE expect the 25P02 text)

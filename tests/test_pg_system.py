@@ -63,8 +63,8 @@ def test_pg_catalog_views(ss):
     ).collect()
     names = [r.attname for r in cols]
     assert names[0] == "o_orderkey"
-    assert dict((r.attname, r.atttypid) for r in cols)["o_orderkey"] == \
-        "bigint"
+    # atttypid is PG's type OID (20 = int8/bigint)
+    assert dict((r.attname, r.atttypid) for r in cols)["o_orderkey"] == 20
     idx = ss.sql("SELECT * FROM pg_indexes").collect()
     assert any(r.indexname == "docs_catalog_idx" for r in idx)
 
@@ -93,7 +93,7 @@ def test_pg_catalog_core_roundtrip(ss):
           AND c.relkind = 'r' AND NOT a.attisdropped
         ORDER BY a.attnum
     """).collect()
-    assert cols[0].attname == "o_orderkey" and cols[0].typname == "bigint"
+    assert cols[0].attname == "o_orderkey" and cols[0].typname == "int8"
     assert len(cols) == len(ss._tables["orders"].columns)
 
     idx = ss.sql("""
@@ -178,7 +178,7 @@ def test_pg_catalog_extras_psql_d_equivalent(ss):
     assert pk.conname == "orders_pkey" and pk.conkey == [1]
 
     chk = ss.sql("""
-        SELECT conname, consrc FROM pg_constraint WHERE contype = 'c'
+        SELECT conname, conbin FROM pg_constraint WHERE contype = 'c'
     """).collect()
     assert any(r.conname == "orders_price_pos" for r in chk)
 
@@ -278,6 +278,7 @@ def test_analyze_refreshes_stats(ss):
     rel = ss.sql(
         "SELECT reltuples FROM pg_class WHERE relname = 'orders'"
     ).first().reltuples
+    # reltuples tracks the live count (reference pg_class.test:241)
     assert rel == float(n)
     other = ss.sql("""
         SELECT n_live_tup FROM pg_stat_user_tables
@@ -301,20 +302,20 @@ def test_pg_catalog_tranche3(ss):
     ss.install_pg_catalog()
 
     # pg_attrdef carries the SET DEFAULT
-    row = ss.sql("SELECT adcolname, adsrc FROM pg_attrdef").first()
-    assert (row.adcolname, row.adsrc) == ("o_comment", "'n/a'")
+    row = ss.sql("SELECT adnum, adbin FROM pg_attrdef").first()
+    assert row.adbin == "'n/a'"
 
     # pg_depend: index->table edge resolvable through pg_class
     dep = ss.sql("""
-        SELECT c1.relname AS obj, c2.relname AS ref, d.depkind
+        SELECT c1.relname AS obj, c2.relname AS ref, d.deptype
         FROM pg_depend d
         JOIN pg_class c1 ON d.objid = c1.oid
         JOIN pg_class c2 ON d.refobjid = c2.oid
-        WHERE d.depkind = 'index'
+        WHERE d.deptype = 'index'
     """).collect()
     assert ("d_idx", "documents", "index") in [tuple(r) for r in dep]
     fk_dep = ss.sql(
-        "SELECT count(*) AS n FROM pg_depend WHERE depkind = 'fkey'"
+        "SELECT count(*) AS n FROM pg_depend WHERE deptype = 'fkey'"
     ).first().n
     assert fk_dep == 1
 
@@ -323,7 +324,9 @@ def test_pg_catalog_tranche3(ss):
     ss.begin()
     ss.install_pg_catalog()
     locked = ss.sql(
-        "SELECT relname FROM pg_locks WHERE granted ORDER BY relname"
+        """SELECT c.relname FROM pg_locks l
+           JOIN pg_class c ON l.relation = c.oid
+           WHERE l.granted ORDER BY c.relname"""
     ).collect()
     assert [r.relname for r in locked] == sorted(ss._tables)
     ss.rollback()
