@@ -777,10 +777,36 @@ PAD_OVERRIDES: dict[str, dict[str, tuple[str, str]]] = {
         "provolatile": ("string", "'i'"),
         "proparallel": ("string", "'s'"),
         "pronargdefaults": ("int", "0"),
-        "prorettype": ("int", "0"),
+        "prorettype": ("int", "25"),
     },
     "pg_namespace": {
         "nspowner": ("int", "1000000"),
+    },
+    "information_schema_table_constraints": {
+        "enforced": ("string", "'YES'"),
+        "is_deferrable": ("string", "'NO'"),
+        "initially_deferred": ("string", "'NO'"),
+        "constraint_schema": ("string", "'public'"),
+        "constraint_catalog": ("string", "'serene'"),
+        "table_catalog": ("string", "'serene'"),
+    },
+    "information_schema_routines": {
+        "routine_type": ("string", "'FUNCTION'"),
+        "external_language": ("string", "'SQL'"),
+    },
+    "information_schema_tables": {
+        "is_insertable_into": ("string", "'YES'"),
+        "is_typed": ("string", "'NO'"),
+    },
+    "pg_constraint": {
+        "convalidated": ("boolean", "true"),
+        "condeferrable": ("boolean", "false"),
+        "condeferred": ("boolean", "false"),
+        "conenforced": ("boolean", "true"),
+        "conislocal": ("boolean", "true"),
+        "coninhcount": ("int", "0"),
+        "connoinherit": ("boolean", "true"),
+        "connamespace": ("int", "2200"),
     },
     "pg_index": {
         "indisunique": ("boolean", "false"),
@@ -1274,6 +1300,13 @@ def pad_catalog_views(spark) -> None:
         try:
             df = spark.table(rel)
         except Exception:
+            # relation not yet materialized by any live builder: an
+            # EMPTY relation with PG's full shape (pg_stat_progress_*)
+            over = PAD_OVERRIDES.get(rel, {})
+            ddl = ", ".join(
+                f"{c} {over.get(c, ('string', None))[0]}"
+                for c in want)
+            spark.createDataFrame([], ddl).createOrReplaceTempView(rel)
             continue
         have = set(df.columns)
         if have == set(want) and df.columns == want:

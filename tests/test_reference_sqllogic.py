@@ -234,6 +234,26 @@ FILES = [
     ("sdb/pg/site_docs/sql/statements/transactions.test", 13),
     ("sdb/pg/system/pg_attribute_alter.test", 9),
     ("sdb/pg/system/pg_class_owner.test", 12),
+    ("sdb/pg/system/catalog_introspection.test", 22),
+    ("sdb/pg/system/pg_catalog_data.test", 88),
+    ("sdb/pg/system/pg_class.test", 11),
+    ("sdb/pg/system/schema.test", 10),
+    ("sdb/pg/system/sdb_log.test", 3),
+    ("sdb/pg/system/sdb_settings.test", 6),
+    ("sdb/pg/system/system_functions_types.test", 20),
+    ("sdb/pg/system/reuse.test", 3),
+    ("any/pg/system/attr_char_columns.test", 7),
+    ("any/pg/system/check_columns.test", 214),
+    ("any/pg/system/functions.test", 77),
+    ("any/pg/system/functions-info.test", 68),
+    ("any/pg/system/pg_namespace.test", 13),
+    ("any/pg/system/pg_settings.test", 5),
+    ("any/pg/system/pg_typeof.test", 27),
+    ("any/pg/system/regclass.test", 10),
+    ("any/pg/system/regtype.test", 42),
+    ("any/pg/system/schema.test", 9),
+    ("any/pg/system/tables.test", 65),
+    ("any/pg/system/views.test", 9),
     ("sdb/pg/system/system_views.test", 145),
     # --- r11: multi-connection isolation + databases (STOPPERS gone)
     ("sdb/pg/index/basic.test", 113),
