@@ -2903,23 +2903,26 @@ def _sql_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     similar_to_escape (any/pg/simple/similar.test,
     site_docs/sql/functions/pattern_matching)."""
     ss = _session_over(spark, sf_dir)
+    # patterns chosen to MATCH the synthetic rows (NATION_0..24): the
+    # WHERE keeps 15 of 25 rows so the rewritten predicates are
+    # exercised over real data, not a vacuous empty set
     return ss.sql("""
         SELECT n_name,
-               n_name SIMILAR TO 'I%' AS sim_pre,
-               n_name ~ '^[A-E]' AS re_pre,
+               n_name SIMILAR TO '%1' AS sim_suf,
+               n_name ~ '_1$' AS re_suf,
                similar_to_escape('IR%') AS esc
         FROM nation
-        WHERE n_name SIMILAR TO '%A' OR n_name GLOB 'C*'
+        WHERE n_name SIMILAR TO 'NATION\\__' OR n_name GLOB '*_2?'
         ORDER BY n_name""")
 
 
 _register("sql_pattern_match", _sql_pattern_match, """
 SELECT n_name,
-       regexp_full_match(n_name, '^(?:I.*)$') AS sim_pre,
-       regexp_matches(n_name, '^[A-E]') AS re_pre,
+       regexp_full_match(n_name, '^(?:.*1)$') AS sim_suf,
+       regexp_matches(n_name, '_1$') AS re_suf,
        '^(?:IR.*)$' AS esc
 FROM nation
-WHERE regexp_full_match(n_name, '^(?:.*A)$') OR n_name GLOB 'C*'
+WHERE regexp_full_match(n_name, '^(?:NATION_.)$') OR n_name GLOB '*_2?'
 ORDER BY n_name
 """)
 

@@ -318,13 +318,14 @@ class SereneSession:
                 r"pg_typeof\s*\(\s*'[\w.]+'\s*::\s*regclass\s*\)",
                 "'regclass' AS pg_typeof", q, flags=_re.IGNORECASE)
 
-            #: PG's real catalog oids for the relations BI tools compare
-            _CATALOG_OIDS = {
-                "pg_type": 1247, "pg_attribute": 1249, "pg_proc": 1255,
-                "pg_class": 1259, "pg_namespace": 2615,
-                "pg_database": 1262, "pg_index": 2610,
-                "pg_constraint": 2606, "pg_description": 2609,
-            }
+            # catalog-relation oids resolve from SYSTEM_RELATIONS —
+            # the SAME oid space the pg_class rows expose, so
+            # `WHERE oid = 'pg_type'::regclass` joins against pg_class
+            # actually match (PG's native 1247/1259 values are NOT used
+            # anywhere in the emitted catalog rows)
+            from serenedb_spark.pg_catalog_columns import (
+                SYSTEM_RELATIONS as _SR, SYSTEM_RELATIONS_DYN as _SRD)
+            _CATALOG_OIDS = {rn: oid for oid, rn, _rk in _SR + _SRD}
 
             def _rid(name: str) -> int:
                 rid = self.relid(name)
@@ -349,17 +350,18 @@ class SereneSession:
                 name = mm.group(2)
                 _rid(name)                # raises for unknown relations
                 bare = name.split(".")[-1]
-                return (f"{mm.group(1)}'{bare}' AS regclass"
-                        f"{mm.group(3)}")
+                return f"{mm.group(1)}'{bare}' AS regclass"
 
+            # trailing context is a LOOKAHEAD so the separator stays in
+            # the string — `SELECT 'a'::regclass, 'b'::regclass` keeps
+            # the comma for the second item's leading anchor
             q = _re.sub(
                 r"((?:SELECT|,)\s*)?'([\w.]+)'\s*::\s*regclass"
-                r"(\s*(?:;|,|$|FROM\b))?",
+                r"(?=(\s*(?:;|,|$|FROM\b)))?",
                 lambda mm: _sub_regclass(mm) if (mm.group(1) is not None
                                                  and mm.group(3)
                                                  is not None)
-                else f"{mm.group(1) or ''}{_rid(mm.group(2))}"
-                     f"{mm.group(3) or ''}",
+                else f"{mm.group(1) or ''}{_rid(mm.group(2))}",
                 q, flags=_re.IGNORECASE)
         m = _re.search(
             r"\b(pg_[a-z_]+|information_schema"
@@ -1196,6 +1198,7 @@ class SereneSession:
             canon = self._search_path_canonical()
             q = _re.sub(r"\bsearch_path_canonical\s*\(\s*\)",
                         f"'{canon}'", q, flags=_re.IGNORECASE)
+            live = self._search_path_live()
 
             def _isp(mm):
                 args = [a.strip().strip("'") for a in
@@ -1601,12 +1604,28 @@ class SereneSession:
             parts.append(f"{head}.{tail}")
         return ", ".join(parts)
 
+    def _df_token(self, name: str, df) -> int:
+        """Stable integer identity for a table's current DataFrame.
+        Holds a strong reference to the object so CPython can never
+        recycle a freed id() into a colliding key (bare id(df) could
+        silently skip a catalog refresh after GC)."""
+        toks = getattr(self, "_df_tokens", None)
+        if toks is None:
+            toks = self._df_tokens = {}
+        ent = toks.get(name)
+        if ent is not None and ent[0] is df:
+            return ent[1]
+        nxt = getattr(self, "_df_token_seq", 0) + 1
+        self._df_token_seq = nxt
+        toks[name] = (df, nxt)
+        return nxt
+
     def _catalog_fingerprint(self) -> tuple:
         """Cheap snapshot of every catalog dimension the pg_* views
         render — unchanged fingerprint ⇒ the installed views are still
         current and the (now 150+-view) install can be skipped."""
         return (
-            tuple((t, id(df), tuple(df.columns))
+            tuple((t, self._df_token(t, df), tuple(df.columns))
                   for t, df in sorted(self._tables.items())),
             tuple(sorted(getattr(self, "_indexes", {}) or {})),
             tuple(sorted(getattr(self, "_view_defs", {}) or {})),
@@ -1825,8 +1844,10 @@ class SereneSession:
             _rt_cache = self._reltuples_cache = {}
 
         def _reltuples(name, df):
+            # keyed on the DataFrame OBJECT (strong ref), not id(df) —
+            # a recycled id after GC would return a stale count
             key = _rt_cache.get(name)
-            if key is not None and key[0] == id(df):
+            if key is not None and key[0] is df:
                 return key[1]
             n = float(df.count())
             if key is not None:
@@ -1834,7 +1855,7 @@ class SereneSession:
                 # deleted-not-yet-reclaimed tuples — it never shrinks
                 # (pg_class.test:267 DELETE keeps reltuples at 6)
                 n = max(n, key[1])
-            _rt_cache[name] = (id(df), n)
+            _rt_cache[name] = (df, n)
             return n
         # tables with ANY index (search or secondary) set relhasindex
         # (pg_catalog_data.test:99)
