@@ -1318,8 +1318,31 @@ def compat_fragment(sql: str) -> str:
         rewrite_caret_power(rewrite_pg_casts(rewrite_fn_renames(sql))))))
 
 
+_ACL_CAST_RE = re.compile(
+    r"((?:[A-Za-z_]\w*\.)?"
+    r"(?:relacl|attacl|datacl|proacl|nspacl|defaclacl|spcacl))"
+    r"\s*::\s*text(\s*\[\s*\])?", re.IGNORECASE)
+
+
+def rewrite_acl_casts(sql: str) -> str:
+    """acl columns are array<string> of aclitem texts: `::text[]` is a
+    no-op; `::text` renders PG's `{a,b}` aggregate text form
+    (any/pg/rbac/cp_column_grant_matrix.test attacl::text)."""
+    if "acl::" not in sql.lower().replace(" ", ""):
+        return sql
+
+    def sub(m):
+        col = m.group(1)
+        if m.group(2):                  # ::text[] — already the array
+            return col
+        return (f"(CASE WHEN {col} IS NULL THEN NULL ELSE "
+                f"concat('{{', array_join({col}, ','), '}}') END)")
+    return _ACL_CAST_RE.sub(sub, sql)
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
+    sql = rewrite_acl_casts(sql)
     lowered = rewrite_qualify(rewrite_fn_renames(
         rewrite_generate_series(rewrite_pg_casts(
             rewrite_values_columns(rewrite_offset_limit(

@@ -80,7 +80,7 @@ INFO_FN_FOLDS = {
 #: functions the reference REFUSES with a pinned message
 INFO_FN_REFUSED = (
     "pg_get_loaded_modules", "pg_listening_channels",
-    "pg_current_xact_id", "pg_xact_status", "acldefault", "aclexplode",
+    "pg_current_xact_id", "pg_xact_status",
     "makeaclitem", "pg_basetype", "pg_get_catalog_foreign_keys",
     "pg_get_keywords", "pg_options_to_table",
     "pg_tablespace_databases", "pg_get_acl", "pg_identify_object",
@@ -112,9 +112,84 @@ _ANY_FOLD_RE = re.compile(
     r"\b(" + "|".join(list(INFO_FN_FOLDS) + list(INFO_FN_REFUSED)
                       + list(_SIMPLE_PRIVS)
                       + ["has_table_privilege", "has_column_privilege",
-                         "has_any_column_privilege",
+                         "has_any_column_privilege", "acldefault",
                          "pg_get_userbyid", "format_type"]) + r")\s*\(",
     re.IGNORECASE)
+
+#: aclitem privilege-letter → PG privilege name (acl.h)
+_ACL_PRIV_NAMES = (
+    ("a", "INSERT"), ("r", "SELECT"), ("w", "UPDATE"),
+    ("d", "DELETE"), ("D", "TRUNCATE"), ("x", "REFERENCES"),
+    ("t", "TRIGGER"), ("X", "EXECUTE"), ("U", "USAGE"),
+    ("C", "CREATE"), ("T", "TEMPORARY"), ("c", "CONNECT"),
+    ("s", "SET"), ("A", "ALTER SYSTEM"), ("m", "MAINTAIN"),
+)
+
+
+def _role_oid_case(session, name_expr: str) -> str:
+    """Role NAME expression → oid (rewrite-time role map; PUBLIC=0)."""
+    ra = session.role_attrs()
+    whens = " ".join(f"WHEN '{r}' THEN {a.get('oid', 0)}"
+                     for r, a in sorted(ra.items()))
+    return f"(CASE ({name_expr}) {whens} ELSE 0 END)"
+
+
+def _role_name_case(session, oid_expr: str) -> str:
+    """Role OID expression → name (pg_get_userbyid over a column)."""
+    ra = session.role_attrs()
+    whens = " ".join(f"WHEN {a.get('oid', 0)} THEN '{r}'"
+                     for r, a in sorted(ra.items()))
+    return (f"(CASE ({oid_expr}) {whens} "
+            f"ELSE concat('unknown (OID=', ({oid_expr}), ')') END)")
+
+
+def rewrite_aclexplode(session, q: str) -> str:
+    """`FROM t, aclexplode(E)` (go_aclexplode.test): lower to a double
+    LATERAL VIEW — explode the aclitem array, then each item's
+    privilege letters — and substitute the SRF's output columns
+    (grantor, grantee, privilege_type, is_grantable) with expressions
+    over the exploded item. One aclitem with several letters yields one
+    row per privilege, exactly like PG's set-returning aclexplode."""
+    if not re.search(r"\baclexplode\s*\(", q, re.IGNORECASE):
+        return q
+    m = re.search(r",\s*aclexplode\s*\(([^()]*)\)(\s+AS\s+\w+"
+                  r"(\s*\([^()]*\))?)?", q, re.IGNORECASE)
+    if m is None:
+        raise ValueError(
+            "aclexplode() is only supported as a FROM-list item")
+    arr = m.group(1).strip()
+    if not arr:
+        raise ValueError("aclexplode() requires an acl array argument")
+    lat = (
+        f" LATERAL VIEW explode({arr}) _sdbacl AS _aclitem"
+        f" LATERAL VIEW explode(regexp_extract_all("
+        f"element_at(split(element_at(split(_aclitem, '/'), 1),"
+        f" '='), 2), '([a-zA-Z]\\\\*?)', 1)) _sdbaclp AS _aclpriv")
+    q = q[:m.start()] + lat + q[m.end():]
+    priv_case = " ".join(
+        f"WHEN '{letter}' THEN '{name}'"
+        for letter, name in _ACL_PRIV_NAMES)
+    subs = {
+        "privilege_type": (f"(CASE substring(_aclpriv, 1, 1) "
+                           f"{priv_case} END)"),
+        "is_grantable": "(_aclpriv LIKE '%*')",
+        "grantee": _role_oid_case(
+            session, "element_at(split(_aclitem, '='), 1)"),
+        "grantor": _role_oid_case(
+            session, "element_at(split(_aclitem, '/'), 2)"),
+    }
+    for word, rep in subs.items():
+        def _sub(mm, word=word, rep=rep):
+            before = q0[:mm.start()].rstrip()
+            after = q0[mm.end():].lstrip()
+            if (re.search(r"(SELECT|,)\s*$", before, re.IGNORECASE)
+                    and re.match(r"($|,|;|FROM\b)", after,
+                                 re.IGNORECASE)):
+                return f"{rep} AS {word}"
+            return rep
+        q0 = q
+        q = re.sub(rf"(?<![\w.']){word}\b", _sub, q)
+    return q
 
 
 def _args(text: str) -> list[str]:
@@ -147,6 +222,7 @@ def _strip(a: str) -> str:
 
 
 def fold_info_functions(session, q: str) -> str:
+    q = rewrite_aclexplode(session, q)
     if not _ANY_FOLD_RE.search(q):
         return q
     for fn in INFO_FN_REFUSED:
@@ -197,9 +273,36 @@ def fold_info_functions(session, q: str) -> str:
             return f"(CASE ({v}) {branches} ELSE 'text' END)"
         if low == "pg_get_userbyid":
             v = _strip(args[0]) if args else "0"
-            if re.fullmatch(r"\d+", v) and v not in ("10", "1000000"):
+            if re.fullmatch(r"\d+", v):
+                ra = session.role_attrs()
+                hit = next((r for r, a in ra.items()
+                            if str(a.get("oid")) == v), None)
+                if hit is not None:
+                    return f"'{hit}'"
+                if v == "1000000":
+                    return "'postgres'"
                 return f"'unknown (OID={v})'"
-            return f"'{me}'"
+            if v.lower() in ("current_user", "session_user") or \
+                    v.upper().lstrip("(").lstrip().startswith(
+                        "SELECT"):
+                return f"'{me}'"
+            # column operand (aclexplode output): runtime oid→name CASE
+            return _role_name_case(session, v)
+        if low == "acldefault":
+            from serenedb_spark.functions.acl import acldefault
+            cls = _strip(args[0]) if args else "r"
+            ov = _strip(args[1]) if len(args) > 1 else "1000000"
+            owner = "postgres"
+            if re.fullmatch(r"\d+", ov):
+                ra = session.role_attrs()
+                owner = next((r for r, a in ra.items()
+                              if str(a.get("oid")) == ov), ov)
+                if ov == "1000000":
+                    owner = "postgres"
+            txt = acldefault(cls, owner)
+            items = txt[1:-1].split(",") if len(txt) > 2 else []
+            arr = "array(" + ", ".join(f"'{i}'" for i in items) + ")"
+            return arr
         if low in _SIMPLE_PRIVS:
             # identity-only probes: the session role (or the bootstrap
             # superuser oid) holds every such privilege. The principal
@@ -291,10 +394,14 @@ def fold_info_functions(session, q: str) -> str:
         # PG titles a bare select item after the function, even under
         # a trailing cast (functions.test:63 in_search_path)
         after = q[close + 1:]
-        cm = re.match(r"\s*::\s*[a-z_0-9]+", after, re.IGNORECASE)
+        cm = re.match(r"\s*::\s*[a-z_0-9]+(\s*\[\s*\])?", after,
+                      re.IGNORECASE)
         extra = 0
         if cm:
-            out.append(cm.group(0))
+            if not (rep.startswith("array(") or cm.group(1)):
+                # an array-valued fold (acldefault) swallows its
+                # ::text[] cast — the value is already array<string>
+                out.append(cm.group(0))
             extra = cm.end()
         before2 = q[:start].rstrip()
         after2 = after[extra:].lstrip()

@@ -311,6 +311,22 @@ def route_statement(session, sql: str) -> DataFrame | None:
         return _grant(session, s, revoke=False)
     if kw == "REVOKE":
         return _grant(session, s, revoke=True)
+    if kw == "REASSIGN":
+        # REASSIGN OWNED BY a TO b — ownership transfer
+        ts2 = _Stream(tokenize(s))
+        ts2.expect("REASSIGN"); ts2.expect("OWNED"); ts2.expect("BY")
+        olds = [_ident(ts2)]
+        while ts2.match(","):
+            olds.append(_ident(ts2))
+        ts2.expect("TO")
+        new = _ident(ts2)
+        owners = getattr(session, "_owners", None)
+        if owners is None:
+            owners = session._owners = {}
+        for t, o in list(owners.items()):
+            if o in olds:
+                owners[t] = new
+        return _status_df(session, "REASSIGN OWNED", new)
     if kw == "CREATE":
         return _create(session, s)
     if kw == "DROP":
@@ -1559,6 +1575,14 @@ def _insert(session, s: str) -> DataFrame:
             if ts.match(")"):
                 break
             ts.expect(",")
+    # column-level INSERT enforcement: an explicit column list charges
+    # those columns; a bare INSERT charges every column
+    # (cp_column_insert.test)
+    if table in session._tables:
+        session._check_privilege(
+            table, "INSERT",
+            columns={c.lower() for c in
+                     (cols or session._tables[table].columns)})
     body = toks[ts.i:]
     returning = None
     rc = _find_clause(body, ("RETURNING",))
@@ -1784,6 +1808,21 @@ def _update(session, s: str) -> DataFrame:
             assignments[lhs] = col
         else:
             assignments[lhs] = F.expr(_expr_sql(rhs, session))
+    # column-level enforcement (cp_column_grant_matrix.test): UPDATE
+    # charges per assigned column; columns READ by the RHS or WHERE
+    # charge SELECT
+    session._check_privilege(table, "UPDATE",
+                             columns={c.lower() for c in assignments})
+    tcols = {c.lower() for c in dtypes}
+    rhs_toks: list = []
+    for asg in _split_top(set_span, (",",)):
+        eq = _find_clause(asg, ("=",))
+        rhs_toks += [t.text.lower() for t in asg[eq + 1:]]
+    if w >= 0:
+        rhs_toks += [t.text.lower() for t in toks[w + 1:]]
+    reads = {c for c in tcols if c in rhs_toks}
+    if reads:
+        session._check_read_columns(table, reads)
     if w < 0:
         session.update(table, F.lit(True), assignments)
     else:
@@ -1804,6 +1843,13 @@ def _delete(session, s: str) -> DataFrame:
     _require_base_table(session, table,
                         "Can only delete from base table")
     w = _find_clause(toks, ("WHERE",), start=ts.i)
+    if w >= 0 and table in session._tables:
+        # WHERE reads charge SELECT per referenced column
+        tcols = {c.lower() for c in session._tables[table].columns}
+        wtoks = {t.text.lower() for t in toks[w + 1:]}
+        reads = tcols & wtoks
+        if reads:
+            session._check_read_columns(table, reads)
     if w < 0:
         session.delete(table, F.lit(True))
     else:
@@ -1848,40 +1894,319 @@ def _truncate(session, s: str) -> DataFrame:
     return _status_df(session, "TRUNCATE", ", ".join(tables))
 
 
+#: PG's full table-privilege set, relacl letter order (aclitemout)
+_TABLE_PRIVS = ("INSERT", "SELECT", "UPDATE", "DELETE", "TRUNCATE",
+                "REFERENCES", "TRIGGER")
+_OBJ_PRIVS = {
+    "database": ("CREATE", "TEMPORARY", "CONNECT"),
+    "schema": ("USAGE", "CREATE"),
+    "function": ("EXECUTE",),
+    "sequence": ("USAGE", "SELECT", "UPDATE"),
+    "type": ("USAGE",),
+    "language": ("USAGE",),
+}
+
+
 def _grant(session, s: str, revoke: bool) -> DataFrame:
     toks = tokenize(s)
     ts = _Stream(toks)
     ts.expect("REVOKE" if revoke else "GRANT")
-    privs = []
+    if ts.peek() and ts.peek().upper in ("GRANT", "ADMIN") \
+            and ts.peek(1) is not None \
+            and ts.peek(1).upper == "OPTION":
+        # REVOKE GRANT OPTION FOR ... / ADMIN OPTION FOR ...
+        opt_only = ts.next().upper
+        ts.expect("OPTION"); ts.expect("FOR")
+    else:
+        opt_only = None
+    # parse the first comma-list; ON afterwards ⇒ privilege form,
+    # TO/FROM ⇒ role-membership form (PG GRANT role TO role)
+    privs: list = []           # (PRIV, cols-or-None, raw-text)
+    raws: list = []
     while True:
-        privs.append(ts.next().upper)
+        tok = ts.next()
+        p = tok.upper
+        raws.append(tok.text.strip('"'))
+        if p == "ALL" and ts.peek() and \
+                ts.peek().upper == "PRIVILEGES":
+            ts.next()
+        cols = None
         if ts.peek() and ts.peek().text == "(":
-            # column-list grant `SELECT (id, amt)` — recorded at table
-            # granularity (rbac/prep_statement_rbac.test setup blocks)
-            while ts.next().text != ")":
-                pass
+            ts.next()
+            cols = []
+            while not ts.match(")"):
+                t = ts.next()
+                if t.text != ",":
+                    cols.append(t.text.strip('"').lower())
+        privs.append((p, cols))
         if not ts.match(","):
             break
+    nxt = ts.peek()
+    if nxt is not None and nxt.upper in ("TO", "FROM"):
+        return _grant_membership(session, ts, raws, revoke, opt_only)
     ts.expect("ON")
-    if ts.peek() and ts.peek().upper == "TABLE":
+    kind = "table"
+    obj_kw = ts.peek().upper if ts.peek() else ""
+    if obj_kw == "ALL":
+        # GRANT ... ON ALL TABLES/SEQUENCES/FUNCTIONS IN SCHEMA s
         ts.next()
-    table = _ident(ts)
+        what = ts.next().upper          # TABLES/SEQUENCES/FUNCTIONS
+        ts.expect("IN"); ts.expect("SCHEMA")
+        sch = _ident(ts)
+        targets = []
+        if what == "TABLES":
+            pref = "" if sch in ("public", "main") else sch + "."
+            targets = [t for t in session._tables
+                       if (t.startswith(pref) if pref
+                           else "." not in t)]
+        kind = "table" if what == "TABLES" else what.lower()[:-1]
+    elif obj_kw in ("DATABASE", "SCHEMA", "FUNCTION", "PROCEDURE",
+                    "ROUTINE", "SEQUENCE", "TYPE", "LANGUAGE",
+                    "FOREIGN", "TABLESPACE"):
+        ts.next()
+        if obj_kw == "FOREIGN":          # FOREIGN SERVER / DATA WRAPPER
+            while ts.peek() and ts.peek().upper != "TO" \
+                    and ts.peek().upper != "FROM":
+                if ts.peek(1) and ts.peek(1).upper in ("TO", "FROM"):
+                    break
+                ts.next()
+        kind = {"PROCEDURE": "function", "ROUTINE": "function"}.get(
+            obj_kw, obj_kw.lower())
+        targets = [_ident(ts)]
+        if ts.peek() and ts.peek().text == "(":   # fn signature
+            while ts.next().text != ")":
+                pass
+        while ts.match(","):
+            targets.append(_ident(ts))
+    else:
+        if obj_kw == "TABLE":
+            ts.next()
+        targets = [_ident(ts)]
+        while ts.match(","):
+            targets.append(_ident(ts))
     ts.expect("FROM" if revoke else "TO")
     roles = []
     while True:
+        if ts.peek() and ts.peek().upper == "GROUP":
+            ts.next()
         roles.append(_ident(ts))
         if not ts.match(","):
             break
+    grant_opt = False
+    grantor = session.current_user or "postgres"
+    cascade = False
+    while ts.peek() is not None:
+        kw = ts.next().upper
+        if kw == "WITH":
+            ts.expect("GRANT"); ts.expect("OPTION")
+            grant_opt = True
+        elif kw == "GRANTED":
+            ts.expect("BY")
+            grantor = _ident(ts)
+        elif kw in ("CASCADE", "RESTRICT"):
+            cascade = kw == "CASCADE"
+    _ = cascade
+    known = session.role_attrs()
     for r in roles:
-        for p in privs:
-            ps = (["SELECT", "INSERT", "UPDATE", "DELETE"]
-                  if p == "ALL" else [p])
-            for one in ps:
-                if revoke:
-                    session.revoke(r, table, one)
+        if r.lower() != "public" and r not in known:
+            raise ValueError(f'role "{r}" does not exist')
+    rnames = ["public" if r.lower() == "public" else r for r in roles]
+    if kind == "table":
+        for table in targets:
+            if table not in session._tables and \
+                    table not in getattr(session, "_view_defs", {}):
+                raise ValueError(
+                    f'relation "{table}" does not exist')
+            for r in rnames:
+                for p, cols in privs:
+                    ps = list(_TABLE_PRIVS) if p == "ALL" else [p]
+                    for one in ps:
+                        if cols is not None:
+                            cg = session._col_grant_store()
+                            cset = cg.setdefault(r, {}).setdefault(
+                                table, {}).setdefault(one, set())
+                            if revoke:
+                                cset -= set(cols)
+                            else:
+                                cset |= set(cols)
+                                session._grantors = getattr(
+                                    session, "_grantors", {})
+                                session._grantors[(r, table)] = grantor
+                        elif revoke:
+                            session.revoke(r, table, one)
+                            if opt_only is None:
+                                session.revoke(r, table, one + "*")
+                                # a revoke of the priv also clears any
+                                # column-level grant of it (PG folds
+                                # attacl into the relation revoke)
+                                session._col_grant_store().get(
+                                    r, {}).get(table, {}).pop(one,
+                                                              None)
+                            else:
+                                session.revoke(r, table, one + "*")
+                        else:
+                            session.grant(r, table, one)
+                            if grant_opt:
+                                session.grant(r, table, one + "*")
+                            session._grantors = getattr(
+                                session, "_grantors", {})
+                            session._grantors[(r, table)] = grantor
+        return _status_df(session, "REVOKE" if revoke else "GRANT",
+                          ", ".join(targets))
+    # non-table object privileges (DATABASE/SCHEMA/FUNCTION/...)
+    og = getattr(session, "_obj_grants", None)
+    if not isinstance(og, dict):
+        og = session._obj_grants = {}
+    for name in targets:
+        key = (kind, name)
+        for r in rnames:
+            for p, _cols in privs:
+                ps = (list(_OBJ_PRIVS.get(kind, ("USAGE",)))
+                      if p == "ALL" else
+                      ["TEMPORARY" if p == "TEMP" else p])
+                for one in ps:
+                    if revoke:
+                        og.get(key, {}).get(r, {}).pop(one, None)
+                        if opt_only is None:
+                            og.get(key, {}).get(r, {}).pop(one + "*",
+                                                           None)
+                    else:
+                        ent = og.setdefault(key, {}).setdefault(r, {})
+                        ent[one] = grantor
+                        if grant_opt:
+                            ent[one + "*"] = grantor
+    return _status_df(session, "REVOKE" if revoke else "GRANT",
+                      ", ".join(targets))
+
+
+def _grant_membership(session, ts, granted_roles, revoke: bool,
+                      opt_only) -> DataFrame:
+    """GRANT role[, role] TO member[, member] [WITH ADMIN OPTION]
+    [GRANTED BY g] — the pg_auth_members edge surface
+    (catm_authmembers_oid_unique.test)."""
+    ts.expect("FROM" if revoke else "TO")
+    members = []
+    while True:
+        if ts.peek() and ts.peek().upper == "GROUP":
+            ts.next()
+        members.append(_ident(ts))
+        if not ts.match(","):
+            break
+    admin = False
+    grantor = session.current_user or "postgres"
+    while ts.peek() is not None:
+        kw = ts.next().upper
+        if kw == "WITH":
+            ts.expect("ADMIN"); ts.expect("OPTION")
+            admin = True
+        elif kw == "GRANTED":
+            ts.expect("BY")
+            grantor = _ident(ts)
+        elif kw in ("CASCADE", "RESTRICT"):
+            pass
+    attrs = session.role_attrs()
+    for r in granted_roles + members:
+        if r.lower() != "public" and r not in attrs:
+            raise ValueError(f'role "{r}" does not exist')
+    rm = session.role_members()
+    for r in granted_roles:
+        for m in members:
+            if not revoke and r == m:
+                raise ValueError(
+                    f'role "{r}" is a member of role "{m}"')
+            if revoke:
+                if opt_only == "ADMIN":
+                    e = rm.get((r, m))
+                    if e is not None:
+                        e["admin"] = False
                 else:
-                    session.grant(r, table, one)
-    return _status_df(session, "REVOKE" if revoke else "GRANT", table)
+                    rm.pop((r, m), None)
+            else:
+                e = rm.get((r, m))
+                if e is None:
+                    rm[(r, m)] = {"admin": admin, "grantor": grantor,
+                                  "oid": session._next_oid()}
+                elif admin:
+                    e["admin"] = True
+    return _status_df(session, "REVOKE" if revoke else "GRANT",
+                      ", ".join(granted_roles))
+
+
+def _role_options(ts, a: dict) -> list:
+    """Consume a CREATE/ALTER ROLE option list into attrs dict `a`.
+    Returns membership requests [(kind, rolename)] for IN ROLE / ROLE /
+    ADMIN clauses (PG role_specification grammar)."""
+    flags = {
+        "LOGIN": ("canlogin", True), "NOLOGIN": ("canlogin", False),
+        "SUPERUSER": ("super", True), "NOSUPERUSER": ("super", False),
+        "CREATEDB": ("createdb", True),
+        "NOCREATEDB": ("createdb", False),
+        "CREATEROLE": ("createrole", True),
+        "NOCREATEROLE": ("createrole", False),
+        "INHERIT": ("inherit", True), "NOINHERIT": ("inherit", False),
+        "REPLICATION": ("replication", True),
+        "NOREPLICATION": ("replication", False),
+        "BYPASSRLS": ("bypassrls", True),
+        "NOBYPASSRLS": ("bypassrls", False),
+    }
+    memberships: list = []
+    while ts.peek() is not None:
+        kw = ts.peek().upper
+        if kw == "WITH":
+            ts.next()
+            continue
+        if kw in flags:
+            ts.next()
+            k, v = flags[kw]
+            a[k] = v
+            continue
+        if kw in ("ENCRYPTED", "UNENCRYPTED"):
+            ts.next()
+            continue
+        if kw == "PASSWORD":
+            ts.next()
+            t = ts.next()
+            a["password"] = (None if t.upper == "NULL"
+                             else t.text.strip("'"))
+            continue
+        if kw == "CONNECTION":
+            ts.next(); ts.expect("LIMIT")
+            a["connlimit"] = int(ts.next().text)
+            continue
+        if kw == "VALID":
+            ts.next(); ts.expect("UNTIL")
+            a["validuntil"] = ts.next().text.strip("'")
+            continue
+        if kw == "SYSID":
+            ts.next(); ts.next()
+            continue
+        if kw == "IN":
+            ts.next()
+            nxt = ts.next()          # ROLE or GROUP
+            if nxt.upper not in ("ROLE", "GROUP"):
+                raise ValueError(f"expected ROLE, got {nxt.text!r}")
+            while True:
+                memberships.append(("in_role", _ident(ts)))
+                if not ts.match(","):
+                    break
+            continue
+        if kw in ("ROLE", "USER"):
+            ts.next()
+            while True:
+                memberships.append(("role", _ident(ts)))
+                if not ts.match(","):
+                    break
+            continue
+        if kw == "ADMIN":
+            ts.next()
+            while True:
+                memberships.append(("admin", _ident(ts)))
+                if not ts.match(","):
+                    break
+            continue
+        raise ValueError(
+            f"unrecognized role option {ts.peek().text!r}")
+    return memberships
 
 
 # --------------------------------------------------------------------------
@@ -2049,16 +2374,36 @@ def _create(session, s: str) -> DataFrame | None:
             raise ValueError(f'schema "{sch}" already exists')
         schemas.add(sch)
         return _status_df(session, "CREATE SCHEMA", sch)
-    if nxt.upper in ("ROLE", "USER"):
-        # RBAC principals (rbac/prep_statement_rbac.test): the engine's
-        # grants are keyed by principal name; LOGIN/PASSWORD options are
-        # accepted connection metadata with no in-library meaning
-        ts.next()
+    if nxt.upper in ("ROLE", "USER", "GROUP"):
+        # RBAC principals (any/pg/rbac/attributes.test): the full PG
+        # attribute surface lands in the role store so pg_authid /
+        # pg_roles render it and login connections enforce it.
+        # CREATE USER defaults LOGIN; CREATE ROLE defaults NOLOGIN.
+        is_user = ts.next().upper == "USER"
         rname = _ident(ts)
         roles = session._set_store("_roles")
-        if rname in roles:
+        attrs = session.role_attrs()
+        if rname in roles or rname in attrs:
             raise ValueError(f'role "{rname}" already exists')
+        a = dict(session._ROLE_DEFAULTS, canlogin=is_user,
+                 oid=session._next_oid())
+        memberships = _role_options(ts, a)
         roles.add(rname)
+        attrs[rname] = a
+        rm = session.role_members()
+        for kind, other in memberships:
+            if kind == "in_role":      # new role becomes member of other
+                rm[(other, rname)] = {"admin": False,
+                                      "grantor": "postgres",
+                                      "oid": session._next_oid()}
+            elif kind == "role":       # other becomes member of new role
+                rm[(rname, other)] = {"admin": False,
+                                      "grantor": "postgres",
+                                      "oid": session._next_oid()}
+            elif kind == "admin":
+                rm[(rname, other)] = {"admin": True,
+                                      "grantor": "postgres",
+                                      "oid": session._next_oid()}
         return _status_df(session, "CREATE ROLE", rname)
     if nxt.upper in ("FUNCTION", "MACRO"):
         # DuckDB-style scalar macro: CREATE FUNCTION f(x INT) AS x * x
@@ -2762,6 +3107,26 @@ def _drop(session, s: str) -> DataFrame | None:
     ts = _Stream(toks)
     ts.expect("DROP")
     kind = ts.next().upper
+    if kind == "OWNED":
+        # DROP OWNED BY role: revokes every privilege granted TO the
+        # role and drops objects it owns (drm_acl_*.test teardown)
+        ts.expect("BY")
+        names = [_ident(ts)]
+        while ts.match(","):
+            names.append(_ident(ts))
+        while ts.peek() is not None:          # CASCADE/RESTRICT
+            ts.next()
+        for rname in names:
+            getattr(session, "_grants", {}).pop(rname, None)
+            session._col_grant_store().pop(rname, None)
+            for gm in getattr(session, "_obj_grants", {}).values():
+                gm.pop(rname, None)
+            owners = getattr(session, "_owners", {})
+            for t in [t for t, o in owners.items() if o == rname]:
+                if t in session._tables:
+                    session.drop_table(t, cascade=True)
+                owners.pop(t, None)
+        return _status_df(session, "DROP OWNED", ", ".join(names))
     if kind == "TYPE":
         if_exists = False
         if ts.peek() and ts.peek().upper == "IF":
@@ -2838,20 +3203,47 @@ def _drop(session, s: str) -> DataFrame | None:
                 session.drop_sequence_checked(q, cascade=True)
         schemas.discard(sch)
         return _status_df(session, "DROP SCHEMA", sch)
-    if kind in ("ROLE", "USER"):
+    if kind in ("ROLE", "USER", "GROUP"):
         if_exists = False
         if ts.peek() and ts.peek().upper == "IF":
             ts.next(); ts.expect("EXISTS")
             if_exists = True
-        rname = _ident(ts)
+        names = [_ident(ts)]
+        while ts.match(","):
+            names.append(_ident(ts))
         roles = session._set_store("_roles")
-        if rname not in roles:
-            if if_exists:
-                return _status_df(session, "DROP ROLE")
-            raise ValueError(f'role "{rname}" does not exist')
-        roles.discard(rname)
-        getattr(session, "_grants", {}).pop(rname, None)
-        return _status_df(session, "DROP ROLE", rname)
+        attrs = session.role_attrs()
+        for rname in names:
+            if rname not in roles and rname not in attrs:
+                if if_exists:
+                    continue
+                raise ValueError(f'role "{rname}" does not exist')
+            if rname == session.current_user:
+                raise ValueError(
+                    f'current user cannot be dropped')
+            # PG 2BP01: refuse while privileges/objects depend on it
+            # (dr_drop_role_dependency.test)
+            has_grants = bool(
+                any(getattr(session, "_grants", {}).get(rname, {})
+                    .values())
+                or any(v for t in session._col_grant_store()
+                       .get(rname, {}).values() for v in t.values())
+                or any(rname in gm for gm in
+                       getattr(session, "_obj_grants", {}).values())
+                or any(o == rname for o in
+                       getattr(session, "_owners", {}).values()))
+            if has_grants:
+                raise ValueError(
+                    f'role "{rname}" cannot be dropped because some '
+                    "objects depend on it")
+            roles.discard(rname)
+            attrs.pop(rname, None)
+            rm = session.role_members()
+            for key in [k for k in rm if rname in k]:
+                rm.pop(key)
+            getattr(session, "_grants", {}).pop(rname, None)
+            session._col_grant_store().pop(rname, None)
+        return _status_df(session, "DROP ROLE", ", ".join(names))
     if kind in ("FUNCTION", "MACRO"):
         if_exists = False
         if ts.peek() and ts.peek().upper == "IF":
@@ -2979,6 +3371,46 @@ def _alter(session, s: str) -> DataFrame | None:
     ts = _Stream(toks)
     ts.expect("ALTER")
     kindw = ts.peek().upper if ts.peek() else ""
+    if kindw in ("ROLE", "USER", "GROUP"):
+        # ALTER ROLE name [WITH] option... | RENAME TO new
+        # (any/pg/rbac/alter_role_attrs.test)
+        ts.next()
+        rname = _ident(ts)
+        attrs = session.role_attrs()
+        if rname not in attrs:
+            raise ValueError(f'role "{rname}" does not exist')
+        if ts.peek() and ts.peek().upper == "RENAME":
+            ts.next(); ts.expect("TO")
+            new = _ident(ts)
+            if new in attrs:
+                raise ValueError(f'role "{new}" already exists')
+            attrs[new] = attrs.pop(rname)
+            roles = session._set_store("_roles")
+            roles.discard(rname)
+            roles.add(new)
+            rm = session.role_members()
+            for (r, m) in list(rm):
+                if rname in (r, m):
+                    rm[(new if r == rname else r,
+                        new if m == rname else m)] = rm.pop((r, m))
+            g = getattr(session, "_grants", {})
+            if rname in g:
+                g[new] = g.pop(rname)
+            cg = session._col_grant_store()
+            if rname in cg:
+                cg[new] = cg.pop(rname)
+            return _status_df(session, "ALTER ROLE", new)
+        if ts.peek() and ts.peek().upper == "SET":
+            # ALTER ROLE ... SET param = value: recorded as rolconfig
+            ts.next()
+            rest = []
+            while ts.peek() is not None:
+                rest.append(ts.next().text)
+            attrs[rname].setdefault("config", []).append(
+                " ".join(rest))
+            return _status_df(session, "ALTER ROLE", rname)
+        _role_options(ts, attrs[rname])
+        return _status_df(session, "ALTER ROLE", rname)
     if kindw in ("VIEW", "INDEX", "FUNCTION", "MACRO"):
         # only the RENAME TO form is ours; ALTER VIEW ... AS stays Spark
         ts.next()

@@ -258,6 +258,9 @@ class SereneSession:
         routed = route_statement(self, q)
         if routed is not None:
             return routed
+        # SELECT-shaped statement: charge SELECT on every referenced
+        # column of every referenced table (non-superuser sessions)
+        self._enforce_statement_reads(q)
 
         if "::regtype" in q:
             # 'name'::regtype / oid::regtype — the canonical type name
@@ -1629,7 +1632,11 @@ class SereneSession:
                   for t, df in sorted(self._tables.items())),
             tuple(sorted(getattr(self, "_indexes", {}) or {})),
             tuple(sorted(getattr(self, "_view_defs", {}) or {})),
-            tuple(sorted(getattr(self, "_grants", {}) or {})),
+            tuple(sorted(
+                (p, t, tuple(sorted(ps)))
+                for p, tm in (getattr(self, "_grants", {})
+                              or {}).items()
+                for t, ps in tm.items())),
             tuple(sorted((n, st.get("current"))
                          for n, st in (getattr(self.sequences, "_seqs",
                                                {}) or {}).items())),
@@ -1641,6 +1648,27 @@ class SereneSession:
             tuple(sorted(getattr(self, "_composite_types", {}) or {})),
             tuple(sorted(self._set_store("_schemas", ("public",)))),
             tuple(sorted(getattr(self, "_roles", {}) or {})),
+            tuple(sorted(
+                (r, tuple(sorted((k, str(v)) for k, v in a.items())))
+                for r, a in (getattr(self, "_role_attrs", {})
+                             or {}).items())),
+            tuple(sorted(
+                (k, tuple(sorted((k2, str(v2))
+                                 for k2, v2 in e.items())))
+                for k, e in (getattr(self, "_role_members", {})
+                             or {}).items())),
+            tuple(sorted(
+                (p, t, pv, tuple(sorted(cs)))
+                for p, tm in (getattr(self, "_col_grants", {})
+                              or {}).items()
+                for t, pm in tm.items()
+                for pv, cs in pm.items())),
+            tuple(sorted(
+                (k, g, tuple(sorted(pm)))
+                for k, gm in (getattr(self, "_obj_grants", {})
+                              or {}).items()
+                for g, pm in gm.items())),
+            tuple(sorted((getattr(self, "_owners", {}) or {}).items())),
             tuple(sorted((getattr(self, "_analyze_stats", {})
                           or {}).items())),
             tuple(sorted((t, tuple(sorted(cols)))
@@ -1687,6 +1715,7 @@ class SereneSession:
                     "real": (4, True), "double precision": (8, True),
                     "date": (4, True),
                     "timestamp without time zone": (8, True)}
+        from serenedb_spark.functions.acl import attacl_for
         for t, df in self._tables.items():
             nn = getattr(self, "_not_null", {}).get(t, set())
             dfl = getattr(self, "_col_defaults", {}).get(t, {})
@@ -1699,7 +1728,8 @@ class SereneSession:
                 attrs.append((rid, c, i,
                               self._PG_TYPE_OIDS.get(pg_t, 705),
                               ln, byval,
-                              c in nn or c in pkc, c in dfl, False))
+                              c in nn or c in pkc, c in dfl, False,
+                              attacl_for(self, t, c.lower())))
         from serenedb_spark.pg_catalog_columns import (
             FULL_COLUMNS as _FC, IS_FULL_COLUMNS as _ISFC,
             SYSTEM_RELATIONS as _SYSR)
@@ -1708,13 +1738,14 @@ class SereneSession:
                 f"information_schema_{rn}") or ()
             for i0, c0 in enumerate(cols0, start=1):
                 attrs.append((oid0, c0, i0, 25, -1, False,
-                              False, False, False))
+                              False, False, False, None))
         self.spark.createDataFrame(
-            attrs or [(0, "", 0, 0, 0, False, False, False, False)],
+            attrs or [(0, "", 0, 0, 0, False, False, False, False,
+                       None)],
             "attrelid int, attname string, attnum int,"
             " atttypid int, attlen int, attbyval boolean,"
             " attnotnull boolean, atthasdef boolean,"
-            " attisdropped boolean",
+            " attisdropped boolean, attacl array<string>",
         ).where(F.col("attrelid") != 0).createOrReplaceTempView(
             "pg_attribute")
 
@@ -1860,13 +1891,17 @@ class SereneSession:
         # tables with ANY index (search or secondary) set relhasindex
         # (pg_catalog_data.test:99)
         _indexed = {t for _n, t, *_rest in self._index_relations()}
+        from serenedb_spark.functions.acl import relacl_for
+        _ra = self.role_attrs()
         for name in sorted(self._tables):
             df = self._tables[name]
             rid = self.relid(name)
             bare, nsp = _nsp(name)
+            own_oid = _ra.get(self._table_owner(name),
+                              {}).get("oid", 1000000)
             classes.append((rid, bare, nsp, "r", len(df.dtypes),
-                            _reltuples(name, df), 1000000, 0, None,
-                            name in _indexed))
+                            _reltuples(name, df), own_oid, 0, None,
+                            name in _indexed, relacl_for(self, name)))
             for i, (c, typ) in enumerate(df.dtypes, start=1):
                 pg_t = format_type(typ)
                 attrs.append((rid, c, i,
@@ -1875,16 +1910,17 @@ class SereneSession:
         for name, t, cols, _u, _p, _a, _f in self._index_relations():
             bare, nsp = _nsp(name)
             classes.append((self._index_oid(name), bare, nsp, "i",
-                            len(cols), -1.0, 1000000, 0, None, False))
+                            len(cols), -1.0, 1000000, 0, None, False,
+                            None))
         for name in sorted(getattr(self, "_view_defs", {})):
             rid = self.relid(name)
             bare, nsp = _nsp(name)
             classes.append((rid, bare, nsp, "v", 0, -1.0, 1000000,
-                            0, None, False))
+                            0, None, False, relacl_for(self, name)))
         for name in sorted(getattr(self.sequences, "_seqs", {})):
             bare, nsp = _nsp(name)
             classes.append((self.relid(name), bare, nsp, "S", 3, 1.0,
-                            1000000, 0, None, False))
+                            1000000, 0, None, False, None))
         # the fixed system catalog itself appears in pg_class with the
         # reference's oid assignment (pg_class.test block 1)
         from serenedb_spark.pg_catalog_columns import (
@@ -1898,13 +1934,14 @@ class SereneSession:
                 rn, IS_FULL_COLUMNS.get(f"information_schema_{rn}",
                                         ("x",))))
             classes.append((oid0, rn, nsp0, rk, natts, -1.0, 1000000,
-                            0, None, False))
+                            0, None, False, None))
         spark.createDataFrame(
-            classes or [(0, "", 0, "", 0, 0.0, 0, 0, None, False)],
+            classes or [(0, "", 0, "", 0, 0.0, 0, 0, None, False,
+                         None)],
             "oid int, relname string, relnamespace int, relkind string,"
             " relnatts int, reltuples double, relowner int,"
             " reltablespace int, reloptions array<string>,"
-            " relhasindex boolean",
+            " relhasindex boolean, relacl array<string>",
         ).where(F.col("oid") != 0).createOrReplaceTempView("pg_class")
         spark.createDataFrame(
             attrs or [(0, "", 0, 0, "", False, False)],
@@ -2396,27 +2433,46 @@ class SereneSession:
         ).where(F.col("oid") != 0).createOrReplaceTempView("pg_policy")
 
         tprivs, cprivs = [], []
+        _grantors = getattr(self, "_grantors", {})
         for principal, tables in getattr(self, "_grants", {}).items():
             for t, privs in tables.items():
                 for p in sorted(privs):
-                    tprivs.append(("postgres", principal, "public", t, p))
+                    if p.endswith("*"):
+                        continue       # grant-option marker, not a priv
+                    gor = _grantors.get((principal, t), "postgres")
+                    gr8 = "YES" if p + "*" in privs else "NO"
+                    tprivs.append((gor, principal, "public", t, p,
+                                   gr8))
                     if t in self._tables:
                         masked = set(getattr(self, "_col_masks",
                                              {}).get(t, {}))
                         for c in self._tables[t].columns:
                             if c not in masked:
-                                cprivs.append(("postgres", principal,
-                                               "public", t, c, p))
+                                cprivs.append((gor, principal,
+                                               "public", t, c, p,
+                                               gr8))
+        # column-scoped grants surface per column only
+        # (go_aclexplode.test information_schema cross-check)
+        for principal, tables in (getattr(self, "_col_grants", {})
+                                  or {}).items():
+            for t, pm in tables.items():
+                gor = _grantors.get((principal, t), "postgres")
+                for p, cols in pm.items():
+                    for c in sorted(cols):
+                        cprivs.append((gor, principal, "public", t,
+                                       c, p, "NO"))
         spark.createDataFrame(
-            tprivs or [("", "", "", "", "")],
+            tprivs or [("", "", "", "", "", "")],
             "grantor string, grantee string, table_schema string,"
-            " table_name string, privilege_type string",
+            " table_name string, privilege_type string,"
+            " is_grantable string",
         ).where(F.col("grantee") != "").createOrReplaceTempView(
             "information_schema_table_privileges")
         spark.createDataFrame(
-            cprivs or [("", "", "", "", "", "")],
+            cprivs or [("", "", "", "", "", "", "")],
             "grantor string, grantee string, table_schema string,"
-            " table_name string, column_name string, privilege_type string",
+            " table_name string, column_name string,"
+            " privilege_type string, is_grantable string",
         ).where(F.col("grantee") != "").createOrReplaceTempView(
             "information_schema_column_privileges")
         self._install_pg_catalog_tranche6()
@@ -2695,27 +2751,243 @@ class SereneSession:
             " items_processed long, items_total long",
         ).createOrReplaceTempView("sdb_progress")
 
+        self._install_pg_catalog_roles()
         # finally: upgrade every catalog view to PG's full column order
         # (any/pg/system/check_columns.test pins all 144 headers)
         from serenedb_spark.pg_catalog_columns import pad_catalog_views
         pad_catalog_views(spark)
 
+    def _install_pg_catalog_roles(self) -> None:
+        """The role catalog family over the live role store
+        (any/pg/rbac/attributes.test, catm_*.test): pg_authid is the
+        base relation; pg_roles the password-masked view; pg_user /
+        pg_shadow the LOGIN slices; pg_group the membership arrays;
+        pg_auth_members the edge list with UNIQUE oids."""
+        spark = self.spark
+        ra = self.role_attrs()
+        rows = []
+        for name in sorted(ra):
+            a = ra[name]
+            rows.append((
+                a.get("oid", 0), name, bool(a.get("super")),
+                bool(a.get("inherit", True)),
+                bool(a.get("createrole")), bool(a.get("createdb")),
+                bool(a.get("canlogin")), bool(a.get("replication")),
+                bool(a.get("bypassrls")),
+                int(a.get("connlimit", -1)),
+                ("********" if a.get("password") is not None
+                 else None),
+                a.get("validuntil"),
+                (a.get("config") or None),
+            ))
+        schema = (
+            "oid int, rolname string, rolsuper boolean,"
+            " rolinherit boolean, rolcreaterole boolean,"
+            " rolcreatedb boolean, rolcanlogin boolean,"
+            " rolreplication boolean, rolbypassrls boolean,"
+            " rolconnlimit int, rolpassword string,"
+            " rolvaliduntil string, rolconfig array<string>")
+        authid = spark.createDataFrame(rows, schema)
+        authid.createOrReplaceTempView("pg_authid")
+        authid.createOrReplaceTempView("pg_roles")
+        users = authid.where(F.col("rolcanlogin"))
+        users.select(
+            F.col("rolname").alias("usename"),
+            F.col("oid").alias("usesysid"),
+            F.col("rolcreatedb").alias("usecreatedb"),
+            F.col("rolsuper").alias("usesuper"),
+            F.col("rolreplication").alias("userepl"),
+            F.col("rolbypassrls").alias("usebypassrls"),
+            F.col("rolpassword").alias("passwd"),
+            F.col("rolvaliduntil").alias("valuntil"),
+            F.col("rolconfig").alias("useconfig"),
+        ).createOrReplaceTempView("pg_user")
+        users.select(
+            F.col("rolname").alias("usename"),
+            F.col("oid").alias("usesysid"),
+            F.col("rolcreatedb").alias("usecreatedb"),
+            F.col("rolsuper").alias("usesuper"),
+            F.col("rolreplication").alias("userepl"),
+            F.col("rolbypassrls").alias("usebypassrls"),
+            F.col("rolpassword").alias("passwd"),
+            F.col("rolvaliduntil").alias("valuntil"),
+            F.col("rolconfig").alias("useconfig"),
+        ).createOrReplaceTempView("pg_shadow")
+        rm = self.role_members()
+        edges = [(e.get("oid", 0), ra.get(r, {}).get("oid", 0),
+                  ra.get(m, {}).get("oid", 0),
+                  ra.get(e.get("grantor", "postgres"),
+                         {}).get("oid", 1000000),
+                  bool(e.get("admin")), True, True)
+                 for (r, m), e in sorted(rm.items())]
+        spark.createDataFrame(
+            edges or [(0, 0, 0, 0, False, False, False)],
+            "oid int, roleid int, member int, grantor int,"
+            " admin_option boolean, inherit_option boolean,"
+            " set_option boolean",
+        ).where(F.col("oid") != 0).createOrReplaceTempView(
+            "pg_auth_members")
+        groups = []
+        for name in sorted(ra):
+            members = sorted(
+                ra.get(m, {}).get("oid", 0)
+                for (r, m) in rm if r == name)
+            groups.append((name, ra[name].get("oid", 0), members))
+        spark.createDataFrame(
+            groups or [("", 0, [])],
+            "groname string, grosysid int, grolist array<int>",
+        ).where(F.col("groname") != "").createOrReplaceTempView(
+            "pg_group")
+
+    # ---- role model (PG CREATE ROLE attribute surface + membership
+    # graph; reference any/pg/rbac/ attributes.test, catm_*.test).
+    # _role_attrs: name → attribute dict; _role_members: (role, member)
+    # → edge dict. Both live in _TXN_STATE so GRANT/CREATE ROLE inside
+    # a block roll back, and in _SHARED_STATE so logins on attached
+    # connections see them.
+    _ROLE_DEFAULTS = {
+        "super": False, "inherit": True, "createrole": False,
+        "createdb": False, "canlogin": False, "replication": False,
+        "bypassrls": False, "connlimit": -1, "password": None,
+        "validuntil": None,
+    }
+
+    def role_attrs(self) -> dict:
+        ra = getattr(self, "_role_attrs", None)
+        if not isinstance(ra, dict):
+            ra = self._role_attrs = {}
+        if "postgres" not in ra:
+            # the bootstrap superuser — oid matches the repo's existing
+            # pg_class.relowner/pg_get_userbyid convention
+            ra["postgres"] = dict(self._ROLE_DEFAULTS, super=True,
+                                  inherit=True, createrole=True,
+                                  createdb=True, canlogin=True,
+                                  replication=True, bypassrls=True,
+                                  oid=1000000)
+        # roles created before the attrs store existed (legacy _roles
+        # set) surface with default attributes
+        for r in self._set_store("_roles"):
+            if r not in ra:
+                ra[r] = dict(self._ROLE_DEFAULTS, oid=self._next_oid())
+        return ra
+
+    def role_members(self) -> dict:
+        rm = getattr(self, "_role_members", None)
+        if not isinstance(rm, dict):
+            rm = self._role_members = {}
+        return rm
+
+    def _next_oid(self) -> int:
+        """Monotonic oid allocator shared across attached sessions —
+        pg_auth_members.oid must be UNIQUE across membership edges
+        (catm_authmembers_oid_unique.test)."""
+        store = getattr(self, "_shared_store", None)
+        holder = store if store is not None else self.__dict__
+        nxt = holder.get("_oid_seq", 16384)
+        holder["_oid_seq"] = nxt + 1
+        if store is not None:
+            self.__dict__["_oid_seq"] = nxt + 1
+        return nxt
+
+    def role_oid(self, name: str) -> int | None:
+        a = self.role_attrs().get(name)
+        return a.get("oid") if a else None
+
+    def login(self, user: str, password: str | None = None) -> None:
+        """Authenticate a connection as `user` (sqllogic `connection cN
+        user=x password=y`): the role must exist, hold LOGIN, and match
+        the stored password — PG's exact refusal texts."""
+        a = self.role_attrs().get(user)
+        if a is None:
+            raise PermissionError(
+                f'role "{user}" does not exist')
+        if not a.get("canlogin"):
+            raise PermissionError(
+                f'role "{user}" is not permitted to log in')
+        stored = a.get("password")
+        if stored is not None and stored != password:
+            raise PermissionError(
+                f'password authentication failed for user "{user}"')
+        self.set_user(user)
+        self._session_user = user
+
+    def _is_superuser(self, role: str | None) -> bool:
+        if role is None or role == "postgres":
+            return True
+        a = self.role_attrs().get(role)
+        return bool(a and a.get("super"))
+
+    def _member_of(self, role: str, *, inherit_only: bool = False
+                   ) -> set:
+        """Transitive closure of roles `role` is a member of.
+        inherit_only follows edges only through members whose INHERIT
+        attribute is set (privilege inheritance, PG's roles_is_member_of
+        vs has_privs_of_role split)."""
+        ra = self.role_attrs()
+        rm = self.role_members()
+        out: set = set()
+        frontier = [role]
+        while frontier:
+            m = frontier.pop()
+            if inherit_only and not ra.get(m, {}).get("inherit", True):
+                continue
+            for (r, mem) in rm:
+                if mem == m and r not in out:
+                    out.add(r)
+                    frontier.append(r)
+        return out
+
+    def pg_has_role(self, member: str, role: str,
+                    mode: str = "MEMBER") -> bool:
+        if member == role or self._is_superuser(member):
+            return True
+        closure = self._member_of(
+            member, inherit_only=mode.upper() in ("USAGE",))
+        return role in closure
+
+    def _privilege_principals(self, user: str) -> set:
+        """The principals whose grants `user` can exercise: itself,
+        PUBLIC, and every role it inherits membership from."""
+        return {user, "public", "PUBLIC"} | self._member_of(
+            user, inherit_only=True)
+
+    def _col_grant_store(self) -> dict:
+        cg = getattr(self, "_col_grants", None)
+        if not isinstance(cg, dict):
+            cg = self._col_grants = {}
+        return cg
+
+    def _table_owner(self, table: str) -> str:
+        return getattr(self, "_owners", {}).get(table, "postgres")
+
     def has_table_privilege(self, principal: str, table: str,
                             privilege: str = "SELECT") -> bool:
-        """PG has_table_privilege over the session GRANT state."""
+        """PG has_table_privilege over the session GRANT state —
+        superuser and owner hold everything; membership inherits."""
+        if self._is_superuser(principal) or \
+                self._table_owner(table) == principal:
+            return True
         grants = getattr(self, "_grants", {})
-        return privilege.upper() in grants.get(principal, {}).get(
-            table, set())
+        return any(
+            privilege.upper() in grants.get(p, {}).get(table, set())
+            for p in self._privilege_principals(principal))
 
     def has_column_privilege(self, principal: str, table: str,
                              column: str,
                              privilege: str = "SELECT") -> bool:
-        """PG has_column_privilege: table privilege AND the column is not
-        rewritten away by a mask (reference rbac.cpp treats a masked
-        column as one the role cannot read in the clear)."""
-        if not self.has_table_privilege(principal, table, privilege):
+        """PG has_column_privilege: table-level privilege satisfies all
+        columns, else the per-column grant; a masked column is one the
+        role cannot read in the clear (reference rbac.cpp)."""
+        if column in getattr(self, "_col_masks", {}).get(table, {}) \
+                and not self._is_superuser(principal):
             return False
-        return column not in getattr(self, "_col_masks", {}).get(table, {})
+        if self.has_table_privilege(principal, table, privilege):
+            return True
+        cg = self._col_grant_store()
+        return any(
+            column in cg.get(p, {}).get(table, {}).get(
+                privilege.upper(), set())
+            for p in self._privilege_principals(principal))
 
     # ---- GRANT/REVOKE (reference rbac.cpp + pg GRANT grammar): a
     # principal model enforced at the catalog boundary. Privileges are
@@ -2744,7 +3016,13 @@ class SereneSession:
     def current_user(self) -> str | None:
         return getattr(self, "_current_user", None)
 
-    def _check_privilege(self, table: str, privilege: str) -> None:
+    def _check_privilege(self, table: str, privilege: str,
+                         columns=None) -> None:
+        """PG ExecCheckOneRelPerms: relation-level privilege satisfies
+        everything; else every referenced column must hold a per-column
+        grant. `columns` is the set the statement touches (None = the
+        caller couldn't resolve columns — any relation- or column-level
+        grant of the privilege passes)."""
         if privilege.upper() != "SELECT" and \
                 getattr(self, "_txn_read_only", False):
             # BEGIN READ ONLY (transaction_control.test) — the
@@ -2753,14 +3031,76 @@ class SereneSession:
                 'Cannot write to database "__sdb_store" - transaction '
                 "is launched in read-only mode")
         u = self.current_user
-        if u is None:
+        if u is None or self._is_superuser(u) or \
+                self._table_owner(table) == u:
             return
-        has = getattr(self, "_grants", {}).get(u, {}).get(table, set())
-        if privilege.upper() not in has:
-            raise PermissionError(
-                f"permission denied for table {table}: {u!r} lacks "
-                f"{privilege.upper()}"
-            )
+        priv = privilege.upper()
+        grants = getattr(self, "_grants", {})
+        principals = self._privilege_principals(u)
+        if any(priv in grants.get(p, {}).get(table, set())
+               for p in principals):
+            return
+        cg = self._col_grant_store()
+        granted_cols: set = set()
+        for p in principals:
+            granted_cols |= cg.get(p, {}).get(table, {}).get(priv,
+                                                             set())
+        if granted_cols and (
+                (columns is not None and set(columns) <= granted_cols)
+                or (columns is None)):
+            return
+        raise PermissionError(
+            f"permission denied for table {table}")
+
+    def _check_read_columns(self, table: str, columns) -> None:
+        """Charge SELECT on every referenced column (PG charges the
+        read on each column the statement mentions, wherever it
+        appears — agg_column_enforcement.test). An empty column set
+        (count(*)) still needs SELECT on the relation or on at least
+        one column."""
+        self._check_privilege(table, "SELECT",
+                              columns=set(columns))
+
+    def _enforce_statement_reads(self, q: str) -> None:
+        """SQL-door read enforcement for a non-superuser session: every
+        catalog table named in the statement is charged SELECT on each
+        of its columns the text references (PG parse-analyze charges
+        columns wherever they appear: projection, WHERE, GROUP BY,
+        window frames — ExecCheckOneRelPerms). Resolution is lexical
+        over the statement body with string literals stripped; `*`
+        outside count(*) references every column."""
+        u = self.current_user
+        if u is None or self._is_superuser(u):
+            return
+        import re as _re
+
+        body = _re.sub(r"'(?:[^']|'')*'", " ", q)
+        body = _re.sub(r"--[^\n]*", " ", body)
+        words = {w.lower() for w in
+                 _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", body)}
+        # superuser-only catalogs (PG revokes PUBLIC on them):
+        # password hashes, stored column values, fdw credentials
+        # (cat_authid_shadow_superuser_only.test,
+        # cat_superuser_only_catalogs.test)
+        for t in ("pg_authid", "pg_shadow", "pg_largeobject",
+                  "pg_statistic", "pg_statistic_ext_data",
+                  "pg_user_mapping"):
+            if t in words:
+                raise PermissionError(
+                    f"permission denied for table {t}")
+        # a `*` that is a projection wildcard (not count(*)/aggregate)
+        nb = _re.sub(r"\bcount\s*\(\s*\*\s*\)", " ", body,
+                     flags=_re.IGNORECASE)
+        wildcard = _re.search(r"(?:\bSELECT|,|\.)\s*\*", nb,
+                              _re.IGNORECASE) is not None
+        for t in self._tables:
+            tl = t.lower()
+            if tl not in words and tl.split(".")[-1] not in words:
+                continue
+            cols = [c.lower() for c in self._tables[t].columns]
+            refd = (set(cols) if wildcard
+                    else {c for c in cols if c in words})
+            self._check_read_columns(t, refd)
 
     # ---- ALTER TABLE surgery (reference ddl/alter_*.test: add/rename/
     # drop column, set default, struct-field surgery). A library engine
@@ -3672,7 +4012,9 @@ class SereneSession:
                   "_fks", "_col_defaults", "_generated", "_uniques",
                   "_storage", "_index_ddl", "_view_defs",
                   "_analyze_stats", "_pg_vars_store", "_schemas",
-                  "_roles", "_enum_types", "_enum_cols",
+                  "_roles", "_role_attrs", "_role_members",
+                  "_col_grants", "_obj_grants", "_owners",
+                  "_enum_types", "_enum_cols",
                   "_composite_types", "_composite_cols",
                   "_secondary_indexes", "_pk_names", "_nn_names",
                   "_uq_names")
@@ -4043,6 +4385,14 @@ class SereneSession:
             getattr(self, "_col_masks", {}).pop(name, None)
             self._row_policies.pop(name, None)
         self._tables[name] = df
+        u = self.current_user
+        if u is not None:
+            # owner = the creating role (PG relowner; owner bypasses
+            # grants in _check_privilege)
+            owners = getattr(self, "_owners", None)
+            if owners is None:
+                owners = self._owners = {}
+            owners[name] = u
         self._reregister(name)
 
     def drop_table(self, name: str, cascade: bool = False) -> None:
@@ -4051,6 +4401,17 @@ class SereneSession:
         CASCADE-requiring dependent (dml/foreign_key.test drops an
         indexed table bare; CASCADE remains accepted for parity)."""
         getattr(self, "_reltuples_cache", {}).pop(name, None)
+        # the table's ACL drops with it (PG: grants live in relacl) —
+        # otherwise a ghost grant would pin DROP ROLE forever
+        # (dr_drop_role_dependency.test)
+        for tm in getattr(self, "_grants", {}).values():
+            tm.pop(name, None)
+        for tm in getattr(self, "_col_grants", {}).values():
+            tm.pop(name, None)
+        getattr(self, "_owners", {}).pop(name, None)
+        gr = getattr(self, "_grantors", {})
+        for key in [k for k in gr if k[1] == name]:
+            gr.pop(key)
         self._drop_dependents(name, "table", cascade)
         for iname, (t, _c) in list(getattr(
                 self, "_secondary_indexes", {}).items()):

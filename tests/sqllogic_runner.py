@@ -70,9 +70,16 @@ def parse_file(path: str) -> list[Block]:
                 line.startswith("control substitution"):
             i += 1
             continue
-        cm = re.match(r"connection\s+(\w+)$", line)
+        cm = re.match(
+            r"connection\s+(\w+)"
+            r"(?:\s+user=(\S+)\s+password=(\S+))?\s*$", line)
         if cm:
-            pending_conn = cm.group(1)
+            # `connection cN [user=x password=y]` — a login connection
+            # authenticates as the named role (any/pg/rbac enforcement
+            # suites)
+            pending_conn = (cm.group(1) if cm.group(2) is None
+                            else (cm.group(1), cm.group(2),
+                                  cm.group(3)))
             i += 1
             continue
         if re.match(r"(wait|sleep)\b", line):
@@ -280,9 +287,12 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
             if b.conn not in sessions:
                 # a named connection: a fresh session ATTACHED to the
                 # first one's catalog store (read-committed visibility;
-                # basic.test:563 multi-connection section)
+                # basic.test:563 multi-connection section). A
+                # user=/password= connection authenticates as that role
                 s2 = type(base_ss)(base_ss.spark)
                 s2.attach_shared(base_ss)
+                if isinstance(b.conn, tuple):
+                    s2.login(b.conn[1], b.conn[2])
                 sessions[b.conn] = s2
             ss = sessions[b.conn]
         else:
