@@ -1340,9 +1340,31 @@ def rewrite_acl_casts(sql: str) -> str:
     return _ACL_CAST_RE.sub(sub, sql)
 
 
+_LATERAL_UNNEST_RE = re.compile(
+    r",\s*LATERAL\s+(?:unnest|explode)\s*\(([^()]*)\)\s*"
+    r"(?:AS\s+)?(\w+)(?:\s*\(\s*(\w+)\s*\))?",
+    re.IGNORECASE)
+
+
+def rewrite_lateral_unnest(sql: str) -> str:
+    """PG `FROM t, LATERAL unnest(arr) AS e` → Spark LATERAL VIEW
+    (cat_role_attrs_vedernikoff.test pg_db_role_setting walk). `AS e`
+    names the COLUMN in PG when unnest yields scalars; `AS t(c)` names
+    table and column."""
+    if not re.search(r"\bLATERAL\s+(unnest|explode)\s*\(", sql,
+                     re.IGNORECASE):
+        return sql
+
+    def sub(m):
+        col = m.group(3) or m.group(2)
+        return (f" LATERAL VIEW explode({m.group(1)}) "
+                f"_sdb_unnest AS {col}")
+    return _LATERAL_UNNEST_RE.sub(sub, sql)
+
+
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:
     """Run SQL with the dialect shims applied."""
-    sql = rewrite_acl_casts(sql)
+    sql = rewrite_acl_casts(rewrite_lateral_unnest(sql))
     lowered = rewrite_qualify(rewrite_fn_renames(
         rewrite_generate_series(rewrite_pg_casts(
             rewrite_values_columns(rewrite_offset_limit(

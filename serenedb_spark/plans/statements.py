@@ -907,6 +907,13 @@ def _copy(session, s: str, dry_run: bool = False):
                 header = val.upper in ("TRUE", "ON", "1")
             elif key in ("DELIMITER", "SEP", "SEPARATOR"):
                 sep = _unquote(val.text) if val.kind == "STR" else val.text
+            elif key in ("ROW_GROUP_SIZE", "ROW_GROUP_SIZE_BYTES",
+                         "COMPRESSION", "CODEC",
+                         "PER_THREAD_OUTPUT", "USE_TMP_FILE"):
+                # parquet writer tuning knobs: Spark sizes row groups
+                # via parquet.block.size — accepted, not forwarded
+                # (recovery/search_table_wal.test ROW_GROUP_SIZE 2048)
+                pass
             else:
                 raise NotImplementedError(
                     f'unsupported COPY option "{key}"')
@@ -1265,7 +1272,13 @@ def _set(session, s: str) -> DataFrame | None:
     if name.startswith("sdb_"):
         if not (ts.match("=") or ts.match("TO")):
             raise ValueError("SET expects '=' or 'TO'")
-        session.set_variable(name, _literal_value(ts.next()))
+        tok = ts.next()
+        if tok.upper == "DEFAULT":
+            # SET x TO DEFAULT ≡ RESET x (recovery/faults.test)
+            session.set_variable(name,
+                                 session._VARIABLE_DEFAULTS[name])
+        else:
+            session.set_variable(name, _literal_value(tok))
         return _status_df(session, "SET", name)
     if name in _PG_VAR_DEFAULTS:
         if not (ts.match("=") or ts.match("TO")):
@@ -3400,14 +3413,26 @@ def _alter(session, s: str) -> DataFrame | None:
             if rname in cg:
                 cg[new] = cg.pop(rname)
             return _status_df(session, "ALTER ROLE", new)
-        if ts.peek() and ts.peek().upper == "SET":
-            # ALTER ROLE ... SET param = value: recorded as rolconfig
-            ts.next()
-            rest = []
-            while ts.peek() is not None:
-                rest.append(ts.next().text)
-            attrs[rname].setdefault("config", []).append(
-                " ".join(rest))
+        if ts.peek() and ts.peek().upper in ("SET", "RESET"):
+            # ALTER ROLE ... SET guc TO v / RESET guc: rolconfig
+            # carries `guc=v` entries (cat_role_attrs_vedernikoff.test)
+            is_reset = ts.next().upper == "RESET"
+            param = _ident(ts).lower()
+            cfg = attrs[rname].setdefault("config", [])
+            cfg[:] = [e for e in cfg
+                      if not e.startswith(param + "=")]
+            if not is_reset:
+                if param != "all":
+                    ts.match("=") or ts.match("TO")
+                    vals = []
+                    while ts.peek() is not None:
+                        t = ts.next()
+                        if t.text != ",":
+                            vals.append(t.text.strip("'"))
+                    cfg.append(f"{param}={','.join(vals)}")
+            else:
+                if param == "all":
+                    cfg.clear()
             return _status_df(session, "ALTER ROLE", rname)
         _role_options(ts, attrs[rname])
         return _status_df(session, "ALTER ROLE", rname)

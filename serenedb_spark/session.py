@@ -209,6 +209,9 @@ class SereneSession:
             raise RuntimeError(
                 "current transaction is aborted, commands ignored until "
                 "end of transaction block")
+        gate = self._connection_gate(head, q)
+        if gate is not None:
+            return gate
         if getattr(self, "_txn_snapshot_pending", False) and head not in (
                 "COMMIT", "END", "ROLLBACK", "ABORT", "BEGIN", "START"):
             self._take_txn_snapshot()
@@ -230,6 +233,79 @@ class SereneSession:
                     "use DEFAULT nextval(...), VALUES cells, or the "
                     "scalar SELECT form") from e
             raise
+
+    # ---- fault injection + crash simulation (recovery/ tranche).
+    # The shared catalog store IS the durable layer: committed
+    # statements mutate it in place, open transactions live on
+    # session-local detached copies — so "crash" = every live session
+    # dies (in-flight work discarded), the store survives, and a fresh
+    # connection attaches to exactly the committed state, which is the
+    # reference's WAL-recovery contract observed through SQL.
+    def _faults_active(self) -> set:
+        v = str(getattr(self, "_variables", {}).get("sdb_faults", "")
+                or "")
+        return {p for p in v.split(",") if p}
+
+    def _server_crash(self) -> None:
+        from serenedb_spark.operators import maintenance as _M
+        _M.FAULTS.clear()
+        v = getattr(self, "_variables", None)
+        if isinstance(v, dict):
+            # a restarted server comes up with GUCs at defaults
+            v.pop("sdb_faults", None)
+        store = getattr(self, "_shared_store", None)
+        if store is not None:
+            store["_crash_count"] = store.get("_crash_count", 0) + 1
+        self._dead = True
+
+    #: faults that crash AFTER the statement commits (the WAL record is
+    #: durable — recovery replays it) vs BEFORE (the write is lost)
+    _CRASH_AFTER = ("crash_after_search_wal_commit",
+                    "crash_after_search_commit",
+                    "crash_sst_sink_after_ingest",
+                    "crash_before_remove_tombstone")
+    _CRASH_BEFORE = ("crash_before_search_wal_commit",
+                     "crash_before_search_commit")
+
+    def _connection_gate(self, head: str, q: str):
+        store = getattr(self, "_shared_store", None)
+        if getattr(self, "_dead", False) or (
+                store is not None
+                and getattr(self, "_crash_seen", 0)
+                < store.get("_crash_count", 0)):
+            raise RuntimeError("connection closed")
+        faults = self._faults_active()
+        if not faults:
+            return None
+        if "crash_on_packet" in faults:
+            self._server_crash()
+            raise RuntimeError("connection closed")
+        if "crash_on_drop" in faults and head == "DROP":
+            # TableDrop::Finalize crash: the drop's WAL record is
+            # already durable — recovery completes it
+            # (cross_schema_recovery.test)
+            try:
+                self._sql_body(q)
+            finally:
+                self._server_crash()
+            raise RuntimeError("connection closed")
+        if head in ("INSERT", "UPDATE", "DELETE", "COPY", "TRUNCATE"):
+            if any(f in faults for f in self._CRASH_BEFORE):
+                # the write never reached the WAL: lost
+                self._server_crash()
+                raise RuntimeError("connection closed")
+            if any(f in faults for f in self._CRASH_AFTER):
+                try:
+                    self._sql_body(q)
+                finally:
+                    self._server_crash()
+                raise RuntimeError("connection closed")
+        if "crash_before_finish_creation" in faults and \
+                head == "CREATE":
+            # creation not finalized: rolled back during recovery
+            self._server_crash()
+            raise RuntimeError("connection closed")
+        return None
 
     def _sql_body(self, q: str) -> DataFrame:
         from serenedb_spark.plans import search_sql as SS
@@ -2838,6 +2914,16 @@ class SereneSession:
             "groname string, grosysid int, grolist array<int>",
         ).where(F.col("groname") != "").createOrReplaceTempView(
             "pg_group")
+        # per-role GUC settings (ALTER ROLE ... SET guc):
+        # pg_db_role_setting carries one row per role, setdatabase = 0
+        # (cat_role_attrs_vedernikoff.test)
+        settings = [(0, a.get("oid", 0), list(a.get("config") or ()))
+                    for a in ra.values() if a.get("config")]
+        spark.createDataFrame(
+            settings or [(0, 0, [])],
+            "setdatabase int, setrole int, setconfig array<string>",
+        ).where(F.col("setrole") != 0).createOrReplaceTempView(
+            "pg_db_role_setting")
 
     # ---- role model (PG CREATE ROLE attribute surface + membership
     # graph; reference any/pg/rbac/ attributes.test, catm_*.test).
@@ -3963,6 +4049,26 @@ class SereneSession:
 
         if name not in self._VARIABLE_DEFAULTS:
             raise ValueError(f"unknown variable {name!r}")
+        if name == "sdb_faults":
+            # the reference's fault GUC is ADDITIVE: each SET adds one
+            # fault, '-name' removes one, duplicates error
+            # (recovery/faults.test)
+            cur = [p for p in str(getattr(self, "_variables", {}).get(
+                "sdb_faults", "")).split(",") if p]
+            v = str(value)
+            if v == "":
+                cur = []
+            elif v.startswith("-"):
+                if v[1:] not in cur:
+                    raise ValueError(
+                        f'fault "{v[1:]}" is not registered')
+                cur.remove(v[1:])
+            else:
+                if v in cur:
+                    raise ValueError(
+                        f'fault "{v}" is already registered')
+                cur.append(v)
+            value = ",".join(cur)
         default = self._VARIABLE_DEFAULTS[name]
         if isinstance(default, bool):
             value = (value if isinstance(value, bool)
@@ -4115,6 +4221,9 @@ class SereneSession:
         store = base._ensure_shared_store()
         self._shared_base = base
         self._shared_store = store
+        # a session attached after a simulated crash is a NEW
+        # connection to the restarted server (recovery/ tranche)
+        self._crash_seen = store.get("_crash_count", 0)
         for a in self._SHARED_STATE:
             setattr(self, a, store[a])
 

@@ -97,6 +97,10 @@ def parse_file(path: str) -> list[Block]:
                 skipped = True
             i += 1
             line = lines[i].strip()
+        # `retry $RETRY_ATTEMPTS backoff $BACKOFF_DURATION` suffixes
+        # (recovery/ reconnect-after-restart): synchronous here — the
+        # "server" restarts instantly, so the retry succeeds first try
+        line = re.sub(r"\s+retry\s+\S+\s+backoff\s+\S+\s*$", "", line)
         lineno = i + 1
         inline_pat = None
         line = re.sub(r"^(statement|query)\s+async\b", r"\1", line)
@@ -282,6 +286,20 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
     if any(b.conn for b in blocks) and hasattr(ss,
                                                "_ensure_shared_store"):
         ss._ensure_shared_store()
+    def _alive(s) -> bool:
+        if getattr(s, "_dead", False):
+            return False
+        store = getattr(s, "_shared_store", None)
+        return store is None or getattr(
+            s, "_crash_seen", 0) >= store.get("_crash_count", 0)
+
+    def _connect(conn) -> object:
+        s2 = type(base_ss)(base_ss.spark)
+        s2.attach_shared(base_ss)
+        if isinstance(conn, tuple):
+            s2.login(conn[1], conn[2])
+        return s2
+
     for b in blocks:
         if b.conn is not None:
             if b.conn not in sessions:
@@ -289,14 +307,17 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
                 # first one's catalog store (read-committed visibility;
                 # basic.test:563 multi-connection section). A
                 # user=/password= connection authenticates as that role
-                s2 = type(base_ss)(base_ss.spark)
-                s2.attach_shared(base_ss)
-                if isinstance(b.conn, tuple):
-                    s2.login(b.conn[1], b.conn[2])
-                sessions[b.conn] = s2
+                sessions[b.conn] = _connect(b.conn)
             ss = sessions[b.conn]
         else:
-            ss = base_ss
+            ss = sessions[None]
+        if not _alive(ss) and not b.expect_error:
+            # the harness reconnects after a simulated server crash
+            # (the `retry ... backoff ...` loop in the reference's
+            # runner); a block that EXPECTS the connection-closed error
+            # keeps the dead session
+            ss = _connect(b.conn)
+            sessions[b.conn] = ss
         # `control substitution on` variables (copy.test file paths;
         # prepared_statements.test's USE $__DATABASE__)
         b.sql = b.sql.replace("${__TEST_DIR__}", test_dir) \
