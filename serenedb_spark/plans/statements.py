@@ -2032,16 +2032,36 @@ def _grant(session, s: str, revoke: bool) -> DataFrame:
                     f'relation "{table}" does not exist')
             for r in rnames:
                 for p, cols in privs:
-                    ps = list(_TABLE_PRIVS) if p == "ALL" else [p]
+                    if p == "ALL":
+                        # column-applicable ALL = arwx only
+                        # (cp_column_all_grant.test)
+                        ps = (["INSERT", "SELECT", "UPDATE",
+                               "REFERENCES"] if cols is not None
+                              else list(_TABLE_PRIVS))
+                    else:
+                        ps = [p]
                     for one in ps:
                         if cols is not None:
+                            if one in ("DELETE", "TRUNCATE",
+                                       "TRIGGER", "MAINTAIN"):
+                                raise ValueError(
+                                    f"invalid privilege type {one} "
+                                    "for column")
                             cg = session._col_grant_store()
-                            cset = cg.setdefault(r, {}).setdefault(
-                                table, {}).setdefault(one, set())
+                            cm2 = cg.setdefault(r, {}).setdefault(
+                                table, {})
+                            cset = cm2.setdefault(one, set())
                             if revoke:
-                                cset -= set(cols)
+                                if opt_only is None:
+                                    cset -= set(cols)
+                                cm2.setdefault(
+                                    one + "*",
+                                    set()).difference_update(cols)
                             else:
                                 cset |= set(cols)
+                                if grant_opt:
+                                    cm2.setdefault(one + "*",
+                                                   set()).update(cols)
                                 session._grantors = getattr(
                                     session, "_grantors", {})
                                 session._grantors[(r, table)] = grantor
