@@ -112,17 +112,20 @@ def attacl_for(session, table: str, column: str) -> list | None:
 
 def objacl_for(session, kind: str, name: str,
                owner: str = "postgres") -> list | None:
-    """datacl / proacl / nspacl from the object-grant store."""
+    """datacl / proacl / nspacl from the object-grant store. NULL
+    until the acl is materialized (first GRANT or REVOKE touch — PG's
+    REVOKE FROM PUBLIC instantiates the default minus PUBLIC); then
+    the owner's implicit entry leads."""
     og = getattr(session, "_obj_grants", {}) or {}
-    gm = og.get((kind, name), {})
+    if (kind, name) not in og:
+        return None
+    gm = og[(kind, name)]
     entries = []
     for grantee, pm in gm.items():
         letters = letters_for(set(pm))
         if letters:
             grantor = next(iter(pm.values()), owner)
             entries.append(aclitem(grantee, letters, grantor))
-    if not entries:
-        return None
     return acl_array(
         [aclitem(owner, OWNER_LETTERS.get(kind, ""), owner)]
         + entries)

@@ -1342,7 +1342,8 @@ def rewrite_acl_casts(sql: str) -> str:
 
 _LATERAL_UNNEST_RE = re.compile(
     r",\s*LATERAL\s+(?:unnest|explode)\s*\(([^()]*)\)\s*"
-    r"(?:AS\s+)?(\w+)(?:\s*\(\s*(\w+)\s*\))?",
+    r"(WITH\s+ORDINALITY\s+)?"
+    r"(?:AS\s+)?(\w+)(?:\s*\(\s*(\w+)(?:\s*,\s*(\w+))?\s*\))?",
     re.IGNORECASE)
 
 
@@ -1350,16 +1351,36 @@ def rewrite_lateral_unnest(sql: str) -> str:
     """PG `FROM t, LATERAL unnest(arr) AS e` → Spark LATERAL VIEW
     (cat_role_attrs_vedernikoff.test pg_db_role_setting walk). `AS e`
     names the COLUMN in PG when unnest yields scalars; `AS t(c)` names
-    table and column."""
+    table and column; `WITH ORDINALITY u(e, ord)` adds the 1-based
+    position via posexplode."""
     if not re.search(r"\bLATERAL\s+(unnest|explode)\s*\(", sql,
                      re.IGNORECASE):
         return sql
 
+    ord_col = [None]
+
     def sub(m):
-        col = m.group(3) or m.group(2)
+        col = m.group(4) or m.group(3)
+        if m.group(2):                      # WITH ORDINALITY
+            ord_col[0] = m.group(5) or "ordinality"
+            return (f" LATERAL VIEW posexplode({m.group(1)}) "
+                    f"_sdb_unnest AS _sdb_ord0, {col}")
         return (f" LATERAL VIEW explode({m.group(1)}) "
                 f"_sdb_unnest AS {col}")
-    return _LATERAL_UNNEST_RE.sub(sub, sql)
+    sql = _LATERAL_UNNEST_RE.sub(sub, sql)
+    if ord_col[0]:
+        def osub(mm):
+            before = sql0[:mm.start()].rstrip()
+            after = sql0[mm.end():].lstrip()
+            rep = "(_sdb_ord0 + 1)"
+            if (re.search(r"(SELECT|,)\s*$", before, re.IGNORECASE)
+                    and re.match(r"($|,|;|FROM\b)", after,
+                                 re.IGNORECASE)):
+                return f"{rep} AS {ord_col[0]}"
+            return rep
+        sql0 = sql
+        sql = re.sub(rf"(?<![\w.']){ord_col[0]}\b", osub, sql)
+    return sql
 
 
 def sql_compat(spark: SparkSession, sql: str) -> DataFrame:

@@ -304,14 +304,56 @@ def fold_info_functions(session, q: str) -> str:
             arr = "array(" + ", ".join(f"'{i}'" for i in items) + ")"
             return arr
         if low in _SIMPLE_PRIVS:
-            # identity-only probes: the session role (or the bootstrap
-            # superuser oid) holds every such privilege. The principal
-            # appears only in the 3-arg form — 2-arg is
-            # (object, privilege) with the session role implied
-            # (functions-info.test:227)
-            principal = _principal(args[0]) if len(args) >= 3 else me
-            return ("true" if principal in (me, "postgres")
-                    else "false")
+            # object-privilege probes over the object-grant store.
+            # PUBLIC defaults apply while the acl is NULL (not yet
+            # materialized by any GRANT/REVOKE): database CONNECT/TEMP,
+            # function EXECUTE, language/type USAGE, schema public
+            # USAGE (cat_acl_columns_db_func.test)
+            if len(args) >= 3:
+                principal, obj, priv = (_principal(args[0]),
+                                        _strip(args[1]),
+                                        _strip(args[2]))
+            elif len(args) == 2:
+                principal, obj, priv = me, _strip(args[0]), \
+                    _strip(args[1])
+            else:
+                return "true"
+            if low == "pg_has_role":
+                ok = session.pg_has_role(principal, obj,
+                                         priv.upper())
+                return "true" if ok else "false"
+            if session._is_superuser(principal):
+                return "true"
+            kind = low[len("has_"):-len("_privilege")]
+            kind = {"foreign_data_wrapper": "fdw"}.get(kind, kind)
+            obj = re.sub(r"\(.*\)$", "", obj).strip()
+            og = getattr(session, "_obj_grants", {}) or {}
+            key = (kind, obj)
+            pub_default = {
+                "database": ("CONNECT", "TEMPORARY", "TEMP"),
+                "function": ("EXECUTE",),
+                "language": ("USAGE",),
+                "type": ("USAGE",),
+                "schema": (("USAGE",) if obj == "public" else ()),
+            }.get(kind, ())
+            wanted = [w.strip().upper()
+                      for w in priv.upper().split(",")]
+            gm = og.get(key)
+            principals = session._privilege_principals(principal)
+            for w in wanted:
+                w0 = w.replace(" WITH GRANT OPTION", "")
+                if gm is None:
+                    if w0 in pub_default or (
+                            kind == "database"
+                            and w0 in ("CONNECT", "TEMPORARY")):
+                        return "true"
+                    continue
+                for p2 in principals:
+                    ent = gm.get(p2) or gm.get(p2.lower()) or {}
+                    if w0 in ent or ("TEMP" if w0 == "TEMPORARY"
+                                     else w0) in ent:
+                        return "true"
+            return "false"
         if low == "has_table_privilege" or \
                 low == "has_any_column_privilege":
             if len(args) >= 3:

@@ -1967,11 +1967,20 @@ def _grant(session, s: str, revoke: bool) -> DataFrame:
         ts.expect("IN"); ts.expect("SCHEMA")
         sch = _ident(ts)
         targets = []
+        pref = "" if sch in ("public", "main") else sch + "."
         if what == "TABLES":
-            pref = "" if sch in ("public", "main") else sch + "."
             targets = [t for t in session._tables
                        if (t.startswith(pref) if pref
                            else "." not in t)]
+        elif what == "FUNCTIONS":
+            targets = [f for f in session._macros_meta
+                       if (f.startswith(pref) if pref
+                           else "." not in f)]
+        elif what == "SEQUENCES":
+            targets = [s2 for s2 in getattr(session.sequences,
+                                            "_seqs", {})
+                       if (s2.startswith(pref) if pref
+                           else "." not in s2)]
         kind = "table" if what == "TABLES" else what.lower()[:-1]
     elif obj_kw in ("DATABASE", "SCHEMA", "FUNCTION", "PROCEDURE",
                     "ROUTINE", "SEQUENCE", "TYPE", "LANGUAGE",
@@ -2090,8 +2099,21 @@ def _grant(session, s: str, revoke: bool) -> DataFrame:
     og = getattr(session, "_obj_grants", None)
     if not isinstance(og, dict):
         og = session._obj_grants = {}
+    if kind == "type":
+        for name in targets:
+            if name not in getattr(session, "_enum_types", {}) and \
+                    name not in getattr(session, "_composite_types",
+                                        {}):
+                raise ValueError(
+                    "cannot change privileges of built-in type "
+                    f"{name}")
     for name in targets:
         key = (kind, name)
+        # materialize the acl on first touch — PG's REVOKE ... FROM
+        # PUBLIC instantiates the default acl minus the PUBLIC entry,
+        # which is exactly what makes the revoke observable
+        # (gobjacl_function_argtypes_babsky.test)
+        gm = og.setdefault(key, {})
         for r in rnames:
             for p, _cols in privs:
                 ps = (list(_OBJ_PRIVS.get(kind, ("USAGE",)))
@@ -2099,12 +2121,11 @@ def _grant(session, s: str, revoke: bool) -> DataFrame:
                       ["TEMPORARY" if p == "TEMP" else p])
                 for one in ps:
                     if revoke:
-                        og.get(key, {}).get(r, {}).pop(one, None)
+                        gm.get(r, {}).pop(one, None)
                         if opt_only is None:
-                            og.get(key, {}).get(r, {}).pop(one + "*",
-                                                           None)
+                            gm.get(r, {}).pop(one + "*", None)
                     else:
-                        ent = og.setdefault(key, {}).setdefault(r, {})
+                        ent = gm.setdefault(r, {})
                         ent[one] = grantor
                         if grant_opt:
                             ent[one + "*"] = grantor
@@ -2489,7 +2510,34 @@ def _create(session, s: str) -> DataFrame | None:
                 body_sql = _render(toks[ts.i:])
             else:
                 ts.expect("AS")
-                body_sql = _render(toks[ts.i:])
+                if ts.peek() is not None and ts.peek().kind == "STR":
+                    # PG dollar-/string-quoted SQL body:
+                    # AS 'SELECT $1 + 1' LANGUAGE sql
+                    # (cat_acl_columns_db_func.test) — a scalar SELECT
+                    # body is the select expression; $N positional
+                    # refs resolve to the declared parameter names
+                    body_sql = _unquote(ts.next().text).strip()
+                    body_sql = re.sub(r"^\s*SELECT\s+", "", body_sql,
+                                      flags=re.IGNORECASE).rstrip(";")
+                    pnames = []
+                    grp: list = []
+                    for p in params + [","]:
+                        if p == ",":
+                            if grp:
+                                pnames.append(grp[0])
+                            grp = []
+                        else:
+                            grp.append(p)
+                    body_sql = re.sub(
+                        r"\$(\d+)",
+                        lambda mm: pnames[int(mm.group(1)) - 1],
+                        body_sql)
+                else:
+                    body_sql = _render(toks[ts.i:])
+                    mlang = re.search(r"\s+LANGUAGE\s+\w+\s*$",
+                                      body_sql, re.IGNORECASE)
+                    if mlang:
+                        body_sql = body_sql[:mlang.start()]
             if ret_schema is not None:
                 session.create_table_macro(fname, " ".join(params),
                                            ret_schema, body_sql)
@@ -3235,6 +3283,7 @@ def _drop(session, s: str) -> DataFrame | None:
             if q in session.sequences._seqs:
                 session.drop_sequence_checked(q, cascade=True)
         schemas.discard(sch)
+        getattr(session, "_obj_grants", {}).pop(("schema", sch), None)
         return _status_df(session, "DROP SCHEMA", sch)
     if kind in ("ROLE", "USER", "GROUP"):
         if_exists = False
@@ -3261,7 +3310,7 @@ def _drop(session, s: str) -> DataFrame | None:
                     .values())
                 or any(v for t in session._col_grant_store()
                        .get(rname, {}).values() for v in t.values())
-                or any(rname in gm for gm in
+                or any(gm.get(rname) for gm in
                        getattr(session, "_obj_grants", {}).values())
                 or any(o == rname for o in
                        getattr(session, "_owners", {}).values()))
@@ -3404,6 +3453,59 @@ def _alter(session, s: str) -> DataFrame | None:
     ts = _Stream(toks)
     ts.expect("ALTER")
     kindw = ts.peek().upper if ts.peek() else ""
+    if kindw == "DEFAULT":
+        # ALTER DEFAULT PRIVILEGES [FOR ROLE r] [IN SCHEMA s]
+        # GRANT/REVOKE priv ON TABLES/... TO/FROM role — a
+        # pg_default_acl row (cat_acl_columns_schema_defacl_type.test)
+        ts.next(); ts.expect("PRIVILEGES")
+        owner = "postgres"
+        sch = None
+        while ts.peek() and ts.peek().upper in ("FOR", "IN"):
+            if ts.next().upper == "FOR":
+                ts.next()                     # ROLE/USER
+                owner = _ident(ts)
+            else:
+                ts.expect("SCHEMA")
+                sch = _ident(ts)
+        revoke2 = ts.next().upper == "REVOKE"
+        privs2 = []
+        while True:
+            p = ts.next().upper
+            if p == "ALL" and ts.peek() and \
+                    ts.peek().upper == "PRIVILEGES":
+                ts.next()
+            privs2.append(p)
+            if not ts.match(","):
+                break
+        ts.expect("ON")
+        what = ts.next().upper        # TABLES/SEQUENCES/FUNCTIONS/...
+        objtype = {"TABLES": "r", "SEQUENCES": "S",
+                   "FUNCTIONS": "f", "ROUTINES": "f",
+                   "TYPES": "T", "SCHEMAS": "n"}.get(what, "r")
+        ts.expect("FROM" if revoke2 else "TO")
+        grantees = [_ident(ts)]
+        while ts.match(","):
+            grantees.append(_ident(ts))
+        da = getattr(session, "_default_acls", None)
+        if da is None:
+            da = session._default_acls = {}
+        ent = da.setdefault((owner, sch, objtype), {})
+        for g in grantees:
+            pm = ent.setdefault(g, set())
+            for p in privs2:
+                ps = (["SELECT", "INSERT", "UPDATE", "DELETE",
+                       "TRUNCATE", "REFERENCES", "TRIGGER"]
+                      if p == "ALL" and objtype == "r" else [p])
+                for one in ps:
+                    if revoke2:
+                        pm.discard(one)
+                    else:
+                        pm.add(one)
+            if revoke2 and not pm:
+                ent.pop(g, None)
+        if revoke2 and not ent:
+            da.pop((owner, sch, objtype), None)
+        return _status_df(session, "ALTER DEFAULT PRIVILEGES", what)
     if kindw in ("ROLE", "USER", "GROUP"):
         # ALTER ROLE name [WITH] option... | RENAME TO new
         # (any/pg/rbac/alter_role_attrs.test)

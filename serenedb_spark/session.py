@@ -261,9 +261,7 @@ class SereneSession:
     #: faults that crash AFTER the statement commits (the WAL record is
     #: durable — recovery replays it) vs BEFORE (the write is lost)
     _CRASH_AFTER = ("crash_after_search_wal_commit",
-                    "crash_after_search_commit",
-                    "crash_sst_sink_after_ingest",
-                    "crash_before_remove_tombstone")
+                    "crash_after_search_commit")
     _CRASH_BEFORE = ("crash_before_search_wal_commit",
                      "crash_before_search_commit")
 
@@ -300,9 +298,17 @@ class SereneSession:
                 finally:
                     self._server_crash()
                 raise RuntimeError("connection closed")
-        if "crash_before_finish_creation" in faults and \
-                head == "CREATE":
-            # creation not finalized: rolled back during recovery
+        import re as _re
+        creating = head == "CREATE" or (
+            head == "SELECT"
+            and _re.search(r"\bINTO\s+[A-Za-z_]", q) is not None)
+        if creating and (
+                "crash_before_finish_creation" in faults
+                or "crash_before_remove_tombstone" in faults
+                or "crash_sst_sink_after_ingest" in faults):
+            # creation not finalized: the object's tombstone wins
+            # during recovery — the table/index is GONE
+            # (recovery/ctas.test, inverted_index_create_crash.test)
             self._server_crash()
             raise RuntimeError("connection closed")
         return None
@@ -1745,6 +1751,11 @@ class SereneSession:
                               or {}).items()
                 for g, pm in gm.items())),
             tuple(sorted((getattr(self, "_owners", {}) or {}).items())),
+            tuple(sorted(
+                (k, g, tuple(sorted(pm)))
+                for k, ent in (getattr(self, "_default_acls", {})
+                               or {}).items()
+                for g, pm in ent.items())),
             tuple(sorted((getattr(self, "_analyze_stats", {})
                           or {}).items())),
             tuple(sorted((t, tuple(sorted(cols)))
@@ -1918,13 +1929,16 @@ class SereneSession:
         from serenedb_spark.functions.pg_system import format_type
 
         spark = self.spark
+        from serenedb_spark.functions.acl import objacl_for as _nsoaf
         sys_ns = [(11, "pg_catalog", 1000000, None),
                   (1000003, "information_schema", 1000000, None)]
         if "public" in self._set_store("_schemas", ("public",)):
-            sys_ns.append((2200, "public", 1000000, None))
+            sys_ns.append((2200, "public", 1000000,
+                           _nsoaf(self, "schema", "public")))
         spark.createDataFrame(
             sys_ns,
-            "oid int, nspname string, nspowner int, nspacl string",
+            "oid int, nspname string, nspowner int,"
+            " nspacl array<string>",
         ).createOrReplaceTempView("pg_namespace")
 
         user_schemas = sorted(
@@ -2234,19 +2248,28 @@ class SereneSession:
         ).unionByName(settings_df).createOrReplaceTempView(
             "pg_settings")
 
+        from serenedb_spark.functions.acl import objacl_for as _oaf
         procs = [(16384 + i, name, params.count(",") + 1 if params else 0,
-                  is_table)
+                  is_table, _oaf(self, "function", name))
                  for i, (name, (params, is_table, *_))
                  in enumerate(self._macros_meta.items())]
         spark.createDataFrame(
-            procs or [(0, "", 0, False)],
-            "oid int, proname string, pronargs int, proretset boolean",
+            procs or [(0, "", 0, False, None)],
+            "oid int, proname string, pronargs int, proretset boolean,"
+            " proacl array<string>",
         ).where(F.col("oid") != 0).createOrReplaceTempView("pg_proc")
 
-        # the static/one-row relations psql's \l, \dv, \ds, \dx hit
+        # the static/one-row relations psql's \l, \dv, \ds, \dx hit.
+        # `postgres` is the shared-catalog bootstrap database GRANT ON
+        # DATABASE lands on (cat_acl_columns_db_func.test)
+        db0 = getattr(self, "_current_db", "serene")
         spark.createDataFrame(
-            [(1, "serene", 1000000, "UTF8")],
-            "oid int, datname string, datdba int, encoding string",
+            [(1, db0, 1000000, "UTF8",
+              _oaf(self, "database", db0)),
+             (2, "postgres", 1000000, "UTF8",
+              _oaf(self, "database", "postgres"))],
+            "oid int, datname string, datdba int, encoding string,"
+            " datacl array<string>",
         ).createOrReplaceTempView("pg_database")
         spark.createDataFrame(
             [(16384, "inverted", "i"), (2, "iresearch", "t"),
@@ -2624,6 +2647,7 @@ class SereneSession:
 
         # pg_namespace with user schemas (schema.test lists them);
         # public is droppable (pg_namespace.test:74)
+        from serenedb_spark.functions.acl import objacl_for as _oaf2
         ns = [(11, "pg_catalog", 1000000, None),
               (1000003, "information_schema", 1000000, None)]
         if "public" in self._set_store("_schemas", ("public",)):
@@ -2632,9 +2656,11 @@ class SereneSession:
             s for s in getattr(self, "_schemas", ())
             if s not in ("public", "main"))
         for i, s in enumerate(user_schemas):
-            ns.append((16000 + i, s, 1000000, None))
+            ns.append((16000 + i, s, 1000000,
+                       _oaf2(self, "schema", s)))
         spark.createDataFrame(
-            ns, "oid int, nspname string, nspowner int, nspacl string",
+            ns, "oid int, nspname string, nspowner int,"
+            " nspacl array<string>",
         ).createOrReplaceTempView("pg_namespace")
 
         # pg_get_userbyid over the live role set
@@ -2914,6 +2940,35 @@ class SereneSession:
             "groname string, grosysid int, grolist array<int>",
         ).where(F.col("groname") != "").createOrReplaceTempView(
             "pg_group")
+        # ALTER DEFAULT PRIVILEGES → pg_default_acl rows: the acl
+        # seeds with the owner's acldefault self-grant, then grantees
+        # (cat_acl_columns_schema_defacl_type.test)
+        from serenedb_spark.functions.acl import (aclitem, letters_for,
+                                                  OWNER_LETTERS)
+        _OBJ_OWNER = {"r": OWNER_LETTERS["table"],
+                      "S": OWNER_LETTERS["sequence"],
+                      "f": OWNER_LETTERS["function"],
+                      "T": OWNER_LETTERS["type"],
+                      "n": OWNER_LETTERS["schema"]}
+        dacl = []
+        for i, ((owner, sch, objtype), ent) in enumerate(
+                sorted((getattr(self, "_default_acls", {})
+                        or {}).items()), start=1):
+            items = [aclitem(owner, _OBJ_OWNER.get(objtype, ""),
+                             owner)]
+            for g, pm in sorted(ent.items()):
+                letters = letters_for(pm)
+                if letters:
+                    items.append(aclitem(g, letters, owner))
+            dacl.append((17000 + i,
+                         ra.get(owner, {}).get("oid", 1000000),
+                         0 if sch is None else 2200, objtype, items))
+        spark.createDataFrame(
+            dacl or [(0, 0, 0, "", [])],
+            "oid int, defaclrole int, defaclnamespace int,"
+            " defaclobjtype string, defaclacl array<string>",
+        ).where(F.col("oid") != 0).createOrReplaceTempView(
+            "pg_default_acl")
         # per-role GUC settings (ALTER ROLE ... SET guc):
         # pg_db_role_setting carries one row per role, setdatabase = 0
         # (cat_role_attrs_vedernikoff.test)
@@ -4011,6 +4066,9 @@ class SereneSession:
             self._drop_dependents(name, "function", cascade)
         self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {name}")
         self._macros_meta.pop(name, None)
+        # the function's acl drops with it (DROP ROLE dependency gate,
+        # cat_acl_columns_db_func.test)
+        getattr(self, "_obj_grants", {}).pop(("function", name), None)
 
     @property
     def _macros_meta(self) -> dict:
@@ -4120,6 +4178,7 @@ class SereneSession:
                   "_analyze_stats", "_pg_vars_store", "_schemas",
                   "_roles", "_role_attrs", "_role_members",
                   "_col_grants", "_obj_grants", "_owners",
+                  "_default_acls",
                   "_enum_types", "_enum_cols",
                   "_composite_types", "_composite_cols",
                   "_secondary_indexes", "_pk_names", "_nn_names",
@@ -4130,7 +4189,7 @@ class SereneSession:
     #: attrs shared between attached sessions (multi-connection mode)
     _SHARED_STATE = _TXN_STATE + (
         "_sequences", "_vector_indexes", "_internal_indexes",
-        "_defined_dictionaries")
+        "_defined_dictionaries", "_macros_meta_store")
 
     # ---- databases: a namespace level ABOVE schemas. Each database
     # owns an independent catalog store; USE swaps the session's live
@@ -4204,11 +4263,15 @@ class SereneSession:
             self._reregister(t)
 
     def _refresh_pg_database(self) -> None:
+        from serenedb_spark.functions.acl import objacl_for
         dbs = self._db_registry()
-        rows = [(i + 1, n, 1000000, "UTF8")
-                for i, n in enumerate(sorted(dbs))]
+        names = sorted(set(dbs) | {"postgres"})
+        rows = [(i + 1, n, 1000000, "UTF8",
+                 objacl_for(self, "database", n))
+                for i, n in enumerate(names)]
         self.spark.createDataFrame(
-            rows, "oid int, datname string, datdba int, encoding string",
+            rows, "oid int, datname string, datdba int,"
+            " encoding string, datacl array<string>",
         ).createOrReplaceTempView("pg_database")
 
     def attach_shared(self, base: "SereneSession") -> None:
@@ -4618,20 +4681,36 @@ class SereneSession:
 
     def _refresh_dependent_views(self, name: str,
                                  _seen: set | None = None) -> None:
+        if _seen is None:
+            if getattr(self, "_refreshing_views", False):
+                # running a view BODY re-registers its base tables,
+                # which would restart this traversal from scratch
+                # (recovery/catalog_view.test shared-session recursion)
+                return
+            self._refreshing_views = True
         seen = _seen if _seen is not None else {name}
-        views, _ = self._dependents_of(name)
-        for v in views:
-            if v in seen:
-                continue
-            seen.add(v)
-            d = getattr(self, "_view_defs", {}).get(v)
-            if isinstance(d, str):
-                import re as _re
-                if _re.search(r"\b(nextval|currval|setval|lastval)"
-                              r"\s*\(", d, _re.IGNORECASE):
-                    continue  # side-effecting body: never auto-refresh
-                self.sql(d).createOrReplaceTempView(self._view_name(v))
+        try:
+            views, _ = self._dependents_of(name)
+            todo = []
+            for v in views:
+                if v in seen:
+                    continue
+                seen.add(v)
+                d = getattr(self, "_view_defs", {}).get(v)
+                if isinstance(d, str):
+                    import re as _re
+                    if _re.search(r"\b(nextval|currval|setval|lastval)"
+                                  r"\s*\(", d, _re.IGNORECASE):
+                        continue  # side-effecting body: no auto-refresh
+                    self.sql(d).createOrReplaceTempView(
+                        self._view_name(v))
+                    todo.append(v)
+            for v in todo:
+                # views over views: walk down with the shared seen set
                 self._refresh_dependent_views(v, seen)
+        finally:
+            if _seen is None:
+                self._refreshing_views = False
 
     def drop_view(self, name: str, cascade: bool = False) -> None:
         if name in getattr(self, "_view_defs", {}):

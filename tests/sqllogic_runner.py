@@ -67,7 +67,7 @@ def parse_file(path: str) -> list[Block]:
         line = lines[i].strip()
         if not line or line.startswith("#") or \
                 line.startswith("hash-threshold") or \
-                line.startswith("control substitution"):
+                line.startswith("control "):
             i += 1
             continue
         cm = re.match(
@@ -95,6 +95,18 @@ def parse_file(path: str) -> list[Block]:
                 skipped = True       # the reference skips these for sdb
             if line.startswith("onlyif") and cond not in ("serenedb",):
                 skipped = True
+            i += 1
+            line = lines[i].strip()
+        # a `connection` directive may follow skipif/onlyif lines
+        # (recovery/catalog_inverted_index.test `onlyif serenedb`)
+        cm = re.match(
+            r"connection\s+(\w+)"
+            r"(?:\s+user=(\S+)\s+password=(\S+))?\s*$", line)
+        if cm:
+            if not skipped:
+                pending_conn = (cm.group(1) if cm.group(2) is None
+                                else (cm.group(1), cm.group(2),
+                                      cm.group(3)))
             i += 1
             line = lines[i].strip()
         # `retry $RETRY_ATTEMPTS backoff $BACKOFF_DURATION` suffixes
@@ -448,6 +460,11 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
         except NotImplementedError as e:
             _note(b, f"refusal: {e}")
             break  # honest out-of-surface refusal: stop the file
+        if not b.expected:
+            # `query ok retry ...` with no result section
+            # (recovery/catalog_alter_set_not_null.test): execute-only
+            passed += 1
+            continue
         hm = (re.match(r"(\d+) values hashing to ([0-9a-f]{32})",
                        b.expected[0])
               if len(b.expected) == 1 else None)
@@ -467,6 +484,15 @@ def run_file(ss, path: str, stop_info: dict | None = None) -> tuple[int, int]:
             continue
         header = b.expected[0].split("\t") if b.expected else []
         exp_rows = [r.split("\t") for r in b.expected[1:]]
+        # a few recovery/ files are SPACE-separated
+        # (catalog_foreign_key.test): fall back to whitespace cells
+        # when the tab split disagrees with the actual column count
+        if b.expected and len(header) != len(df.columns):
+            ws = b.expected[0].split()
+            if len(ws) == len(df.columns):
+                header = ws
+                exp_rows = [r.split(None, len(ws) - 1)
+                            for r in b.expected[1:]]
         # `?column?` is PG's display name for an unaliased expression —
         # a formatting difference, not semantics: accept any name there
         # `?column?` = PG's unaliased-expression display name; PG also
