@@ -221,6 +221,11 @@ def route_statement(session, sql: str) -> DataFrame | None:
     kw = head.group().upper()
     if kw in ("BEGIN", "START", "COMMIT", "END", "ROLLBACK", "ABORT"):
         return _txn(session, kw, s)
+    if kw == "CHECKPOINT":
+        # durability flush: the shared store IS the durable layer, so
+        # a checkpoint has nothing left to write
+        # (recovery/catalog_ddl_attributes.test)
+        return _status_df(session, "CHECKPOINT")
     if kw == "PREPARE":
         return _prepare(session, s)
     if kw == "EXECUTE":
@@ -327,6 +332,15 @@ def route_statement(session, sql: str) -> DataFrame | None:
             if o in olds:
                 owners[t] = new
         return _status_df(session, "REASSIGN OWNED", new)
+    if kw in ("CREATE", "DROP") and \
+            getattr(session, "_txn_backup", None) is not None and \
+            session.show_variable("sdb_strict_ddl"):
+        # strict mode refuses DDL inside a block with the reference's
+        # wording (recovery/ddl_in_transaction.test:60)
+        raise ValueError(
+            "DDL statements are not supported inside a transaction "
+            "block: DDL commits immediately and cannot be rolled back "
+            "(sdb_strict_ddl is enabled)")
     if kw == "CREATE":
         return _create(session, s)
     if kw == "DROP":
@@ -1261,7 +1275,8 @@ def _set(session, s: str) -> DataFrame | None:
         _pg_vars(session)["transaction_isolation"] = level
         return _status_df(session, "SET",
                           "default_transaction_isolation")
-    if nxt is not None and nxt.upper in ("LOCAL", "SESSION"):
+    if nxt is not None and nxt.upper in ("LOCAL", "SESSION",
+                                          "GLOBAL"):
         ts.next()
     name = _ident(ts).lower()
     if name == "role":
@@ -3104,6 +3119,18 @@ def _col_constraints(session, col: str, ts: _Stream, check_i: list):
                     g = session._generated = {}
                 g.setdefault(t, {})[c] = e
             hooks.append(_gen)
+        elif kw == "USING":
+            # USING COMPRESSION zstd — a storage codec hint; Spark's
+            # parquet writer picks codecs via conf
+            # (recovery/catalog_ddl_attributes.test)
+            ts.expect("COMPRESSION"); ts.next()
+        elif kw == "COLLATE":
+            # per-column collation recorded as declared-only metadata
+            cname = ts.next().text.strip("'\"")
+            colls = getattr(session, "_collations", None)
+            if colls is None:
+                colls = session._collations = {}
+            colls[col] = cname
         else:
             raise NotImplementedError(
                 f"unsupported column constraint {kw!r}")
@@ -3790,6 +3817,10 @@ def _alter_add(session, table: str, toks, ts: _Stream) -> DataFrame:
             pk = True
         elif kw == "NULL":
             pass
+        elif kw == "USING":
+            ts.expect("COMPRESSION"); ts.next()
+        elif kw == "COLLATE":
+            ts.next()
         else:
             raise NotImplementedError(
                 f"unsupported ADD COLUMN constraint {kw!r}")

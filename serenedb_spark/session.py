@@ -624,6 +624,24 @@ class SereneSession:
         from serenedb_spark.plans.dialect import sql_compat
         import re as _re
 
+        if _re.search(r"\bpragma_\w+\s*\(", q, _re.IGNORECASE):
+            # DuckDB pragma TVFs expose that engine's physical storage
+            # (pragma_storage_info) — no Spark analogue
+            raise NotImplementedError(
+                "DuckDB pragma_* table functions are not supported")
+        # PG allows a SCALAR function in table position:
+        # `SELECT * FROM babsky()` — one row, column named after the
+        # function (recovery/catalog_function.test)
+        for fname, meta in list(self._macros_meta.items()):
+            if not meta[1] and _re.search(
+                    rf"\bFROM\s+{_re.escape(fname)}\s*\(", q,
+                    _re.IGNORECASE):
+                q = _re.sub(
+                    rf"\bFROM\s+{_re.escape(fname)}\s*"
+                    rf"\(([^()]*)\)",
+                    rf"FROM (SELECT {fname}(\1) AS {fname})", q,
+                    flags=_re.IGNORECASE)
+
         if _re.search(r"\bts_highlight\s*\(", q, _re.IGNORECASE):
             # virtual-column 1-arg form outside a search scan has no
             # offsets to synthesize (headline.test:501-516)
@@ -1160,11 +1178,18 @@ class SereneSession:
 
     def _set_store(self, attr: str, seed=()) -> set:
         """A set-typed catalog store that survives txn restore (a
-        never-initialized attr snapshots as {} — coerce back to set)."""
+        never-initialized attr snapshots as {} — coerce back to set).
+        In shared mode the coerced set replaces the store's copy too,
+        so attached sessions keep seeing one object
+        (recovery/catalog_schema.test reconnect)."""
         v = getattr(self, attr, None)
         if not isinstance(v, set):
             v = set(v or ()) | set(seed)
             setattr(self, attr, v)
+            store = getattr(self, "_shared_store", None)
+            if store is not None and attr in store \
+                    and not getattr(self, "_txn_detached", False):
+                store[attr] = v
         return v
 
     @staticmethod
@@ -4287,6 +4312,13 @@ class SereneSession:
         # a session attached after a simulated crash is a NEW
         # connection to the restarted server (recovery/ tranche)
         self._crash_seen = store.get("_crash_count", 0)
+        # the connection lands in the same database/schema context
+        # (recovery/catalog_schema.test reconnects mid-file)
+        self._current_db = getattr(base, "_current_db", "serene")
+        self._current_schema = getattr(base, "_current_schema",
+                                       "public")
+        if getattr(base, "_databases", None) is not None:
+            self._databases = base._databases
         for a in self._SHARED_STATE:
             setattr(self, a, store[a])
 
@@ -4442,6 +4474,19 @@ class SereneSession:
             t for t in set(self._tables) | set(bak["_tables"])
             if self._tables.get(t) is not bak["_tables"].get(t)
         }
+        # the reference statement-commits DDL: a table CREATED inside
+        # the block survives ROLLBACK with its constraints — only its
+        # DML rolls back (recovery/ddl_in_transaction.test). Capture
+        # the created relations + their catalog slices before restore.
+        _DDL_DIMS = ("_pks", "_checks", "_not_null", "_col_defaults",
+                     "_fks", "_uniques", "_generated", "_pk_names",
+                     "_storage")
+        created = {t: df for t, df in (self._tables or {}).items()
+                   if t not in bak["_tables"]}
+        created_dims = {
+            a: {t: v for t, v in (getattr(self, a, {}) or {}).items()
+                if t in created}
+            for a in _DDL_DIMS}
         # SET inside an aborted block reverts (PG semantics); variables
         # with module-level consumers must have their side effects
         # re-applied, not just the dict restored.
@@ -4453,6 +4498,7 @@ class SereneSession:
             local_tables = dict(getattr(self, "_tables", {}) or {})
             for a in self._SHARED_STATE:
                 setattr(self, a, store[a])
+            self._apply_ddl_survivors(created, created_dims)
             self._txn_detached = False
             self._txn_prebegin = None
             self._txn_backup = None
@@ -4488,6 +4534,7 @@ class SereneSession:
         else:
             for a, snap in bak.items():
                 setattr(self, a, snap)
+        self._apply_ddl_survivors(created, created_dims)
         self._txn_detached = False
         self._txn_backup = None
         self._txn_aborted = False
@@ -4501,6 +4548,24 @@ class SereneSession:
                 self._reregister(t)
             else:
                 self.spark.catalog.dropTempView(self._view_name(t))
+
+    def _apply_ddl_survivors(self, created: dict,
+                             created_dims: dict) -> None:
+        """Re-apply statement-committed DDL after a rollback restore:
+        each table created inside the block comes back EMPTY (its DML
+        rolled back) with its constraint slices intact."""
+        for t, df in created.items():
+            if t in self._tables:
+                continue
+            self._tables[t] = df.limit(0)
+            for a, slc in created_dims.items():
+                if t in slc:
+                    d = getattr(self, a, None)
+                    if not isinstance(d, dict):
+                        d = {}
+                        setattr(self, a, d)
+                    d[t] = slc[t]
+            self._reregister(t)
 
     def transaction(self):
         """`with ss.transaction():` — commit on success, rollback on
