@@ -3031,8 +3031,12 @@ class SereneSession:
                                   replication=True, bypassrls=True,
                                   oid=1000000)
         # roles created before the attrs store existed (legacy _roles
-        # set) surface with default attributes
-        for r in self._set_store("_roles"):
+        # set) and principals granted through the API (the pre-v2
+        # pg_roles listed granted principals) surface with default
+        # attributes
+        for r in (*self._set_store("_roles"),
+                  *sorted(getattr(self, "_grants", {})),
+                  *sorted(getattr(self, "_col_grants", {}))):
             if r not in ra:
                 ra[r] = dict(self._ROLE_DEFAULTS, oid=self._next_oid())
         return ra

@@ -104,7 +104,10 @@ def test_pg_catalog_core_roundtrip(ss):
         JOIN pg_class ct ON i.indrelid = ct.oid
         WHERE ci.relkind = 'i' AND ct.relname = 'documents'
     """).collect()
-    assert any(r.index_name == "docs_core_idx" and r.indkey == "text"
+    # indkey is PG's int2vector of attnums (reference
+    # test_index_position.test: array_position(i.indkey, 2::smallint));
+    # 'text' is attnum 2 of documents
+    assert any(r.index_name == "docs_core_idx" and list(r.indkey) == [2]
                for r in idx)
 
     # oids are stable regclass-style handles
@@ -240,7 +243,9 @@ def test_pg_catalog_second_tier(ss):
     assert ss.sql("SELECT datname FROM pg_database").first().datname \
         == "serene"
     ams = {r.amname for r in ss.sql("SELECT amname FROM pg_am").collect()}
-    assert {"heap", "inverted"} <= ams
+    # the reference's exact access-method set (pg_catalog_data.test:279):
+    # iresearch backs tables; secondary/inverted back indexes — no heap
+    assert {"iresearch", "inverted", "secondary"} <= ams
     v = ss.sql("SELECT schemaname, viewname FROM pg_views").first()
     assert (v.schemaname, v.viewname) == ("public", "big_orders")
     s = ss.sql("""
