@@ -270,3 +270,123 @@ def ip6_contains_c(net_lit: str, canon: Column) -> Column:
         cond = cond & ((F.floor(d / step) * step).cast("int")
                        == F.lit(want))
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Spark SQL-text fragments (same arithmetic as the Column builders above).
+#
+# Why text: the Column builders compose thousands of py4j calls; profiled
+# at 1.05 s of driver-side Python per inet6_battery build vs 0.14 s of
+# actual execution. A SQL string is one JVM parse. The fragments mirror
+# the d_* DuckDB generators symbol-for-symbol (get() is Spark's 0-based
+# null-safe element access, array_join/array_repeat replace the list_*
+# forms).
+# ---------------------------------------------------------------------------
+
+def _s_addr(e: str) -> str:
+    return f"get(split({e}, '/'), 0)"
+
+
+def s_masklen(e: str) -> str:
+    return f"coalesce(try_cast(get(split({e}, '/'), 1) AS INT), 128)"
+
+
+def s_canon(e: str) -> str:
+    s = f"lower({_s_addr(e)})"
+    s = f"(CASE WHEN left({s}, 2) = '::' THEN '0' || {s} ELSE {s} END)"
+    s = f"(CASE WHEN right({s}, 2) = '::' THEN {s} || '0' ELSE {s} END)"
+    halves = f"split({s}, '::')"
+    left = f"split(get({halves}, 0), ':')"
+    right = (f"(CASE WHEN size({halves}) > 1"
+             f" THEN split(get({halves}, 1), ':')"
+             f" ELSE CAST(array() AS ARRAY<STRING>) END)")
+    zeros = (f"array_repeat('0',"
+             f" CAST(8 - size({left}) - size({right}) AS INT))")
+    groups = (f"(CASE WHEN size({halves}) > 1"
+              f" THEN concat({left}, {zeros}, {right})"
+              f" ELSE {left} END)")
+    return (f"array_join(transform({groups},"
+            f" g -> lpad(g, 4, '0')), '')")
+
+
+def _s_boundary(canon: str, m: str, fill_low: bool) -> str:
+    keep = f"CAST(floor({m} / 4) AS INT)"
+    bits = f"({m} % 4)"
+    d = f"CAST(conv(substring({canon}, {keep} + 1, 1), 16, 10) AS INT)"
+    s = f"CAST(power(2, 4 - {bits}) AS INT)"
+    masked = f"(CAST(floor({d} / {s}) AS INT) * {s})"
+    v = f"({masked} + {s} - 1)" if fill_low else masked
+    return (f"(CASE WHEN {bits} = 0 THEN ''"
+            f" ELSE substring('{_HEX}', {v} + 1, 1) END)")
+
+
+def _s_prefix_fill(canon: str, m: str, fill: str) -> str:
+    keep = f"CAST(floor({m} / 4) AS INT)"
+    used = f"({keep} + CASE WHEN {m} % 4 > 0 THEN 1 ELSE 0 END)"
+    return (f"(substring({canon}, 1, {keep})"
+            f" || {_s_boundary(canon, m, fill == 'f')}"
+            f" || repeat('{fill}', 32 - {used}))")
+
+
+def s_render(canon: str, m: str | None = None) -> str:
+    groups = (f"transform(sequence(0, 7), i ->"
+              f" regexp_replace(substring({canon}, i * 4 + 1, 4),"
+              f" '^0{{1,3}}', ''))")
+    out = f"array_join({groups}, ':')"
+    if m is None:
+        return out
+    return f"({out} || '/' || CAST({m} AS STRING))"
+
+
+def s_network_c(canon: str, m: str) -> str:
+    return s_render(_s_prefix_fill(canon, m, "0"), m)
+
+
+def s_broadcast_c(canon: str, m: str) -> str:
+    return s_render(_s_prefix_fill(canon, m, "f"), m)
+
+
+def s_netmask_m(m: str) -> str:
+    keep = f"CAST(floor({m} / 4) AS INT)"
+    bchar = (f"(CASE {m} % 4 WHEN 0 THEN '' WHEN 1 THEN '8'"
+             f" WHEN 2 THEN 'c' ELSE 'e' END)")
+    used = f"({keep} + CASE WHEN {m} % 4 > 0 THEN 1 ELSE 0 END)"
+    canon = (f"(repeat('f', {keep}) || {bchar}"
+             f" || repeat('0', 32 - {used}))")
+    return s_render(canon, m)
+
+
+def py_canon(addr: str) -> tuple[str, int]:
+    """Driver-side canonicalization of a LITERAL 'addr/mask' → (32-hex
+    key, masklen) — shared by ip6_contains_c and the SQL-text fragment."""
+    naddr, _, nmask = addr.partition("/")
+    m = int(nmask) if nmask else 128
+    s = naddr.lower()
+    if s.startswith("::"):
+        s = "0" + s
+    if s.endswith("::"):
+        s = s + "0"
+    if "::" in s:
+        left, right = s.split("::")
+        lg = left.split(":")
+        rg = right.split(":") if right else []
+        groups = lg + ["0"] * (8 - len(lg) - len(rg)) + rg
+    else:
+        groups = s.split(":")
+    return "".join(g.zfill(4) for g in groups), m
+
+
+def s_contains_lit(net_lit: str, canon: str) -> str:
+    """`<literal network> >> canon` as a SQL-text prefix comparison, the
+    literal side canonicalized at plan-build time."""
+    ncanon, m = py_canon(net_lit)
+    keep, bits = divmod(m, 4)
+    cond = f"(substring({canon}, 1, {keep}) = '{ncanon[:keep]}')"
+    if bits:
+        step = 1 << (4 - bits)
+        want = (int(ncanon[keep], 16) // step) * step
+        d = (f"CAST(conv(substring({canon}, {keep} + 1, 1), 16, 10)"
+             f" AS INT)")
+        cond = (f"({cond} AND CAST(floor({d} / {step}) * {step} AS INT)"
+                f" = {want})")
+    return cond

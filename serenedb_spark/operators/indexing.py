@@ -129,33 +129,82 @@ def build_index(
                 lambda a: a.isNotNull()))
         else:
             toks = an.expr(src)
+        # (term, pos) pairs with the ORIGINAL token index (posexplode's
+        # pos), null terms dropped — all of it array expressions, no
+        # explode yet
+        zipped = F.filter(
+            F.transform(toks, lambda t, i: F.struct(t.alias("term"),
+                                                    i.alias("pos"))),
+            lambda s: s.getField("term").isNotNull(),
+        )
         tokenized = df.select(
             F.col(key).alias("doc_id"),
             F.lit(col).alias("field"),
-            F.posexplode_outer(toks).alias("pos", "term"),
-        ).where(F.col("term").isNotNull())
+            zipped.alias("z"),
+        ).where(F.size("z") > 0)
         per_field.append(tokenized)
 
-    exploded = per_field[0]
+    tokenized = per_field[0]
     for t in per_field[1:]:
-        exploded = exploded.unionByName(t)
+        tokenized = tokenized.unionByName(t)
 
+    # Per-document postings WITHOUT a corpus-wide shuffle (optimization
+    # guide §2.4): every (term, doc) group lives inside one row's token
+    # array, so grouping is an O(L log L) array_sort + run-length split
+    # per document — whole-stage codegen, no Exchange, no
+    # ObjectHashAggregate/collect_list. The old shape shuffled every
+    # token occurrence through groupBy(field, term, doc_id); at 100 TB
+    # that exchange carries the entire tokenized corpus.
+    srt = F.array_sort(F.col("z"))  # (term asc, pos asc); pairs unique
+
+    def _run_starts(s):
+        # 0-based offsets where a new term's run begins
+        return F.filter(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: (i == 0)
+            | (F.get(s, i).getField("term")
+               != F.get(s, i - 1).getField("term")),
+        )
+
+    def _entries(s, starts):
+        # one struct per distinct term: (term, positions within this doc)
+        n = F.size(s)
+        return F.transform(
+            starts,
+            lambda st, j: F.struct(
+                F.get(s, st).getField("term").alias("term"),
+                F.transform(
+                    F.slice(s, st + 1,
+                            F.coalesce(F.get(starts, j + 1), n) - st),
+                    lambda x: x.getField("pos"),
+                ).alias("positions"),
+            ),
+        )
+
+    from serenedb_spark.analysis.analyzers import _bind
+
+    grouped = tokenized.select(
+        "doc_id", "field",
+        _bind(srt, lambda s: _bind(_run_starts(s),
+                                   lambda starts: _entries(s, starts)))
+        .alias("e"),
+    )
     postings = (
-        exploded.groupBy("field", "term", "doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("freq"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
+        grouped.select("doc_id", "field", F.explode("e").alias("e"))
+        .select(
+            "field",
+            F.col("e.term").alias("term"),
+            "doc_id",
+            F.size("e.positions").cast("int").alias("freq"),
+            F.col("e.positions").alias("positions"),
         )
     )
 
-    # derive dl from postings (Σ freq), not from a second pass over the
-    # exploded tokens: when postings are persisted/saved, doc_stats reuses
-    # them instead of re-tokenizing the corpus — at 100 TB that's one wide
-    # scan instead of two
-    doc_stats = (
-        postings.groupBy("field", "doc_id")
-        .agg(F.sum("freq").cast("int").alias("dl"))
-    )
+    # dl = Σ freq = # of non-null tokens — computable per document from
+    # the tokenized relation directly (no aggregation over postings, no
+    # second shuffle)
+    doc_stats = tokenized.select(
+        "field", "doc_id", F.size("z").cast("int").alias("dl"))
 
     term_stats = (
         postings.groupBy("field", "term")
@@ -213,6 +262,10 @@ def build_index(
     # from a pinned snapshot after DROP TEXT SEARCH DICTIONARY
     # (ts_offsets_isolation.test:50)
     idx.__dict__["_an_cache"] = an_cache
+    # the shared tokenize pass feeding postings AND doc_stats — builders
+    # that persist the index parts should persist this too, so the
+    # corpus is tokenized once, not once per derived relation
+    idx.__dict__["_tokenized"] = tokenized
     return idx
 
 

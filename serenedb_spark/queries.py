@@ -127,7 +127,9 @@ def doc_index(spark: SparkSession, sf_dir: str,
         docs = load_tables(spark, sf_dir)["documents"]
         idx = build_index(docs, {"text": analyzer}, key="doc_id",
                           name="documents")
-        for part in (idx.postings, idx.docstore, idx.term_stats,
+        tok = idx.__dict__.get("_tokenized")
+        for part in (*((tok,) if tok is not None else ()),
+                     idx.postings, idx.docstore, idx.term_stats,
                      idx.doc_stats, idx.globals_, idx.universe):
             part.persist()
         _IDX_CACHE[key] = idx
@@ -198,7 +200,30 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
 """)
 
+# Spark side pre-aggregates lineitem per order BEFORE the join
+# (optimization guide §2.3 "aggregate before you shuffle"): the join then
+# carries one row per order instead of every lineitem, and
+# count(DISTINCT o_orderkey) degenerates to count(*) because the
+# pre-aggregated side is unique per orderkey — no Expand/two-phase
+# distinct aggregate. DECIMAL sums are exact and associative, so the
+# regrouped sum is value-identical (oracle hash-checked against the
+# original query text on DuckDB).
 _sql("top_customers", """
+WITH lo AS (
+  SELECT l_orderkey,
+    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT c_custkey, c_name,
+  CAST(sum(rev) AS DOUBLE) AS revenue,
+  count(*) AS n_orders
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lo ON l_orderkey = o_orderkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""", duck_sql="""
 SELECT c_custkey, c_name,
   CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
   count(DISTINCT o_orderkey) AS n_orders
@@ -1224,46 +1249,75 @@ ORDER BY o_orderkey
 _register("inet_html_battery", _inet_html_battery, _inet_html_oracle())
 
 
+def _inet6_spark_sql() -> str:
+    """The battery as ONE Spark SQL string: the Column-builder form spent
+    1.05 s per invocation composing ~3k py4j expression calls against
+    0.14 s of execution (guide §1 — measure first); a text plan is a
+    single JVM parse. Staging is preserved: the canonical key and masklen
+    are computed once in a CTE and every operator derives from them
+    (CollapseProject keeps non-cheap expressions un-inlined)."""
+    from serenedb_spark.functions import inet6 as I6
+
+    ip = (
+        "CASE WHEN o_orderkey % 5 = 0"
+        " THEN concat('fe80:', lower(hex(o_orderkey % 4096)), ':',"
+        " lower(hex((o_orderkey * 7) % 65536)), ':1:2:3:4:5/64')"
+        " ELSE concat('2001:db8:', lower(hex(o_orderkey % 4096)), '::',"
+        " lower(hex((o_orderkey * 7) % 65536)), '/',"
+        " CAST(CAST(o_orderkey * 11 % 129 AS INT) AS STRING)) END"
+    )
+    # staged nibble arithmetic: keep/bits/step/digit computed once per
+    # row, the three masked canonical keys built from them, rendering
+    # last — each CTE level is one short expression layer instead of
+    # the fully-inlined ~20 KB tree (smaller parse/analysis, and the
+    # boundary digit is computed once, not once per derived column)
+    hexs = "0123456789abcdef"
+    return f"""
+WITH t AS (SELECT o_orderkey, {ip} AS ip FROM orders WHERE o_orderkey < 300),
+c AS (SELECT o_orderkey, ip, {I6.s_canon('ip')} AS __c,
+             {I6.s_masklen('ip')} AS __m FROM t),
+s AS (SELECT *, CAST(floor(__m / 4) AS INT) AS kp, __m % 4 AS bt,
+             CAST(power(2, 4 - __m % 4) AS INT) AS st,
+             CAST(conv(substring(__c, CAST(floor(__m / 4) AS INT) + 1, 1),
+                       16, 10) AS INT) AS dg
+      FROM c),
+s2 AS (SELECT *, kp + CASE WHEN bt > 0 THEN 1 ELSE 0 END AS used,
+              CAST(floor(dg / st) AS INT) * st AS mk
+       FROM s),
+x AS (SELECT o_orderkey, ip, __c, __m,
+  substring(__c, 1, kp)
+    || CASE WHEN bt = 0 THEN '' ELSE substring('{hexs}', mk + 1, 1) END
+    || repeat('0', 32 - used) AS net_c,
+  substring(__c, 1, kp)
+    || CASE WHEN bt = 0 THEN ''
+            ELSE substring('{hexs}', mk + st - 1 + 1, 1) END
+    || repeat('f', 32 - used) AS bc_c,
+  repeat('f', kp)
+    || CASE __m % 4 WHEN 0 THEN '' WHEN 1 THEN '8' WHEN 2 THEN 'c'
+            ELSE 'e' END
+    || repeat('0', 32 - used) AS mask_c
+  FROM s2)
+SELECT o_orderkey, ip,
+  {I6.s_render('__c')} AS host,
+  __m AS mlen,
+  {I6.s_render('net_c', '__m')} AS net,
+  {I6.s_render('bc_c', '__m')} AS bcast,
+  {I6.s_render('mask_c', '__m')} AS mask,
+  {I6.s_contains_lit('2001:db8::/32', '__c')} AS in_db8
+FROM x ORDER BY o_orderkey
+"""
+
+
+_INET6_SPARK_SQL = _inet6_spark_sql()
+
+
 def _inet6_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPv6 INET battery (functions/inet6.py — reference inet.test's
     dual-family surface): '::'-compressed and full forms, host/masklen/
     network/broadcast/netmask and `>>` containment, all nibble
     arithmetic on the 32-hex canonical key."""
-    from serenedb_spark.functions import inet6 as I6
-
-    orders = load_tables(spark, sf_dir)["orders"]
-    k = F.col("o_orderkey")
-    h1 = F.lower(F.hex(k % 4096))
-    h2 = F.lower(F.hex((k * 7) % 65536))
-    m = (k * 11 % 129).cast("int")
-    ip = (
-        F.when(k % 5 == 0,
-               F.concat(F.lit("fe80:"), h1, F.lit(":"), h2,
-                        F.lit(":1:2:3:4:5/64")))
-        .otherwise(F.concat(F.lit("2001:db8:"), h1, F.lit("::"), h2,
-                            F.lit("/"), m.cast("string")))
-    )
-    # staged: parse the canonical key ONCE, derive every operator from it
-    # (a fused Project would inline ~6 copies of the parse — see
-    # inet6.ip6_network_c)
-    staged = orders.where(k < 300).select(
-        "o_orderkey", ip.alias("ip"),
-        I6.ip6_canon(ip).alias("__c"),
-        I6.ip6_masklen(ip).alias("__m"),
-    )
-    c, mm = F.col("__c"), F.col("__m")
-    return (
-        staged.select(
-            "o_orderkey", "ip",
-            I6.ip6_render(c).alias("host"),
-            mm.alias("mlen"),
-            I6.ip6_network_c(c, mm).alias("net"),
-            I6.ip6_broadcast_c(c, mm).alias("bcast"),
-            I6.ip6_netmask(F.col("ip")).alias("mask"),
-            I6.ip6_contains_c("2001:db8::/32", c).alias("in_db8"),
-        )
-        .orderBy("o_orderkey")
-    )
+    load_tables(spark, sf_dir)
+    return spark.sql(_INET6_SPARK_SQL)
 
 
 def _inet6_oracle() -> str:
@@ -3364,7 +3418,9 @@ def _doc_index_multi(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         docs = load_tables(spark, sf_dir)["documents"]
         idx = build_index(docs, {"text": "simple", "source": "simple"},
                           key="doc_id", name="documents_multi")
-        for part in (idx.postings, idx.term_stats, idx.doc_stats,
+        tok = idx.__dict__.get("_tokenized")
+        for part in (*((tok,) if tok is not None else ()),
+                     idx.postings, idx.term_stats, idx.doc_stats,
                      idx.globals_, idx.docstore):
             part.persist()
         _MULTI_IDX_CACHE[ck] = idx
