@@ -203,7 +203,10 @@ def percolate(
         .select("doc_id", "term")
         .join(F.broadcast(q), "term")
         .groupBy("doc_id", "query_id", "n_req")
-        .agg(F.count_distinct("term").alias("n_hit"))
+        # postings are unique per (term, doc_id) and the alert side is
+        # array_distinct-exploded, so each (doc, query, term) joins at
+        # most once: count ≡ count_distinct
+        .agg(F.count(F.lit(1)).alias("n_hit"))
         .where(F.col("n_hit") == F.col("n_req"))
         .select("doc_id", "query_id")
     )

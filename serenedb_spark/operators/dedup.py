@@ -404,16 +404,32 @@ def embedding_lsh_layout(
     return base, banded
 
 
+#: row-count ceiling under which the LSH layout sides get explicit
+#: broadcast hints (guide §3.1: size estimates for in-memory relations
+#: with array columns are wildly pessimistic, so the static planner
+#: picks sort-merge and AQE discovers the broadcast one materialized
+#: stage at a time; a known-small side should be hinted up front).
+#: 200k rows ≈ low hundreds of MB for 64-dim float vectors.
+LSH_BROADCAST_MAX_ROWS = 200_000
+
+
 def embedding_lsh_pairs_from(
-    base: DataFrame, banded: DataFrame, threshold: float = 0.9
+    base: DataFrame, banded: DataFrame, threshold: float = 0.9,
+    base_rows: int | None = None,
 ) -> DataFrame:
     """Pair query over a prebuilt sign-LSH layout: within-bucket candidate
-    join + exact cosine filter."""
+    join + exact cosine filter. ``base_rows`` is the layout's counted
+    row statistic (known after the CREATE INDEX half materializes);
+    when small, the self-join's build side and the two vector-attach
+    sides are hinted broadcast so the whole pair query plans
+    exchange-free instead of per-stage AQE conversions."""
     from serenedb_spark.functions import vector as V
 
+    bcast = base_rows is not None and base_rows <= LSH_BROADCAST_MAX_ROWS
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(b_, (F.col("a.band") == F.col("b.band"))
+        a.join(F.broadcast(b_) if bcast else b_,
+               (F.col("a.band") == F.col("b.band"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -422,6 +438,8 @@ def embedding_lsh_pairs_from(
                      F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                      F.col("nrm").alias("nb"))
+    if bcast:
+        va, vb = F.broadcast(va), F.broadcast(vb)
     sim = V.inner_product(F.col("va"), F.col("vb")) / (
         F.col("na") * F.col("nb"))
     return (

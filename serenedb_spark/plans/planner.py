@@ -233,10 +233,11 @@ def _wildcard_gram_claim(idx: InvertedIndex, field: str, node: q.TSQuery,
         g for r in runs for g in
         (r[i:i + n] for i in range(len(r) - n + 1))))
     if grams:
+        # count ≡ count_distinct: postings unique per (term, doc_id)
         claim = (
             _postings_for_terms(idx, field, grams)
             .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("m"))
+            .agg(F.count(F.lit(1)).alias("m"))
             .where(F.col("m") >= len(grams))
             .select("doc_id")
         )
@@ -282,10 +283,13 @@ def compile_query(
                 .select("doc_id").distinct()
             )
         else:
+            # postings are unique per (term, doc_id), so every query
+            # term appears at most once per group: count ≡ count_distinct
+            # without the two-level distinct-aggregate rewrite
             docs = (
                 _postings_for_terms(idx, field, terms)
                 .groupBy("doc_id")
-                .agg(F.count_distinct("term").alias("m"))
+                .agg(F.count(F.lit(1)).alias("m"))
                 .where(F.col("m") >= node.min_match)
                 .select("doc_id")
             )
@@ -294,10 +298,11 @@ def compile_query(
 
     if isinstance(node, q.AllOf):
         terms = list(dict.fromkeys(node.terms))
+        # count ≡ count_distinct: postings unique per (term, doc_id)
         docs = (
             _postings_for_terms(idx, field, terms)
             .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("m"))
+            .agg(F.count(F.lit(1)).alias("m"))
             .where(F.col("m") >= len(terms))
             .select("doc_id")
         )
@@ -338,15 +343,21 @@ def compile_query(
         an = idx.analyzer(field)
         grams = list(dict.fromkeys(an.tokens(node.text)))
         need = math.ceil(node.threshold * len(grams))
+        # count ≡ count_distinct: postings unique per (term, doc_id)
         docs = (
             _postings_for_terms(idx, field, grams)
             .groupBy("doc_id")
-            .agg(F.count_distinct("term").alias("m"))
+            .agg(F.count(F.lit(1)).alias("m"))
             .where(F.col("m") >= need)
             .select("doc_id")
         )
         tdf = _terms_df(idx, grams).withColumn("boost", F.lit(boost))
         return CompiledQuery(docs, tdf, [(t, boost) for t in grams])
+
+    if isinstance(node, (q.And, q.Or, q.Not)):
+        fp = _flag_compile(idx, field, node, boost)
+        if fp is not None:
+            return fp
 
     if isinstance(node, q.And):
         parts = [compile_query(idx, field, p, boost) for p in node.parts]
@@ -404,9 +415,11 @@ def compile_query(
             u = marked[0]
             for m in marked[1:]:
                 u = u.unionByName(m)
+            # each marked part is distinct per doc_id before the
+            # union, so (doc_id, part) is unique: count ≡ count_distinct
             satisfied = (
                 u.groupBy("doc_id")
-                .agg(F.count_distinct("part").alias("m"))
+                .agg(F.count(F.lit(1)).alias("m"))
                 .where(F.col("m") >= eff_msm)
                 .select("doc_id")
             )
@@ -425,6 +438,112 @@ def compile_query(
         )
 
     raise TypeError(f"unsupported TSQuery node: {node!r}")
+
+
+#: cap on the per-term flag columns of the single-aggregation boolean
+#: fast path; wider term sets fall back to the per-leaf set algebra
+_FLAG_MAX_TERMS = 64
+
+
+def _flag_compile(idx: InvertedIndex, field: str, node: q.TSQuery,
+                  boost: float) -> "CompiledQuery | None":
+    """Boolean trees over pure Term/AnyOf/AllOf leaves compiled as ONE
+    aggregation (guide §2.4 — remove shuffles outright): filter postings
+    to every involved term, groupBy(doc_id) with a presence flag per
+    term, and evaluate the tree as a column predicate over the flags.
+    The per-leaf shape shuffled one distinct aggregate per leaf and
+    chained semi/anti joins; this is one exchange regardless of tree
+    size, and the exchange carries only (doc_id, term) pairs for the
+    involved terms.
+
+    Sound only when the all-leaves-false evaluation is False
+    ("positive-anchored"): every matching doc then carries at least one
+    involved term, so the grouped relation covers the match set. NOT
+    stays 3VL-correct because every candidate doc has a posting in this
+    field, hence is in the field's non-null universe. Returns None (→
+    general path) for non-term leaves (phrases, dictionary expansions),
+    unanchored shapes (e.g. a bare NOT), or oversized term sets."""
+    terms: list[str] = []
+    t_ix: dict[str, int] = {}
+
+    def intern(t: str) -> int:
+        if t not in t_ix:
+            t_ix[t] = len(terms)
+            terms.append(t)
+        return t_ix[t]
+
+    # conv → (pred_builder, value-under-all-false, [(term, boost)...]) | None
+    def conv(n, b):
+        if isinstance(n, q.Boost):
+            return conv(n.part, b * n.factor)
+        if isinstance(n, q.Term):
+            i = intern(n.term)
+            return (lambda fl, i=i: fl[i]), False, [(n.term, b)]
+        if isinstance(n, (q.AnyOf, q.AllOf)):
+            ts = list(dict.fromkeys(n.terms))
+            if not ts:
+                return None
+            need = (len(ts) if isinstance(n, q.AllOf)
+                    else max(1, n.min_match))
+            ixs = [intern(t) for t in ts]
+            if need > len(ts):
+                return (lambda fl: F.lit(False)), False, [(t, b) for t in ts]
+
+            def pred(fl, ixs=ixs, need=need):
+                if need == 1:
+                    c = fl[ixs[0]]
+                    for i in ixs[1:]:
+                        c = c | fl[i]
+                    return c
+                s = fl[ixs[0]].cast("int")
+                for i in ixs[1:]:
+                    s = s + fl[i].cast("int")
+                return s >= need
+
+            return pred, False, [(t, b) for t in ts]
+        if isinstance(n, (q.And, q.Or)):
+            subs = [conv(p, b) for p in n.parts]
+            if any(s is None for s in subs):
+                return None
+            is_and = isinstance(n, q.And)
+
+            def pred(fl, subs=subs, is_and=is_and):
+                c = subs[0][0](fl)
+                for s in subs[1:]:
+                    c = (c & s[0](fl)) if is_and else (c | s[0](fl))
+                return c
+
+            af = (all if is_and else any)(s[1] for s in subs)
+            tl = [tb for s in subs for tb in s[2]]
+            return pred, af, tl
+        if isinstance(n, q.Not):
+            sub = conv(n.part, b)
+            if sub is None:
+                return None
+            # negative clauses contribute no score terms (Lucene/reference)
+            return (lambda fl, sub=sub: ~sub[0](fl)), (not sub[1]), []
+        return None
+
+    res = conv(node, boost)
+    if res is None or len(terms) > _FLAG_MAX_TERMS:
+        return None
+    pred, all_false, tl = res
+    if all_false:
+        return None  # not positive-anchored: needs the universe relation
+    P = _postings_for_terms(idx, field, terms)
+    g = P.groupBy("doc_id").agg(
+        *[F.max(F.col("term") == F.lit(t)).alias(f"__f{i}")
+          for i, t in enumerate(terms)])
+    flags = [F.col(f"__f{i}") for i in range(len(terms))]
+    docs = g.where(pred(flags)).select("doc_id")
+    merged: dict[str, float] = {}
+    for t, b in tl:
+        merged[t] = max(merged.get(t, b), b)
+    spark = idx.postings.sparkSession
+    tdf = spark.createDataFrame(
+        [(t, float(b)) for t, b in merged.items()] or [],
+        "term string, boost double")
+    return CompiledQuery(docs, tdf, list(merged.items()))
 
 
 def _union_terms_local(parts: list["CompiledQuery"]) -> list | None:

@@ -127,9 +127,7 @@ def doc_index(spark: SparkSession, sf_dir: str,
         docs = load_tables(spark, sf_dir)["documents"]
         idx = build_index(docs, {"text": analyzer}, key="doc_id",
                           name="documents")
-        tok = idx.__dict__.get("_tokenized")
-        for part in (*((tok,) if tok is not None else ()),
-                     idx.postings, idx.docstore, idx.term_stats,
+        for part in (idx.postings, idx.docstore, idx.term_stats,
                      idx.doc_stats, idx.globals_, idx.universe):
             part.persist()
         _IDX_CACHE[key] = idx
@@ -139,6 +137,19 @@ def doc_index(spark: SparkSession, sf_dir: str,
 # --------------------------------------------------------------------------
 # 1. relational surface (SURVEY §2.5-2.10) — shared SQL text
 # --------------------------------------------------------------------------
+
+def _ordered(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic output order for a driver-collected result WITHOUT a
+    range exchange: ORDER BY plans RangePartitioning, whose sample job
+    re-executes any unmaterialized child pipeline a second time per run
+    (guide §2.4 — an orderBy used only to make output deterministic is an
+    accidental shuffle). A single-partition sort yields the identical
+    order with one round-robin exchange and one child execution. The
+    results of these query fns are driver-collected by the gate/bench,
+    so the one-partition sort is bounded by the same size as collect()
+    itself and cannot become the scaling bottleneck."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
 
 def _sql(name: str, sql: str, duck_sql: str | None = None) -> None:
     def fn(spark: SparkSession, sf_dir: str, _s=sql) -> DataFrame:
@@ -712,7 +723,7 @@ def _approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("checks")
     ).select(F.explode("checks").alias("c")).select(
         F.col("c.metric").alias("metric"), F.col("c.ok").alias("ok")
-    ).orderBy("metric")
+    ).transform(_ordered, "metric")
 
 
 def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -734,7 +745,7 @@ def _skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long").alias("n_events"),
         F.round(F.col("sum_value").cast("double"), 4).alias("sum_value"),
         F.round("max_value", 6).alias("max_value"),
-    ).orderBy("event_type")
+    ).transform(_ordered, "event_type")
 
 
 _register("skew_salted_agg", _skew_salted_agg, """
@@ -765,7 +776,7 @@ def _skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("type_n").alias("type_n"),
              F.round(F.sum(F.col("value").cast("decimal(18,4)"))
                      .cast("double"), 4).alias("sum_value"))
-        .orderBy("event_type")
+        .transform(_ordered, "event_type")
     )
 
 
@@ -808,7 +819,7 @@ def _ordered_topk_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                      columns=["o_totalprice"])
         .select(F.round(F.col("o_totalprice").cast("double"), 2)
                 .alias("price"))
-        .orderBy("price")
+        .transform(_ordered, "price")
     )
 
 
@@ -860,7 +871,7 @@ def _pg_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(PS.split_by_non_alpha(F.col("p_name"))).alias("n_alpha_words"),
             PS.bit_length(F.col("p_brand")).alias("brand_bits"),
         )
-        .orderBy("p_partkey")
+        .transform(_ordered, "p_partkey")
     )
 
 
@@ -907,7 +918,7 @@ def _pg_string_battery2(spark: SparkSession, sf_dir: str) -> DataFrame:
             PS.get_byte(PS.set_byte(name_bin, 0, 90), 0).alias("set_byte0"),
             F.col("p_name").rlike(sim_re).alias("similar_green_blue"),
         )
-        .orderBy("p_partkey")
+        .transform(_ordered, "p_partkey")
     )
 
 
@@ -957,7 +968,7 @@ def _pg_math_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             PM.make_timestamp(F.lit(2024), F.lit(3), (k % 28 + 1).cast("int"),
                               F.lit(10), F.lit(30), F.lit(0)).alias("made_ts"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -1019,7 +1030,7 @@ def _temporal_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ts + F.expr("INTERVAL 90 MINUTES")).cast("string")
             .alias("plus90m"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -1219,7 +1230,7 @@ def _inet_html_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             PS.html_escape(html).alias("esc"),
             PS.html_unescape(PS.html_escape(html)).alias("roundtrip"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -1376,7 +1387,7 @@ def _complex_types_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pos_mod5"),
             F.size(F.array_distinct(arr)).alias("n_distinct"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -1437,7 +1448,7 @@ def _variant_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_variant_get(v, "$[1]", "long").alias("elem1"),
             F.try_variant_get(v, "$", "long").alias("as_num"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -1494,7 +1505,7 @@ def _union_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             V.union_extract(u, "str").alias("str"),
             V.union_render(u, members).alias("rendered"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -1658,7 +1669,7 @@ def _bitstring_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.substring(a, 1, 1), F.lit("1"),
                      F.substring(a, 3, W - 2)).alias("set1"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -1716,7 +1727,7 @@ def _time_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             s.cast("long").alias("ss"),
             secs.cast("long").alias("since_midnight"),
         )
-        .orderBy("o_orderkey")
+        .transform(_ordered, "o_orderkey")
     )
 
 
@@ -2052,7 +2063,7 @@ def _merge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "s_suppkey", "s_name", "s_nationkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
-    ).orderBy("s_suppkey")
+    ).transform(_ordered, "s_suppkey")
 
 
 _register("dml_merge_into", _merge_demo, """
@@ -2098,7 +2109,7 @@ def _insert_conflict_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins2 = spark.createDataFrame(
         [(k1, 333.33), (910002, 444.44)], "s_suppkey long, bal double")
     after2 = insert_rows(after1, ins2, "s_suppkey", on_conflict="replace")
-    return after2.orderBy("s_suppkey")
+    return after2.transform(_ordered, "s_suppkey")
 
 
 _register("dml_insert_conflict", _insert_conflict_demo, """
@@ -2137,7 +2148,7 @@ def _fts_match(name: str, node: q.TSQuery) -> None:
 
     def fn(spark: SparkSession, sf_dir: str, _n=node) -> DataFrame:
         idx = doc_index(spark, sf_dir)
-        return compile_query(idx, _DOC_COL, _n).doc_ids.orderBy("doc_id")
+        return compile_query(idx, _DOC_COL, _n).doc_ids.transform(_ordered, "doc_id")
 
     _register(name, fn, O.match_sql(_DOC_TABLE, _DOC_COL, _DOC_AN, node,
                                     order="doc_id"))
@@ -2679,7 +2690,7 @@ def _fts_partial_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.postings.persist(); idx.universe.persist()
         _IDX_CACHE[key] = idx
     idx = _IDX_CACHE[key]
-    return compile_query(idx, _DOC_COL, q.AllOf(["spark", "data"])).doc_ids.orderBy("doc_id")
+    return compile_query(idx, _DOC_COL, q.AllOf(["spark", "data"])).doc_ids.transform(_ordered, "doc_id")
 
 
 _register("fts_partial_index", _fts_partial_index, """
@@ -2861,7 +2872,7 @@ def _sql_prepared_exec(spark: SparkSession, sf_dir: str) -> DataFrame:
            "GROUP BY c_mktsegment")
     a = ss.sql("EXECUTE seg_count(0, 'BUILDING')")
     b = ss.sql("EXECUTE seg_count(5000, 'MACHINERY')")
-    return a.unionByName(b).orderBy("c_mktsegment")
+    return a.unionByName(b).transform(_ordered, "c_mktsegment")
 
 
 _register("sql_prepared_exec", _sql_prepared_exec, """
@@ -3035,7 +3046,7 @@ def _fts_covered_include(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         idx.docstore.join(ids, "doc_id", "left_semi")
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
+        .transform(_ordered, "doc_id")
     )
 
 
@@ -3052,7 +3063,7 @@ _register_covered()
 # create_tsdictionary.cpp:261): Term('join') must hit docs saying 'joins'
 def _fts_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="text")
-    return compile_query(idx, _DOC_COL, q.Term("join")).doc_ids.orderBy("doc_id")
+    return compile_query(idx, _DOC_COL, q.Term("join")).doc_ids.transform(_ordered, "doc_id")
 
 
 _register("fts_stemmed_term", _fts_stemmed,
@@ -3076,7 +3087,7 @@ def _register_locale_stemmed() -> None:
         def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx = doc_index(spark, sf_dir, analyzer=f"text_{lc}")
             return (compile_query(idx, _DOC_COL, q.Term(term))
-                    .doc_ids.orderBy("doc_id"))
+                    .doc_ids.transform(_ordered, "doc_id"))
 
         _register(
             f"fts_stemmed_term_{lc}", fn,
@@ -3098,7 +3109,7 @@ _register_locale_stemmed()
 # dictionary IS the corpus signature table — facet it
 def _fts_minhash_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="minhash4")
-    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+    return FC.ts_dict(idx, _DOC_COL).transform(_ordered, "term")
 
 
 def _register_minhash_dict() -> None:
@@ -3120,7 +3131,7 @@ _register_minhash_dict()
 # the index's term dictionary is the corpus label distribution
 def _fts_classification_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="classification")
-    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+    return FC.ts_dict(idx, _DOC_COL).transform(_ordered, "term")
 
 
 def _fts_nn_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3131,7 +3142,7 @@ def _fts_nn_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = doc_index(spark, sf_dir, analyzer="nearest_neighbors")
     nn_term = get_analyzer("nearest_neighbors").tokens("spark")[0]
-    return compile_query(idx, _DOC_COL, q.Term(nn_term)).doc_ids.orderBy("doc_id")
+    return compile_query(idx, _DOC_COL, q.Term(nn_term)).doc_ids.transform(_ordered, "doc_id")
 
 
 def _register_model_analyzer_entries() -> None:
@@ -3163,7 +3174,7 @@ _register_model_analyzer_entries()
 def _text_classifier_real_model(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="classification_model")
-    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+    return FC.ts_dict(idx, _DOC_COL).transform(_ordered, "term")
 
 
 def _text_classifier_real_model_oracle() -> str:
@@ -3182,7 +3193,7 @@ _register("text_classifier_real_model", _text_classifier_real_model,
 # synonym-expanded index: querying 'quick' must hit docs saying 'fast'
 def _fts_synonyms(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir, analyzer="synonyms_demo")
-    return compile_query(idx, _DOC_COL, q.Term("quick")).doc_ids.orderBy("doc_id")
+    return compile_query(idx, _DOC_COL, q.Term("quick")).doc_ids.transform(_ordered, "doc_id")
 
 
 _register("fts_synonyms", _fts_synonyms,
@@ -3215,7 +3226,7 @@ def _fts_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = an.expr(F.col("word"))[0]
     return (
         words.select("word", key.alias("ckey"))
-        .orderBy("ckey")
+        .transform(_ordered, "ckey")
         .select("word")
     )
 
@@ -3246,7 +3257,7 @@ def _fts_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serenedb_spark.operators.code_search import sparse_substring_search
 
     idx = doc_index(spark, sf_dir, analyzer="sparse_ngram3")
-    return sparse_substring_search(idx, "text", "ark ba").orderBy("doc_id")
+    return sparse_substring_search(idx, "text", "ark ba").transform(_ordered, "doc_id")
 
 
 def _register_substring() -> None:
@@ -3267,7 +3278,7 @@ def _fts_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     ids = compile_query(idx, _DOC_COL, q.Term("spark")).doc_ids
     matched = idx.docstore.join(ids, "doc_id", "left_semi").select("doc_id", "text")
-    return ts_offsets(matched, "text", "spark").orderBy("doc_id", "start")
+    return ts_offsets(matched, "text", "spark").transform(_ordered, "doc_id", "start")
 
 
 def _fts_offsets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3281,7 +3292,7 @@ def _fts_offsets_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = compile_query(idx, _DOC_COL, q.AnyOf(terms)).doc_ids
     matched = idx.docstore.join(ids, "doc_id", "left_semi").select(
         "doc_id", "text")
-    return ts_offsets_multi(matched, "text", terms).orderBy(
+    return ts_offsets_multi(matched, "text", terms).transform(_ordered, 
         "doc_id", "term", "start")
 
 
@@ -3291,7 +3302,7 @@ def _fts_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     ids = compile_query(idx, _DOC_COL, q.Term("window")).doc_ids
     matched = idx.docstore.join(ids, "doc_id", "left_semi").select("doc_id", "text")
-    return ts_highlight(matched, "text", "window").orderBy("doc_id")
+    return ts_highlight(matched, "text", "window").transform(_ordered, "doc_id")
 
 
 def _register_highlight_entries() -> None:
@@ -3379,7 +3390,7 @@ def _fts_sentence_seg_de(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ts_highlight(matched, "text", "window", boundary="sentence",
-                        locale="de").orderBy("doc_id", "snippet")
+                        locale="de").transform(_ordered, "doc_id", "snippet")
 
 
 def _fts_highlight_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3401,7 +3412,7 @@ def _fts_highlight_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ts_highlight(matched, "text", "window",
-                        boundary="sentence").orderBy("doc_id", "snippet")
+                        boundary="sentence").transform(_ordered, "doc_id", "snippet")
 
 
 _register_highlight_entries()
@@ -3418,9 +3429,7 @@ def _doc_index_multi(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         docs = load_tables(spark, sf_dir)["documents"]
         idx = build_index(docs, {"text": "simple", "source": "simple"},
                           key="doc_id", name="documents_multi")
-        tok = idx.__dict__.get("_tokenized")
-        for part in (*((tok,) if tok is not None else ()),
-                     idx.postings, idx.term_stats, idx.doc_stats,
+        for part in (idx.postings, idx.term_stats, idx.doc_stats,
                      idx.globals_, idx.docstore):
             part.persist()
         _MULTI_IDX_CACHE[ck] = idx
@@ -3618,7 +3627,7 @@ _register(
 # facets: term dictionary aggregates (ts_dict_*)
 def _fts_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
-    return FC.ts_dict(idx, _DOC_COL).orderBy("term")
+    return FC.ts_dict(idx, _DOC_COL).transform(_ordered, "term")
 
 
 _register(
@@ -3633,7 +3642,7 @@ _register(
 def _fts_facets_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     docs = compile_query(idx, _DOC_COL, q.Term("dup")).doc_ids
-    return FC.ts_dict_score(idx, docs, _DOC_COL).orderBy("term")
+    return FC.ts_dict_score(idx, docs, _DOC_COL).transform(_ordered, "term")
 
 
 _register("fts_dict_score", _fts_facets_score, """
@@ -3684,7 +3693,7 @@ FROM td
 def _fts_facets_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = doc_index(spark, sf_dir)
     docs = compile_query(idx, _DOC_COL, q.Term("dup")).doc_ids
-    return FC.ts_dict_filtered(idx, docs, _DOC_COL).orderBy("term")
+    return FC.ts_dict_filtered(idx, docs, _DOC_COL).transform(_ordered, "term")
 
 
 _register(
@@ -3708,7 +3717,8 @@ FROM p GROUP BY term ORDER BY term
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return DD.exact_dedup_keep(docs, "text", "doc_id").select("doc_id").orderBy("doc_id")
+    return _ordered(DD.exact_dedup_keep(docs, "text", "doc_id")
+                    .select("doc_id"), "doc_id")
 
 
 _register("dedup_exact_keep", _dedup_exact, """
@@ -3720,7 +3730,8 @@ ORDER BY doc_id
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return DD.minhash_lsh_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+    return _ordered(DD.minhash_lsh_pairs(docs, "text", "doc_id"),
+                    "id_a", "id_b")
 
 
 _register(
@@ -3736,7 +3747,7 @@ _register(
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = DD.minhash_lsh_pairs(docs, "text", "doc_id")
-    return DD.dup_clusters(pairs).orderBy("id")
+    return DD.dup_clusters(pairs).transform(_ordered, "id")
 
 
 _register(
@@ -3752,7 +3763,7 @@ def _dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.minhash_lsh_pairs(docs, "text", "doc_id")
     clusters = DD.dup_clusters(pairs)
     return (DD.dedup_keep_canonical(docs, clusters, "doc_id")
-            .select("doc_id").orderBy("doc_id"))
+            .select("doc_id").transform(_ordered, "doc_id"))
 
 
 _register(
@@ -3769,7 +3780,7 @@ ORDER BY doc_id
 
 def _dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).orderBy("id_a", "id_b")
+    return DD.jaccard_pairs(docs, "text", "doc_id", threshold=0.8).transform(_ordered, "id_a", "id_b")
 
 
 _register(
@@ -3795,7 +3806,7 @@ ORDER BY id_a, id_b
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return DD.simhash_dedup(docs, "text", "doc_id", bits=16).orderBy("doc_id")
+    return DD.simhash_dedup(docs, "text", "doc_id", bits=16).transform(_ordered, "doc_id")
 
 
 _register("dedup_simhash", _dedup_simhash, """
@@ -3820,7 +3831,7 @@ FROM h ORDER BY doc_id
 
 def _dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return DD.simhash_pairs(docs, "text", "doc_id").orderBy("id_a", "id_b")
+    return DD.simhash_pairs(docs, "text", "doc_id").transform(_ordered, "id_a", "id_b")
 
 
 _register(
@@ -3832,7 +3843,7 @@ _register(
 
 def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return TS.token_count(docs, "text", "simple", "doc_id").orderBy("doc_id")
+    return TS.token_count(docs, "text", "simple", "doc_id").transform(_ordered, "doc_id")
 
 
 _register("text_token_count", _text_tokens, """
@@ -3859,7 +3870,7 @@ _PII_SUFFIX_DUCK = (
 def _text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     seeded = docs.selectExpr("doc_id", f"{_PII_SUFFIX_SPARK} AS text")
-    return TS.redact_pii(seeded, "text", "doc_id").orderBy("doc_id")
+    return _ordered(TS.redact_pii(seeded, "text", "doc_id"), "doc_id")
 
 
 def _register_text_redact() -> None:
@@ -3874,8 +3885,8 @@ _register_text_redact()
 
 def _text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return TS.chunk_documents(docs, chunk_tokens=24, overlap=6) \
-        .orderBy("doc_id", "chunk_no")
+    return _ordered(TS.chunk_documents(docs, chunk_tokens=24, overlap=6),
+                    "doc_id", "chunk_no")
 
 
 _register("text_chunk", _text_chunk,
@@ -3885,7 +3896,7 @@ _register("text_chunk", _text_chunk,
 
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return TS.quality_score(docs, "text", "doc_id").orderBy("doc_id")
+    return _ordered(TS.quality_score(docs, "text", "doc_id"), "doc_id")
 
 
 _register("text_quality", _text_quality,
@@ -3894,7 +3905,7 @@ _register("text_quality", _text_quality,
 
 def _text_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return TS.gopher_rules(docs, "text", "doc_id").orderBy("doc_id")
+    return _ordered(TS.gopher_rules(docs, "text", "doc_id"), "doc_id")
 
 
 _register("text_gopher_rules", _text_gopher,
@@ -3904,7 +3915,7 @@ _register("text_gopher_rules", _text_gopher,
 
 def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return TS.lang_id(docs, "text", "doc_id").orderBy("doc_id")
+    return _ordered(TS.lang_id(docs, "text", "doc_id"), "doc_id")
 
 
 _register("text_lang_id", _text_langid,
@@ -3913,7 +3924,7 @@ _register("text_lang_id", _text_langid,
 
 def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
-    return TS.fingerprint(docs, "text", "doc_id").orderBy("doc_id")
+    return TS.fingerprint(docs, "text", "doc_id").transform(_ordered, "doc_id")
 
 
 _register("text_fingerprint", _text_fingerprint,
@@ -3926,7 +3937,7 @@ def _pipeline_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     cfg = CleanConfig(languages=("en", "de"))
-    return clean_corpus(docs, cfg).select("doc_id").orderBy("doc_id")
+    return clean_corpus(docs, cfg).select("doc_id").transform(_ordered, "doc_id")
 
 
 def _register_pipeline() -> None:
@@ -3964,7 +3975,7 @@ def _mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serenedb_spark.operators.multimodal import decode_media, docs_as_media
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return decode_media(docs_as_media(docs)).orderBy("doc_id")
+    return _ordered(decode_media(docs_as_media(docs)), "doc_id")
 
 
 _register("mm_decode_meta", _mm_decode, f"""
@@ -3991,7 +4002,7 @@ def _mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serenedb_spark.operators.multimodal import docs_as_media, frame_sample
 
     docs = load_tables(spark, sf_dir)["documents"]
-    return frame_sample(docs_as_media(docs)).orderBy("doc_id", "frame_no")
+    return frame_sample(docs_as_media(docs)).transform(_ordered, "doc_id", "frame_no")
 
 
 _register("mm_frame_sample", _mm_frames, f"""
@@ -4013,7 +4024,7 @@ def _mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(docs_as_media(docs.where(F.col("doc_id") < 100)))
     return feats.select(
         "doc_id", F.posexplode("features").alias("i", "v")
-    ).select("doc_id", "i", F.round(F.col("v").cast("double"), 4).alias("v")).orderBy("doc_id", "i")
+    ).select("doc_id", "i", F.round(F.col("v").cast("double"), 4).alias("v")).transform(_ordered, "doc_id", "i")
 
 
 _register("mm_features", _mm_features, f"""
@@ -4119,7 +4130,7 @@ def _vec_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     return SIM.radius_search(
         emb, "embedding", QUERY_VEC, radius=0.95, metric="cosine"
-    ).orderBy("vec_id")
+    ).transform(_ordered, "vec_id")
 
 
 _register("vec_radius_cosine", _vec_radius, f"""
@@ -4156,7 +4167,7 @@ def _vec_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(V.l2_norm(e), 6).alias("norm"),
             F.round(V.cosine_similarity(e, qv), 6).alias("cos_sim"),
         )
-        .orderBy("vec_id")
+        .transform(_ordered, "vec_id")
     )
 
 
@@ -4657,7 +4668,7 @@ def _vec_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     return DD.embedding_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.4
-    ).orderBy("id_a", "id_b")
+    ).transform(_ordered, "id_a", "id_b")
 
 
 _register(
@@ -4684,11 +4695,16 @@ def _vec_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_tables(spark, sf_dir)["embeddings"]
         base, banded = DD.embedding_lsh_layout(emb, "embedding", "vec_id")
         banded.count()  # materialize the persisted layout
-        _EMB_LSH_CACHE[ck] = (base, banded)
-    base, banded = _EMB_LSH_CACHE[ck]
+        # counted layout statistic → broadcast decision in the pair query
+        _EMB_LSH_CACHE[ck] = (base, banded, base.count())
+    base, banded, n_base = _EMB_LSH_CACHE[ck]
+    # single-partition sort, not orderBy: the result is driver-collect
+    # sized, and a range exchange would re-execute the (broadcast-join)
+    # child once more just to sample split points — profiled 1.74 s →
+    # 1.14 s at sf0.1 with identical output order
     return DD.embedding_lsh_pairs_from(
-        base, banded, threshold=0.4
-    ).orderBy("id_a", "id_b")
+        base, banded, threshold=0.4, base_rows=n_base
+    ).repartition(1).sortWithinPartitions("id_a", "id_b")
 
 
 _register(
@@ -4777,7 +4793,7 @@ def _geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
     lat, lon, r = _GEO_Q
-    return G.radius_search(pts, lat, lon, r).orderBy("point_id")
+    return G.radius_search(pts, lat, lon, r).transform(_ordered, "point_id")
 
 
 def _geo_oracle() -> str:
@@ -4813,7 +4829,7 @@ def _geo_radius_am(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
     lat, lon, r = _GEO_Q_AM
-    return G.radius_search(pts, lat, lon, r).orderBy("point_id")
+    return G.radius_search(pts, lat, lon, r).transform(_ordered, "point_id")
 
 
 def _geo_oracle_am() -> str:
@@ -4866,7 +4882,7 @@ def _geo_indexed_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         G.indexed_radius_search(idx, "geo", lat, lon, r, id_col="doc_id")
         .select(F.col("doc_id").alias("point_id"), "dist_m")
-        .orderBy("point_id")
+        .transform(_ordered, "point_id")
     )
 
 
@@ -4887,7 +4903,7 @@ def _geo_wkt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "point_id", "wkt",
         F.round(G.wkt_point_x(F.col("wkt")), 6).alias("x"),
         F.round(G.wkt_point_y(F.col("wkt")), 6).alias("y"),
-    ).orderBy("point_id")
+    ).transform(_ordered, "point_id")
 
 
 def _geo_wkt_oracle() -> str:
@@ -4913,7 +4929,7 @@ def _geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
-    return G.bbox_contains(pts, 10.0, 30.0, -50.0, 0.0).orderBy("point_id")
+    return G.bbox_contains(pts, 10.0, 30.0, -50.0, 0.0).transform(_ordered, "point_id")
 
 
 def _geo_bbox_oracle() -> str:
@@ -4948,7 +4964,7 @@ def _geo_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat, lon, r = _GEO_Q
     return G.circle_intersects(
         pts, lat, lon, r, "radius_m", max_radius_m=260_000.0
-    ).orderBy("point_id")
+    ).transform(_ordered, "point_id")
 
 
 def _geo_intersects_oracle() -> str:
@@ -4988,7 +5004,7 @@ def _geo_polygon_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir)["events"]
     pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
-    return GM.polygon_contains_points(pts, _GEO_PENTAGON).orderBy("point_id")
+    return GM.polygon_contains_points(pts, _GEO_PENTAGON).transform(_ordered, "point_id")
 
 
 def _geo_polygon_contains_oracle() -> str:
@@ -5021,7 +5037,7 @@ def _geo_polygon_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = GM.synth_squares(orders.select("o_orderkey").distinct(),
                           "o_orderkey")
     return GM.polygon_intersects_squares(sq, _GEO_PENTAGON) \
-        .orderBy("geom_id")
+        .transform(_ordered, "geom_id")
 
 
 def _geo_polygon_intersects_oracle() -> str:
@@ -5051,7 +5067,7 @@ def _geo_linestring_intersects(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq = GM.synth_squares(orders.select("o_orderkey").distinct(),
                           "o_orderkey")
     return GM.linestring_intersects_squares(sq, _GEO_LINESTRING) \
-        .orderBy("geom_id")
+        .transform(_ordered, "geom_id")
 
 
 def _geo_linestring_intersects_oracle() -> str:
@@ -5109,7 +5125,7 @@ def _geo_indexed_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(GM.convex_polygon_intersects_rect_col(
             _GEO_PENTAGON, F.col("cx"), F.col("cy"), F.col("half")))
         .select("doc_id", "cx", "cy", "half")
-        .orderBy("doc_id")
+        .transform(_ordered, "doc_id")
     )
 
 
@@ -5160,7 +5176,7 @@ def _geo_concave_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"]
     sq = GM.synth_squares(orders.select("o_orderkey").distinct(),
                           "o_orderkey")
-    return GM.rings_intersect_squares(sq, [_GEO_STAR]).orderBy("geom_id")
+    return GM.rings_intersect_squares(sq, [_GEO_STAR]).transform(_ordered, "geom_id")
 
 
 def _geo_concave_polygon_oracle() -> str:
@@ -5190,7 +5206,7 @@ def _geo_multiring_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     pts = G.synth_points(ev.select("event_id").distinct(), "event_id")
     return GM.rings_contain_points(pts, _GEO_DONUT, cell_deg=2.0) \
-        .orderBy("point_id")
+        .transform(_ordered, "point_id")
 
 
 def _geo_multiring_polygon_oracle() -> str:
@@ -5225,7 +5241,7 @@ def _geo_polygon_vs_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_tables(spark, sf_dir)["customer"]
     polys = GM.synth_polygons_wkt(cust.select("c_custkey").distinct(),
                                   "c_custkey")
-    return GM.rings_intersect_polygons(polys, _GEO_DONUT).orderBy("geom_id")
+    return GM.rings_intersect_polygons(polys, _GEO_DONUT).transform(_ordered, "geom_id")
 
 
 def _geo_polygon_vs_polygon_oracle() -> str:
@@ -5286,7 +5302,7 @@ def _es_date_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("key").cast("date").alias("day"), "doc_count", "users",
         F.round("vmax", 4).alias("vmax"),
-    ).orderBy("day")
+    ).transform(_ordered, "day")
 
 
 _register("es_date_histogram", _es_date_hist, """
@@ -5474,7 +5490,7 @@ def _cb_percolate(spark: SparkSession, sf_dir: str) -> DataFrame:
          (3, ["quantum", "flux"]), (4, ["dup"]), (5, ["window", "group"])],
         "query_id int, terms array<string>")
     return (CB.percolate(doc_index(spark, sf_dir), alerts)
-            .orderBy("doc_id", "query_id"))
+            .transform(_ordered, "doc_id", "query_id"))
 
 
 _register("cookbook_percolate", _cb_percolate, f"""
@@ -5573,7 +5589,7 @@ def _cb_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .alias("score")))
     return (CB.collapse_top_n(scored, "lang", n=2)
             .select("lang", "doc_id", "score", "rn")
-            .orderBy("lang", "rn"))
+            .transform(_ordered, "lang", "rn"))
 
 
 _register("cookbook_collapse_by_lang", _cb_collapse, f"""
@@ -5695,7 +5711,7 @@ def _cb_indexing_views(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         idx.docstore.join(hits, "doc_id", "left_semi")
         .select("doc_id", "source")
-        .orderBy("doc_id")
+        .transform(_ordered, "doc_id")
     )
 
 
@@ -5737,7 +5753,7 @@ def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.unix_micros(F.col("ts_r").cast("timestamp_ltz"))
                 / F.lit(1000000)).cast("long").alias("matched_t"),
         F.col("score_r").alias("score"),
-    ).orderBy("event_id")
+    ).transform(_ordered, "event_id")
 
 
 _register("events_asof_join", _events_asof, """
@@ -5863,7 +5879,7 @@ def _orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"),
              F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
               .cast("double").alias("total"))
-        .orderBy("promo_id")
+        .transform(_ordered, "promo_id")
     )
 
 
@@ -5925,7 +5941,7 @@ def _fts_expr_concat_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # computed-values.test example_005: (first || ' ' || last) @@ 'Jane Doe'
     idx = _expr_index(spark, sf_dir)
     return (compile_query(idx, "who", q.Phrase(["en", "src3"]))
-            .doc_ids.orderBy("doc_id"))
+            .doc_ids.transform(_ordered, "doc_id"))
 
 
 _register("fts_expr_concat_phrase", _fts_expr_concat_phrase, """
@@ -5949,7 +5965,7 @@ def _fts_expr_computed_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id",
                 F.floor(F.col("n_chars") * 110 / 100).cast("long")
                  .alias("chars_tax"))
-        .orderBy("doc_id")
+        .transform(_ordered, "doc_id")
     )
 
 
@@ -5967,7 +5983,7 @@ def _fts_json_field_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _expr_index(spark, sf_dir)
     a = compile_query(idx, "jlang", q.Term("fr")).doc_ids
     b = compile_query(idx, "jsrc", q.Term("src5")).doc_ids
-    return a.join(b, "doc_id", "left_semi").orderBy("doc_id")
+    return a.join(b, "doc_id", "left_semi").transform(_ordered, "doc_id")
 
 
 _register("fts_json_field_search", _fts_json_field_search, """
@@ -5999,7 +6015,7 @@ def _fts_array_column(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ARRAY_IDX_CACHE[ck]
     hits = compile_query(idx, "tags",
                          q.Phrase(["table", "scan"])).doc_ids
-    return hits.orderBy("doc_id")
+    return hits.transform(_ordered, "doc_id")
 
 
 _register("fts_array_column", _fts_array_column,
@@ -6032,7 +6048,7 @@ def _query_table_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ss.query_table(tname)
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("o_orderstatus")
+        .transform(_ordered, "o_orderstatus")
     )
 
 
@@ -6053,7 +6069,7 @@ def _query_table_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    return u.orderBy("tname")
+    return u.transform(_ordered, "tname")
 
 
 _register("query_table_union", _query_table_union, """
@@ -6097,7 +6113,7 @@ def _text_chunk_short_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"].select(
         "doc_id", F.substring("text", 1, 30).alias("text"))
     return TS.chunk_documents(docs, chunk_tokens=24, overlap=6) \
-        .orderBy("doc_id", "chunk_no")
+        .transform(_ordered, "doc_id", "chunk_no")
 
 
 _register(
