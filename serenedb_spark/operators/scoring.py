@@ -116,21 +116,81 @@ def _dfi_contrib() -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def _scored_base_local(idx: InvertedIndex, field: str,
+                       qt: list) -> DataFrame | None:
+    """_scored_base with the per-term stats (df/ctf) and field globals
+    inlined as LITERAL CASE expressions from the _bound_stats cache —
+    for queries whose (term, boost) list is known driver-side. Drops
+    three broadcast builds per scoring run (the local score_terms
+    relation, the term_stats slice, the globals cross join); only the
+    doc_stats dl join remains, and even that disappears for norm-less
+    fields. Returns None when the globals row is unavailable (empty
+    index) — caller falls back to the relational base."""
+    terms = [t for t, _ in qt]
+    g, known = _bound_stats(idx, field, terms)
+    if g is None:
+        return None
+    live = [(t, b, known[t]) for t, b in qt if known.get(t) is not None]
+
+    def case_of(pairs, default=0.0):
+        c = None
+        for t, v in pairs:
+            c = (F.when(F.col("term") == t, F.lit(v)) if c is None
+                 else c.when(F.col("term") == t, F.lit(v)))
+        return c.otherwise(F.lit(default)) if c is not None \
+            else F.lit(default)
+
+    P = _postings_for_terms_sc(idx, field, [t for t, _, _ in live] or terms)
+    out = P.select(
+        "doc_id", "term", "freq",
+        case_of([(t, float(b)) for t, b, _ in live], 1.0).alias("boost"),
+        case_of([(t, float(d["df"])) for t, _, d in live]).alias("df"),
+        case_of([(t, float(d["ctf"])) for t, _, d in live]).alias("ctf"),
+        F.lit(float(g["n_docs"])).alias("n_docs"),
+        F.lit(float(g["avgdl"])).alias("avgdl"),
+        F.lit(float(g["total_dl"])).alias("total_dl"),
+    )
+    try:
+        features = idx.analyzer(field).features
+    except Exception:
+        features = ("norm",)
+    if "norm" not in features:
+        return out.withColumn("dl", F.lit(float(g["avgdl"])))
+    ds = idx.doc_stats.where(F.col("field") == field).select("doc_id", "dl")
+    return out.join(ds, "doc_id")
+
+
+def _postings_for_terms_sc(idx: InvertedIndex, field: str, terms: list[str]):
+    from serenedb_spark.plans.planner import _postings_for_terms
+
+    return _postings_for_terms(idx, field, terms)
+
+
 def score(
     idx: InvertedIndex,
     field: str,
     score_terms: DataFrame,
     scorer: str = "bm25",
     doc_filter: DataFrame | None = None,
+    terms_local: list | None = None,
     **params,
 ) -> DataFrame:
     """Return (doc_id, score) for every doc containing ≥1 query term.
     With doc_filter (a doc_id relation), scoring is restricted to those
-    docs — the max-score candidate path."""
-    base = _scored_base(idx, field, score_terms)
+    docs — the max-score candidate path. ``terms_local`` carries the
+    literal (term, boost) pairs when known driver-side, switching to the
+    literal-stats base (fewer broadcast jobs)."""
+    base = (_scored_base_local(idx, field, terms_local)
+            if terms_local else None)
+    if base is None:
+        base = _scored_base(idx, field, score_terms)
+        contrib, agg_of = _contrib_expr(scorer, score_terms, params)
+    else:
+        n_q = float(len(terms_local)) if scorer == "lm_dirichlet" else 0.0
+        contrib = _contrib_expr_n(scorer, F.lit(n_q), params)
+        agg_of = F.max if scorer == "raw_dl" else F.sum
     if doc_filter is not None:
         base = base.join(doc_filter.select("doc_id"), "doc_id", "left_semi")
-    contrib, agg_of = _contrib_expr(scorer, score_terms, params)
     agg = agg_of(contrib)
     return base.groupBy("doc_id").agg(agg.alias("score"))
 
@@ -169,30 +229,70 @@ def scored_contributions_multi(
     count, carried as a column of the literal relation."""
     from collections import Counter
 
-    spark = idx.postings.sparkSession
     n_by_field = Counter(f for f, _, _ in field_terms)
-    rows = [(f, t, float(b), float(n_by_field[f])) for f, t, b in field_terms]
-    pairs = spark.createDataFrame(
-        rows, "field string, term string, boost double, n_terms double")
     fields = sorted(n_by_field)
     terms = sorted({t for _, t, _ in field_terms})
+    # literal per-(field, term) stats from the _bound_stats cache: the
+    # query relation, term_stats slice and globals were three broadcast
+    # builds per run; the (field, term) list is known driver-side, so
+    # they inline as CASE literals. A field with no globals row (no
+    # postings) contributed nothing through the inner join — skipping it
+    # here is identical.
+    stats: dict = {}
+    gl: dict = {}
+    for f in fields:
+        g, known = _bound_stats(idx, f, [t for ff, t, _ in field_terms
+                                         if ff == f])
+        if g is None:
+            continue
+        gl[f] = g
+        for ff, t, b in field_terms:
+            if ff == f and known.get(t) is not None:
+                stats[(f, t)] = (float(b), known[t])
     # the isin filters are pushable predicates (term-bucket pruning on a
-    # persisted index); the broadcast join then resolves per-pair boost
+    # persisted index)
     P = idx.postings.where(
         F.col("field").isin(fields) & F.col("term").isin(terms))
-    matched = P.join(F.broadcast(pairs), ["field", "term"])
-    ts = idx.term_stats.where(
-        F.col("field").isin(fields) & F.col("term").isin(terms)
-    ).select("field", "term", "df", "ctf")
+
+    def pair_case(val_of):
+        c = None
+        for (f, t), (b, d) in stats.items():
+            cond = (F.col("field") == f) & (F.col("term") == t)
+            c = (F.when(cond, F.lit(val_of(f, t, b, d))) if c is None
+                 else c.when(cond, F.lit(val_of(f, t, b, d))))
+        return c.otherwise(F.lit(0.0)) if c is not None else F.lit(0.0)
+
+    def field_case(val_of):
+        c = None
+        for f, g in gl.items():
+            c = (F.when(F.col("field") == f, F.lit(val_of(f, g)))
+                 if c is None
+                 else c.when(F.col("field") == f, F.lit(val_of(f, g))))
+        return c.otherwise(F.lit(0.0)) if c is not None else F.lit(0.0)
+
+    # rows for (field, term) pairs absent from the query relation must
+    # not score: the broadcast join dropped them; filter keeps parity
+    live = list(stats)
+    if not live:
+        return P.select(
+            "doc_id", "field", F.lit(0.0).alias("contrib")).where(F.lit(False))
+    keep = None
+    for f, t in live:
+        cond = (F.col("field") == f) & (F.col("term") == t)
+        keep = cond if keep is None else (keep | cond)
+    base = P.where(keep).select(
+        "doc_id", "field", "freq",
+        pair_case(lambda f, t, b, d: b).alias("boost"),
+        pair_case(lambda f, t, b, d: float(d["df"])).alias("df"),
+        pair_case(lambda f, t, b, d: float(d["ctf"])).alias("ctf"),
+        field_case(lambda f, g: float(g["n_docs"])).alias("n_docs"),
+        field_case(lambda f, g: float(g["avgdl"])).alias("avgdl"),
+        field_case(lambda f, g: float(g["total_dl"])).alias("total_dl"),
+        field_case(lambda f, g: float(n_by_field[f])).alias("n_terms"),
+    )
     ds = idx.doc_stats.where(F.col("field").isin(fields)).select(
         "field", "doc_id", "dl")
-    g = idx.globals_.where(F.col("field").isin(fields)).select(
-        "field", "n_docs", "avgdl", "total_dl")
-    base = (
-        matched.join(F.broadcast(ts), ["field", "term"])
-        .join(ds, ["field", "doc_id"])
-        .join(F.broadcast(g), "field")
-    )
+    base = base.join(ds, ["field", "doc_id"])
     contrib = _contrib_expr_n(scorer, F.col("n_terms"), params)
     return base.select("doc_id", "field", contrib.alias("contrib"))
 
@@ -352,7 +452,7 @@ def scored_topk(
     else:
         qt = [(r["term"], r["boost"]) for r in score_terms.collect()]
     full = lambda: (  # noqa: E731 — the unpruned plan, used by fallbacks
-        score(idx, field, score_terms, scorer, **params)
+        score(idx, field, score_terms, scorer, terms_local=qt, **params)
         .select("doc_id", F.round(F.col("score"), round_to).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id").limit(k)
     )
@@ -393,7 +493,8 @@ def scored_topk(
     t_star = max(ubs, key=ubs.get)
     single = score_terms.where(F.col("term") == t_star)
     top_a = (
-        score(idx, field, single, scorer, **params)
+        score(idx, field, single, scorer,
+              terms_local=[(t_star, boosts[t_star])], **params)
         .orderBy(F.col("score").desc(), "doc_id").limit(k).collect()
     )
     if len(top_a) < k:
@@ -422,7 +523,8 @@ def scored_topk(
         .select("doc_id").distinct()
     )
     return (
-        score(idx, field, score_terms, scorer, doc_filter=cand, **params)
+        score(idx, field, score_terms, scorer, doc_filter=cand,
+              terms_local=qt, **params)
         .select("doc_id", F.round(F.col("score"), round_to).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id").limit(k)
     )

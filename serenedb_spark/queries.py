@@ -2170,7 +2170,8 @@ def _fts_scored(name: str, node: q.TSQuery, scorer: str = "bm25",
             # term are scored once the k-th-best floor is known
             return scored_topk(idx, _DOC_COL, compiled.score_terms, _k, _s,
                                terms_local=compiled.terms_local)
-        s = _score(idx, _DOC_COL, compiled.score_terms, _s)
+        s = _score(idx, _DOC_COL, compiled.score_terms, _s,
+                   terms_local=compiled.terms_local)
         matched = compiled.doc_ids.join(s, "doc_id", "left")
         out = (
             matched
