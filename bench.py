@@ -345,6 +345,15 @@ def main() -> None:
     sidx.postings.count()
     timings["index_build_sparse"] = round(time.perf_counter() - t0, 3)
 
+    # NEW in r14 (additions-only): the embedding LSH signature layout —
+    # previously built inside embedding_dup_pairs_lsh's untimed warm-up
+    # run, now surfaced as its own CREATE-INDEX-style entry so the
+    # "index half" of the pair query is visible in the bench (r13
+    # verdict item 7). Not part of the headline total, like index_build.
+    t0 = time.perf_counter()
+    Q.lsh_layout(spark, SF_DIR)
+    timings["lsh_build"] = round(time.perf_counter() - t0, 3)
+
     # settle after the garbage-heavy index builds so the first headline
     # query doesn't absorb their GC pause
     tabs["lineitem"].groupBy("l_linestatus").count().collect()

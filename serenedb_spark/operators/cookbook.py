@@ -198,9 +198,21 @@ def percolate(
             F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
         )
     )
+    P = idx.postings.where(F.col("field") == field)
+    if alerts.isLocal():
+        # the stored queries are a driver-local relation (the saved-search
+        # catalog): their term vocabulary is known before the scan, so it
+        # becomes a pushable isin predicate — the postings read prunes to
+        # the claimed term buckets / cached batches instead of scanning
+        # the whole corpus dictionary (guide §6: make the predicate reach
+        # the scan). The broadcast join already dropped every other term;
+        # this only moves that drop below the scan.
+        vocab = sorted({t for r in alerts.select(terms_col).collect()
+                        for t in (r[0] or [])})
+        if vocab:
+            P = P.where(F.col("term").isin(vocab))
     hits = (
-        idx.postings.where(F.col("field") == field)
-        .select("doc_id", "term")
+        P.select("doc_id", "term")
         .join(F.broadcast(q), "term")
         .groupBy("doc_id", "query_id", "n_req")
         # postings are unique per (term, doc_id) and the alert side is

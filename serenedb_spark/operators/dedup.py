@@ -112,19 +112,33 @@ def minhash_lsh_pairs(
 
     shingle → minhash → band → self-join per band bucket. The self-join is
     per-band-key, so the shuffle is on band keys (uniform md5 → no skew) and
-    pairs explode only inside buckets."""
+    pairs explode only inside buckets.
+
+    The shingle+minhash Column tree (num_hashes transform/array_min
+    subtrees) is memoized per parameter set — building it cost ~0.5 s of
+    py4j round-trips per call (guide §1.3); expressions only, the plan is
+    still built and executed fresh per call (expr_memo docs)."""
     rows = num_hashes // bands
-    an = get_analyzer(shingle)
-    toks = F.array_distinct(an.expr(F.col(text_col)))
+
+    def _build():
+        an = get_analyzer(shingle)
+        toks = F.array_distinct(an.expr(F.col(text_col)))
+        sig = minhash_signature(F.col("toks"), num_hashes)
+        return (
+            toks,
+            F.posexplode(minhash_bands(sig, bands, rows))
+            .alias("band_no", "band"),
+        )
+
+    from serenedb_spark.functions.expr_memo import memo_exprs
+
+    toks, band_col = memo_exprs(
+        ("minhash_lsh_pairs", text_col, shingle, num_hashes, bands), _build)
     base = df.select(F.col(id_col).alias("id"), toks.alias("toks")).where(
         F.size("toks") > 0
     )
-    sig = minhash_signature(F.col("toks"), num_hashes)
     # band index is folded into the key so different bands never collide
-    banded = base.select(
-        "id",
-        F.posexplode(minhash_bands(sig, bands, rows)).alias("band_no", "band"),
-    ).select(
+    banded = base.select("id", band_col).select(
         "id", F.concat_ws("#", F.col("band_no"), F.col("band")).alias("band")
     )
     # persist: banded feeds BOTH sides of the self-join — without it the
@@ -404,31 +418,40 @@ def embedding_lsh_layout(
     return base, banded
 
 
-#: row-count ceiling under which the LSH layout sides get explicit
+#: per-side row ceilings under which the LSH layout sides get explicit
 #: broadcast hints (guide §3.1: size estimates for in-memory relations
 #: with array columns are wildly pessimistic, so the static planner
 #: picks sort-merge and AQE discovers the broadcast one materialized
 #: stage at a time; a known-small side should be hinted up front).
-#: 200k rows ≈ low hundreds of MB for 64-dim float vectors.
-LSH_BROADCAST_MAX_ROWS = 200_000
+#: Each gate is sized so the hinted broadcast stays in the tens of MB:
+#: the BANDED relation actually broadcast in the self-join is bands×
+#: the base row count but its rows are narrow (id + short band key,
+#: ~100 B framed); the vector-attach sides carry the full float
+#: vectors (~600 B/row framed at 64 dims), so their ceiling is lower.
+LSH_BROADCAST_MAX_BANDED_ROWS = 400_000
+LSH_BROADCAST_MAX_VECTOR_ROWS = 50_000
 
 
 def embedding_lsh_pairs_from(
     base: DataFrame, banded: DataFrame, threshold: float = 0.9,
-    base_rows: int | None = None,
+    base_rows: int | None = None, bands: int = 8,
 ) -> DataFrame:
     """Pair query over a prebuilt sign-LSH layout: within-bucket candidate
     join + exact cosine filter. ``base_rows`` is the layout's counted
     row statistic (known after the CREATE INDEX half materializes);
-    when small, the self-join's build side and the two vector-attach
-    sides are hinted broadcast so the whole pair query plans
-    exchange-free instead of per-stage AQE conversions."""
+    each broadcast side is gated on ITS OWN estimated row count — the
+    banded self-join side is bands × base_rows (narrow rows), the two
+    vector-attach sides are base_rows of full vectors — so no hint can
+    pin a multi-hundred-MB relation into executor memory."""
     from serenedb_spark.functions import vector as V
 
-    bcast = base_rows is not None and base_rows <= LSH_BROADCAST_MAX_ROWS
+    bcast_banded = (base_rows is not None
+                    and base_rows * bands <= LSH_BROADCAST_MAX_BANDED_ROWS)
+    bcast_vec = (base_rows is not None
+                 and base_rows <= LSH_BROADCAST_MAX_VECTOR_ROWS)
     a, b_ = banded.alias("a"), banded.alias("b")
     cand = (
-        a.join(F.broadcast(b_) if bcast else b_,
+        a.join(F.broadcast(b_) if bcast_banded else b_,
                (F.col("a.band") == F.col("b.band"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -438,7 +461,7 @@ def embedding_lsh_pairs_from(
                      F.col("nrm").alias("na"))
     vb = base.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
                      F.col("nrm").alias("nb"))
-    if bcast:
+    if bcast_vec:
         va, vb = F.broadcast(va), F.broadcast(vb)
     sim = V.inner_product(F.col("va"), F.col("vb")) / (
         F.col("na") * F.col("nb"))

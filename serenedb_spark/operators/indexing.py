@@ -107,8 +107,35 @@ def build_index(
     include = include if include is not None else [c for c in df.columns if c != key]
     exprs = exprs or {}
 
+    def _run_starts(s):
+        # 0-based offsets where a new term's run begins
+        return F.filter(
+            F.sequence(F.lit(0), F.size(s) - 1),
+            lambda i: (i == 0)
+            | (F.get(s, i).getField("term")
+               != F.get(s, i - 1).getField("term")),
+        )
+
+    def _entries(s, starts):
+        # one struct per distinct term: (term, positions within this doc)
+        n = F.size(s)
+        return F.transform(
+            starts,
+            lambda st, j: F.struct(
+                F.get(s, st).getField("term").alias("term"),
+                F.transform(
+                    F.slice(s, st + 1,
+                            F.coalesce(F.get(starts, j + 1), n) - st),
+                    lambda x: x.getField("pos"),
+                ).alias("positions"),
+            ),
+        )
+
+    from serenedb_spark.analysis.analyzers import _bind
+
     dtypes = dict(df.dtypes)
-    per_field = []
+    postings_parts = []
+    doc_stats_parts = []
     an_cache: dict[str, Analyzer] = {}
     for col, analyzer_name in fields.items():
         an = an_cache[col] = get_analyzer(analyzer_name)
@@ -137,74 +164,70 @@ def build_index(
                                                     i.alias("pos"))),
             lambda s: s.getField("term").isNotNull(),
         )
-        tokenized = df.select(
-            F.col(key).alias("doc_id"),
-            F.lit(col).alias("field"),
-            zipped.alias("z"),
-        ).where(F.size("z") > 0)
-        per_field.append(tokenized)
 
-    tokenized = per_field[0]
-    for t in per_field[1:]:
-        tokenized = tokenized.unionByName(t)
-
-    # Per-document postings WITHOUT a corpus-wide shuffle (optimization
-    # guide §2.4): every (term, doc) group lives inside one row's token
-    # array, so grouping is an O(L log L) array_sort + run-length split
-    # per document — whole-stage codegen, no Exchange, no
-    # ObjectHashAggregate/collect_list. The old shape shuffled every
-    # token occurrence through groupBy(field, term, doc_id); at 100 TB
-    # that exchange carries the entire tokenized corpus.
-    srt = F.array_sort(F.col("z"))  # (term asc, pos asc); pairs unique
-
-    def _run_starts(s):
-        # 0-based offsets where a new term's run begins
-        return F.filter(
-            F.sequence(F.lit(0), F.size(s) - 1),
-            lambda i: (i == 0)
-            | (F.get(s, i).getField("term")
-               != F.get(s, i - 1).getField("term")),
+        # Per-document postings WITHOUT a corpus-wide shuffle (optimization
+        # guide §2.4): every (term, doc) group lives inside one row's token
+        # array, so grouping is an O(L log L) array_sort + run-length split
+        # per document — no Exchange, no ObjectHashAggregate/collect_list.
+        # The old shape shuffled every token occurrence through
+        # groupBy(field, term, doc_id); at 100 TB that exchange carries the
+        # entire tokenized corpus.
+        #
+        # The whole expression is exploded DIRECTLY inside the Generate
+        # (guide §1.2/§7.2 "duplicated subtrees"): materializing it as a
+        # projected column first invites PushDownPredicate +
+        # InferFiltersFromGenerate to inline the full tokenize+sort tree
+        # into filter conjuncts — measured 4 evaluations per row instead
+        # of 1, and the pushed filter lands BELOW the parallelizing
+        # exchange on a single-partition scan (20.2 s vs 0.8 s for the
+        # sparse_ngram3 build at sf0.1). Rows whose token array is empty
+        # or null simply generate no postings — no explicit size() > 0
+        # filter needed.
+        # size guard INSIDE the bound expression: an EMPTY sorted array
+        # would otherwise hit sequence(0, -1) == [0, -1] (the descending-
+        # sequence trap) in _run_starts and fabricate one term=NULL
+        # posting — the analyzer can emit [] for a non-null doc (e.g.
+        # classification models with out-of-vocabulary text). NULL/empty
+        # yields NULL here, which the Generate skips.
+        e = _bind(F.array_sort(zipped),
+                  lambda s: F.when(
+                      F.size(s) > 0,
+                      _bind(_run_starts(s),
+                            lambda starts: _entries(s, starts))))
+        postings_parts.append(
+            df.select(
+                F.lit(col).alias("field"),
+                F.col(key).alias("doc_id"),
+                F.explode(e).alias("e"),
+            ).select(
+                "field",
+                F.col("e.term").alias("term"),
+                "doc_id",
+                F.size("e.positions").cast("int").alias("freq"),
+                F.col("e.positions").alias("positions"),
+            )
+        )
+        # dl = Σ freq = # of non-null tokens — computable per document
+        # from the token array directly (no aggregation over postings, no
+        # shuffle). Same single-evaluation discipline: explode of a 0/1
+        # element array evaluates the tokenize expression ONCE and drops
+        # token-less docs (size null/0) in the same Generate, where a
+        # select + where would inline it twice.
+        doc_stats_parts.append(
+            df.select(
+                F.lit(col).alias("field"),
+                F.col(key).alias("doc_id"),
+                F.explode(F.filter(F.array(F.size(zipped)),
+                                   lambda n: n > 0)).alias("dl"),
+            )
         )
 
-    def _entries(s, starts):
-        # one struct per distinct term: (term, positions within this doc)
-        n = F.size(s)
-        return F.transform(
-            starts,
-            lambda st, j: F.struct(
-                F.get(s, st).getField("term").alias("term"),
-                F.transform(
-                    F.slice(s, st + 1,
-                            F.coalesce(F.get(starts, j + 1), n) - st),
-                    lambda x: x.getField("pos"),
-                ).alias("positions"),
-            ),
-        )
-
-    from serenedb_spark.analysis.analyzers import _bind
-
-    grouped = tokenized.select(
-        "doc_id", "field",
-        _bind(srt, lambda s: _bind(_run_starts(s),
-                                   lambda starts: _entries(s, starts)))
-        .alias("e"),
-    )
-    postings = (
-        grouped.select("doc_id", "field", F.explode("e").alias("e"))
-        .select(
-            "field",
-            F.col("e.term").alias("term"),
-            "doc_id",
-            F.size("e.positions").cast("int").alias("freq"),
-            F.col("e.positions").alias("positions"),
-        )
-    )
-
-    # dl = Σ freq = # of non-null tokens — computable per document from
-    # the tokenized relation directly (no aggregation over postings, no
-    # second shuffle)
-    doc_stats = tokenized.select(
-        "field", "doc_id", F.size("z").cast("int").alias("dl"))
+    postings = postings_parts[0]
+    for p in postings_parts[1:]:
+        postings = postings.unionByName(p)
+    doc_stats = doc_stats_parts[0]
+    for d in doc_stats_parts[1:]:
+        doc_stats = doc_stats.unionByName(d)
 
     term_stats = (
         postings.groupBy("field", "term")
@@ -262,11 +285,12 @@ def build_index(
     # from a pinned snapshot after DROP TEXT SEARCH DICTIONARY
     # (ts_offsets_isolation.test:50)
     idx.__dict__["_an_cache"] = an_cache
-    # NB: the tokenized intermediate is deliberately NOT exposed for
-    # persist(): reading array<struct> columns back from the in-memory
-    # columnar cache is pathologically slow (measured 185 s vs 23 s to
-    # recompute postings at the 100× corpus) — doc_stats re-tokenizes
-    # instead, which is one cheap split+size pass
+    # NB: no tokenized intermediate is shared between postings and
+    # doc_stats (each evaluates its tokenize expression once inside its
+    # own Generate): persisting one would mean reading array<struct>
+    # columns back from the in-memory columnar cache, which is
+    # pathologically slow (measured 185 s vs 23 s to recompute postings
+    # at the 100× corpus)
     return idx
 
 

@@ -232,6 +232,24 @@ def scored_contributions_multi(
     n_by_field = Counter(f for f, _, _ in field_terms)
     fields = sorted(n_by_field)
     terms = sorted({t for _, t, _ in field_terms})
+    if len(field_terms) > SCORED_TERMS_LIMIT:
+        # very wide multi_match: O(pairs × 7 stat columns) literal CASE
+        # branches would balloon analysis/codegen (the planner's
+        # _FLAG_MAX_TERMS guard, applied here) — fall back to the
+        # relational per-field base unioned, which scales in data not in
+        # plan size
+        parts = []
+        spark = idx.postings.sparkSession
+        for f in fields:
+            ft = [(t, b) for ff, t, b in field_terms if ff == f]
+            st = spark.createDataFrame(ft, "term string, boost double")
+            contrib = scored_contributions(idx, f, st, scorer, **params)
+            parts.append(contrib.select(
+                "doc_id", F.lit(f).alias("field"), "contrib"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
     # literal per-(field, term) stats from the _bound_stats cache: the
     # query relation, term_stats slice and globals were three broadcast
     # builds per run; the (field, term) list is known driver-side, so

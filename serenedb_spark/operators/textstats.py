@@ -43,7 +43,18 @@ def quality_score(
       score = 0.4*min(n_tokens/100, 1) + 0.3*stopword-band + 0.3*alpha_ratio
 
     (Gopher/C4-style filters reduced to deterministic SQL-expressible form.)
+
+    Column tree memoized per (text_col, id_col) — expressions only, the
+    plan is still built and executed fresh per call (expr_memo docs).
     """
+    from serenedb_spark.functions.expr_memo import memo_exprs
+
+    return df.select(*memo_exprs(
+        ("quality_score", text_col, id_col),
+        lambda: _quality_cols(text_col, id_col)))
+
+
+def _quality_cols(text_col: str, id_col: str) -> list:
     an = get_analyzer("simple")
     toks = an.expr(F.col(text_col))
     stop = F.array(*[F.lit(w) for w in ENGLISH_STOPWORDS])
@@ -71,14 +82,14 @@ def quality_score(
         + F.lit(0.3) * stop_band
         + F.lit(0.3) * F.coalesce(alpha_ratio, F.lit(0.0))
     )
-    return df.select(
+    return [
         F.col(id_col),
         n.alias("n_tokens"),
         F.round(avg_len, 4).alias("avg_token_len"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(score, 4).alias("quality"),
-    )
+    ]
 
 
 def duckdb_quality_sql(table: str, text_col: str = "text",
@@ -110,7 +121,18 @@ def lang_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Marker-word language ID: score(lang) = |tokens ∩ markers(lang)| /
-    n_tokens; argmax with (score desc, lang asc) tie-break; 'und' if all 0."""
+    n_tokens; argmax with (score desc, lang asc) tie-break; 'und' if all 0.
+
+    Column tree memoized per (text_col, id_col) — expressions only, the
+    plan is still built and executed fresh per call (expr_memo docs)."""
+    from serenedb_spark.functions.expr_memo import memo_exprs
+
+    return df.select(*memo_exprs(
+        ("lang_id", text_col, id_col),
+        lambda: _lang_id_cols(text_col, id_col)))
+
+
+def _lang_id_cols(text_col: str, id_col: str) -> list:
     an = get_analyzer("simple")
     toks = an.expr(F.col(text_col))
     n = F.size(toks)
@@ -125,11 +147,11 @@ def lang_id(
     pred = F.lit("und")
     for lang, s in reversed(scores):  # earlier langs win ties → apply last
         pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
-    return df.select(
+    return [
         F.col(id_col),
         pred.alias("pred_lang"),
         F.round(best, 4).alias("lang_score"),
-    )
+    ]
 
 
 def duckdb_lang_id_sql(table: str, text_col: str = "text",
@@ -348,7 +370,21 @@ def gopher_rules(
 
     (min_words defaults to 20, not the paper's 50 — the synthetic docs
     are short; the threshold is a parameter.) All flags are pure column
-    expressions over one whitespace split — no shuffle, no Python."""
+    expressions over one whitespace split — no shuffle, no Python.
+
+    The ~60-node flag tree is memoized per (params) — building it cost
+    ~0.4 s of py4j round-trips per call (guide §1.3 decomposition), ~half
+    this query's bench latency; the memo caches the unresolved
+    EXPRESSIONS only, every call still plans and executes fresh."""
+    from serenedb_spark.functions.expr_memo import memo_exprs
+
+    return df.select(*memo_exprs(
+        ("gopher_rules", text_col, id_col, min_words, max_words),
+        lambda: _gopher_cols(text_col, id_col, min_words, max_words)))
+
+
+def _gopher_cols(text_col: str, id_col: str,
+                 min_words: int, max_words: int) -> list:
     words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
     n = F.size(words)
@@ -464,7 +500,7 @@ def gopher_rules(
     cols = [F.col(id_col)]
     cols += [v.cast("int").alias(k) for k, v in flags.items()]
     cols.append(keep.cast("int").alias("keep"))
-    return df.select(*cols)
+    return cols
 
 
 def duckdb_gopher_sql(

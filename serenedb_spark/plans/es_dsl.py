@@ -306,14 +306,40 @@ def _multi_match(idx: InvertedIndex, spec: dict[str, Any],
             field_terms.append((name, t, boost))
     if not field_terms:
         raise ValueError(f"multi_match analyzed to no tokens: {text!r}")
-    per_doc_field = (
+    # ONE aggregation keyed doc_id (guide §2.4 "two operations keyed the
+    # same way share one exchange" — here the (doc, field) partial scores
+    # and the cross-field combine fold into a single groupBy): each
+    # field's per-doc score becomes a conditional aggregate column, NULL
+    # when the doc matched no term of that field, so the combine
+    # (max / sum over MATCHED fields only — no zero floor, per ES
+    # best_fields) reads straight off the null-skipping greatest/sum.
+    # Replaces groupBy(doc_id, field) + groupBy(doc_id): 2 exchanges → 1.
+    fields = list(dict.fromkeys(f for f, _, _ in field_terms))
+    agg_of = scorer_aggregator(scorer)
+    per_doc = (
         scored_contributions_multi(idx, field_terms, scorer)
-        .groupBy("doc_id", "field")
-        .agg(scorer_aggregator(scorer)("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(*[
+            agg_of(F.when(F.col("field") == f, F.col("contrib")))
+            .alias(f"__s{i}")
+            for i, f in enumerate(fields)
+        ])
     )
+    s_cols = [F.col(f"__s{i}") for i in range(len(fields))]
+    if mtype == "most_fields":
+        total = s_cols[0] if len(s_cols) == 1 else sum(
+            (F.coalesce(c, F.lit(0.0)) for c in s_cols[1:]),
+            F.coalesce(s_cols[0], F.lit(0.0)))
+    else:
+        mx = F.greatest(*s_cols) if len(s_cols) > 1 else s_cols[0]
+        if tie:
+            sm = sum((F.coalesce(c, F.lit(0.0)) for c in s_cols[1:]),
+                     F.coalesce(s_cols[0], F.lit(0.0)))
+            total = mx + F.lit(tie) * (sm - mx)
+        else:
+            total = mx
     return (
-        per_doc_field.groupBy("doc_id")
-        .agg(F.round(_dis_max_combine(mtype, tie), 4).alias("score"))
+        per_doc.select("doc_id", F.round(total, 4).alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id"))
     )
 

@@ -144,10 +144,17 @@ def _ordered(df: DataFrame, *cols: str) -> DataFrame:
     re-executes any unmaterialized child pipeline a second time per run
     (guide §2.4 — an orderBy used only to make output deterministic is an
     accidental shuffle). A single-partition sort yields the identical
-    order with one round-robin exchange and one child execution. The
-    results of these query fns are driver-collected by the gate/bench,
-    so the one-partition sort is bounded by the same size as collect()
-    itself and cannot become the scaling bottleneck."""
+    order with one round-robin exchange and one child execution.
+
+    CONTRACT (collect-only): ``_ordered`` is a TERMINAL transform for
+    results that are immediately ``collect()``-ed by the gate/bench —
+    the one-partition sort is bounded by the same size as collect()
+    itself, so it cannot become the scaling bottleneck. Do NOT reuse it
+    in front of a distributed sink (a table/file write, a downstream
+    join, a streaming stage): there it serializes the whole result
+    through one task. Non-collected pipelines that need ordering keep a
+    parallel orderBy/sortWithinPartitions; tests/test_optimizer.py pins
+    this contract."""
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
@@ -4683,6 +4690,21 @@ _register(
 _EMB_LSH_CACHE: dict = {}
 
 
+def lsh_layout(spark: SparkSession, sf_dir: str):
+    """Materialize the sign-LSH signature layout for the embeddings table
+    (the CREATE INDEX half of embedding near-dup) once per (session,
+    dataset); pair queries reuse it. Exposed so the bench can time it as
+    its own ``lsh_build`` entry, like ``index_build``."""
+    ck = (id(spark), sf_dir)
+    if ck not in _EMB_LSH_CACHE:
+        emb = load_tables(spark, sf_dir)["embeddings"]
+        base, banded = DD.embedding_lsh_layout(emb, "embedding", "vec_id")
+        banded.count()  # materialize the persisted layout
+        # counted layout statistic → broadcast decision in the pair query
+        _EMB_LSH_CACHE[ck] = (base, banded, base.count())
+    return _EMB_LSH_CACHE[ck]
+
+
 def _vec_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """APPROXIMATE near-dup pairs via sign-LSH buckets + exact cosine on
     within-bucket candidates — the 100 TB shape (banded equi-join, never a
@@ -4691,14 +4713,7 @@ def _vec_dup_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parity check, not a spec check — embedding_dup_pairs is the spec).
     The signature layout (bits + band keys) is built once per (session,
     dataset) — the CREATE INDEX half — and pair queries reuse it."""
-    ck = (id(spark), sf_dir)
-    if ck not in _EMB_LSH_CACHE:
-        emb = load_tables(spark, sf_dir)["embeddings"]
-        base, banded = DD.embedding_lsh_layout(emb, "embedding", "vec_id")
-        banded.count()  # materialize the persisted layout
-        # counted layout statistic → broadcast decision in the pair query
-        _EMB_LSH_CACHE[ck] = (base, banded, base.count())
-    base, banded, n_base = _EMB_LSH_CACHE[ck]
+    base, banded, n_base = lsh_layout(spark, sf_dir)
     # single-partition sort, not orderBy: the result is driver-collect
     # sized, and a range exchange would re-execute the (broadcast-join)
     # child once more just to sample split points — profiled 1.74 s →

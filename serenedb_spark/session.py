@@ -3033,11 +3033,22 @@ class SereneSession:
         # roles created before the attrs store existed (legacy _roles
         # set) and principals granted through the API (the pre-v2
         # pg_roles listed granted principals) surface with default
-        # attributes
-        for r in (*self._set_store("_roles"),
-                  *sorted(getattr(self, "_grants", {})),
-                  *sorted(getattr(self, "_col_grants", {}))):
-            if r not in ra:
+        # attributes. The public/PUBLIC pseudo-role is never a pg_roles
+        # row (Postgres keeps it implicit), and a principal whose grant
+        # sets have all been revoked (empty dict entries linger after
+        # revoke()) is not a role either.
+        grants = getattr(self, "_grants", {})
+        col_grants = getattr(self, "_col_grants", {})
+        # {principal: {table: set(privs)}} / {principal: {table: {priv:
+        # set(cols)}}} — revoke() leaves empty leaves behind, so walk to
+        # a non-empty leaf before counting a principal as granted
+        granted = {r for r, g in grants.items()
+                   if any(privs for privs in g.values())}
+        granted |= {r for r, g in col_grants.items()
+                    if any(cols for tbl in g.values()
+                           for cols in tbl.values())}
+        for r in (*self._set_store("_roles"), *sorted(granted)):
+            if r not in ra and r.lower() != "public":
                 ra[r] = dict(self._ROLE_DEFAULTS, oid=self._next_oid())
         return ra
 

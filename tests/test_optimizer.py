@@ -69,3 +69,29 @@ def test_semantics_preserved_on_corpus(spark):
         ga = {r.doc_id for r in compile_query(idx, "text", a).doc_ids.collect()}
         gb = {r.doc_id for r in compile_query(idx, "text", b).doc_ids.collect()}
         assert ga == gb, (a, b)
+
+
+# ---- _ordered collect-only contract (r13 verdict item 9) -------------------
+
+def test_ordered_is_terminal_and_bounded(spark):
+    """`queries._ordered` is a TERMINAL, collect-only transform: every
+    registry query that ends in it must produce a driver-collectable
+    result (bounded at the gate SF), and the single-partition sort must
+    sit at the TOP of the plan — nothing distributed may consume it."""
+    from serenedb_spark import queries as Q
+    from tests.conftest import SF_DIR
+
+    df = Q.REGISTRY["text_quality"].fn(spark, SF_DIR)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # the repartition(1) + local sort is the outermost pair of operators
+    head = "\n".join(plan.splitlines()[:2])
+    assert "Sort" in head and "Repartition" in head, head
+    # and the result is collect-bounded at this SF (the contract's reason)
+    assert df.count() <= 200_000
+
+
+def test_ordered_contract_documented():
+    from serenedb_spark.queries import _ordered
+
+    doc = _ordered.__doc__ or ""
+    assert "collect-only" in doc and "TERMINAL" in doc
