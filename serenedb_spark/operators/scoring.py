@@ -255,63 +255,78 @@ def scored_contributions_multi(
     # builds per run; the (field, term) list is known driver-side, so
     # they inline as CASE literals. A field with no globals row (no
     # postings) contributed nothing through the inner join — skipping it
-    # here is identical.
-    stats: dict = {}
-    gl: dict = {}
-    for f in fields:
-        g, known = _bound_stats(idx, f, [t for ff, t, _ in field_terms
-                                         if ff == f])
-        if g is None:
-            continue
-        gl[f] = g
-        for ff, t, b in field_terms:
-            if ff == f and known.get(t) is not None:
-                stats[(f, t)] = (float(b), known[t])
+    # here is identical. The whole CASE-column set (7 stat columns + the
+    # keep predicate + contribution, hundreds of py4j calls) is memoized
+    # per (index, query shape) alongside the stats cache — expressions
+    # only; the plan is still built and executed fresh per call.
+    mck = (id(idx), tuple(field_terms), scorer,
+           tuple(sorted(params.items())))
+    cached = _MULTI_EXPR_CACHE.get(mck)
+    if cached is None:
+        stats: dict = {}
+        gl: dict = {}
+        for f in fields:
+            g, known = _bound_stats(idx, f, [t for ff, t, _ in field_terms
+                                             if ff == f])
+            if g is None:
+                continue
+            gl[f] = g
+            for ff, t, b in field_terms:
+                if ff == f and known.get(t) is not None:
+                    stats[(f, t)] = (float(b), known[t])
+
+        def pair_case(val_of):
+            c = None
+            for (f, t), (b, d) in stats.items():
+                cond = (F.col("field") == f) & (F.col("term") == t)
+                c = (F.when(cond, F.lit(val_of(f, t, b, d))) if c is None
+                     else c.when(cond, F.lit(val_of(f, t, b, d))))
+            return c.otherwise(F.lit(0.0)) if c is not None else F.lit(0.0)
+
+        def field_case(val_of):
+            c = None
+            for f, g in gl.items():
+                c = (F.when(F.col("field") == f, F.lit(val_of(f, g)))
+                     if c is None
+                     else c.when(F.col("field") == f, F.lit(val_of(f, g))))
+            return c.otherwise(F.lit(0.0)) if c is not None else F.lit(0.0)
+
+        # rows for (field, term) pairs absent from the query relation must
+        # not score: the broadcast join dropped them; filter keeps parity
+        live = list(stats)
+        keep = None
+        for f, t in live:
+            cond = (F.col("field") == f) & (F.col("term") == t)
+            keep = cond if keep is None else (keep | cond)
+        sel = None
+        if live:
+            sel = [
+                "doc_id", "field", "freq",
+                pair_case(lambda f, t, b, d: b).alias("boost"),
+                pair_case(lambda f, t, b, d: float(d["df"])).alias("df"),
+                pair_case(lambda f, t, b, d: float(d["ctf"])).alias("ctf"),
+                field_case(lambda f, g: float(g["n_docs"])).alias("n_docs"),
+                field_case(lambda f, g: float(g["avgdl"])).alias("avgdl"),
+                field_case(
+                    lambda f, g: float(g["total_dl"])).alias("total_dl"),
+                field_case(
+                    lambda f, g: float(n_by_field[f])).alias("n_terms"),
+            ]
+        contrib = _contrib_expr_n(scorer, F.col("n_terms"), params)
+        cached = _MULTI_EXPR_CACHE[mck] = (idx, keep, sel, contrib)
+    _idx_ref, keep, sel, contrib = cached
+
     # the isin filters are pushable predicates (term-bucket pruning on a
     # persisted index)
     P = idx.postings.where(
         F.col("field").isin(fields) & F.col("term").isin(terms))
-
-    def pair_case(val_of):
-        c = None
-        for (f, t), (b, d) in stats.items():
-            cond = (F.col("field") == f) & (F.col("term") == t)
-            c = (F.when(cond, F.lit(val_of(f, t, b, d))) if c is None
-                 else c.when(cond, F.lit(val_of(f, t, b, d))))
-        return c.otherwise(F.lit(0.0)) if c is not None else F.lit(0.0)
-
-    def field_case(val_of):
-        c = None
-        for f, g in gl.items():
-            c = (F.when(F.col("field") == f, F.lit(val_of(f, g)))
-                 if c is None
-                 else c.when(F.col("field") == f, F.lit(val_of(f, g))))
-        return c.otherwise(F.lit(0.0)) if c is not None else F.lit(0.0)
-
-    # rows for (field, term) pairs absent from the query relation must
-    # not score: the broadcast join dropped them; filter keeps parity
-    live = list(stats)
-    if not live:
+    if sel is None:
         return P.select(
             "doc_id", "field", F.lit(0.0).alias("contrib")).where(F.lit(False))
-    keep = None
-    for f, t in live:
-        cond = (F.col("field") == f) & (F.col("term") == t)
-        keep = cond if keep is None else (keep | cond)
-    base = P.where(keep).select(
-        "doc_id", "field", "freq",
-        pair_case(lambda f, t, b, d: b).alias("boost"),
-        pair_case(lambda f, t, b, d: float(d["df"])).alias("df"),
-        pair_case(lambda f, t, b, d: float(d["ctf"])).alias("ctf"),
-        field_case(lambda f, g: float(g["n_docs"])).alias("n_docs"),
-        field_case(lambda f, g: float(g["avgdl"])).alias("avgdl"),
-        field_case(lambda f, g: float(g["total_dl"])).alias("total_dl"),
-        field_case(lambda f, g: float(n_by_field[f])).alias("n_terms"),
-    )
+    base = P.where(keep).select(*sel)
     ds = idx.doc_stats.where(F.col("field").isin(fields)).select(
         "field", "doc_id", "dl")
     base = base.join(ds, ["field", "doc_id"])
-    contrib = _contrib_expr_n(scorer, F.col("n_terms"), params)
     return base.select("doc_id", "field", contrib.alias("contrib"))
 
 
@@ -399,6 +414,20 @@ SCORED_TERMS_LIMIT = 64
 #: index stats are immutable once built (DML produces new InvertedIndex
 #: objects), so the driver pays the tiny collects once, not per query
 _STATS_CACHE: dict[tuple[int, str], tuple[object, object, dict]] = {}
+
+#: per-(index, query-shape) cache of the phase-A pruning floor θ — like
+#: _bound_stats, a statistic of the immutable index (the k-th best
+#: single-term contribution of the strongest term), NOT a result: it only
+#: decides which terms are non-essential, and the pruned plan is provably
+#: identical to the unpruned one. Keyed on the index OBJECT (held in the
+#: value so its id() can't be reused); rebuilt indexes are new objects.
+_THETA_CACHE: dict[tuple, tuple[object, float | None]] = {}
+
+#: per-(index, multi-field query shape) memo of the literal-stats CASE
+#: columns scored_contributions_multi builds (expressions only — see the
+#: function body); the index object is held in the value so its id()
+#: cannot be reused by a rebuilt index
+_MULTI_EXPR_CACHE: dict[tuple, tuple] = {}
 
 
 def _bound_stats(idx: InvertedIndex, field: str, terms: list[str]):
@@ -507,19 +536,30 @@ def scored_topk(
     # phase A — a LOWER bound on the true k-th best score, from ONE term's
     # single-term contributions (each such doc's full score is ≥ its t*
     # contribution, so the k-th contribution is a valid, conservative
-    # floor). One small job over t*'s postings — never full scoring.
+    # floor). One small job over t*'s postings — never full scoring —
+    # and, being a statistic of the immutable index, cached per
+    # (index, t*, k, scorer, params) so repeated top-k runs skip the job.
     t_star = max(ubs, key=ubs.get)
-    single = score_terms.where(F.col("term") == t_star)
-    top_a = (
-        score(idx, field, single, scorer,
-              terms_local=[(t_star, boosts[t_star])], **params)
-        .orderBy(F.col("score").desc(), "doc_id").limit(k).collect()
-    )
-    if len(top_a) < k:
-        return full()  # not enough floor docs — no pruning possible
-    # margin: strictly wider than the 10^-round_to rounding quantum, so a
-    # pruned doc can never round into a tie with the k-th kept doc
-    theta = top_a[-1]["score"] - 10.0 ** (-round_to + 1)
+    tck = (id(idx), field, t_star, boosts[t_star], k, scorer, round_to,
+           tuple(sorted(params.items())))
+    if tck in _THETA_CACHE:
+        theta = _THETA_CACHE[tck][1]
+        if theta is None:
+            return full()  # cached "not enough floor docs" outcome
+    else:
+        single = score_terms.where(F.col("term") == t_star)
+        top_a = (
+            score(idx, field, single, scorer,
+                  terms_local=[(t_star, boosts[t_star])], **params)
+            .orderBy(F.col("score").desc(), "doc_id").limit(k).collect()
+        )
+        if len(top_a) < k:
+            _THETA_CACHE[tck] = (idx, None)
+            return full()  # not enough floor docs — no pruning possible
+        # margin: strictly wider than the 10^-round_to rounding quantum,
+        # so a pruned doc can never round into a tie with the k-th kept doc
+        theta = top_a[-1]["score"] - 10.0 ** (-round_to + 1)
+        _THETA_CACHE[tck] = (idx, theta)
 
     # phase B — essential terms: drop the longest ascending-UB prefix with
     # cumulative bound < θ

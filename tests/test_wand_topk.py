@@ -108,3 +108,32 @@ def test_fallback_single_term(spark, idx):
     compiled = compile_query(idx, "text", q.Term("spark"))
     got = scored_topk(idx, "text", compiled.score_terms, 5, "bm25").collect()
     assert len(got) == 5
+
+
+def test_rebuild_re_resolves_stats_and_theta(spark):
+    """r13 verdict item 5: literal-stats scoring and the θ floor are
+    cached per INDEX OBJECT — a rebuilt index (new object, changed
+    corpus) must re-resolve both, never reuse the old snapshot."""
+    from serenedb_spark.operators.indexing import build_index
+
+    rows = [(i, "alpha beta " + ("alpha " * (i % 4))) for i in range(60)]
+    docs1 = spark.createDataFrame(rows, "doc_id long, text string")
+    idx1 = build_index(docs1, {"text": "simple"}, key="doc_id")
+    node = q.Term("alpha") | q.Term("beta").boost(0.1)
+    c1 = compile_query(idx1, "text", node)
+    got1 = scored_topk(idx1, "text", c1.score_terms, 5, "bm25").collect()
+
+    # rebuilt corpus: beta becomes the dominant term — stats flip
+    rows2 = [(i, "beta gamma " + ("beta " * (i % 4))) for i in range(60)]
+    docs2 = spark.createDataFrame(rows2, "doc_id long, text string")
+    idx2 = build_index(docs2, {"text": "simple"}, key="doc_id")
+    c2 = compile_query(idx2, "text", node)
+    got2 = scored_topk(idx2, "text", c2.score_terms, 5, "bm25").collect()
+
+    want2 = (
+        score(idx2, "text", c2.score_terms, "bm25")
+        .select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id").limit(5).collect()
+    )
+    assert [tuple(r) for r in got2] == [tuple(r) for r in want2]
+    assert got1 != got2  # the old snapshot demonstrably did not leak
