@@ -1475,6 +1475,35 @@ def _explain(session, s: str) -> DataFrame:
             lines.append(
                 f"Execution Time: {(time.perf_counter() - t0) * 1e3:.3f} ms")
         return _plan_df(session, lines)
+    if verb == "CREATE":
+        # PG explains only the data-producing CREATEs (CREATE TABLE AS /
+        # CREATE MATERIALIZED VIEW); EXPLAIN ANALYZE really EXECUTES the
+        # statement — ctas.test:211 counts the created rows afterwards.
+        # Falling through to session.explain() would hand the raw DDL to
+        # spark.sql, which cannot plan it.
+        m2 = re.match(
+            r"CREATE\s+(?:MATERIALIZED\s+VIEW|TABLE)\s+"
+            r"(?:IF\s+NOT\s+EXISTS\s+)?([\w.\"]+)\s+AS\b(.*)$",
+            inner, re.IGNORECASE | re.DOTALL)
+        if m2 is None:
+            raise ValueError(
+                "EXPLAIN over CREATE supports only CREATE TABLE AS / "
+                "CREATE MATERIALIZED VIEW ... AS")
+        lines = [f"CREATE TABLE AS on {m2.group(1)}"]
+        try:
+            sel = session.explain(m2.group(2).strip())
+            lines += ["  " + ln for ln in sel.splitlines()]
+        except Exception:
+            # the feeding SELECT may use constructs only the routed
+            # executor lowers (generate_series TVFs); the head line is
+            # still an honest plan summary
+            lines.append("  Source: (plan unavailable)")
+        if analyze:
+            t0 = time.perf_counter()
+            route_statement(session, inner)
+            lines.append(
+                f"Execution Time: {(time.perf_counter() - t0) * 1e3:.3f} ms")
+        return _plan_df(session, lines)
     if not analyze:
         try:
             from serenedb_spark.plans.boxplan import (

@@ -193,7 +193,10 @@ def _norm_cell(v) -> str:
                     .replace('"', '\\"') + '"'
             return c
         return "{" + ",".join(cell(x) for x in v) + "}"
-    return str(v)
+    # the reference harness displays an embedded newline as the two
+    # characters `\n` — its result format is line-based, so a raw
+    # newline could never round-trip (text.test:21 `Hello\nworld`)
+    return str(v).replace("\n", "\\n")
 
 
 def _rows_match(expected: list[list[str]], actual: list[list[str]],

@@ -175,6 +175,11 @@ def test_set_show_reset(ss):
 # ---- GRANT / REVOKE -------------------------------------------------------
 
 def test_grant_revoke_sql(ss, spark):
+    # PG: granting to a role that does not exist is an error — the SQL
+    # surface validates against pg_roles (rbac sqllogic parity), so the
+    # principal must be created first (the bare grant() API still
+    # auto-registers, covered by test_catalog_dml)
+    ss.sql("CREATE ROLE bob")
     ss.sql("GRANT SELECT, INSERT ON t TO bob")
     ss.set_user("bob")
     try:
@@ -428,4 +433,8 @@ def test_roles_and_set_role(ss):
         ss.sql("DELETE FROM t WHERE a = 1")
     ss.sql("RESET ROLE")
     assert ss.current_user is None
+    # PG: DROP ROLE refuses while the role still holds privileges
+    with pytest.raises(ValueError, match="depend on it"):
+        ss.sql("DROP ROLE alice")
+    ss.sql("REVOKE SELECT ON t FROM alice")
     ss.sql("DROP ROLE alice")
