@@ -29,6 +29,12 @@ def _and_all(conds: list[Column]) -> Column:
     return out
 
 
+#: broadcast-decomposition ceiling for merge_into's `source_rows` hint:
+#: the source is broadcast twice (full rows + its key set), so the hint
+#: must bound a comfortably driver-sized relation.
+MERGE_BROADCAST_MAX_ROWS = 100_000
+
+
 def merge_into(
     target: DataFrame,
     source: DataFrame,
@@ -36,6 +42,7 @@ def merge_into(
     when_matched_update: dict[str, Column] | None = None,
     when_not_matched_insert: bool = True,
     when_matched_delete: Column | None = None,
+    source_rows: int | None = None,
 ) -> DataFrame:
     """MERGE INTO target USING source ON target.key = source.key
     (composite keys AND over every column).
@@ -46,13 +53,25 @@ def merge_into(
     * not matched → source row inserted (if enabled)
 
     Returns the new table state (same schema as target).
+
+    ``source_rows`` is an optional caller-known BOUND on the source row
+    count (a statistic, like the LSH layout's counted base_rows). Spark
+    cannot broadcast a FULL OUTER join, so the default shape shuffles the
+    entire target — the one relation that is corpus-sized at scale. When
+    the source is known-small, the merge decomposes into target
+    LEFT JOIN broadcast(source) (matched update/delete; map-only over
+    the target) plus broadcast anti-join inserts: no wide exchange of
+    the target at all (guide §3: pick the join strategy deliberately,
+    never shuffle the big side for a small probe).
     """
     kc = key_cols(key)
+    small = (source_rows is not None
+             and source_rows <= MERGE_BROADCAST_MAX_ROWS)
     t = target.alias("t")
     s = source.alias("s")
-    joined = t.join(
-        s, _and_all([F.col(f"t.{k}") == F.col(f"s.{k}") for k in kc]),
-        "full_outer")
+    cond = _and_all([F.col(f"t.{k}") == F.col(f"s.{k}") for k in kc])
+    joined = (t.join(F.broadcast(s), cond, "left") if small
+              else t.join(s, cond, "full_outer"))
 
     has_t = _and_all([F.col(f"t.{k}").isNotNull() for k in kc])
     has_s = _and_all([F.col(f"s.{k}").isNotNull() for k in kc])
@@ -79,7 +98,38 @@ def merge_into(
     if not when_not_matched_insert:
         keep = keep & (has_t | ~has_s)
 
-    return joined.where(keep).select(*out_cols)
+    kept = joined.where(keep).select(*out_cols)
+    if not small or not when_not_matched_insert:
+        return kept
+
+    # inserts: source keys with no target match. The key set that DID
+    # match is found with a second map-only pass over the target's key
+    # columns (column-pruned scan; at scale this is far cheaper than
+    # shuffling the target once), then anti-joined against the source —
+    # both joins broadcast the small side. NULL source keys never match
+    # a null-rejecting equi-join, so they insert here exactly as they
+    # fall out of the full_outer's unmatched branch.
+    skeys = source.select(
+        *[F.col(k).alias(f"__s_{k}") for k in kc]).dropDuplicates()
+    matched_keys = (
+        target.select(*kc)
+        .join(F.broadcast(skeys),
+              _and_all([F.col(k) == F.col(f"__s_{k}") for k in kc]),
+              "inner")
+        .select(*[F.col(f"__s_{k}") for k in kc])
+        .dropDuplicates()
+    )
+    inserts = source.alias("s").join(
+        F.broadcast(matched_keys),
+        _and_all([F.col(f"s.{k}") == F.col(f"__s_{k}") for k in kc]),
+        "left_anti")
+    tschema = {f.name: f.dataType for f in target.schema.fields}
+    ins_cols = [
+        (F.col(c) if c in source.columns
+         else F.lit(None)).cast(tschema[c]).alias(c)
+        for c in target.columns
+    ]
+    return kept.unionByName(inserts.select(*ins_cols))
 
 
 def upsert(target: DataFrame, source: DataFrame, key) -> DataFrame:

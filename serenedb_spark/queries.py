@@ -2065,8 +2065,12 @@ def _merge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
         )
     )
+    # the source is bounded by construction (suppliers 1-5 plus two
+    # literal rows, any SF) — the hint selects merge_into's broadcast
+    # decomposition: no wide shuffle of the corpus-sized target
     merged = merge_into(sup, source, "s_suppkey",
-                        when_matched_delete=F.col("s.s_nationkey") == 24)
+                        when_matched_delete=F.col("s.s_nationkey") == 24,
+                        source_rows=7)
     return merged.select(
         "s_suppkey", "s_name", "s_nationkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
