@@ -2065,12 +2065,15 @@ def _merge_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
         )
     )
-    # the source is bounded by construction (suppliers 1-5 plus two
-    # literal rows, any SF) — the hint selects merge_into's broadcast
-    # decomposition: no wide shuffle of the corpus-sized target
+    # NB: merge_into's source_rows broadcast decomposition (no target
+    # shuffle) is deliberately NOT hinted here: at sf0.1 the 1000-row
+    # supplier merge is job-count-bound and the decomposition's extra
+    # broadcast/anti jobs measure ~2x slower (1.46 vs 2.5 s paired),
+    # reaching parity only by ~20M target rows locally — the shuffle it
+    # removes only costs on a real cluster's network (measurements in
+    # OPTIMIZATION_r14.md)
     merged = merge_into(sup, source, "s_suppkey",
-                        when_matched_delete=F.col("s.s_nationkey") == 24,
-                        source_rows=7)
+                        when_matched_delete=F.col("s.s_nationkey") == 24)
     return merged.select(
         "s_suppkey", "s_name", "s_nationkey",
         F.round("s_acctbal", 2).alias("s_acctbal"),
